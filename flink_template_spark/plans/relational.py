@@ -1,0 +1,644 @@
+"""Core batch relational query library over the TPC-H-ish star schema.
+
+These are the engine's declared batch capabilities (SURVEY.md §2.5/§2.7):
+scans with pushdown, multi-way joins (broadcast for small dims), hash
+aggregation, semi/anti joins, set ops, distinct aggregation, scalar
+function catalog (string/date/math/JSON).
+
+Scale notes (100 TB design):
+- ``region``/``nation``/``supplier``/``part`` are broadcast — they stay
+  small at any SF (dimensions), so no shuffle on the fact side for those
+  joins.
+- fact-fact joins (orders ⨝ lineitem) shuffle on the join key; AQE
+  handles skew/coalescing at runtime.
+- all filters are plain Column predicates on scan columns → Catalyst
+  pushes them into the parquet reader (verified via explain in tests).
+- aggregates are exact-decimal then cast to double for cross-engine
+  hash stability (see plans.registry docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_template_spark.plans.registry import register
+from flink_template_spark.tables import load_table
+
+
+def _dec(col: str, prec: int = 12, scale: int = 2):
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+def _one_minus(col: str):
+    return F.lit(1).cast("decimal(3,2)") - _dec(col, 3, 2)
+
+
+def _one_plus(col: str):
+    return F.lit(1).cast("decimal(3,2)") + _dec(col, 3, 2)
+
+
+# ---------------------------------------------------------------------------
+# q1 — pricing summary (TPC-H Q1 shape): scan + filter + 2-key hash agg.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+    AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+      * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE)
+    AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * _one_minus("l_discount")
+    charge = disc_price * _one_plus("l_tax")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_price"
+            ),
+            (F.sum(_dec("l_discount", 3, 2)).cast("double") / F.count(F.lit(1))).alias(
+                "avg_disc"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q3 — shipping priority: 3-way join + agg + deterministic top-10.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+SELECT
+  l_orderkey,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+    AS revenue,
+  o_orderdate,
+  o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    revenue = _dec("l_extendedprice") * _one_minus("l_discount")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q5 — local supplier volume: 6-way star join, group by nation.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+SELECT
+  n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+    AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = _dec("l_extendedprice") * _one_minus("l_discount")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q6 — revenue forecast: pure pushdown filter + single agg.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q6_revenue_forecast",
+    oracle="""
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount", 3, 2))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q7 — volume by customer-nation × supplier-nation × year.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q7_nation_volume",
+    oracle="""
+SELECT
+  cn.n_name AS cust_nation,
+  sn.n_name AS supp_nation,
+  CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+    AS volume
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE cn.n_name <> sn.n_name
+GROUP BY cn.n_name, sn.n_name, CAST(EXTRACT(year FROM l_shipdate) AS INTEGER)
+""",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    revenue = _dec("l_extendedprice") * _one_minus("l_discount")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(revenue).cast("double").alias("volume"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10 — returned items: join + agg + deterministic top-20.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q10_returned_items",
+    oracle="""
+SELECT
+  c_custkey,
+  c_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+    AS revenue,
+  CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+  n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = _dec("l_extendedprice") * _one_minus("l_discount")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# semi / anti joins (EXISTS / NOT EXISTS equivalents).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_semi_join_urgent_customers",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
+""",
+)
+def q_semi_join_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "q_anti_join_idle_customers",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+)
+""",
+)
+def q_anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# set operations.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_setops_nations",
+    oracle="""
+WITH cust_nations AS (
+  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+), supp_nations AS (
+  SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+)
+SELECT nationkey, 'both' AS side FROM cust_nations
+INTERSECT
+SELECT nationkey, 'both' AS side FROM supp_nations
+UNION ALL
+SELECT nationkey, 'cust_only' AS side FROM (
+  SELECT nationkey FROM cust_nations EXCEPT SELECT nationkey FROM supp_nations
+)
+""",
+)
+def q_setops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    both = (
+        cust.withColumn("side", F.lit("both"))
+        .intersect(supp.withColumn("side", F.lit("both")))
+    )
+    cust_only = cust.exceptAll(supp).withColumn("side", F.lit("cust_only"))
+    return both.unionAll(cust_only)
+
+
+# ---------------------------------------------------------------------------
+# distinct aggregation.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_distinct_agg_segments",
+    oracle="""
+SELECT
+  c_mktsegment,
+  COUNT(DISTINCT c_nationkey) AS n_nations,
+  COUNT(DISTINCT o_orderpriority) AS n_priorities,
+  COUNT(*) AS n_orders
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+""",
+)
+def q_distinct_agg_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# pivot via explicit conditional aggregation (portable shape).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_pivot_status_by_flag",
+    oracle="""
+SELECT
+  l_returnflag,
+  CAST(SUM(CASE WHEN l_linestatus = 'O'
+      THEN CAST(l_quantity AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END)
+    AS DOUBLE) AS qty_open,
+  CAST(SUM(CASE WHEN l_linestatus = 'F'
+      THEN CAST(l_quantity AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END)
+    AS DOUBLE) AS qty_finished,
+  COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    zero = F.lit(0).cast("decimal(12,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_linestatus") == "O", _dec("l_quantity")).otherwise(zero))
+        .cast("double")
+        .alias("qty_open"),
+        F.sum(F.when(F.col("l_linestatus") == "F", _dec("l_quantity")).otherwise(zero))
+        .cast("double")
+        .alias("qty_finished"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar function catalog: strings, dates, math, JSON.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_string_funcs",
+    oracle="""
+SELECT
+  p_partkey,
+  UPPER(p_name) AS name_upper,
+  LENGTH(p_name) AS name_len,
+  SUBSTR(p_name, 1, 4) AS name_prefix,
+  CONCAT(p_brand, ':', p_type) AS brand_type,
+  REPLACE(p_name, ' ', '_') AS name_snake,
+  CASE WHEN p_name LIKE '%widget%' THEN 1 ELSE 0 END AS is_widget
+FROM part
+WHERE p_size >= 10
+""",
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(F.col("p_size") >= 10).select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.when(F.col("p_name").contains("widget"), 1).otherwise(0).alias("is_widget"),
+    )
+
+
+@register(
+    "q_date_funcs",
+    oracle="""
+SELECT
+  CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+  CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS o_month,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price,
+  CAST(MIN(o_orderdate) AS DATE) AS first_day,
+  CAST(MAX(o_orderdate) AS DATE) AS last_day
+FROM orders
+GROUP BY 1, 2
+""",
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("o_year"),
+            F.month("o_orderdate").alias("o_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice", 14, 2)).cast("double").alias("total_price"),
+            F.min("o_orderdate").cast("date").alias("first_day"),
+            F.max("o_orderdate").cast("date").alias("last_day"),
+        )
+    )
+
+
+@register(
+    "q_math_funcs",
+    oracle="""
+SELECT
+  l_orderkey,
+  l_linenumber,
+  ABS(CAST(l_quantity AS DOUBLE) - 25.0) AS qty_dev,
+  ROUND(CAST(l_extendedprice AS DOUBLE) / 1000.0, 2) AS price_k,
+  FLOOR(CAST(l_quantity AS DOUBLE) / 10.0) AS qty_decile,
+  CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE) AS qty_sq
+FROM lineitem
+WHERE l_orderkey % 100 = 0
+""",
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("double")
+    return li.filter(F.col("l_orderkey") % 100 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(qty - 25.0).alias("qty_dev"),
+        F.round(F.col("l_extendedprice").cast("double") / 1000.0, 2).alias("price_k"),
+        F.floor(qty / 10.0).cast("double").alias("qty_decile"),
+        (qty * qty).alias("qty_sq"),
+    )
+
+
+@register(
+    "q_json_get",
+    oracle="""
+SELECT
+  CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1
+""",
+)
+def q_json_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn(
+            "k_bucket",
+            (F.get_json_object("props", "$.k").cast("int") % 10),
+        )
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# grouping sets: cube + rollup.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_cube_flag_status",
+    oracle="""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  COUNT(*) AS n_rows,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "q_rollup_region_nation",
+    oracle="""
+SELECT
+  r_name,
+  n_name,
+  COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def q_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_balance"),
+        )
+    )

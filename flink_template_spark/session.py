@@ -1,0 +1,55 @@
+"""SparkSession factory.
+
+Defaults are tuned for the local[N] test harness but every knob is the one
+you would also set on a 1000-executor cluster:
+
+- AQE on (runtime coalescing, skew-join splitting) — at 100 TB the static
+  shuffle-partition count is always wrong; AQE fixes it at runtime.
+- shuffle partitions sized to cores locally; on a real cluster this is
+  overridden by AQE's coalescing from a high initial value.
+- Arrow enabled: every Pandas-UDF boundary is Arrow-batched.
+- UTC session timezone: required for oracle comparison (DuckDB timestamps
+  are naive-UTC) and the only sane choice for a multi-region lakehouse.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "flink_template_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # events.parquet carries TIMESTAMP(NANOS); Spark's reader has no
+        # nanosecond timestamp type, so read them as raw int64 nanos and
+        # normalize in tables.load_events (floor to micros, same as
+        # DuckDB's CAST(ts_ns AS TIMESTAMP)).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

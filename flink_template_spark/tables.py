@@ -1,0 +1,58 @@
+"""Testdata table loaders (TPC-H-ish star schema + events/documents/embeddings).
+
+At 100 TB these would be partitioned/ bucketed lakehouse tables; here each
+is a single parquet file per scale factor. The loaders are plain
+``spark.read.parquet`` so Catalyst keeps predicate pushdown + column
+pruning; never collect.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts normalized from int64-nanos to microsecond timestamp.
+
+    Floor-to-micros matches DuckDB's ``CAST(ts AS TIMESTAMP)`` on the
+    TIMESTAMP_NS parquet column, so oracle comparisons stay exact.
+    """
+    from pyspark.sql import functions as F
+
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (for the SQL API path)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,27 @@
+"""Every registered query with an oracle must match DuckDB exactly.
+
+This mirrors the driver's CORRECTNESS gate (row count + columns +
+order-insensitive values) at sf0.001 for speed; the driver runs sf0.01.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_template_spark import plans
+from tests.oracle_check import compare
+
+ORACLE_QUERIES = sorted(plans.ORACLES.keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, duck, sf_dir, name):
+    df = plans.QUERIES[name](spark, sf_dir)
+    ok, msg = compare(df, duck, plans.ORACLES[name])
+    assert ok, f"{name}: {msg}"
+
+
+def test_all_queries_have_entries():
+    assert plans.QUERIES, "query registry is empty"
+    for name in plans.ORACLES:
+        assert name in plans.QUERIES
