@@ -1,1 +1,264 @@
-"""Placeholder — queries added incrementally."""
+"""Event-time operators over the ``events`` table (batch expressions of
+the streaming surface: SURVEY.md §2.3/§2.7).
+
+- tumbling / sliding / session windows (the batch duals of the
+  Structured Streaming versions in ``streaming/``);
+- as-of join (sort-merge union trick, ``operators.asof``);
+- keyed dedup-keep-first (the deterministic dual of ``dropDuplicates``);
+- exact-decimal variance (deterministic cross-engine moments).
+
+Scale notes: every query here is a single hash-shuffle on its grouping
+keys; session windows use Spark's native ``session_window`` aggregation
+(state-merge based, no per-row UDF); the as-of join is one shuffle +
+window, no range explosion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from flink_template_spark.operators.asof import asof_join
+from flink_template_spark.plans.registry import register
+from flink_template_spark.tables import load_table
+
+
+def _dec(col: str, prec: int = 12, scale: int = 2):
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+@register(
+    "q_events_tumbling_daily",
+    oracle="""
+SELECT
+  CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+  CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) + INTERVAL 1 DAY AS TIMESTAMP)
+    AS window_end,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+""",
+)
+def q_events_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_events_sliding_2d_1d",
+    oracle="""
+WITH exploded AS (
+  SELECT
+    unnest([
+      CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP),
+      CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) - INTERVAL 1 DAY AS TIMESTAMP)
+    ]) AS window_start,
+    value
+  FROM events
+)
+SELECT
+  window_start,
+  window_start + INTERVAL 2 DAY AS window_end,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM exploded
+GROUP BY 1, 2
+""",
+)
+def q_events_sliding_2d_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_events_session_30m",
+    oracle="""
+WITH ordered AS (
+  SELECT
+    user_id,
+    CAST(ts AS TIMESTAMP) AS ts,
+    value,
+    CASE WHEN CAST(ts AS TIMESTAMP)
+            - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
+          > INTERVAL 30 MINUTE
+         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      THEN 1 ELSE 0 END AS is_new
+  FROM events
+), sessions AS (
+  SELECT *,
+    SUM(is_new) OVER (
+      PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS session_id
+  FROM ordered
+)
+SELECT
+  user_id,
+  MIN(ts) AS session_start,
+  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def q_events_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_asof_latest_order_per_event",
+    oracle="""
+WITH order_snap AS (
+  SELECT
+    o_custkey,
+    o_orderdate,
+    arg_max(o_orderkey, o_orderkey) AS o_orderkey,
+    CAST(arg_max(o_totalprice, o_orderkey) AS DOUBLE) AS o_totalprice
+  FROM orders
+  GROUP BY o_custkey, o_orderdate
+)
+SELECT
+  e.event_id,
+  e.user_id,
+  CAST(e.ts AS TIMESTAMP) AS ts,
+  s.o_orderkey AS last_orderkey,
+  s.o_totalprice AS last_totalprice
+FROM events e
+ASOF LEFT JOIN order_snap s
+  ON e.user_id = s.o_custkey AND CAST(e.ts AS TIMESTAMP) >= s.o_orderdate
+""",
+)
+def q_asof_latest_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max_by("o_orderkey", "o_orderkey").alias("last_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey")
+            .cast("double")
+            .alias("last_totalprice"),
+        )
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    return asof_join(
+        events,
+        orders,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["last_orderkey", "last_totalprice"],
+    )
+
+
+@register(
+    "q_dedup_events_keep_first",
+    oracle="""
+SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+       CAST(value AS DOUBLE) AS value
+FROM (
+  SELECT *,
+    ROW_NUMBER() OVER (
+      PARTITION BY user_id, event_type ORDER BY ts, event_id
+    ) AS rk
+  FROM events
+)
+WHERE rk = 1
+""",
+)
+def q_dedup_events_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts",
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+
+
+@register(
+    "q_events_exact_moments",
+    oracle="""
+SELECT
+  event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_v,
+  CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+    AS sum_sq,
+  (CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+   - CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+     * CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+  / (COUNT(*) - 1) AS variance
+FROM events
+GROUP BY event_type
+""",
+)
+def q_events_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic variance: exact decimal Σx and Σx² then double math —
+    identical across engines regardless of partition merge order (a plain
+    ``stddev`` is order-sensitive in the last ulp)."""
+    events = load_table(spark, sf_dir, "events")
+    v = _dec("value")
+    agg = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).cast("double").alias("sum_v"),
+        F.sum(v * v).cast("double").alias("sum_sq"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "sum_v",
+        "sum_sq",
+        (
+            (F.col("sum_sq") - F.col("sum_v") * F.col("sum_v") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("variance"),
+    )

@@ -1,1 +1,231 @@
-"""Placeholder — queries added incrementally."""
+"""Analytic (window) function library: ranking, running totals, lag/lead,
+top-k per group.
+
+Determinism discipline: every window ORDER BY ends in a unique key
+(o_orderkey / l_linenumber) so ranks and frames are identical across
+engines; running frames are explicit ROWS BETWEEN so Spark and DuckDB
+agree on frame semantics.
+
+Scale notes: window functions shuffle once on partitionBy keys; top-k per
+group via row_number is the scalable pattern (no global sort — per-group
+heaps inside the sort-based window operator). A global ORDER BY appears
+only in deterministic LIMIT queries where the driver needs stable rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from flink_template_spark.plans.registry import register
+from flink_template_spark.tables import load_table
+
+
+def _dec(col: str, prec: int = 12, scale: int = 2):
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+@register(
+    "q_topk_orders_per_segment",
+    oracle="""
+SELECT c_mktsegment, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, rk
+FROM (
+  SELECT
+    c_mktsegment,
+    o_orderkey,
+    o_totalprice,
+    ROW_NUMBER() OVER (
+      PARTITION BY c_mktsegment
+      ORDER BY o_totalprice DESC, o_orderkey
+    ) AS rk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+WHERE rk <= 5
+""",
+)
+def q_topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "rk",
+        )
+    )
+
+
+@register(
+    "q_running_customer_revenue",
+    oracle="""
+SELECT
+  o_custkey,
+  o_orderkey,
+  o_orderdate,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+    PARTITION BY o_custkey
+    ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS DOUBLE) AS running_total,
+  ROW_NUMBER() OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+  ) AS order_seq
+FROM orders
+WHERE o_custkey % 10 = 0
+""",
+)
+def q_running_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(_dec("o_totalprice", 14, 2))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("double")
+        .alias("running_total"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@register(
+    "q_rank_suppliers_by_balance",
+    oracle="""
+SELECT
+  n_name,
+  s_suppkey,
+  s_name,
+  CAST(s_acctbal AS DOUBLE) AS s_acctbal,
+  RANK() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS bal_rank,
+  DENSE_RANK() OVER (ORDER BY n_name) AS nation_rank,
+  NTILE(4) OVER (ORDER BY s_acctbal DESC, s_suppkey) AS bal_quartile
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+""",
+)
+def q_rank_suppliers_by_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    w_bal = W.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    w_nat = W.orderBy("n_name")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            "s_suppkey",
+            "s_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            F.rank().over(w_bal).alias("bal_rank"),
+            F.dense_rank().over(w_nat).alias("nation_rank"),
+            F.ntile(4).over(w_bal).alias("bal_quartile"),
+        )
+    )
+
+
+@register(
+    "q_lag_lead_order_gaps",
+    oracle="""
+SELECT
+  o_custkey,
+  o_orderkey,
+  o_orderdate,
+  LAG(o_orderdate) OVER w AS prev_orderdate,
+  LEAD(o_orderdate) OVER w AS next_orderdate,
+  COALESCE(CAST(date_diff('day',
+      CAST(LAG(o_orderdate) OVER w AS DATE),
+      CAST(o_orderdate AS DATE)) AS BIGINT), -1) AS days_since_prev
+FROM orders
+WHERE o_custkey % 20 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def q_lag_lead_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 20 == 0)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        prev.alias("prev_orderdate"),
+        F.lead("o_orderdate").over(w).alias("next_orderdate"),
+        F.coalesce(
+            F.datediff(F.col("o_orderdate").cast("date"), prev.cast("date")).cast("long"),
+            F.lit(-1).cast("long"),
+        ).alias("days_since_prev"),
+    )
+
+
+@register(
+    "q_first_last_value_per_part",
+    oracle="""
+SELECT DISTINCT
+  l_partkey,
+  FIRST_VALUE(l_shipdate) OVER w AS first_ship,
+  LAST_VALUE(l_shipdate) OVER w AS last_ship,
+  CAST(COUNT(*) OVER (PARTITION BY l_partkey) AS BIGINT) AS n_ships
+FROM lineitem
+WHERE l_partkey % 50 = 0
+WINDOW w AS (
+  PARTITION BY l_partkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+)
+""",
+)
+def q_first_last_value_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 50 == 0)
+    w = (
+        W.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return li.select(
+        "l_partkey",
+        F.first("l_shipdate").over(w).alias("first_ship"),
+        F.last("l_shipdate").over(w).alias("last_ship"),
+        F.count(F.lit(1)).over(W.partitionBy("l_partkey")).alias("n_ships"),
+    ).distinct()
+
+
+@register(
+    "q_percent_contribution",
+    oracle="""
+SELECT
+  n_name,
+  c_custkey,
+  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS DOUBLE) AS bal,
+  ROUND(
+    CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+      / CAST(SUM(SUM(CAST(c_acctbal AS DECIMAL(12,2)))) OVER (PARTITION BY n_name) AS DOUBLE),
+    6
+  ) AS share
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_custkey % 5 = 0
+GROUP BY n_name, c_custkey
+""",
+)
+def q_percent_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 5 == 0)
+    nation = load_table(spark, sf_dir, "nation")
+    grouped = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(F.sum(_dec("c_acctbal")).alias("bal_dec"))
+    )
+    w = W.partitionBy("n_name")
+    return grouped.select(
+        "n_name",
+        "c_custkey",
+        F.col("bal_dec").cast("double").alias("bal"),
+        F.round(
+            F.col("bal_dec").cast("double")
+            / F.sum("bal_dec").over(w).cast("double"),
+            6,
+        ).alias("share"),
+    )
