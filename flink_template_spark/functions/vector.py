@@ -1,0 +1,57 @@
+"""Vector (embedding) Column-expression builders.
+
+Pure Catalyst higher-order functions (zip_with / aggregate / transform)
+— the dot product and norms run JVM-side with no Python boundary, which
+is what makes brute-force scoring viable as a baseline at scale.
+
+Cross-engine determinism: elements are cast float→double (exact) before
+multiplying, folds run left-to-right in both engines, and similarity
+outputs are rounded to 6 dp to absorb any residual libm/fold ulp drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# --- DuckDB oracle fragments (same math, 1-based lists) -------------------
+
+def dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def l2_norm_sql(a: str) -> str:
+    return (
+        f"sqrt(list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+    )
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return f"({dot_sql(a, b)} / ({l2_norm_sql(a)} * {l2_norm_sql(b)}))"

@@ -1,0 +1,172 @@
+"""Deduplication operators over a document corpus.
+
+Four tiers, all shuffle-disciplined for 100 TB corpora:
+
+- exact: hash-groupBy on the full text (one shuffle on text hash);
+- minhash + LSH: shingle → 16 portable min-hashes → 4 bands → bucket
+  join; candidate pairs only ever materialize within a bucket, never the
+  O(n²) cross product;
+- simhash: 32-bit weighted-bit fingerprint (one shuffle, exact-match
+  clustering on the signature);
+- n-gram Jaccard: shared-shingle equi-join baseline (the verifier for
+  the sketches at small scale; at 100 TB you run minhash-lsh first and
+  Jaccard only on its candidates).
+
+All hashing uses the portable md5-based primitive in
+``functions.hashing`` so every operator here is DuckDB-oracle-checkable.
+No Python UDFs — everything is Catalyst expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_template_spark.functions.hashing import (
+    LSH_BANDS,
+    NUM_HASHES,
+    ROWS_PER_BAND,
+    md5int_spark,
+    minhash_expr,
+)
+from flink_template_spark.functions.text import word_shingles
+
+
+def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per distinct text: keeper id, copy count."""
+    return docs.groupBy(text_col).agg(
+        F.min(id_col).alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) exploded distinct word-shingles."""
+    return docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc MinHash signature columns mh_0..mh_{k-1}.
+
+    Docs with fewer than 3 tokens have no shingles and drop out (they
+    can't be near-duplicates by shingle overlap).
+    """
+    sh = _shingled(docs, id_col, text_col).withColumn(
+        "h", F.expr(md5int_spark("shingle"))
+    )
+    aggs = [
+        F.min(F.expr(minhash_expr(i, "h"))).alias(f"mh_{i}")
+        for i in range(NUM_HASHES)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b, n_shared_bands ≥ 1).
+
+    Banding: signature split into LSH_BANDS bands of ROWS_PER_BAND; docs
+    sharing any full band land in the same bucket. The join is
+    per-(band, band_key) — this is what keeps it sub-quadratic at scale.
+    """
+    sigs = minhash_signatures(docs, id_col, text_col)
+    band_rows = []
+    for b in range(LSH_BANDS):
+        cols = [f"mh_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        band_rows.append(
+            sigs.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *[F.col(c).cast("string") for c in cols]).alias(
+                    "band_key"
+                ),
+            )
+        )
+    bands = band_rows[0]
+    for extra in band_rows[1:]:
+        bands = bands.unionByName(extra)
+
+    left = bands.select(
+        F.col(id_col).alias("id_a"), "band", "band_key"
+    )
+    right = bands.select(
+        F.col(id_col).alias("id_b"), "band", "band_key"
+    )
+    return (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """32-bit SimHash over whitespace tokens weighted by frequency."""
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    )
+    counted = (
+        tok.groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", F.expr(md5int_spark("token")))
+    )
+    bit_sums = counted.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.expr(f"CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN cnt ELSE -cnt END")
+            ).alias(f"s_{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return bit_sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over distinct 3-word shingles for pairs sharing ≥1
+    shingle; filtered to ``jaccard >= threshold``."""
+    sh = _shingled(docs, id_col, text_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_inter", "jaccard")
+    )

@@ -1,1 +1,313 @@
-"""Placeholder — queries added incrementally."""
+"""Dedup + text-analysis queries over ``documents`` (LLM-data-pipeline
+operators; SURVEY.md §2.7 north-star extensions).
+
+Every sketch here (MinHash, LSH pairs, SimHash, Jaccard) is
+oracle-checked, not rows-only: the DuckDB SQL is *generated from the
+same constants* as the Spark expressions (functions.hashing), so the
+signatures must agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_template_spark.functions.hashing import (
+    LSH_BANDS,
+    NUM_HASHES,
+    ROWS_PER_BAND,
+    md5int_duckdb,
+    minhash_expr,
+)
+from flink_template_spark.functions.text import (
+    BPE_TOKEN_REGEX,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count_bpe,
+    token_count_ws,
+)
+from flink_template_spark.operators.dedup import (
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from flink_template_spark.plans.registry import register
+from flink_template_spark.tables import load_table
+
+# DuckDB CTE: distinct (doc_id, shingle) for n-word shingles, 1-based lists.
+def _duck_shingles(n: int = 3) -> str:
+    parts = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return f"""
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - {n - 2}), i -> {parts})) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  )
+"""
+
+
+@register(
+    "q_dedup_exact_docs",
+    oracle="""
+SELECT text, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY text
+""",
+)
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dup_groups(docs)
+
+
+_MH_AGGS_DUCK = ",\n  ".join(
+    f"MIN({minhash_expr(i, 'h')}) AS mh_{i}" for i in range(NUM_HASHES)
+)
+
+@register(
+    "q_minhash_signatures",
+    oracle=f"""
+WITH sh AS ({_duck_shingles(3)}),
+hashed AS (
+  SELECT doc_id, {md5int_duckdb('shingle')} AS h FROM sh
+)
+SELECT doc_id,
+  {_MH_AGGS_DUCK}
+FROM hashed
+GROUP BY doc_id
+""",
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(docs)
+
+
+_BAND_KEYS_DUCK = ",\n    ".join(
+    "CONCAT_WS('_', "
+    + ", ".join(
+        f"CAST(mh_{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+    )
+    + f") AS band_key_{b}"
+    for b in range(LSH_BANDS)
+)
+_BAND_UNION_DUCK = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band, band_key_{b} AS band_key FROM sigs"
+    for b in range(LSH_BANDS)
+)
+
+@register(
+    "q_minhash_lsh_pairs",
+    oracle=f"""
+WITH sh AS ({_duck_shingles(3)}),
+hashed AS (
+  SELECT doc_id, {md5int_duckdb('shingle')} AS h FROM sh
+),
+sig0 AS (
+  SELECT doc_id, {_MH_AGGS_DUCK} FROM hashed GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id, {_BAND_KEYS_DUCK} FROM sig0
+),
+bands AS (
+  {_BAND_UNION_DUCK}
+)
+SELECT
+  a.doc_id AS id_a,
+  b.doc_id AS id_b,
+  COUNT(*) AS n_shared_bands
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+""",
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs)
+
+
+_SIMHASH_BITSUMS_DUCK = ",\n  ".join(
+    f"SUM(CASE WHEN ((h >> {b}) & 1) = 1 THEN cnt ELSE -cnt END) AS s_{b}"
+    for b in range(32)
+)
+_SIMHASH_COMBINE_DUCK = " + ".join(
+    f"CASE WHEN s_{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(32)
+)
+
+@register(
+    "q_simhash_signatures",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+counted AS (
+  SELECT doc_id, token, COUNT(*) AS cnt, {md5int_duckdb('token')} AS h
+  FROM tok GROUP BY doc_id, token
+),
+bitsums AS (
+  SELECT doc_id,
+  {_SIMHASH_BITSUMS_DUCK}
+  FROM counted GROUP BY doc_id
+)
+SELECT doc_id, {_SIMHASH_COMBINE_DUCK} AS simhash
+FROM bitsums
+""",
+)
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_signatures(docs)
+
+
+@register(
+    "q_ngram_jaccard_pairs",
+    oracle=f"""
+WITH sh AS ({_duck_shingles(3)}),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT
+  id_a, id_b, n_inter,
+  ROUND(CAST(n_inter AS DOUBLE)
+        / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.id_a = sa.doc_id
+JOIN sizes sb ON inter.id_b = sb.doc_id
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
+      >= 0.4999995
+""",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+@register(
+    "q_text_stats_by_lang",
+    oracle="""
+SELECT
+  lang,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens_ws,
+  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))
+       AS DOUBLE) / COUNT(*) AS avg_tokens_bpe
+FROM documents
+GROUP BY lang
+""",
+)
+def q_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        (F.sum(token_count_ws(t)).cast("double") / F.count(F.lit(1))).alias(
+            "avg_tokens_ws"
+        ),
+        (F.sum(token_count_bpe(t)).cast("double") / F.count(F.lit(1))).alias(
+            "avg_tokens_bpe"
+        ),
+    )
+
+
+@register(
+    "q_quality_scores",
+    oracle="""
+SELECT
+  doc_id,
+  length(text) AS n_chars_live,
+  len(string_split(text, ' ')) AS n_tokens,
+  ROUND(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))
+        AS DOUBLE) / len(string_split(text, ' ')), 6) AS stop_ratio,
+  ROUND(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+        / length(text), 6) AS punct_ratio,
+  ROUND(
+    0.5 * LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+    + 0.5 * LEAST(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))
+        AS DOUBLE) / len(string_split(text, ' ')) * 10.0, 1.0)
+    - 0.25 * (CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+        / length(text)),
+  6) AS quality
+FROM documents
+""",
+)
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars_live"),
+        token_count_ws(t).alias("n_tokens"),
+        F.round(stopword_ratio(t), 6).alias("stop_ratio"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        quality_score(t).alias("quality"),
+    )
+
+
+@register(
+    "q_lang_guess_confusion",
+    oracle="""
+WITH guessed AS (
+  SELECT
+    lang,
+    CASE WHEN CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))
+              AS DOUBLE) / len(string_split(text, ' ')) >= 0.04
+         THEN 'en' ELSE 'unknown' END AS guess
+  FROM documents
+)
+SELECT lang, guess, COUNT(*) AS n_docs
+FROM guessed GROUP BY lang, guess
+""",
+)
+def q_lang_guess_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language-ID heuristic + confusion matrix against the
+    labeled ``lang`` column. (The corpus is synthetic word-salad, so the
+    heuristic's accuracy is incidental — the operator shape is the point:
+    per-doc classify, then grouped confusion counts.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    guess = F.when(stopword_ratio(F.col("text")) >= 0.04, "en").otherwise("unknown")
+    return (
+        docs.select("lang", guess.alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "q_doc_fingerprints",
+    oracle=f"""
+WITH sh AS ({_duck_shingles(4)}),
+fp AS (
+  SELECT doc_id, MIN({md5int_duckdb('shingle')}) AS fp_min
+  FROM sh GROUP BY doc_id
+)
+SELECT d.doc_id, md5(d.text) AS md5_full, fp.fp_min
+FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+""",
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash-style fingerprint: min 32-bit hash over 4-word
+    shingles (winnowing-lite) + full md5."""
+    from flink_template_spark.functions.hashing import md5int_spark
+    from flink_template_spark.functions.text import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 4)).alias("shingle")
+    )
+    fp = sh.groupBy("doc_id").agg(
+        F.min(F.expr(md5int_spark("shingle"))).alias("fp_min")
+    )
+    return (
+        docs.select("doc_id", F.md5("text").alias("md5_full"))
+        .join(fp, "doc_id", "left")
+        .select("doc_id", "md5_full", "fp_min")
+    )

@@ -1,1 +1,178 @@
-"""Placeholder — queries added incrementally."""
+"""Embedding similarity-search queries over ``embeddings``
+(SURVEY.md §2.7 north-star: ANN over array<float>).
+
+All oracle-checked: DuckDB reproduces the same double math (float→double
+casts, left-to-right folds, 6-dp rounding) via SQL fragments generated
+from ``functions.vector``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_template_spark.functions.vector import cosine_sql, l2_norm, l2_norm_sql
+from flink_template_spark.operators.similarity import brute_force_topk, ivf_assign, ivf_topk
+from flink_template_spark.plans.registry import register
+from flink_template_spark.tables import load_table
+
+N_CENTROIDS = 4
+
+
+@register(
+    "q_vector_norms",
+    oracle=f"""
+SELECT
+  vec_id,
+  label,
+  len(embedding) AS dims,
+  ROUND({l2_norm_sql('embedding')}, 6) AS l2_norm,
+  CAST(list_min(embedding) AS DOUBLE) AS min_el,
+  CAST(list_max(embedding) AS DOUBLE) AS max_el
+FROM embeddings
+""",
+)
+def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("long").alias("dims"),
+        F.round(l2_norm(F.col("embedding")), 6).alias("l2_norm"),
+        F.array_min("embedding").cast("double").alias("min_el"),
+        F.array_max("embedding").cast("double").alias("max_el"),
+    )
+
+
+@register(
+    "q_cosine_topk",
+    oracle=f"""
+SELECT
+  a.vec_id,
+  ROUND({cosine_sql('a.embedding', 'q.embedding')}, 6) AS cos_sim
+FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE a.vec_id <> 0
+ORDER BY cos_sim DESC, a.vec_id
+LIMIT 10
+""",
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    return brute_force_topk(emb, query, k=10)
+
+
+@register(
+    "q_centroids_by_label",
+    oracle="""
+SELECT
+  label,
+  pos,
+  CAST(SUM(CAST(ROUND(CAST(embedding[pos + 1] AS DOUBLE) * 10000000.0, 0) AS BIGINT))
+       AS DOUBLE) / (10000000.0 * COUNT(*)) AS centroid_val,
+  COUNT(*) AS n_vectors
+FROM embeddings, unnest(range(0, len(embedding))) AS t(pos)
+GROUP BY label, pos
+""",
+)
+def q_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding, one row per (label, dimension).
+
+    Elements are fixed-point-quantized (×1e7, round to bigint) and summed
+    as exact integers so the mean is identical across engines regardless
+    of partition order. (A raw double sum over a shuffled group is
+    order-sensitive in the last ulp, and Spark/DuckDB round float→decimal
+    differently — integer quantization sidesteps both.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "el")
+    )
+    quantized = F.round(F.col("el").cast("double") * 10000000.0, 0).cast("bigint")
+    return exploded.groupBy("label", "pos").agg(
+        (
+            F.sum(quantized).cast("double")
+            / (F.lit(10000000.0) * F.count(F.lit(1)))
+        ).alias("centroid_val"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )
+
+
+@register(
+    "q_ann_ivf_probe",
+    oracle=f"""
+WITH centroids AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id < {N_CENTROIDS}
+),
+scored AS (
+  SELECT
+    v.vec_id,
+    v.embedding,
+    c.centroid_id,
+    ROUND({cosine_sql('v.embedding', 'c.embedding')}, 6) AS c_sim
+  FROM embeddings v CROSS JOIN centroids c
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id AS cluster FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id
+    ) AS rk FROM scored
+  ) WHERE rk = 1
+),
+qinfo AS (
+  SELECT a.cluster AS qcluster, e.embedding AS qvec
+  FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
+  WHERE a.vec_id = 0
+)
+SELECT
+  a.vec_id,
+  a.cluster,
+  ROUND({cosine_sql('a.embedding', 'q.qvec')}, 6) AS cos_sim
+FROM assigned a, qinfo q
+WHERE a.cluster = q.qcluster AND a.vec_id <> 0
+ORDER BY cos_sim DESC, a.vec_id
+LIMIT 5
+""",
+)
+def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    query = emb.filter(F.col("vec_id") == 0)
+    return ivf_topk(emb, centroids, query, k=5)
+
+
+@register(
+    "q_ivf_cluster_sizes",
+    oracle=f"""
+WITH centroids AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id < {N_CENTROIDS}
+),
+scored AS (
+  SELECT
+    v.vec_id,
+    c.centroid_id,
+    ROUND({cosine_sql('v.embedding', 'c.embedding')}, 6) AS c_sim
+  FROM embeddings v CROSS JOIN centroids c
+),
+assigned AS (
+  SELECT vec_id, centroid_id AS cluster FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id
+    ) AS rk FROM scored
+  ) WHERE rk = 1
+)
+SELECT cluster, COUNT(*) AS n_vectors
+FROM assigned GROUP BY cluster
+""",
+)
+def q_ivf_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return (
+        ivf_assign(emb, centroids)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
