@@ -1,0 +1,209 @@
+"""Trip-event JSON parse layer — the declarative rebuild of the
+reference's parser (JSONUtil.kt:127-168 ``toTrip`` +
+JSONUtil.kt:25-125 ``toParameterIdsData``).
+
+Where the reference parses each record imperatively (Gson → untyped Map →
+discriminator dispatch → typed event, exceptions → null → filtered), we
+declare one unified event schema and let ``from_json`` + Column
+expressions do everything JVM-side:
+
+- malformed JSON            → from_json yields null struct → row dropped
+  (JSONUtil.kt:164-167 catch-all);
+- unknown ``body.type``     → row dropped (JSONUtil.kt:159-161 throw);
+- malformed/missing ts      → try_to_timestamp null → row dropped;
+- invalid enum values       → row dropped (valueOf throws → record null,
+  VehicleProtocol.kt:12-16, EventData.kt:50-64) — enforced with
+  ``isin`` membership checks;
+- unknown pidData keys      → silently absent from the typed schema
+  (JSONUtil.kt:116-118 drop) — from_json ignores fields not in schema.
+
+JSON numbers arrive as doubles and are downcast where the reference does
+(``(value as Double).toInt()``, JSONUtil.kt:29-67).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+VEHICLE_PROTOCOLS = [
+    "VPW1", "PWM", "ISO9141", "ISO14230", "ISO14230FastInit",
+    "CAN11Bit", "CAN29Bit",
+]
+HEMISPHERES = ["NorthWest", "NorthEast", "SouthWest", "SouthEast"]
+FIX_QUALITIES = ["NoFix", "Standard", "Differential"]
+EVENT_TYPES = ["TripStartRelativeTime", "TripData", "TripEnd"]
+
+_point = T.StructType(
+    [
+        T.StructField("x", T.DoubleType()),
+        T.StructField("y", T.DoubleType()),
+        T.StructField("z", T.DoubleType()),
+    ]
+)
+
+PID_DATA_SCHEMA = T.StructType(
+    [
+        T.StructField("EngineCoolantTemp", T.DoubleType()),
+        T.StructField("EngineRpm", T.DoubleType()),
+        T.StructField(
+            "MilStatus",
+            T.StructType(
+                [
+                    T.StructField("commandedOn", T.BooleanType()),
+                    T.StructField("numCodes", T.DoubleType()),
+                ]
+            ),
+        ),
+        T.StructField("FreezeFrameTroubleCode", T.StringType()),
+        T.StructField(
+            "FuelStatus",
+            T.StructType(
+                [
+                    T.StructField("closedLoopO2SensorFault", T.BooleanType()),
+                    T.StructField("closedLoopO2SensorFuelControl", T.BooleanType()),
+                    T.StructField("openLoopDrivingConditions", T.BooleanType()),
+                    T.StructField("openLoopNotYetSatisfied", T.BooleanType()),
+                ]
+            ),
+        ),
+        T.StructField("CalcEngineLoad", T.DoubleType()),
+        T.StructField("FuelPressure", T.DoubleType()),
+        T.StructField("IntakeManifoldAbsPressure", T.DoubleType()),
+        T.StructField("VehicleSpeed", T.DoubleType()),
+        T.StructField("TimingAdvance", T.DoubleType()),
+        T.StructField("IntakeAirTemp", T.DoubleType()),
+        T.StructField("MafAirFlowRate", T.DoubleType()),
+        T.StructField("ThrottlePosition", T.DoubleType()),
+        T.StructField(
+            "CommandedSecondaryAirStatus",
+            T.StructType(
+                [
+                    T.StructField("pumpCommandedOnForDiagnostics", T.BooleanType()),
+                    T.StructField("downstreamOfFirstCatalyticConverter", T.BooleanType()),
+                    T.StructField("fromOutsideAtmosphereOrOff", T.BooleanType()),
+                    T.StructField("upstreamOfFirstCatalyticConverter", T.BooleanType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "RawAccelerometer",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("offsets", T.ArrayType(_point)),
+                        T.StructField("base", _point),
+                    ]
+                )
+            ),
+        ),
+        T.StructField(
+            "GpsReading",
+            T.StructType(
+                [
+                    T.StructField("heading", T.DoubleType()),
+                    T.StructField("horizontalDilutionOfPrecision", T.DoubleType()),
+                    T.StructField("latitude", T.DoubleType()),
+                    T.StructField("longitude", T.DoubleType()),
+                    T.StructField("numberOfSatellites", T.DoubleType()),
+                    T.StructField("hemisphere", T.StringType()),
+                    T.StructField("fixQuality", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+BODY_SCHEMA = T.StructType(
+    [
+        T.StructField("tripNumber", T.DoubleType()),
+        T.StructField("timestamp", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("odometer", T.DoubleType()),
+        T.StructField("vehicleProtocol", T.StringType()),
+        T.StructField("vin", T.StringType()),
+        T.StructField("fuelConsumed", T.DoubleType()),
+        T.StructField("pidData", PID_DATA_SCHEMA),
+    ]
+)
+
+TRIP_ENVELOPE_SCHEMA = T.StructType([T.StructField("body", BODY_SCHEMA)])
+
+
+def parse_trip_events(raw: DataFrame, json_col: str = "value") -> DataFrame:
+    """Raw JSON-line strings → typed, validated trip-event rows.
+
+    Output columns: trip_id long, ts timestamp, event_type string,
+    odometer long, vehicle_protocol string, vin string, fuel_consumed
+    double, pid (full PID struct), plus convenience extracts
+    speed_kmh int, lat/lon double.
+
+    Invalid rows are dropped, mirroring the reference's
+    parse-catch-null-filter chain (JSONUtil.kt:164-167,
+    TripAggregatorApplication.kt:194-203).
+    """
+    body = F.from_json(F.col(json_col), TRIP_ENVELOPE_SCHEMA).getField("body")
+    parsed = raw.select(
+        body.getField("tripNumber").cast("long").alias("trip_id"),
+        F.try_to_timestamp(body.getField("timestamp")).alias("ts"),
+        body.getField("type").alias("event_type"),
+        body.getField("odometer").cast("long").alias("odometer"),
+        body.getField("vehicleProtocol").alias("vehicle_protocol"),
+        body.getField("vin").alias("vin"),
+        body.getField("fuelConsumed").alias("fuel_consumed"),
+        body.getField("pidData").alias("pid"),
+    )
+
+    valid = (
+        F.col("trip_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isin(EVENT_TYPES)
+        # enum validation: invalid enum string ⇒ whole record dropped
+        & (
+            F.col("vehicle_protocol").isNull()
+            | F.col("vehicle_protocol").isin(VEHICLE_PROTOCOLS)
+        )
+        & (
+            F.col("pid.GpsReading").isNull()
+            | (
+                F.col("pid.GpsReading.hemisphere").isin(HEMISPHERES)
+                & F.col("pid.GpsReading.fixQuality").isin(FIX_QUALITIES)
+            )
+        )
+    )
+
+    return parsed.filter(valid).select(
+        "*",
+        F.col("pid.VehicleSpeed").cast("int").alias("speed_kmh"),
+        F.col("pid.GpsReading.latitude").alias("lat"),
+        F.col("pid.GpsReading.longitude").alias("lon"),
+    )
+
+
+def read_trip_events_json(spark, path: str) -> DataFrame:
+    """Batch file source: JSON lines → parsed trip events (reference's
+    Kafka source S1 swapped for files; same downstream plan)."""
+    raw = spark.read.text(path).withColumnRenamed("value", "value")
+    return parse_trip_events(raw)
+
+
+def read_trip_events_stream(spark, path: str) -> DataFrame:
+    """Streaming file source with the identical parse layer."""
+    raw = spark.readStream.format("text").load(path)
+    return parse_trip_events(raw)
+
+
+def read_trip_events_kafka(spark, bootstrap_servers: str, topic: str) -> DataFrame:
+    """Kafka source (reference S1: topic ``testTopic`` @ localhost:9092,
+    TripAggregatorApplication.kt:188-192). Requires the Kafka connector
+    jar on the classpath; untestable in this container but the plan is
+    identical to the file source after the CAST."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .load()
+        .selectExpr("CAST(value AS STRING) AS value")
+    )
+    return parse_trip_events(raw)

@@ -11,6 +11,7 @@ from flink_template_spark.plans import events_time  # noqa: F401
 from flink_template_spark.plans import telemetry  # noqa: F401
 from flink_template_spark.plans import text_dedup  # noqa: F401
 from flink_template_spark.plans import vectors  # noqa: F401
+from flink_template_spark.plans import trip_pipeline  # noqa: F401
 
 QUERIES = registry.QUERIES
 ORACLES = registry.ORACLES

@@ -1,0 +1,38 @@
+"""The reference's flagship workload as a driver-visible query: trip-event
+JSON lines → parse layer (JSONUtil.kt:127-168) → per-trip aggregation
+(TripAggregatorApplication.kt:58-164, A1-A9).
+
+Rows-only check (no oracle): the input is the engine's own wire-format
+fixture, not a testdata parquet table, so there is no DuckDB view to
+oracle against. The same analytics (haversine path distance, run-length
+stopped time, span durations) ARE oracle-checked over the ``events``
+table in plans.telemetry; this entry proves the end-to-end JSON pipeline
+(parse → filter-malformed → aggregate) the reference actually ships.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_template_spark.operators.trip_agg import aggregate_trips
+from flink_template_spark.parse import read_trip_events_json
+from flink_template_spark.plans.registry import register
+from flink_template_spark.sources.trip_fixtures import write_fixture
+
+
+def _fixture_path() -> str:
+    d = os.path.join(tempfile.gettempdir(), "flink_template_spark_fixture")
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, "trip_events.jsonl")
+    if not os.path.exists(p):
+        write_fixture(p)
+    return p
+
+
+@register("q_trip_pipeline_json")
+def q_trip_pipeline_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = read_trip_events_json(spark, _fixture_path())
+    return aggregate_trips(parsed).orderBy("trip_id")

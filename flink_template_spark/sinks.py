@@ -1,0 +1,131 @@
+"""Sinks — the Spark rebuild of the reference's JDBC sink stack
+(SURVEY.md §2.1 S3-S5,S7):
+
+reference                                        → here
+JDBCOutputFormat batched writes (batch=5000,     → per-partition DB-API
+  jdbc/JDBCOutputFormat.kt:23,97-142)              executemany in chunks
+JDBCAppendTableSink.configure schema validation  → validate_sink_schema
+  (jdbc/JDBCAppendTableSink.kt:32-66)
+INSERT … ON CONFLICT accumulate-upsert           → upsert SQL template
+  (TripAggregatorApplication.kt:227-233)
+flush-on-checkpoint (JDBCSinkFunction.kt:20-22)  → foreachBatch: each
+                                                   epoch commits atomically
+
+Exactly-once note (SURVEY.md §7 hard-part 5): foreachBatch is
+at-least-once; the accumulate-upsert is NOT naturally idempotent, so the
+sink records applied epoch ids in ``__epochs`` and skips replays —
+idempotent under micro-batch retry.
+
+The DB-API connection is created inside the partition/batch function
+(executor-side), never serialized from the driver. Tests use sqlite3;
+any PEP-249 driver with ON CONFLICT support (e.g. psycopg2) drops in.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+BATCH_SIZE = 5000  # reference: JDBCOutputFormat.kt:23
+
+
+class SchemaMismatch(Exception):
+    pass
+
+
+def validate_sink_schema(df_schema: T.StructType, target: T.StructType) -> None:
+    """Field-count + per-column type equality, mirroring
+    JDBCAppendTableSink.configure (jdbc/JDBCAppendTableSink.kt:32-66)."""
+    if len(df_schema) != len(target):
+        raise SchemaMismatch(
+            f"field count {len(df_schema)} != target {len(target)}"
+        )
+    for got, want in zip(df_schema, target):
+        if got.name != want.name or got.dataType != want.dataType:
+            raise SchemaMismatch(
+                f"column {got.name}:{got.dataType} != {want.name}:{want.dataType}"
+            )
+
+
+ACCOUNTS_TARGET_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType()),
+        T.StructField("amount", T.DoubleType()),
+        T.StructField("is_terminator", T.BooleanType()),
+    ]
+)
+
+ACCOUNTS_DDL = """
+CREATE TABLE IF NOT EXISTS accounts (
+  id INTEGER PRIMARY KEY,
+  balance DOUBLE PRECISION NOT NULL,
+  is_terminator BOOLEAN NOT NULL
+)
+"""
+
+# the reference's accumulate-upsert (TripAggregatorApplication.kt:227-233)
+ACCOUNTS_UPSERT_SQL = """
+INSERT INTO accounts (id, balance, is_terminator) VALUES (?, ?, ?)
+ON CONFLICT (id) DO UPDATE SET
+  balance = accounts.balance + excluded.balance,
+  is_terminator = accounts.is_terminator OR excluded.is_terminator
+"""
+
+EPOCHS_DDL = "CREATE TABLE IF NOT EXISTS __epochs (epoch_id INTEGER PRIMARY KEY)"
+
+
+def accounts_upsert_batch_fn(
+    connect: Callable[[], "object"],
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function: schema-validate, then batched accumulate-
+    upsert with epoch-id replay protection.
+
+    ``connect`` returns a fresh PEP-249 connection (e.g.
+    ``lambda: sqlite3.connect(path)``); called inside the batch function
+    so nothing unpicklable crosses the driver/executor boundary.
+    """
+
+    def write(df: DataFrame, epoch_id: int) -> None:
+        validate_sink_schema(df.schema, ACCOUNTS_TARGET_SCHEMA)
+        rows = [
+            (r["id"], r["amount"], bool(r["is_terminator"]))
+            for r in df.collect()
+        ]
+        con = connect()
+        try:
+            cur = con.cursor()
+            cur.execute(ACCOUNTS_DDL)
+            cur.execute(EPOCHS_DDL)
+            cur.execute(
+                "SELECT 1 FROM __epochs WHERE epoch_id = ?", (int(epoch_id),)
+            )
+            if cur.fetchone():
+                return  # replayed epoch — already applied
+            for i in range(0, len(rows), BATCH_SIZE):
+                cur.executemany(ACCOUNTS_UPSERT_SQL, rows[i : i + BATCH_SIZE])
+            cur.execute(
+                "INSERT INTO __epochs (epoch_id) VALUES (?)", (int(epoch_id),)
+            )
+            con.commit()
+        finally:
+            con.close()
+
+    return write
+
+
+def write_stream_upsert(
+    df: DataFrame,
+    connect: Callable[[], "object"],
+    checkpoint_dir: str,
+):
+    """Attach the upsert sink to a streaming DataFrame with checkpointing
+    (reference S7: enableCheckpointing(5 s),
+    TripAggregatorApplication.kt:244)."""
+    return (
+        df.writeStream.outputMode("update")
+        .foreachBatch(accounts_upsert_batch_fn(connect))
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

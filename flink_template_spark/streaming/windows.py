@@ -1,0 +1,89 @@
+"""Streaming window aggregations over an event stream (SURVEY.md §2.7):
+tumbling / sliding / session windows with watermark late-data handling,
+plus keyed streaming dedup.
+
+These are thin declarative builders — Catalyst's streaming aggregation
+(partial agg + state store) does the heavy lifting; watermarks bound
+state exactly like the reference's 3 s bounded out-of-orderness
+(TripAggregatorApplication.kt:168-174, W1/W6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_WATERMARK = "3 seconds"
+
+
+def tumbling_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    size: str = "10 seconds",
+    watermark: str = DEFAULT_WATERMARK,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    gb = [F.window(ts_col, size).alias("w")] + [F.col(k) for k in (keys or [])]
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(*gb)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *[F.col(k) for k in (keys or [])],
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    size: str = "20 seconds",
+    slide: str = "10 seconds",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, size, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 seconds",
+    key: str = "user_id",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_keyed(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Streaming keyed dedup: first-seen row per key wins; watermark
+    bounds the dedup state (dropDuplicates keeps keys forever without
+    one — unusable at 100 TB)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicates(keys + [ts_col])
