@@ -1,0 +1,79 @@
+"""Multimodal decode / feature-extraction over binary payloads.
+
+The Spark-side contract is the real thing — schema, Arrow batching,
+partition behavior — while the innermost decode call is a seam:
+
+- ``decode_stub(media_type, payload, meta)``: raises NotImplementedError
+  for real codecs (no image/audio libs in this container), marking
+  exactly where PIL / torchaudio / pyav would plug in;
+- ``fake_decode``: the deterministic stand-in used by tests and the
+  feature queries — parses the payload bytes themselves (byte histogram,
+  moments), so results are reproducible anywhere.
+
+Everything crosses the Python boundary once, Arrow-batched, via
+``mapInPandas``; feature vectors come back as fixed-width
+``array<double>`` rows ready for the vector operators
+(operators.similarity) downstream. No driver-side collection anywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+N_FEATURES = 16
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def decode_stub(media_type: str, payload: bytes, meta: dict) -> np.ndarray:
+    """The real-decoder seam. In production this dispatches to
+    PIL.Image.open / soundfile.read / av.open and returns decoded
+    samples; those libraries are not available in this container."""
+    raise NotImplementedError(
+        f"real {media_type} decoding requires codec libraries not present "
+        "in this environment; use fake_decode for deterministic tests"
+    )
+
+
+def fake_decode(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in decoder: 16-bin byte histogram, density-
+    normalized. Same output for the same bytes on any platform."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size == 0:
+        return np.zeros(N_FEATURES, dtype=np.float64)
+    hist, _ = np.histogram(arr, bins=N_FEATURES, range=(0, 256))
+    return hist.astype(np.float64) / arr.size
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """(asset_id, media_type, payload, meta) → fixed-width feature rows.
+
+    One Arrow-batched pass; each input partition maps independently, so
+    the operator scales linearly with partitions and never shuffles."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].astype("int64"),
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "features": [f.tolist() for f in feats],
+                }
+            )
+
+    return assets.mapInPandas(run, FEATURE_SCHEMA)

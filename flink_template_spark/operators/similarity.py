@@ -72,6 +72,135 @@ def ivf_assign(
     )
 
 
+def cosine_near_dup_exact(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold — exact O(n²) baseline.
+
+    Correctness reference only: at 100 TB use ``cosine_near_dup_lsh``,
+    which explodes candidates only within hash buckets."""
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --- LSH (random hyperplane) near-dup -------------------------------------
+#
+# Deterministic rational hyperplanes from an LCG over the (plane, dim)
+# index: every weight is an exact double both engines compute identically,
+# so the oracle SQL (generated from the same constants) reproduces the
+# bucketing bit-for-bit. Production would draw Gaussian planes; the LSH
+# structure (sign bits → banded signatures → bucket self-join → exact
+# verify) is identical.
+
+LCG_A = 1103515245
+LCG_C = 12345
+LCG_M = 2147483648  # 2^31
+PLANE_STRIDE = 64  # embedding dim in the testdata
+
+
+def _plane_weight(i: "F.Column", j: int):
+    """weight(plane j, dim i) ∈ [-0.5, 0.5), an exact rational."""
+    seed = (
+        F.lit(LCG_A).cast("bigint") * (F.lit(j * PLANE_STRIDE).cast("bigint") + i)
+        + F.lit(LCG_C).cast("bigint")
+    ) % F.lit(LCG_M).cast("bigint")
+    return seed.cast("double") / F.lit(float(LCG_M)) - F.lit(0.5)
+
+
+def _plane_weight_sql(i_expr: str, j: int) -> str:
+    return (
+        f"(CAST((CAST({LCG_A} AS BIGINT) * ({j * PLANE_STRIDE} + {i_expr})"
+        f" + {LCG_C}) % {LCG_M} AS DOUBLE) / {float(LCG_M)} - 0.5)"
+    )
+
+
+def _plane_dot(vec: "F.Column", j: int):
+    return F.round(
+        F.aggregate(
+            F.transform(vec, lambda x, i: x.cast("double") * _plane_weight(i, j)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def plane_dot_sql(vec: str, j: int) -> str:
+    return (
+        f"ROUND(list_sum(list_transform(range(1, len({vec}) + 1), "
+        f"i -> CAST({vec}[i] AS DOUBLE) * {_plane_weight_sql('(i - 1)', j)})), 6)"
+    )
+
+
+def band_signatures(
+    vectors: DataFrame,
+    n_bands: int = 8,
+    bits_per_band: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One row per (vector, band) with the band's sign-bit signature."""
+    vec = F.col(vec_col)
+    sigs = []
+    for b in range(n_bands):
+        sig = F.lit(0)
+        for m in range(bits_per_band):
+            j = b * bits_per_band + m
+            sig = sig + F.when(_plane_dot(vec, j) >= 0, F.lit(2**m)).otherwise(0)
+        sigs.append(sig)
+    return vectors.select(
+        id_col, vec_col, F.posexplode(F.array(*sigs)).alias("band", "sig")
+    )
+
+
+def cosine_near_dup_lsh(
+    vectors: DataFrame,
+    threshold: float,
+    n_bands: int = 8,
+    bits_per_band: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH candidates (same signature in ≥1 band) verified by exact
+    cosine — the 100 TB-scale near-dup path: the self-join explodes only
+    within (band, signature) buckets, never across the full table."""
+    bands = band_signatures(vectors, n_bands, bits_per_band, id_col, vec_col)
+    a = bands.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "band", "sig"
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "band", "sig"
+    )
+    cand = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "vec_a", "vec_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     centroids: DataFrame,

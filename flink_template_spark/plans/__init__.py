@@ -12,6 +12,8 @@ from flink_template_spark.plans import telemetry  # noqa: F401
 from flink_template_spark.plans import text_dedup  # noqa: F401
 from flink_template_spark.plans import vectors  # noqa: F401
 from flink_template_spark.plans import trip_pipeline  # noqa: F401
+from flink_template_spark.plans import subqueries  # noqa: F401
+from flink_template_spark.plans import multimodal  # noqa: F401
 
 QUERIES = registry.QUERIES
 ORACLES = registry.ORACLES

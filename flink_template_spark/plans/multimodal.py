@@ -1,0 +1,149 @@
+"""Multimodal-column queries: binary payload stats, metadata filtering,
+frame sampling, and the mapInPandas feature-extraction pass.
+
+Payload stats and frame sampling are oracle-checked bit-for-bit (the
+asset table derives deterministically from ``documents`` in both
+engines; frames compare as hex because DuckDB cannot slice blobs).
+Feature extraction is rows-only: the fake decoder is numpy, outside
+SQL's reach — its values are golden-tested in tests/test_multimodal.py.
+
+Scale notes: stats and frames are pure codegen expressions over the
+binary column (no Python); the metadata filter prunes on the typed
+``meta`` struct before any payload is touched — at 100 TB with
+parquet column statistics that skips whole row groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_template_spark.multimodal.assets import ASSETS_ORACLE_CTE, load_assets
+from flink_template_spark.multimodal.features import extract_features
+from flink_template_spark.plans.registry import register
+
+FRAME_BYTES = 32  # bytes per frame slice
+FRAME_STRIDE = 4  # keep every 4th frame
+
+
+@register(
+    "q_multimodal_payload_stats",
+    oracle=f"""
+WITH {ASSETS_ORACLE_CTE}
+SELECT
+  media_type,
+  COUNT(*) AS n_assets,
+  SUM(octet_length(payload)) AS total_bytes,
+  MIN(octet_length(payload)) AS min_bytes,
+  MAX(octet_length(payload)) AS max_bytes,
+  MIN(sha256(CAST(payload AS VARCHAR))) AS min_sha
+FROM assets
+GROUP BY media_type
+ORDER BY media_type
+""",
+)
+def q_multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality byte accounting + content hash (ingest audit shape)."""
+    assets = load_assets(spark, sf_dir)
+    return (
+        assets.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum(F.octet_length("payload")).alias("total_bytes"),
+            F.min(F.octet_length("payload")).alias("min_bytes"),
+            F.max(F.octet_length("payload")).alias("max_bytes"),
+            F.min(F.sha2(F.col("payload"), 256)).alias("min_sha"),
+        )
+        .orderBy("media_type")
+    )
+
+
+@register(
+    "q_multimodal_meta_filter",
+    oracle=f"""
+WITH {ASSETS_ORACLE_CTE}
+SELECT asset_id, media_type, width, height,
+  octet_length(payload) AS n_bytes
+FROM assets
+WHERE media_type IN ('image', 'video') AND width >= 200 AND height < 128
+ORDER BY asset_id
+""",
+)
+def q_multimodal_meta_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only predicate — payload untouched (pruning path)."""
+    assets = load_assets(spark, sf_dir)
+    return (
+        assets.filter(
+            F.col("media_type").isin("image", "video")
+            & (F.col("meta.width") >= 200)
+            & (F.col("meta.height") < 128)
+        )
+        .select(
+            "asset_id",
+            "media_type",
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.octet_length("payload").alias("n_bytes"),
+        )
+        .orderBy("asset_id")
+    )
+
+
+@register(
+    "q_multimodal_frame_sample",
+    oracle=f"""
+WITH {ASSETS_ORACLE_CTE},
+hexed AS (
+  SELECT asset_id, hex(payload) AS h,
+    octet_length(payload) // {FRAME_BYTES} AS n_frames
+  FROM assets WHERE media_type = 'video'
+)
+SELECT asset_id, CAST(t.frame AS BIGINT) AS frame_idx,
+  substr(h, CAST(t.frame AS BIGINT) * {2 * FRAME_BYTES} + 1,
+         {2 * FRAME_BYTES}) AS frame_hex
+FROM hexed, unnest(range(0, n_frames)) AS t(frame)
+WHERE t.frame % {FRAME_STRIDE} = 0
+ORDER BY asset_id, frame_idx
+""",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every {stride}-th fixed-size frame of each video payload — pure
+    Column algebra (sequence → transform → explode), no Python."""
+    assets = load_assets(spark, sf_dir).filter(F.col("media_type") == "video")
+    hexed = assets.select(
+        "asset_id",
+        F.hex(F.col("payload")).alias("h"),
+        (F.octet_length("payload") / FRAME_BYTES).cast("long").alias("n_frames"),
+    )
+    frames = hexed.select(
+        "asset_id",
+        F.explode(
+            F.filter(
+                F.sequence(F.lit(0), F.col("n_frames") - 1),
+                lambda i: i % FRAME_STRIDE == 0,
+            )
+        ).alias("frame_idx"),
+        "h",
+    ).filter(F.col("n_frames") > 0)
+    return frames.select(
+        "asset_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.substring(
+            F.col("h"), (F.col("frame_idx") * (2 * FRAME_BYTES) + 1).cast("int"),
+            2 * FRAME_BYTES,
+        ).alias("frame_hex"),
+    ).orderBy("asset_id", "frame_idx")
+
+
+@register("q_multimodal_features")
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction (rows-only: numpy decoder)."""
+    assets = load_assets(spark, sf_dir)
+    feats = extract_features(assets)
+    return feats.select(
+        "asset_id",
+        "media_type",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.size("features").alias("n_features"),
+    ).orderBy("asset_id")

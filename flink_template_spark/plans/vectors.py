@@ -12,11 +12,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_template_spark.functions.vector import cosine_sql, l2_norm, l2_norm_sql
-from flink_template_spark.operators.similarity import brute_force_topk, ivf_assign, ivf_topk
+from flink_template_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_near_dup_exact,
+    cosine_near_dup_lsh,
+    ivf_assign,
+    ivf_topk,
+    plane_dot_sql,
+)
 from flink_template_spark.plans.registry import register
 from flink_template_spark.tables import load_table
 
 N_CENTROIDS = 4
+NEAR_DUP_THRESHOLD = 0.4
+LSH_BANDS = 8
+LSH_BITS = 4
 
 
 @register(
@@ -175,4 +185,67 @@ def q_ivf_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_assign(emb, centroids)
         .groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate detection (SURVEY.md §2.7 north-star;
+# the dedup family's vector member alongside MinHash/SimHash in
+# plans.text_dedup).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_embedding_near_dup_exact",
+    oracle=f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  ROUND({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND({cosine_sql('a.embedding', 'b.embedding')}, 6)
+      >= {NEAR_DUP_THRESHOLD}
+ORDER BY id_a, id_b
+""",
+)
+def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_exact(emb, NEAR_DUP_THRESHOLD)
+
+
+def _lsh_band_sig_sql(vec: str, band: int) -> str:
+    bits = [
+        f"(CASE WHEN {plane_dot_sql(vec, band * LSH_BITS + m)} >= 0"
+        f" THEN {2 ** m} ELSE 0 END)"
+        for m in range(LSH_BITS)
+    ]
+    return " + ".join(bits)
+
+
+@register(
+    "q_embedding_near_dup_lsh",
+    oracle=f"""
+WITH bands AS (
+  SELECT vec_id, embedding, t.band,
+    CASE t.band
+      {" ".join(f"WHEN {b} THEN {_lsh_band_sig_sql('embedding', b)}" for b in range(LSH_BANDS))}
+    END AS sig
+  FROM embeddings, unnest(range(0, {LSH_BANDS})) AS t(band)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+  ROUND({cosine_sql('ea.embedding', 'eb.embedding')}, 6) AS cos_sim
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.id_a
+JOIN embeddings eb ON eb.vec_id = c.id_b
+WHERE ROUND({cosine_sql('ea.embedding', 'eb.embedding')}, 6)
+      >= {NEAR_DUP_THRESHOLD}
+ORDER BY id_a, id_b
+""",
+)
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_lsh(
+        emb, NEAR_DUP_THRESHOLD, n_bands=LSH_BANDS, bits_per_band=LSH_BITS
     )
