@@ -57,13 +57,24 @@ ACCOUNTS_TARGET_SCHEMA = T.StructType(
     ]
 )
 
-ACCOUNTS_DDL = """
-CREATE TABLE IF NOT EXISTS accounts (
-  id INTEGER PRIMARY KEY,
-  balance DOUBLE PRECISION NOT NULL,
-  is_terminator BOOLEAN NOT NULL
+# target-table DDL generated through the type registry (typemap.py, the
+# reference's JDBCTypeUtil analogue) from the declared target schema
+_ACCOUNTS_TABLE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType()),
+        T.StructField("balance", T.DoubleType(), nullable=False),
+        T.StructField("is_terminator", T.BooleanType(), nullable=False),
+    ]
 )
-"""
+
+
+def _accounts_ddl() -> str:
+    from flink_template_spark.typemap import ddl_for_schema
+
+    return ddl_for_schema("accounts", _ACCOUNTS_TABLE_SCHEMA, primary_key="id")
+
+
+ACCOUNTS_DDL = _accounts_ddl()
 
 # the reference's accumulate-upsert (TripAggregatorApplication.kt:227-233)
 ACCOUNTS_UPSERT_SQL = """
@@ -129,3 +140,18 @@ def write_stream_upsert(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def write_console(df: DataFrame, checkpoint_dir: str | None = None, n: int = 20):
+    """Print sink (reference S2: rows.print(),
+    TripAggregatorApplication.kt:242): console format for streams,
+    ``show`` for batch."""
+    if df.isStreaming:
+        w = df.writeStream.outputMode("append").format("console").option(
+            "numRows", str(n)
+        )
+        if checkpoint_dir:
+            w = w.option("checkpointLocation", checkpoint_dir)
+        return w.start()
+    df.show(n, truncate=False)
+    return None

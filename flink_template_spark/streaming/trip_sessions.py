@@ -166,12 +166,20 @@ def _session_fn(
     yield  # pragma: no cover — makes this a generator
 
 
-def sessionize_trips(parsed_stream: DataFrame) -> DataFrame:
+def sessionize_trips(
+    parsed_stream: DataFrame, watermark: str = "3 seconds"
+) -> DataFrame:
     """parsed trip-event stream → per-session aggregate rows (append mode,
     emitted when a trip goes quiet for MAX_RETENTION_MS of processing
-    time, exactly like the reference's session trigger)."""
+    time, exactly like the reference's session trigger).
+
+    The 3 s event-time watermark is the reference's W1
+    (BoundedOutOfOrdernessTimestampExtractor,
+    TripAggregatorApplication.kt:168-174); firing remains purely
+    processing-time-driven (the reference's onEventTime is CONTINUE)."""
     return (
-        parsed_stream.groupBy("trip_id")
+        parsed_stream.withWatermark("ts", watermark)
+        .groupBy("trip_id")
         .applyInPandasWithState(
             _session_fn,
             OUTPUT_SCHEMA,

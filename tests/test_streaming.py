@@ -174,3 +174,50 @@ def test_upsert_sink_schema_validation(spark, tmp_path):
     bad = spark.createDataFrame([(1, "oops")], "id INT, amount STRING")
     with pytest.raises(SchemaMismatch):
         write(bad, 0)
+
+
+def test_type_registry_roundtrip():
+    from flink_template_spark.typemap import (
+        UnsupportedType,
+        ddl_for_schema,
+        spark_type_for,
+        sql_type_for,
+    )
+    from pyspark.sql import types as T
+    import pytest
+
+    # the reference's 13-type surface + ARRAY (JDBCTypeUtil.kt:26-87)
+    cases = [
+        (T.BooleanType(), "BOOLEAN"),
+        (T.ByteType(), "TINYINT"),
+        (T.ShortType(), "SMALLINT"),
+        (T.IntegerType(), "INTEGER"),
+        (T.LongType(), "BIGINT"),
+        (T.FloatType(), "REAL"),
+        (T.DoubleType(), "DOUBLE PRECISION"),
+        (T.StringType(), "VARCHAR"),
+        (T.DateType(), "DATE"),
+        (T.TimestampType(), "TIMESTAMP"),
+        (T.BinaryType(), "VARBINARY"),
+        (T.DecimalType(12, 2), "DECIMAL(12,2)"),
+        (T.ArrayType(T.LongType()), "BIGINT ARRAY"),
+    ]
+    for dt, sql in cases:
+        assert sql_type_for(dt) == sql
+        assert spark_type_for(sql) == dt
+    assert spark_type_for("double") == T.DoubleType()  # synonym, any case
+    with pytest.raises(UnsupportedType):
+        sql_type_for(T.MapType(T.StringType(), T.StringType()))
+
+    ddl = ddl_for_schema(
+        "accounts",
+        T.StructType(
+            [
+                T.StructField("id", T.IntegerType()),
+                T.StructField("balance", T.DoubleType(), nullable=False),
+            ]
+        ),
+        primary_key="id",
+    )
+    assert "id INTEGER PRIMARY KEY" in ddl
+    assert "balance DOUBLE PRECISION NOT NULL" in ddl
