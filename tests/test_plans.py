@@ -1,0 +1,75 @@
+"""Physical-plan regression tests: the properties that make these
+queries survive a 100× scale-up, asserted from `explain("formatted")`
+so they can't silently regress.
+
+- filters reach the parquet scan (PushedFilters);
+- scans read only needed columns (ReadSchema pruning);
+- dimension joins broadcast (no fact-side shuffle);
+- nothing relational falls back to CartesianProduct;
+- aggregates are partial (map-side combine) before the exchange.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from flink_template_spark import plans
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def sf(sf_dir):
+    return sf_dir
+
+
+def test_q1_pushdown_and_pruning(spark, sf):
+    p = plan_of(plans.QUERIES["q1_pricing_summary"](spark, sf))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # 7 needed columns, not all 11
+    assert "l_partkey" not in p.split("ReadSchema")[1].splitlines()[0]
+    assert "partial_sum" in p  # map-side combine before the exchange
+
+
+def test_q3_broadcasts_dimensions(spark, sf):
+    p = plan_of(plans.QUERIES["q3_shipping_priority"](spark, sf))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # both dims broadcast; no fact shuffle
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p  # top-k never sorts the full set
+
+
+def test_q5_broadcasts_dimensions(spark, sf):
+    p = plan_of(plans.QUERIES["q5_local_supplier_volume"](spark, sf))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_semi_anti_join_physical(spark, sf):
+    p = plan_of(plans.QUERIES["q4_exists_late_ship"](spark, sf))
+    assert "LeftSemi" in p
+    p = plan_of(plans.QUERIES["q22_idle_rich_customers"](spark, sf))
+    assert "LeftAnti" in p
+
+
+def test_minhash_no_cartesian(spark, sf):
+    p = plan_of(plans.QUERIES["q_minhash_lsh_pairs"](spark, sf))
+    assert "CartesianProduct" not in p  # banded LSH joins on (band, sig)
+
+
+def test_lsh_near_dup_no_cartesian(spark, sf):
+    p = plan_of(plans.QUERIES["q_embedding_near_dup_lsh"](spark, sf))
+    assert "CartesianProduct" not in p  # bucket join, unlike the exact baseline
+
+
+def test_asof_join_no_cartesian(spark, sf):
+    p = plan_of(plans.QUERIES["q_asof_latest_order_per_event"](spark, sf))
+    assert "CartesianProduct" not in p

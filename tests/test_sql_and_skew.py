@@ -1,0 +1,75 @@
+"""SQL passthrough interface and skew-aware join utilities."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_template_spark.operators.skew import key_histogram, salted_join
+from flink_template_spark.sql import run_sql
+
+
+def test_run_sql_matches_dataframe_path(spark, sf_dir):
+    from flink_template_spark.tables import load_table
+
+    sql_rows = run_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT l_returnflag, COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+    ).collect()
+    df_rows = {
+        (r.l_returnflag, r["count"])
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .count()
+        .collect()
+    }
+    assert {(r.l_returnflag, r.n) for r in sql_rows} == df_rows
+
+
+def test_run_sql_joins_views(spark, sf_dir):
+    out = run_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT r_name, COUNT(*) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+        """,
+    ).collect()
+    assert len(out) == 5 and all(r.n_nations == 5 for r in out)
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from flink_template_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    plain = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .count()
+        .collect()
+    )
+    cust_k = cust.withColumnRenamed("c_custkey", "o_custkey")
+    salted = (
+        salted_join(orders, cust_k, on="o_custkey", n_salts=4)
+        .groupBy("c_mktsegment")
+        .count()
+        .collect()
+    )
+    assert {(r.c_mktsegment, r["count"]) for r in plain} == {
+        (r.c_mktsegment, r["count"]) for r in salted
+    }
+
+
+def test_key_histogram(spark, sf_dir):
+    from flink_template_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = key_histogram(li, "l_returnflag", top=3).collect()
+    assert len(hist) == 3
+    assert abs(sum(r.share for r in hist) - 1.0) < 1e-9  # 3 flags cover all
+    assert hist[0].n_rows >= hist[-1].n_rows
