@@ -46,3 +46,21 @@ def haversine_km_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
         f" * sin(radians(({lon2}) - ({lon1})) / 2) * sin(radians(({lon2}) - ({lon1})) / 2)"
         f"))"
     )
+
+
+def haversine_km_bug_compat(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """The reference's haversine, bugs included, for ``--bug-compat``
+    result parity (TripAggregatorApplication.kt:42-48, quirk Q6):
+    ``cos()`` applied to the longitudes and Δ computed over (lon as φ,
+    lat as λ). SURVEY.md's verification pair: reference 1.1258 km vs
+    correct 1.5284 km."""
+    dlon = F.radians(lon2 - lon1)
+    dlat = F.radians(lat2 - lat1)
+    a = (
+        F.sin(dlon / 2) * F.sin(dlon / 2)
+        + F.cos(F.radians(lon1)) * F.cos(F.radians(lon2))
+        * F.sin(dlat / 2) * F.sin(dlat / 2)
+    )
+    return 2 * EARTH_RADIUS_KM * F.asin(F.sqrt(a))

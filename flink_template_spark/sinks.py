@@ -26,6 +26,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 BATCH_SIZE = 5000  # reference: JDBCOutputFormat.kt:23
@@ -155,3 +156,27 @@ def write_console(df: DataFrame, checkpoint_dir: str | None = None, n: int = 20)
         return w.start()
     df.show(n, truncate=False)
     return None
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    max_records_per_file: int = 5_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Lakehouse output path: hive-partitioned parquet with small-file
+    control.
+
+    The repartition on the partition columns routes each output
+    partition's rows to one task (otherwise every task writes a file
+    into every partition directory — the classic small-files explosion
+    at 1000 executors); ``maxRecordsPerFile`` re-splits oversized
+    partitions so single hot partitions still parallelize on read."""
+    (
+        df.repartition(*[F.col(c) for c in partition_by])
+        .write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )

@@ -87,3 +87,16 @@ def dedup_keyed(
     bounds the dedup state (dropDuplicates keeps keys forever without
     one — unusable at 100 TB)."""
     return events.withWatermark(ts_col, watermark).dropDuplicates(keys + [ts_col])
+
+
+def enrich_stream_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    on,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (small) static dimension, broadcast so the stream side never
+    shuffles — the standard pattern for decorating an event stream with
+    reference data at any scale."""
+    return stream.join(F.broadcast(dim), on, how)

@@ -73,3 +73,22 @@ def test_key_histogram(spark, sf_dir):
     assert len(hist) == 3
     assert abs(sum(r.share for r in hist) - 1.0) < 1e-9  # 3 flags cover all
     assert hist[0].n_rows >= hist[-1].n_rows
+
+
+def test_write_partitioned_parquet(spark, sf_dir, tmp_path):
+    import os
+
+    from flink_template_spark.sinks import write_partitioned_parquet
+    from flink_template_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_out")
+    write_partitioned_parquet(ev, out, partition_by=["event_type"])
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("event_type="))
+    assert len(dirs) == 5  # click/error/purchase/signup/view
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    # partition pruning works on the round-trip
+    assert back.filter("event_type = 'click'").count() == ev.filter(
+        "event_type = 'click'"
+    ).count()

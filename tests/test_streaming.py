@@ -221,3 +221,68 @@ def test_type_registry_roundtrip():
     )
     assert "id INTEGER PRIMARY KEY" in ddl
     assert "balance DOUBLE PRECISION NOT NULL" in ddl
+
+
+def test_streaming_session_window(spark, tmp_path):
+    from flink_template_spark.streaming.windows import session_counts
+
+    in_dir = tmp_path / "sw"
+    in_dir.mkdir()
+    # user 1: two bursts separated by > 30 s gap → two sessions; the
+    # final event at 02:00 pushes the watermark past both.
+    lines = [
+        json.dumps({"ts": f"2024-01-01T00:{m:02d}:{s:02d}", "user_id": u, "value": 1.0})
+        for m, s, u in [(0, 1, 1), (0, 10, 1), (0, 50, 1), (2, 0, 2)]
+    ]
+    (in_dir / "b1.jsonl").write_text("\n".join(lines) + "\n")
+    schema = "ts TIMESTAMP, user_id LONG, value DOUBLE"
+    events = spark.readStream.schema(schema).json(str(in_dir))
+    q = (
+        session_counts(events, gap="30 seconds")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sw"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT user_id, n_events FROM sessions ORDER BY session_start"
+        ).collect()
+    finally:
+        q.stop()
+    # user 2's session is still open (watermark at 01:59:57)
+    assert [(r.user_id, r.n_events) for r in rows] == [(1, 2), (1, 1)]
+
+
+def test_streaming_stream_static_join(spark, tmp_path):
+    from flink_template_spark.streaming.windows import enrich_stream_static
+
+    in_dir = tmp_path / "ss"
+    in_dir.mkdir()
+    recs = [
+        {"ts": "2024-01-01T00:00:01", "user_id": 1, "value": 1.0},
+        {"ts": "2024-01-01T00:00:02", "user_id": 2, "value": 2.0},
+        {"ts": "2024-01-01T00:00:03", "user_id": 3, "value": 3.0},  # no dim row
+    ]
+    (in_dir / "b1.jsonl").write_text("\n".join(json.dumps(r) for r in recs) + "\n")
+    schema = "ts TIMESTAMP, user_id LONG, value DOUBLE"
+    events = spark.readStream.schema(schema).json(str(in_dir))
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id LONG, tier STRING"
+    )
+    q = (
+        enrich_stream_static(events, dim, on="user_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enriched")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT user_id, tier FROM enriched ORDER BY user_id").collect()
+    finally:
+        q.stop()
+    assert [(r.user_id, r.tier) for r in rows] == [(1, "gold"), (2, "silver")]

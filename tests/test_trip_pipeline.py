@@ -105,3 +105,28 @@ def test_tripend_ignored(parsed):
     out = {r.trip_id: r for r in aggregate_trips(parsed).collect()}
     # trip 1 span would be 60 if TripEnd counted; it must stay 55.
     assert out[1].total_s == 55
+
+
+def test_haversine_bug_compat_parity(spark):
+    """Quirk Q6 ledger (SURVEY.md §2.4): the reference swaps lat/lon
+    roles inside haversine. Both implementations are exposed; the
+    engine default is the correct one, the bug-compat twin reproduces
+    the reference's numbers exactly (its verification pair)."""
+    from pyspark.sql import functions as F
+
+    from flink_template_spark.functions.geo import (
+        haversine_km,
+        haversine_km_bug_compat,
+    )
+
+    df = spark.createDataFrame(
+        [(19.40, -99.10, 19.41, -99.11)], "lat1 DOUBLE, lon1 DOUBLE, lat2 DOUBLE, lon2 DOUBLE"
+    )
+    row = df.select(
+        haversine_km(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")).alias("std"),
+        haversine_km_bug_compat(
+            F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")
+        ).alias("bug"),
+    ).first()
+    assert abs(row.std - 1.5285215116866908) < 1e-9
+    assert abs(row.bug - 1.1257854719433387) < 1e-9
