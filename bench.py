@@ -18,6 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # relational core
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -26,6 +27,15 @@ HEADLINE = [
     "q10_returned_items",
     "q_cube_flag_status",
     "q_json_get",
+    # subquery family
+    "q13_order_count_distribution",
+    "q18_large_volume_orders",
+    # north-star families (dedup / vectors / text / time windows / telemetry)
+    "q_minhash_lsh_pairs",
+    "q_cosine_topk",
+    "q_text_stats_by_lang",
+    "q_events_tumbling_daily",
+    "q_trip_summary",
 ]
 
 

@@ -40,9 +40,20 @@ def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Repartition to the session's parallelism before CPU-heavy
+    per-row work. The testdata tables are single parquet files → one
+    input split → the shingle/hash expressions would otherwise run on
+    one core. At lake scale inputs have many splits and this collapses
+    into AQE's normal coalescing (a 1-column-key-free round-robin
+    shuffle of the raw docs is negligible next to the hashing)."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(par)
+
+
 def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) exploded distinct word-shingles."""
-    return docs.select(
+    return _spread(docs).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
     )
 
@@ -75,31 +86,42 @@ def minhash_lsh_pairs(
     per-(band, band_key) — this is what keeps it sub-quadratic at scale.
     """
     sigs = minhash_signatures(docs, id_col, text_col)
-    band_rows = []
-    for b in range(LSH_BANDS):
-        cols = [f"mh_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-        band_rows.append(
-            sigs.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                F.concat_ws("_", *[F.col(c).cast("string") for c in cols]).alias(
-                    "band_key"
-                ),
+    # one pass over the signatures: every band as (band, band_key) rows
+    # via posexplode — NOT one select per band unioned (that recomputes
+    # the whole shingle→signature pipeline once per band).
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                *[
+                    F.col(f"mh_{b * ROWS_PER_BAND + r}").cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ],
             )
-        )
-    bands = band_rows[0]
-    for extra in band_rows[1:]:
-        bands = bands.unionByName(extra)
-
-    left = bands.select(
-        F.col(id_col).alias("id_a"), "band", "band_key"
+            for b in range(LSH_BANDS)
+        ]
     )
-    right = bands.select(
-        F.col(id_col).alias("id_b"), "band", "band_key"
+    bands = sigs.select(
+        F.col(id_col), F.posexplode(band_keys).alias("band", "band_key")
+    )
+    # pairs from within-bucket combinations (collect ids per bucket,
+    # expand i<j pairs) instead of a bucket self-join: the signature
+    # pipeline is scanned once, and the quadratic blow-up stays bounded
+    # by the largest bucket — the property that makes LSH sub-quadratic.
+    buckets = bands.groupBy("band", "band_key").agg(
+        F.sort_array(F.collect_set(id_col)).alias("ids")
+    )
+    pairs = buckets.filter(F.size("ids") > 1).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (a, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), b -> "
+                "struct(a AS id_a, b AS id_b))))"
+            )
+        ).alias("p")
     )
     return (
-        left.join(right, ["band", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
@@ -109,7 +131,7 @@ def simhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
 ) -> DataFrame:
     """32-bit SimHash over whitespace tokens weighted by frequency."""
-    tok = docs.select(
+    tok = _spread(docs).select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("token"),
     )
