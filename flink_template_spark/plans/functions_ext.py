@@ -1,0 +1,253 @@
+"""Extended function-catalog queries: GROUPING SETS, statistical
+aggregates, percentiles, array functions, and null-handling scalars.
+
+Statistical aggregates are computed from decimal-exact power sums
+(Σx, Σx² as DECIMAL) rather than the built-in stddev/var/corr: the
+built-ins fold doubles in partition order, which is not reproducible
+across engines (or even across runs); the power-sum formulation is
+bit-identical everywhere and algebraically the same quantity. At scale
+this is also one pass instead of Welford per-partition + merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_template_spark.plans.registry import register
+from flink_template_spark.tables import load_table
+
+
+def _dec(col: str, prec: int = 12, scale: int = 2):
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS (cube/rollup's general form; distinct §2.5 capability).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  COUNT(*) AS n_rows,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], ["l_returnflag", "l_linestatus"]],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates from exact power sums.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_stats_aggregates",
+    oracle="""
+SELECT
+  c_mktsegment,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS mean_bal,
+  (CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)) * CAST(c_acctbal AS DECIMAL(12,2)))
+        AS DOUBLE)
+   - CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+     * CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+  / (COUNT(*) - 1) AS var_bal
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    s1 = F.sum(_dec("c_acctbal")).cast("double")
+    s2 = F.sum(_dec("c_acctbal") * _dec("c_acctbal")).cast("double")
+    n = F.count(F.lit(1))
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            n.alias("n"),
+            (s1 / n).alias("mean_bal"),
+            ((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("var_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "q_corr_price_qty",
+    oracle="""
+SELECT
+  l_returnflag,
+  ROUND(
+  (COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                       * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+   - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+     * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE))
+  /
+  (sqrt(COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                            * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+          * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE))
+   * sqrt(COUNT(*) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+          - CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+            * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)))
+  , 6) AS corr_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from exact decimal power sums (one pass)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = _dec("l_quantity"), _dec("l_extendedprice")
+    n = F.count(F.lit(1))
+    sq, sp = F.sum(q).cast("double"), F.sum(p).cast("double")
+    sqq, spp = F.sum(q * q).cast("double"), F.sum(p * p).cast("double")
+    sqp = F.sum(q * p).cast("double")
+    corr = (n * sqp - sq * sp) / (
+        F.sqrt(n * sqq - sq * sq) * F.sqrt(n * spp - sp * sp)
+    )
+    # composite double expression → 6-dp rounding absorbs cross-engine
+    # ulp drift (house discipline, plans.registry docstring)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(corr, 6).alias("corr_qty_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percentiles: exact rank-based (discrete), deterministic across engines.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_percentiles_disc",
+    oracle="""
+SELECT
+  o_orderpriority,
+  quantile_disc(o_totalprice, 0.5) AS p50,
+  quantile_disc(o_totalprice, 0.9) AS p90,
+  quantile_disc(o_totalprice, 0.99) AS p99
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q_percentiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles: both engines pick an actual data value at
+    the lower-rank cut — no interpolation arithmetic to drift.
+
+    Spark's `percentile(frac)` interpolates and DuckDB's quantile_disc
+    ranks as ceil(q*n); the exact dual is element at rank
+    ceil(q*n) of the sorted values, expressed with sort_array +
+    element_at over a collected group. Groups are priority buckets
+    (5 groups), so collect stays bounded; at scale use
+    approx_percentile and accept approximation."""
+    orders = load_table(spark, sf_dir, "orders")
+    vals = F.sort_array(F.collect_list("o_totalprice"))
+
+    def disc(frac: float):
+        rank = F.ceil(F.size(vals) * F.lit(frac)).cast("int")
+        return F.element_at(vals, F.greatest(rank, F.lit(1)))
+
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            disc(0.5).alias("p50"),
+            disc(0.9).alias("p90"),
+            disc(0.99).alias("p99"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array function catalog over the embeddings table.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_array_funcs",
+    oracle="""
+SELECT
+  vec_id,
+  CAST(embedding[1] AS DOUBLE) AS first_el,
+  CAST(embedding[len(embedding)] AS DOUBLE) AS last_el,
+  len(list_filter(embedding, x -> x > 0)) AS n_positive,
+  CAST(list_sort(embedding)[1] AS DOUBLE) AS sorted_min,
+  len(embedding[1:8]) AS slice_len
+FROM embeddings
+ORDER BY vec_id
+""",
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.element_at(e, 1).cast("double").alias("first_el"),
+        F.element_at(e, F.size(e)).cast("double").alias("last_el"),
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_positive"),
+        F.element_at(F.array_sort(e), 1).cast("double").alias("sorted_min"),
+        F.size(F.slice(e, 1, 8)).alias("slice_len"),
+    ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Null-handling scalars.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_null_handling",
+    oracle="""
+SELECT
+  c_custkey,
+  COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+  GREATEST(CAST(c_acctbal AS DECIMAL(12,2)), CAST(0 AS DECIMAL(12,2))) AS bal_floor,
+  LEAST(CAST(c_acctbal AS DECIMAL(12,2)), CAST(0 AS DECIMAL(12,2))) AS bal_cap,
+  CASE WHEN c_acctbal IS NULL THEN 'null'
+       WHEN c_acctbal < 0 THEN 'debt' ELSE 'credit' END AS bal_class
+FROM customer
+WHERE c_custkey <= 200
+ORDER BY c_custkey
+""",
+)
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    bal = _dec("c_acctbal")
+    zero = F.lit(0).cast("decimal(12,2)")
+    return cust.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")
+        ).alias("seg_or_other"),
+        F.greatest(bal, zero).alias("bal_floor"),
+        F.least(bal, zero).alias("bal_cap"),
+        F.when(F.col("c_acctbal").isNull(), "null")
+        .when(F.col("c_acctbal") < 0, "debt")
+        .otherwise("credit")
+        .alias("bal_class"),
+    ).orderBy("c_custkey")
