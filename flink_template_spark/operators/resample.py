@@ -1,0 +1,64 @@
+"""Grouped-map time-series resampling — the ``applyInPandas`` (grouped
+map UDF) member of the engine's extension surface (SURVEY.md §2.6: the
+reference's extension points map to pandas_udf / applyInPandas /
+applyInPandasWithState / foreachBatch; the other three are exercised by
+multimodal.features, streaming.trip_sessions, and sinks respectively).
+
+Regularizes an irregular per-key event series onto a fixed grid with
+forward-fill — the preprocessing step sensor/telemetry analytics need
+before window algebra.
+
+Scale shape: one shuffle (hash by key), then each group is a single
+Arrow batch in pandas; group size is bounded by the key's events in the
+time range, not the table. No driver collection.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+RESAMPLED_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("filled", T.BooleanType()),
+    ]
+)
+
+
+def resample_ffill(
+    events: DataFrame,
+    freq: str = "1h",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key resample onto a ``freq`` grid, forward-filling gaps.
+
+    Output: (key, grid ts, last observed value, filled flag). Rows
+    before a key's first observation are dropped (nothing to fill
+    from), matching pandas ``resample().last().ffill()``.
+    """
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        s = pdf.set_index(ts_col)[value_col].resample(freq).last()
+        out = pd.DataFrame(
+            {
+                "user_id": pdf[key_col].iloc[0],
+                "ts": s.index,
+                "value": s.ffill().to_numpy(),
+                "filled": s.isna().to_numpy(),
+            }
+        )
+        return out[out["value"].notna()]
+
+    return events.select(key_col, ts_col, value_col).groupBy(key_col).applyInPandas(
+        fn, RESAMPLED_SCHEMA
+    )

@@ -292,3 +292,17 @@ def q_trip_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_speed",
         )
     )
+
+
+@register("q_resample_daily_ffill")
+def q_resample_daily_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas resampling (rows-only: pandas
+    resample/ffill semantics; golden-tested in tests/test_sql_and_skew)."""
+    from flink_template_spark.operators.resample import resample_ffill
+
+    events = load_table(spark, sf_dir, "events")
+    out = resample_ffill(events, freq="1D")
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("filled").cast("long")).alias("n_filled"),
+    ).orderBy("user_id")

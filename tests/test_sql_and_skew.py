@@ -92,3 +92,25 @@ def test_write_partitioned_parquet(spark, sf_dir, tmp_path):
     assert back.filter("event_type = 'click'").count() == ev.filter(
         "event_type = 'click'"
     ).count()
+
+
+def test_resample_ffill(spark):
+    import datetime as dt
+
+    from flink_template_spark.operators.resample import resample_ffill
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 15), 10.0),
+        (1, dt.datetime(2024, 1, 1, 2, 45), 30.0),  # hour 1 is a gap
+        (2, dt.datetime(2024, 1, 1, 5, 0), 99.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP, value DOUBLE")
+    out = {
+        (r.user_id, r.ts.hour): (r.value, r.filled)
+        for r in resample_ffill(df, freq="1h").collect()
+    }
+    assert out[(1, 0)] == (10.0, False)
+    assert out[(1, 1)] == (10.0, True)  # forward-filled gap
+    assert out[(1, 2)] == (30.0, False)
+    assert out[(2, 5)] == (99.0, False)
+    assert len(out) == 4
