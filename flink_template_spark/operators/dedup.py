@@ -168,12 +168,24 @@ def ngram_jaccard_pairs(
     sh = _shingled(docs, id_col, text_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    # pair intersection counts via within-shingle-bucket combinations
+    # (single scan of the shingle pipeline; a self-join would compute the
+    # shingling twice). Blow-up is bounded by the hottest shingle's doc
+    # list — the same bound the join has.
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), b -> "
+                    "struct(a AS id_a, b AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.id_a", "p.id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))

@@ -21,7 +21,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from flink_template_spark.functions.vector import cosine
+from flink_template_spark.functions.vector import cosine, dot, l2_norm
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to session parallelism before per-row vector math —
+    single-file parquet inputs otherwise run the expensive expressions
+    on one core (one input split)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def brute_force_topk(
@@ -81,15 +88,34 @@ def cosine_near_dup_exact(
     """All pairs with cosine ≥ threshold — exact O(n²) baseline.
 
     Correctness reference only: at 100 TB use ``cosine_near_dup_lsh``,
-    which explodes candidates only within hash buckets."""
-    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    which explodes candidates only within hash buckets.
+
+    Norms are computed once per vector BEFORE the pair join (n·d work),
+    not per pair (n²·d) — cosine per pair is then one dot + one divide.
+    Identical doubles: same expressions, same fold order."""
+    with_norm = _spread(vectors).select(
+        id_col, vec_col, l2_norm(F.col(vec_col)).alias("__norm")
+    )
+    a = with_norm.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        F.col("__norm").alias("norm_a"),
+    )
+    b = with_norm.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        F.col("__norm").alias("norm_b"),
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("norm_a") * F.col("norm_b")),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
         .orderBy("id_a", "id_b")
@@ -161,7 +187,7 @@ def band_signatures(
             j = b * bits_per_band + m
             sig = sig + F.when(_plane_dot(vec, j) >= 0, F.lit(2**m)).otherwise(0)
         sigs.append(sig)
-    return vectors.select(
+    return _spread(vectors).select(
         id_col, vec_col, F.posexplode(F.array(*sigs)).alias("band", "sig")
     )
 
@@ -179,22 +205,34 @@ def cosine_near_dup_lsh(
     within (band, signature) buckets, never across the full table."""
     bands = band_signatures(vectors, n_bands, bits_per_band, id_col, vec_col)
     a = bands.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "band", "sig"
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        l2_norm(F.col(vec_col)).alias("norm_a"),
+        "band",
+        "sig",
     )
     b = bands.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "band", "sig"
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        l2_norm(F.col(vec_col)).alias("norm_b"),
+        "band",
+        "sig",
     )
     cand = (
         a.join(b, ["band", "sig"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "vec_a", "vec_b")
+        .select("id_a", "id_b", "vec_a", "vec_b", "norm_a", "norm_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
         cand.select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("norm_a") * F.col("norm_b")),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
         .orderBy("id_a", "id_b")
