@@ -15,6 +15,7 @@ from flink_template_spark.plans import trip_pipeline  # noqa: F401
 from flink_template_spark.plans import subqueries  # noqa: F401
 from flink_template_spark.plans import multimodal  # noqa: F401
 from flink_template_spark.plans import functions_ext  # noqa: F401
+from flink_template_spark.plans import datapipe  # noqa: F401
 
 QUERIES = registry.QUERIES
 ORACLES = registry.ORACLES

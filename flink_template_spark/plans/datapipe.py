@@ -1,0 +1,116 @@
+"""Training-data pipeline operators over ``documents``: deterministic
+train/test splitting, text normalization, pattern redaction, and
+stratified sampling (BASELINE.json north-star: the operations a
+large-scale training-data pipeline needs).
+
+Splitting is HASH-based, not random: split membership must be a pure
+function of the record (reproducible across runs, engines, and
+backfills; joining a record's features later must land in the same
+split). The portable md5-derived integer (functions.hashing) makes it
+oracle-checkable too.
+
+Scale notes: every op is a stateless projection or aggregation —
+no shuffles beyond the final group-bys, no Python, no collection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_template_spark.functions.hashing import md5int_duckdb, md5int_spark
+from flink_template_spark.plans.registry import register
+from flink_template_spark.tables import load_table
+
+TRAIN_PCT = 80
+VAL_PCT = 10  # test = remainder
+
+
+def split_of(id_col: str = "doc_id"):
+    """train/val/test label from a hash of the stable id (Spark side)."""
+    bucket = F.expr(md5int_spark(f"CAST({id_col} AS STRING)")) % 100
+    return (
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+
+
+def _split_sql(id_col: str = "doc_id") -> str:
+    b = f"({md5int_duckdb(f'CAST({id_col} AS VARCHAR)')} % 100)"
+    return (
+        f"CASE WHEN {b} < {TRAIN_PCT} THEN 'train' "
+        f"WHEN {b} < {TRAIN_PCT + VAL_PCT} THEN 'val' ELSE 'test' END"
+    )
+
+
+@register(
+    "q_train_test_split",
+    oracle=f"""
+SELECT
+  {_split_sql()} AS split,
+  lang,
+  COUNT(*) AS n_docs,
+  SUM(n_chars) AS total_chars
+FROM documents
+GROUP BY split, lang
+ORDER BY split, lang
+""",
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split, audited per (split, language) —
+    the reproducibility contract of a training-data pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", split_of())
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+@register(
+    "q_text_normalize",
+    oracle="""
+SELECT
+  doc_id,
+  regexp_replace(regexp_replace(lower(trim(text)), '[0-9]+', '<num>', 'g'),
+                 ' +', ' ', 'g') AS norm_text,
+  length(regexp_replace(regexp_replace(lower(trim(text)), '[0-9]+', '<num>', 'g'),
+                        ' +', ' ', 'g')) AS norm_len
+FROM documents
+WHERE doc_id < 100
+ORDER BY doc_id
+""",
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text cleanup: trim, case-fold, numeral folding to a
+    placeholder token, whitespace collapse — all JVM-side regex."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), "[0-9]+", "<num>"),
+        " +",
+        " ",
+    )
+    return docs.select(
+        "doc_id", norm.alias("norm_text"), F.length(norm).alias("norm_len")
+    ).orderBy("doc_id")
+
+
+@register("q_stratified_sample")
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling by language (sampleBy with a fixed seed) —
+    rows-only: Spark's Bernoulli sampler is deterministic per seed but
+    engine-specific, so there is no cross-engine oracle. Proportions
+    are asserted in tests/test_datapipe.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.5}
+    sample = docs.sampleBy("lang", fractions, seed=42)
+    return (
+        sample.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("lang")
+    )

@@ -1,0 +1,57 @@
+"""Training-data pipeline ops: split determinism, sampling proportions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_template_spark.plans.datapipe import split_of
+from flink_template_spark.tables import load_table
+
+
+def test_split_is_deterministic_and_stable(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.withColumn("split", split_of()).select("doc_id", "split")
+    b = docs.withColumn("split", split_of()).select("doc_id", "split")
+    # same rows both evaluations (pure function of doc_id)
+    assert a.exceptAll(b).count() == 0
+    # every doc in exactly one split; ratios near 80/10/10
+    counts = dict(
+        (r.split, r["count"]) for r in a.groupBy("split").count().collect()
+    )
+    total = sum(counts.values())
+    assert total == docs.count()
+    assert 0.7 < counts["train"] / total < 0.9
+    assert 0.05 < counts["val"] / total < 0.17
+    assert 0.05 < counts["test"] / total < 0.17
+
+
+def test_split_survives_join_roundtrip(spark, sf_dir):
+    """The split of a record must not change when recomputed after a
+    join — the backfill-reproducibility property hash splitting buys."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_split = docs.withColumn("split", split_of())
+    rejoined = (
+        with_split.select("doc_id", "split")
+        .join(docs, "doc_id")
+        .withColumn("split2", split_of())
+    )
+    assert rejoined.filter(F.col("split") != F.col("split2")).count() == 0
+
+
+def test_stratified_sample_proportions(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sample = docs.sampleBy("lang", {l: 0.5 for l in ["en", "de", "fr", "es", "zh"]}, seed=42)
+    per_lang = dict(
+        (r.lang, r["count"]) for r in docs.groupBy("lang").count().collect()
+    )
+    got = dict(
+        (r.lang, r["count"]) for r in sample.groupBy("lang").count().collect()
+    )
+    for lang, n in per_lang.items():
+        if n >= 40:  # enough mass for the Bernoulli bound to be tight
+            assert 0.3 * n <= got.get(lang, 0) <= 0.7 * n
+    # determinism: same seed, same sample
+    again = docs.sampleBy(
+        "lang", {l: 0.5 for l in ["en", "de", "fr", "es", "zh"]}, seed=42
+    )
+    assert sample.exceptAll(again).count() == 0
