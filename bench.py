@@ -59,6 +59,28 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # streaming-workload dual: the reference's one real pipeline
+    # (JSON parse -> per-trip session aggregate) as batch throughput.
+    import tempfile
+
+    from flink_template_spark.operators.trip_agg import aggregate_trips
+    from flink_template_spark.parse import read_trip_events_json
+    from flink_template_spark.sources.trip_fixtures import write_scaled_fixture
+
+    # 1M events amortizes job-startup overhead into a steady-state rate
+    n_trips, ept = 20000, 50
+    fx = os.path.join(tempfile.gettempdir(), f"bench_trip_events_{n_trips}.jsonl")
+    if os.path.exists(fx):
+        n_events = n_trips * ept
+    else:
+        n_events = write_scaled_fixture(fx, n_trips=n_trips, events_per_trip=ept)
+    t0 = time.perf_counter()
+    aggregate_trips(read_trip_events_json(spark, fx)).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    trip_wall = time.perf_counter() - t0
+    trip_eps = round(n_events / trip_wall, 1)
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
@@ -69,6 +91,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "trip_pipeline_events_per_sec": trip_eps,
         "sf": sf_val,
     }
     print(json.dumps(out))

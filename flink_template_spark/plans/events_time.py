@@ -262,3 +262,99 @@ def q_events_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") - 1)
         ).alias("variance"),
     )
+
+
+@register(
+    "q_funnel_view_click_purchase",
+    oracle="""
+WITH firsts AS (
+  SELECT
+    user_id,
+    MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+    MIN(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+    MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+  FROM events
+  GROUP BY user_id
+)
+SELECT
+  COUNT(*) FILTER (t_view IS NOT NULL) AS n_view,
+  COUNT(*) FILTER (t_view IS NOT NULL AND t_click > t_view) AS n_view_click,
+  COUNT(*) FILTER (t_view IS NOT NULL AND t_click > t_view
+                   AND t_purchase > t_click) AS n_full_funnel
+FROM firsts
+""",
+)
+def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase on first occurrences):
+    one shuffle (by user), conditional-min aggregation, then a 1-row
+    conditional count — the standard event-analytics funnel at any
+    scale."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    return firsts.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_view"),
+        F.count(
+            F.when(
+                F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view")), 1
+            )
+        ).alias("n_view_click"),
+        F.count(
+            F.when(
+                F.col("t_view").isNotNull()
+                & (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+@register(
+    "q_retention_cohorts",
+    oracle="""
+WITH base AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+cohorted AS (
+  SELECT
+    user_id,
+    date_trunc('week', MIN(ts) OVER (PARTITION BY user_id)) AS cohort_week,
+    date_trunc('week', ts) AS active_week
+  FROM base
+)
+SELECT
+  cohort_week,
+  CAST(date_diff('week', cohort_week, active_week) AS BIGINT) AS weeks_since,
+  COUNT(DISTINCT user_id) AS n_active
+FROM cohorted
+GROUP BY cohort_week, weeks_since
+ORDER BY cohort_week, weeks_since
+""",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: cohort = week of first activity;
+    count distinct actives per (cohort, weeks-since). Window min per
+    user + two-key distinct agg — no self-join."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    w = W.partitionBy("user_id")
+    cohorted = ev.select(
+        "user_id",
+        # cast to date: Spark's date_trunc returns timestamp, DuckDB's
+        # returns date
+        F.date_trunc("week", F.min("ts").over(w)).cast("date").alias("cohort_week"),
+        F.date_trunc("week", F.col("ts")).cast("date").alias("active_week"),
+    )
+    weeks_since = (
+        F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+    ).cast("long")
+    return (
+        cohorted.groupBy("cohort_week", weeks_since.alias("weeks_since"))
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "weeks_since")
+    )

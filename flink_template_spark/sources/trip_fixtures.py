@@ -139,3 +139,23 @@ def fixture_lines() -> list[str]:
 def write_fixture(path: str) -> None:
     with open(path, "w") as f:
         f.write("\n".join(fixture_lines()) + "\n")
+
+
+def write_scaled_fixture(path: str, n_trips: int = 2000, events_per_trip: int = 50) -> int:
+    """Deterministic large fixture for throughput measurement: each trip
+    is a TripStart followed by GPS+speed TripData readings every 2 s.
+    Returns the number of event lines written."""
+    with open(path, "w") as f:
+        n = 0
+        for t in range(1, n_trips + 1):
+            base = (t * 7) % 40  # stagger start seconds
+            f.write(_start(t, base, f"VIN{t:05d}") + "\n")
+            n += 1
+            for e in range(events_per_trip - 1):
+                sec = base + 2.0 * (e + 1)
+                lat = 19.0 + (t % 100) * 0.001 + e * 0.0001
+                lon = -99.0 - (t % 100) * 0.001 - e * 0.0001
+                speed = (t + e) % 80
+                f.write(_data(t, sec, lat=lat, lon=lon, speed=speed) + "\n")
+                n += 1
+    return n
