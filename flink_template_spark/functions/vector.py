@@ -11,6 +11,9 @@ outputs are rounded to 6 dp to absorb any residual libm/fold ulp drift.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -55,3 +58,30 @@ def l2_norm_sql(a: str) -> str:
 
 def cosine_sql(a: str, b: str) -> str:
     return f"({dot_sql(a, b)} / ({l2_norm_sql(a)} * {l2_norm_sql(b)}))"
+
+
+# --- Arrow-vectorized pandas_udf tier -------------------------------------
+#
+# The expression builders above are the default (JVM-side, codegen).
+# This is the engine's scalar pandas_udf surface (SURVEY.md §2.6): the
+# same cosine, computed in numpy over Arrow batches — the escape hatch
+# for vector math that outgrows Catalyst expressions (e.g. matrix ops,
+# quantization) while staying ~100x faster than row-at-a-time Python.
+
+
+def pandas_cosine_to(query_vec: list[float]):
+    """Returns a pandas_udf Column-maker: cosine of each row's embedding
+    to a fixed query vector, vectorized with numpy per Arrow batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+
+    @pandas_udf("double")
+    def cos(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.map(lambda a: np.asarray(a, dtype=np.float64)))
+        dots = m @ q
+        norms = np.sqrt((m * m).sum(axis=1))
+        return pd.Series(dots / (norms * qn))
+
+    return cos

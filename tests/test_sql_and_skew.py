@@ -114,3 +114,23 @@ def test_resample_ffill(spark):
     assert out[(1, 2)] == (30.0, False)
     assert out[(2, 5)] == (99.0, False)
     assert len(out) == 4
+
+
+def test_pandas_cosine_matches_expression(spark, sf_dir):
+    """The pandas_udf tier must agree with the Catalyst-expression tier
+    (numpy BLAS fold vs left-to-right fold: equal to ~1e-12)."""
+    from pyspark.sql import functions as F
+
+    from flink_template_spark.functions.vector import cosine, pandas_cosine_to
+    from flink_template_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+    qcol = F.array(*[F.lit(x) for x in qvec])
+    both = emb.filter("vec_id > 0").select(
+        "vec_id",
+        pandas_cosine_to(qvec)(F.col("embedding")).alias("pandas_cos"),
+        cosine(F.col("embedding"), qcol).alias("expr_cos"),
+    )
+    bad = both.filter(F.abs(F.col("pandas_cos") - F.col("expr_cos")) > 1e-9)
+    assert bad.count() == 0
