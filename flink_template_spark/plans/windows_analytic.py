@@ -229,3 +229,45 @@ def q_percent_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share"),
     )
+
+
+@register(
+    "q_range_frame_rolling_7d",
+    oracle="""
+SELECT
+  user_id,
+  event_id,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+    PARTITION BY user_id
+    ORDER BY epoch_s
+    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+  ) AS DOUBLE) AS rolling_7d_sum
+FROM (
+  SELECT user_id, event_id, value,
+    CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) AS epoch_s
+  FROM events
+)
+WHERE user_id < 10
+ORDER BY user_id, event_id
+""",
+)
+def q_range_frame_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-user rolling 7-day sum ordered by event
+    time — the time-interval frame family (ROWS frames are covered by
+    the running/lag queries above). Decimal-exact sum for cross-engine
+    stability; epoch seconds as the RANGE ordering key in both engines."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    epoch = F.unix_timestamp("ts")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-604800, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_7d_sum"),
+    ).orderBy("user_id", "event_id")

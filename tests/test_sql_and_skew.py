@@ -92,6 +92,14 @@ def test_write_partitioned_parquet(spark, sf_dir, tmp_path):
     assert back.filter("event_type = 'click'").count() == ev.filter(
         "event_type = 'click'"
     ).count()
+    # ...and is visible in the plan (directory-level, not row-level)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.filter("event_type = 'click'").explain("formatted")
+    assert "PartitionFilters: [isnotnull(event_type" in buf.getvalue()
 
 
 def test_resample_ffill(spark):
