@@ -251,3 +251,41 @@ def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("credit")
         .alias("bal_class"),
     ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Approximate sketches — the 100 TB cardinality/quantile path. Sketch
+# internals are engine-specific (Spark HLL++ / DuckDB HLL), so there is
+# no cross-engine oracle; error bounds vs the exact answers are asserted
+# in tests/test_sketches.py.
+# ---------------------------------------------------------------------------
+
+@register("q_approx_distinct_users")
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts per event type (rsd 2%) next to the
+    exact counts — at 100 TB the sketch is one pass / O(1) memory where
+    exact distinct is a full shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register("q_approx_percentile_value")
+def q_approx_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna) vs the exact rank-based
+    percentile on the same column."""
+    ev = load_table(spark, sf_dir, "events")
+    vals = F.sort_array(F.collect_list("value"))
+    exact_p50 = F.element_at(
+        vals, F.greatest(F.ceil(F.size(vals) * 0.5).cast("int"), F.lit(1))
+    )
+    return ev.groupBy("event_type").agg(
+        F.approx_percentile("value", 0.5, 10000).alias("approx_p50"),
+        exact_p50.alias("exact_p50"),
+    ).orderBy("event_type")

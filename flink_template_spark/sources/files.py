@@ -1,0 +1,41 @@
+"""File-format sources (SURVEY.md §2.1 "file formats" row — absent in
+the reference, required for the engine's batch surface).
+
+Explicit schemas always: schema inference reads the data twice and
+guesses types — at 100 TB both are unacceptable. Malformed handling
+follows the engine's drop-malformed convention (S6): mode=DROPMALFORMED
+for CSV/JSON, consistent with the trip parse layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("sep", delimiter)
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+    )
+
+
+def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .option("mode", "DROPMALFORMED")
+        .json(path)
+    )
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    # parquet carries its schema; nothing to declare
+    return spark.read.parquet(path)

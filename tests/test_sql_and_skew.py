@@ -142,3 +142,60 @@ def test_pandas_cosine_matches_expression(spark, sf_dir):
     )
     bad = both.filter(F.abs(F.col("pandas_cos") - F.col("expr_cos")) > 1e-9)
     assert bad.count() == 0
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Co-located bucketed join: no shuffle Exchange on either side."""
+    import contextlib
+    import io
+
+    from flink_template_spark.sinks import write_bucketed_table
+    from flink_template_spark.tables import load_table
+
+    write_bucketed_table(
+        load_table(spark, sf_dir, "orders"),
+        "orders_bt", str(tmp_path / "orders_bt"), "o_orderkey", 8,
+    )
+    write_bucketed_table(
+        load_table(spark, sf_dir, "lineitem"),
+        "lineitem_bt", str(tmp_path / "lineitem_bt"), "l_orderkey", 8,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li, od = spark.table("lineitem_bt"), spark.table("orders_bt")
+        j = li.join(od, li.l_orderkey == od.o_orderkey)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # buckets align
+        assert "Bucketed: true" in plan
+        assert j.count() == load_table(spark, sf_dir, "lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_bt")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bt")
+
+
+def test_file_sources_roundtrip(spark, tmp_path):
+    from flink_template_spark.sources.files import read_csv, read_json, read_parquet
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id LONG, name STRING, v DOUBLE"
+    )
+    df.write.mode("overwrite").option("header", "true").csv(str(tmp_path / "c"))
+    df.write.mode("overwrite").json(str(tmp_path / "j"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "p"))
+
+    schema = "id LONG, name STRING, v DOUBLE"
+    got_c = {tuple(r) for r in read_csv(spark, str(tmp_path / "c"), schema).collect()}
+    got_j = {tuple(r) for r in read_json(spark, str(tmp_path / "j"), schema).collect()}
+    got_p = {tuple(r) for r in read_parquet(spark, str(tmp_path / "p")).collect()}
+    want = {(1, "a", 1.5), (2, "b", 2.5)}
+    assert got_c == got_j == got_p == want
+
+    # malformed JSON line is dropped, not failed (engine convention S6)
+    (tmp_path / "j" / "bad.json").write_text('{"id": broken\n')
+    assert read_json(spark, str(tmp_path / "j"), schema).count() == 2
