@@ -4,8 +4,11 @@ frame sampling, and the mapInPandas feature-extraction pass.
 Payload stats and frame sampling are oracle-checked bit-for-bit (the
 asset table derives deterministically from ``documents`` in both
 engines; frames compare as hex because DuckDB cannot slice blobs).
-Feature extraction is rows-only: the fake decoder is numpy, outside
-SQL's reach — its values are golden-tested in tests/test_multimodal.py.
+Feature extraction is golden-tested in tests/test_multimodal.py AND
+value-checked against SQL: q_multimodal_byte_histogram recomputes the
+numpy decoder's histogram from hex pairs in DuckDB, so the Arrow
+mapInPandas path is oracle-verified end-to-end (q_multimodal_features
+stays rows-only for the full 16-bin vector).
 
 Scale notes: stats and frames are pure codegen expressions over the
 binary column (no Python); the metadata filter prunes on the typed
@@ -146,4 +149,46 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.round(F.element_at("features", 1), 6).alias("f0"),
         F.size("features").alias("n_features"),
+    ).orderBy("asset_id")
+
+
+@register(
+    "q_multimodal_byte_histogram",
+    oracle=f"""
+WITH {ASSETS_ORACLE_CTE},
+hexed AS (
+  SELECT asset_id, hex(payload) AS hx, octet_length(payload) AS n
+  FROM assets WHERE asset_id < 50
+),
+bytes AS (
+  SELECT asset_id, n,
+    CAST('0x' || substr(hx, CAST(i * 2 + 1 AS BIGINT), 2) AS BIGINT) // 16
+      AS bin
+  FROM hexed, unnest(range(0, n)) AS u(i)
+)
+SELECT
+  asset_id,
+  ANY_VALUE(n) AS n_bytes,
+  ROUND(COUNT(*) FILTER (bin = 2) / CAST(ANY_VALUE(n) AS DOUBLE), 6) AS f2,
+  ROUND(COUNT(*) FILTER (bin = 6) / CAST(ANY_VALUE(n) AS DOUBLE), 6) AS f6,
+  ROUND(COUNT(*) FILTER (bin = 7) / CAST(ANY_VALUE(n) AS DOUBLE), 6) AS f7
+FROM bytes
+GROUP BY asset_id
+ORDER BY asset_id
+""",
+)
+def q_multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas decoder's output, ORACLE-CHECKED: DuckDB recomputes the
+    byte histogram from hex pairs in SQL; Spark runs the real
+    mapInPandas/numpy path (multimodal.features.fake_decode). Exact
+    match proves the Arrow plumbing preserves values end-to-end, not
+    just row counts."""
+    assets = load_assets(spark, sf_dir).filter(F.col("asset_id") < 50)
+    feats = extract_features(assets)
+    return feats.select(
+        "asset_id",
+        "n_bytes",
+        F.round(F.element_at("features", 3), 6).alias("f2"),
+        F.round(F.element_at("features", 7), 6).alias("f6"),
+        F.round(F.element_at("features", 8), 6).alias("f7"),
     ).orderBy("asset_id")
