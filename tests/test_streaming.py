@@ -331,3 +331,39 @@ def test_checkpoint_recovery_no_reprocessing(spark, tmp_path):
     )
     # 100 applied exactly once + 25 from after the restart
     assert rows[1] == (125.0, 1)
+
+
+def test_streaming_sliding_window(spark, tmp_path):
+    from flink_template_spark.streaming.windows import sliding_counts
+
+    in_dir = tmp_path / "sl"
+    in_dir.mkdir()
+    # events at :01 :05 :15; final event at 02:00 closes all windows.
+    lines = [
+        json.dumps({"ts": f"2024-01-01T00:{m:02d}:{s:02d}", "user_id": 1, "value": 1.0})
+        for m, s in [(0, 1), (0, 5), (0, 15), (2, 0)]
+    ]
+    (in_dir / "b1.jsonl").write_text("\n".join(lines) + "\n")
+    schema = "ts TIMESTAMP, user_id LONG, value DOUBLE"
+    events = spark.readStream.schema(schema).json(str(in_dir))
+    q = (
+        sliding_counts(events, size="20 seconds", slide="10 seconds")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sliding")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sl"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {
+            (r.window_start.minute, r.window_start.second): r.n_events
+            for r in spark.sql("SELECT * FROM sliding").collect()
+        }
+    finally:
+        q.stop()
+    # 20s windows sliding by 10s: events at :01,:05 in [23:50,0:10) and
+    # [0:00,0:20); :15 in [0:00,0:20) and [0:10,0:30)
+    assert rows[(59, 50)] == 2
+    assert rows[(0, 0)] == 3
+    assert rows[(0, 10)] == 1
