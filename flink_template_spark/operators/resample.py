@@ -62,3 +62,61 @@ def resample_ffill(
     return events.select(key_col, ts_col, value_col).groupBy(key_col).applyInPandas(
         fn, RESAMPLED_SCHEMA
     )
+
+
+def resample_ffill_expr(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Expression-only daily resample+ffill — the scale-fast dual of
+    ``resample_ffill`` (no Python boundary, fully codegen):
+
+    1. last observation per (key, day) via a desc row_number;
+    2. per-key day grid via sequence(min_day, max_day, 1 day);
+    3. forward fill with last(value, ignorenulls) over the ordered grid.
+
+    Same output contract as the pandas version at daily frequency, and
+    oracle-checkable (see plans.telemetry.q_resample_daily_expr).
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    ev = events.select(
+        key_col, ts_col, value_col, order_tiebreak,
+        F.date_trunc("day", F.col(ts_col)).alias("__day"),
+    )
+    w_rk = W.partitionBy(key_col, "__day").orderBy(
+        F.col(ts_col).desc(), F.col(order_tiebreak).desc()
+    )
+    daily = (
+        ev.withColumn("__rk", F.row_number().over(w_rk))
+        .filter(F.col("__rk") == 1)
+        .select(key_col, "__day", value_col)
+    )
+    span = ev.groupBy(key_col).agg(
+        F.date_trunc("day", F.min(ts_col)).alias("__d0"),
+        F.date_trunc("day", F.max(ts_col)).alias("__d1"),
+    )
+    grid = span.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("__d0"), F.col("__d1"), F.expr("interval 1 day"))
+        ).alias("__day"),
+    )
+    w_fill = (
+        W.partitionBy(key_col)
+        .orderBy("__day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(daily, [key_col, "__day"], "left")
+        .select(
+            key_col,
+            F.col("__day").cast("date").alias("day"),
+            F.last(value_col, ignorenulls=True).over(w_fill).alias("value"),
+            F.col(value_col).isNull().alias("filled"),
+        )
+    )

@@ -306,3 +306,48 @@ def q_resample_daily_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_days"),
         F.sum(F.col("filled").cast("long")).alias("n_filled"),
     ).orderBy("user_id")
+
+
+@register(
+    "q_resample_daily_expr",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id FROM events
+),
+daily AS (
+  SELECT user_id, day, value FROM (
+    SELECT user_id, date_trunc('day', ts) AS day, value,
+      ROW_NUMBER() OVER (
+        PARTITION BY user_id, date_trunc('day', ts)
+        ORDER BY ts DESC, event_id DESC
+      ) AS rk
+    FROM ev
+  ) WHERE rk = 1
+),
+span AS (
+  SELECT user_id, date_trunc('day', MIN(ts)) AS d0,
+         date_trunc('day', MAX(ts)) AS d1
+  FROM ev GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+  FROM span
+)
+SELECT g.user_id AS user_id, CAST(g.day AS DATE) AS day,
+  last_value(d.value IGNORE NULLS) OVER (
+    PARTITION BY g.user_id ORDER BY g.day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS value,
+  d.value IS NULL AS filled
+FROM grid g
+LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+ORDER BY g.user_id, g.day
+""",
+)
+def q_resample_daily_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression-only resample+ffill (oracle-checked; the codegen dual
+    of the pandas grouped-map q_resample_daily_ffill)."""
+    from flink_template_spark.operators.resample import resample_ffill_expr
+
+    events = load_table(spark, sf_dir, "events")
+    return resample_ffill_expr(events).orderBy("user_id", "day")
