@@ -311,3 +311,42 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(fp, "doc_id", "left")
         .select("doc_id", "md5_full", "fp_min")
     )
+
+
+@register(
+    "q_fuzzy_name_pairs",
+    oracle="""
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+  levenshtein(a.c_name, b.c_name) AS edit_dist
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+WHERE a.c_custkey <= 100 AND b.c_custkey <= 100
+  AND a.c_nationkey = b.c_nationkey
+  AND levenshtein(a.c_name, b.c_name) <= 2
+ORDER BY id_a, id_b
+""",
+)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (entity-resolution shape): same-
+    nation candidate pairs filtered by levenshtein ≤ 2. The nation
+    equi-key keeps the pair join blocked (never all-pairs) — the
+    standard blocking-key pattern at scale."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    a = cust.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    return (
+        a.join(b, "nk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 2)
+        .select("id_a", "id_b", "edit_dist")
+        .orderBy("id_a", "id_b")
+    )

@@ -249,3 +249,19 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_lsh(
         emb, NEAR_DUP_THRESHOLD, n_bands=LSH_BANDS, bits_per_band=LSH_BITS
     )
+
+
+@register("q_kmeans_clusters")
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means (rows-only: driver-side iteration is not
+    one SQL query; convergence/determinism pytest-asserted in
+    tests/test_kmeans.py). Produces real IVF centroids."""
+    from flink_template_spark.operators.kmeans import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_fit(emb, k=4, n_iter=3)
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("cluster")
+    )

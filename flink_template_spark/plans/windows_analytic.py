@@ -271,3 +271,33 @@ def q_range_frame_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("rolling_7d_sum"),
     ).orderBy("user_id", "event_id")
+
+
+@register(
+    "q_rank_family",
+    oracle="""
+SELECT
+  s_suppkey,
+  s_name,
+  DENSE_RANK() OVER w AS drank,
+  NTILE(4) OVER w AS quartile,
+  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+  ROUND(CUME_DIST() OVER w, 6) AS cume
+FROM supplier
+WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey)
+ORDER BY s_suppkey
+""",
+)
+def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ranking functions (dense_rank / ntile /
+    percent_rank / cume_dist) with a fully deterministic ordering."""
+    sup = load_table(spark, sf_dir, "supplier")
+    w = W.orderBy(F.col("s_acctbal").desc(), "s_suppkey")
+    return sup.select(
+        "s_suppkey",
+        "s_name",
+        F.dense_rank().over(w).alias("drank"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("s_suppkey")
