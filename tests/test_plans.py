@@ -73,3 +73,16 @@ def test_lsh_near_dup_no_cartesian(spark, sf):
 def test_asof_join_no_cartesian(spark, sf):
     p = plan_of(plans.QUERIES["q_asof_latest_order_per_event"](spark, sf))
     assert "CartesianProduct" not in p
+
+
+def test_subquery_family_physical(spark, sf):
+    # q17's correlated avg decorrelates to broadcast joins, no cartesian
+    p = plan_of(plans.QUERIES["q17_small_quantity_revenue"](spark, sf))
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
+    # q18's IN-subquery runs as a semi join
+    p = plan_of(plans.QUERIES["q18_large_volume_orders"](spark, sf))
+    assert "LeftSemi" in p
+    # q11's scalar subquery is a broadcast nested loop of a 1-row agg,
+    # not a cartesian of real data
+    p = plan_of(plans.QUERIES["q11_important_balances"](spark, sf))
+    assert "CartesianProduct" not in p

@@ -367,3 +367,71 @@ def test_streaming_sliding_window(spark, tmp_path):
     assert rows[(59, 50)] == 2
     assert rows[(0, 0)] == 3
     assert rows[(0, 10)] == 1
+
+
+def test_full_reference_pipeline_end_to_end(spark, tmp_path):
+    """The reference's complete dataflow in one query (SURVEY.md §3
+    entry point 1 + the disabled JDBC path enabled): file/Kafka-dual
+    source → JSON parse (drop malformed) → stateful processing-time
+    sessionization → foreachBatch upsert into a SQL store."""
+    from flink_template_spark.sinks import BATCH_SIZE
+
+    in_dir = tmp_path / "full"
+    in_dir.mkdir()
+    write_fixture(str(in_dir / "b1.jsonl"))
+    db = str(tmp_path / "trips.db")
+
+    def upsert_sessions(df, epoch_id):
+        rows = [
+            (r.trip_id, r.vehicle_id, r.n_events, r.distance_km,
+             r.total_s, r.moving_s, r.stopped_s)
+            for r in df.collect()
+        ]
+        con = sqlite3.connect(db)
+        try:
+            con.execute(
+                """CREATE TABLE IF NOT EXISTS trip_sessions (
+                   trip_id INTEGER PRIMARY KEY, vehicle_id VARCHAR,
+                   n_events INTEGER, distance_km DOUBLE,
+                   total_s INTEGER, moving_s INTEGER, stopped_s INTEGER)"""
+            )
+            for i in range(0, len(rows), BATCH_SIZE):
+                con.executemany(
+                    """INSERT INTO trip_sessions VALUES (?,?,?,?,?,?,?)
+                       ON CONFLICT (trip_id) DO UPDATE SET
+                         n_events = excluded.n_events""",
+                    rows[i : i + BATCH_SIZE],
+                )
+            con.commit()
+        finally:
+            con.close()
+
+    parsed = read_trip_events_stream(spark, str(in_dir))
+    q = (
+        sessionize_trips(parsed)
+        .writeStream.outputMode("append")
+        .foreachBatch(upsert_sessions)
+        .option("checkpointLocation", str(tmp_path / "ckpt_full"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        rows = {}
+        while time.time() < deadline:
+            try:
+                con = sqlite3.connect(db)
+                rows = {
+                    r[0]: r for r in con.execute("SELECT * FROM trip_sessions")
+                }
+                con.close()
+            except sqlite3.OperationalError:
+                rows = {}
+            if len(rows) >= 3:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    assert set(rows) >= {1, 2, 3}
+    t1 = rows[1]
+    assert t1[1] == "VIN00001" and t1[4] == 55 and t1[6] == 20  # total/stopped

@@ -130,3 +130,17 @@ def test_haversine_bug_compat_parity(spark):
     ).first()
     assert abs(row.std - 1.5285215116866908) < 1e-9
     assert abs(row.bug - 1.1257854719433387) < 1e-9
+
+
+def test_aggregate_trips_empty_input(spark):
+    """Operators must survive empty inputs (first micro-batch of a
+    stream, empty partition of a lake)."""
+    from flink_template_spark.parse import parse_trip_events
+
+    empty = spark.createDataFrame([], "value STRING")
+    out = aggregate_trips(parse_trip_events(empty))
+    assert out.count() == 0
+    assert [f.name for f in out.schema] == [
+        "trip_id", "vehicle_id", "n_events", "distance_km",
+        "total_s", "stopped_s", "moving_s",
+    ]
