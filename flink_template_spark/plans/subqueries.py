@@ -16,8 +16,12 @@ Catalyst plans the decorrelation explicitly:
 - uncorrelated scalar         → cross-joined 1-row aggregate (broadcast).
 
 Scale notes (100 TB design):
-- pre-aggregates used to decorrelate (per-part avg, per-type min,
-  supplier revenue) are tiny relative to the fact table → broadcast;
+- broadcast HINTS are pinned only on provably-tiny data (nation/region,
+  1-row scalar aggregates). Scale-growing sides — part, supplier,
+  customer, per-part pre-aggregates — carry NO hint: Catalyst/AQE
+  broadcasts them from size stats while they fit and falls back to
+  shuffle joins when they don't. A forced broadcast of a table that
+  grows with SF is a driver OOM at 100 TB;
 - semi/anti joins shuffle once on the join key; no row explosion
   (semi/anti never duplicate the probe side);
 - the scalar aggregates (q11 total, q15 max, q22 avg) collapse to one
@@ -144,7 +148,7 @@ ORDER BY o_year
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    sup = F.broadcast(
+    sup = (
         load_table(spark, sf_dir, "supplier")
         .join(
             F.broadcast(load_table(spark, sf_dir, "nation")),
@@ -196,7 +200,7 @@ ORDER BY n_name, o_year DESC
 def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    sup = F.broadcast(
+    sup = (
         load_table(spark, sf_dir, "supplier")
         .join(
             F.broadcast(load_table(spark, sf_dir, "nation")),
@@ -309,7 +313,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
     )
-    part = F.broadcast(load_table(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     dp = _disc_price()
     zero = F.lit(0).cast("decimal(12,2)")
     return (
@@ -360,7 +364,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_disc_price()).cast("double").alias("total_revenue")
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("max_rev"))
-    sup = F.broadcast(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         revenue.join(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("max_rev"))
@@ -393,11 +397,9 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 )
 def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-    part = F.broadcast(
-        load_table(spark, sf_dir, "part").filter(
-            (F.col("p_brand") != "Brand#5")
-            & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
-        )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
     )
     indebted = load_table(spark, sf_dir, "supplier").filter(
         F.col("s_acctbal") < 0
@@ -433,7 +435,7 @@ WHERE p_type = 'PROMO'
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    part = F.broadcast(
+    part = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_type") == "PROMO")
         .select("p_partkey")
@@ -443,10 +445,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(part, F.col("p_partkey") == F.col("l_partkey"))
-        .join(
-            F.broadcast(per_part_avg),
-            F.col("ap_partkey") == F.col("l_partkey"),
-        )
+        .join(per_part_avg, F.col("ap_partkey") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
         .agg(
             (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0))
@@ -490,7 +489,7 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey") == F.col("big_orderkey"),
         "left_semi",
     )
-    cust = F.broadcast(load_table(spark, sf_dir, "customer").select("c_custkey", "c_name"))
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         orders.join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
@@ -520,7 +519,7 @@ WHERE
 )
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    part = load_table(spark, sf_dir, "part")
     q = F.col("l_quantity")
     sz = F.col("p_size")
     cond = (
@@ -562,7 +561,7 @@ def q20_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     vol = (
-        li.join(F.broadcast(std_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        li.join(std_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum(_dec("l_quantity")).alias("q"))
         .filter(F.col("q") > 500)
