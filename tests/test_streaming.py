@@ -435,3 +435,33 @@ def test_full_reference_pipeline_end_to_end(spark, tmp_path):
     assert set(rows) >= {1, 2, 3}
     t1 = rows[1]
     assert t1[1] == "VIN00001" and t1[4] == 55 and t1[6] == 20  # total/stopped
+
+
+def test_app_entry_runs_pipeline(spark, tmp_path):
+    """run_trip_pipeline: the reference's main() as one call."""
+    from flink_template_spark.app import run_trip_pipeline
+
+    in_dir = tmp_path / "app"
+    in_dir.mkdir()
+    write_fixture(str(in_dir / "b1.jsonl"))
+    q = run_trip_pipeline(
+        spark,
+        source_path=str(in_dir),
+        checkpoint_dir=str(tmp_path / "ckpt_app"),
+        sink="memory",
+        query_name="app_sessions",
+    )
+    try:
+        deadline = time.time() + 60
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("SELECT * FROM app_sessions").count()
+            if n >= 3:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert n >= 3
+
+    with pytest.raises(ValueError):
+        run_trip_pipeline(spark)  # no source given
