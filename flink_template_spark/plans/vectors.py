@@ -265,3 +265,20 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("cluster")
     )
+
+
+@register("q_ann_kmeans_probe")
+def q_ann_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ANN story: k-means-fitted centroids feeding the IVF
+    probe (rows-only: iterative fit; the probe mechanics themselves are
+    oracle-checked in q_ann_ivf_probe with fixed centroids)."""
+    from flink_template_spark.operators.kmeans import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, centroids = kmeans_fit(emb, k=4, n_iter=2)
+    cdf = spark.createDataFrame(
+        [(cid, vec) for cid, vec in centroids],
+        "centroid_id INT, embedding ARRAY<DOUBLE>",
+    )
+    query = emb.filter(F.col("vec_id") == 0)
+    return ivf_topk(emb, cdf, query, k=5)
