@@ -39,3 +39,18 @@ def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     # parquet carries its schema; nothing to declare
     return spark.read.parquet(path)
+
+
+def read_json_audit(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """PERMISSIVE variant: malformed lines are kept, not dropped, with
+    the raw text captured in ``_corrupt_record`` — the data-quality
+    audit path (quantify and quarantine bad input instead of silently
+    shedding it; at 100 TB a rising corrupt-rate is an upstream alert).
+    """
+    full = schema + ", _corrupt_record STRING"
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )

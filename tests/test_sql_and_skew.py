@@ -199,3 +199,23 @@ def test_file_sources_roundtrip(spark, tmp_path):
     # malformed JSON line is dropped, not failed (engine convention S6)
     (tmp_path / "j" / "bad.json").write_text('{"id": broken\n')
     assert read_json(spark, str(tmp_path / "j"), schema).count() == 2
+
+
+def test_read_json_audit_captures_corrupt(spark, tmp_path):
+    from flink_template_spark.sources.files import read_json_audit
+
+    p = tmp_path / "audit"
+    p.mkdir()
+    (p / "data.json").write_text(
+        '{"id": 1, "v": 1.5}\n{"id": broken!!\n{"id": 2, "v": 2.5}\n'
+    )
+    df = read_json_audit(spark, str(p), "id LONG, v DOUBLE")
+    # cache: PERMISSIVE corrupt-record capture requires materialization
+    # before filtering on _corrupt_record (Spark raises otherwise)
+    df = df.cache()
+    good = df.filter("_corrupt_record IS NULL")
+    bad = df.filter("_corrupt_record IS NOT NULL")
+    assert good.count() == 2
+    assert bad.count() == 1
+    assert "broken" in bad.first()._corrupt_record
+    df.unpersist()

@@ -465,3 +465,46 @@ def test_app_entry_runs_pipeline(spark, tmp_path):
 
     with pytest.raises(ValueError):
         run_trip_pipeline(spark)  # no source given
+
+
+def test_streaming_update_mode_tumbling(spark, tmp_path):
+    """Update output mode: windows re-emit as new data refines them
+    (no watermark finality needed), the low-latency dual of append."""
+    from flink_template_spark.streaming.windows import tumbling_counts
+
+    in_dir = tmp_path / "upd"
+    in_dir.mkdir()
+    schema = "ts TIMESTAMP, user_id LONG, value DOUBLE"
+    (in_dir / "b1.jsonl").write_text(
+        json.dumps({"ts": "2024-01-01T00:00:01", "user_id": 1, "value": 1.0}) + "\n"
+    )
+    events = spark.readStream.schema(schema).json(str(in_dir))
+    q = (
+        tumbling_counts(events, size="10 seconds")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("upd")
+        .option("checkpointLocation", str(tmp_path / "ckpt_upd"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            (r.window_start.second, r.n_events)
+            for r in spark.sql("SELECT * FROM upd").collect()
+        }
+        assert first == {(0, 1)}  # emitted immediately, window still open
+
+        (in_dir / "b2.jsonl").write_text(
+            json.dumps({"ts": "2024-01-01T00:00:05", "user_id": 2, "value": 1.0})
+            + "\n"
+        )
+        q.processAllAvailable()
+        rows = [
+            (r.window_start.second, r.n_events)
+            for r in spark.sql("SELECT * FROM upd").collect()
+        ]
+    finally:
+        q.stop()
+    # the window was re-emitted with the refined count
+    assert (0, 2) in rows
