@@ -508,3 +508,23 @@ def test_streaming_update_mode_tumbling(spark, tmp_path):
         q.stop()
     # the window was re-emitted with the refined count
     assert (0, 2) in rows
+
+
+def test_write_console_batch_and_stream(spark, tmp_path, capfd):
+    from flink_template_spark.sinks import write_console
+
+    df = spark.createDataFrame([(1, "x")], "id INT, s STRING")
+    assert write_console(df, n=5) is None  # batch → show(), returns None
+    out = capfd.readouterr().out
+    assert "id" in out and "x" in out
+
+    in_dir = tmp_path / "cons"
+    in_dir.mkdir()
+    (in_dir / "b.jsonl").write_text(json.dumps({"id": 1}) + "\n")
+    stream = spark.readStream.schema("id LONG").json(str(in_dir))
+    q = write_console(stream, checkpoint_dir=str(tmp_path / "ckpt_cons"))
+    try:
+        q.processAllAvailable()
+        assert q.isActive
+    finally:
+        q.stop()
