@@ -16,8 +16,10 @@ deadline. On timer fire: emit the aggregate and purge (FIRE_AND_PURGE,
 :15-24). Late events after a purge re-open a fresh session (W6).
 
 State stays bounded per key (the reference's retention bound, SURVEY.md
-§4.1): buffers hold only PID-bearing readings for the active session and
-are dropped on every emit.
+§4.1): buffers hold only PID-bearing readings, deduped by timestamp ON
+INSERT (the reference's TreeSet behavior) — state is bounded by the
+session's distinct timestamps, not raw event count — and are dropped on
+every emit.
 """
 
 from __future__ import annotations
@@ -48,12 +50,18 @@ OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
+# Per-stream parallel arrays, already DEDUPED by timestamp (the
+# reference's TreeSet semantics, TripAggregation.kt:17-19 / quirk Q4:
+# the second insert at an equal timestamp is ignored ON INSERT). State
+# is therefore bounded by the session's DISTINCT timestamps, not its
+# raw event count — the retention bound of SURVEY.md §4.1 / hard-part 4.
 STATE_SCHEMA = T.StructType(
     [
-        T.StructField("ts_us", T.ArrayType(T.LongType())),
-        T.StructField("lat", T.ArrayType(T.DoubleType())),
-        T.StructField("lon", T.ArrayType(T.DoubleType())),
-        T.StructField("speed", T.ArrayType(T.IntegerType())),
+        T.StructField("gps_ts", T.ArrayType(T.LongType())),
+        T.StructField("gps_lat", T.ArrayType(T.DoubleType())),
+        T.StructField("gps_lon", T.ArrayType(T.DoubleType())),
+        T.StructField("sp_ts", T.ArrayType(T.LongType())),
+        T.StructField("sp_kmh", T.ArrayType(T.IntegerType())),
         T.StructField("vin", T.StringType()),
         T.StructField("n_events", T.LongType()),
         T.StructField("deadline_ms", T.LongType()),
@@ -71,16 +79,13 @@ def _haversine_km(lat1: float, lon1: float, lat2: float, lon2: float) -> float:
 
 
 def _finalize(trip_id: int, st: dict[str, Any]) -> pd.DataFrame:
-    """A6-A9 over the buffered session state (intended semantics; see
-    operators.trip_agg for the quirk ledger)."""
-    # Q4 dedup: first-arrived wins per exact timestamp, per stream.
-    gps_seen: dict[int, tuple[float, float]] = {}
-    sp_seen: dict[int, int] = {}
-    for ts, la, lo, sp in zip(st["ts_us"], st["lat"], st["lon"], st["speed"]):
-        if la is not None and ts not in gps_seen:
-            gps_seen[ts] = (la, lo)
-        if sp is not None and ts not in sp_seen:
-            sp_seen[ts] = sp
+    """A6-A9 over the session state (already ts-deduped on insert;
+    intended semantics — see operators.trip_agg for the quirk ledger)."""
+    gps_seen = {
+        ts: (la, lo)
+        for ts, la, lo in zip(st["gps_ts"], st["gps_lat"], st["gps_lon"])
+    }
+    sp_seen = dict(zip(st["sp_ts"], st["sp_kmh"]))
 
     gps = sorted(gps_seen.items())
     dist = sum(
@@ -126,41 +131,53 @@ def _session_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     (trip_id,) = key
+    fields = [
+        "gps_ts", "gps_lat", "gps_lon", "sp_ts", "sp_kmh",
+        "vin", "n_events", "deadline_ms",
+    ]
     if state.hasTimedOut:
-        st = dict(
-            zip(
-                ["ts_us", "lat", "lon", "speed", "vin", "n_events", "deadline_ms"],
-                state.get,
-            )
-        )
+        st = dict(zip(fields, state.get))
         state.remove()
         yield _finalize(trip_id, st)
         return
 
     if state.exists:
-        ts_us, lat, lon, speed, vin, n_events, deadline_ms = state.get
-        ts_us, lat, lon, speed = list(ts_us), list(lat), list(lon), list(speed)
+        gps_ts, gps_lat, gps_lon, sp_ts, sp_kmh, vin, n_events, deadline_ms = state.get
+        gps_ts, gps_lat, gps_lon = list(gps_ts), list(gps_lat), list(gps_lon)
+        sp_ts, sp_kmh = list(sp_ts), list(sp_kmh)
     else:
-        ts_us, lat, lon, speed, vin, n_events, deadline_ms = [], [], [], [], None, 0, 0
+        gps_ts, gps_lat, gps_lon, sp_ts, sp_kmh = [], [], [], [], []
+        vin, n_events, deadline_ms = None, 0, 0
 
+    # membership sets make the Q4 insert-dedup O(1) per event
+    gps_known, sp_known = set(gps_ts), set(sp_ts)
     for pdf in pdfs:
         for row in pdf.itertuples(index=False):
             n_events += 1
             if row.event_type == "TripStartRelativeTime" and vin is None:
                 vin = row.vin
-            has_gps = row.lat is not None and not pd.isna(row.lat)
-            has_speed = row.speed_kmh is not None and not pd.isna(row.speed_kmh)
-            if has_gps or has_speed:
-                ts_us.append(int(row.ts.value // 1_000))  # pandas ns → us
-                lat.append(float(row.lat) if has_gps else None)
-                lon.append(float(row.lon) if has_gps else None)
-                speed.append(int(row.speed_kmh) if has_speed else None)
+            ts = int(row.ts.value // 1_000)  # pandas ns → us
+            if row.lat is not None and not pd.isna(row.lat) and ts not in gps_known:
+                gps_known.add(ts)
+                gps_ts.append(ts)
+                gps_lat.append(float(row.lat))
+                gps_lon.append(float(row.lon))
+            if (
+                row.speed_kmh is not None
+                and not pd.isna(row.speed_kmh)
+                and ts not in sp_known
+            ):
+                sp_known.add(ts)
+                sp_ts.append(ts)
+                sp_kmh.append(int(row.speed_kmh))
 
     # ProcessingTimeTrigger re-arm rule (ProcessingTimeTrigger.kt:30-42)
     now = state.getCurrentProcessingTimeMs()
     if deadline_ms == 0 or deadline_ms < now + MIN_RETENTION_MS:
         deadline_ms = now + MAX_RETENTION_MS
-    state.update((ts_us, lat, lon, speed, vin, n_events, deadline_ms))
+    state.update(
+        (gps_ts, gps_lat, gps_lon, sp_ts, sp_kmh, vin, n_events, deadline_ms)
+    )
     state.setTimeoutDuration(max(int(deadline_ms - now), 1))
     return
     yield  # pragma: no cover — makes this a generator
