@@ -63,6 +63,13 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature columns mh_0..mh_{k-1}.
 
+    Explode + grouped min, deliberately: a row-local
+    ``array_min(transform(...))`` formulation avoids the shuffle but
+    measured 2-4× SLOWER — Spark evaluates lambda higher-order
+    functions interpreted (no whole-stage codegen), while the
+    explode+partial-agg pipeline stays fully codegen'd and the shuffle
+    carries only (id, 16 partial mins) per doc.
+
     Docs with fewer than 3 tokens have no shingles and drop out (they
     can't be near-duplicates by shingle overlap).
     """
