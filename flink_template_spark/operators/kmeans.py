@@ -19,7 +19,7 @@ entry is rows-only; convergence and determinism are pytest-asserted.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from flink_template_spark.functions.vector import cosine

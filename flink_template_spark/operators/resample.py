@@ -15,8 +15,6 @@ time range, not the table. No driver collection.
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
 import pandas as pd
 
 from pyspark.sql import DataFrame

@@ -20,7 +20,6 @@ from flink_template_spark.functions.hashing import (
     minhash_expr,
 )
 from flink_template_spark.functions.text import (
-    BPE_TOKEN_REGEX,
     punct_ratio,
     quality_score,
     stopword_ratio,

@@ -11,14 +11,13 @@ processing-time trigger.
 from __future__ import annotations
 
 import json
-import os
 import sqlite3
 import time
 
 import pytest
 
 from flink_template_spark.parse import read_trip_events_stream
-from flink_template_spark.sources.trip_fixtures import fixture_lines, write_fixture
+from flink_template_spark.sources.trip_fixtures import write_fixture
 from flink_template_spark.streaming.trip_sessions import sessionize_trips
 from flink_template_spark.streaming.windows import dedup_keyed, tumbling_counts
 
