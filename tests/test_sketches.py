@@ -19,3 +19,24 @@ def test_approx_percentile_close(spark, sf_dir):
     rows = plans.QUERIES["q_approx_percentile_value"](spark, sf_dir).collect()
     for r in rows:
         assert abs(r.approx_p50 - r.exact_p50) <= 0.05 * max(abs(r.exact_p50), 1.0)
+
+
+def test_lsh_near_dup_recall(spark, sf_dir):
+    """The LSH scale path must recall a usable fraction of the exact
+    near-dup pairs (8 bands x 4 bits at cos>=0.4 → theory ~0.7; assert
+    a conservative floor) and must never invent pairs (precision 1.0 by
+    construction — candidates are exact-verified)."""
+    from flink_template_spark import plans
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in plans.QUERIES["q_embedding_near_dup_exact"](spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in plans.QUERIES["q_embedding_near_dup_lsh"](spark, sf_dir).collect()
+    }
+    assert lsh <= exact  # no false positives past the exact verify
+    if exact:
+        recall = len(lsh) / len(exact)
+        assert recall >= 0.4, f"LSH recall {recall:.2f} below floor"
