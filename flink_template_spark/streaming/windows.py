@@ -100,3 +100,27 @@ def enrich_stream_static(
     shuffles — the standard pattern for decorating an event stream with
     reference data at any scale."""
     return stream.join(F.broadcast(dim), on, how)
+
+
+def join_streams_interval(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "30 seconds",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval bound:
+    rows pair when keys match and the right event lands within
+    [left_ts, left_ts + within]. Both sides carry watermarks so the
+    join state is provably bounded — without the time bound Spark
+    would buffer both streams forever."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, "inner")

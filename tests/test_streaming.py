@@ -527,3 +527,74 @@ def test_write_console_batch_and_stream(spark, tmp_path, capfd):
         assert q.isActive
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    from flink_template_spark.streaming.windows import join_streams_interval
+
+    l_dir, r_dir = tmp_path / "sj_l", tmp_path / "sj_r"
+    l_dir.mkdir(); r_dir.mkdir()
+    (l_dir / "b.jsonl").write_text(
+        json.dumps({"ts": "2024-01-01T00:00:10", "user_id": 1, "value": 1.0}) + "\n"
+    )
+    # one right event inside the 30 s bound, one outside, one other key
+    (r_dir / "b.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"ts": "2024-01-01T00:00:20", "user_id": 1, "value": 10.0},
+                {"ts": "2024-01-01T00:05:00", "user_id": 1, "value": 20.0},
+                {"ts": "2024-01-01T00:00:15", "user_id": 2, "value": 30.0},
+            ]
+        )
+        + "\n"
+    )
+    schema = "ts TIMESTAMP, user_id LONG, value DOUBLE"
+    left = spark.readStream.schema(schema).json(str(l_dir)).withColumnRenamed("value", "lv")
+    right = spark.readStream.schema(schema).json(str(r_dir)).withColumnRenamed("value", "rv")
+    q = (
+        join_streams_interval(left.alias("l"), right.alias("r"), key="user_id")
+        .selectExpr("l.user_id AS user_id", "lv", "rv")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sjoin")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sj"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = [tuple(r) for r in spark.sql("SELECT * FROM sjoin").collect()]
+    finally:
+        q.stop()
+    assert rows == [(1, 1.0, 10.0)]  # only the in-window same-key pair
+
+
+def test_streaming_complete_mode(spark, tmp_path):
+    """Complete output mode: the whole aggregate table re-emits each
+    batch (no watermark required) — the dashboard-refresh mode."""
+    in_dir = tmp_path / "cm"
+    in_dir.mkdir()
+    schema = "ts TIMESTAMP, user_id LONG, value DOUBLE"
+    (in_dir / "b1.jsonl").write_text(
+        json.dumps({"ts": "2024-01-01T00:00:01", "user_id": 1, "value": 1.0}) + "\n"
+    )
+    events = spark.readStream.schema(schema).json(str(in_dir))
+    counts = events.groupBy("user_id").count()
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("cmpl")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cm"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (in_dir / "b2.jsonl").write_text(
+            json.dumps({"ts": "2024-01-01T00:00:02", "user_id": 1, "value": 2.0})
+            + "\n"
+        )
+        q.processAllAvailable()
+        rows = {(r.user_id, r["count"]) for r in spark.sql("SELECT * FROM cmpl").collect()}
+    finally:
+        q.stop()
+    assert rows == {(1, 2)}  # full refreshed table, not appended deltas
