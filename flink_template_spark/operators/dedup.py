@@ -164,6 +164,65 @@ def simhash_signatures(
     return bit_sums.select(F.col(id_col), sig.alias("simhash"))
 
 
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Banded blocking, EXACT by pigeonhole: the ``bits``-bit signature is
+    split into ``n_bands`` contiguous bands; a pair differing in at most
+    ``max_hamming < n_bands`` bits must agree exactly on at least one
+    band, so the per-(band, band_key) bucket join has 100% recall — the
+    result is identical to the O(n²) all-pairs scan the oracle runs, but
+    the join only ever materializes within-bucket candidates (the
+    sub-quadratic property that survives at 100 TB). Verification is one
+    JVM-side ``bit_count(xor)`` per candidate.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError("exactness needs max_hamming < n_bands (pigeonhole)")
+    sigs = simhash_signatures(docs, id_col, text_col, bits)
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    band_arr = F.array(
+        *[
+            F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask))
+            for b in range(n_bands)
+        ]
+    )
+    bands = sigs.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash").alias("sig"),
+        F.posexplode(band_arr).alias("band", "band_key"),
+    )
+    buckets = bands.groupBy("band", "band_key").agg(
+        F.sort_array(F.collect_set(F.struct("id", "sig"))).alias("items")
+    )
+    pairs = buckets.filter(F.size("items") > 1).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(items, (a, i) -> "
+                "transform(slice(items, i + 2, size(items)), b -> "
+                "struct(a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b))))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.*")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -19,6 +19,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_template_spark.functions.hashing import md5int_duckdb, md5int_spark
+from flink_template_spark.functions.text import token_count_ws
+from flink_template_spark.operators.packing import (
+    greedy_oracle_sql,
+    pack_chunked,
+    pack_greedy,
+)
 from flink_template_spark.plans.registry import register
 from flink_template_spark.tables import load_table
 
@@ -114,3 +120,50 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_sampled"))
         .orderBy("lang")
     )
+
+
+PACK_BUDGET = 256  # tokens per training sequence
+
+
+@register("q_pack_greedy_bins", oracle=greedy_oracle_sql(PACK_BUDGET))
+def q_pack_greedy_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy next-fit sequence packing per lang (applyInPandas over
+    narrow rows); the oracle replays the identical fold with a DuckDB
+    recursive CTE — a pandas grouped-map operator that is still
+    hash-exact across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        "lang", "doc_id", token_count_ws(F.col("text")).alias("n_tokens")
+    )
+    return pack_greedy(counted, PACK_BUDGET)
+
+
+@register(
+    "q_pack_chunked",
+    oracle=f"""
+WITH d AS (
+  SELECT lang, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT lang, doc_id, n_tokens,
+    SUM(n_tokens) OVER (
+      PARTITION BY lang ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) - n_tokens AS start
+  FROM d
+)
+SELECT lang, doc_id, n_tokens,
+  CAST(start // {PACK_BUDGET} AS BIGINT) AS bin_id,
+  CAST(start % {PACK_BUDGET} AS BIGINT) AS offset_in_bin
+FROM c
+""",
+)
+def q_pack_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk packing dual: one codegen'd window scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        "lang", "doc_id", token_count_ws(F.col("text")).alias("n_tokens")
+    )
+    return pack_chunked(counted, PACK_BUDGET)

@@ -26,11 +26,13 @@ from flink_template_spark.functions.text import (
     token_count_bpe,
     token_count_ws,
 )
+from flink_template_spark.operators.components import near_dup_components
 from flink_template_spark.operators.dedup import (
     exact_dup_groups,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    simhash_hamming_pairs,
     simhash_signatures,
 )
 from flink_template_spark.plans.registry import register
@@ -160,6 +162,39 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_simhash_hamming_pairs",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+counted AS (
+  SELECT doc_id, token, COUNT(*) AS cnt, {md5int_duckdb('token')} AS h
+  FROM tok GROUP BY doc_id, token
+),
+bitsums AS (
+  SELECT doc_id,
+  {_SIMHASH_BITSUMS_DUCK}
+  FROM counted GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id, {_SIMHASH_COMBINE_DUCK} AS simhash FROM bitsums
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+)
+def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-blocking SimHash near-dup (exact by pigeonhole: hamming ≤ 3
+    with 4 bands ⇒ ≥1 identical band). The oracle is the brute-force
+    all-pairs scan — identical output, quadratic cost the Spark plan
+    avoids."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_hamming_pairs(docs, max_hamming=3)
+
+
+@register(
     "q_ngram_jaccard_pairs",
     oracle=f"""
 WITH sh AS ({_duck_shingles(3)}),
@@ -186,6 +221,59 @@ WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+@register(
+    "q_near_dup_components",
+    oracle=f"""
+WITH RECURSIVE
+sh AS ({_duck_shingles(3)}),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON inter.id_a = sa.doc_id
+  JOIN sizes sb ON inter.id_b = sb.doc_id
+  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
+        >= 0.4999995
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+cc AS (
+  SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+),
+sized AS (
+  SELECT component, COUNT(*) AS cluster_size FROM cc GROUP BY component
+)
+SELECT cc.node AS doc_id, cc.component, sized.cluster_size,
+       cc.node = cc.component AS is_keeper
+FROM cc JOIN sized USING (component)
+""",
+)
+def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: Jaccard-pair edges → connected
+    components (iterative min-label propagation) → canonical keeper per
+    cluster. The oracle computes the same fixpoint with a recursive CTE —
+    component = min reachable doc_id is engine-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    return near_dup_components(docs, pairs)
 
 
 @register(
