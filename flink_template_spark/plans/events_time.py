@@ -358,3 +358,50 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("n_active"))
         .orderBy("cohort_week", "weeks_since")
     )
+
+
+@register(
+    "q_interval_join_attribution",
+    oracle="""
+SELECT
+  p.event_id AS purchase_id,
+  p.user_id,
+  COUNT(v.event_id) AS n_views_1h
+FROM events p
+LEFT JOIN events v
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view'
+ AND CAST(v.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+ AND CAST(v.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP)
+WHERE p.event_type = 'purchase'
+GROUP BY 1, 2
+""",
+)
+def q_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch interval join (attribution window): per purchase, count the
+    same user's views in the preceding hour. The user_id equi-key keeps
+    this a hash/sort-merge join with the time range as a post-join
+    filter — never a cross product; at scale both sides partition on
+    user_id and the join is bucket-co-locatable. (The streaming dual is
+    the stream-stream interval join in streaming.windows.)"""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("v_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    joined = p.join(
+        v,
+        (p.user_id == v.v_user)
+        & (v.v_ts >= p.p_ts - F.expr("INTERVAL 1 HOUR"))
+        & (v.v_ts < p.p_ts),
+        "left",
+    )
+    return joined.groupBy("purchase_id", "user_id").agg(
+        F.count("v_id").alias("n_views_1h")
+    )

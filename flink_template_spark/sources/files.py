@@ -41,6 +41,17 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    # ORC carries its schema; vectorized reader + predicate pushdown are
+    # on by default (spark.sql.orc.impl=native), same scan discipline as
+    # parquet.
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
 def read_json_audit(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """PERMISSIVE variant: malformed lines are kept, not dropped, with
     the raw text captured in ``_corrupt_record`` — the data-quality

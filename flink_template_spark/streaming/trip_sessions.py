@@ -127,20 +127,16 @@ def _finalize(trip_id: int, st: dict[str, Any]) -> pd.DataFrame:
     )
 
 
-def _session_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (trip_id,) = key
-    fields = [
-        "gps_ts", "gps_lat", "gps_lon", "sp_ts", "sp_kmh",
-        "vin", "n_events", "deadline_ms",
-    ]
-    if state.hasTimedOut:
-        st = dict(zip(fields, state.get))
-        state.remove()
-        yield _finalize(trip_id, st)
-        return
+_STATE_FIELDS = [
+    "gps_ts", "gps_lat", "gps_lon", "sp_ts", "sp_kmh",
+    "vin", "n_events", "deadline_ms",
+]
 
+
+def _ingest(state: GroupState, pdfs: Iterator[pd.DataFrame]):
+    """Fold this batch's rows into the (possibly existing) session
+    buffers. Returns the updated buffers plus the max event-time seen,
+    in epoch ms (0 if the batch had no rows)."""
     if state.exists:
         gps_ts, gps_lat, gps_lon, sp_ts, sp_kmh, vin, n_events, deadline_ms = state.get
         gps_ts, gps_lat, gps_lon = list(gps_ts), list(gps_lat), list(gps_lon)
@@ -149,6 +145,7 @@ def _session_fn(
         gps_ts, gps_lat, gps_lon, sp_ts, sp_kmh = [], [], [], [], []
         vin, n_events, deadline_ms = None, 0, 0
 
+    max_event_ms = 0
     # membership sets make the Q4 insert-dedup O(1) per event
     gps_known, sp_known = set(gps_ts), set(sp_ts)
     for pdf in pdfs:
@@ -157,6 +154,7 @@ def _session_fn(
             if row.event_type == "TripStartRelativeTime" and vin is None:
                 vin = row.vin
             ts = int(row.ts.value // 1_000)  # pandas ns → us
+            max_event_ms = max(max_event_ms, ts // 1_000)
             if row.lat is not None and not pd.isna(row.lat) and ts not in gps_known:
                 gps_known.add(ts)
                 gps_ts.append(ts)
@@ -170,6 +168,25 @@ def _session_fn(
                 sp_known.add(ts)
                 sp_ts.append(ts)
                 sp_kmh.append(int(row.speed_kmh))
+    return (
+        gps_ts, gps_lat, gps_lon, sp_ts, sp_kmh, vin, n_events, deadline_ms,
+        max_event_ms,
+    )
+
+
+def _session_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (trip_id,) = key
+    if state.hasTimedOut:
+        st = dict(zip(_STATE_FIELDS, state.get))
+        state.remove()
+        yield _finalize(trip_id, st)
+        return
+
+    (
+        gps_ts, gps_lat, gps_lon, sp_ts, sp_kmh, vin, n_events, deadline_ms, _
+    ) = _ingest(state, pdfs)
 
     # ProcessingTimeTrigger re-arm rule (ProcessingTimeTrigger.kt:30-42)
     now = state.getCurrentProcessingTimeMs()
@@ -203,5 +220,57 @@ def sessionize_trips(
             STATE_SCHEMA,
             "append",
             GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def _session_fn_event_time(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (trip_id,) = key
+    if state.hasTimedOut:
+        st = dict(zip(_STATE_FIELDS, state.get))
+        state.remove()
+        yield _finalize(trip_id, st)
+        return
+
+    (
+        gps_ts, gps_lat, gps_lon, sp_ts, sp_kmh, vin, n_events, deadline_ms,
+        max_event_ms,
+    ) = _ingest(state, pdfs)
+
+    # event-time session gap: the deadline only ever moves FORWARD to
+    # last-event-time + gap (late rows below the old deadline don't
+    # shrink it); fires when the watermark passes it — replay-
+    # deterministic, unlike any wall-clock rule.
+    deadline_ms = max(deadline_ms, max_event_ms + MAX_RETENTION_MS)
+    state.update(
+        (gps_ts, gps_lat, gps_lon, sp_ts, sp_kmh, vin, n_events, deadline_ms)
+    )
+    state.setTimeoutTimestamp(deadline_ms)
+    return
+    yield  # pragma: no cover — makes this a generator
+
+
+def sessionize_trips_event_time(
+    parsed_stream: DataFrame, watermark: str = "3 seconds"
+) -> DataFrame:
+    """Watermark-driven sessionization dual: a session closes when event
+    time (not wall clock) goes quiet for MAX_RETENTION_MS — i.e. the
+    watermark passes last-event + gap. Same state, same finalize, same
+    FIRE_AND_PURGE; this is the variant to use when replaying history
+    (a backfill at 100 TB replays days of events in minutes of wall
+    clock — a processing-time trigger would merge everything into one
+    session, the event-time gap reproduces production sessions exactly).
+    """
+    return (
+        parsed_stream.withWatermark("ts", watermark)
+        .groupBy("trip_id")
+        .applyInPandasWithState(
+            _session_fn_event_time,
+            OUTPUT_SCHEMA,
+            STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
         )
     )

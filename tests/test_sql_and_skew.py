@@ -201,6 +201,23 @@ def test_file_sources_roundtrip(spark, tmp_path):
     assert read_json(spark, str(tmp_path / "j"), schema).count() == 2
 
 
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from flink_template_spark.sources.files import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(i, f"n{i}", i * 1.5) for i in range(100)],
+        "id LONG, name STRING, v DOUBLE",
+    )
+    write_orc(df, str(tmp_path / "o"))
+    back = read_orc(spark, str(tmp_path / "o"))
+    assert back.count() == 100
+    filtered = back.filter("id = 7").select("name")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    # filter and projection both reach the ORC scan
+    assert "PushedFilters" in plan and "id" in plan
+    assert filtered.collect() == [("n7",)]
+
+
 def test_read_json_audit_captures_corrupt(spark, tmp_path):
     from flink_template_spark.sources.files import read_json_audit
 

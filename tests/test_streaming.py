@@ -18,7 +18,11 @@ import pytest
 
 from flink_template_spark.parse import read_trip_events_stream
 from flink_template_spark.sources.trip_fixtures import write_fixture
-from flink_template_spark.streaming.trip_sessions import sessionize_trips
+from flink_template_spark.sources.trip_fixtures import _start
+from flink_template_spark.streaming.trip_sessions import (
+    sessionize_trips,
+    sessionize_trips_event_time,
+)
 from flink_template_spark.streaming.windows import dedup_keyed, tumbling_counts
 
 
@@ -64,6 +68,56 @@ def test_streaming_trip_sessions(spark, tmp_path):
     assert t1.distance_km > 0
     t2 = rows[2]
     assert t2.vehicle_id == "VIN00002"
+    assert (t2.total_s, t2.stopped_s, t2.moving_s) == (30, 10, 20)
+
+
+def test_streaming_trip_sessions_event_time(spark, tmp_path):
+    """Watermark-driven dual: sessions close when EVENT time goes quiet
+    for the 4 s gap — no wall-clock sleeps; a single later event advances
+    the watermark past every open deadline."""
+    in_dir = tmp_path / "in_et"
+    in_dir.mkdir()
+    write_fixture(str(in_dir / "batch1.jsonl"))
+
+    parsed = read_trip_events_stream(spark, str(in_dir))
+    out = sessionize_trips_event_time(parsed)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("trip_sessions_et")
+        .option("checkpointLocation", str(tmp_path / "ckpt_et"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 1's watermark (max ts 12:01:00 - 3 s = 12:00:57) already
+        # passes trips 2 and 3's deadlines (last event + 4 s); trip 1's
+        # TripEnd at s=60 keeps its deadline at s=64 — still open.
+        emitted = {
+            r.trip_id
+            for r in spark.sql("SELECT * FROM trip_sessions_et").collect()
+        }
+        assert emitted == {2, 3}
+        # one event 5 min later: watermark jumps past trip 1's deadline.
+        (in_dir / "batch2.jsonl").write_text(_start(50, 300.0, "VIN00050") + "\n")
+        deadline = time.time() + 60
+        rows = {}
+        while time.time() < deadline:
+            rows = {
+                r.trip_id: r
+                for r in spark.sql("SELECT * FROM trip_sessions_et").collect()
+            }
+            if len(rows) >= 3:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    assert set(rows) == {1, 2, 3}  # trip 50 is still open (no later event)
+    t1 = rows[1]
+    assert (t1.total_s, t1.stopped_s, t1.moving_s) == (55, 20, 35)
+    assert t1.vehicle_id == "VIN00001"
+    t2 = rows[2]
     assert (t2.total_s, t2.stopped_s, t2.moving_s) == (30, 10, 20)
 
 
