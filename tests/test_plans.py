@@ -86,3 +86,19 @@ def test_subquery_family_physical(spark, sf):
     # not a cartesian of real data
     p = plan_of(plans.QUERIES["q11_important_balances"](spark, sf))
     assert "CartesianProduct" not in p
+
+
+def test_interval_join_is_equi_key(spark, sf):
+    # the user_id equi-key must carry the join (hash/sort-merge); the
+    # time range rides along as a join-condition filter — never a
+    # BroadcastNestedLoopJoin/CartesianProduct over full scans
+    p = plan_of(plans.QUERIES["q_interval_join_attribution"](spark, sf))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "user_id" in p
+
+
+def test_simhash_pairs_no_cartesian(spark, sf):
+    # banded blocking: candidates only materialize within (band, key)
+    p = plan_of(plans.QUERIES["q_simhash_hamming_pairs"](spark, sf))
+    assert "CartesianProduct" not in p
