@@ -167,3 +167,35 @@ def q_pack_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "doc_id", token_count_ws(F.col("text")).alias("n_tokens")
     )
     return pack_chunked(counted, PACK_BUDGET)
+
+
+STRATA_PCT = {"en": 10, "de": 25, "fr": 50, "es": 75, "zh": 100}
+
+
+@register(
+    "q_stratified_sample_hash",
+    oracle=f"""
+SELECT doc_id, lang
+FROM documents
+WHERE ({md5int_duckdb("CAST(doc_id AS VARCHAR)")} % 100) <
+  CASE lang
+    WHEN 'en' THEN 10 WHEN 'de' THEN 25 WHEN 'fr' THEN 50
+    WHEN 'es' THEN 75 WHEN 'zh' THEN 100 ELSE 0 END
+""",
+)
+def q_stratified_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep-rate applied
+    via the portable record hash — membership is a pure function of the
+    row (reproducible across runs, engines, backfills; the property
+    sampleBy's engine-specific RNG can't give), so this one IS
+    oracle-exact. Downsampling over-represented strata is the standard
+    corpus-balancing step."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(md5int_spark("CAST(doc_id AS STRING)")) % 100
+    rate = F.coalesce(
+        F.create_map(
+            *[F.lit(x) for kv in STRATA_PCT.items() for x in kv]
+        )[F.col("lang")],
+        F.lit(0),
+    )
+    return docs.filter(bucket < rate).select("doc_id", "lang")

@@ -9,7 +9,7 @@ signatures must agree bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from flink_template_spark.functions.hashing import (
@@ -436,4 +436,122 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 2)
         .select("id_a", "id_b", "edit_dist")
         .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "q_top_terms_per_lang",
+    oracle="""
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+),
+counted AS (
+  SELECT lang, token, COUNT(*) AS n FROM tok GROUP BY lang, token
+),
+ranked AS (
+  SELECT lang, token, n,
+    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rk
+  FROM counted
+)
+SELECT lang, token, n, rk FROM ranked WHERE rk <= 5
+""",
+)
+def q_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: per-lang top-5 terms. explode → two-key
+    count (partial agg absorbs the token fan-out map-side) → per-lang
+    top-k window. At 100 TB the (lang, token) count is the only shuffle
+    that carries data; the window input is already one row per distinct
+    term."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    counted = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("lang").orderBy(F.desc("n"), "token")
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "token", "n", "rk")
+    )
+
+
+@register(
+    "q_best_of_cluster",
+    oracle=f"""
+WITH RECURSIVE
+sh AS ({_duck_shingles(3)}),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON inter.id_a = sa.doc_id
+  JOIN sizes sb ON inter.id_b = sb.doc_id
+  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
+        >= 0.4999995
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+cc AS (
+  SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node
+),
+scored AS (
+  SELECT cc.component, d.doc_id,
+    ROUND(
+      0.5 * LEAST(CAST(length(d.text) AS DOUBLE) / 500.0, 1.0)
+      + 0.5 * LEAST(CAST(len(list_filter(string_split(d.text, ' '), t -> t IN ('the', 'a')))
+          AS DOUBLE) / len(string_split(d.text, ' ')) * 10.0, 1.0)
+      - 0.25 * (CAST(length(regexp_replace(d.text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+          / length(d.text)),
+    6) AS quality
+  FROM cc JOIN documents d ON cc.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT component, doc_id, quality,
+    COUNT(*) OVER (PARTITION BY component) AS cluster_size,
+    ROW_NUMBER() OVER (PARTITION BY component ORDER BY quality DESC, doc_id) AS rk
+  FROM scored
+)
+SELECT component, doc_id AS keeper_doc_id, quality, cluster_size
+FROM ranked WHERE rk = 1
+""",
+)
+def q_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: near-dup clusters (connected
+    components over Jaccard edges) reduced to their highest-quality
+    member — the keep-the-best dedup policy (vs keep-min-id in
+    q_near_dup_components). The quality ordering is the rounded score,
+    identical across engines, so the argmax is deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    cc = near_dup_components(docs, pairs).select("doc_id", "component")
+    scored = cc.join(
+        docs.select("doc_id", quality_score(F.col("text")).alias("quality")),
+        "doc_id",
+    )
+    w = W.partitionBy("component")
+    rk = W.partitionBy("component").orderBy(F.desc("quality"), "doc_id")
+    return (
+        scored.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("keeper_doc_id"),
+            "quality",
+            "cluster_size",
+        )
     )
