@@ -652,3 +652,69 @@ def test_streaming_complete_mode(spark, tmp_path):
     finally:
         q.stop()
     assert rows == {(1, 2)}  # full refreshed table, not appended deltas
+
+
+def test_streaming_session_checkpoint_recovery(spark, tmp_path):
+    """Stop the event-time session query after batch 1, restart from the
+    same checkpoint: keyed state must survive the restart (trip 1 still
+    open), and already-emitted sessions must not re-emit (exactly-once
+    over restarts) — the recovery semantics the reference gets from
+    Flink checkpointing (TripAggregatorApplication.kt:244). Sink is
+    parquet: the only built-in sink that is both fault-tolerant and
+    restart-recoverable (memory sink refuses checkpoint recovery)."""
+    in_dir = tmp_path / "in_rec"
+    in_dir.mkdir()
+    write_fixture(str(in_dir / "batch1.jsonl"))
+    ckpt = str(tmp_path / "ckpt_rec")
+    out_dir = str(tmp_path / "out_rec")
+
+    def start():
+        parsed = read_trip_events_stream(spark, str(in_dir))
+        return (
+            sessionize_trips_event_time(parsed)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    def emitted():
+        try:
+            return [
+                (r.trip_id, r.total_s, r.stopped_s)
+                for r in spark.read.parquet(out_dir).collect()
+            ]
+        except Exception:
+            return []  # no files yet
+
+    q = start()
+    try:
+        q.processAllAvailable()
+        deadline = time.time() + 30
+        while time.time() < deadline and len(emitted()) < 2:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert {t for t, *_ in emitted()} == {2, 3}
+
+    # new data arrives while the query is down
+    (in_dir / "batch2.jsonl").write_text(_start(50, 300.0, "VIN00050") + "\n")
+    q2 = start()
+    try:
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            rows = emitted()
+            if any(t == 1 for t, *_ in rows):
+                break
+            time.sleep(0.5)
+    finally:
+        q2.stop()
+
+    # trip 1 completes from RECOVERED state (55 s span proves the
+    # buffers survived the restart); trips 2/3 appear exactly once.
+    trips = sorted(t for t, *_ in rows)
+    assert trips == [1, 2, 3], trips
+    (t1,) = [r for r in rows if r[0] == 1]
+    assert (t1[1], t1[2]) == (55, 20)
