@@ -65,3 +65,14 @@ def read_json_audit(spark: SparkSession, path: str, schema: str) -> DataFrame:
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
     )
+
+
+def read_rate(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Synthetic benchmark/test stream (``timestamp``, ``value``) — the
+    local stand-in for the Kafka source (S1) when no broker exists:
+    same unbounded-source contract, same downstream plan."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )

@@ -16,6 +16,8 @@ import time
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from flink_template_spark.parse import read_trip_events_stream
 from flink_template_spark.sources.trip_fixtures import write_fixture
 from flink_template_spark.sources.trip_fixtures import _start
@@ -718,3 +720,34 @@ def test_streaming_session_checkpoint_recovery(spark, tmp_path):
     assert trips == [1, 2, 3], trips
     (t1,) = [r for r in rows if r[0] == 1]
     assert (t1[1], t1[2]) == (55, 20)
+
+
+def test_rate_source_drives_windowed_agg(spark, tmp_path):
+    """The rate source (S1's broker-less stand-in) feeds the same
+    windowed-aggregation plan as the file/Kafka paths."""
+    from flink_template_spark.sources.files import read_rate
+
+    stream = read_rate(spark, rows_per_second=200).select(
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 4).alias("user_id"),
+        F.lit(1.0).alias("value"),
+    )
+    agg = tumbling_counts(stream, size="1 seconds")
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("rate_win")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rate"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("SELECT * FROM rate_win").count()
+            if n > 0:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert n > 0
