@@ -555,3 +555,115 @@ def q_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
         )
     )
+
+
+CHUNK_TOKENS = 50
+CHUNK_STRIDE = 25
+
+
+@register(
+    "q_doc_chunks",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+starts AS (
+  SELECT doc_id, w, unnest(range(0, len(w), {CHUNK_STRIDE})) AS chunk_start
+  FROM d
+)
+SELECT
+  doc_id,
+  CAST(chunk_start / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+  CAST(chunk_start AS BIGINT) AS chunk_start,
+  CAST(len(list_slice(w, chunk_start + 1, chunk_start + {CHUNK_TOKENS}))
+       AS INTEGER) AS n_chunk_tokens,
+  array_to_string(
+    list_slice(w, chunk_start + 1, chunk_start + {CHUNK_TOKENS}), ' '
+  ) AS chunk_text
+FROM starts
+""",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (RAG / context-window prep):
+    each doc explodes into ceil(n/stride) chunks of ≤CHUNK_TOKENS tokens
+    at CHUNK_STRIDE offsets. Pure expressions — tokenize once, generate
+    start offsets with ``sequence``, slice per chunk; the explode's
+    fan-out is bounded by tokens/stride and never shuffles (chunking is
+    map-side; only a downstream consumer would)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    d = docs.select("doc_id", toks.alias("w"))
+    starts = d.select(
+        "doc_id",
+        "w",
+        F.explode(
+            F.sequence(F.lit(0), F.size("w") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("chunk_start"),
+    )
+    sliced = F.slice(F.col("w"), F.col("chunk_start") + 1, CHUNK_TOKENS)
+    return starts.select(
+        "doc_id",
+        (F.col("chunk_start") / CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+        F.col("chunk_start").cast("bigint").alias("chunk_start"),
+        F.size(sliced).alias("n_chunk_tokens"),
+        F.array_join(sliced, " ").alias("chunk_text"),
+    )
+
+
+@register(
+    "q_tfidf_top_terms",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+    ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (token) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, token, tfidf,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
+  FROM scored
+)
+SELECT doc_id, token, tfidf, rk FROM ranked WHERE rk <= 3
+""",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 terms by TF-IDF. Shuffle ledger at scale: one
+    (doc, token) count, one token DF count (broadcast back — |vocab| ≪
+    corpus), a 1-row N broadcast, one per-doc window. Rounded to 6 dp —
+    far above libm ln() ulp skew — so the ordering and values are
+    engine-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "tfidf", "rk")
+    )
