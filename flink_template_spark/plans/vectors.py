@@ -282,3 +282,63 @@ def q_ann_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query = emb.filter(F.col("vec_id") == 0)
     return ivf_topk(emb, cdf, query, k=5)
+
+
+@register(
+    "q_embedding_zscore",
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, label, pos,
+         CAST(embedding[pos + 1] AS DOUBLE) AS el
+  FROM embeddings, unnest(range(0, len(embedding))) AS t(pos)
+  WHERE pos < 8
+),
+stats AS (
+  SELECT label, pos,
+    COUNT(*) AS n,
+    CAST(SUM(CAST(ROUND(el * 10000000.0, 0) AS BIGINT)) AS DOUBLE)
+      / (10000000.0 * COUNT(*)) AS mean,
+    CAST(SUM(CAST(ROUND(el * el * 100000000000000.0, 0) AS BIGINT)) AS DOUBLE)
+      / (100000000000000.0 * COUNT(*)) AS msq
+  FROM ex GROUP BY label, pos
+)
+SELECT ex.vec_id, ex.label, ex.pos,
+  ROUND((ex.el - stats.mean) / sqrt(stats.msq - stats.mean * stats.mean), 6) AS z
+FROM ex JOIN stats USING (label, pos)
+""",
+)
+def q_embedding_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(label, dimension) z-score normalization of embeddings (the
+    feature-standardization step before clustering/training); first 8
+    dims shown. Moments use fixed-point integer sums (×1e7 for x, ×1e14
+    for x²) so mean/variance are partition-order-independent and
+    engine-identical; sqrt and the final divide are correctly-rounded
+    IEEE ops, then 6-dp rounding. One shuffle for the (label, pos)
+    stats — a ~|labels|·dims table broadcast back onto the fact side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = (
+        emb.select("vec_id", "label", F.posexplode("embedding").alias("pos", "el"))
+        .filter(F.col("pos") < 8)
+        .select("vec_id", "label", "pos", F.col("el").cast("double").alias("el"))
+    )
+    q1 = F.round(F.col("el") * 10000000.0, 0).cast("bigint")
+    q2 = F.round(F.col("el") * F.col("el") * 100000000000000.0, 0).cast("bigint")
+    stats = ex.groupBy("label", "pos").agg(
+        (F.sum(q1).cast("double") / (F.lit(10000000.0) * F.count(F.lit(1)))).alias(
+            "mean"
+        ),
+        (
+            F.sum(q2).cast("double")
+            / (F.lit(100000000000000.0) * F.count(F.lit(1)))
+        ).alias("msq"),
+    )
+    return ex.join(F.broadcast(stats), ["label", "pos"]).select(
+        "vec_id",
+        "label",
+        "pos",
+        F.round(
+            (F.col("el") - F.col("mean"))
+            / F.sqrt(F.col("msq") - F.col("mean") * F.col("mean")),
+            6,
+        ).alias("z"),
+    )

@@ -102,3 +102,9 @@ def test_simhash_pairs_no_cartesian(spark, sf):
     # banded blocking: candidates only materialize within (band, key)
     p = plan_of(plans.QUERIES["q_simhash_hamming_pairs"](spark, sf))
     assert "CartesianProduct" not in p
+
+
+def test_doc_chunks_is_map_side_only(spark, sf):
+    # chunking is tokenize+sequence+slice per row: no shuffle at all
+    p = plan_of(plans.QUERIES["q_doc_chunks"](spark, sf))
+    assert "Exchange" not in p
