@@ -89,6 +89,24 @@ def dedup_keyed(
     return events.withWatermark(ts_col, watermark).dropDuplicates(keys + [ts_col])
 
 
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Bounded-state dedup on the KEY ALONE: duplicates are dropped when
+    they arrive within the watermark delay of the first occurrence, and
+    each key's state is evicted once the watermark passes it. Unlike
+    ``dedup_keyed`` (key+timestamp exact dedup), this dedups re-sends
+    whose event times differ — the at-least-once-source cleanup — while
+    state stays O(keys per watermark window), the property that holds
+    at 100 TB."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def enrich_stream_static(
     stream: DataFrame,
     dim: DataFrame,

@@ -25,7 +25,11 @@ from flink_template_spark.streaming.trip_sessions import (
     sessionize_trips,
     sessionize_trips_event_time,
 )
-from flink_template_spark.streaming.windows import dedup_keyed, tumbling_counts
+from flink_template_spark.streaming.windows import (
+    dedup_keyed,
+    dedup_within_watermark,
+    tumbling_counts,
+)
 
 
 def test_streaming_trip_sessions(spark, tmp_path):
@@ -192,6 +196,55 @@ def test_streaming_dedup_keyed(spark, tmp_path):
     try:
         q.processAllAvailable()
         assert spark.sql("SELECT * FROM dedup").count() == 2
+    finally:
+        q.stop()
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Key-only dedup with watermark-bounded state: a re-send with a
+    DIFFERENT event time inside the delay is dropped (dedup_keyed would
+    keep it); the same key far outside the delay passes once its state
+    has been evicted."""
+    in_dir = tmp_path / "ddw"
+    in_dir.mkdir()
+    recs = [
+        {"ts": "2024-01-01T00:00:01", "user_id": 1, "value": 1.0},
+        {"ts": "2024-01-01T00:00:03", "user_id": 1, "value": 1.0},  # re-send, new ts
+        {"ts": "2024-01-01T00:00:02", "user_id": 2, "value": 2.0},
+    ]
+    (in_dir / "b1.jsonl").write_text("\n".join(json.dumps(r) for r in recs) + "\n")
+    schema = "ts TIMESTAMP, user_id LONG, value DOUBLE"
+    events = spark.readStream.schema(schema).json(str(in_dir))
+    q = (
+        dedup_within_watermark(events, keys=["user_id"], watermark="10 seconds")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ddw")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ddw"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM ddw").count() == 2  # one per key
+        # advance the watermark past user 1's state expiry first (state
+        # is evicted only when the watermark moves, which happens at the
+        # END of a batch — a fresh key does the advancing)...
+        (in_dir / "b2.jsonl").write_text(
+            json.dumps(
+                {"ts": "2024-01-01T00:30:00", "user_id": 3, "value": 3.0}
+            )
+            + "\n"
+        )
+        q.processAllAvailable()
+        # ...then the SAME key is accepted again: its dedup state is gone
+        (in_dir / "b3.jsonl").write_text(
+            json.dumps(
+                {"ts": "2024-01-01T01:00:00", "user_id": 1, "value": 9.0}
+            )
+            + "\n"
+        )
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM ddw WHERE user_id = 1").count() == 2
     finally:
         q.stop()
 
