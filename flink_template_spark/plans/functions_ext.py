@@ -11,7 +11,7 @@ this is also one pass instead of Welford per-partition + merge.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from flink_template_spark.plans.registry import register
@@ -289,3 +289,46 @@ def q_approx_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("value", 0.5, 10000).alias("approx_p50"),
         exact_p50.alias("exact_p50"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_ntile_balance_deciles",
+    oracle="""
+WITH tiled AS (
+  SELECT c_mktsegment, c_custkey,
+    NTILE(10) OVER (
+      PARTITION BY c_mktsegment
+      ORDER BY c_acctbal DESC, c_custkey
+    ) AS decile,
+    CAST(c_acctbal AS DECIMAL(12, 2)) AS bal
+  FROM customer
+)
+SELECT c_mktsegment, decile,
+  COUNT(*) AS n_customers,
+  CAST(MIN(bal) AS DOUBLE) AS min_bal,
+  CAST(MAX(bal) AS DOUBLE) AS max_bal
+FROM tiled
+GROUP BY c_mktsegment, decile
+""",
+)
+def q_ntile_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment balance deciles via NTILE — the equal-height
+    bucketing used for cohort cuts. The ORDER BY carries a unique
+    tiebreak (custkey) so tile assignment is total-order deterministic
+    across engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), "c_custkey")
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    return (
+        cust.select(
+            "c_mktsegment",
+            F.ntile(10).over(w).alias("decile"),
+            bal.alias("bal"),
+        )
+        .groupBy("c_mktsegment", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("bal").cast("double").alias("min_bal"),
+            F.max("bal").cast("double").alias("max_bal"),
+        )
+    )
