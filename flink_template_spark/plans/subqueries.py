@@ -1,8 +1,10 @@
 """Subquery-family relational queries: correlated / scalar subqueries,
 EXISTS / NOT EXISTS, IN / NOT IN, derived tables — the TPC-H shapes
-(Q2, Q4, Q8, Q9, Q11, Q13, Q14, Q15, Q16, Q17, Q18, Q19, Q20, Q22)
-adapted to the testdata's reduced star schema (no partsupp, no
-commit/receipt dates — see TESTDATA.md).
+(Q2, Q4, Q8, Q9, Q11, Q12, Q13, Q14, Q15, Q16, Q17, Q18, Q19, Q20, Q21,
+Q22) adapted to the testdata's reduced star schema (no partsupp, no
+commit/receipt dates, no shipmode — see TESTDATA.md; Q12/Q21's
+"received after committed" lateness is re-expressed as "shipped more
+than N days after the order date").
 
 The reference has none of these (SURVEY.md §2.5: no joins, no
 subqueries, no SQL at all); they are part of the engine's declared
@@ -255,6 +257,58 @@ def q11_important_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_bal") > F.col("thr"))
         .select("nation", "total_bal")
         .orderBy(F.col("total_bal").desc(), "nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 shape — join + dual conditional counts: per line status, how many
+# late-shipped lines belong to high- vs low-priority orders. The
+# reference schema has no l_shipmode / commit / receipt dates
+# (TESTDATA.md), so the grouping key is l_linestatus and "late" means
+# shipped > 60 days after the order date.
+#
+# Scale note: single shuffle join lineitem⋈orders on orderkey, then a
+# partial-aggregated groupBy on a 2-value key — the CASE-sums combine
+# map-side, so the final exchange carries ~|distinct keys| rows.
+# ---------------------------------------------------------------------------
+
+_HIGH_PRIO = ("1-URGENT", "2-HIGH")
+
+
+@register(
+    "q12_priority_shipments",
+    oracle="""
+SELECT l_linestatus,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      THEN 1 ELSE 0 END) AS high_line_count,
+  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+)
+def q12_priority_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin(*_HIGH_PRIO)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
     )
 
 
@@ -572,6 +626,81 @@ def q20_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(vol, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape — correlated EXISTS + NOT EXISTS self-joins: suppliers who
+# were the SOLE late shipper on a multi-supplier finalized order.
+# "Late" = shipped > 30 days after the order date (no receipt/commit
+# dates in the testdata). The classic single-nation filter is replaced
+# by grouping per supplier nation so the supplier→nation join survives
+# the adaptation and the result stays non-degenerate at small SF.
+#
+# Decorrelation (Spark-first): instead of two correlated lineitem
+# re-scans per outer row, aggregate lineitem ONCE per order —
+# n_suppliers = count(DISTINCT suppkey), n_late_suppliers =
+# count(DISTINCT suppkey | late) — and join back. EXISTS(other
+# supplier) ≡ n_suppliers > 1; NOT EXISTS(other late supplier), given
+# this line is late, ≡ n_late_suppliers = 1. One extra shuffle on
+# orderkey replaces two correlated scans; both sides are already
+# hash-partitioned on orderkey so AQE coalesces the exchange.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+SELECT n_name, s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY n_name, s_name
+ORDER BY numwait DESC, n_name, s_name
+""",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late_cutoff = F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
+    lines = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "is_late", F.col("l_shipdate") > late_cutoff
+    )
+    per_order = lines.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.count_distinct("l_suppkey").alias("n_suppliers"),
+        F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_suppliers"
+        ),
+    )
+    sup = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(load_table(spark, sf_dir, "nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "n_name")
+    return (
+        lines.filter(F.col("is_late"))
+        .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
+        .filter((F.col("n_suppliers") > 1) & (F.col("n_late_suppliers") == 1))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("n_name", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "n_name", "s_name")
     )
 
 
