@@ -133,12 +133,14 @@ _STATE_FIELDS = [
 ]
 
 
-def _ingest(state: GroupState, pdfs: Iterator[pd.DataFrame]):
-    """Fold this batch's rows into the (possibly existing) session
+def _fold(prev: tuple | None, pdfs: Iterator[pd.DataFrame]):
+    """Fold a batch of rows into the (possibly existing) session
     buffers. Returns the updated buffers plus the max event-time seen,
-    in epoch ms (0 if the batch had no rows)."""
-    if state.exists:
-        gps_ts, gps_lat, gps_lon, sp_ts, sp_kmh, vin, n_events, deadline_ms = state.get
+    in epoch ms (0 if the batch had no rows). Shared by the
+    applyInPandasWithState operator here and the transformWithState
+    processor in trip_sessions_v2."""
+    if prev is not None:
+        gps_ts, gps_lat, gps_lon, sp_ts, sp_kmh, vin, n_events, deadline_ms = prev
         gps_ts, gps_lat, gps_lon = list(gps_ts), list(gps_lat), list(gps_lon)
         sp_ts, sp_kmh = list(sp_ts), list(sp_kmh)
     else:
@@ -172,6 +174,10 @@ def _ingest(state: GroupState, pdfs: Iterator[pd.DataFrame]):
         gps_ts, gps_lat, gps_lon, sp_ts, sp_kmh, vin, n_events, deadline_ms,
         max_event_ms,
     )
+
+
+def _ingest(state: GroupState, pdfs: Iterator[pd.DataFrame]):
+    return _fold(state.get if state.exists else None, pdfs)
 
 
 def _session_fn(
