@@ -1,0 +1,111 @@
+"""Scalable global ranking: ROW_NUMBER / RANK / DENSE_RANK over a
+TOTAL order WITHOUT a single-partition window.
+
+A plain ``Window.orderBy(...)`` (no partitionBy) makes Spark move every
+row to ONE partition (WindowExec warns "No Partition Defined"); at
+100 TB that is one executor sorting the world. The reference has no
+ranking at all (SURVEY.md §2.5) — this module is the engine's scale
+path for the global-rank queries in plans.windows_analytic, which keep
+the naive plan only because their input (supplier) is a dimension
+table.
+
+Two-pass range-partitioned rank — the classic distributed top-N/rank
+recipe (same shape TPC engines and MPP databases use):
+
+1. ``repartitionByRange(n, keys)`` + ``sortWithinPartitions`` — a range
+   exchange samples key quantiles, so partition p holds keys strictly
+   before partition p+1's, and EQUAL keys land in the SAME partition
+   (range boundaries are key values). Parallel sort, no global funnel.
+2. per-partition local window (partitionBy spark_partition_id) for
+   local row_number / rank / dense_rank — runs on n partitions at once.
+3. a tiny per-partition stats table (n rows: row count + distinct-key
+   count) → cumulative offsets via a window over those n rows (bounded
+   by partition count, not data) → broadcast-joined back; global rank =
+   local rank + rows-before-partition, global dense_rank = local +
+   distinct-keys-before-partition.
+
+Determinism: ``row_number`` is deterministic iff order_by + tiebreak is
+a total order; rank/dense_rank are deterministic on order_by alone.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+_PID = "__rg_pid"
+
+
+def _as_col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def with_global_ranks(
+    df: DataFrame,
+    order_by: Sequence[tuple[Column | str, bool]],
+    *,
+    tiebreak: Sequence[Column | str] = (),
+    row_number_col: str | None = "rn",
+    rank_col: str | None = None,
+    dense_rank_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add globally-consistent ranking columns to ``df``.
+
+    ``order_by``: (column, ascending) pairs — the semantic sort key;
+    rank/dense_rank tie on equality of this key. ``tiebreak``: extra
+    columns appended only to the row_number order to make it total.
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    key_cols = [_as_col(c) for c, _ in order_by]
+    sort_key = [
+        (_as_col(c).asc() if asc else _as_col(c).desc()) for c, asc in order_by
+    ]
+    full_sort = sort_key + [_as_col(c).asc() for c in tiebreak]
+
+    # Pass 1: range exchange on the semantic key (ties co-located), then
+    # partition-local sort including the tiebreak.
+    ranged = (
+        df.repartitionByRange(n, *sort_key)
+        .sortWithinPartitions(*full_sort)
+        .withColumn(_PID, F.spark_partition_id())
+    )
+
+    # Tiny stats: one row per partition -> cumulative offsets. The
+    # single-partition window here is over <= n rows (partition count,
+    # independent of data volume).
+    key_struct = F.struct(*key_cols)
+    stats = ranged.groupBy(_PID).agg(
+        F.count(F.lit(1)).alias("__rg_cnt"),
+        F.count_distinct(key_struct).alias("__rg_keys"),
+    )
+    w_cum = W.orderBy(_PID).rowsBetween(W.unboundedPreceding, W.currentRow)
+    offsets = stats.select(
+        F.col(_PID).alias("__rg_opid"),
+        (F.sum("__rg_cnt").over(w_cum) - F.col("__rg_cnt")).alias("__rg_row_off"),
+        (F.sum("__rg_keys").over(w_cum) - F.col("__rg_keys")).alias("__rg_key_off"),
+    )
+
+    # Pass 2: local windows per range partition + broadcast offset add.
+    w_local = W.partitionBy(_PID).orderBy(*full_sort)
+    w_local_key = W.partitionBy(_PID).orderBy(*sort_key)
+    out = ranged.join(F.broadcast(offsets), F.col(_PID) == F.col("__rg_opid"))
+    if row_number_col:
+        out = out.withColumn(
+            row_number_col,
+            F.row_number().over(w_local) + F.col("__rg_row_off"),
+        )
+    if rank_col:
+        out = out.withColumn(
+            rank_col, F.rank().over(w_local_key) + F.col("__rg_row_off")
+        )
+    if dense_rank_col:
+        out = out.withColumn(
+            dense_rank_col, F.dense_rank().over(w_local_key) + F.col("__rg_key_off")
+        )
+    return out.drop(_PID, "__rg_opid", "__rg_cnt", "__rg_keys",
+                    "__rg_row_off", "__rg_key_off")

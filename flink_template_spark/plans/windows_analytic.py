@@ -10,6 +10,10 @@ Scale notes: window functions shuffle once on partitionBy keys; top-k per
 group via row_number is the scalable pattern (no global sort — per-group
 heaps inside the sort-based window operator). A global ORDER BY appears
 only in deterministic LIMIT queries where the driver needs stable rows.
+The global-rank queries here (q_rank_suppliers_by_balance, q_rank_family)
+rank DIMENSION tables, where the single-partition WindowExec is fine; the
+fact-table-scale path is operators.rank_global.with_global_ranks
+(range-partitioned two-pass rank, demonstrated by q_global_rank_scalable).
 """
 
 from __future__ import annotations
@@ -301,3 +305,45 @@ def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     ).orderBy("s_suppkey")
+
+
+@register(
+    "q_global_rank_scalable",
+    oracle="""
+SELECT l_orderkey, l_linenumber, qty, rn, rnk, drnk
+FROM (
+  SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS qty,
+    ROW_NUMBER() OVER (ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS rn,
+    RANK() OVER (ORDER BY l_quantity DESC) AS rnk,
+    DENSE_RANK() OVER (ORDER BY l_quantity DESC) AS drnk
+  FROM lineitem
+) t
+WHERE rn <= 500
+ORDER BY rn
+""",
+)
+def q_global_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ROW_NUMBER/RANK/DENSE_RANK over ALL of lineitem via the
+    two-pass range-partitioned rank (operators.rank_global) — the plan
+    has NO single-partition WindowExec over the fact table, unlike the
+    naive Window.orderBy() formulation. l_quantity is deliberately
+    low-cardinality so RANK/DENSE_RANK tie-handling crosses partition
+    boundaries (equal keys are co-located by the range exchange)."""
+    from flink_template_spark.operators.rank_global import with_global_ranks
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_quantity").cast("double").alias("qty")
+    )
+    ranked = with_global_ranks(
+        li,
+        [(F.col("qty"), False)],
+        tiebreak=["l_orderkey", "l_linenumber"],
+        row_number_col="rn",
+        rank_col="rnk",
+        dense_rank_col="drnk",
+    )
+    return (
+        ranked.filter(F.col("rn") <= 500)
+        .select("l_orderkey", "l_linenumber", "qty", "rn", "rnk", "drnk")
+        .orderBy("rn")
+    )

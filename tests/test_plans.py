@@ -108,3 +108,14 @@ def test_doc_chunks_is_map_side_only(spark, sf):
     # chunking is tokenize+sequence+slice per row: no shuffle at all
     p = plan_of(plans.QUERIES["q_doc_chunks"](spark, sf))
     assert "Exchange" not in p
+
+
+def test_global_rank_is_range_partitioned(spark, sf):
+    # the scalable global rank must sort via a RANGE exchange (parallel)
+    # and window per range-partition — the only unpartitioned window
+    # allowed is over the tiny per-partition stats (bounded by partition
+    # COUNT); the fact-table window must carry the __rg_pid partition.
+    p = plan_of(plans.QUERIES["q_global_rank_scalable"](spark, sf))
+    assert "rangepartitioning" in p.lower()
+    assert "__rg_pid" in p  # fact-side windows partitioned by range pid
+    assert "CartesianProduct" not in p
