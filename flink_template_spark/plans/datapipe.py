@@ -199,3 +199,80 @@ def q_stratified_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
     )
     return docs.filter(bucket < rate).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Training-shard layout: deterministic global shuffle into a fixed
+# number of shards. The examples-to-shards mapping and the within-shard
+# order are pure functions of the stable id (portable md5 hash), so a
+# backfill, a re-run, or a different engine produces byte-identical
+# shard membership — the property data-loaders need for resumable,
+# reproducible training. Scale: one hash-partition exchange into
+# n_shards writer tasks; the "shuffle" is the hash ordering itself —
+# no global sort, no driver collection.
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 8
+
+
+def _shard_hash(id_col: str = "doc_id"):
+    return F.expr(md5int_spark(f"CAST({id_col} AS STRING)"))
+
+
+def write_training_shards(
+    df: DataFrame, path: str, n_shards: int = N_SHARDS, id_col: str = "doc_id"
+) -> None:
+    """Write ``df`` as ``shard=K/`` parquet directories, one file per
+    shard, rows hash-ordered within each shard (deterministic global
+    shuffle). ``repartition(n, shard)`` routes each shard wholly into
+    one task so every shard directory gets exactly one file."""
+    h = _shard_hash(id_col)
+    (
+        df.withColumn("shard", (h % n_shards).cast("int"))
+        .withColumn("__h", h)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "__h", id_col)
+        .drop("__h")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
+_SHARD_D = md5int_duckdb("CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "q_training_shards",
+    oracle=f"""
+SELECT doc_id, shard, pos
+FROM (
+  SELECT doc_id,
+    ({_SHARD_D} % 8) AS shard,
+    ROW_NUMBER() OVER (
+      PARTITION BY ({_SHARD_D} % 8)
+      ORDER BY {_SHARD_D}, doc_id
+    ) AS pos
+  FROM documents
+) t
+ORDER BY shard, pos
+""",
+)
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shard writer's row→(shard, position) mapping as a query:
+    deterministic shard id + hash-order position within the shard."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = _shard_hash()
+    w = W.partitionBy("shard").orderBy("__h", "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            (h % N_SHARDS).cast("bigint").alias("shard"),
+            h.alias("__h"),
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    )

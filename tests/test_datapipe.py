@@ -55,3 +55,37 @@ def test_stratified_sample_proportions(spark, sf_dir):
         "lang", {l: 0.5 for l in ["en", "de", "fr", "es", "zh"]}, seed=42
     )
     assert sample.exceptAll(again).count() == 0
+
+
+def test_training_shards_layout_and_determinism(spark, sf_dir, tmp_path):
+    """Every shard directory gets exactly one data file; membership and
+    within-shard order are pure functions of doc_id (two writes agree
+    row-for-row); the union of shards is the input."""
+    import glob
+    import os
+
+    from flink_template_spark.plans.datapipe import N_SHARDS, write_training_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    p1, p2 = str(tmp_path / "sh1"), str(tmp_path / "sh2")
+    write_training_shards(docs, p1)
+    write_training_shards(docs, p2)
+
+    dirs = sorted(os.path.basename(d) for d in glob.glob(os.path.join(p1, "shard=*")))
+    assert dirs == [f"shard={i}" for i in range(N_SHARDS)]
+    for d in glob.glob(os.path.join(p1, "shard=*")):
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1
+
+    r1 = spark.read.parquet(p1)
+    r2 = spark.read.parquet(p2)
+    assert r1.count() == docs.count()
+    # identical membership + content across independent writes
+    assert r1.exceptAll(r2).count() == 0 and r2.exceptAll(r1).count() == 0
+    # shard id matches the portable hash contract
+    from flink_template_spark.plans.datapipe import _shard_hash
+
+    bad = r1.filter(
+        (F.expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)") % N_SHARDS)
+        != F.col("shard")
+    )
+    assert bad.count() == 0
