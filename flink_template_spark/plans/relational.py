@@ -642,3 +642,46 @@ def q_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("c_acctbal")).cast("double").alias("total_balance"),
         )
     )
+
+
+@register(
+    "q_salted_join_revenue",
+    oracle="""
+SELECT s_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+       AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY s_name
+""",
+)
+def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key join through operators.skew.salted_join: the testdata's
+    lineitem→supplier FK is pathologically hot (every supplier key is a
+    large fraction of the fact table), the case where one reducer gets
+    an entire key. Salting spreads each key over 8 reducers; the result
+    is oracle-identical to the plain join, which is the point — salting
+    changes the SHUFFLE, never the answer."""
+    from flink_template_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
+        ).alias("disc_price"),
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    return (
+        salted_join(li, sup, on="l_suppkey", n_salts=8)
+        .groupBy("s_name")
+        .agg(
+            F.sum("disc_price").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("s_name")
+    )

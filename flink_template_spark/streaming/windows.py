@@ -128,12 +128,18 @@ def join_streams_interval(
     right_ts: str = "ts",
     within: str = "30 seconds",
     watermark: str = DEFAULT_WATERMARK,
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with an event-time interval bound:
-    rows pair when keys match and the right event lands within
-    [left_ts, left_ts + within]. Both sides carry watermarks so the
-    join state is provably bounded — without the time bound Spark
-    would buffer both streams forever."""
+    """Stream-stream join with an event-time interval bound: rows pair
+    when keys match and the right event lands within [left_ts, left_ts
+    + within]. Both sides carry watermarks so the join state is
+    provably bounded — without the time bound Spark would buffer both
+    streams forever.
+
+    ``how="leftOuter"`` emits unmatched left rows (right columns null)
+    once the watermark passes the interval's end — i.e. when Spark can
+    PROVE no future right row can match; the null row is late by the
+    watermark delay, never wrong."""
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     cond = (
@@ -141,4 +147,4 @@ def join_streams_interval(
         & (rw[right_ts] >= lw[left_ts])
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
     )
-    return lw.join(rw, cond, "inner")
+    return lw.join(rw, cond, how)

@@ -882,3 +882,122 @@ def test_rate_source_drives_windowed_agg(spark, tmp_path):
     finally:
         q.stop()
     assert n > 0
+
+
+def test_stream_stream_interval_join_left_outer(spark, tmp_path):
+    """Left-outer interval join: matched rows emit immediately;
+    unmatched left rows emit with nulls only after the watermark proves
+    no right match can arrive."""
+    from flink_template_spark.streaming.windows import join_streams_interval
+
+    l_dir, r_dir = tmp_path / "sjo_l", tmp_path / "sjo_r"
+    l_dir.mkdir(); r_dir.mkdir()
+    (l_dir / "b.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"ts": "2024-01-01T00:00:10", "user_id": 1, "value": 1.0},
+                {"ts": "2024-01-01T00:00:10", "user_id": 2, "value": 2.0},
+            ]
+        )
+        + "\n"
+    )
+    (r_dir / "b.jsonl").write_text(
+        json.dumps({"ts": "2024-01-01T00:00:20", "user_id": 1, "value": 10.0}) + "\n"
+    )
+    schema = "ts TIMESTAMP, user_id LONG, value DOUBLE"
+    left = spark.readStream.schema(schema).json(str(l_dir)).withColumnRenamed("value", "lv")
+    right = spark.readStream.schema(schema).json(str(r_dir)).withColumnRenamed("value", "rv")
+    q = (
+        join_streams_interval(
+            left.alias("l"), right.alias("r"), key="user_id", how="leftOuter"
+        )
+        .selectExpr("l.user_id AS user_id", "lv", "rv")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sjoin_lo")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sjo"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # user 2 is still held: the watermark hasn't passed its interval
+        rows = {tuple(r) for r in spark.sql("SELECT * FROM sjoin_lo").collect()}
+        assert rows == {(1, 1.0, 10.0)}
+        # advance event time far past both intervals ON BOTH SIDES (the
+        # global watermark is the MIN of the per-stream watermarks, so a
+        # quiet left stream would pin it) -> null row flushes
+        late = json.dumps({"ts": "2024-01-01T01:00:00", "user_id": 9, "value": 0.0})
+        (r_dir / "b2.jsonl").write_text(late + "\n")
+        (l_dir / "b2.jsonl").write_text(late + "\n")
+        q.processAllAvailable()
+        # state eviction emits on the batch AFTER the watermark moves;
+        # poll until the held row flushes
+        deadline = time.time() + 60
+        rows = set()
+        while time.time() < deadline:
+            q.processAllAvailable()
+            rows = {tuple(r) for r in spark.sql("SELECT * FROM sjoin_lo").collect()}
+            if len(rows) >= 3:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    # user 9's identical left/right rows match each other immediately;
+    # user 2's held row flushes as a null-padded outer result
+    assert rows == {(1, 1.0, 10.0), (2, 2.0, None), (9, 0.0, 0.0)}
+
+
+def test_available_now_backfill_with_observed_metrics(spark, tmp_path):
+    """Trigger.AvailableNow drains all existing input then stops - the
+    backfill mode (process history with streaming semantics, exit like
+    a batch job). Quality counters ride along via observe() and land in
+    progress.observedMetrics - no second validation pass."""
+    from flink_template_spark.observe import observe_stream
+    from flink_template_spark.streaming.windows import tumbling_counts
+
+    in_dir = tmp_path / "an_in"
+    in_dir.mkdir()
+    (in_dir / "b.jsonl").write_text(
+        "\n".join(
+            json.dumps({"ts": f"2024-01-01T00:0{m}:00", "user_id": m % 2, "value": 1.0})
+            for m in range(6)
+        )
+        + "\n"
+    )
+    schema = "ts TIMESTAMP, user_id LONG, value DOUBLE"
+    stream = observe_stream(
+        spark.readStream.schema(schema).json(str(in_dir)), "quality", id_col="user_id"
+    )
+    out = tumbling_counts(stream, size="5 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("an_backfill")
+        .option("checkpointLocation", str(tmp_path / "ckpt_an"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive  # drained everything, stopped by itself
+    observed = [
+        p.observedMetrics["quality"]
+        for p in q.recentProgress
+        if "quality" in (p.observedMetrics or {})
+    ]
+    assert sum(m.n_rows for m in observed) == 6
+    # empty trailing micro-batches observe sum(NULL) for the null count
+    assert all((m.n_null_id or 0) == 0 for m in observed)
+
+
+def test_observe_batch_quality_counters(spark, sf_dir):
+    from flink_template_spark.observe import observe_batch
+    from flink_template_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    observed, obs = observe_batch(docs, id_col="doc_id")
+    n = observed.count()
+    got = obs.get
+    assert got["n_rows"] == n
+    assert got["n_null_id"] == 0
+    assert got["approx_ids"] > 0
