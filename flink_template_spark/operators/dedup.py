@@ -164,6 +164,35 @@ def simhash_signatures(
     return bit_sums.select(F.col(id_col), sig.alias("simhash"))
 
 
+def simhash_scalar(text_col: str = "text", bits: int = 32):
+    """Expression-only SimHash: the same 32-bit signature as
+    ``simhash_signatures`` computed PER ROW with higher-order functions
+    — no explode, no groupBy, no shuffle.
+
+    Identity with the grouped version: iterating token INSTANCES and
+    adding ±1 per bit equals the count-weighted sum over DISTINCT
+    tokens (Σ_instances sign == Σ_tokens cnt·sign). Interpreted HOF
+    lambdas are slower per byte than the codegen'd explode+partial-agg
+    pipeline (see minhash_signatures), so batch dedup keeps the grouped
+    form; this scalar form exists for places where a shuffle is
+    impossible or wrong — pre-watermark streaming projections
+    (streaming.windows.dedup_near_stream) and inline per-row
+    fingerprinting."""
+    h = md5int_spark("t")
+    bitsums = (
+        f"aggregate(transform(split({text_col}, ' '), t -> {h}), "
+        f"array_repeat(CAST(0 AS BIGINT), {bits}), "
+        f"(acc, hv) -> zip_with(acc, sequence(0, {bits - 1}), "
+        f"(a, b) -> a + CASE WHEN (shiftright(hv, b) & 1) = 1 THEN 1 ELSE -1 END))"
+    )
+    return F.expr(
+        f"aggregate(zip_with({bitsums}, sequence(0, {bits - 1}), "
+        f"(s, b) -> CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) "
+        f"ELSE CAST(0 AS BIGINT) END), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
 def simhash_hamming_pairs(
     docs: DataFrame,
     max_hamming: int = 3,

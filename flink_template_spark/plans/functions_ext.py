@@ -332,3 +332,85 @@ def q_ntile_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("bal").cast("double").alias("max_bal"),
         )
     )
+
+
+@register(
+    "q_price_histogram",
+    oracle="""
+SELECT bucket,
+  COUNT(*) AS n_orders,
+  CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+  CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+FROM (
+  -- width_bucket(v, 0, 600000, 12) spelled out (DuckDB lacks it)
+  SELECT o_totalprice,
+         CASE WHEN o_totalprice < 0 THEN 0
+              WHEN o_totalprice >= 600000 THEN 13
+              ELSE CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) + 1 END AS bucket
+  FROM orders
+) t
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket — the distributed
+    histogram is just a groupBy on a computed bucket id (map-side
+    partial counts, one tiny shuffle; no sort, no driver collect)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_totalprice",
+            F.width_bucket("o_totalprice", F.lit(0.0), F.lit(600000.0), F.lit(12)).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q_null_safe_join",
+    oracle="""
+SELECT
+  COALESCE(CAST(e.label AS VARCHAR), '<null>') AS label_a,
+  COUNT(*) AS n_pairs
+FROM (
+  SELECT NULLIF(CAST(json_extract_string(props, '$.k') AS INTEGER) % 5, 0) AS label
+  FROM events WHERE event_id % 97 = 0
+) e
+JOIN (
+  SELECT NULLIF(CAST(json_extract_string(props, '$.k') AS INTEGER) % 5, 0) AS label
+  FROM events WHERE event_id % 89 = 0
+) f
+  ON e.label IS NOT DISTINCT FROM f.label
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics audits and
+    SCD merges need. Spark plans <=> as a proper hash-join key (no
+    fallback to nested-loop), so it shuffles exactly like = . Labels
+    are NULLIF-derived so the key mix genuinely contains NULLs."""
+    ev = load_table(spark, sf_dir, "events")
+    lab = F.nullif(F.get_json_object("props", "$.k").cast("int") % 5, F.lit(0))
+    e = ev.filter(F.col("event_id") % 97 == 0).select(lab.alias("label_a"))
+    f2 = ev.filter(F.col("event_id") % 89 == 0).select(lab.alias("label_b"))
+    return (
+        e.join(f2, F.col("label_a").eqNullSafe(F.col("label_b")))
+        .groupBy(
+            F.coalesce(F.col("label_a").cast("string"), F.lit("<null>")).alias(
+                "label_a"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("label_a")
+    )

@@ -137,9 +137,7 @@ _SIMHASH_COMBINE_DUCK = " + ".join(
     f"CASE WHEN s_{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(32)
 )
 
-@register(
-    "q_simhash_signatures",
-    oracle=f"""
+_SIMHASH_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
 ),
@@ -154,11 +152,26 @@ bitsums AS (
 )
 SELECT doc_id, {_SIMHASH_COMBINE_DUCK} AS simhash
 FROM bitsums
-""",
-)
+"""
+
+
+@register("q_simhash_signatures", oracle=_SIMHASH_ORACLE)
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash_signatures(docs)
+
+
+@register("q_simhash_scalar", oracle=_SIMHASH_ORACLE)
+def q_simhash_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression-only (per-row, shuffle-free) SimHash dual — same
+    oracle as the grouped pipeline, so the identity between the two
+    formulations is machine-checked, and the signature the STREAMING
+    near-dup dedup keys on (streaming.windows.dedup_near_stream) is
+    pinned to the batch-audited one."""
+    from flink_template_spark.operators.dedup import simhash_scalar
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash_scalar("text").alias("simhash"))
 
 
 @register(

@@ -148,3 +148,26 @@ def join_streams_interval(
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
     )
     return lw.join(rw, cond, how)
+
+
+def dedup_near_stream(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming NEAR-duplicate suppression: per-row expression SimHash
+    (operators.dedup.simhash_scalar — no shuffle, no pre-aggregation)
+    keyed into ``dropDuplicatesWithinWatermark``. Documents whose
+    token-frequency profiles collapse to the same 32-bit signature are
+    treated as duplicates; the first survives, later copies within the
+    watermark horizon are dropped, and state stays bounded by that
+    horizon rather than the stream's length — the streaming dual of
+    the batch SimHash dedup family."""
+    from flink_template_spark.operators.dedup import simhash_scalar
+
+    return (
+        docs.withColumn("simhash", simhash_scalar(text_col))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["simhash"])
+    )

@@ -1001,3 +1001,91 @@ def test_observe_batch_quality_counters(spark, sf_dir):
     assert got["n_rows"] == n
     assert got["n_null_id"] == 0
     assert got["approx_ids"] > 0
+
+
+def test_streaming_parquet_file_sink_exactly_once(spark, tmp_path):
+    """Lakehouse ingest: writeStream.format('parquet') commits files
+    through the _spark_metadata transaction log, so readers see each
+    micro-batch's files exactly once (no partial/duplicate reads) and a
+    restart from the checkpoint does not re-append committed batches."""
+    in_dir, out_dir = tmp_path / "pq_in", tmp_path / "pq_out"
+    in_dir.mkdir()
+    (in_dir / "b1.jsonl").write_text(
+        "\n".join(
+            json.dumps({"ts": f"2024-01-01T00:00:{s:02d}", "user_id": s, "value": 1.0})
+            for s in range(5)
+        )
+        + "\n"
+    )
+    schema = "ts TIMESTAMP, user_id LONG, value DOUBLE"
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .json(str(in_dir))
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(tmp_path / "ckpt_pq"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(str(out_dir)).count() == 5
+    # restart with no new data: the committed batch must not re-append
+    run_once()
+    assert spark.read.parquet(str(out_dir)).count() == 5
+    # new input appends exactly its own rows
+    (in_dir / "b2.jsonl").write_text(
+        json.dumps({"ts": "2024-01-01T00:01:00", "user_id": 99, "value": 2.0}) + "\n"
+    )
+    run_once()
+    got = spark.read.parquet(str(out_dir))
+    assert got.count() == 6
+    assert got.filter(F.col("user_id") == 99).count() == 1
+
+
+def test_streaming_near_dup_simhash(spark, tmp_path):
+    """Near-dup suppression on a document stream: a lightly-edited copy
+    (one word changed in a long text) collapses to the same SimHash and
+    is dropped; genuinely different content survives."""
+    from flink_template_spark.streaming.windows import dedup_near_stream
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the quiet river "
+        "while the sun sets slowly over the green valley and the birds sing "
+        "their evening songs in the tall trees " * 3
+    ).strip()
+    near = base.replace("quiet river", "quiet stream", 1)
+    other = "completely different content about database engines and distributed shuffles"
+
+    in_dir = tmp_path / "nd_in"
+    in_dir.mkdir()
+    (in_dir / "b1.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"ts": "2024-01-01T00:00:01", "doc_id": 1, "text": base},
+                {"ts": "2024-01-01T00:00:02", "doc_id": 2, "text": near},
+                {"ts": "2024-01-01T00:00:03", "doc_id": 3, "text": other},
+            ]
+        )
+        + "\n"
+    )
+    schema = "ts TIMESTAMP, doc_id LONG, text STRING"
+    stream = spark.readStream.schema(schema).json(str(in_dir))
+    q = (
+        dedup_near_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("near_dedup")
+        .option("checkpointLocation", str(tmp_path / "ckpt_nd"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        kept = {r.doc_id for r in spark.sql("SELECT * FROM near_dedup").collect()}
+    finally:
+        q.stop()
+    assert kept == {1, 3}  # doc 2 collapsed into doc 1's signature
