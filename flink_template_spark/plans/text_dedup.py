@@ -35,6 +35,7 @@ from flink_template_spark.operators.dedup import (
     simhash_hamming_pairs,
     simhash_signatures,
 )
+from flink_template_spark.plans.datapipe import _split_sql as _dd_split_sql
 from flink_template_spark.plans.registry import register
 from flink_template_spark.tables import load_table
 
@@ -679,4 +680,82 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select("doc_id", "token", "tfidf", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination check: train-split documents sharing word
+# shingles with eval-split documents — the leakage audit every training
+# corpus needs before a benchmark score means anything.
+#
+# Scale design: the shingle join is the classic hot-key trap (stopword
+# trigrams appear in a huge share of docs), so shingles are first
+# document-frequency-filtered (df <= DF_CAP) — frequent shingles carry
+# no contamination signal and capping df bounds the join's per-key
+# fan-out at DF_CAP², independent of corpus size. One shuffle to count
+# df, one semi-join-shaped equi-join on the surviving shingles.
+# ---------------------------------------------------------------------------
+
+_CONTAM_DF_CAP = 50
+_CONTAM_MIN_SHARED = 2
+
+
+@register(
+    "q_contamination_check",
+    oracle=f"""
+WITH sh AS ({_duck_shingles(3)}),
+lab AS (
+  SELECT doc_id, {_dd_split_sql()} AS split FROM documents
+),
+sh2 AS (
+  SELECT s.doc_id, s.shingle, l.split FROM sh s JOIN lab l ON s.doc_id = l.doc_id
+),
+keep AS (
+  SELECT shingle FROM sh2 GROUP BY shingle
+  HAVING COUNT(DISTINCT doc_id) <= {_CONTAM_DF_CAP}
+),
+tr AS (
+  SELECT doc_id AS train_id, shingle FROM sh2
+  WHERE split = 'train' AND shingle IN (SELECT shingle FROM keep)
+),
+ev AS (
+  SELECT doc_id AS eval_id, shingle FROM sh2
+  WHERE split <> 'train' AND shingle IN (SELECT shingle FROM keep)
+)
+SELECT train_id, eval_id, COUNT(*) AS n_shared
+FROM tr JOIN ev ON tr.shingle = ev.shingle
+GROUP BY train_id, eval_id
+HAVING COUNT(*) >= {_CONTAM_MIN_SHARED}
+ORDER BY n_shared DESC, train_id, eval_id
+""",
+)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_template_spark.functions.text import word_shingles
+    from flink_template_spark.plans.datapipe import split_of
+
+    docs = load_table(spark, sf_dir, "documents").withColumn("split", split_of())
+    sh = docs.select(
+        "doc_id",
+        "split",
+        F.explode(word_shingles(F.col("text"), 3)).alias("shingle"),
+    )
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") <= _CONTAM_DF_CAP)
+        .select("shingle")
+    )
+    sh = sh.join(keep, "shingle", "left_semi")
+    tr = sh.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_id"), "shingle"
+    )
+    ev = sh.filter(F.col("split") != "train").select(
+        F.col("doc_id").alias("eval_id"), "shingle"
+    )
+    return (
+        tr.join(ev, "shingle")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _CONTAM_MIN_SHARED)
+        .orderBy(F.col("n_shared").desc(), "train_id", "eval_id")
     )

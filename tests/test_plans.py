@@ -119,3 +119,41 @@ def test_global_rank_is_range_partitioned(spark, sf):
     assert "rangepartitioning" in p.lower()
     assert "__rg_pid" in p  # fact-side windows partitioned by range pid
     assert "CartesianProduct" not in p
+
+
+def test_global_rank_matches_naive_window(spark, sf):
+    """Randomized parity: the two-pass range-partitioned rank equals the
+    single-partition Window.orderBy formulation on data with heavy key
+    ties (so offsets + tie co-location are genuinely exercised)."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from flink_template_spark.operators.rank_global import with_global_ranks
+
+    for seed in (7, 42, 1337):
+        rng = random.Random(seed)
+        rows = [(i, rng.randrange(0, 12)) for i in range(500)]
+        df = spark.createDataFrame(rows, "id LONG, k LONG")
+        fast = with_global_ranks(
+            df,
+            [(F.col("k"), False)],
+            tiebreak=["id"],
+            row_number_col="rn",
+            rank_col="rnk",
+            dense_rank_col="drnk",
+            num_partitions=7,
+        )
+        w_full = W.orderBy(F.col("k").desc(), F.col("id").asc())
+        w_key = W.orderBy(F.col("k").desc())
+        naive = df.select(
+            "id",
+            "k",
+            F.row_number().over(w_full).alias("rn"),
+            F.rank().over(w_key).alias("rnk"),
+            F.dense_rank().over(w_key).alias("drnk"),
+        )
+        cols = ["id", "k", "rn", "rnk", "drnk"]
+        diff = fast.select(cols).exceptAll(naive.select(cols))
+        assert diff.count() == 0, f"seed {seed} mismatch"
