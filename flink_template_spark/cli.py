@@ -1,0 +1,95 @@
+"""Command-line surface: run library queries, ad-hoc SQL, or the trip
+pipeline without writing a driver script.
+
+    python -m flink_template_spark list
+    python -m flink_template_spark query q1_pricing_summary --sf-dir /root/testdata/sf0.01
+    python -m flink_template_spark sql "SELECT COUNT(*) FROM lineitem"
+    python -m flink_template_spark trip-pipeline --source /path/to/events_dir
+
+The reference's only "CLI" is its jar entry point
+(TripAggregatorApplication.kt:54); this is the engine's equivalent plus
+the query library the reference never had.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _spark(args):
+    from flink_template_spark.session import get_spark
+
+    return get_spark(app_name=f"flink_template_spark.{args.cmd}")
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="flink_template_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list registered queries (* = DuckDB oracle)")
+
+    q = sub.add_parser("query", help="run a library query")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--limit", type=int, default=20)
+    q.add_argument("--explain", action="store_true", help="print the physical plan")
+
+    s = sub.add_parser("sql", help="ad-hoc SQL over the registered views")
+    s.add_argument("stmt")
+    s.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    s.add_argument("--limit", type=int, default=20)
+
+    t = sub.add_parser("trip-pipeline", help="run the streaming trip pipeline")
+    t.add_argument("--source", required=True, help="directory of trip-event JSONL")
+    t.add_argument("--checkpoint", default="/tmp/trip_pipeline_ckpt")
+    t.add_argument("--timeout", type=float, default=None,
+                   help="stop after N seconds (default: run until Ctrl-C)")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "list":
+        from flink_template_spark import plans
+
+        for name in sorted(plans.QUERIES):
+            mark = "*" if name in plans.ORACLES else " "
+            print(f"{mark} {name}")
+        return 0
+
+    if args.cmd == "query":
+        from flink_template_spark import plans
+
+        if args.name not in plans.QUERIES:
+            print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+            return 2
+        spark = _spark(args)
+        df = plans.QUERIES[args.name](spark, args.sf_dir)
+        if args.explain:
+            df.explain("formatted")
+        df.show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "sql":
+        from flink_template_spark.sql import run_sql
+
+        spark = _spark(args)
+        run_sql(spark, args.sf_dir, args.stmt).show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "trip-pipeline":
+        from flink_template_spark.app import run_trip_pipeline
+
+        spark = _spark(args)
+        query = run_trip_pipeline(
+            spark, source_path=args.source, checkpoint_dir=args.checkpoint
+        )
+        query.awaitTermination(args.timeout)
+        if args.timeout is not None:
+            query.stop()
+        return 0
+
+    return 2  # pragma: no cover
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main())
