@@ -74,6 +74,11 @@ def main() -> None:
         n_events = n_trips * ept
     else:
         n_events = write_scaled_fixture(fx, n_trips=n_trips, events_per_trip=ept)
+    # warm the JSON-scan schema + codegen path like the headline warm-up,
+    # so the reported rate is steady-state, not first-run compilation
+    aggregate_trips(read_trip_events_json(spark, fx)).write.format("noop").mode(
+        "overwrite"
+    ).save()
     t0 = time.perf_counter()
     aggregate_trips(read_trip_events_json(spark, fx)).write.format("noop").mode(
         "overwrite"

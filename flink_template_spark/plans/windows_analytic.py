@@ -347,3 +347,42 @@ def q_global_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_linenumber", "qty", "rn", "rnk", "drnk")
         .orderBy("rn")
     )
+
+
+@register(
+    "q_lateral_topk_nations",
+    oracle="""
+SELECT n_name, s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+FROM nation,
+LATERAL (
+  SELECT s_suppkey, s_name, s_acctbal
+  FROM supplier
+  WHERE s_nationkey = n_nationkey
+  ORDER BY s_acctbal DESC, s_suppkey
+  LIMIT 2
+) top_s
+ORDER BY n_name, s_acctbal DESC, s_suppkey
+""",
+)
+def q_lateral_topk_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL derived table (top-2 suppliers per nation),
+    expressed as SQL text through Catalyst — which decorrelates it to
+    the same partitioned-window top-k physical plan as the DataFrame
+    formulation (no per-nation re-scan of supplier)."""
+    from flink_template_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT n_name, s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+FROM nation,
+LATERAL (
+  SELECT s_suppkey, s_name, s_acctbal
+  FROM supplier
+  WHERE s_nationkey = n_nationkey
+  ORDER BY s_acctbal DESC, s_suppkey
+  LIMIT 2
+) top_s
+ORDER BY n_name, s_acctbal DESC, s_suppkey
+"""
+    )
