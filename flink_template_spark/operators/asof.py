@@ -29,10 +29,24 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     payload_cols: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: every left row + latest right payload at or before
-    its timestamp. Right side must be unique per (key, right_ts)."""
-    l_marked = left.withColumn("__side", F.lit(1)).withColumn(
+    """Left as-of join: every left row + the right payload nearest its
+    timestamp. ``direction="backward"`` (default) attaches the latest
+    right row with right.ts <= left.ts; ``"forward"`` attaches the
+    earliest right row with right.ts >= left.ts (the pandas
+    ``merge_asof`` pair). Right side must be unique per (key, right_ts).
+
+    Both directions are the same one-shuffle sort-merge: only the sort
+    tiebreak (which side wins at equal ts) and the carry direction
+    (last-over-preceding vs first-over-following) flip."""
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    # at equal ts the right row must be visible to the left row in both
+    # directions: backward scans preceding (right sorts first), forward
+    # scans following (left sorts first).
+    left_mark, right_mark = (1, 0) if direction == "backward" else (0, 1)
+    l_marked = left.withColumn("__side", F.lit(left_mark)).withColumn(
         "__ts", F.col(left_ts)
     )
     r_marked = (
@@ -41,7 +55,7 @@ def asof_join(
             F.col(right_ts).alias("__ts"),
             *[F.col(c) for c in payload_cols],
         )
-        .withColumn("__side", F.lit(0))
+        .withColumn("__side", F.lit(right_mark))
     )
     # align schemas for the union
     for c in l_marked.columns:
@@ -54,23 +68,21 @@ def asof_join(
         r_marked.select(*sorted(r_marked.columns))
     )
 
-    # right rows sort before left rows at equal ts (side 0 < 1) so a right
-    # row at exactly left.ts is visible to that left row (<= semantics).
-    w = (
-        W.partitionBy(key)
-        .orderBy("__ts", "__side")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    w_base = W.partitionBy(key).orderBy("__ts", "__side")
+    if direction == "backward":
+        w = w_base.rowsBetween(W.unboundedPreceding, W.currentRow)
+        carry = lambda c: F.last(  # noqa: E731
+            F.when(F.col("__side") == right_mark, F.col(c)), ignorenulls=True
+        ).over(w)
+    else:
+        w = w_base.rowsBetween(W.currentRow, W.unboundedFollowing)
+        carry = lambda c: F.first(  # noqa: E731
+            F.when(F.col("__side") == right_mark, F.col(c)), ignorenulls=True
+        ).over(w)
     filled = unioned.select(
-        "*",
-        *[
-            F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True)
-            .over(w)
-            .alias(f"__asof_{c}")
-            for c in payload_cols
-        ],
+        "*", *[carry(c).alias(f"__asof_{c}") for c in payload_cols]
     )
     out_cols = [c for c in left.columns] + [
         F.col(f"__asof_{c}").alias(c) for c in payload_cols
     ]
-    return filled.filter(F.col("__side") == 1).select(*out_cols)
+    return filled.filter(F.col("__side") == left_mark).select(*out_cols)

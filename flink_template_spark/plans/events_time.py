@@ -405,3 +405,62 @@ def q_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("purchase_id", "user_id").agg(
         F.count("v_id").alias("n_views_1h")
     )
+
+
+@register(
+    "q_asof_next_order_per_event",
+    oracle="""
+WITH order_snap AS (
+  SELECT
+    o_custkey,
+    o_orderdate,
+    arg_max(o_orderkey, o_orderkey) AS o_orderkey,
+    CAST(arg_max(o_totalprice, o_orderkey) AS DOUBLE) AS o_totalprice
+  FROM orders
+  GROUP BY o_custkey, o_orderdate
+),
+nxt AS (
+  SELECT
+    e.event_id,
+    arg_min(s.o_orderkey, s.o_orderdate) AS next_orderkey,
+    arg_min(s.o_totalprice, s.o_orderdate) AS next_totalprice
+  FROM events e
+  JOIN order_snap s
+    ON e.user_id = s.o_custkey AND s.o_orderdate >= CAST(e.ts AS TIMESTAMP)
+  GROUP BY e.event_id
+)
+SELECT
+  e.event_id,
+  e.user_id,
+  CAST(e.ts AS TIMESTAMP) AS ts,
+  n.next_orderkey,
+  n.next_totalprice
+FROM events e LEFT JOIN nxt n ON e.event_id = n.event_id
+""",
+)
+def q_asof_next_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each event + the customer's NEXT order at or after
+    it (lead-time attribution). The oracle is the quadratic
+    join+argmin; the engine's plan is the same one-shuffle sort-merge
+    as backward as-of with the carry direction flipped."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max_by("o_orderkey", "o_orderkey").alias("next_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey")
+            .cast("double")
+            .alias("next_totalprice"),
+        )
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    return asof_join(
+        events,
+        orders,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["next_orderkey", "next_totalprice"],
+        direction="forward",
+    )
