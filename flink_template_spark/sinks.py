@@ -202,3 +202,30 @@ def write_bucketed_table(
         .mode(mode)
         .saveAsTable(table)
     )
+
+
+def write_clustered_parquet(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    n_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet layout for data skipping: rows are
+    range-partitioned and sorted on ``cluster_by``, so each output file
+    covers a DISJOINT range of the cluster key and its parquet footer
+    min/max stats become selective — a point/range filter on the key
+    prunes all but a few files (row-group stats pushdown), without hive
+    partition directories and their small-file/ high-cardinality limits.
+
+    This is the plain-parquet equivalent of lakehouse OPTIMIZE/cluster-
+    by maintenance for the leading-key case; at 100 TB it is the
+    difference between scanning every file and scanning the one file a
+    key range lives in. Disjointness is machine-verified from the
+    written footers in tests (not assumed)."""
+    (
+        df.repartitionByRange(n_files, *[F.col(c) for c in cluster_by])
+        .sortWithinPartitions(*cluster_by)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -236,3 +236,36 @@ def test_read_json_audit_captures_corrupt(spark, tmp_path):
     assert bad.count() == 1
     assert "broken" in bad.first()._corrupt_record
     df.unpersist()
+
+
+def test_clustered_parquet_files_have_disjoint_ranges(spark, sf_dir, tmp_path):
+    """write_clustered_parquet produces files whose parquet-footer
+    min/max ranges on the cluster key do not overlap — the property
+    that makes stats-based data skipping effective."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from flink_template_spark.sinks import write_clustered_parquet
+    from flink_template_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "clustered")
+    write_clustered_parquet(orders, out, cluster_by=["o_custkey"], n_files=8)
+
+    ranges = []
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["o_custkey"]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 2  # actually split into multiple files
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges ({lo1},{hi1}) vs ({lo2},{hi2})"
+    # round-trip completeness
+    assert spark.read.parquet(out).count() == orders.count()
