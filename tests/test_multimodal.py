@@ -54,3 +54,18 @@ def test_extract_features_end_to_end(spark, sf_dir):
     a3 = assets.filter("asset_id = 3").first()
     r3 = [r for r in out if r.asset_id == 3][0]
     assert np.allclose(r3.features, fake_decode(bytes(a3.payload)))
+
+
+def test_feature_extraction_arrow_parity(spark, sf_dir):
+    """mapInArrow and mapInPandas feature extraction agree row-for-row."""
+    from flink_template_spark.multimodal.assets import load_assets
+    from flink_template_spark.multimodal.features import (
+        extract_features,
+        extract_features_arrow,
+    )
+
+    assets = load_assets(spark, sf_dir).limit(200)
+    a = extract_features(assets)
+    b = extract_features_arrow(assets)
+    assert a.schema == b.schema
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
