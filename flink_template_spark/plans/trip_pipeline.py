@@ -36,3 +36,18 @@ def _fixture_path() -> str:
 def q_trip_pipeline_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = read_trip_events_json(spark, _fixture_path())
     return aggregate_trips(parsed).orderBy("trip_id")
+
+
+@register("q_trip_pipeline_datasource")
+def q_trip_pipeline_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same flagship pipeline fed by the custom ``tripjson`` Python Data
+    Source (sources/trip_datasource.py) instead of the text reader —
+    proves the Kafka-shaped source contract end-to-end. Rows-only for the
+    same reason as q_trip_pipeline_json; parity between the two input
+    paths is pinned by tests/test_trip_datasource.py."""
+    from flink_template_spark.sources.trip_datasource import (
+        read_trip_events_datasource,
+    )
+
+    parsed = read_trip_events_datasource(spark, _fixture_path(), num_partitions=4)
+    return aggregate_trips(parsed).orderBy("trip_id")
