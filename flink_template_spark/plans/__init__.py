@@ -16,6 +16,7 @@ from flink_template_spark.plans import subqueries  # noqa: F401
 from flink_template_spark.plans import multimodal  # noqa: F401
 from flink_template_spark.plans import functions_ext  # noqa: F401
 from flink_template_spark.plans import datapipe  # noqa: F401
+from flink_template_spark.plans import variant  # noqa: F401
 
 QUERIES = registry.QUERIES
 ORACLES = registry.ORACLES
