@@ -685,3 +685,56 @@ def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_name")
     )
+
+
+@register(
+    "q_bloom_pruned_join",
+    oracle="""
+SELECT l_returnflag,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+       AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective fact⋈build semi join through operators.bloom: the fact
+    (lineitem) is pre-pruned by a broadcast Bloom bitmap built
+    distributively from the qualifying order keys, THEN exact-semi-joined
+    — so only ~fpp of non-matching rows reach the shuffle. Bloom filters
+    have no false negatives, making the result oracle-identical to the
+    plain IN-subquery: pruning changes the shuffle volume, never the
+    answer (the explicit dual of Spark's runtime row-level filtering)."""
+    from flink_template_spark.operators.bloom import bloom_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
+        ).alias("disc_price"),
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000))
+        .select("o_orderkey")
+    )
+    pruned = bloom_semi_join(
+        li, urgent, "l_orderkey", "o_orderkey", expected_items=20000
+    )
+    return (
+        pruned.groupBy("l_returnflag")
+        .agg(
+            F.sum("disc_price").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )
