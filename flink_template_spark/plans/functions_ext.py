@@ -414,3 +414,38 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("label_a")
     )
+
+
+@register(
+    "q_weighted_avg_pandas",
+    oracle="""
+SELECT
+  l_returnflag,
+  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+    / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100.0 AS w_avg_price,
+  COUNT(*) AS n_lines
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q_weighted_avg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted mean price via the grouped-agg pandas UDF tier
+    (functions.udaf) — the escape hatch for aggregates Spark's built-ins
+    can't express, exercised with fixed-point accumulation so the Arrow
+    path still hash-matches the decimal oracle exactly."""
+    from flink_template_spark.functions.udaf import count_rows, weighted_mean_cents
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            weighted_mean_cents("price_cents", "qty").alias("w_avg_price"),
+            count_rows("qty").alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )
