@@ -276,3 +276,50 @@ def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "shard", "pos")
         .orderBy("shard", "pos")
     )
+
+
+@register(
+    "q_weighted_sample",
+    oracle=f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE ({md5int_duckdb("'w' || CAST(doc_id AS VARCHAR)")} % 1000) < n_chars
+""",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Bernoulli sampling: keep probability ∝ n_chars (longer
+    docs over-sampled, the standard quality/length-weighted corpus
+    mixing step). Membership = pure integer comparison on the portable
+    record hash — exactly reproducible across engines and backfills,
+    and embarrassingly parallel (a map-side filter, no shuffle at any
+    scale). Salting the hash input ('w' prefix) decorrelates this
+    sampler from the train/test splitter that hashes the same ids."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.expr(md5int_spark("'w' || CAST(doc_id AS STRING)")) % 1000
+    return docs.filter(u < F.col("n_chars")).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "q_consistent_sample_topk",
+    oracle=f"""
+SELECT event_id, user_id, event_type
+FROM events
+ORDER BY {md5int_duckdb("CAST(event_id AS VARCHAR)")}, event_id
+LIMIT 500
+""",
+)
+def q_consistent_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample as a deterministic hash-order top-k
+    (the distributed stand-in for reservoir sampling: same marginal
+    distribution, but a pure function of the data). Spark executes
+    ORDER BY hash LIMIT k as TakeOrderedAndProject — per-partition
+    heaps, no global sort — so it holds at any scale. Growing the
+    dataset only ever *replaces* sample members (consistent sampling),
+    which keeps downstream eval sets stable across snapshots."""
+    events = load_table(spark, sf_dir, "events")
+    h = F.expr(md5int_spark("CAST(event_id AS STRING)"))
+    return (
+        events.orderBy(h, "event_id")
+        .select("event_id", "user_id", "event_type")
+        .limit(500)
+    )
