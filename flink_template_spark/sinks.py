@@ -229,3 +229,68 @@ def write_clustered_parquet(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def zorder_value(cols: list[str], mins: dict, maxs: dict, bits: int = 12):
+    """Morton (Z-order) key as a pure Column expression: each column is
+    equal-width bucketed to ``bits`` levels from its (min, max), then
+    the bucket bits are interleaved. All shifts are literal, so the
+    whole key stays in codegen."""
+    n_levels = (1 << bits) - 1
+    bucketed = []
+    for c in cols:
+        lo, hi = float(mins[c]), float(maxs[c])
+        span = (hi - lo) or 1.0
+        b = F.least(
+            F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * n_levels),
+            F.lit(n_levels),
+        ).cast("long")
+        bucketed.append(F.greatest(b, F.lit(0).cast("long")))
+    z = F.lit(0).cast("long")
+    for bit in range(bits):
+        for i, b in enumerate(bucketed):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(b, bit).bitwiseAND(F.lit(1).cast("long")),
+                    bit * len(cols) + i,
+                )
+            )
+    return z
+
+
+def write_zorder_parquet(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    n_files: int = 32,
+    bits: int = 12,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet: the multi-dimensional extension of
+    ``write_clustered_parquet``. Range clustering makes footer stats
+    selective on ONE leading key; interleaving the bits of several keys
+    makes every clustered dimension's min/max narrow in every file, so
+    filters on ANY of the dimensions (not just the leading one) prune
+    files — the standard lakehouse OPTIMIZE ZORDER layout, on plain
+    parquet.
+
+    Column min/max for bucketing come from one tiny agg job (2×|cols|
+    scalars to the driver). Equal-width bucketing is deliberate: it
+    needs no quantile sketch and the interleave only has to spread
+    values, not balance them — file sizing is handled by the range
+    partitioner on the z-key, which IS equi-depth."""
+    stats = df.agg(
+        *[F.min(c).alias(f"min_{c}") for c in cluster_by],
+        *[F.max(c).alias(f"max_{c}") for c in cluster_by],
+    ).first()
+    mins = {c: stats[f"min_{c}"] for c in cluster_by}
+    maxs = {c: stats[f"max_{c}"] for c in cluster_by}
+    z = zorder_value(cluster_by, mins, maxs, bits=bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -269,3 +269,48 @@ def test_clustered_parquet_files_have_disjoint_ranges(spark, sf_dir, tmp_path):
         assert hi1 <= lo2, f"overlapping file ranges ({lo1},{hi1}) vs ({lo2},{hi2})"
     # round-trip completeness
     assert spark.read.parquet(out).count() == orders.count()
+
+
+def test_zorder_parquet_skips_on_both_dimensions(spark, sf_dir, tmp_path):
+    """write_zorder_parquet: footer min/max stay narrow on EVERY
+    clustered dimension, so a thin filter on either one prunes most
+    files (range clustering can only do this for the leading key)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from flink_template_spark.sinks import write_zorder_parquet
+    from flink_template_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "zorder")
+    write_zorder_parquet(
+        orders, out, cluster_by=["o_custkey", "o_totalprice"], n_files=16
+    )
+
+    spans = {"o_custkey": [], "o_totalprice": []}
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) >= 8
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for col in spans:
+            st = [
+                md.row_group(rg).column(idx[col]).statistics
+                for rg in range(md.num_row_groups)
+            ]
+            spans[col].append((min(s.min for s in st), max(s.max for s in st)))
+
+    # For a slice covering 1/8 of each dimension's domain, most files'
+    # [min,max] must not overlap it. Z-ordering gives ~sqrt locality per
+    # dim; require at least half the files pruned on each dimension.
+    for col, file_spans in spans.items():
+        lo = min(s[0] for s in file_spans)
+        hi = max(s[1] for s in file_spans)
+        w = (hi - lo) / 8
+        q_lo, q_hi = lo + 3 * w, lo + 4 * w
+        overlapping = sum(1 for a, b in file_spans if not (b < q_lo or a > q_hi))
+        assert overlapping <= len(file_spans) // 2, (
+            f"{col}: {overlapping}/{len(file_spans)} files overlap a 1/8 slice"
+        )
+    assert spark.read.parquet(out).count() == orders.count()
