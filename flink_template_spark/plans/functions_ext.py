@@ -449,3 +449,33 @@ def q_weighted_avg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register("q_hll_mergeable_rollup")
+def q_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct counting via datasketches HLL
+    (hll_sketch_agg / hll_union_agg / hll_sketch_estimate): build one
+    tiny sketch per (day, event_type) cell, then merge the *sketches* —
+    not the data — up to per-type totals. This is the pattern that
+    matters at 100 TB: materialize per-bucket sketches once, answer any
+    coarser distinct-count rollup by unioning kilobytes, never
+    re-scanning rows (approx_count_distinct alone can't be re-rolled
+    from saved results). Rows-only check: estimates have no exact SQL
+    dual; the error bound vs exact COUNT(DISTINCT) is pinned in
+    tests/test_sketches.py."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(
+            F.to_date("ts").alias("day"),
+            "event_type",
+        )
+        .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_daily_sketches"),
+        )
+        .orderBy("event_type")
+    )

@@ -40,3 +40,27 @@ def test_lsh_near_dup_recall(spark, sf_dir):
     if exact:
         recall = len(lsh) / len(exact)
         assert recall >= 0.4, f"LSH recall {recall:.2f} below floor"
+
+
+def test_hll_mergeable_rollup_matches_exact(spark, sf_dir):
+    """Union of per-day sketches ≈ exact distinct per type: merging
+    sketches must not degrade the estimate beyond HLL's rsd bound."""
+    from pyspark.sql import functions as F
+
+    from flink_template_spark import plans
+    from flink_template_spark.tables import load_table
+
+    rows = plans.QUERIES["q_hll_mergeable_rollup"](spark, sf_dir).collect()
+    exact = {
+        r.event_type: r.exact
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert rows
+    for r in rows:
+        assert r.n_daily_sketches > 1  # genuinely merged, not one bucket
+        assert abs(r.approx_users - exact[r.event_type]) <= max(
+            3, 0.05 * exact[r.event_type]
+        )
