@@ -19,3 +19,50 @@ def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     and run ``query``; most oracle SQL runs verbatim here too."""
     register_views(spark, sf_dir)
     return spark.sql(query)
+
+
+def register_sql_functions(spark: SparkSession) -> None:
+    """Expose the engine's scalar catalog to the SQL surface as Spark 4
+    SQL UDFs (``CREATE TEMPORARY FUNCTION … RETURN <expr>``).
+
+    SQL UDFs are inlined into the calling plan as plain Catalyst
+    expressions — they constant-fold, stay inside whole-stage codegen,
+    and cost nothing at 100 TB (unlike ``spark.udf.register`` Python
+    UDFs, which would drop every call out of the JVM). Functions:
+
+    - ``haversine_km(lat1, lon1, lat2, lon2)`` — standard great-circle
+      km (functions.geo.haversine_km; the reference's F2,
+      TripAggregatorApplication.kt:31-51, with quirk Q6 fixed);
+    - ``haversine_km_ref(lat1, lon1, lat2, lon2)`` — the reference's
+      bug-compat variant (cos on longitudes, quirk Q6) for result
+      parity checks;
+    - ``token_count_ws(text)`` — whitespace token count
+      (functions.text);
+    - ``md5_bucket(key, n)`` — the engine's portable deterministic
+      hash bucket (functions.hashing.md5int), the primitive behind
+      splits/sampling/shards, so SQL users shard identically.
+    """
+    from flink_template_spark.functions.geo import EARTH_RADIUS_KM
+
+    spark.sql(f"""
+CREATE OR REPLACE TEMPORARY FUNCTION haversine_km(
+  lat1 DOUBLE, lon1 DOUBLE, lat2 DOUBLE, lon2 DOUBLE) RETURNS DOUBLE
+RETURN 2 * {EARTH_RADIUS_KM} * asin(sqrt(
+  pow(sin(radians(lat2 - lat1) / 2), 2) +
+  cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(radians(lon2 - lon1) / 2), 2)))
+""")
+    spark.sql(f"""
+CREATE OR REPLACE TEMPORARY FUNCTION haversine_km_ref(
+  lat1 DOUBLE, lon1 DOUBLE, lat2 DOUBLE, lon2 DOUBLE) RETURNS DOUBLE
+RETURN 2 * {EARTH_RADIUS_KM} * asin(sqrt(
+  pow(sin(radians(lon2 - lon1) / 2), 2) +
+  cos(radians(lon1)) * cos(radians(lon2)) * pow(sin(radians(lat2 - lat1) / 2), 2)))
+""")
+    spark.sql("""
+CREATE OR REPLACE TEMPORARY FUNCTION token_count_ws(text STRING) RETURNS BIGINT
+RETURN CAST(size(split(text, ' ')) AS BIGINT)
+""")
+    spark.sql("""
+CREATE OR REPLACE TEMPORARY FUNCTION md5_bucket(key STRING, n INT) RETURNS BIGINT
+RETURN CAST(conv(substr(md5(key), 1, 8), 16, 10) AS BIGINT) % n
+""")

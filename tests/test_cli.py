@@ -16,3 +16,65 @@ def test_cli_list(capsys):
 def test_cli_unknown_query_errors(capsys):
     assert main(["query", "no_such_query"]) == 2
     assert "unknown query" in capsys.readouterr().err
+
+
+def test_sql_udfs_inline_and_match_column_api(spark, sf_dir):
+    """register_sql_functions: SQL UDF calls equal the Column-API duals
+    and inline as pure expressions (no Python eval in the plan)."""
+    from pyspark.sql import functions as F
+
+    from flink_template_spark.functions.geo import haversine_km
+    from flink_template_spark.functions.text import token_count_ws
+    from flink_template_spark.sql import register_sql_functions, run_sql
+
+    register_sql_functions(spark)
+    via_sql = run_sql(
+        spark,
+        sf_dir,
+        """SELECT doc_id, token_count_ws(text) AS n_tok,
+                  md5_bucket(CAST(doc_id AS STRING), 100) AS bucket
+           FROM documents ORDER BY doc_id LIMIT 50""",
+    )
+    from flink_template_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    via_col = (
+        docs.select(
+            "doc_id",
+            token_count_ws(F.col("text")).alias("n_tok"),
+            (
+                F.expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+                % 100
+            ).alias("bucket"),
+        )
+        .orderBy("doc_id")
+        .limit(50)
+    )
+    assert [tuple(r) for r in via_sql.collect()] == [tuple(r) for r in via_col.collect()]
+
+    plan = via_sql._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    d = spark.sql("SELECT haversine_km(19.4, -99.1, 19.5, -99.2) AS d").first().d
+    d2 = (
+        spark.range(1)
+        .select(haversine_km(F.lit(19.4), F.lit(-99.1), F.lit(19.5), F.lit(-99.2)).alias("d"))
+        .first()
+        .d
+    )
+    assert abs(d - d2) < 1e-9
+    # bug-compat variant equals its Column-API dual (quirk Q6 preserved)
+    from flink_template_spark.functions.geo import haversine_km_bug_compat
+
+    dref = spark.sql("SELECT haversine_km_ref(19.4, -99.1, 19.5, -99.2) AS d").first().d
+    dref2 = (
+        spark.range(1)
+        .select(
+            haversine_km_bug_compat(
+                F.lit(19.4), F.lit(-99.1), F.lit(19.5), F.lit(-99.2)
+            ).alias("d")
+        )
+        .first()
+        .d
+    )
+    assert abs(dref - dref2) < 1e-9 and abs(dref - d) > 0.1  # and differs from fixed

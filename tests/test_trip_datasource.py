@@ -114,3 +114,39 @@ def test_stream_picks_up_appended_lines(spark, tmp_path):
         q.stop()
     offs = [r.offset for r in spark.sql("SELECT offset FROM tripds_grow").collect()]
     assert sorted(offs) == list(range(len(lines)))  # no gaps, no re-reads
+
+
+def test_stream_sessionization_over_datasource(spark, tmp_path):
+    """The flagship stateful pipeline (parse → applyInPandasWithState
+    sessionization) runs unchanged on the custom source — the Kafka-
+    shaped contract is sufficient for the reference's whole topology."""
+    from flink_template_spark.streaming.trip_sessions import sessionize_trips
+
+    p = tmp_path / "events.jsonl"
+    write_fixture(str(p))
+
+    parsed = read_trip_events_datasource_stream(spark, str(p), num_partitions=2)
+    out = sessionize_trips(parsed)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tripds_sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt_s"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        rows = {}
+        while time.time() < deadline:
+            rows = {
+                r.trip_id: r
+                for r in spark.sql("SELECT * FROM tripds_sessions").collect()
+            }
+            if len(rows) >= 3:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].total_s == 55 and rows[1].stopped_s == 20
+    assert rows[2].vehicle_id == "VIN00002"
