@@ -23,6 +23,7 @@ any PEP-249 driver with ON CONFLICT support (e.g. psycopg2) drops in.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
@@ -294,3 +295,42 @@ def write_zorder_parquet(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    cluster_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ~``target_file_bytes`` files, optionally re-clustering on the way.
+
+    Streaming sinks and fine-grained ingestion leave thousands of tiny
+    files; at 100 TB the resulting scan-planning and open() overhead
+    dominates query time, so periodic bin-packing is standard lakehouse
+    maintenance (OPTIMIZE). File count = ceil(input_bytes / target) from
+    actual on-disk size (one cheap metadata pass, no data read);
+    coalesce() avoids a shuffle when only merging, repartitionByRange
+    re-clusters when ``cluster_by`` is given. Writes to ``dst`` —
+    atomic swap is the caller's rename, mirroring compact_rollup's
+    write-then-delete ordering. Returns the target file count."""
+    import glob as _glob
+
+    total = sum(
+        os.path.getsize(f)
+        for f in _glob.glob(os.path.join(src, "**", "*.parquet"), recursive=True)
+    )
+    n_files = max(1, (total + target_file_bytes - 1) // target_file_bytes)
+    df = spark.read.parquet(src)
+    if cluster_by:
+        (
+            df.repartitionByRange(n_files, *[F.col(c) for c in cluster_by])
+            .sortWithinPartitions(*cluster_by)
+            .write.mode("overwrite")
+            .parquet(dst)
+        )
+    else:
+        df.coalesce(n_files).write.mode("overwrite").parquet(dst)
+    return int(n_files)

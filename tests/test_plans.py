@@ -157,3 +157,49 @@ def test_global_rank_matches_naive_window(spark, sf):
         cols = ["id", "k", "rn", "rnk", "drnk"]
         diff = fast.select(cols).exceptAll(naive.select(cols))
         assert diff.count() == 0, f"seed {seed} mismatch"
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """Catalyst's runtime row-level filtering injects a bloom_filter_agg
+    / might_contain pair into a selective shuffle join once thresholds
+    allow — the automatic counterpart of operators.bloom. Locally the
+    10 MB creation-side threshold never trips, so this pins the conf
+    knobs a 100 TB deployment relies on, then restores them."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        # shuffle join (runtime filters don't apply to broadcast probe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .filter("o_orderpriority = '1-URGENT'")
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -314,3 +314,43 @@ def test_zorder_parquet_skips_on_both_dimensions(spark, sf_dir, tmp_path):
             f"{col}: {overlapping}/{len(file_spans)} files overlap a 1/8 slice"
         )
     assert spark.read.parquet(out).count() == orders.count()
+
+
+def test_compact_parquet_bin_packs_small_files(spark, sf_dir, tmp_path):
+    """compact_parquet merges a many-small-files directory down to the
+    byte-target file count without losing rows; with cluster_by it also
+    restores disjoint footer ranges."""
+    import glob
+
+    from flink_template_spark.sinks import compact_parquet
+    from flink_template_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    frag = str(tmp_path / "fragmented")
+    orders.repartition(64).write.parquet(frag)  # simulate tiny-file ingest
+    assert len(glob.glob(frag + "/*.parquet")) == 64
+
+    out = str(tmp_path / "compacted")
+    total = sum(
+        __import__("os").path.getsize(f) for f in glob.glob(frag + "/*.parquet")
+    )
+    n = compact_parquet(spark, frag, out, target_file_bytes=total // 3)
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) == n <= 5
+    assert spark.read.parquet(out).count() == orders.count()
+
+    out2 = str(tmp_path / "compacted_clustered")
+    compact_parquet(
+        spark, frag, out2, target_file_bytes=total // 3, cluster_by=["o_orderkey"]
+    )
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in glob.glob(out2 + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["o_orderkey"]
+        st = [md.row_group(g).column(idx).statistics for g in range(md.num_row_groups)]
+        ranges.append((min(s.min for s in st), max(s.max for s in st)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
