@@ -70,9 +70,10 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "sql":
-        from flink_template_spark.sql import run_sql
+        from flink_template_spark.sql import register_sql_functions, run_sql
 
         spark = _spark(args)
+        register_sql_functions(spark)
         run_sql(spark, args.sf_dir, args.stmt).show(args.limit, truncate=False)
         return 0
 
