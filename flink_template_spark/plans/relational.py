@@ -738,3 +738,183 @@ def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q_full_outer_join",
+    oracle="""
+SELECT
+  n.n_name AS nation,
+  COALESCE(c.n_cust, 0) AS n_cust,
+  COALESCE(s.n_supp, 0) AS n_supp
+FROM nation n
+FULL OUTER JOIN (
+  SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey
+) c ON n.n_nationkey = c.c_nationkey
+FULL OUTER JOIN (
+  SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey
+) s ON n.n_nationkey = s.s_nationkey
+ORDER BY nation
+""",
+)
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer joins preserving unmatched rows from both sides.
+
+    Scale note: full outer can't broadcast (both sides must surface
+    unmatched rows), so Spark plans a shuffle sort-merge join — correct;
+    the shuffled payload here is pre-aggregated to one row per nation
+    key before the join, which is the pattern that keeps full outers
+    cheap at 100 TB (reduce THEN join)."""
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        nation.join(cust, nation.n_nationkey == cust.c_nationkey, "full_outer")
+        .join(supp, nation.n_nationkey == supp.s_nationkey, "full_outer")
+        .select(
+            F.col("n_name").alias("nation"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "q_cross_join_calendar",
+    oracle="""
+SELECT r_name, q AS quarter, COUNT(o_orderkey) AS n_orders
+FROM region
+CROSS JOIN (SELECT UNNEST([1, 2, 3, 4]) AS q) quarters
+LEFT JOIN (
+  SELECT o_orderkey, n_regionkey,
+         CAST(CEIL(EXTRACT(month FROM o_orderdate) / 3.0) AS INT) AS oq
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+) o ON o.oq = quarters.q AND o.n_regionkey = region.r_regionkey
+GROUP BY r_name, q
+ORDER BY r_name, q
+""",
+)
+def q_cross_join_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join: region × generated quarter spine (the
+    dimension-scaffold pattern — every (region, quarter) cell appears
+    even with zero orders). The cross join is tiny×tiny (5×4); the
+    fact side then left-joins onto the spine. Cartesian products of
+    scale-growing inputs stay forbidden (pinned by the no-cartesian
+    plan tests); spines are the legitimate use."""
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    quarters = spark.range(1, 5).select(F.col("id").cast("int").alias("quarter"))
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "o_orderkey",
+            "n_regionkey",
+            F.ceil(F.month("o_orderdate") / 3.0).cast("int").alias("oq"),
+        )
+    )
+    spine = region.crossJoin(quarters)
+    return (
+        spine.join(
+            orders,
+            (F.col("oq") == F.col("quarter"))
+            & (orders.n_regionkey == spine.r_regionkey),
+            "left",
+        )
+        .groupBy("r_name", "quarter")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("r_name", "quarter")
+    )
+
+
+@register(
+    "q_setops_all_variants",
+    oracle="""
+SELECT nationkey, COUNT(*) AS n FROM (
+  SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 0
+  INTERSECT ALL
+  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+) GROUP BY nationkey
+UNION ALL
+SELECT -1 AS nationkey, COUNT(*) AS n FROM (
+  SELECT c_nationkey FROM customer
+  EXCEPT ALL
+  SELECT c_nationkey FROM customer WHERE c_acctbal > 0
+)
+""",
+)
+def q_setops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set ops (INTERSECT ALL / EXCEPT ALL): bag semantics with
+    per-row multiplicity, not the distinct variants — both are one
+    shuffle on the full row as key with counted multiplicities."""
+    cust = load_table(spark, sf_dir, "customer")
+    pos = cust.filter(F.col("c_acctbal") > 0).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    inter = (
+        pos.intersectAll(building)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    exc = (
+        cust.select(F.col("c_nationkey").alias("nationkey"))
+        .exceptAll(pos)
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit(-1).alias("nationkey"), "n")
+    )
+    return inter.unionAll(exc)
+
+
+@register(
+    "q_unpivot_balances",
+    oracle="""
+SELECT n_name, metric, CAST(val AS DOUBLE) AS val FROM (
+  SELECT
+    n_name,
+    CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS total_bal,
+    CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
+    CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+) UNPIVOT (val FOR metric IN (total_bal, min_bal, max_bal))
+ORDER BY n_name, metric
+""",
+)
+def q_unpivot_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long): the inverse of q_pivot_status_by_flag,
+    via DataFrame.unpivot — a row-local expand, no shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    wide = (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("c_acctbal").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("total_bal"),
+            F.min("c_acctbal").cast("double").alias("min_bal"),
+            F.max("c_acctbal").cast("double").alias("max_bal"),
+        )
+    )
+    return wide.unpivot(
+        ["n_name"], ["total_bal", "min_bal", "max_bal"], "metric", "val"
+    ).orderBy("n_name", "metric")
