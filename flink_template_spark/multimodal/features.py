@@ -111,3 +111,79 @@ def extract_features_arrow(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInArrow(run, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("n_frames", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def fake_resize(payload: bytes, src_w: int, src_h: int, dst_w: int, dst_h: int) -> bytes:
+    """Deterministic stand-in resize kernel: treat the payload as a
+    row-major src_h×src_w u8 raster (tiled/truncated to size) and
+    nearest-neighbor sample it to dst_h×dst_w. Platform-independent:
+    pure integer index math on the input bytes."""
+    need = src_w * src_h
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    raster = np.resize(arr if arr.size else np.zeros(1, np.uint8), need).reshape(
+        src_h, src_w
+    )
+    ys = (np.arange(dst_h) * src_h) // dst_h
+    xs = (np.arange(dst_w) * src_w) // dst_w
+    return raster[np.ix_(ys, xs)].tobytes()
+
+
+def resize_assets(assets: DataFrame, dst_w: int, dst_h: int) -> DataFrame:
+    """Image-asset resize over ``mapInPandas`` — same seam contract as
+    extract_features: the Spark plumbing (schema, Arrow batching, meta
+    rewrite, pass-through of non-image rows) is real; the pixel kernel
+    is ``fake_resize`` where PIL's ``Image.resize`` would slot in.
+
+    Non-image rows pass through untouched (payload and meta intact) so
+    the operator composes into a mixed-modality pipeline without a
+    prior split+union."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload, out_meta = [], []
+            for _, r in pdf.iterrows():
+                meta = dict(r["meta"]) if r["meta"] is not None else {}
+                if r["media_type"] == "image" and meta.get("width"):
+                    out_payload.append(
+                        fake_resize(
+                            bytes(r["payload"]),
+                            int(meta["width"]),
+                            int(meta["height"]),
+                            dst_w,
+                            dst_h,
+                        )
+                    )
+                    meta = {**meta, "width": dst_w, "height": dst_h}
+                else:
+                    out_payload.append(bytes(r["payload"]))
+                out_meta.append(meta)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].astype("int64"),
+                    "media_type": pdf["media_type"],
+                    "payload": out_payload,
+                    "meta": out_meta,
+                }
+            )
+
+    return assets.mapInPandas(run, RESIZE_SCHEMA)

@@ -192,3 +192,44 @@ def q_multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("features", 7), 6).alias("f6"),
         F.round(F.element_at("features", 8), 6).alias("f7"),
     ).orderBy("asset_id")
+
+
+@register(
+    "q_multimodal_resize",
+    oracle="""
+SELECT
+  doc_id AS asset_id,
+  CASE ((doc_id % 3) + 1) WHEN 1 THEN 'image' WHEN 2 THEN 'audio' ELSE 'video' END
+    AS media_type,
+  CASE WHEN ((doc_id % 3) + 1) = 1
+       THEN 512
+       ELSE octet_length(encode(text)) END AS n_bytes,
+  CASE WHEN ((doc_id % 3) + 1) = 1 THEN 32 ELSE NULL END AS width,
+  CASE WHEN ((doc_id % 3) + 1) = 1 THEN 16 ELSE NULL END AS height
+FROM documents
+WHERE doc_id < 200
+ORDER BY asset_id
+""",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pass through mapInPandas (multimodal.features.resize_assets):
+    images come back as 32×16 rasters with rewritten meta, other
+    modalities pass through. The oracle re-derives the observable
+    contract (payload size and meta rewrite per modality) in SQL; the
+    pixel-level kernel itself is value-pinned in tests/test_multimodal.py.
+
+    Note width/height are NULL for non-image rows here because video
+    meta passes through — the projection nulls them to keep the oracle
+    about the RESIZE contract, not the ingest fake."""
+    from flink_template_spark.multimodal.features import resize_assets
+
+    assets = load_assets(spark, sf_dir).filter(F.col("asset_id") < 200)
+    out = resize_assets(assets, 32, 16)
+    is_img = F.col("media_type") == "image"
+    return out.select(
+        "asset_id",
+        "media_type",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.when(is_img, F.col("meta.width")).alias("width"),
+        F.when(is_img, F.col("meta.height")).alias("height"),
+    ).orderBy("asset_id")
