@@ -203,3 +203,25 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """Joining a hive-partitioned fact against a filtered dim injects a
+    dynamicpruning PartitionFilter: only partitions matching the dim's
+    surviving keys are scanned — at 100 TB this is what turns a
+    date-dim filter into a fact-partition skip without the user
+    restating the predicate on the fact."""
+    from flink_template_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    p = str(tmp_path / "po")
+    orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(p)
+    fact = spark.read.parquet(p)
+    dim = spark.createDataFrame(
+        [("1-URGENT", "hot"), ("5-LOW", "cold")], ["prio", "klass"]
+    ).filter("klass = 'hot'")
+    j = fact.join(dim, fact.o_orderpriority == dim.prio).groupBy("klass").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    # and it actually prunes: only the URGENT partition's rows are read
+    assert j.first()["count"] == orders.filter("o_orderpriority = '1-URGENT'").count()
