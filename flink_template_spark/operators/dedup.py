@@ -83,19 +83,17 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_pairs(
+def minhash_band_index(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b, n_shared_bands ≥ 1).
+    """(id, band, band_key) rows — the LSH bucket index of a corpus.
 
-    Banding: signature split into LSH_BANDS bands of ROWS_PER_BAND; docs
-    sharing any full band land in the same bucket. The join is
-    per-(band, band_key) — this is what keeps it sub-quadratic at scale.
-    """
+    One pass over the signatures: every band as (band, band_key) rows
+    via posexplode — NOT one select per band unioned (that recomputes
+    the whole shingle→signature pipeline once per band). Persisted, this
+    is the membership index streaming ingest dedups against
+    (streaming.ingest_dedup)."""
     sigs = minhash_signatures(docs, id_col, text_col)
-    # one pass over the signatures: every band as (band, band_key) rows
-    # via posexplode — NOT one select per band unioned (that recomputes
-    # the whole shingle→signature pipeline once per band).
     band_keys = F.array(
         *[
             F.concat_ws(
@@ -108,9 +106,21 @@ def minhash_lsh_pairs(
             for b in range(LSH_BANDS)
         ]
     )
-    bands = sigs.select(
+    return sigs.select(
         F.col(id_col), F.posexplode(band_keys).alias("band", "band_key")
     )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b, n_shared_bands ≥ 1).
+
+    Banding: signature split into LSH_BANDS bands of ROWS_PER_BAND; docs
+    sharing any full band land in the same bucket. The join is
+    per-(band, band_key) — this is what keeps it sub-quadratic at scale.
+    """
+    bands = minhash_band_index(docs, id_col, text_col)
     # pairs from within-bucket combinations (collect ids per bucket,
     # expand i<j pairs) instead of a bucket self-join: the signature
     # pipeline is scanned once, and the quadratic blow-up stays bounded
