@@ -91,17 +91,28 @@ def _read_optional(spark: SparkSession, path: str) -> DataFrame | None:
         return None  # directory absent → treat as empty
 
 
-def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
+def read_rollup(
+    spark: SparkSession, rollup_dir: str, as_of_epoch: int | None = None
+) -> DataFrame:
     """Resolve the current rollup: base snapshot ∪ changelog, latest
     epoch per (bucket_start, event_type) wins. Base rows carry epoch -1
-    so any changelog row supersedes them."""
+    so any changelog row supersedes them.
+
+    ``as_of_epoch`` gives snapshot (time-travel) reads: only changelog
+    epochs ≤ it participate, reproducing the table as of that commit —
+    the changelog IS the history, so this costs a partition filter, not
+    a copy. (Epoch directories pruned by partition filter; only valid
+    before compaction folds them away.)"""
     parts = []
     base = _read_optional(spark, os.path.join(rollup_dir, "base"))
     if base is not None:
         parts.append(base.withColumn("epoch", F.lit(-1).cast("long")))
     log = _read_optional(spark, os.path.join(rollup_dir, "changelog"))
     if log is not None:
-        parts.append(log.withColumn("epoch", F.col("epoch").cast("long")))
+        log = log.withColumn("epoch", F.col("epoch").cast("long"))
+        if as_of_epoch is not None:
+            log = log.filter(F.col("epoch") <= as_of_epoch)
+        parts.append(log)
     if not parts:
         raise FileNotFoundError(f"no rollup data under {rollup_dir}")
     union = parts[0]

@@ -109,3 +109,32 @@ def test_incremental_update_supersedes_base(spark, tmp_path):
     }
     assert rows[(0, "view")] == (2, 7.0)  # superseded by the update epoch
     assert rows[(1, "view")] == (1, 3.0)  # untouched bucket from base
+
+
+def test_as_of_epoch_snapshot_read(spark, tmp_path):
+    """Time travel: reading the changelog as of an earlier epoch
+    reproduces the pre-update state of a bucket."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "a.jsonl").write_text(
+        _lines([{"ts": "2024-03-01T00:05:00", "event_type": "view", "value": 2.0}])
+    )
+    rollup_dir = tmp_path / "rollup"
+    _drain(spark, in_dir, rollup_dir, tmp_path / "ckpt")
+    epochs_before = sorted(
+        int(r.epoch)
+        for r in spark.read.parquet(str(rollup_dir / "changelog"))
+        .select("epoch")
+        .distinct()
+        .collect()
+    )
+
+    (in_dir / "b.jsonl").write_text(
+        _lines([{"ts": "2024-03-01T00:10:00", "event_type": "view", "value": 5.0}])
+    )
+    _drain(spark, in_dir, rollup_dir, tmp_path / "ckpt")
+
+    latest = read_rollup(spark, str(rollup_dir)).first()
+    assert (latest.n_events, latest.sum_value) == (2, 7.0)
+    asof = read_rollup(spark, str(rollup_dir), as_of_epoch=epochs_before[-1]).first()
+    assert (asof.n_events, asof.sum_value) == (1, 2.0)
