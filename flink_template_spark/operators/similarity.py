@@ -267,3 +267,79 @@ def ivf_topk(
         .orderBy(F.desc("cos_sim"), id_col)
         .limit(k)
     )
+
+
+def knn_join_exact(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact k-NN JOIN: top-k corpus neighbors for EVERY query row
+    (brute_force_topk is the single-query special case).
+
+    Output: (query_id, neighbor_id, cos_sim, rank). The query set is
+    broadcast, so the corpus is scanned once whatever |Q| is; per-query
+    top-k runs as a partitioned window (per-group heap, no global sort).
+    Scale: cost is |corpus|×|Q| similarity evaluations — right whenever
+    |Q| fits a broadcast (eval sets, probe batches); for corpus×corpus
+    scale use knn_join_ivf. Similarities rounded to 1e-6 with neighbor-
+    id tiebreak so rankings are reproducible across engines."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_join_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-NN JOIN through the IVF grid: both sides are
+    assigned to centroid cells (broadcast argmax), the join runs
+    per-cell, and top-k is a per-query window inside the matched cells.
+
+    This is the corpus×corpus scale path: per-cell joins are
+    sub-quadratic exactly like LSH bucket joins (quadratic only within
+    the largest cell), the shuffle is keyed on the cell id, and no side
+    needs to broadcast. Recall loss comes only from neighbors living in
+    a different cell than the query (bounded in tests against
+    knn_join_exact)."""
+    c_assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    q_assigned = ivf_assign(queries, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.col("cluster"),
+    )
+    scored = (
+        c_assigned.join(q_assigned, "cluster")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

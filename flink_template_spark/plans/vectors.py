@@ -342,3 +342,33 @@ def q_embedding_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z"),
     )
+
+
+@register(
+    "q_knn_join",
+    oracle=f"""
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT
+    q.vec_id AS query_id,
+    c.vec_id AS neighbor_id,
+    ROUND({cosine_sql('c.embedding', 'q.embedding')}, 6) AS cos_sim,
+    ROW_NUMBER() OVER (
+      PARTITION BY q.vec_id
+      ORDER BY ROUND({cosine_sql('c.embedding', 'q.embedding')}, 6) DESC, c.vec_id
+    ) AS rank
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+) WHERE rank <= 3
+""",
+)
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN JOIN (operators.similarity.knn_join_exact): top-3
+    corpus neighbors for each of 20 query vectors in one pass —
+    broadcast query set, single corpus scan, per-query window top-k.
+    Rounded sims + id tiebreak make the ranking engine-portable, so the
+    oracle is the full DuckDB cross join replay."""
+    from flink_template_spark.operators.similarity import knn_join_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return knn_join_exact(queries, emb, k=3)
