@@ -85,3 +85,33 @@ def pandas_cosine_to(query_vec: list[float]):
         return pd.Series(dots / (norms * qn))
 
     return cos
+
+
+def quantize_int8(vec: Column) -> Column:
+    """Symmetric int8 quantization: per-vector scale = max|x|/127, codes
+    = floor(x/scale + 0.5) ∈ [-127, 127]. floor(x + 0.5) instead of
+    round() because both engines floor identically on IEEE doubles,
+    while round()'s half-case tie-breaking is implementation-defined —
+    determinism across engines is part of the storage contract (a
+    re-quantization backfill must be byte-identical).
+
+    Returns struct(scale double, codes array<tinyint>). At 100 TB this
+    is 4× smaller embedding storage and 4× less shuffle for ANN
+    pipelines that tolerate ~0.4% per-element error (scale/254 expected
+    |err| ≈ 0.2% of max|x|)."""
+    scale = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double")))) / F.lit(
+        127.0
+    )
+    codes = F.transform(
+        vec,
+        lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("tinyint"),
+    )
+    return F.struct(scale.alias("scale"), codes.alias("codes"))
+
+
+def dequantize_int8(q: Column) -> Column:
+    """codes × scale → array<double> (the lossy inverse)."""
+    return F.transform(
+        q.getField("codes"),
+        lambda c: c.cast("double") * q.getField("scale"),
+    )

@@ -372,3 +372,60 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return knn_join_exact(queries, emb, k=3)
+
+
+@register(
+    "q_embedding_quantize_int8",
+    oracle="""
+WITH q AS (
+  SELECT vec_id, label,
+    CAST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE)
+      / 127.0 AS scale,
+    embedding
+  FROM embeddings
+), codes AS (
+  SELECT vec_id, label, scale,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS code,
+    embedding
+  FROM q
+)
+SELECT
+  vec_id, label,
+  CAST(ROUND(scale, 6) AS DOUBLE) AS scale_r,
+  CAST(list_max(code) AS BIGINT) AS max_code,
+  CAST(list_min(code) AS BIGINT) AS min_code,
+  CAST(ROUND(list_max(list_transform(range(1, len(embedding) + 1),
+    i -> abs(CAST(embedding[i] AS DOUBLE) - code[i] * scale))), 6) AS DOUBLE)
+    AS max_abs_err
+FROM codes
+""",
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantize → dequantize → reconstruction-error audit, fully in
+    array expressions (functions.vector.quantize_int8). The oracle
+    replays the exact floor-based formula in DuckDB: matching max codes
+    AND max reconstruction error to 1e-6 proves the quantization is
+    engine-portable, not merely similar."""
+    from flink_template_spark.functions.vector import dequantize_int8, quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", "label", F.col("embedding"), quantize_int8(F.col("embedding")).alias("q")
+    )
+    deq = q.withColumn("deq", dequantize_int8(F.col("q")))
+    err = F.array_max(
+        F.zip_with(
+            F.col("embedding"),
+            "deq",
+            lambda a, b: F.abs(a.cast("double") - b),
+        )
+    )
+    return deq.select(
+        "vec_id",
+        "label",
+        F.round(F.col("q.scale"), 6).alias("scale_r"),
+        F.array_max("q.codes").cast("long").alias("max_code"),
+        F.array_min("q.codes").cast("long").alias("min_code"),
+        F.round(err, 6).alias("max_abs_err"),
+    )
