@@ -48,3 +48,34 @@ def test_m_bits_sizing():
     m = optimal_m_bits(1_000_000, 0.01)
     assert 9_000_000 < m < 10_500_000
     assert m % 64 == 0
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    build_keys=st.sets(st.integers(min_value=-(2**40), max_value=2**40), max_size=60),
+    probe_keys=st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=200
+    ),
+)
+def test_property_never_drops_a_true_match(spark, build_keys, probe_keys):
+    """For ANY build/probe key sets (negative, zero, duplicates), every
+    probe key present in the build side survives pruning — the Bloom
+    no-false-negative invariant the oracle equality rests on."""
+    probe = spark.createDataFrame([(k,) for k in probe_keys], "k long")
+    build = spark.createDataFrame(
+        [(k,) for k in build_keys] or [(None,)], "bk long"
+    ).filter("bk IS NOT NULL")
+    pruned = bloom_prune(
+        probe, build, "k", "bk", expected_items=max(1, len(build_keys))
+    )
+    kept = {r.k for r in pruned.collect()}
+    truth = {k for k in probe_keys if k in build_keys}
+    assert truth <= kept
