@@ -323,3 +323,52 @@ def q_consistent_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type")
         .limit(500)
     )
+
+
+@register(
+    "q_scd2_merge",
+    oracle="""
+SELECT c_custkey AS cust_id, c_mktsegment AS segment,
+       CAST(c_acctbal AS DOUBLE) AS balance,
+       DATE '2020-01-01' AS valid_from,
+       CASE WHEN c_custkey % 7 = 0 THEN DATE '2024-03-01'
+            ELSE DATE '9999-12-31' END AS valid_to,
+       c_custkey % 7 <> 0 AS is_current
+FROM customer
+UNION ALL
+SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) + 100,
+       DATE '2024-03-01', DATE '9999-12-31', true
+FROM customer WHERE c_custkey % 7 = 0
+""",
+)
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension maintenance (operators.scd.scd2_merge): a
+    customer snapshot dimension merged with a CDC batch where every 7th
+    key changed balance and every 5th sent an identical no-op row.
+    The oracle states the POST-merge table directly: changed keys close
+    at the effective date and reopen, no-ops cause zero version churn —
+    proving the merge's version algebra, not just row counts."""
+    from flink_template_spark.operators.scd import scd2_merge
+
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").cast("double").alias("balance"),
+        F.lit("2020-01-01").cast("date").alias("valid_from"),
+        F.lit("9999-12-31").cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changed = F.col("cust_id") % 7 == 0
+    noop = (F.col("cust_id") % 7 != 0) & (F.col("cust_id") % 5 == 0)
+    updates = (
+        dim.select("cust_id", "segment", "balance")
+        .filter(changed | noop)
+        .withColumn(
+            "balance",
+            F.when(changed, F.col("balance") + 100).otherwise(F.col("balance")),
+        )
+    )
+    return scd2_merge(
+        dim, updates, "cust_id", ["segment", "balance"], F.lit("2024-03-01")
+    )

@@ -464,3 +464,40 @@ def q_asof_next_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload_cols=["next_orderkey", "next_totalprice"],
         direction="forward",
     )
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, event_id,
+    LEAD(event_type) OVER (
+      PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+    ) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+FROM ordered
+WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+ORDER BY from_type, to_type
+""",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (first-order journey analysis):
+    per-user LEAD over event time, then a pair-count aggregation — one
+    shuffle on user_id for the window, one partial-agg'd shuffle for
+    the counts, with (ts, event_id) as a total order so ties are
+    deterministic across engines."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("from_type", "to_type")
+    )
