@@ -501,3 +501,124 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("from_type", "to_type")
     )
+
+
+@register(
+    "q_gapfill_interpolate",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type,
+    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+    CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(h) AS lo, max(h) AS hi FROM hourly
+), spine AS (
+  SELECT t.event_type, s.h
+  FROM (SELECT DISTINCT event_type FROM hourly) t
+  CROSS JOIN (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+  ) s
+), joined AS (
+  SELECT spine.event_type, spine.h,
+    CAST(epoch(spine.h) / 3600 AS BIGINT) AS x, hourly.v
+  FROM spine LEFT JOIN hourly
+    ON spine.event_type = hourly.event_type AND spine.h = hourly.h
+), ctx AS (
+  SELECT event_type, h, x, v,
+    last_value(v IGNORE NULLS) OVER w_prev AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS) OVER w_prev AS px,
+    first_value(v IGNORE NULLS) OVER w_next AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS) OVER w_next AS nx
+  FROM joined
+  WINDOW
+    w_prev AS (PARTITION BY event_type ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY event_type ORDER BY x
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, h AS bucket,
+  ROUND(CASE
+    WHEN v IS NOT NULL THEN v
+    WHEN pv IS NULL THEN nv
+    WHEN nv IS NULL THEN pv
+    ELSE pv + (nv - pv) * (CAST(x - px AS DOUBLE) / CAST(nx - px AS DOUBLE))
+  END, 6) AS value_filled,
+  (v IS NULL) AS interpolated
+FROM ctx
+""",
+)
+def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series with LINEAR interpolation (the
+    timeseries-DB `time_bucket_gapfill` + `interpolate` pair): calendar
+    spine via sequence(), left join, then prev/next non-null anchors
+    from two one-pass window frames (last/first IGNORE NULLS) — no
+    self-joins, no UDFs. Edge gaps fall back to the nearest anchor.
+    One shuffle per window partition key; the spine is |types| × hours,
+    generated, never materialized wide."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("v"))
+    )
+    bounds = hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    spine = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    joined = spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        (F.unix_timestamp("h") / 3600).cast("long").alias("x"),
+        "v",
+    )
+    w_prev = (
+        W.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_next = (
+        W.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    ctx = joined.select(
+        "event_type",
+        "h",
+        "x",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(F.when(F.col("v").isNotNull(), F.col("x")), ignorenulls=True)
+        .over(w_prev)
+        .alias("px"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(F.when(F.col("v").isNotNull(), F.col("x")), ignorenulls=True)
+        .over(w_next)
+        .alias("nx"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * ((F.col("x") - F.col("px")).cast("double")
+               / (F.col("nx") - F.col("px")).cast("double"))
+        )
+    )
+    return ctx.select(
+        "event_type",
+        F.col("h").alias("bucket"),
+        F.round(interp, 6).alias("value_filled"),
+        F.col("v").isNull().alias("interpolated"),
+    )
