@@ -86,6 +86,25 @@ def main() -> None:
     trip_wall = time.perf_counter() - t0
     trip_eps = round(n_events / trip_wall, 1)
 
+    # Newer operator families, timed identically but reported OUTSIDE
+    # the headline total so `value` stays comparable across rounds.
+    EXTENDED = [
+        "q_bloom_pruned_join",
+        "q_knn_join",
+        "q_gapfill_interpolate",
+        "q_variant_props_stats",
+        "q_hll_mergeable_rollup",
+        "q_scd2_merge",
+        "q_embedding_quantize_int8",
+    ]
+    extended: dict[str, float] = {}
+    for name in [n for n in EXTENDED if n in plans.QUERIES]:
+        t0 = time.perf_counter()
+        plans.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        extended[name] = round(time.perf_counter() - t0, 3)
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
@@ -96,6 +115,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "extended": extended,
         "trip_pipeline_events_per_sec": trip_eps,
         "sf": sf_val,
     }
