@@ -479,3 +479,69 @@ def q_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_nested_array_hof",
+    oracle="""
+WITH nested AS (
+  SELECT o_orderkey,
+    list_sort(list(struct_pack(
+      ln := l_linenumber,
+      qty := CAST(l_quantity AS BIGINT),
+      rev := CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+    ))) AS items
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_orderkey < 2000
+  GROUP BY o_orderkey
+)
+SELECT o_orderkey,
+  len(items) AS n_items,
+  len(list_filter(items, it -> it.qty > 30)) AS n_big,
+  CAST(COALESCE(list_sum(list_transform(list_filter(items, it -> it.qty > 30),
+       it -> it.rev)), 0) AS BIGINT) AS big_rev_cents,
+  list_transform(items, it -> it.ln) AS line_numbers
+FROM nested
+ORDER BY o_orderkey
+""",
+)
+def q_nested_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep nested data through higher-order functions: rows →
+    array<struct> (the reference's nested PID shapes, e.g.
+    OxygenSensorsData's array-of-struct-of-array,
+    ParameterIdData.kt:65-103) → filter/transform/aggregate lambdas —
+    all row-local array algebra after the one collect_list shuffle;
+    fixed-point cents keep the lambda sums engine-exact. array_sort on
+    the (ln, qty, rev) struct gives a canonical element order so
+    array-valued output columns hash-match."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber").alias("ln"),
+                        F.col("l_quantity").cast("long").alias("qty"),
+                        F.round(F.col("l_extendedprice") * 100)
+                        .cast("long")
+                        .alias("rev"),
+                    )
+                )
+            ).alias("items")
+        )
+    )
+    big = F.filter("items", lambda it: it.getField("qty") > 30)
+    return nested.select(
+        "o_orderkey",
+        F.size("items").alias("n_items"),
+        F.size(big).alias("n_big"),
+        F.aggregate(
+            big,
+            F.lit(0).cast("long"),
+            lambda acc, it: acc + it.getField("rev"),
+        ).alias("big_rev_cents"),
+        F.transform("items", lambda it: it.getField("ln")).alias("line_numbers"),
+    ).orderBy("o_orderkey")
