@@ -545,3 +545,55 @@ def q_nested_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("big_rev_cents"),
         F.transform("items", lambda it: it.getField("ln")).alias("line_numbers"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "q_map_funcs",
+    oracle="""
+WITH per AS (
+  SELECT l_orderkey,
+    map_from_entries(list_sort(list(struct_pack(
+      k := l_linestatus, v := cnt)))) AS m
+  FROM (
+    SELECT l_orderkey, l_linestatus, COUNT(*) AS cnt
+    FROM lineitem WHERE l_orderkey < 2000
+    GROUP BY l_orderkey, l_linestatus
+  )
+  GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+  CAST(len(map_keys(m)) AS INT) AS n_statuses,
+  list_sort(map_keys(m)) AS statuses,
+  COALESCE(m['F'][1], 0) AS n_f,
+  COALESCE(m['O'][1], 0) AS n_o
+FROM per
+ORDER BY l_orderkey
+""",
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface (the reference's dynamic ``Map<String, Any?>``
+    JSON stage and PID maps, JSONUtil.kt:129-131): build a
+    status→count map per order with map_from_entries, read it back with
+    element_at / map_keys. Maps never leave as map-typed output columns
+    (cross-engine map ordering is unspecified); scalars and sorted key
+    arrays are the comparable projection."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    per = (
+        li.groupBy("l_orderkey", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col("l_linestatus").alias("k"), F.col("cnt").alias("v")
+                )))
+            ).alias("m")
+        )
+    )
+    return per.select(
+        "l_orderkey",
+        F.size(F.map_keys("m")).alias("n_statuses"),
+        F.array_sort(F.map_keys("m")).alias("statuses"),
+        F.coalesce(F.element_at("m", F.lit("F")), F.lit(0)).alias("n_f"),
+        F.coalesce(F.element_at("m", F.lit("O")), F.lit(0)).alias("n_o"),
+    ).orderBy("l_orderkey")
