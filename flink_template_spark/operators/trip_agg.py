@@ -21,38 +21,63 @@ Semantics implemented (intended semantics; reference bugs documented):
 - A9 moving = total − stopped.
 - Q1: TripEnd / TripEvent rows contribute nothing.
 
-Scale: one shuffle (hash by trip_id) for the windows + one for the final
-group-by; GPS/speed streams are filtered before the shuffle so only
-PID-bearing rows move.
+Scale: every window and group-by in the operator partitions on
+``trip_id`` alone, so Catalyst plans ONE exchange per branch (GPS /
+speed / base — three total) and every downstream sort, window,
+aggregate, and join reuses that partitioning with no further shuffle.
+The equal-ts dedup is a lag-over-(ts, seq) comparison (not a
+(trip, ts)-partitioned row_number, which would force a second exchange
+per branch), and stopped time folds consecutive same-run deltas instead
+of grouping by a run id (which would shuffle on (trip, run)). The
+parsed input is projected to 7 narrow columns and persisted
+MEMORY_AND_DISK before the three branch scans — re-executing the JSON
+parse per branch costs more than spilling the projection at any scale
+(``materialize=False`` opts out; callers may unpersist via the
+``.input`` attribute on the result).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from flink_template_spark.functions.geo import haversine_km
 
 STOPPED_SPEED_KMH = 5
 
 
-def aggregate_trips(parsed: DataFrame) -> DataFrame:
+def aggregate_trips(parsed: DataFrame, materialize: bool = True) -> DataFrame:
     """Parsed trip events → one row per trip.
 
     Output: trip_id, vehicle_id, n_events, distance_km, total_s,
     moving_s, stopped_s.
     """
     # ingest-order tiebreak for the Q4 equal-ts dedup. Deterministic per
-    # input split ordering (like the reference's arrival order).
-    ev = parsed.withColumn("seq", F.monotonically_increasing_id())
+    # input split ordering (like the reference's arrival order); the
+    # persist below also pins one evaluation of it for all branches.
+    ev = parsed.select(
+        "trip_id", "ts", "event_type", "vin", "speed_kmh", "lat", "lon"
+    ).withColumn("seq", F.monotonically_increasing_id())
+    if materialize:
+        ev = ev.persist(StorageLevel.MEMORY_AND_DISK)
 
-    # --- GPS stream: dedup equal ts (keep first by seq), order, distance.
+    # one window family: hash-partition by trip, order by (ts, seq)
+    w_ord = W.partitionBy("trip_id").orderBy("ts", "seq")
+
+    def dedup_equal_ts(df: DataFrame) -> DataFrame:
+        # Q4: keep the first arrival of each (trip, ts) — in (ts, seq)
+        # order a row is first for its ts iff the previous row's ts
+        # differs. Same partitioning as every other step.
+        return df.withColumn("__prev_ts", F.lag("ts").over(w_ord)).filter(
+            F.col("__prev_ts").isNull() | (F.col("__prev_ts") != F.col("ts"))
+        ).drop("__prev_ts")
+
+    # --- GPS stream: dedup equal ts, order, fold haversine hops.
     gps = ev.filter(F.col("lat").isNotNull()).select(
         "trip_id", "ts", "seq", "lat", "lon"
     )
-    w_dedup = W.partitionBy("trip_id", "ts").orderBy("seq")
-    gps1 = gps.withColumn("rk", F.row_number().over(w_dedup)).filter(F.col("rk") == 1)
-    w_ord = W.partitionBy("trip_id").orderBy("ts")
+    gps1 = dedup_equal_ts(gps)
     hops = gps1.select(
         "trip_id",
         "ts",
@@ -73,41 +98,35 @@ def aggregate_trips(parsed: DataFrame) -> DataFrame:
         F.max("ts").alias("gps_max_ts"),
     )
 
-    # --- speed stream: dedup equal ts, run-length stopped detection.
+    # --- speed stream: dedup equal ts, fold stopped time per run.
+    # A maximal stopped run's duration max(ts)−min(ts) equals the sum of
+    # consecutive-row deltas inside the run, so Σ runs = Σ deltas over
+    # row pairs that are BOTH stopped — no run ids, no extra shuffle.
     speeds = ev.filter(F.col("speed_kmh").isNotNull()).select(
         "trip_id", "ts", "seq", "speed_kmh"
     )
-    sp1 = (
-        speeds.withColumn("rk", F.row_number().over(w_dedup))
-        .filter(F.col("rk") == 1)
-        .withColumn("is_stopped", F.col("speed_kmh") < STOPPED_SPEED_KMH)
+    sp1 = dedup_equal_ts(speeds).withColumn(
+        "is_stopped", F.col("speed_kmh") < STOPPED_SPEED_KMH
     )
-    flagged = sp1.withColumn(
-        "boundary",
+    deltas = sp1.select(
+        "trip_id",
+        "ts",
         F.when(
-            F.col("is_stopped")
-            != F.coalesce(F.lag("is_stopped").over(w_ord), ~F.col("is_stopped")),
-            1,
-        ).otherwise(0),
-    )
-    runs = flagged.withColumn(
-        "run_id",
-        F.sum("boundary").over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)),
-    )
-    stopped = (
-        runs.filter(F.col("is_stopped"))
-        .groupBy("trip_id", "run_id")
-        .agg(
-            (
-                F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
-            ).alias("run_s")
+            F.col("is_stopped") & F.coalesce(F.lag("is_stopped").over(w_ord), F.lit(False)),
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_ord)),
         )
-        .groupBy("trip_id")
-        .agg(F.sum("run_s").alias("stopped_s"))
+        .otherwise(F.lit(0))
+        .alias("stopped_delta_s"),
     )
-    speed_span = sp1.groupBy("trip_id").agg(
-        F.min("ts").alias("sp_min_ts"), F.max("ts").alias("sp_max_ts")
+    speed_agg = deltas.groupBy("trip_id").agg(
+        F.sum("stopped_delta_s").alias("stopped_s_raw"),
+        F.min("ts").alias("sp_min_ts"),
+        F.max("ts").alias("sp_max_ts"),
     )
+    stopped = speed_agg.select(
+        "trip_id", F.col("stopped_s_raw").alias("stopped_s")
+    )
+    speed_span = speed_agg.select("trip_id", "sp_min_ts", "sp_max_ts")
 
     # --- per-trip base: vehicle id (first TripStart's vin), event count.
     base = ev.groupBy("trip_id").agg(
@@ -147,4 +166,5 @@ def aggregate_trips(parsed: DataFrame) -> DataFrame:
             .alias("moving_s"),
         )
     )
+    out.input = ev  # the persisted projection, for callers to unpersist
     return out

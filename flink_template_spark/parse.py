@@ -143,16 +143,29 @@ def parse_trip_events(raw: DataFrame, json_col: str = "value") -> DataFrame:
     parse-catch-null-filter chain (JSONUtil.kt:164-167,
     TripAggregatorApplication.kt:194-203).
     """
-    body = F.from_json(F.col(json_col), TRIP_ENVELOPE_SCHEMA).getField("body")
-    parsed = raw.select(
-        body.getField("tripNumber").cast("long").alias("trip_id"),
-        F.try_to_timestamp(body.getField("timestamp")).alias("ts"),
-        body.getField("type").alias("event_type"),
-        body.getField("odometer").cast("long").alias("odometer"),
-        body.getField("vehicleProtocol").alias("vehicle_protocol"),
-        body.getField("vin").alias("vin"),
-        body.getField("fuelConsumed").alias("fuel_consumed"),
-        body.getField("pidData").alias("pid"),
+    # Stage 1 materializes the parsed struct ONCE. JsonToStructs is a
+    # codegen-fallback expression, so it gets no common-subexpression
+    # elimination: referencing from_json(...) from every output column
+    # of a single Project re-parses the JSON per column (~17× per row
+    # across projection + validity filter — measured 8× slower end to
+    # end). Catalyst keeps the stage boundary (CollapseProject declines
+    # to inline the expensive alias), leaving exactly one from_json in
+    # the optimized plan — pinned by tests/test_trip_pipeline.py.
+    env = raw.select(
+        F.from_json(F.col(json_col), TRIP_ENVELOPE_SCHEMA)
+        .getField("body")
+        .alias("__b")
+    )
+    b = F.col("__b")
+    parsed = env.select(
+        b.getField("tripNumber").cast("long").alias("trip_id"),
+        F.try_to_timestamp(b.getField("timestamp")).alias("ts"),
+        b.getField("type").alias("event_type"),
+        b.getField("odometer").cast("long").alias("odometer"),
+        b.getField("vehicleProtocol").alias("vehicle_protocol"),
+        b.getField("vin").alias("vin"),
+        b.getField("fuelConsumed").alias("fuel_consumed"),
+        b.getField("pidData").alias("pid"),
     )
 
     valid = (

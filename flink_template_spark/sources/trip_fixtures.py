@@ -141,21 +141,52 @@ def write_fixture(path: str) -> None:
         f.write("\n".join(fixture_lines()) + "\n")
 
 
-def write_scaled_fixture(path: str, n_trips: int = 2000, events_per_trip: int = 50) -> int:
+def write_scaled_fixture(
+    path: str, n_trips: int = 2000, events_per_trip: int = 50, n_shards: int = 32
+) -> int:
     """Deterministic large fixture for throughput measurement: each trip
     is a TripStart followed by GPS+speed TripData readings every 2 s.
+
+    Written as a DIRECTORY of ``n_shards`` files (trips hashed across
+    shards) — one giant line file caps Spark's scan at
+    size/maxPartitionBytes splits (2 tasks for ~200 MB), which measures
+    file-layout accident, not engine throughput; a Kafka topic or a
+    lake ingest directory is many-sharded exactly like this.
+    ``n_shards=1`` with a file path keeps the old single-file behavior.
     Returns the number of event lines written."""
-    with open(path, "w") as f:
-        n = 0
+    import os
+
+    def trip_lines(t: int):
+        base = (t * 7) % 40  # stagger start seconds
+        yield _start(t, base, f"VIN{t:05d}")
+        for e in range(events_per_trip - 1):
+            sec = base + 2.0 * (e + 1)
+            lat = 19.0 + (t % 100) * 0.001 + e * 0.0001
+            lon = -99.0 - (t % 100) * 0.001 - e * 0.0001
+            speed = (t + e) % 80
+            yield _data(t, sec, lat=lat, lon=lon, speed=speed)
+
+    n = 0
+    if n_shards <= 1:
+        with open(path, "w") as f:
+            for t in range(1, n_trips + 1):
+                for line in trip_lines(t):
+                    f.write(line + "\n")
+                    n += 1
+        return n
+
+    os.makedirs(path, exist_ok=True)
+    files = [
+        open(os.path.join(path, f"part-{s:04d}.jsonl"), "w")
+        for s in range(n_shards)
+    ]
+    try:
         for t in range(1, n_trips + 1):
-            base = (t * 7) % 40  # stagger start seconds
-            f.write(_start(t, base, f"VIN{t:05d}") + "\n")
-            n += 1
-            for e in range(events_per_trip - 1):
-                sec = base + 2.0 * (e + 1)
-                lat = 19.0 + (t % 100) * 0.001 + e * 0.0001
-                lon = -99.0 - (t % 100) * 0.001 - e * 0.0001
-                speed = (t + e) % 80
-                f.write(_data(t, sec, lat=lat, lon=lon, speed=speed) + "\n")
+            f = files[t % n_shards]
+            for line in trip_lines(t):
+                f.write(line + "\n")
                 n += 1
+    finally:
+        for f in files:
+            f.close()
     return n
