@@ -56,9 +56,16 @@ def aggregate_trips(parsed: DataFrame, materialize: bool = True) -> DataFrame:
     # ingest-order tiebreak for the Q4 equal-ts dedup. Deterministic per
     # input split ordering (like the reference's arrival order); the
     # persist below also pins one evaluation of it for all branches.
-    ev = parsed.select(
-        "trip_id", "ts", "event_type", "vin", "speed_kmh", "lat", "lon"
-    ).withColumn("seq", F.monotonically_increasing_id())
+    # Prefer the parse layer's ingest_seq: referencing it keeps parse's
+    # optimizer barrier alive (parse.py — dropping it would let the
+    # pushed validity filter re-parse the JSON per condition).
+    cols = ["trip_id", "ts", "event_type", "vin", "speed_kmh", "lat", "lon"]
+    if "ingest_seq" in parsed.columns:
+        ev = parsed.select(*cols, F.col("ingest_seq").alias("seq"))
+    else:
+        ev = parsed.select(*cols).withColumn(
+            "seq", F.monotonically_increasing_id()
+        )
     if materialize:
         ev = ev.persist(StorageLevel.MEMORY_AND_DISK)
 

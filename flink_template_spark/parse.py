@@ -151,10 +151,24 @@ def parse_trip_events(raw: DataFrame, json_col: str = "value") -> DataFrame:
     # end). Catalyst keeps the stage boundary (CollapseProject declines
     # to inline the expensive alias), leaving exactly one from_json in
     # the optimized plan — pinned by tests/test_trip_pipeline.py.
+    # ``ingest_seq`` (arrival order, the reference's implicit stream
+    # order — the Q4 equal-ts dedup tiebreak downstream) doubles as the
+    # optimizer barrier: a non-deterministic expression in this Project
+    # stops predicate pushdown from re-inlining from_json into every
+    # validity-filter condition (which is what happens to a
+    # deterministic-only stage — the pushed filter re-parses the JSON
+    # per condition). Streams can't use monotonically_increasing_id, so
+    # they carry a rand-based barrier instead; its VALUES are never
+    # meaningful across sources — only the batch ordering semantics are
+    # relied on (operators.trip_agg).
+    seq_col = (
+        F.rand(42) if raw.isStreaming else F.monotonically_increasing_id()
+    )
     env = raw.select(
         F.from_json(F.col(json_col), TRIP_ENVELOPE_SCHEMA)
         .getField("body")
-        .alias("__b")
+        .alias("__b"),
+        seq_col.alias("ingest_seq"),
     )
     b = F.col("__b")
     parsed = env.select(
@@ -166,6 +180,7 @@ def parse_trip_events(raw: DataFrame, json_col: str = "value") -> DataFrame:
         b.getField("vin").alias("vin"),
         b.getField("fuelConsumed").alias("fuel_consumed"),
         b.getField("pidData").alias("pid"),
+        F.col("ingest_seq"),
     )
 
     valid = (
