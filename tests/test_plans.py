@@ -225,3 +225,25 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in plan.lower()
     # and it actually prunes: only the URGENT partition's rows are read
     assert j.first()["count"] == orders.filter("o_orderpriority = '1-URGENT'").count()
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """The engine exposes Catalyst's join-strategy control surface:
+    per-join hints override the planner's choice — the manual override
+    lever when AQE's stats-driven pick is wrong at scale."""
+    from flink_template_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+
+    def physical(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    merge = li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+    assert "SortMergeJoin" in physical(merge)
+
+    shash = li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
+    assert "ShuffledHashJoin" in physical(shash)
+
+    bcast = li.join(orders.hint("broadcast"), li.l_orderkey == orders.o_orderkey)
+    assert "BroadcastHashJoin" in physical(bcast)
