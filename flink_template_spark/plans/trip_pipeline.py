@@ -35,7 +35,9 @@ def _fixture_path() -> str:
 @register("q_trip_pipeline_json")
 def q_trip_pipeline_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = read_trip_events_json(spark, _fixture_path())
-    return aggregate_trips(parsed).orderBy("trip_id")
+    # 20-line fixture: re-scanning is cheaper than leaving a persisted
+    # projection behind in the driver's long-lived session
+    return aggregate_trips(parsed, materialize=False).orderBy("trip_id")
 
 
 @register("q_trip_pipeline_datasource")
@@ -50,4 +52,4 @@ def q_trip_pipeline_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     parsed = read_trip_events_datasource(spark, _fixture_path(), num_partitions=4)
-    return aggregate_trips(parsed).orderBy("trip_id")
+    return aggregate_trips(parsed, materialize=False).orderBy("trip_id")
