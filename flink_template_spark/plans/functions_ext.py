@@ -597,3 +597,36 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.element_at("m", F.lit("F")), F.lit(0)).alias("n_f"),
         F.coalesce(F.element_at("m", F.lit("O")), F.lit(0)).alias("n_o"),
     ).orderBy("l_orderkey")
+
+
+@register(
+    "q_percentiles_cont",
+    oracle="""
+SELECT
+  o_orderpriority,
+  ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5), 6) AS p50,
+  ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9), 6) AS p90,
+  ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99), 6) AS p99
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q_percentiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous (interpolated) percentiles — the percentile_cont dual
+    of q_percentiles_disc. Spark's exact `percentile` and DuckDB's
+    quantile_cont share the (n−1)·q rank + linear-interpolation
+    definition; 6-dp rounding absorbs the one interpolation multiply's
+    ulp drift. Same scale posture as disc: bounded groups collect, at
+    fact scale switch to approx_percentile."""
+    orders = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast("double")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile(p, F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile(p, F.lit(0.9)), 6).alias("p90"),
+            F.round(F.percentile(p, F.lit(0.99)), 6).alias("p99"),
+        )
+        .orderBy("o_orderpriority")
+    )

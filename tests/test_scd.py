@@ -78,3 +78,68 @@ def test_scd2_as_of_view(spark):
         for r in scd2_as_of(out, "cust_id", F.lit("2024-06-01")).collect()
     }
     assert v2024[1] == 25.0  # post-merge version
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(  # (key, segment_idx, balance_int)
+        st.tuples(
+            st.integers(min_value=1, max_value=6),
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=3),
+        ),
+        min_size=0,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    ),
+    dim_keys=st.sets(st.integers(min_value=1, max_value=6), min_size=1, max_size=6),
+)
+def test_property_scd2_invariants(spark, data, dim_keys):
+    """For ANY current dimension and ANY update batch: exactly one
+    current version per live key; closed rows get the effective date;
+    unchanged updates cause zero churn; total row delta = number of
+    actually-changed keys + brand-new keys."""
+    segs = ["A", "B", "C"]
+    dim_rows = [
+        (k, segs[k % 3], float(k * 10), "2020-01-01", "9999-12-31", True)
+        for k in sorted(dim_keys)
+    ]
+    dim = spark.createDataFrame(
+        dim_rows,
+        "cust_id long, segment string, balance double, "
+        "valid_from string, valid_to string, is_current boolean",
+    ).selectExpr(
+        "cust_id", "segment", "balance",
+        "CAST(valid_from AS DATE) valid_from",
+        "CAST(valid_to AS DATE) valid_to", "is_current",
+    )
+    upd_rows = [(k, segs[si], float(b * 7)) for k, si, b in data]
+    updates = spark.createDataFrame(
+        upd_rows or [(None, None, None)], "cust_id long, segment string, balance double"
+    ).filter("cust_id IS NOT NULL")
+
+    out = scd2_merge(
+        dim, updates, "cust_id", ["segment", "balance"], F.lit("2024-03-01")
+    ).collect()
+
+    old = {k: (segs[k % 3], float(k * 10)) for k in dim_keys}
+    changed = {
+        k for k, si, b in data if k in old and old[k] != (segs[si], float(b * 7))
+    }
+    new_keys = {k for k, _, _ in data if k not in old}
+
+    assert len(out) == len(dim_keys) + len(changed) + len(new_keys)
+    cur = [r for r in out if r.is_current]
+    assert len(cur) == len(dim_keys | new_keys)  # one current per live key
+    assert {r.cust_id for r in cur} == dim_keys | new_keys
+    for r in out:
+        if not r.is_current:
+            assert str(r.valid_to) == "2024-03-01" and r.cust_id in changed
