@@ -630,3 +630,33 @@ def q_percentiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q_string_agg",
+    oracle="""
+SELECT n_name,
+  string_agg(c_name, ',' ORDER BY c_name) AS members,
+  COUNT(*) AS n
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > 9000
+GROUP BY n_name
+ORDER BY n_name
+""",
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): expressed as
+    sort_array(collect_list) + concat-join so element order is
+    deterministic — an unordered listagg is partition-order-dependent
+    and can never hash-match across engines (or across its own runs)."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("members"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("n_name")
+    )
