@@ -1089,3 +1089,45 @@ def test_streaming_near_dup_simhash(spark, tmp_path):
     finally:
         q.stop()
     assert kept == {1, 3}  # doc 2 collapsed into doc 1's signature
+
+
+def test_streaming_windowed_approx_distinct(spark, tmp_path):
+    """Sketch aggregates run inside streaming state: tumbling-window
+    approx_count_distinct over a file stream matches the batch exact
+    count within HLL error — distinct-counting at stream scale without
+    per-key exact state."""
+    in_dir = tmp_path / "hll_in"
+    in_dir.mkdir()
+    (in_dir / "a.jsonl").write_text(
+        "\n".join(
+            json.dumps(
+                {"ts": f"2024-01-01T00:{m:02d}:00", "user_id": m % 7, "value": 1.0}
+            )
+            for m in range(30)
+        )
+        + "\n"
+    )
+    schema = "ts TIMESTAMP, user_id LONG, value DOUBLE"
+    stream = spark.readStream.schema(schema).json(str(in_dir))
+    out = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .select(F.col("w.start").alias("bucket"), "approx_users")
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("hll_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hll"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode: only watermark-closed windows emit; the fixture's two
+    # 15-min buckets close once the 00:29 max event time passes 00:15+10m
+    rows = {r.bucket.minute: r.approx_users for r in
+            spark.sql("SELECT * FROM hll_stream").collect()}
+    assert rows, "no closed windows emitted"
+    for minute, approx in rows.items():
+        assert abs(approx - 7) <= 1  # 7 distinct users per bucket, rsd 2%
