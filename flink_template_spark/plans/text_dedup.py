@@ -759,3 +759,126 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared") >= _CONTAM_MIN_SHARED)
         .orderBy(F.col("n_shared").desc(), "train_id", "eval_id")
     )
+
+
+@register(
+    "q_vocab_build",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+counted AS (
+  SELECT token, COUNT(*) AS n FROM tok
+  GROUP BY token HAVING COUNT(*) >= 20
+)
+SELECT token, n,
+  ROW_NUMBER() OVER (ORDER BY n DESC, token) AS token_id
+FROM counted
+""",
+)
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction (tokenizer-training's first stage): corpus →
+    token counts → min-count threshold → deterministic frequency-ordered
+    ids. Ids come from the range-partitioned two-pass global rank
+    (operators.rank_global) so the id assignment scales to web-corpus
+    vocabularies — a naive global ROW_NUMBER puts every distinct token
+    through one partition. Ordering (n DESC, token) is total, so ids are
+    reproducible across engines and runs — the property that lets a
+    re-run not silently re-map every token id."""
+    from flink_template_spark.operators.rank_global import with_global_ranks
+
+    docs = load_table(spark, sf_dir, "documents")
+    counted = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 20)
+    )
+    return with_global_ranks(
+        counted,
+        order_by=[(F.col("n"), False), (F.col("token"), True)],
+        row_number_col="token_id",
+    ).select("token", "n", "token_id")
+
+
+@register(
+    "q_bm25_search",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok
+  WHERE token IN ('data', 'model', 'learning')
+  GROUP BY doc_id, token
+),
+dl AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dlen FROM documents
+),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+                 / COUNT(*) FROM documents) AS avg_dlen
+),
+df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token
+),
+scored AS (
+  SELECT tf.doc_id,
+    SUM(
+      ln(1.0 + (n_docs - df.df + 0.5) / (df.df + 0.5))
+      * (tf.tf * 2.2)
+      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dlen / stats.avg_dlen))
+    ) AS score
+  FROM tf
+  JOIN df ON tf.token = df.token
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, ROUND(score, 6) AS bm25
+FROM scored
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+""",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75) for the query
+    {data, model, learning}: tf per (doc, term) after a pushdown-able
+    term filter, df + corpus stats as 1-row/tiny broadcast sides,
+    scoring as pure expressions, top-k via TakeOrderedAndProject. At
+    100 TB the only data-bearing shuffle is the (doc, term) tf count —
+    everything else joins against broadcast-sized aggregates. Scores
+    rounded to 6 dp (ln + divisions drift in the last ulp across
+    engines); ordering ties broken by doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["data", "model", "learning"]
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token").isin(terms))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = docs.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("dlen"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.size(F.split(F.col("text"), " "))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_dlen"),
+    )
+    df_t = tf.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dlen") / F.col("avg_dlen"))
+    scored = (
+        tf.join(F.broadcast(df_t), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * (F.col("tf") * 2.2) / denom).alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
