@@ -882,3 +882,79 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "q_vocab_apply",
+    oracle="""
+WITH counted AS (
+  SELECT token, COUNT(*) AS n FROM (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+  ) GROUP BY token HAVING COUNT(*) >= 20
+),
+vocab AS (
+  SELECT token, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS token_id
+  FROM counted
+),
+tok AS (
+  SELECT doc_id, pos, string_split(text, ' ')[pos] AS token
+  FROM documents, unnest(range(1, len(string_split(text, ' ')) + 1)) AS t(pos)
+  WHERE doc_id < 500
+)
+SELECT tok.doc_id,
+  list(COALESCE(vocab.token_id, 0) ORDER BY tok.pos) AS ids,
+  COUNT(*) AS n_tokens,
+  SUM(CASE WHEN vocab.token_id IS NULL THEN 1 ELSE 0 END) AS n_unk
+FROM tok LEFT JOIN vocab ON tok.token = vocab.token
+GROUP BY tok.doc_id
+ORDER BY tok.doc_id
+""",
+)
+def q_vocab_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus encoding — the tokenize step after q_vocab_build: each
+    document becomes its ordered token-id sequence (unknown → 0), the
+    input format sequence packing consumes. Join is (token ⋈ vocab):
+    the vocab is broadcast-sized by construction (min-count threshold);
+    position order is restored by sorting (pos, id) structs inside the
+    row, so no ordering assumption rides on the shuffle."""
+    from flink_template_spark.operators.rank_global import with_global_ranks
+
+    docs = load_table(spark, sf_dir, "documents")
+    counted = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 20)
+    )
+    vocab = with_global_ranks(
+        counted,
+        order_by=[(F.col("n"), False), (F.col("token"), True)],
+        row_number_col="token_id",
+    ).select("token", "token_id")
+    tok = (
+        docs.filter(F.col("doc_id") < 500)
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"),
+        )
+    )
+    enc = (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("pos"),
+                            F.coalesce("token_id", F.lit(0)).alias("tid"),
+                        )
+                    )
+                ),
+                lambda s: s.getField("tid"),
+            ).alias("ids"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("token_id").isNull(), 1).otherwise(0)).alias("n_unk"),
+        )
+    )
+    return enc.orderBy("doc_id")
