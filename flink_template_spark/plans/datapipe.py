@@ -372,3 +372,50 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_merge(
         dim, updates, "cust_id", ["segment", "balance"], F.lit("2024-03-01")
     )
+
+
+@register("q_training_data_pipeline")
+def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data pipeline, composed from the
+    individually-oracled stages: quality filter (functions.text) →
+    exact dedup keep-first (operators.dedup's groupBy-min) → hash-based
+    train/val/test split (split_of) → whitespace token counts →
+    token-budget sequence packing per (split, lang) (operators.packing)
+    → per-bin manifest with deterministic shard assignment. Rows-only:
+    each stage has its own oracle (q_quality_scores, q_dedup_exact_docs,
+    q_train_test_split, q_pack_greedy_bins, q_training_shards); this
+    entry proves they compose into one lazy plan — documents in,
+    packed-shard manifest out, no driver collection at any stage."""
+    from flink_template_spark.functions.hashing import md5int_spark
+    from flink_template_spark.functions.text import quality_score, token_count_ws
+    from flink_template_spark.operators.packing import pack_greedy
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.withColumn("q", quality_score(F.col("text"))).filter(
+        F.col("q") >= 0.3
+    )
+    keepers = scored.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("lang").alias("lang"),  # deterministic pick among exact-dup copies
+    )
+    enriched = keepers.select(
+        "doc_id",
+        "lang",
+        split_of("doc_id").alias("split"),
+        token_count_ws(F.col("text")).alias("n_tokens"),
+        F.concat_ws("/", split_of("doc_id"), F.col("lang")).alias("cell"),
+    )
+    packed = pack_greedy(
+        enriched, budget=512, group_col="cell", id_col="doc_id",
+        tokens_col="n_tokens",
+    )
+    shard = (F.expr(md5int_spark("CAST(bin_id AS STRING)")) % 8).alias("shard")
+    return (
+        packed.groupBy("cell", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+        .select("cell", "bin_id", "n_docs", "bin_tokens", shard)
+        .orderBy("cell", "bin_id")
+    )
