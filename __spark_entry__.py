@@ -22,8 +22,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
-def _ensure_nanos_conf(spark: SparkSession) -> None:
-    # events.parquet uses TIMESTAMP(NANOS); see flink_template_spark.session.
+def _ensure_session_conf(spark: SparkSession) -> None:
+    """Session confs the oracle comparison depends on.
+
+    UTC timezone makes Spark's timestamp rendering match DuckDB's
+    naive-UTC timestamps. nanosAsLong is defensive only: the testdata's
+    events.ts is TIMESTAMP(MICROS) (read natively); a TIMESTAMP(NANOS)
+    input would surface as int64 and tables.load_events normalizes it.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
@@ -35,7 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
     exercises parquet scan, predicate pushdown, decimal-exact hash
     aggregation.
     """
-    _ensure_nanos_conf(spark)
+    _ensure_session_conf(spark)
     from flink_template_spark import plans
 
     return plans.QUERIES["q1_pricing_summary"](spark, SMOKE_SF_DIR)
@@ -47,7 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def wrap(fn):
         def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
-            _ensure_nanos_conf(spark)
+            _ensure_session_conf(spark)
             return fn(spark, sf_dir)
 
         return runner

@@ -39,10 +39,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # events.parquet carries TIMESTAMP(NANOS); Spark's reader has no
-        # nanosecond timestamp type, so read them as raw int64 nanos and
-        # normalize in tables.load_events (floor to micros, same as
-        # DuckDB's CAST(ts_ns AS TIMESTAMP)).
+        # Defensive: a parquet TIMESTAMP(NANOS) column (which Spark cannot
+        # represent) reads as raw int64 nanos instead of erroring;
+        # tables.load_events branches on the surfaced dtype and floors
+        # nanos to micros. The testdata's events.ts is TIMESTAMP(MICROS),
+        # so this conf is a no-op there.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")

@@ -35,15 +35,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ts normalized from int64-nanos to microsecond timestamp.
+    """events with ``ts`` normalized to a microsecond timestamp.
 
-    Floor-to-micros matches DuckDB's ``CAST(ts AS TIMESTAMP)`` on the
-    TIMESTAMP_NS parquet column, so oracle comparisons stay exact.
+    Schema-driven: the testdata's events.parquet stores ``ts`` as parquet
+    TIMESTAMP(MICROS), which Spark reads natively as TIMESTAMP_NTZ — pass
+    it through unchanged (DuckDB reads the same column as naive TIMESTAMP,
+    so oracle comparison needs no normalization). If an input instead
+    carries int64 nanos (surfaced as LongType when
+    ``spark.sql.legacy.parquet.nanosAsLong`` is set), floor to micros,
+    matching DuckDB's ``CAST(ts_ns AS TIMESTAMP)``.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = raw.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, TimestampNTZType):
+        # NTZ → TIMESTAMP is an identity on the stored micros under the
+        # UTC session timezone; downstream plans use unix_micros(ts) and
+        # friends, which require TIMESTAMP.
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
