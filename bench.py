@@ -48,16 +48,29 @@ def main() -> None:
 
     spark = get_spark(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
 
+    errors: dict[str, str] = {}
+
+    def run_one(name: str) -> float | None:
+        """Execute one query to completion; never let a failure abort the run."""
+        t0 = time.perf_counter()
+        try:
+            df = plans.QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # isolate: record and keep benchmarking
+            errors[name] = f"{type(exc).__name__}: {str(exc)[:300]}"
+            return None
+        return round(time.perf_counter() - t0, 3)
+
     names = [n for n in HEADLINE if n in plans.QUERIES]
     # warm the JVM + parquet footer caches with one untimed run
-    plans.QUERIES[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    run_one(names[0])
+    errors.clear()
 
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = plans.QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        wall = run_one(name)
+        if wall is not None:
+            timings[name] = wall
 
     # streaming-workload dual: the reference's one real pipeline
     # (JSON parse -> per-trip session aggregate) as batch throughput.
@@ -68,29 +81,33 @@ def main() -> None:
     from flink_template_spark.sources.trip_fixtures import write_scaled_fixture
 
     # 1M events amortizes job-startup overhead into a steady-state rate
-    n_trips, ept = 20000, 50
-    fx = os.path.join(tempfile.gettempdir(), f"bench_trip_events_{n_trips}_sharded")
-    if os.path.exists(fx):
-        n_events = n_trips * ept
-    else:
-        n_events = write_scaled_fixture(
-            fx, n_trips=n_trips, events_per_trip=ept, n_shards=cpus
-        )
-    # warm the JSON-scan schema + codegen path like the headline warm-up,
-    # so the reported rate is steady-state, not first-run compilation.
-    # The operator persists its projected input; drop the warm-up's cache
-    # so the TIMED run pays the full parse + materialize + aggregate cost
-    # (reporting a warm-cache rerun would measure cache reads, not the
-    # pipeline).
-    warm = aggregate_trips(read_trip_events_json(spark, fx))
-    warm.write.format("noop").mode("overwrite").save()
-    warm.input.unpersist(True)
-    timed = aggregate_trips(read_trip_events_json(spark, fx))
-    t0 = time.perf_counter()
-    timed.write.format("noop").mode("overwrite").save()
-    trip_wall = time.perf_counter() - t0
-    timed.input.unpersist(True)
-    trip_eps = round(n_events / trip_wall, 1)
+    trip_eps: float | None = None
+    try:
+        n_trips, ept = 20000, 50
+        fx = os.path.join(tempfile.gettempdir(), f"bench_trip_events_{n_trips}_sharded")
+        if os.path.exists(fx):
+            n_events = n_trips * ept
+        else:
+            n_events = write_scaled_fixture(
+                fx, n_trips=n_trips, events_per_trip=ept, n_shards=cpus
+            )
+        # warm the JSON-scan schema + codegen path like the headline warm-up,
+        # so the reported rate is steady-state, not first-run compilation.
+        # The operator persists its projected input; drop the warm-up's cache
+        # so the TIMED run pays the full parse + materialize + aggregate cost
+        # (reporting a warm-cache rerun would measure cache reads, not the
+        # pipeline).
+        warm = aggregate_trips(read_trip_events_json(spark, fx))
+        warm.write.format("noop").mode("overwrite").save()
+        warm.input.unpersist(True)
+        timed = aggregate_trips(read_trip_events_json(spark, fx))
+        t0 = time.perf_counter()
+        timed.write.format("noop").mode("overwrite").save()
+        trip_wall = time.perf_counter() - t0
+        timed.input.unpersist(True)
+        trip_eps = round(n_events / trip_wall, 1)
+    except Exception as exc:
+        errors["trip_pipeline"] = f"{type(exc).__name__}: {str(exc)[:300]}"
 
     # Newer operator families, timed identically but reported OUTSIDE
     # the headline total so `value` stays comparable across rounds.
@@ -107,11 +124,9 @@ def main() -> None:
     ]
     extended: dict[str, float] = {}
     for name in [n for n in EXTENDED if n in plans.QUERIES]:
-        t0 = time.perf_counter()
-        plans.QUERIES[name](spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        extended[name] = round(time.perf_counter() - t0, 3)
+        wall = run_one(name)
+        if wall is not None:
+            extended[name] = wall
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -127,6 +142,8 @@ def main() -> None:
         "trip_pipeline_events_per_sec": trip_eps,
         "sf": sf_val,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
     spark.stop()
 
