@@ -12,9 +12,10 @@ flush-on-checkpoint (JDBCSinkFunction.kt:20-22)  → foreachBatch: each
                                                    epoch commits atomically
 
 Exactly-once note (SURVEY.md §7 hard-part 5): foreachBatch is
-at-least-once; the accumulate-upsert is NOT naturally idempotent, so the
-sink records applied epoch ids in ``__epochs`` and skips replays —
-idempotent under micro-batch retry.
+at-least-once; the accumulate-upsert is NOT naturally idempotent, so each
+partition task commits its rows together with an (epoch_id, partition_id)
+marker in ``__epochs`` in one transaction and skips replays — idempotent
+under both task retry and micro-batch replay.
 
 The DB-API connection is created inside the partition/batch function
 (executor-side), never serialized from the driver. Tests use sqlite3;
@@ -86,44 +87,77 @@ ON CONFLICT (id) DO UPDATE SET
   is_terminator = accounts.is_terminator OR excluded.is_terminator
 """
 
-EPOCHS_DDL = "CREATE TABLE IF NOT EXISTS __epochs (epoch_id INTEGER PRIMARY KEY)"
+EPOCHS_DDL = (
+    "CREATE TABLE IF NOT EXISTS __epochs ("
+    "epoch_id INTEGER, partition_id INTEGER, "
+    "PRIMARY KEY (epoch_id, partition_id))"
+)
 
 
 def accounts_upsert_batch_fn(
     connect: Callable[[], "object"],
 ) -> Callable[[DataFrame, int], None]:
-    """foreachBatch function: schema-validate, then batched accumulate-
-    upsert with epoch-id replay protection.
+    """foreachBatch function: schema-validate, then executor-side batched
+    accumulate-upsert with replay protection.
+
+    Each task opens its own PEP-249 connection inside
+    ``foreachPartition`` and applies its partition's rows in
+    ``BATCH_SIZE`` chunks — the reference's JDBCOutputFormat runs the
+    same way on task managers (jdbc/JDBCOutputFormat.kt:97-142); nothing
+    is collected to the driver, so a 1000-executor micro-batch writes
+    with full parallelism.
+
+    Idempotency under at-least-once replay: the upsert accumulates, so
+    each (epoch, partition) commits its rows and a marker row in ONE
+    transaction; a retried task or replayed epoch sees its marker and
+    skips. Micro-batch replay from a checkpoint recomputes the same
+    deterministic partitioning, so markers address the same units of
+    work.
 
     ``connect`` returns a fresh PEP-249 connection (e.g.
-    ``lambda: sqlite3.connect(path)``); called inside the batch function
-    so nothing unpicklable crosses the driver/executor boundary.
+    ``lambda: sqlite3.connect(path)``); it is invoked inside the
+    partition function so only the (picklable) factory crosses the
+    driver/executor boundary.
     """
 
     def write(df: DataFrame, epoch_id: int) -> None:
         validate_sink_schema(df.schema, ACCOUNTS_TARGET_SCHEMA)
-        rows = [
-            (r["id"], r["amount"], bool(r["is_terminator"]))
-            for r in df.collect()
-        ]
-        con = connect()
-        try:
-            cur = con.cursor()
-            cur.execute(ACCOUNTS_DDL)
-            cur.execute(EPOCHS_DDL)
-            cur.execute(
-                "SELECT 1 FROM __epochs WHERE epoch_id = ?", (int(epoch_id),)
-            )
-            if cur.fetchone():
-                return  # replayed epoch — already applied
-            for i in range(0, len(rows), BATCH_SIZE):
-                cur.executemany(ACCOUNTS_UPSERT_SQL, rows[i : i + BATCH_SIZE])
-            cur.execute(
-                "INSERT INTO __epochs (epoch_id) VALUES (?)", (int(epoch_id),)
-            )
-            con.commit()
-        finally:
-            con.close()
+        epoch = int(epoch_id)
+
+        def write_partition(rows) -> None:
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx is not None else 0
+            con = connect()
+            try:
+                cur = con.cursor()
+                cur.execute(ACCOUNTS_DDL)
+                cur.execute(EPOCHS_DDL)
+                con.commit()  # release any DDL lock before the data txn
+                cur.execute(
+                    "SELECT 1 FROM __epochs WHERE epoch_id = ? AND partition_id = ?",
+                    (epoch, pid),
+                )
+                if cur.fetchone():
+                    return  # replayed task/epoch — already applied
+                batch: list[tuple] = []
+                for r in rows:
+                    batch.append((r["id"], r["amount"], bool(r["is_terminator"])))
+                    if len(batch) >= BATCH_SIZE:
+                        cur.executemany(ACCOUNTS_UPSERT_SQL, batch)
+                        batch.clear()
+                if batch:
+                    cur.executemany(ACCOUNTS_UPSERT_SQL, batch)
+                cur.execute(
+                    "INSERT INTO __epochs (epoch_id, partition_id) VALUES (?, ?)",
+                    (epoch, pid),
+                )
+                con.commit()
+            finally:
+                con.close()
+
+        df.foreachPartition(write_partition)
 
     return write
 
