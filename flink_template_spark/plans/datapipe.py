@@ -396,7 +396,9 @@ def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keepers = scored.groupBy("text").agg(
         F.min("doc_id").alias("doc_id"),
-        F.min("lang").alias("lang"),  # deterministic pick among exact-dup copies
+        # keep-first semantics: every kept attribute comes from the SAME
+        # row (the min-doc_id copy), so no synthetic (doc_id, lang) pairs
+        F.min_by("lang", "doc_id").alias("lang"),
     )
     enriched = keepers.select(
         "doc_id",
@@ -409,7 +411,12 @@ def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         enriched, budget=512, group_col="cell", id_col="doc_id",
         tokens_col="n_tokens",
     )
-    shard = (F.expr(md5int_spark("CAST(bin_id AS STRING)")) % 8).alias("shard")
+    # hash the FULL bin identity — bin_id restarts at 0 within each
+    # (split, lang) cell, so hashing bin_id alone would map bin k of
+    # every cell to the same shard (systematic skew)
+    shard = (
+        F.expr(md5int_spark("CONCAT(cell, '/', CAST(bin_id AS STRING))")) % 8
+    ).alias("shard")
     return (
         packed.groupBy("cell", "bin_id")
         .agg(

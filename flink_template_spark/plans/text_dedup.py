@@ -847,17 +847,24 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     {data, model, learning}: tf per (doc, term) after a pushdown-able
     term filter, df + corpus stats as 1-row/tiny broadcast sides,
     scoring as pure expressions, top-k via TakeOrderedAndProject. At
-    100 TB the only data-bearing shuffle is the (doc, term) tf count —
-    everything else joins against broadcast-sized aggregates. Scores
-    rounded to 6 dp (ln + divisions drift in the last ulp across
-    engines); ordering ties broken by doc_id."""
+    100 TB the only data-bearing shuffle is the (doc, term) tf count:
+    the document length rides along that aggregation (projected next to
+    the exploded tokens, picked with first()), so there is no separate
+    full-corpus doc-length join — everything else joins against
+    broadcast-sized aggregates. Scores rounded to 6 dp (ln + divisions
+    drift in the last ulp across engines); ordering ties broken by
+    doc_id."""
     docs = load_table(spark, sf_dir, "documents")
     terms = ["data", "model", "learning"]
     tok = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("dlen"),
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
     ).filter(F.col("token").isin(terms))
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dl = docs.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("dlen"))
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.first("dlen").alias("dlen"),  # constant per doc_id
+    )
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (
@@ -872,7 +879,6 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     denom = F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dlen") / F.col("avg_dlen"))
     scored = (
         tf.join(F.broadcast(df_t), "token")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.sum(idf * (F.col("tf") * 2.2) / denom).alias("score"))
