@@ -130,14 +130,99 @@ BODY_SCHEMA = T.StructType(
 
 TRIP_ENVELOPE_SCHEMA = T.StructType([T.StructField("body", BODY_SCHEMA)])
 
+# --- Declared-but-never-parsed TripEvent surface (quirk Q1) -------------
+# Trip.kt:24-28 declares TripEvent(id, timestamp, eventData) and
+# EventData.kt:16-77 its variants (AccelerometerEvent, FenceEvent,
+# TripGpsEvent), but the reference parser's discriminator
+# (JSONUtil.kt:136-162) has no "TripEvent" case — any such record throws
+# and is filtered to null. The DEFAULT parse path mirrors that exactly:
+# EVENT_TYPES membership drops the row. For pipelines that do carry these
+# payloads, EVENT_DATA_SCHEMA models the declared Kotlin types as
+# nullable structs and ``parse_trip_events(..., include_event_data=True)``
+# accepts type "TripEvent" and carries an ``event_data`` column through.
+EVENT_DATA_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "accelerometer",  # AccelerometerEvent (EventData.kt:22-25)
+            T.StructType(
+                [
+                    T.StructField("secondsRelativeToTriggerInSeconds", T.DoubleType()),
+                    T.StructField(
+                        "data",
+                        T.StructType(
+                            [
+                                T.StructField("type", T.StringType()),
+                                T.StructField("triggeredAxis", T.StringType()),
+                                T.StructField("samples", T.ArrayType(_point)),
+                            ]
+                        ),
+                    ),
+                ]
+            ),
+        ),
+        T.StructField(
+            "fence",  # FenceEvent (EventData.kt:27-45)
+            T.StructType(
+                [
+                    T.StructField(
+                        "timeFence",
+                        T.StructType(
+                            [
+                                T.StructField("type", T.StringType()),
+                                T.StructField("tripId", T.DoubleType()),
+                                T.StructField("distanceTraveled", T.DoubleType()),
+                                T.StructField("durationInMinutes", T.DoubleType()),
+                            ]
+                        ),
+                    ),
+                    T.StructField(
+                        "geoFence",
+                        T.StructType(
+                            [
+                                T.StructField("type", T.StringType()),
+                                T.StructField("geoFenceId", T.DoubleType()),
+                            ]
+                        ),
+                    ),
+                ]
+            ),
+        ),
+        T.StructField(
+            "gps",  # TripGpsEvent (EventData.kt:67-77)
+            T.StructType(
+                [
+                    T.StructField("heading", T.DoubleType()),
+                    T.StructField("horizontalDilutionOfPrecision", T.DoubleType()),
+                    T.StructField("latitude", T.DoubleType()),
+                    T.StructField("longitude", T.DoubleType()),
+                    T.StructField("numberOfSatellites", T.DoubleType()),
+                    T.StructField("gpsRegion", T.StringType()),
+                    T.StructField("gpsFixQuality", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
 
-def parse_trip_events(raw: DataFrame, json_col: str = "value") -> DataFrame:
+EXTENDED_BODY_SCHEMA = T.StructType(
+    BODY_SCHEMA.fields + [T.StructField("eventData", EVENT_DATA_SCHEMA)]
+)
+EXTENDED_ENVELOPE_SCHEMA = T.StructType(
+    [T.StructField("body", EXTENDED_BODY_SCHEMA)]
+)
+
+
+def parse_trip_events(
+    raw: DataFrame, json_col: str = "value", include_event_data: bool = False
+) -> DataFrame:
     """Raw JSON-line strings → typed, validated trip-event rows.
 
     Output columns: trip_id long, ts timestamp, event_type string,
     odometer long, vehicle_protocol string, vin string, fuel_consumed
     double, pid (full PID struct), plus convenience extracts
-    speed_kmh int, lat/lon double.
+    speed_kmh int, lat/lon double. With ``include_event_data`` the
+    declared-only TripEvent surface is accepted too and an
+    ``event_data`` struct column is appended (see EVENT_DATA_SCHEMA).
 
     Invalid rows are dropped, mirroring the reference's
     parse-catch-null-filter chain (JSONUtil.kt:164-167,
@@ -164,14 +249,20 @@ def parse_trip_events(raw: DataFrame, json_col: str = "value") -> DataFrame:
     seq_col = (
         F.rand(42) if raw.isStreaming else F.monotonically_increasing_id()
     )
+    envelope_schema = (
+        EXTENDED_ENVELOPE_SCHEMA if include_event_data else TRIP_ENVELOPE_SCHEMA
+    )
+    accepted_types = (
+        EVENT_TYPES + ["TripEvent"] if include_event_data else EVENT_TYPES
+    )
     env = raw.select(
-        F.from_json(F.col(json_col), TRIP_ENVELOPE_SCHEMA)
+        F.from_json(F.col(json_col), envelope_schema)
         .getField("body")
         .alias("__b"),
         seq_col.alias("ingest_seq"),
     )
     b = F.col("__b")
-    parsed = env.select(
+    parsed_cols = [
         b.getField("tripNumber").cast("long").alias("trip_id"),
         F.try_to_timestamp(b.getField("timestamp")).alias("ts"),
         b.getField("type").alias("event_type"),
@@ -180,13 +271,15 @@ def parse_trip_events(raw: DataFrame, json_col: str = "value") -> DataFrame:
         b.getField("vin").alias("vin"),
         b.getField("fuelConsumed").alias("fuel_consumed"),
         b.getField("pidData").alias("pid"),
-        F.col("ingest_seq"),
-    )
+    ]
+    if include_event_data:
+        parsed_cols.append(b.getField("eventData").alias("event_data"))
+    parsed = env.select(*parsed_cols, F.col("ingest_seq"))
 
     valid = (
         F.col("trip_id").isNotNull()
         & F.col("ts").isNotNull()
-        & F.col("event_type").isin(EVENT_TYPES)
+        & F.col("event_type").isin(accepted_types)
         # enum validation: invalid enum string ⇒ whole record dropped
         & (
             F.col("vehicle_protocol").isNull()

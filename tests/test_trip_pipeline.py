@@ -159,3 +159,53 @@ def test_parse_evaluates_from_json_once(spark, tmp_path):
     parsed = read_trip_events_json(spark, str(p))
     plan = parsed._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("from_json") == 1, f"{plan.count('from_json')} from_json calls"
+
+
+def test_event_data_surface_opt_in(spark):
+    """Quirk Q1: the reference declares TripEvent/EventData (Trip.kt:24-28,
+    EventData.kt:16-77) but its parser has no "TripEvent" case
+    (JSONUtil.kt:136-162) — default parse drops such records; the opt-in
+    extended schema models and carries them."""
+    import json
+
+    from flink_template_spark.parse import parse_trip_events
+
+    trip_event = {
+        "body": {
+            "tripNumber": 9,
+            "timestamp": "2016-01-01T12:00:00-05:00",
+            "type": "TripEvent",
+            "eventData": {
+                "accelerometer": {
+                    "secondsRelativeToTriggerInSeconds": 2,
+                    "data": {
+                        "type": "Triggered",
+                        "triggeredAxis": "PositiveXAxis",
+                        "samples": [{"x": 0.1, "y": 0.2, "z": 9.8}],
+                    },
+                },
+                "gps": {
+                    "heading": 90,
+                    "horizontalDilutionOfPrecision": 1,
+                    "latitude": 19.4,
+                    "longitude": -99.1,
+                    "numberOfSatellites": 7,
+                    "gpsRegion": "NorthWest",
+                    "gpsFixQuality": "Standard",
+                },
+            },
+        }
+    }
+    raw = spark.createDataFrame([(json.dumps(trip_event),)], "value STRING")
+
+    # default path: reference-parser parity — record dropped
+    assert parse_trip_events(raw).count() == 0
+
+    # opt-in path: record kept with typed event_data struct
+    rows = parse_trip_events(raw, include_event_data=True).collect()
+    assert len(rows) == 1
+    ed = rows[0].event_data
+    assert ed.accelerometer.data.triggeredAxis == "PositiveXAxis"
+    assert ed.accelerometer.data.samples[0].z == 9.8
+    assert ed.gps.gpsRegion == "NorthWest"
+    assert ed.fence is None
