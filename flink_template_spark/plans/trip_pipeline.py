@@ -24,6 +24,14 @@ from flink_template_spark.sources.trip_fixtures import write_fixture
 
 
 def _fixture_path() -> str:
+    """Idempotently materialize the 20-line wire-format fixture.
+
+    Known impurity: the first call of either query writes this file into
+    the driver's tempdir (all later calls only stat it). Deliberate —
+    the fixture is the QUERY INPUT (the engine's own wire format, not a
+    testdata table), and shipping a data file inside the package or
+    writing at import time would be worse; a rows-only smoke entry may
+    lazily create its own tiny input."""
     d = os.path.join(tempfile.gettempdir(), "flink_template_spark_fixture")
     os.makedirs(d, exist_ok=True)
     p = os.path.join(d, "trip_events.jsonl")
