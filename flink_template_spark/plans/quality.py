@@ -1,0 +1,239 @@
+"""Corpus-quality operators for LLM training-data curation (engine
+additions beyond the reference surface; SURVEY.md §2.7 family).
+
+Three standard curation stages the earlier text_dedup/datapipe families
+don't cover:
+
+- repetition metrics (the Gopher/C4-style within-document repetition
+  rules: top-word share, duplicate word/bigram/trigram fractions, and a
+  composite keep flag);
+- mixture rebalancing (deterministic per-language acceptance rates that
+  reshape the corpus toward a target language mixture under a budget —
+  the low-resource-language upsampling step);
+- n-gram novelty (per-document fraction of its 5-gram shingles whose
+  corpus-wide first occurrence is this document — the document-level
+  view of token-level dedup).
+
+All pure Column expressions (no Python UDFs); every query carries an
+exact DuckDB oracle built on the same portable md5 hash primitives as
+the rest of the suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_template_spark.functions.hashing import md5int_duckdb, md5int_spark
+from flink_template_spark.functions.text import ws_tokens
+from flink_template_spark.plans.registry import register
+from flink_template_spark.plans.text_dedup import _duck_shingles
+from flink_template_spark.tables import load_table
+
+
+def _grams_tagged(n: int):
+    """Non-distinct n-gram structs (n, gram) from the token array.
+
+    Unlike functions.text.word_shingles this keeps duplicates — the
+    whole point of repetition metrics is counting them."""
+    toks = ws_tokens(F.col("text"))
+    if n == 1:
+        joined = toks
+    else:
+        joined = F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+    guarded = F.when(F.size(toks) >= n, joined).otherwise(
+        F.array().cast("array<string>")
+    )
+    return F.transform(
+        guarded, lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+    )
+
+
+@register(
+    "q_repetition_metrics",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, 1 AS n, unnest(w) AS g FROM w
+  UNION ALL
+  SELECT doc_id, 2,
+         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))
+  FROM w
+  UNION ALL
+  SELECT doc_id, 3,
+         unnest(list_transform(range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+  FROM w
+),
+c AS (SELECT doc_id, n, g, COUNT(*) AS c FROM grams GROUP BY 1, 2, 3),
+p AS (
+  SELECT doc_id, n,
+         CAST(SUM(c) AS DOUBLE) AS total,
+         CAST(COUNT(*) AS DOUBLE) AS dst,
+         CAST(MAX(c) AS DOUBLE) AS top
+  FROM c GROUP BY 1, 2
+),
+m AS (
+  SELECT doc_id,
+    ROUND(MAX(CASE WHEN n = 1 THEN top / total END), 6) AS top_word_frac,
+    ROUND(MAX(CASE WHEN n = 1 THEN 1.0 - dst / total END), 6) AS dup_word_frac,
+    ROUND(COALESCE(MAX(CASE WHEN n = 2 THEN 1.0 - dst / total END), 0.0), 6)
+      AS dup_bigram_frac,
+    ROUND(COALESCE(MAX(CASE WHEN n = 3 THEN 1.0 - dst / total END), 0.0), 6)
+      AS dup_trigram_frac
+  FROM p GROUP BY doc_id
+)
+SELECT *,
+  top_word_frac <= 0.3 AND dup_bigram_frac <= 0.6 AND dup_trigram_frac <= 0.5
+    AS keep
+FROM m
+""",
+)
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style within-document repetition rules.
+
+    One tagged explode covers all three gram orders (the alternative —
+    three explode pipelines joined on doc_id — scans the corpus three
+    times and adds two joins). The (doc, n, gram) count has map-side
+    partial aggregation, so the shuffle carries distinct grams per doc,
+    not raw occurrences; the per-doc reduction is then tiny. All
+    fractions are IEEE divisions of exact integer counts — identical in
+    both engines — rounded to 6 dp for hash stability.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "doc_id",
+        F.explode(
+            F.concat(_grams_tagged(1), _grams_tagged(2), _grams_tagged(3))
+        ).alias("t"),
+    ).select("doc_id", F.col("t.n").alias("n"), F.col("t.g").alias("g"))
+    counts = tagged.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    per_n = counts.groupBy("doc_id", "n").agg(
+        F.sum("c").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("dst"),
+        F.max("c").cast("double").alias("top"),
+    )
+
+    def pick(n: int, expr):
+        return F.max(F.when(F.col("n") == n, expr))
+
+    m = per_n.groupBy("doc_id").agg(
+        F.round(pick(1, F.col("top") / F.col("total")), 6).alias("top_word_frac"),
+        F.round(pick(1, F.lit(1.0) - F.col("dst") / F.col("total")), 6).alias(
+            "dup_word_frac"
+        ),
+        F.round(
+            F.coalesce(pick(2, F.lit(1.0) - F.col("dst") / F.col("total")), F.lit(0.0)),
+            6,
+        ).alias("dup_bigram_frac"),
+        F.round(
+            F.coalesce(pick(3, F.lit(1.0) - F.col("dst") / F.col("total")), F.lit(0.0)),
+            6,
+        ).alias("dup_trigram_frac"),
+    )
+    keep = (
+        (F.col("top_word_frac") <= 0.3)
+        & (F.col("dup_bigram_frac") <= 0.6)
+        & (F.col("dup_trigram_frac") <= 0.5)
+    )
+    return m.select("*", keep.alias("keep"))
+
+
+@register(
+    "q_mixture_rebalance",
+    oracle=f"""
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+t AS (SELECT COUNT(*) AS total FROM documents),
+r AS (
+  SELECT lang, n,
+         LEAST(1.0, (0.1 * CAST(total AS DOUBLE)) / CAST(n AS DOUBLE)) AS rate
+  FROM c CROSS JOIN t
+)
+SELECT d.doc_id, d.lang, d.source, ROUND(r.rate, 6) AS accept_rate
+FROM documents d JOIN r USING (lang)
+WHERE ({md5int_duckdb("'m' || CAST(d.doc_id AS VARCHAR)")} % 1000000)
+      < CAST(FLOOR(r.rate * 1000000.0) AS BIGINT)
+""",
+)
+def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixture rebalancing toward equal language
+    shares under a half-corpus budget: rate_lang = min(1, (0.5 * total *
+    0.2) / n_lang) — the dominant language is downsampled, low-resource
+    languages keep everything.
+
+    Per-language counts are a tiny agg broadcast back onto the corpus;
+    membership is a pure map-side integer comparison on the portable
+    md5 hash ('m' salt decorrelates from the splitter/samplers hashing
+    the same ids), so the sample is reproducible across engines and
+    backfills and adds no shuffle of the corpus at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    total = docs.agg(F.count(F.lit(1)).alias("total"))
+    rates = counts.crossJoin(F.broadcast(total)).select(
+        "lang",
+        F.least(
+            F.lit(1.0), (0.1 * F.col("total").cast("double")) / F.col("n").cast("double")
+        ).alias("rate"),
+    )
+    u = F.expr(md5int_spark("'m' || CAST(doc_id AS STRING)")) % 1000000
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(u < F.floor(F.col("rate") * 1000000.0).cast("bigint"))
+        .select("doc_id", "lang", "source", F.round("rate", 6).alias("accept_rate"))
+    )
+
+
+@register(
+    "q_ngram_novelty",
+    oracle=f"""
+WITH sh AS ({_duck_shingles(5)}),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY 1),
+firsts AS (SELECT shingle, MIN(doc_id) AS fd FROM sh GROUP BY 1),
+novel AS (SELECT fd AS doc_id, COUNT(*) AS n_novel FROM firsts GROUP BY 1)
+SELECT p.doc_id, p.n_shingles, COALESCE(n.n_novel, 0) AS n_novel,
+       ROUND(CAST(COALESCE(n.n_novel, 0) AS DOUBLE)
+             / CAST(p.n_shingles AS DOUBLE), 6) AS novel_frac
+FROM per_doc p LEFT JOIN novel n USING (doc_id)
+""",
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 5-gram novelty: the fraction of a document's
+    distinct shingles whose corpus-wide FIRST occurrence (min doc_id) is
+    this document — the document-level readout of token-level dedup
+    (a doc full of previously-seen n-grams is a rehash).
+
+    Shape chosen for scale: instead of joining the full (doc, shingle)
+    set back to the first-occurrence table on the shingle key (a second
+    full-size shuffle join), both sides reduce FIRST — n_shingles per
+    doc and first-occurrence counts per doc — and the join is between
+    two doc-keyed aggregates of ~|docs| rows. Both groupBys get map-side
+    partial aggregation; hot shingles are bounded by the partial mins.
+    """
+    from flink_template_spark.functions.text import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 5)).alias("shingle")
+    )
+    per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("fd"))
+    novel = firsts.groupBy(F.col("fd").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    joined = per_doc.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+    )
+    return joined.select(
+        "*",
+        F.round(
+            F.col("n_novel").cast("double") / F.col("n_shingles").cast("double"), 6
+        ).alias("novel_frac"),
+    )
