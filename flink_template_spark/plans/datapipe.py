@@ -374,18 +374,66 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_training_data_pipeline")
+_QUALITY_SQL = """
+    0.5 * LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+    + 0.5 * LEAST(CAST(len(list_filter(string_split(text, ' '),
+          t -> t IN ('the', 'a'))) AS DOUBLE)
+        / len(string_split(text, ' ')) * 10.0, 1.0)
+    - 0.25 * (CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+          AS DOUBLE) / length(text))
+"""
+
+
+@register(
+    "q_training_data_pipeline",
+    oracle=f"""
+WITH RECURSIVE keepers AS (
+  SELECT MIN(doc_id) AS doc_id, MIN_BY(lang, doc_id) AS lang, text
+  FROM documents
+  WHERE ROUND({_QUALITY_SQL}, 6) >= 0.3
+  GROUP BY text
+),
+enriched AS (
+  SELECT doc_id,
+         {_split_sql("doc_id")} || '/' || lang AS cell,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM keepers
+),
+d AS (
+  SELECT cell, doc_id, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY doc_id) AS rn
+  FROM enriched
+),
+packed(cell, rn, doc_id, n_tokens, bin_id, filled) AS (
+  SELECT cell, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.cell, d.rn, d.doc_id, d.n_tokens,
+    CASE WHEN p.filled + d.n_tokens > 512 THEN p.bin_id + 1
+         ELSE p.bin_id END,
+    CASE WHEN p.filled + d.n_tokens > 512 THEN d.n_tokens
+         ELSE p.filled + d.n_tokens END
+  FROM packed p JOIN d ON d.cell = p.cell AND d.rn = p.rn + 1
+)
+SELECT cell, bin_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       ({md5int_duckdb("cell || '/' || CAST(bin_id AS VARCHAR)")} % 8) AS shard
+FROM packed
+GROUP BY cell, bin_id
+""",
+)
 def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end training-data pipeline, composed from the
     individually-oracled stages: quality filter (functions.text) →
     exact dedup keep-first (operators.dedup's groupBy-min) → hash-based
     train/val/test split (split_of) → whitespace token counts →
     token-budget sequence packing per (split, lang) (operators.packing)
-    → per-bin manifest with deterministic shard assignment. Rows-only:
-    each stage has its own oracle (q_quality_scores, q_dedup_exact_docs,
-    q_train_test_split, q_pack_greedy_bins, q_training_shards); this
-    entry proves they compose into one lazy plan — documents in,
-    packed-shard manifest out, no driver collection at any stage."""
+    → per-bin manifest with deterministic shard assignment. The oracle
+    replays the WHOLE composition (quality expression, keep-first
+    min/min_by dedup, split CASE, recursive-CTE greedy fold, shard
+    hash) — the flagship is hash-exact end-to-end, not just rows-only;
+    documents in, packed-shard manifest out, one lazy plan, no driver
+    collection at any stage."""
     from flink_template_spark.functions.hashing import md5int_spark
     from flink_template_spark.functions.text import quality_score, token_count_ws
     from flink_template_spark.operators.packing import pack_greedy
