@@ -294,10 +294,34 @@ def q_trip_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_resample_daily_ffill")
+@register(
+    "q_resample_daily_ffill",
+    oracle="""
+WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+span AS (
+  SELECT user_id, date_trunc('day', MIN(ts)) AS d0,
+         date_trunc('day', MAX(ts)) AS d1
+  FROM ev GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+  FROM span
+),
+obs AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM ev)
+SELECT g.user_id, COUNT(*) AS n_days,
+       CAST(SUM(CASE WHEN o.day IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_filled
+FROM grid g
+LEFT JOIN obs o ON g.user_id = o.user_id AND g.day = o.day
+GROUP BY g.user_id
+""",
+)
 def q_resample_daily_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-map applyInPandas resampling (rows-only: pandas
-    resample/ffill semantics; golden-tested in tests/test_sql_and_skew)."""
+    """Grouped-map applyInPandas resampling. The per-user aggregate
+    (grid-day count + filled-day count) is a pure function of day
+    coverage — independent of pandas' equal-ts tie-breaking — so it IS
+    oracle-checkable even though per-row values are not; row-level
+    semantics stay golden-tested in tests/test_sql_and_skew."""
     from flink_template_spark.operators.resample import resample_ffill
 
     events = load_table(spark, sf_dir, "events")
