@@ -122,6 +122,59 @@ def cosine_near_dup_exact(
     )
 
 
+def semdedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster-blocked cosine dominance.
+
+    Assign every vector to its nearest centroid (``ivf_assign``), then
+    within each cluster drop any vector that has a LOWER-id neighbor
+    with cosine ≥ threshold (deterministic keep-first). Returns the
+    kept (id, cluster) rows.
+
+    Scale contract: the pair join is per-cluster (equi-join on the
+    cluster key), so cost is quadratic only in the largest CELL, never
+    the corpus — with K centroids sized to the corpus (K ~ N/target
+    cell size) this is the standard SemDeDup shape. Norms are computed
+    once per vector before the join.
+    """
+    assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
+    with_norm = assigned.select(
+        id_col, "cluster", vec_col, l2_norm(F.col(vec_col)).alias("__norm")
+    )
+    a = with_norm.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        F.col("__norm").alias("norm_a"),
+    )
+    b = with_norm.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        F.col("__norm").alias("norm_b"),
+    )
+    dominated = (
+        a.join(b, ["cluster"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(
+                dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("norm_a") * F.col("norm_b")),
+                6,
+            )
+            >= threshold
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dominated, id_col, "left_anti").select(id_col, "cluster")
+
+
 # --- LSH (random hyperplane) near-dup -------------------------------------
 #
 # Deterministic rational hyperplanes from an LCG over the (plane, dim)

@@ -188,6 +188,55 @@ def q_ivf_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_THRESHOLD = 0.4
+
+
+@register(
+    "q_semdedup_keep",
+    oracle=f"""
+WITH centroids AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings
+  WHERE vec_id < {N_CENTROIDS}
+),
+scored AS (
+  SELECT v.vec_id, v.embedding, c.centroid_id,
+         ROUND({cosine_sql('v.embedding', 'c.embedding')}, 6) AS c_sim
+  FROM embeddings v CROSS JOIN centroids c
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id AS cluster FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id
+    ) AS rk FROM scored
+  ) WHERE rk = 1
+),
+dominated AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE ROUND({cosine_sql('a.embedding', 'b.embedding')}, 6)
+        >= {SEMDEDUP_THRESHOLD}
+)
+SELECT vec_id, cluster FROM assigned
+WHERE vec_id NOT IN (SELECT vec_id FROM dominated)
+""",
+)
+def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators.similarity.semdedup):
+    vectors are blocked by nearest fixed centroid, and within each
+    cluster any vector with a lower-id cosine-neighbor ≥ threshold is
+    dropped (deterministic keep-first). Fixed seed centroids (lowest
+    vec_ids) keep the whole composition SQL-replayable — the iterative
+    k-means centroids stay rows-only in q_kmeans_clusters."""
+    from flink_template_spark.operators.similarity import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return semdedup(emb, centroids, SEMDEDUP_THRESHOLD)
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-duplicate detection (SURVEY.md §2.7 north-star;
 # the dedup family's vector member alongside MinHash/SimHash in
