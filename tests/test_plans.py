@@ -247,3 +247,47 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
 
     bcast = li.join(orders.hint("broadcast"), li.l_orderkey == orders.o_orderkey)
     assert "BroadcastHashJoin" in physical(bcast)
+
+
+def test_repetition_metrics_single_scan_partial_agg(spark, sf):
+    """One corpus scan for all three gram orders; every aggregate is
+    partial (map-side) before its exchange."""
+    p = plan_of(plans.QUERIES["q_repetition_metrics"](spark, sf))
+    # formatted explain prints each node twice (tree + details): one scan
+    assert p.count("Scan parquet") == 2  # tagged explode, not 3 pipelines
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 6  # partial+final for each of 3 aggs
+
+
+def test_mixture_rebalance_broadcasts_rates(spark, sf):
+    """Per-lang rates broadcast onto the corpus; membership filter is
+    map-side (no corpus-keyed exchange after the join)."""
+    p = plan_of(plans.QUERIES["q_mixture_rebalance"](spark, sf))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p  # the corpus is never shuffle-joined
+
+
+def test_ngram_novelty_joins_reduced_sides(spark, sf):
+    """The final join is between two doc-keyed AGGREGATES — both join
+    inputs must pass through HashAggregate before joining."""
+    p = plan_of(plans.QUERIES["q_ngram_novelty"](spark, sf))
+    assert "CartesianProduct" not in p
+    # shingle-keyed work exists (first-occurrence agg) but the join keys
+    # are doc ids: no join on the shingle column anywhere in the plan
+    assert "shingle#" not in p[p.index("Join") :].split("\n")[0]
+
+
+def test_semdedup_pair_join_is_cluster_keyed(spark, sf):
+    """The dominance pair join must be an equi-join on the cluster key,
+    never a cartesian across cells; the only nested-loop joins allowed
+    are the broadcast-tiny centroid assignments (K rows)."""
+    p = plan_of(plans.QUERIES["q_semdedup_keep"](spark, sf))
+    assert "CartesianProduct" not in p
+    for line in p.splitlines():
+        if "BroadcastNestedLoopJoin" in line and "(" in line:
+            assert "Cross BuildRight" in line  # broadcast centroids only
+    # the pair join itself is keyed (SMJ/BHJ/SHJ inner), present in plan
+    assert any(
+        j in p for j in ("SortMergeJoin Inner", "ShuffledHashJoin Inner", "BroadcastHashJoin Inner")
+    )
