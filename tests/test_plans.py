@@ -285,7 +285,8 @@ def test_semdedup_pair_join_is_cluster_keyed(spark, sf):
     p = plan_of(plans.QUERIES["q_semdedup_keep"](spark, sf))
     assert "CartesianProduct" not in p
     for line in p.splitlines():
-        if "BroadcastNestedLoopJoin" in line and "(" in line:
+        # tree lines carry the join type; detail lines just repeat the name
+        if "BroadcastNestedLoopJoin" in line and "Build" in line:
             assert "Cross BuildRight" in line  # broadcast centroids only
     # the pair join itself is keyed (SMJ/BHJ/SHJ inner), present in plan
     assert any(
