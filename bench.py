@@ -121,6 +121,10 @@ def main() -> None:
         "q_embedding_quantize_int8",
         "q_bm25_search",
         "q_training_data_pipeline",
+        "q_repetition_metrics",
+        "q_mixture_rebalance",
+        "q_ngram_novelty",
+        "q_semdedup_keep",
     ]
     extended: dict[str, float] = {}
     for name in [n for n in EXTENDED if n in plans.QUERIES]:

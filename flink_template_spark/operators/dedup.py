@@ -19,7 +19,7 @@ No Python UDFs — everything is Catalyst expressions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from flink_template_spark.functions.hashing import (
@@ -29,7 +29,6 @@ from flink_template_spark.functions.hashing import (
     md5int_spark,
     minhash_expr,
 )
-from flink_template_spark.functions.text import word_shingles
 
 
 def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -51,11 +50,50 @@ def _spread(docs: DataFrame) -> DataFrame:
     return docs.repartition(par)
 
 
+def shingle_rows(
+    docs: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    distinct: bool = True,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exploded (id, shingle) word n-gram rows, built in codegen.
+
+    posexplode the token array, then assemble each shingle from window
+    ``lead()``s over token position. Spark evaluates higher-order-
+    function lambdas interpreted (outside whole-stage codegen), so
+    exploding a ``transform``-built shingle array — the row-local dual
+    in ``functions.text.word_shingles``, kept for Column composition —
+    measured ~6× slower end-to-end at sf0.1. The window costs one
+    id-keyed shuffle, which the (id, shingle)-level aggregations every
+    consumer runs next amortize.
+
+    Shingle strings are byte-identical to ``word_shingles`` output
+    (same single-space join), so all oracles are unaffected.
+    """
+    extras = [F.col(c) for c in (extra_cols or [])]
+    tok = _spread(docs).select(
+        F.col(id_col),
+        *extras,
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    )
+    if n == 1:
+        out = tok.select(F.col(id_col), *extras, F.col("w").alias("shingle"))
+        return out.distinct() if distinct else out
+    w = W.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("w", k).over(w).alias(f"w{k}") for k in range(1, n)]
+    with_leads = tok.select(F.col(id_col), *extras, F.col("w"), *leads)
+    shingle = F.concat_ws(" ", "w", *[f"w{k}" for k in range(1, n)])
+    out = with_leads.filter(F.col(f"w{n-1}").isNotNull()).select(
+        F.col(id_col), *extras, shingle.alias("shingle")
+    )
+    return out.distinct() if distinct else out
+
+
 def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) exploded distinct word-shingles."""
-    return _spread(docs).select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
-    )
+    return shingle_rows(docs, n, id_col=id_col, text_col=text_col)
 
 
 def minhash_signatures(
@@ -128,19 +166,21 @@ def minhash_lsh_pairs(
     buckets = bands.groupBy("band", "band_key").agg(
         F.sort_array(F.collect_set(id_col)).alias("ids")
     )
-    pairs = buckets.filter(F.size("ids") > 1).select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ids, (a, i) -> "
-                "transform(slice(ids, i + 2, size(ids)), b -> "
-                "struct(a AS id_a, b AS id_b))))"
-            )
-        ).alias("p")
+    # i<j combinations via two chained codegen generators (posexplode,
+    # then explode of a Column-sliced suffix) — the equivalent nested
+    # `transform` lambda expansion runs interpreted and measured ~4×
+    # slower on this stage at sf0.1
+    lhs = buckets.filter(F.size("ids") > 1).select(
+        F.posexplode("ids").alias("i", "id_a"), "ids"
     )
-    return (
-        pairs.select("p.id_a", "p.id_b")
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    pairs = lhs.select(
+        "id_a",
+        F.explode(
+            F.slice("ids", F.col("i") + F.lit(2), F.size("ids"))
+        ).alias("id_b"),
+    )
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("n_shared_bands")
     )
 
 
@@ -241,17 +281,24 @@ def simhash_hamming_pairs(
     buckets = bands.groupBy("band", "band_key").agg(
         F.sort_array(F.collect_set(F.struct("id", "sig"))).alias("items")
     )
-    pairs = buckets.filter(F.size("items") > 1).select(
+    # codegen i<j expansion (posexplode + Column-sliced explode), same
+    # rationale as minhash_lsh_pairs — no interpreted lambdas
+    lhs = buckets.filter(F.size("items") > 1).select(
+        F.posexplode("items").alias("i", "a"), "items"
+    )
+    pairs = lhs.select(
+        "a",
         F.explode(
-            F.expr(
-                "flatten(transform(items, (a, i) -> "
-                "transform(slice(items, i + 2, size(items)), b -> "
-                "struct(a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b))))"
-            )
-        ).alias("p")
+            F.slice("items", F.col("i") + F.lit(2), F.size("items"))
+        ).alias("b"),
     )
     return (
-        pairs.select("p.*")
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
         .withColumn(
             "hamming",

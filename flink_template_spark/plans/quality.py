@@ -25,32 +25,54 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_template_spark.functions.hashing import md5int_duckdb, md5int_spark
-from flink_template_spark.functions.text import ws_tokens
 from flink_template_spark.plans.registry import register
 from flink_template_spark.plans.text_dedup import _duck_shingles
 from flink_template_spark.tables import load_table
 
 
-def _grams_tagged(n: int):
-    """Non-distinct n-gram structs (n, gram) from the token array.
+def _tagged_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, n, g) rows for n ∈ {1,2,3}, duplicates kept.
 
-    Unlike functions.text.word_shingles this keeps duplicates — the
-    whole point of repetition metrics is counting them."""
-    toks = ws_tokens(F.col("text"))
-    if n == 1:
-        joined = toks
-    else:
-        joined = F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-            ),
-        )
-    guarded = F.when(F.size(toks) >= n, joined).otherwise(
-        F.array().cast("array<string>")
+    Codegen formulation: posexplode tokens once, take two window
+    ``lead()``s, and emit up to three tagged grams per token position
+    from a literal 3-element array — no higher-order-function lambdas
+    (Spark evaluates those interpreted; the transform-built version of
+    this measured several times slower at sf0.1). Tail positions where
+    a lead is null produce null grams and are filtered."""
+    from pyspark.sql import Window as W
+
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
     )
-    return F.transform(
-        guarded, lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    # windows must be materialized in their own projection — they cannot
+    # appear inside the generator below
+    led = tok.select(
+        "doc_id",
+        "w",
+        F.lead("w", 1).over(w).alias("w1"),
+        F.lead("w", 2).over(w).alias("w2"),
+    )
+    grams = F.array(
+        F.struct(F.lit(1).alias("n"), F.col("w").alias("g")),
+        F.struct(
+            F.lit(2).alias("n"),
+            F.when(
+                F.col("w1").isNotNull(), F.concat_ws(" ", "w", "w1")
+            ).alias("g"),
+        ),
+        F.struct(
+            F.lit(3).alias("n"),
+            F.when(
+                F.col("w1").isNotNull() & F.col("w2").isNotNull(),
+                F.concat_ws(" ", "w", "w1", "w2"),
+            ).alias("g"),
+        ),
+    )
+    return (
+        led.select("doc_id", F.explode(grams).alias("t"))
+        .filter(F.col("t.g").isNotNull())
+        .select("doc_id", F.col("t.n").alias("n"), F.col("t.g").alias("g"))
     )
 
 
@@ -97,7 +119,7 @@ FROM m
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style within-document repetition rules.
 
-    One tagged explode covers all three gram orders (the alternative —
+    One token pass covers all three gram orders (the alternative —
     three explode pipelines joined on doc_id — scans the corpus three
     times and adds two joins). The (doc, n, gram) count has map-side
     partial aggregation, so the shuffle carries distinct grams per doc,
@@ -106,12 +128,7 @@ def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines — rounded to 6 dp for hash stability.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tagged = docs.select(
-        "doc_id",
-        F.explode(
-            F.concat(_grams_tagged(1), _grams_tagged(2), _grams_tagged(3))
-        ).alias("t"),
-    ).select("doc_id", F.col("t.n").alias("n"), F.col("t.g").alias("g"))
+    tagged = _tagged_grams(docs)
     counts = tagged.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
     per_n = counts.groupBy("doc_id", "n").agg(
         F.sum("c").cast("double").alias("total"),
@@ -215,12 +232,10 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     two doc-keyed aggregates of ~|docs| rows. Both groupBys get map-side
     partial aggregation; hot shingles are bounded by the partial mins.
     """
-    from flink_template_spark.functions.text import word_shingles
+    from flink_template_spark.operators.dedup import shingle_rows
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), 5)).alias("shingle")
-    )
+    sh = shingle_rows(docs, 5)
     per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("fd"))
     novel = firsts.groupBy(F.col("fd").alias("doc_id")).agg(

@@ -398,12 +398,10 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash-style fingerprint: min 32-bit hash over 4-word
     shingles (winnowing-lite) + full md5."""
     from flink_template_spark.functions.hashing import md5int_spark
-    from flink_template_spark.functions.text import word_shingles
+    from flink_template_spark.operators.dedup import shingle_rows
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), 4)).alias("shingle")
-    )
+    sh = shingle_rows(docs, 4)
     fp = sh.groupBy("doc_id").agg(
         F.min(F.expr(md5int_spark("shingle"))).alias("fp_min")
     )
@@ -730,15 +728,11 @@ ORDER BY n_shared DESC, train_id, eval_id
 """,
 )
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_template_spark.functions.text import word_shingles
+    from flink_template_spark.operators.dedup import shingle_rows
     from flink_template_spark.plans.datapipe import split_of
 
     docs = load_table(spark, sf_dir, "documents").withColumn("split", split_of())
-    sh = docs.select(
-        "doc_id",
-        "split",
-        F.explode(word_shingles(F.col("text"), 3)).alias("shingle"),
-    )
+    sh = shingle_rows(docs, 3, extra_cols=["split"])
     keep = (
         sh.groupBy("shingle")
         .agg(F.count_distinct("doc_id").alias("df"))
