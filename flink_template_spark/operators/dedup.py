@@ -324,20 +324,22 @@ def ngram_jaccard_pairs(
     # (single scan of the shingle pipeline; a self-join would compute the
     # shingling twice). Blow-up is bounded by the hottest shingle's doc
     # list — the same bound the join has.
-    inter = (
+    buckets = (
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
+    )
+    # codegen i<j expansion (see minhash_lsh_pairs) — chained generators,
+    # no interpreted transform lambdas
+    inter = (
+        buckets.select(F.posexplode("ids").alias("i", "id_a"), "ids")
         .select(
+            "id_a",
             F.explode(
-                F.expr(
-                    "flatten(transform(ids, (a, i) -> "
-                    "transform(slice(ids, i + 2, size(ids)), b -> "
-                    "struct(a AS id_a, b AS id_b))))"
-                )
-            ).alias("p")
+                F.slice("ids", F.col("i") + F.lit(2), F.size("ids"))
+            ).alias("id_b"),
         )
-        .groupBy("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
