@@ -59,12 +59,12 @@ _PRIORITY = [
     "q_json_get",
     "q_range_frame_rolling_7d",
     "q_lateral_topk_nations",
-    # -- LLM pipeline, never driver-checked: text_dedup (21)
+    # -- LLM pipeline, never driver-checked: text_dedup core (17 — the
+    #    signature-level duals q_minhash_signatures / q_simhash_signatures
+    #    / q_simhash_scalar and the overlapping q_top_terms_per_lang sit
+    #    just past the slate; their end-to-end consumers are in it)
     "q_dedup_exact_docs",
-    "q_minhash_signatures",
     "q_minhash_lsh_pairs",
-    "q_simhash_signatures",
-    "q_simhash_scalar",
     "q_simhash_hamming_pairs",
     "q_ngram_jaccard_pairs",
     "q_near_dup_components",
@@ -73,7 +73,6 @@ _PRIORITY = [
     "q_lang_guess_confusion",
     "q_doc_fingerprints",
     "q_fuzzy_name_pairs",
-    "q_top_terms_per_lang",
     "q_best_of_cluster",
     "q_doc_chunks",
     "q_tfidf_top_terms",
@@ -81,17 +80,21 @@ _PRIORITY = [
     "q_vocab_build",
     "q_bm25_search",
     "q_vocab_apply",
-    # -- LLM pipeline: multimodal (6)
+    # -- LLM pipeline: multimodal (5)
     "q_multimodal_payload_stats",
-    "q_multimodal_meta_filter",
     "q_multimodal_frame_sample",
     "q_multimodal_features",
     "q_multimodal_byte_histogram",
     "q_multimodal_resize",
-    # -- LLM pipeline: ANN + SCD2 flagships (3)
+    # -- LLM pipeline: ANN + SCD2 + corpus-quality flagships (8)
     "q_cosine_topk",
     "q_knn_join",
     "q_scd2_merge",
+    "q_training_data_pipeline",
+    "q_repetition_metrics",
+    "q_mixture_rebalance",
+    "q_ngram_novelty",
+    "q_semdedup_keep",
 ]
 
 # Middle = never-driver-checked families; tail = round-1-green families.
