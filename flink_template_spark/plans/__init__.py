@@ -99,6 +99,8 @@ _PRIORITY = [
 
 # Middle = never-driver-checked families; tail = round-1-green families.
 _TAIL_FAMILIES = [
+    "text_dedup",
+    "quality",
     "vectors",
     "datapipe",
     "subqueries",
