@@ -26,14 +26,21 @@ MINHASH_A = [_rng.randrange(1, MERSENNE_P) for _ in range(NUM_HASHES)]
 MINHASH_B = [_rng.randrange(0, MERSENNE_P) for _ in range(NUM_HASHES)]
 
 
-def md5int_spark(expr: str) -> str:
-    """Spark SQL: 32-bit integer from md5 (bigint-typed)."""
-    return f"CAST(conv(substr(md5({expr}), 1, 8), 16, 10) AS BIGINT)"
+def md5int_spark(expr: str, bits: int = 32) -> str:
+    """Spark SQL: ``bits``-bit integer from the md5 prefix (bigint-typed).
+
+    bits must be a multiple of 4 and ≤ 60 (15 hex chars) so the value
+    always fits a signed int64 in both engines."""
+    if bits % 4 or bits > 60:
+        raise ValueError("bits must be a multiple of 4, at most 60")
+    return f"CAST(conv(substr(md5({expr}), 1, {bits // 4}), 16, 10) AS BIGINT)"
 
 
-def md5int_duckdb(expr: str) -> str:
-    """DuckDB SQL: the same 32-bit integer from md5."""
-    return f"CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT)"
+def md5int_duckdb(expr: str, bits: int = 32) -> str:
+    """DuckDB SQL: the same ``bits``-bit integer from the md5 prefix."""
+    if bits % 4 or bits > 60:
+        raise ValueError("bits must be a multiple of 4, at most 60")
+    return f"CAST('0x' || substr(md5({expr}), 1, {bits // 4}) AS BIGINT)"
 
 
 def minhash_expr(i: int, x: str) -> str:

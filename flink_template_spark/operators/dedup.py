@@ -187,7 +187,13 @@ def minhash_lsh_pairs(
 def simhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
 ) -> DataFrame:
-    """32-bit SimHash over whitespace tokens weighted by frequency."""
+    """``bits``-bit SimHash over whitespace tokens weighted by frequency.
+
+    The token hash is widened to ``bits`` (md5 prefix, ≤60) so every
+    signature bit carries entropy — with a fixed 32-bit hash, any
+    ``bits`` > 32 would make the upper bit-sums constant. Wider
+    signatures exist for banding at scale: band-key width = bits /
+    n_bands decides the bucket count (see simhash_hamming_pairs)."""
     tok = _spread(docs).select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("token"),
@@ -195,7 +201,7 @@ def simhash_signatures(
     counted = (
         tok.groupBy(id_col, "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("h", F.expr(md5int_spark("token")))
+        .withColumn("h", F.expr(md5int_spark("token", bits=bits)))
     )
     bit_sums = counted.groupBy(id_col).agg(
         *[
@@ -228,7 +234,7 @@ def simhash_scalar(text_col: str = "text", bits: int = 32):
     impossible or wrong — pre-watermark streaming projections
     (streaming.windows.dedup_near_stream) and inline per-row
     fingerprinting."""
-    h = md5int_spark("t")
+    h = md5int_spark("t", bits=bits)
     bitsums = (
         f"aggregate(transform(split({text_col}, ' '), t -> {h}), "
         f"array_repeat(CAST(0 AS BIGINT), {bits}), "
