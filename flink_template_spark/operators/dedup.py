@@ -71,9 +71,16 @@ def shingle_rows(
 
     Shingle strings are byte-identical to ``word_shingles`` output
     (same single-space join), so all oracles are unaffected.
+
+    No ``_spread`` here, deliberately: the window's own hash exchange on
+    the id parallelizes the heavy work (lead/concat/distinct — the
+    distinct re-uses the window's partitioning, since doc-keyed
+    clustering satisfies its distribution), while an up-front
+    round-robin repartition would be a second full shuffle of the rows
+    (measured ~2× slower end-to-end at sf0.1).
     """
     extras = [F.col(c) for c in (extra_cols or [])]
-    tok = _spread(docs).select(
+    tok = docs.select(
         F.col(id_col),
         *extras,
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
