@@ -1131,3 +1131,39 @@ def test_streaming_windowed_approx_distinct(spark, tmp_path):
     assert rows, "no closed windows emitted"
     for minute, approx in rows.items():
         assert abs(approx - 7) <= 1  # 7 distinct users per bucket, rsd 2%
+
+
+def test_upsert_sink_concurrent_partitions(spark, tmp_path):
+    """Executor-side path under real parallelism: a multi-partition
+    batch writes per-partition transactions against one sqlite file
+    (lock contention exercised), accumulates exactly, and a full-batch
+    replay is a no-op thanks to the (epoch, partition) markers."""
+    from flink_template_spark.sinks import accounts_upsert_batch_fn
+
+    db = str(tmp_path / "sink_mp.db")
+    # generous timeout: 8 concurrent partition writers share one file
+    write = accounts_upsert_batch_fn(lambda: sqlite3.connect(db, timeout=60))
+
+    n = 1000
+    df = (
+        spark.range(n)
+        .repartition(8)
+        .selectExpr(
+            "CAST(id % 100 AS INT) AS id",
+            "CAST(1.0 AS DOUBLE) AS amount",
+            "id % 100 = 0 AS is_terminator",
+        )
+    )
+    write(df, 7)
+    write(df, 7)  # replayed epoch: every partition must skip
+
+    con = sqlite3.connect(db)
+    rows = dict(
+        (r[0], (r[1], r[2]))
+        for r in con.execute("SELECT id, balance, is_terminator FROM accounts")
+    )
+    assert len(rows) == 100
+    assert all(bal == 10.0 for bal, _ in rows.values())  # 1000 rows / 100 keys
+    assert rows[0] == (10.0, 1)  # id 0 carries the is_terminator OR
+    n_markers = con.execute("SELECT COUNT(*) FROM __epochs").fetchone()[0]
+    assert n_markers == 8  # one per partition, not duplicated by replay
