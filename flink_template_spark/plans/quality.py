@@ -1,8 +1,7 @@
 """Corpus-quality operators for LLM training-data curation (engine
 additions beyond the reference surface; SURVEY.md §2.7 family).
 
-Three standard curation stages the earlier text_dedup/datapipe families
-don't cover:
+Curation stages the earlier text_dedup/datapipe families don't cover:
 
 - repetition metrics (the Gopher/C4-style within-document repetition
   rules: top-word share, duplicate word/bigram/trigram fractions, and a
@@ -12,11 +11,14 @@ don't cover:
   the low-resource-language upsampling step);
 - n-gram novelty (per-document fraction of its 5-gram shingles whose
   corpus-wide first occurrence is this document — the document-level
-  view of token-level dedup).
+  view of token-level dedup);
+- BPE tokenizer training (operators.bpe: iterative merge learning on
+  the distinct-word frequency table — rows-only, golden-tested).
 
-All pure Column expressions (no Python UDFs); every query carries an
-exact DuckDB oracle built on the same portable md5 hash primitives as
-the rest of the suite.
+The first three are pure Column expressions with exact DuckDB oracles
+built on the same portable md5 hash primitives as the rest of the
+suite; BPE is iterative (Arrow-batched merge application) and therefore
+rows-only, like k-means.
 """
 
 from __future__ import annotations
@@ -251,4 +253,23 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("n_novel").cast("double") / F.col("n_shingles").cast("double"), 6
         ).alias("novel_frac"),
+    )
+
+
+@register("q_bpe_merges")
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators.bpe.learn_bpe) over
+    the documents corpus: 16 merges learned in non-conflicting batches
+    of 4 on the distinct-word frequency table. Rows-only like the other
+    iterative operators (k-means, connected components): per-round
+    data-dependent rewrites are not SQL-expressible; semantics are
+    pinned by the Sennrich golden corpus + determinism + encode
+    round-trip tests in tests/test_bpe.py."""
+    from flink_template_spark.operators.bpe import learn_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = learn_bpe(docs, n_merges=16, batch=4)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_rank INT, left STRING, right STRING",
     )
