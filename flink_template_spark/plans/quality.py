@@ -260,7 +260,10 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (operators.bpe.learn_bpe) over
     the documents corpus: 16 merges learned in non-conflicting batches
-    of 4 on the distinct-word frequency table. Rows-only like the other
+    of 8 on the distinct-word frequency table (2 rounds = 2 pair-count
+    jobs; batching is what keeps the round count low — at a real vocab
+    you'd learn thousands of merges at B in the hundreds). Rows-only
+    like the other
     iterative operators (k-means, connected components): per-round
     data-dependent rewrites are not SQL-expressible; semantics are
     pinned by the Sennrich golden corpus + determinism + encode
@@ -268,7 +271,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_template_spark.operators.bpe import learn_bpe
 
     docs = load_table(spark, sf_dir, "documents")
-    merges, _ = learn_bpe(docs, n_merges=16, batch=4)
+    merges, _ = learn_bpe(docs, n_merges=16, batch=8)
     return spark.createDataFrame(
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "merge_rank INT, left STRING, right STRING",
