@@ -276,3 +276,50 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "merge_rank INT, left STRING, right STRING",
     )
+
+
+@register("q_bpe_fertility")
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: corpus-weighted mean BPE tokens
+    per word under the merges learned by q_bpe_merges' configuration —
+    the standard signal for how well a tokenizer fits each language
+    slice (high fertility = fragmenting). All heavy work stays on the
+    distinct-word table; the per-lang weighting joins word frequencies
+    computed per language in one corpus pass. Rows-only (depends on the
+    iterative trainer)."""
+    from flink_template_spark.operators.bpe import (
+        _symbolize,
+        encode_words,
+        learn_bpe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = learn_bpe(docs, n_merges=16, batch=8)
+
+    lang_words = (
+        docs.select(
+            "lang", F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = _symbolize(
+        lang_words.groupBy("word").agg(F.sum("cnt").alias("cnt"))
+    )
+    encoded = encode_words(vocab, merges).select(
+        "word", F.size("syms").alias("n_syms")
+    )
+    return (
+        lang_words.join(encoded, "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("n_syms")).cast("double")
+                / F.sum("cnt").cast("double"),
+                6,
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )

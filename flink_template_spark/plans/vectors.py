@@ -478,3 +478,29 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("q.codes").cast("long").alias("min_code"),
         F.round(err, 6).alias("max_abs_err"),
     )
+
+
+@register("q_pq_adc_topk")
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (operators.pq): train m=4, k=4 sub-
+    codebooks on the corpus, encode every embedding to 4 small ints
+    (64 floats → 4 bytes-ish of codes), and answer vec 0's top-10 by
+    asymmetric distance — scoring touches ONLY the compressed codes via
+    broadcast distance-table lookups. Rows-only like k-means (iterative
+    training); compression/recall behavior pinned in tests/test_pq.py.
+    Pair with q_ann_ivf_probe for the standard IVF-PQ scale combo."""
+    from flink_template_spark.operators.pq import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # one Lloyd round keeps the smoke fast; codebook QUALITY (more
+    # rounds) is pinned by tests/test_pq.py, not by this entry
+    codebooks = pq_train(emb, m=4, k=4, n_iter=1)
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    encoded = pq_encode(emb, codebooks)
+    return pq_adc_topk(
+        encoded.filter(F.col("vec_id") != 0), codebooks, query, k_results=10
+    )
