@@ -191,6 +191,46 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_dedup_increment(
+    new_docs: DataFrame,
+    corpus_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Batch-incremental near-dup: dedup NEW documents against an
+    EXISTING corpus's persisted LSH band index without touching the
+    corpus text.
+
+    ``corpus_index`` is ``minhash_band_index`` output (id, band,
+    band_key) — in a lakehouse this is a parquet table maintained
+    across snapshots, so each increment hashes only the new documents
+    and joins ~|new| band rows against the index (band, band_key) keys.
+    Returns one row per new doc: (id, is_dup, matched_corpus_id) where
+    matched_corpus_id is the smallest corpus id sharing any band (null
+    when none). Docs with fewer than 3 tokens have no shingles and
+    cannot be near-dups — they come back is_dup = false.
+    """
+    idx = corpus_index.select(
+        F.col("band"), F.col("band_key"), F.col(id_col).alias("__corpus_id")
+    )
+    new_bands = minhash_band_index(new_docs, id_col, text_col)
+    matched = (
+        new_bands.join(idx, ["band", "band_key"], "left")
+        .groupBy(id_col)
+        .agg(F.min("__corpus_id").alias("matched_corpus_id"))
+    )
+    return (
+        new_docs.select(id_col)
+        .distinct()
+        .join(matched, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("matched_corpus_id").isNotNull().alias("is_dup"),
+            "matched_corpus_id",
+        )
+    )
+
+
 def simhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
 ) -> DataFrame:

@@ -323,3 +323,66 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_Q6_DUCK = """CAST(ROUND(ROUND(
+    0.5 * LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+    + 0.5 * LEAST(CAST(len(list_filter(string_split(text, ' '),
+          t -> t IN ('the', 'a'))) AS DOUBLE)
+        / len(string_split(text, ' ')) * 10.0, 1.0)
+    - 0.25 * (CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+          AS DOUBLE) / length(text))
+  , 6) * 1000000.0, 0) AS BIGINT)"""
+
+
+@register(
+    "q_source_quality_drift",
+    oracle=f"""
+WITH scored AS (SELECT source, {_Q6_DUCK} AS q6 FROM documents),
+per AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(q6) AS s FROM scored GROUP BY source
+),
+tot AS (
+  SELECT COUNT(*) AS n, SUM(q6) AS s, SUM(q6 * q6) AS ss FROM scored
+)
+SELECT per.source, per.n_docs,
+  ROUND((CAST(per.s AS DOUBLE) / per.n_docs) / 1000000.0, 6) AS mean_quality,
+  ROUND(
+    ((CAST(per.s AS DOUBLE) / per.n_docs) / 1000000.0
+     - (CAST(tot.s AS DOUBLE) / tot.n) / 1000000.0)
+    / SQRT((CAST(tot.ss AS DOUBLE) / tot.n) / 1000000000000.0
+           - ((CAST(tot.s AS DOUBLE) / tot.n) / 1000000.0)
+             * ((CAST(tot.s AS DOUBLE) / tot.n) / 1000000.0)),
+  6) AS z_score
+FROM per CROSS JOIN tot
+""",
+)
+def q_source_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality drift: each source's mean quality score as a
+    z-score against the corpus distribution — the monitoring signal
+    that flags a degraded ingestion source. Quality scores are
+    fixed-point quantized (×1e6 → exact bigint) so every moment is an
+    exact integer sum (partition-order-independent) and the final
+    double arithmetic is the identical formula in both engines."""
+    from flink_template_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q6 = F.round(quality_score(F.col("text")) * 1000000.0, 0).cast("bigint")
+    scored = docs.select("source", q6.alias("q6"))
+    per = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("q6").alias("s")
+    )
+    tot = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q6").alias("ts"),
+        F.sum(F.col("q6") * F.col("q6")).alias("ss"),
+    )
+    mean_s = (F.col("s").cast("double") / F.col("n_docs")) / 1000000.0
+    mean = (F.col("ts").cast("double") / F.col("n")) / 1000000.0
+    var = (F.col("ss").cast("double") / F.col("n")) / 1e12 - mean * mean
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round(mean_s, 6).alias("mean_quality"),
+        F.round((mean_s - mean) / F.sqrt(var), 6).alias("z_score"),
+    )

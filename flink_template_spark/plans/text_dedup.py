@@ -958,3 +958,55 @@ def q_vocab_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return enc.orderBy("doc_id")
+
+
+@register(
+    "q_dedup_increment",
+    oracle=f"""
+WITH sh AS ({_duck_shingles(3)}),
+hashed AS (
+  SELECT doc_id, {md5int_duckdb('shingle')} AS h FROM sh
+),
+sig0 AS (
+  SELECT doc_id, {_MH_AGGS_DUCK} FROM hashed GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id, {_BAND_KEYS_DUCK} FROM sig0
+),
+bands AS (
+  {_BAND_UNION_DUCK}
+),
+corpus_bands AS (SELECT * FROM bands WHERE doc_id % 10 < 8),
+new_bands AS (SELECT * FROM bands WHERE doc_id % 10 >= 8),
+matched AS (
+  SELECT n.doc_id, MIN(c.doc_id) AS matched_corpus_id
+  FROM new_bands n
+  LEFT JOIN corpus_bands c
+    ON n.band = c.band AND n.band_key = c.band_key
+  GROUP BY n.doc_id
+)
+SELECT d.doc_id,
+       m.matched_corpus_id IS NOT NULL AS is_dup,
+       m.matched_corpus_id
+FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 10 >= 8) d
+LEFT JOIN matched m ON d.doc_id = m.doc_id
+""",
+)
+def q_dedup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-incremental near-dup (operators.dedup.minhash_dedup_increment):
+    the 80% of documents with doc_id % 10 < 8 play the EXISTING corpus
+    whose LSH band index is already persisted; the remaining 20% are the
+    arriving increment, which is deduped by hashing ONLY its own
+    documents and joining band keys against the index. The oracle
+    replays the same signatures from scratch — proving the incremental
+    path answers exactly what a full recompute would."""
+    from flink_template_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_dedup_increment,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    newbies = docs.filter(F.col("doc_id") % 10 >= 8)
+    index = minhash_band_index(corpus)
+    return minhash_dedup_increment(newbies, index)
