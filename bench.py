@@ -125,6 +125,8 @@ def main() -> None:
         "q_mixture_rebalance",
         "q_ngram_novelty",
         "q_semdedup_keep",
+        "q_dedup_increment",
+        "q_source_quality_drift",
     ]
     extended: dict[str, float] = {}
     for name in [n for n in EXTENDED if n in plans.QUERIES]:

@@ -101,3 +101,32 @@ def test_repetition_metrics_invariants(spark):
     # doc 4: no bigram/trigram rows at all
     assert (4, 2) not in stats and (4, 3) not in stats
     assert stats[(4, 1)] == (1, 1, 1)
+
+
+def test_dedup_increment_short_docs_are_kept(spark):
+    """Documents with fewer than 3 tokens have no shingles — the
+    incremental dedup must still report them (is_dup false), and an
+    exact copy of a corpus doc must match it."""
+    from flink_template_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_dedup_increment,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id LONG, text STRING"
+    )
+    newbies = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon"),  # exact copy → dup of 1
+            (11, "tiny"),  # < 3 tokens → no shingles
+            (12, "completely unrelated words here now"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r.doc_id: (r.is_dup, r.matched_corpus_id)
+        for r in minhash_dedup_increment(newbies, minhash_band_index(corpus)).collect()
+    }
+    assert out[10] == (True, 1)
+    assert out[11] == (False, None)
+    assert out[12] == (False, None)
