@@ -386,3 +386,95 @@ def q_source_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_s, 6).alias("mean_quality"),
         F.round((mean_s - mean) / F.sqrt(var), 6).alias("z_score"),
     )
+
+
+@register(
+    "q_repeated_passages",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id, i AS pos,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+         w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] || ' ' ||
+         w[i+8] || ' ' || w[i+9] AS shingle
+  FROM w, unnest(range(1, len(w) - 8)) AS t(i)
+),
+counts AS (SELECT shingle, COUNT(*) AS c FROM sh GROUP BY shingle),
+flagged AS (
+  SELECT s.doc_id, s.pos, (c.c >= 2) AS dup
+  FROM sh s JOIN counts c USING (shingle)
+),
+runs AS (
+  SELECT doc_id, pos, dup,
+    CASE WHEN dup <> COALESCE(
+        LAG(dup) OVER (PARTITION BY doc_id ORDER BY pos), NOT dup)
+      THEN 1 ELSE 0 END AS b
+  FROM flagged
+),
+rid AS (
+  SELECT doc_id, pos, dup,
+    SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM runs
+)
+SELECT doc_id, MIN(pos) AS span_start,
+       CAST(COUNT(*) + 9 AS BIGINT) AS span_tokens
+FROM rid WHERE dup
+GROUP BY doc_id, run
+HAVING COUNT(*) + 9 >= 20
+""",
+)
+def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level dedup signal (the suffix-array-style repeated-
+    substring pass of training-data dedup, re-expressed relationally):
+    a token position is 'duplicated' when its 10-gram occurs ≥2 times
+    anywhere in the corpus (across OR within documents); maximal runs
+    of duplicated positions are folded into spans with the same
+    lag-boundary / run-id trick as the trip aggregator's stopped-time
+    fold (no run-id shuffle), and spans covering ≥20 tokens are
+    reported as (doc_id, 1-based span_start, span_tokens).
+
+    Scale shape: non-distinct 10-gram rows from the codegen lead
+    pipeline; occurrence counts get map-side partial agg; the flag join
+    is shingle-keyed (AQE handles hot shingles); the run fold is one
+    doc-keyed window. No all-pairs anything.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = 10
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "w")
+    )
+    wspec = W.partitionBy("doc_id").orderBy("pos0")
+    leads = [F.lead("w", k).over(wspec).alias(f"w{k}") for k in range(1, n)]
+    led = tok.select("doc_id", "pos0", "w", *leads)
+    sh = led.filter(F.col(f"w{n-1}").isNotNull()).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),  # 1-based, matching the oracle
+        F.concat_ws(" ", "w", *[f"w{k}" for k in range(1, n)]).alias("shingle"),
+    )
+    counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("c"))
+    flagged = sh.join(counts, "shingle").select(
+        "doc_id", "pos", (F.col("c") >= 2).alias("dup")
+    )
+    worder = W.partitionBy("doc_id").orderBy("pos")
+    boundary = F.when(
+        F.col("dup")
+        != F.coalesce(F.lag("dup").over(worder), ~F.col("dup")),
+        1,
+    ).otherwise(0)
+    rid = flagged.withColumn("b", boundary).withColumn(
+        "run",
+        F.sum("b").over(worder.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return (
+        rid.filter("dup")
+        .groupBy("doc_id", "run")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.count(F.lit(1)) + 9).cast("bigint").alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= 20)
+        .select("doc_id", "span_start", "span_tokens")
+    )
