@@ -478,3 +478,119 @@ def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("span_tokens") >= 20)
         .select("doc_id", "span_start", "span_tokens")
     )
+
+
+@register(
+    "q_scrub_repeated_passages",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id, i AS pos,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+         w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] || ' ' ||
+         w[i+8] || ' ' || w[i+9] AS shingle
+  FROM w, unnest(range(1, len(w) - 8)) AS t(i)
+),
+counts AS (SELECT shingle, COUNT(*) AS c FROM sh GROUP BY shingle),
+flagged AS (
+  SELECT s.doc_id, s.pos, (c.c >= 2) AS dup
+  FROM sh s JOIN counts c USING (shingle)
+),
+runs AS (
+  SELECT doc_id, pos, dup,
+    CASE WHEN dup <> COALESCE(
+        LAG(dup) OVER (PARTITION BY doc_id ORDER BY pos), NOT dup)
+      THEN 1 ELSE 0 END AS b
+  FROM flagged
+),
+rid AS (
+  SELECT doc_id, pos, dup,
+    SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM runs
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS s, COUNT(*) + 9 AS len
+  FROM rid WHERE dup GROUP BY doc_id, run
+  HAVING COUNT(*) + 9 >= 20
+),
+covered AS (
+  SELECT DISTINCT doc_id, unnest(range(s, s + len)) AS pos FROM spans
+),
+tok AS (
+  SELECT doc_id, i AS pos, w[i] AS word
+  FROM w, unnest(range(1, len(w) + 1)) AS t(i)
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.word
+  FROM tok t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.pos IS NULL
+)
+SELECT doc_id,
+       COALESCE(STRING_AGG(word, ' ' ORDER BY pos), '') AS clean_text,
+       CAST(COUNT(*) AS BIGINT) AS n_kept_tokens
+FROM kept GROUP BY doc_id
+""",
+)
+def q_scrub_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect-and-scrub: the q_repeated_passages spans actually REMOVED
+    from the text. Every token position covered by a ≥20-token repeated
+    span is dropped and the remaining tokens are re-joined in order —
+    the cleaning step a dedup pipeline feeds to training. A document
+    whose EVERY token is covered has nothing left and drops out of the
+    output entirely (fully-duplicated documents are removed, the
+    intended dedup behavior; both engines agree). Re-joining is
+    per-doc: collect_list of (pos, word) structs, array_sort, field
+    projection — bounded by document length, never corpus-wide.
+
+    Note the scrub drops ALL occurrences of a repeated passage
+    (deterministic redaction), matching the oracle; keep-one-occurrence
+    variants need a canonical-occurrence choice, which
+    q_dedup_increment/q_best_of_cluster address at document granularity.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = 10
+    tok0 = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "w")
+    )
+    wspec = W.partitionBy("doc_id").orderBy("pos0")
+    leads = [F.lead("w", k).over(wspec).alias(f"w{k}") for k in range(1, n)]
+    led = tok0.select("doc_id", "pos0", "w", *leads)
+    sh = led.filter(F.col(f"w{n-1}").isNotNull()).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.concat_ws(" ", "w", *[f"w{k}" for k in range(1, n)]).alias("shingle"),
+    )
+    counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("c"))
+    flagged = sh.join(counts, "shingle").select(
+        "doc_id", "pos", (F.col("c") >= 2).alias("dup")
+    )
+    worder = W.partitionBy("doc_id").orderBy("pos")
+    boundary = F.when(
+        F.col("dup") != F.coalesce(F.lag("dup").over(worder), ~F.col("dup")), 1
+    ).otherwise(0)
+    rid = flagged.withColumn("b", boundary).withColumn(
+        "run",
+        F.sum("b").over(worder.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    spans = (
+        rid.filter("dup")
+        .groupBy("doc_id", "run")
+        .agg(F.min("pos").alias("s"), (F.count(F.lit(1)) + 9).alias("len"))
+        .filter(F.col("len") >= 20)
+    )
+    covered = spans.select(
+        "doc_id", F.explode(F.sequence(F.col("s"), F.col("s") + F.col("len") - 1)).alias("pos")
+    ).distinct()
+    tok = tok0.select("doc_id", (F.col("pos0") + 1).alias("pos"), F.col("w").alias("word"))
+    kept = tok.join(covered, ["doc_id", "pos"], "left_anti")
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "word"))),
+        lambda s: s.getField("word"),
+    )
+    return kept.groupBy("doc_id").agg(
+        F.coalesce(F.array_join(ordered, " "), F.lit("")).alias("clean_text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept_tokens"),
+    )
