@@ -233,3 +233,62 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(is_img, F.col("meta.width")).alias("width"),
         F.when(is_img, F.col("meta.height")).alias("height"),
     ).orderBy("asset_id")
+
+
+@register(
+    "q_phash_dup_groups",
+    oracle=f"""
+WITH {ASSETS_ORACLE_CTE},
+hexed AS (
+  SELECT asset_id, hex(payload) AS hx, octet_length(payload) AS n
+  FROM assets
+),
+bytes AS (
+  SELECT asset_id, n,
+    CAST('0x' || substr(hx, CAST(i * 2 + 1 AS BIGINT), 2) AS BIGINT) // 16
+      AS bin
+  FROM hexed, unnest(range(0, n)) AS u(i)
+),
+sigs AS (
+  SELECT asset_id,
+    {" + ".join(
+        f"CASE WHEN COUNT(*) FILTER (bin = {b}) / CAST(ANY_VALUE(n) AS DOUBLE)"
+        f" > 0.0625 THEN {1 << b} ELSE 0 END"
+        for b in range(16)
+    )} AS phash
+  FROM bytes GROUP BY asset_id
+)
+SELECT phash, COUNT(*) AS n_assets,
+       LIST(asset_id ORDER BY asset_id) AS asset_ids
+FROM sigs
+GROUP BY phash
+HAVING COUNT(*) >= 2
+""",
+)
+def q_phash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash duplicate grouping for media assets — the
+    multimodal member of the dedup family: a 16-bit aHash-style
+    signature (bit b set when byte-bin b's density exceeds the uniform
+    1/16) computed from the SAME Arrow decode path the histogram query
+    value-pins, then exact-signature grouping (one shuffle on the
+    16-bit key, no pair explosion at any scale). The oracle rebuilds
+    signatures from hex pairs in SQL, so the mapInPandas decode +
+    expression bit-packing is hash-verified end-to-end. With a real
+    codec at the decode_stub seam this becomes a standard image aHash."""
+    assets = load_assets(spark, sf_dir)
+    feats = extract_features(assets)
+    bit = None
+    for b in range(16):
+        term = F.when(
+            F.element_at("features", b + 1) > 0.0625, F.lit(1 << b)
+        ).otherwise(0)
+        bit = term if bit is None else bit + term
+    sigs = feats.select("asset_id", bit.cast("bigint").alias("phash"))
+    return (
+        sigs.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sort_array(F.collect_list("asset_id")).alias("asset_ids"),
+        )
+        .filter(F.col("n_assets") >= 2)
+    )
