@@ -22,8 +22,9 @@ Round-3 rotation plan (do this next round): assuming round 2's slate
 comes back green, promote the still-unchecked middle — subqueries (16),
 functions_ext (17), the displaced text_dedup duals (4), vectors rest,
 datapipe rest, variant, trip_pipeline, and the round-2 additions
-(q_dedup_increment, q_source_quality_drift, q_pq_adc_topk, q_bpe_merges,
-q_bpe_fertility) — and rotate this round's 50 to the tail.
+(q_dedup_increment, q_source_quality_drift, q_repeated_passages,
+q_scrub_repeated_passages, q_phash_dup_groups, q_pq_adc_topk,
+q_bpe_merges, q_bpe_fertility) — and rotate this round's 50 to the tail.
 """
 
 from flink_template_spark.plans import registry  # noqa: F401
