@@ -57,7 +57,7 @@ SELECT
   {_split_sql()} AS split,
   lang,
   COUNT(*) AS n_docs,
-  SUM(n_chars) AS total_chars
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY split, lang
 ORDER BY split, lang

@@ -226,8 +226,10 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
   c_custkey,
   COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
-  GREATEST(CAST(c_acctbal AS DECIMAL(12,2)), CAST(0 AS DECIMAL(12,2))) AS bal_floor,
-  LEAST(CAST(c_acctbal AS DECIMAL(12,2)), CAST(0 AS DECIMAL(12,2))) AS bal_cap,
+  CAST(GREATEST(CAST(c_acctbal AS DECIMAL(12,2)), CAST(0 AS DECIMAL(12,2)))
+       AS DOUBLE) AS bal_floor,
+  CAST(LEAST(CAST(c_acctbal AS DECIMAL(12,2)), CAST(0 AS DECIMAL(12,2)))
+       AS DOUBLE) AS bal_cap,
   CASE WHEN c_acctbal IS NULL THEN 'null'
        WHEN c_acctbal < 0 THEN 'debt' ELSE 'credit' END AS bal_class
 FROM customer
@@ -244,8 +246,11 @@ def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(
             F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")
         ).alias("seg_or_other"),
-        F.greatest(bal, zero).alias("bal_floor"),
-        F.least(bal, zero).alias("bal_cap"),
+        # cast back to double: a DECIMAL output column reaches pandas as
+        # object-of-Decimal on the Spark side but float64 from DuckDB —
+        # the driver's dtype-sensitive hash would mismatch
+        F.greatest(bal, zero).cast("double").alias("bal_floor"),
+        F.least(bal, zero).cast("double").alias("bal_cap"),
         F.when(F.col("c_acctbal").isNull(), "null")
         .when(F.col("c_acctbal") < 0, "debt")
         .otherwise("credit")
@@ -500,7 +505,7 @@ SELECT o_orderkey,
   len(list_filter(items, it -> it.qty > 30)) AS n_big,
   CAST(COALESCE(list_sum(list_transform(list_filter(items, it -> it.qty > 30),
        it -> it.rev)), 0) AS BIGINT) AS big_rev_cents,
-  list_transform(items, it -> it.ln) AS line_numbers
+  array_to_string(list_transform(items, it -> it.ln), ' ') AS line_numbers
 FROM nested
 ORDER BY o_orderkey
 """,
@@ -543,7 +548,12 @@ def q_nested_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
             lambda acc, it: acc + it.getField("rev"),
         ).alias("big_rev_cents"),
-        F.transform("items", lambda it: it.getField("ln")).alias("line_numbers"),
+        # space-joined string, not an array: the driver canonicalizer
+        # cannot lexsort list cells
+        F.array_join(
+            F.transform("items", lambda it: it.getField("ln").cast("string")),
+            " ",
+        ).alias("line_numbers"),
     ).orderBy("o_orderkey")
 
 
@@ -563,7 +573,7 @@ WITH per AS (
 )
 SELECT l_orderkey,
   CAST(len(map_keys(m)) AS INT) AS n_statuses,
-  list_sort(map_keys(m)) AS statuses,
+  array_to_string(list_sort(map_keys(m)), ' ') AS statuses,
   COALESCE(m['F'][1], 0) AS n_f,
   COALESCE(m['O'][1], 0) AS n_o
 FROM per
@@ -593,7 +603,7 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.select(
         "l_orderkey",
         F.size(F.map_keys("m")).alias("n_statuses"),
-        F.array_sort(F.map_keys("m")).alias("statuses"),
+        F.array_join(F.array_sort(F.map_keys("m")), " ").alias("statuses"),
         F.coalesce(F.element_at("m", F.lit("F")), F.lit(0)).alias("n_f"),
         F.coalesce(F.element_at("m", F.lit("O")), F.lit(0)).alias("n_o"),
     ).orderBy("l_orderkey")

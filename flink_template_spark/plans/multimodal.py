@@ -36,10 +36,13 @@ WITH {ASSETS_ORACLE_CTE}
 SELECT
   media_type,
   COUNT(*) AS n_assets,
-  SUM(octet_length(payload)) AS total_bytes,
+  -- CAST: DuckDB SUM(BIGINT) is HUGEINT (float64 in pandas); keep int64.
+  CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
   MIN(octet_length(payload)) AS min_bytes,
   MAX(octet_length(payload)) AS max_bytes,
-  MIN(sha256(CAST(payload AS VARCHAR))) AS min_sha
+  -- hash the HEX of the blob on both engines so the comparison is
+  -- byte-based and cannot diverge on non-UTF-8 payloads
+  MIN(sha256(hex(payload))) AS min_sha
 FROM assets
 GROUP BY media_type
 ORDER BY media_type
@@ -55,7 +58,7 @@ def q_multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.octet_length("payload")).alias("total_bytes"),
             F.min(F.octet_length("payload")).alias("min_bytes"),
             F.max(F.octet_length("payload")).alias("max_bytes"),
-            F.min(F.sha2(F.col("payload"), 256)).alias("min_sha"),
+            F.min(F.sha2(F.hex("payload"), 256)).alias("min_sha"),
         )
         .orderBy("media_type")
     )
@@ -138,9 +141,38 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("asset_id", "frame_idx")
 
 
-@register("q_multimodal_features")
+@register(
+    "q_multimodal_features",
+    oracle=f"""
+WITH {ASSETS_ORACLE_CTE},
+hexed AS (
+  SELECT asset_id, media_type, hex(payload) AS hx,
+    octet_length(payload) AS n
+  FROM assets
+),
+bytes AS (
+  SELECT asset_id,
+    CAST('0x' || substr(hx, CAST(i * 2 + 1 AS BIGINT), 2) AS BIGINT) // 16
+      AS bin
+  FROM hexed, unnest(range(0, n)) AS u(i)
+),
+f0s AS (
+  SELECT asset_id,
+    ROUND(COUNT(*) FILTER (bin = 0) / CAST(COUNT(*) AS DOUBLE), 6) AS f0
+  FROM bytes GROUP BY asset_id
+)
+SELECT h.asset_id, h.media_type, CAST(h.n AS BIGINT) AS n_bytes,
+  COALESCE(f.f0, 0.0) AS f0, 16 AS n_features
+FROM hexed h LEFT JOIN f0s f USING (asset_id)
+ORDER BY h.asset_id
+""",
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas feature extraction (rows-only: numpy decoder)."""
+    """mapInPandas feature extraction. The oracle recomputes bin-0
+    density + byte count from hex pairs in SQL (same technique the
+    byte-histogram query pins), so the Arrow decode path is now
+    hash-verified rather than rows-only; the full 16-bin vector is
+    value-pinned in tests/test_multimodal.py."""
     assets = load_assets(spark, sf_dir)
     feats = extract_features(assets)
     return feats.select(
@@ -157,8 +189,10 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {ASSETS_ORACLE_CTE},
 hexed AS (
+  -- octet_length > 0: an empty payload would divide by zero here while
+  -- Spark's fake_decode returns zeros; filter identically on both sides
   SELECT asset_id, hex(payload) AS hx, octet_length(payload) AS n
-  FROM assets WHERE asset_id < 50
+  FROM assets WHERE asset_id < 50 AND octet_length(payload) > 0
 ),
 bytes AS (
   SELECT asset_id, n,
@@ -183,7 +217,9 @@ def q_multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas/numpy path (multimodal.features.fake_decode). Exact
     match proves the Arrow plumbing preserves values end-to-end, not
     just row counts."""
-    assets = load_assets(spark, sf_dir).filter(F.col("asset_id") < 50)
+    assets = load_assets(spark, sf_dir).filter(
+        (F.col("asset_id") < 50) & (F.octet_length("payload") > 0)
+    )
     feats = extract_features(assets)
     return feats.select(
         "asset_id",
@@ -240,8 +276,10 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {ASSETS_ORACLE_CTE},
 hexed AS (
+  -- octet_length > 0: empty payloads emit no byte rows here but DO get
+  -- an all-zero signature from Spark's fake_decode; filter both sides
   SELECT asset_id, hex(payload) AS hx, octet_length(payload) AS n
-  FROM assets
+  FROM assets WHERE octet_length(payload) > 0
 ),
 bytes AS (
   SELECT asset_id, n,
@@ -258,8 +296,9 @@ sigs AS (
     )} AS phash
   FROM bytes GROUP BY asset_id
 )
-SELECT phash, COUNT(*) AS n_assets,
-       LIST(asset_id ORDER BY asset_id) AS asset_ids
+SELECT CAST(phash AS BIGINT) AS phash, COUNT(*) AS n_assets,
+       string_agg(CAST(asset_id AS VARCHAR), ' ' ORDER BY asset_id)
+         AS asset_ids
 FROM sigs
 GROUP BY phash
 HAVING COUNT(*) >= 2
@@ -274,8 +313,11 @@ def q_phash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-bit key, no pair explosion at any scale). The oracle rebuilds
     signatures from hex pairs in SQL, so the mapInPandas decode +
     expression bit-packing is hash-verified end-to-end. With a real
-    codec at the decode_stub seam this becomes a standard image aHash."""
-    assets = load_assets(spark, sf_dir)
+    codec at the decode_stub seam this becomes a standard image aHash.
+
+    Output ``asset_ids`` is a space-joined string (not an array): the
+    driver's pandas canonicalizer cannot lexsort list cells."""
+    assets = load_assets(spark, sf_dir).filter(F.octet_length("payload") > 0)
     feats = extract_features(assets)
     bit = None
     for b in range(16):
@@ -288,7 +330,13 @@ def q_phash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigs.groupBy("phash")
         .agg(
             F.count(F.lit(1)).alias("n_assets"),
-            F.sort_array(F.collect_list("asset_id")).alias("asset_ids"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("asset_id")),
+                    lambda x: x.cast("string"),
+                ),
+                " ",
+            ).alias("asset_ids"),
         )
         .filter(F.col("n_assets") >= 2)
     )

@@ -132,8 +132,10 @@ WITH speeds AS (
 SELECT
   user_id,
   COUNT(*) AS n_stopped_runs,
-  SUM(run_us) AS stopped_us,
-  SUM(run_events) AS stopped_events
+  -- DuckDB SUM(BIGINT) is HUGEINT (-> float64 in pandas); cast back to
+  -- BIGINT so the dtype matches Spark's int64 under the driver's hash.
+  CAST(SUM(run_us) AS BIGINT) AS stopped_us,
+  CAST(SUM(run_events) AS BIGINT) AS stopped_events
 FROM stopped_runs
 GROUP BY user_id
 """,
@@ -210,7 +212,8 @@ WITH gps AS (
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
   FROM flagged
 ), stopped AS (
-  SELECT user_id, SUM(run_us) AS stopped_us FROM (
+  -- CAST: DuckDB SUM(BIGINT) -> HUGEINT -> float64; keep int64 like Spark.
+  SELECT user_id, CAST(SUM(run_us) AS BIGINT) AS stopped_us FROM (
     SELECT user_id, run_id, epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS run_us
     FROM runs WHERE is_stopped GROUP BY user_id, run_id
   ) GROUP BY user_id

@@ -902,9 +902,13 @@ tok AS (
   WHERE doc_id < 500
 )
 SELECT tok.doc_id,
-  list(COALESCE(vocab.token_id, 0) ORDER BY tok.pos) AS ids,
+  -- space-joined string, not a list: the driver canonicalizer cannot
+  -- lexsort list cells (pandas TypeError: unhashable type)
+  array_to_string(list(COALESCE(vocab.token_id, 0) ORDER BY tok.pos), ' ')
+    AS ids,
   COUNT(*) AS n_tokens,
-  SUM(CASE WHEN vocab.token_id IS NULL THEN 1 ELSE 0 END) AS n_unk
+  CAST(SUM(CASE WHEN vocab.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_unk
 FROM tok LEFT JOIN vocab ON tok.token = vocab.token
 GROUP BY tok.doc_id
 ORDER BY tok.doc_id
@@ -942,16 +946,19 @@ def q_vocab_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.join(F.broadcast(vocab), "token", "left")
         .groupBy("doc_id")
         .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            F.col("pos"),
-                            F.coalesce("token_id", F.lit(0)).alias("tid"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("pos"),
+                                F.coalesce("token_id", F.lit(0)).alias("tid"),
+                            )
                         )
-                    )
+                    ),
+                    lambda s: s.getField("tid").cast("string"),
                 ),
-                lambda s: s.getField("tid"),
+                " ",
             ).alias("ids"),
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum(F.when(F.col("token_id").isNull(), 1).otherwise(0)).alias("n_unk"),

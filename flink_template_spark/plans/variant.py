@@ -36,8 +36,9 @@ SELECT
   COUNT(*) AS n_events,
   MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-  SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL
-           THEN 1 ELSE 0 END) AS n_missing
+  -- CAST: DuckDB SUM(int) -> HUGEINT -> float64; Spark emits int64
+  CAST(SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
 FROM events
 GROUP BY event_type
 """,
@@ -73,8 +74,8 @@ def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
   o_orderpriority AS priority,
   COUNT(*) AS n_orders,
-  SUM(o_orderkey) AS sum_key,
-  SUM(o_custkey) AS sum_cust
+  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
 FROM orders
 GROUP BY o_orderpriority
 """,
