@@ -16,9 +16,13 @@ Scale shape:
   compressed table, never touching the original vectors. Top-k via
   TakeOrderedAndProject (per-partition heaps, no global sort).
 
-Iterative training ⇒ rows-only (no SQL oracle), like k-means;
-tests/test_pq.py pins determinism, reconstruction-error dominance over
-a degenerate codebook, and ADC↔exact agreement on separated data.
+Training is deterministic by the same discipline as operators.kmeans
+(init = first k vectors by id, fixed-point-quantized exact-integer
+means, argmin ties → lowest code index), so a bounded Lloyd loop is
+SQL-replayable — q_pq_adc_topk carries a full DuckDB oracle;
+tests/test_pq.py additionally pins determinism, reconstruction-error
+dominance over a degenerate codebook, and ADC↔exact agreement on
+separated data.
 """
 
 from __future__ import annotations
@@ -27,6 +31,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 Codebook = list[list[float]]  # k code vectors for one subspace
+
+QUANT = 10_000_000.0  # fixed-point scale for exact-integer means
 
 
 def _subvec(vec_col: str, j: int, d: int):
@@ -41,11 +47,15 @@ def _sq_l2(sub, code: list[float]):
     (k·d terms per argmin) for per-row evaluation that stays inside
     whole-stage codegen — the right side of the trade everywhere the
     expression runs per corpus row (encode/ADC) and acceptable for
-    training, which at real scale runs on a sample anyway."""
-    terms = [
-        (F.element_at(sub, i + 1).cast("double") - F.lit(float(c))) ** 2
-        for i, c in enumerate(code)
-    ]
+    training, which at real scale runs on a sample anyway.
+
+    diff*diff, not diff**2: plain multiplication is the same IEEE
+    operation in every engine, whereas pow() is libm-dependent — keeps
+    the distances bit-identical to the DuckDB oracle replay."""
+    terms = []
+    for i, c in enumerate(code):
+        diff = F.element_at(sub, i + 1).cast("double") - F.lit(float(c))
+        terms.append(diff * diff)
     out = terms[0]
     for t in terms[1:]:
         out = out + t
@@ -69,8 +79,10 @@ def pq_train(
     """L2 Lloyd loop over ALL subspaces at once — one Spark job per
     round (assign codes for every subspace in a single projection, one
     (subspace, code, dim) mean aggregation), not one per subspace.
-    Deterministic: init = first k vectors by id; an empty cluster keeps
-    its previous code vector."""
+    Deterministic: init = first k vectors by id; means via fixed-point
+    quantization (×1e7 → exact bigint sums, identical in any partition
+    order — same discipline as operators.kmeans); an empty cluster
+    keeps its previous code vector."""
     dim = len(vectors.select(vec_col).first()[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -99,10 +111,17 @@ def pq_train(
                 j_col.alias("j"),
                 F.element_at("codes", j_col + 1).alias("code"),
                 (F.col("gp") % d).alias("pos"),
-                F.col("x").cast("double").alias("x"),
+                F.round(F.col("x").cast("double") * QUANT, 0)
+                .cast("bigint")
+                .alias("q"),
             )
             .groupBy("j", "code", "pos")
-            .agg(F.avg("x").alias("mx"))
+            .agg(
+                (
+                    F.sum("q").cast("double")
+                    / (F.lit(QUANT) * F.count(F.lit(1)))
+                ).alias("mx")
+            )
             .collect()
         )
         by_jc: dict[tuple[int, int], dict[int, float]] = {}
@@ -155,22 +174,31 @@ def pq_adc_topk(
     query: list[float],
     k_results: int = 10,
     id_col: str = "vec_id",
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes: per-subspace distance
     tables from the raw query (driver-computed m×k floats, broadcast as
-    literals), scored with element_at lookups — the compressed scan."""
+    literals), scored with element_at lookups — the compressed scan.
+
+    With ``round_dp`` the score is rounded BEFORE the ordering (ties
+    then break on id), making the result set engine-portable: the
+    table entries are left-to-right folds of diff*diff, which the SQL
+    oracle reproduces, and rounding absorbs the final cross-subspace
+    sum's ulp."""
     d = len(codebooks[0][0])
     score = None
     for j, cb in enumerate(codebooks):
         q_sub = query[j * d : (j + 1) * d]
         table = F.array(
             *[
-                F.lit(sum((qx - cx) ** 2 for qx, cx in zip(q_sub, code)))
+                F.lit(sum((qx - cx) * (qx - cx) for qx, cx in zip(q_sub, code)))
                 for code in cb
             ]
         )
         term = F.element_at(table, F.element_at("codes", j + 1) + 1)
         score = term if score is None else score + term
+    if round_dp is not None:
+        score = F.round(score, round_dp)
     return (
         encoded.select(id_col, score.alias("adc_dist"))
         .orderBy("adc_dist", id_col)

@@ -137,18 +137,26 @@ TRIP_ENVELOPE_SCHEMA = T.StructType([T.StructField("body", BODY_SCHEMA)])
 # (JSONUtil.kt:136-162) has no "TripEvent" case — any such record throws
 # and is filtered to null. The DEFAULT parse path mirrors that exactly:
 # EVENT_TYPES membership drops the row. For pipelines that do carry these
-# payloads, EVENT_DATA_SCHEMA models the declared Kotlin types as
-# nullable structs and ``parse_trip_events(..., include_event_data=True)``
+# payloads, EVENT_DATA_SCHEMA models the declared Kotlin types
+# field-for-field — the same ``data`` wrapper nesting (FenceEvent.data,
+# TripGpsEvent.data) and the same integer widths (Kotlin Int →
+# IntegerType) — and ``parse_trip_events(..., include_event_data=True)``
 # accepts type "TripEvent" and carries an ``event_data`` column through.
+# The one deliberate deviation: FenceEventData is an abstract union of
+# TimeFenceEventData | GeoFenceEventData (EventData.kt:27-45); Spark
+# structs can't express a sealed hierarchy, so ``fence.data`` holds the
+# union of both variants' fields and the ``type`` value discriminates
+# (Start/End → time-fence fields populated, Entry/Exit → geoFenceId).
 EVENT_DATA_SCHEMA = T.StructType(
     [
         T.StructField(
             "accelerometer",  # AccelerometerEvent (EventData.kt:22-25)
             T.StructType(
                 [
-                    T.StructField("secondsRelativeToTriggerInSeconds", T.DoubleType()),
+                    # Kotlin Int (EventData.kt:23)
+                    T.StructField("secondsRelativeToTriggerInSeconds", T.IntegerType()),
                     T.StructField(
-                        "data",
+                        "data",  # AccelerometerData (EventData.kt:16-20)
                         T.StructType(
                             [
                                 T.StructField("type", T.StringType()),
@@ -161,26 +169,21 @@ EVENT_DATA_SCHEMA = T.StructType(
             ),
         ),
         T.StructField(
-            "fence",  # FenceEvent (EventData.kt:27-45)
+            "fence",  # FenceEvent(data: FenceEventData) (EventData.kt:45)
             T.StructType(
                 [
                     T.StructField(
-                        "timeFence",
+                        "data",  # TimeFenceEventData | GeoFenceEventData union
                         T.StructType(
                             [
+                                # discriminator: Start/End (time fence,
+                                # EventData.kt:29) or Entry/Exit (geo
+                                # fence, EventData.kt:38)
                                 T.StructField("type", T.StringType()),
-                                T.StructField("tripId", T.DoubleType()),
+                                T.StructField("tripId", T.IntegerType()),
                                 T.StructField("distanceTraveled", T.DoubleType()),
-                                T.StructField("durationInMinutes", T.DoubleType()),
-                            ]
-                        ),
-                    ),
-                    T.StructField(
-                        "geoFence",
-                        T.StructType(
-                            [
-                                T.StructField("type", T.StringType()),
-                                T.StructField("geoFenceId", T.DoubleType()),
+                                T.StructField("durationInMinutes", T.IntegerType()),
+                                T.StructField("geoFenceId", T.IntegerType()),
                             ]
                         ),
                     ),
@@ -188,16 +191,25 @@ EVENT_DATA_SCHEMA = T.StructType(
             ),
         ),
         T.StructField(
-            "gps",  # TripGpsEvent (EventData.kt:67-77)
+            "gps",  # TripGpsEvent(data: GpsEventData) (EventData.kt:77)
             T.StructType(
                 [
-                    T.StructField("heading", T.DoubleType()),
-                    T.StructField("horizontalDilutionOfPrecision", T.DoubleType()),
-                    T.StructField("latitude", T.DoubleType()),
-                    T.StructField("longitude", T.DoubleType()),
-                    T.StructField("numberOfSatellites", T.DoubleType()),
-                    T.StructField("gpsRegion", T.StringType()),
-                    T.StructField("gpsFixQuality", T.StringType()),
+                    T.StructField(
+                        "data",  # GpsEventData (EventData.kt:67-75)
+                        T.StructType(
+                            [
+                                T.StructField("heading", T.IntegerType()),
+                                T.StructField(
+                                    "horizontalDilutionOfPrecision", T.IntegerType()
+                                ),
+                                T.StructField("latitude", T.DoubleType()),
+                                T.StructField("longitude", T.DoubleType()),
+                                T.StructField("numberOfSatellites", T.IntegerType()),
+                                T.StructField("gpsRegion", T.StringType()),
+                                T.StructField("gpsFixQuality", T.StringType()),
+                            ]
+                        ),
+                    ),
                 ]
             ),
         ),

@@ -9,22 +9,29 @@ queries per round (CORRECTNESS_r01 covered exactly the first 50 in import
 order, leaving 87 queries without a driver verdict). The priority list
 rotates per round so every family accumulates driver-checked entries:
 
-- round 2 front-loads (a) the 20 queries that errored in round 1 on the
-  events-loader bug — proving the fix driver-side — and (b) the 30 core
-  LLM-training-data-pipeline queries (dedup, text analysis, multimodal,
-  ANN, SCD2) that had no entry at all;
-- families already driver-green in round 1 (relational, windows) sit at
-  the tail; never-checked families (vectors, datapipe, subqueries,
-  functions_ext, variant, trip_pipeline) fill the middle in case the
-  driver checks more than 50.
+- round 2 front-loaded (a) the 20 queries that errored in round 1 on the
+  events-loader bug and (b) the 30 core LLM-training-data-pipeline
+  queries; 45/50 came back green, 5 red on oracle dtype/array
+  harness-compat defects (fixed at round-3 start);
+- round 3 (this slate) keeps those 5 re-fixed queries in the slate to
+  prove the fixes driver-side, promotes the trip-pipeline flagship pair
+  (now with a full DuckDB wire-replay oracle), and front-loads the
+  never-checked subqueries (16) + functions_ext (17) families plus the
+  latent-dtype/array-fix proofs (variant, q_phash_dup_groups,
+  q_pack_chunked, simhash/minhash signature duals,
+  q_multimodal_meta_filter, q_ann_ivf_probe, q_top_terms_per_lang).
 
-Round-3 rotation plan (do this next round): assuming round 2's slate
-comes back green, promote the still-unchecked middle — subqueries (16),
-functions_ext (17), the displaced text_dedup duals (4), vectors rest,
-datapipe rest, variant, trip_pipeline, and the round-2 additions
-(q_dedup_increment, q_source_quality_drift, q_repeated_passages,
-q_scrub_repeated_passages, q_phash_dup_groups, q_pq_adc_topk,
-q_bpe_merges, q_bpe_fertility) — and rotate this round's 50 to the tail.
+Round-4 rotation plan: promote the remaining never-checked middle —
+vectors rest (q_vector_norms, q_centroids_by_label, q_ivf_cluster_sizes,
+q_embedding_near_dup_exact/lsh, q_kmeans_clusters, q_ann_kmeans_probe,
+q_embedding_zscore, q_embedding_quantize_int8, q_pq_adc_topk), datapipe
+rest (q_train_test_split, q_text_normalize, q_stratified_sample,
+q_pack_greedy_bins, q_stratified_sample_hash, q_training_shards,
+q_weighted_sample, q_consistent_sample_topk), and the round-2 additions
+(q_dedup_increment, q_bpe_merges, q_bpe_fertility,
+q_source_quality_drift, q_repeated_passages, q_scrub_repeated_passages)
+— plus a regression sample of previously-green queries — and rotate this
+round's 50 to the tail.
 """
 
 from flink_template_spark.plans import registry  # noqa: F401
@@ -44,71 +51,103 @@ from flink_template_spark.plans import quality  # noqa: F401
 
 # First 50 = this round's driver-check slate (see module docstring).
 _PRIORITY = [
-    # -- blocked-in-round-1, now fixed: events_time (12)
-    "q_events_tumbling_daily",
-    "q_events_sliding_2d_1d",
-    "q_events_session_30m",
-    "q_asof_latest_order_per_event",
-    "q_dedup_events_keep_first",
-    "q_events_exact_moments",
-    "q_funnel_view_click_purchase",
-    "q_retention_cohorts",
-    "q_interval_join_attribution",
-    "q_asof_next_order_per_event",
-    "q_event_transitions",
-    "q_gapfill_interpolate",
-    # -- blocked-in-round-1: telemetry (5)
-    "q_trip_path_distance",
+    # -- round-2 red rows, re-fixed at round-3 start: prove driver-side (5)
     "q_trip_stopped_time",
     "q_trip_summary",
-    "q_resample_daily_ffill",
-    "q_resample_daily_expr",
-    # -- blocked-in-round-1: relational/windows stragglers (3)
-    "q_json_get",
-    "q_range_frame_rolling_7d",
-    "q_lateral_topk_nations",
-    # -- LLM pipeline, never driver-checked: text_dedup core (17 — the
-    #    signature-level duals q_minhash_signatures / q_simhash_signatures
-    #    / q_simhash_scalar and the overlapping q_top_terms_per_lang sit
-    #    just past the slate; their end-to-end consumers are in it)
-    "q_dedup_exact_docs",
-    "q_minhash_lsh_pairs",
-    "q_simhash_hamming_pairs",
-    "q_ngram_jaccard_pairs",
-    "q_near_dup_components",
-    "q_text_stats_by_lang",
-    "q_quality_scores",
-    "q_lang_guess_confusion",
-    "q_doc_fingerprints",
-    "q_fuzzy_name_pairs",
-    "q_best_of_cluster",
-    "q_doc_chunks",
-    "q_tfidf_top_terms",
-    "q_contamination_check",
-    "q_vocab_build",
-    "q_bm25_search",
-    "q_vocab_apply",
-    # -- LLM pipeline: multimodal (5)
     "q_multimodal_payload_stats",
-    "q_multimodal_frame_sample",
+    "q_vocab_apply",
     "q_multimodal_features",
-    "q_multimodal_byte_histogram",
-    "q_multimodal_resize",
-    # -- LLM pipeline: ANN + SCD2 + corpus-quality flagships (8)
-    "q_cosine_topk",
-    "q_knn_join",
-    "q_scd2_merge",
-    "q_training_data_pipeline",
-    "q_repetition_metrics",
-    "q_mixture_rebalance",
-    "q_ngram_novelty",
-    "q_semdedup_keep",
+    # -- the reference's own flagship computation, now with a full
+    #    DuckDB wire-replay oracle (2)
+    "q_trip_pipeline_json",
+    "q_trip_pipeline_datasource",
+    # -- never-checked: subqueries family, TPC-H shapes (16)
+    "q2_min_price_parts",
+    "q4_exists_late_ship",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q11_important_balances",
+    "q12_priority_shipments",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    "q20_volume_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    # -- never-checked: functions_ext family (17)
+    "q_grouping_sets",
+    "q_stats_aggregates",
+    "q_corr_price_qty",
+    "q_percentiles_disc",
+    "q_percentiles_cont",
+    "q_array_funcs",
+    "q_null_handling",
+    "q_nested_array_hof",
+    "q_map_funcs",
+    "q_string_agg",
+    "q_approx_distinct_users",
+    "q_approx_percentile_value",
+    "q_ntile_balance_deciles",
+    "q_price_histogram",
+    "q_null_safe_join",
+    "q_weighted_avg_pandas",
+    "q_hll_mergeable_rollup",
+    # -- never-checked: latent dtype/array-fix proofs + stragglers (10)
+    "q_variant_props_stats",
+    "q_variant_roundtrip",
+    "q_phash_dup_groups",
+    "q_pack_chunked",
+    "q_simhash_signatures",
+    "q_simhash_scalar",
+    "q_minhash_signatures",
+    "q_top_terms_per_lang",
+    "q_multimodal_meta_filter",
+    "q_ann_ivf_probe",
 ]
 
-# Middle = never-driver-checked families; tail = round-1-green families.
+# Immediately after the slate: still-never-checked queries (the round-4
+# promotion set), in case the driver checks more than 50.
+_MIDDLE = [
+    # vectors rest
+    "q_vector_norms",
+    "q_centroids_by_label",
+    "q_ivf_cluster_sizes",
+    "q_embedding_near_dup_exact",
+    "q_embedding_near_dup_lsh",
+    "q_kmeans_clusters",
+    "q_ann_kmeans_probe",
+    "q_embedding_zscore",
+    "q_embedding_quantize_int8",
+    "q_pq_adc_topk",
+    # datapipe rest
+    "q_train_test_split",
+    "q_text_normalize",
+    "q_stratified_sample",
+    "q_pack_greedy_bins",
+    "q_stratified_sample_hash",
+    "q_training_shards",
+    "q_weighted_sample",
+    "q_consistent_sample_topk",
+    # round-2 additions
+    "q_dedup_increment",
+    "q_bpe_merges",
+    "q_bpe_fertility",
+    "q_source_quality_drift",
+    "q_repeated_passages",
+    "q_scrub_repeated_passages",
+]
+
+# Tail = families already driver-green in rounds 1-2 (regression pool).
 _TAIL_FAMILIES = [
+    "events_time",
+    "telemetry",
     "text_dedup",
     "quality",
+    "multimodal",
     "vectors",
     "datapipe",
     "subqueries",
@@ -117,17 +156,26 @@ _TAIL_FAMILIES = [
     "trip_pipeline",
     "relational",
     "windows_analytic",
-    "events_time",
-    "telemetry",
 ]
 
 
 def _ordered_names() -> list[str]:
-    missing = [n for n in _PRIORITY if n not in registry.QUERIES]
-    if missing:
-        raise ValueError(f"priority list names unknown queries: {missing}")
-    seen = set(_PRIORITY)
-    order = list(_PRIORITY)
+    # Degrade gracefully on a stale priority name (renamed/removed query):
+    # warn and drop it rather than failing package import.
+    priority = []
+    for name in _PRIORITY + _MIDDLE:
+        if name in registry.QUERIES:
+            priority.append(name)
+        else:
+            import warnings
+
+            warnings.warn(
+                f"verification-slate name {name!r} is not a registered "
+                "query; dropping it from the order",
+                stacklevel=2,
+            )
+    seen = set(priority)
+    order = list(priority)
     fam_rank = {m: i for i, m in enumerate(_TAIL_FAMILIES)}
     rest = [n for n in registry.QUERIES if n not in seen]
     rest.sort(key=lambda n: fam_rank.get(registry.QUERIES[n].__module__.rsplit(".", 1)[-1], 99))

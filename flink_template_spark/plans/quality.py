@@ -256,18 +256,148 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_bpe_merges")
+def _bpe_replay_cte(n_merges: int = 16, batch: int = 8, rounds: int = 6) -> str:
+    """WITH-RECURSIVE body replaying ``operators.bpe.learn_bpe`` in
+    DuckDB, round by round.
+
+    Every step of the trainer is deterministic, so a bounded unroll is
+    exact:
+
+    - per-round candidate ranking = (pair_cnt DESC, a, b) with the
+      trainer's ``limit(want*4)`` headroom (bpe.py:134-138);
+    - greedy non-conflicting batch selection (bpe.py:74-87) = a
+      recursive CTE stepping the ranked candidates, threading the
+      picked-count and used-symbol-list state;
+    - batch application (bpe.py:90-115, greedy left-to-right with i+=2
+      skip) = run-parity over candidate start positions: batch pairs
+      are symbol-disjoint, so only same-symbol pairs (a,a) form
+      consecutive runs, and the scan merges alternate positions from
+      each run's start — gaps-and-islands, no iteration needed;
+    - the per-round merge cap is data-dependent
+      (min(batch, n_merges - picked_so_far)), threaded as scalar
+      subqueries over the earlier rounds' pick CTEs. Rounds past
+      exhaustion degrade to no-ops (cap 0 → empty candidate set →
+      vocab copied), so ``rounds`` only needs to be an upper bound —
+      measured 3-4 rounds at sf0.001-0.1, unrolled to {rounds}.
+
+    Exposes: pk1..pk{rounds} (per-round picks with order), allpk
+    (globally rank-ordered merges), v{rounds} (final trained vocab —
+    also the rank-order re-encoding of any training word, since batch
+    pairs are disjoint and later merges cannot create earlier pairs'
+    constituent symbols)."""
+    parts = [
+        """wf AS MATERIALIZED (
+  SELECT word, COUNT(*) AS cnt FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE word <> '' GROUP BY word
+)""",
+        """v0 AS MATERIALIZED (
+  SELECT word, cnt,
+    list_append(list_transform(range(1, length(word) + 1), i -> word[i]),
+                '</w>') AS syms
+  FROM wf
+)""",
+    ]
+    for i in range(1, rounds + 1):
+        if i == 1:
+            cum = "0"
+        else:
+            cum = " + ".join(f"(SELECT COUNT(*) FROM pk{j})" for j in range(1, i))
+        cap = f"LEAST({batch}, {n_merges} - ({cum}))"
+        pick_cond = (
+            f"(s.n_picked < {cap}) AND NOT list_contains(s.used, c.a) "
+            f"AND NOT list_contains(s.used, c.b)"
+        )
+        parts.extend(
+            [
+                f"""ex{i} AS MATERIALIZED (
+  SELECT v.word, v.cnt, t.pos, v.syms[t.pos + 1] AS sym,
+         v.syms[t.pos + 2] AS nxt
+  FROM v{i - 1} v, unnest(range(0, len(v.syms))) AS t(pos)
+)""",
+                f"""pc{i} AS MATERIALIZED (
+  SELECT sym AS a, nxt AS b, CAST(SUM(cnt) AS BIGINT) AS pair_cnt
+  FROM ex{i} WHERE nxt IS NOT NULL GROUP BY sym, nxt
+)""",
+                f"""cand{i} AS MATERIALIZED (
+  SELECT a, b, rn FROM (
+    SELECT a, b, ROW_NUMBER() OVER (ORDER BY pair_cnt DESC, a, b) AS rn
+    FROM pc{i}
+  ) WHERE rn <= 4 * ({cap})
+)""",
+                f"""sel{i} AS (
+  SELECT 0 AS rn, CAST(NULL AS VARCHAR) AS a, CAST(NULL AS VARCHAR) AS b,
+         FALSE AS is_pick, 0 AS n_picked, CAST([] AS VARCHAR[]) AS used
+  UNION ALL
+  SELECT c.rn, c.a, c.b,
+    {pick_cond},
+    s.n_picked + CASE WHEN {pick_cond} THEN 1 ELSE 0 END,
+    CASE WHEN {pick_cond}
+         THEN list_append(list_append(s.used, c.a), c.b) ELSE s.used END
+  FROM sel{i} s JOIN cand{i} c ON c.rn = s.rn + 1
+)""",
+                f"""pk{i} AS MATERIALIZED (
+  SELECT a, b, ROW_NUMBER() OVER (ORDER BY rn) AS ord
+  FROM sel{i} WHERE is_pick
+)""",
+                f"""mg{i} AS MATERIALIZED (
+  SELECT word, pos,
+    ((pos - MIN(pos) OVER (PARTITION BY word, grp)) % 2 = 0) AS merged
+  FROM (
+    SELECT e.word, e.pos,
+      e.pos - ROW_NUMBER() OVER (PARTITION BY e.word ORDER BY e.pos) AS grp
+    FROM ex{i} e JOIN pk{i} p ON e.sym = p.a AND e.nxt = p.b
+  ) rr
+)""",
+                f"""v{i} AS MATERIALIZED (
+  SELECT x.word, x.cnt, list(x.outsym ORDER BY x.pos) AS syms
+  FROM (
+    SELECT e.word, e.cnt, e.pos,
+      CASE WHEN COALESCE(m.merged, FALSE) THEN e.sym || e.nxt
+           ELSE e.sym END AS outsym,
+      COALESCE(mp.merged, FALSE) AS dropped
+    FROM ex{i} e
+    LEFT JOIN mg{i} m ON e.word = m.word AND e.pos = m.pos
+    LEFT JOIN mg{i} mp ON e.word = mp.word AND e.pos = mp.pos + 1
+  ) x
+  WHERE NOT x.dropped
+  GROUP BY x.word, x.cnt
+)""",
+            ]
+        )
+    parts.append(
+        "allpk AS (\n  "
+        + "\n  UNION ALL ".join(
+            f"SELECT a, b, ord, {i} AS rnd FROM pk{i}" for i in range(1, rounds + 1)
+        )
+        + "\n)"
+    )
+    return ",\n".join(parts)
+
+
+_BPE_ROUNDS = 6
+
+
+@register(
+    "q_bpe_merges",
+    oracle=f"""
+WITH RECURSIVE {_bpe_replay_cte(16, 8, _BPE_ROUNDS)}
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY rnd, ord) - 1 AS INT) AS merge_rank,
+  a AS "left", b AS "right"
+FROM allpk
+ORDER BY merge_rank
+""",
+)
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (operators.bpe.learn_bpe) over
     the documents corpus: 16 merges learned in non-conflicting batches
-    of 8 on the distinct-word frequency table (2 rounds = 2 pair-count
-    jobs; batching is what keeps the round count low — at a real vocab
-    you'd learn thousands of merges at B in the hundreds). Rows-only
-    like the other
-    iterative operators (k-means, connected components): per-round
-    data-dependent rewrites are not SQL-expressible; semantics are
-    pinned by the Sennrich golden corpus + determinism + encode
-    round-trip tests in tests/test_bpe.py."""
+    of 8 on the distinct-word frequency table (one pair-count job per
+    round; batching is what keeps the round count low — at a real vocab
+    you'd learn thousands of merges at B in the hundreds). The trainer
+    is deterministic end to end, so the oracle unrolls the full round
+    loop in SQL (see _bpe_replay_cte); the Sennrich golden corpus +
+    determinism + encode round-trip tests in tests/test_bpe.py pin the
+    operator independently."""
     from flink_template_spark.operators.bpe import learn_bpe
 
     docs = load_table(spark, sf_dir, "documents")
@@ -278,15 +408,38 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_bpe_fertility")
+@register(
+    "q_bpe_fertility",
+    oracle=f"""
+WITH RECURSIVE {_bpe_replay_cte(16, 8, _BPE_ROUNDS)},
+lw AS MATERIALIZED (
+  SELECT lang, word, COUNT(*) AS cnt FROM (
+    SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE word <> '' GROUP BY lang, word
+)
+SELECT l.lang,
+  COUNT(*) AS n_distinct_words,
+  ROUND(CAST(SUM(l.cnt * len(v.syms)) AS DOUBLE)
+        / CAST(SUM(l.cnt) AS DOUBLE), 6) AS fertility
+FROM lw l JOIN v{_BPE_ROUNDS} v ON l.word = v.word
+GROUP BY l.lang
+ORDER BY l.lang
+""",
+)
 def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility per language: corpus-weighted mean BPE tokens
     per word under the merges learned by q_bpe_merges' configuration —
     the standard signal for how well a tokenizer fits each language
     slice (high fertility = fragmenting). All heavy work stays on the
     distinct-word table; the per-lang weighting joins word frequencies
-    computed per language in one corpus pass. Rows-only (depends on the
-    iterative trainer)."""
+    computed per language in one corpus pass.
+
+    Oracle: the replayed trainer's FINAL vocab is exactly the
+    rank-order re-encoding ``encode_words`` produces for corpus words
+    (batch pairs are symbol-disjoint so within-round order is
+    immaterial, and a later merge can never create an earlier pair's
+    constituent symbols), so len(syms) from the replay is the per-word
+    token count."""
     from flink_template_spark.operators.bpe import (
         _symbolize,
         encode_words,

@@ -300,11 +300,66 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_kmeans_clusters")
+def _kmeans_oracle_cte(k: int, n_iter: int) -> str:
+    """CTE chain replaying ``operators.kmeans.kmeans_fit`` in DuckDB.
+
+    The fit is deterministic by construction (init = lowest-k vec_ids,
+    6-dp-rounded cosine argmax with centroid-id tiebreak, exact
+    fixed-point-integer means — kmeans.py:27-85), so a bounded number of
+    Lloyd iterations unrolls into plain SQL: ``c{i}`` = centroids after
+    iteration i, ``a{i}`` = assignment against ``c{i}``; the caller
+    selects from ``a{n_iter}``/``c{n_iter}``."""
+
+    def assign(i: int) -> str:
+        return f"""a{i} AS (
+  SELECT vec_id, embedding, cid AS cluster FROM (
+    SELECT v.vec_id, v.embedding, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        ORDER BY ROUND({cosine_sql('v.embedding', 'c.cvec')}, 6) DESC, c.cid
+      ) AS rk
+    FROM embeddings v CROSS JOIN c{i} c
+  ) WHERE rk = 1
+)"""
+
+    parts = [
+        f"""c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         embedding AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})
+)""",
+        assign(0),
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""c{i} AS (
+  SELECT cluster AS cid, list(m ORDER BY pos) AS cvec FROM (
+    SELECT cluster, pos,
+      CAST(SUM(CAST(ROUND(CAST(embedding[pos + 1] AS DOUBLE) * 10000000.0, 0)
+           AS BIGINT)) AS DOUBLE) / (10000000.0 * COUNT(*)) AS m
+    FROM a{i - 1}, unnest(range(0, len(embedding))) AS t(pos)
+    GROUP BY cluster, pos
+  ) GROUP BY cluster
+)"""
+        )
+        parts.append(assign(i))
+    return ",\n".join(parts)
+
+
+@register(
+    "q_kmeans_clusters",
+    oracle=f"""
+WITH {_kmeans_oracle_cte(4, 3)}
+SELECT cluster, COUNT(*) AS n_vectors
+FROM a3 GROUP BY cluster ORDER BY cluster
+""",
+)
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic k-means (rows-only: driver-side iteration is not
-    one SQL query; convergence/determinism pytest-asserted in
-    tests/test_kmeans.py). Produces real IVF centroids."""
+    """Deterministic k-means. The driver-side Lloyd loop is bounded
+    (n_iter=3), so the oracle unrolls it into chained CTEs — every
+    iteration's argmax assignment and exact-integer centroid means are
+    replayed in SQL (see _kmeans_oracle_cte); convergence/determinism
+    additionally pytest-asserted in tests/test_kmeans.py. Produces real
+    IVF centroids."""
     from flink_template_spark.operators.kmeans import kmeans_fit
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -316,11 +371,27 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_ann_kmeans_probe")
+@register(
+    "q_ann_kmeans_probe",
+    oracle=f"""
+WITH {_kmeans_oracle_cte(4, 2)},
+qinfo AS (
+  SELECT cluster AS qcluster, embedding AS qvec FROM a2 WHERE vec_id = 0
+)
+SELECT a.vec_id, a.cluster,
+  ROUND({cosine_sql('a.embedding', 'q.qvec')}, 6) AS cos_sim
+FROM a2 a, qinfo q
+WHERE a.cluster = q.qcluster AND a.vec_id <> 0
+ORDER BY cos_sim DESC, a.vec_id
+LIMIT 5
+""",
+)
 def q_ann_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full ANN story: k-means-fitted centroids feeding the IVF
-    probe (rows-only: iterative fit; the probe mechanics themselves are
-    oracle-checked in q_ann_ivf_probe with fixed centroids)."""
+    probe. ``ivf_topk`` re-assigns the corpus against the fitted
+    centroids with the same argmax discipline as the fit, so the
+    oracle's final-iteration assignment (a2) IS the probe's index —
+    the probe then scans only the query's cluster."""
     from flink_template_spark.operators.kmeans import kmeans_fit
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -480,15 +551,97 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_pq_adc_topk")
+def _pq_sqdist_sql(sv: str, cvec: str) -> str:
+    """Left-to-right fold of (x-c)*(x-c) — bit-matches _sq_l2's unrolled
+    codegen sum (diff*diff, never pow)."""
+    return (
+        f"list_sum(list_transform(range(1, len({sv}) + 1), "
+        f"i -> (CAST({sv}[i] AS DOUBLE) - CAST({cvec}[i] AS DOUBLE)) "
+        f"* (CAST({sv}[i] AS DOUBLE) - CAST({cvec}[i] AS DOUBLE))))"
+    )
+
+
+@register(
+    "q_pq_adc_topk",
+    oracle=f"""
+WITH params AS (SELECT len(embedding) // 4 AS d FROM embeddings LIMIT 1),
+js AS (SELECT unnest(range(0, 4)) AS j),
+init AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4)
+),
+cb0 AS (  -- init codebooks: subvector slices of the first k vectors
+  SELECT js.j, i.c,
+    list_slice(i.embedding, js.j * p.d + 1, (js.j + 1) * p.d) AS cvec
+  FROM init i, params p, js
+),
+sub AS (  -- every vector's m subvectors
+  SELECT e.vec_id, js.j,
+    list_slice(e.embedding, js.j * p.d + 1, (js.j + 1) * p.d) AS sv
+  FROM embeddings e, params p, js
+),
+assign0 AS (  -- Lloyd round 1 assignment: argmin code, ties -> lowest c
+  SELECT vec_id, j, c FROM (
+    SELECT s.vec_id, s.j, cb.c,
+      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+        ORDER BY {_pq_sqdist_sql('s.sv', 'cb.cvec')}, cb.c) AS rk
+    FROM sub s JOIN cb0 cb ON s.j = cb.j
+  ) WHERE rk = 1
+),
+means AS (  -- exact fixed-point-integer means per (subspace, code, dim)
+  SELECT a.j, a.c, t.pos,
+    CAST(SUM(CAST(ROUND(CAST(s.sv[t.pos + 1] AS DOUBLE) * 10000000.0, 0)
+         AS BIGINT)) AS DOUBLE) / (10000000.0 * COUNT(*)) AS m
+  FROM assign0 a
+  JOIN sub s ON a.vec_id = s.vec_id AND a.j = s.j,
+  unnest(range(0, len(s.sv))) AS t(pos)
+  GROUP BY a.j, a.c, t.pos
+),
+cb1 AS (  -- trained codebooks; empty clusters keep their init code
+  SELECT cb.j, cb.c,
+    COALESCE(mm.cvec, CAST(cb.cvec AS DOUBLE[])) AS cvec
+  FROM cb0 cb LEFT JOIN (
+    SELECT j, c, list(m ORDER BY pos) AS cvec FROM means GROUP BY j, c
+  ) mm ON cb.j = mm.j AND cb.c = mm.c
+),
+codes AS (  -- encode: argmin against the trained codebooks
+  SELECT vec_id, j, c FROM (
+    SELECT s.vec_id, s.j, cb.c,
+      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+        ORDER BY {_pq_sqdist_sql('s.sv', 'cb.cvec')}, cb.c) AS rk
+    FROM sub s JOIN cb1 cb ON s.j = cb.j
+  ) WHERE rk = 1
+),
+qtable AS (  -- the query's m x k asymmetric distance table
+  SELECT cb.j, cb.c, {_pq_sqdist_sql('q.sv', 'cb.cvec')} AS dq
+  FROM cb1 cb JOIN (SELECT j, sv FROM sub WHERE vec_id = 0) q ON cb.j = q.j
+),
+pivoted AS (  -- one distance term per subspace, summed in j order
+  SELECT co.vec_id,
+    MAX(CASE WHEN co.j = 0 THEN qt.dq END) AS d0,
+    MAX(CASE WHEN co.j = 1 THEN qt.dq END) AS d1,
+    MAX(CASE WHEN co.j = 2 THEN qt.dq END) AS d2,
+    MAX(CASE WHEN co.j = 3 THEN qt.dq END) AS d3
+  FROM codes co JOIN qtable qt ON co.j = qt.j AND co.c = qt.c
+  WHERE co.vec_id <> 0
+  GROUP BY co.vec_id
+)
+SELECT vec_id, ROUND(d0 + d1 + d2 + d3, 6) AS adc_dist
+FROM pivoted
+ORDER BY adc_dist, vec_id
+LIMIT 10
+""",
+)
 def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ANN (operators.pq): train m=4, k=4 sub-
     codebooks on the corpus, encode every embedding to 4 small ints
     (64 floats → 4 bytes-ish of codes), and answer vec 0's top-10 by
     asymmetric distance — scoring touches ONLY the compressed codes via
-    broadcast distance-table lookups. Rows-only like k-means (iterative
-    training); compression/recall behavior pinned in tests/test_pq.py.
-    Pair with q_ann_ivf_probe for the standard IVF-PQ scale combo."""
+    broadcast distance-table lookups. Training is deterministic
+    (quantized exact-integer means, lowest-id init), so the single
+    Lloyd round unrolls into the SQL oracle; compression/recall
+    behavior pinned in tests/test_pq.py. Pair with q_ann_ivf_probe for
+    the standard IVF-PQ scale combo."""
     from flink_template_spark.operators.pq import (
         pq_adc_topk,
         pq_encode,
@@ -502,5 +655,6 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     encoded = pq_encode(emb, codebooks)
     return pq_adc_topk(
-        encoded.filter(F.col("vec_id") != 0), codebooks, query, k_results=10
+        encoded.filter(F.col("vec_id") != 0), codebooks, query, k_results=10,
+        round_dp=6,
     )

@@ -89,13 +89,46 @@ ON CONFLICT (id) DO UPDATE SET
 
 EPOCHS_DDL = (
     "CREATE TABLE IF NOT EXISTS __epochs ("
-    "epoch_id INTEGER, partition_id INTEGER, "
+    "epoch_id INTEGER, partition_id INTEGER, n_partitions INTEGER, "
     "PRIMARY KEY (epoch_id, partition_id))"
 )
+
+# Fixed sink-side partition count. The sink repartitions every micro-batch
+# by key into exactly this many hash partitions, so the unit of replay
+# bookkeeping ((epoch, partition)) is deterministic regardless of input
+# splits, AQE shuffle coalescing, or a changed
+# spark.sql.shuffle.partitions across restarts. An explicit
+# repartition(N, key) is NOT coalesced by AQE (only partition-count-less
+# rebalances are), so N is stable for a given sink version.
+SINK_PARTITIONS = 32
+
+
+class ReplayMismatch(Exception):
+    """A replayed epoch's partitioning no longer matches the markers
+    recorded for it; resuming per-partition would double-apply or skip
+    rows, so the sink refuses instead."""
+
+
+def _epoch_status(cur, epoch: int) -> tuple[int, int | None]:
+    """(marker_count, recorded n_partitions) for an epoch; raises
+    ReplayMismatch if recorded counts disagree with each other."""
+    cur.execute(
+        "SELECT COUNT(*), MIN(n_partitions), MAX(n_partitions) "
+        "FROM __epochs WHERE epoch_id = ?",
+        (epoch,),
+    )
+    n_markers, lo, hi = cur.fetchone()
+    if n_markers and lo != hi:
+        raise ReplayMismatch(
+            f"epoch {epoch} has markers under conflicting partition "
+            f"counts {lo} and {hi}"
+        )
+    return int(n_markers), (int(lo) if n_markers else None)
 
 
 def accounts_upsert_batch_fn(
     connect: Callable[[], "object"],
+    n_partitions: int = SINK_PARTITIONS,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch function: schema-validate, then executor-side batched
     accumulate-upsert with replay protection.
@@ -110,9 +143,16 @@ def accounts_upsert_batch_fn(
     Idempotency under at-least-once replay: the upsert accumulates, so
     each (epoch, partition) commits its rows and a marker row in ONE
     transaction; a retried task or replayed epoch sees its marker and
-    skips. Micro-batch replay from a checkpoint recomputes the same
-    deterministic partitioning, so markers address the same units of
-    work.
+    skips. The batch is explicitly ``repartition(n_partitions, id)``
+    before writing, so a replayed micro-batch reproduces the SAME
+    partition boundaries — deterministic hash partitioning by key with a
+    pinned partition count, independent of input splits, AQE coalescing,
+    or shuffle-partitions conf. Each marker also records
+    ``n_partitions``; before writing, the driver checks the epoch's
+    recorded markers: a fully-applied epoch (all recorded markers
+    present) is skipped wholesale even if the pinned count has since
+    changed, while a partially-applied epoch under a DIFFERENT count
+    raises :class:`ReplayMismatch` rather than risk double-apply.
 
     ``connect`` returns a fresh PEP-249 connection (e.g.
     ``lambda: sqlite3.connect(path)``); it is invoked inside the
@@ -123,6 +163,26 @@ def accounts_upsert_batch_fn(
     def write(df: DataFrame, epoch_id: int) -> None:
         validate_sink_schema(df.schema, ACCOUNTS_TARGET_SCHEMA)
         epoch = int(epoch_id)
+
+        # driver-side pre-check of the epoch's replay markers
+        con = connect()
+        try:
+            cur = con.cursor()
+            cur.execute(ACCOUNTS_DDL)
+            cur.execute(EPOCHS_DDL)
+            con.commit()
+            n_markers, recorded = _epoch_status(cur, epoch)
+        finally:
+            con.close()
+        if n_markers:
+            if n_markers == recorded:
+                return  # whole epoch already applied — skip wholesale
+            if recorded != n_partitions:
+                raise ReplayMismatch(
+                    f"epoch {epoch} partially applied under "
+                    f"n_partitions={recorded}, current sink uses "
+                    f"{n_partitions}; refusing to resume"
+                )
 
         def write_partition(rows) -> None:
             from pyspark import TaskContext
@@ -150,14 +210,15 @@ def accounts_upsert_batch_fn(
                 if batch:
                     cur.executemany(ACCOUNTS_UPSERT_SQL, batch)
                 cur.execute(
-                    "INSERT INTO __epochs (epoch_id, partition_id) VALUES (?, ?)",
-                    (epoch, pid),
+                    "INSERT INTO __epochs (epoch_id, partition_id, n_partitions)"
+                    " VALUES (?, ?, ?)",
+                    (epoch, pid, n_partitions),
                 )
                 con.commit()
             finally:
                 con.close()
 
-        df.foreachPartition(write_partition)
+        df.repartition(n_partitions, df["id"]).foreachPartition(write_partition)
 
     return write
 

@@ -12,31 +12,50 @@ def test_priority_slate_shape():
     names = list(plans.QUERIES)
     assert len(names) == len(set(names))
     first50 = set(names[:50])
-    # round-1-blocked queries that must prove the events-loader fix
+    # round-2 red rows re-fixed at round-3 start: must prove driver-side
     for q in (
-        "q_events_tumbling_daily",
+        "q_trip_stopped_time",
         "q_trip_summary",
-        "q_json_get",
-        "q_range_frame_rolling_7d",
-        "q_lateral_topk_nations",
+        "q_multimodal_payload_stats",
+        "q_vocab_apply",
+        "q_multimodal_features",
     ):
         assert q in first50, q
-    # LLM-pipeline flagships
+    # the reference's own flagship computation
+    for q in ("q_trip_pipeline_json", "q_trip_pipeline_datasource"):
+        assert q in first50, q
+    # never-checked families promoted this round
     for q in (
-        "q_minhash_lsh_pairs",
-        "q_bm25_search",
-        "q_training_data_pipeline",
-        "q_repetition_metrics",
-        "q_semdedup_keep",
-        "q_cosine_topk",
-        "q_scd2_merge",
+        "q2_min_price_parts",
+        "q22_idle_rich_customers",
+        "q_grouping_sets",
+        "q_hll_mergeable_rollup",
+        "q_variant_props_stats",
+        "q_phash_dup_groups",
+        "q_simhash_signatures",
+        "q_ann_ivf_probe",
     ):
         assert q in first50, q
+
+
+def test_middle_is_round4_promotion_set():
+    # positions 50..73 hold the still-never-checked queries so a driver
+    # that checks more than 50 reaches them next
+    names = list(plans.QUERIES)
+    middle = set(names[50:74])
+    for q in (
+        "q_kmeans_clusters",
+        "q_pq_adc_topk",
+        "q_bpe_merges",
+        "q_dedup_increment",
+        "q_training_shards",
+    ):
+        assert q in middle, q
 
 
 def test_every_priority_name_exists():
-    # _ordered_names raises on unknown names at import; re-assert the
-    # exported dicts agree with the registry
+    # _ordered_names warns-and-drops unknown names; the exported dicts
+    # must still agree with the registry
     from flink_template_spark.plans import registry
 
     assert set(plans.QUERIES) == set(registry.QUERIES)

@@ -331,7 +331,7 @@ def test_upsert_sink_accumulates(spark, tmp_path):
     from flink_template_spark.sinks import accounts_upsert_batch_fn
 
     db = str(tmp_path / "sink.db")
-    write = accounts_upsert_batch_fn(lambda: sqlite3.connect(db))
+    write = accounts_upsert_batch_fn(lambda: sqlite3.connect(db, timeout=60))
 
     df1 = spark.createDataFrame(
         [(1, 100.0, False), (2, 50.0, False)],
@@ -1134,20 +1134,21 @@ def test_streaming_windowed_approx_distinct(spark, tmp_path):
 
 
 def test_upsert_sink_concurrent_partitions(spark, tmp_path):
-    """Executor-side path under real parallelism: a multi-partition
-    batch writes per-partition transactions against one sqlite file
-    (lock contention exercised), accumulates exactly, and a full-batch
-    replay is a no-op thanks to the (epoch, partition) markers."""
-    from flink_template_spark.sinks import accounts_upsert_batch_fn
+    """Executor-side path under real parallelism: the sink repartitions
+    each batch to SINK_PARTITIONS hash partitions by key, writes
+    per-partition transactions against one sqlite file (lock contention
+    exercised), accumulates exactly, and a full-batch replay is a no-op
+    thanks to the (epoch, partition) markers."""
+    from flink_template_spark.sinks import SINK_PARTITIONS, accounts_upsert_batch_fn
 
     db = str(tmp_path / "sink_mp.db")
-    # generous timeout: 8 concurrent partition writers share one file
+    # generous timeout: SINK_PARTITIONS concurrent writers share one file
     write = accounts_upsert_batch_fn(lambda: sqlite3.connect(db, timeout=60))
 
     n = 1000
     df = (
         spark.range(n)
-        .repartition(8)
+        .repartition(8)  # arbitrary input partitioning — the sink re-pins it
         .selectExpr(
             "CAST(id % 100 AS INT) AS id",
             "CAST(1.0 AS DOUBLE) AS amount",
@@ -1155,7 +1156,7 @@ def test_upsert_sink_concurrent_partitions(spark, tmp_path):
         )
     )
     write(df, 7)
-    write(df, 7)  # replayed epoch: every partition must skip
+    write(df, 7)  # replayed epoch: skipped wholesale by the driver pre-check
 
     con = sqlite3.connect(db)
     rows = dict(
@@ -1166,4 +1167,41 @@ def test_upsert_sink_concurrent_partitions(spark, tmp_path):
     assert all(bal == 10.0 for bal, _ in rows.values())  # 1000 rows / 100 keys
     assert rows[0] == (10.0, 1)  # id 0 carries the is_terminator OR
     n_markers = con.execute("SELECT COUNT(*) FROM __epochs").fetchone()[0]
-    assert n_markers == 8  # one per partition, not duplicated by replay
+    assert n_markers == SINK_PARTITIONS  # one per sink partition, no dupes
+
+
+def test_upsert_sink_replay_partitioning_guard(spark, tmp_path):
+    """Markers record the pinned partition count: a COMPLETE epoch is
+    skipped wholesale even if the count has since changed; a PARTIAL
+    epoch under a different count refuses to resume (ReplayMismatch)
+    instead of double-applying."""
+    from flink_template_spark.sinks import ReplayMismatch, accounts_upsert_batch_fn
+
+    db = str(tmp_path / "sink_guard.db")
+    factory = lambda: sqlite3.connect(db, timeout=60)  # noqa: E731
+    df = spark.createDataFrame(
+        [(1, 10.0, False), (2, 5.0, False)],
+        "id INT, amount DOUBLE, is_terminator BOOLEAN",
+    )
+
+    # epoch 0 written under n_partitions=4
+    accounts_upsert_batch_fn(factory, n_partitions=4)(df, 0)
+    con = sqlite3.connect(db)
+    assert con.execute("SELECT COUNT(*) FROM __epochs").fetchone()[0] == 4
+
+    # restart with a different pinned count: complete epoch 0 must be
+    # skipped wholesale (balances unchanged), not re-applied
+    accounts_upsert_batch_fn(factory, n_partitions=8)(df, 0)
+    bal = dict(con.execute("SELECT id, balance FROM accounts").fetchall())
+    assert bal == {1: 10.0, 2: 5.0}
+
+    # a PARTIAL epoch under the old count: drop one marker, then replay
+    # under the new count — must refuse rather than guess
+    con.execute("DELETE FROM __epochs WHERE epoch_id = 0 AND partition_id = 0")
+    con.commit()
+    with pytest.raises(ReplayMismatch):
+        accounts_upsert_batch_fn(factory, n_partitions=8)(df, 0)
+    # same count as recorded → per-partition resume is safe and fills
+    # only the missing partition's work
+    accounts_upsert_batch_fn(factory, n_partitions=4)(df, 0)
+    assert con.execute("SELECT COUNT(*) FROM __epochs").fetchone()[0] == 4

@@ -184,14 +184,28 @@ def test_event_data_surface_opt_in(spark):
                         "samples": [{"x": 0.1, "y": 0.2, "z": 9.8}],
                     },
                 },
+                # TripGpsEvent wraps its payload in a `data` field
+                # (EventData.kt:77), mirrored by the schema
                 "gps": {
-                    "heading": 90,
-                    "horizontalDilutionOfPrecision": 1,
-                    "latitude": 19.4,
-                    "longitude": -99.1,
-                    "numberOfSatellites": 7,
-                    "gpsRegion": "NorthWest",
-                    "gpsFixQuality": "Standard",
+                    "data": {
+                        "heading": 90,
+                        "horizontalDilutionOfPrecision": 1,
+                        "latitude": 19.4,
+                        "longitude": -99.1,
+                        "numberOfSatellites": 7,
+                        "gpsRegion": "NorthWest",
+                        "gpsFixQuality": "Standard",
+                    }
+                },
+                # FenceEvent.data is the TimeFence|GeoFence union,
+                # discriminated by `type` (EventData.kt:27-45)
+                "fence": {
+                    "data": {
+                        "type": "End",
+                        "tripId": 9,
+                        "distanceTraveled": 12.5,
+                        "durationInMinutes": 30,
+                    }
                 },
             },
         }
@@ -205,7 +219,11 @@ def test_event_data_surface_opt_in(spark):
     rows = parse_trip_events(raw, include_event_data=True).collect()
     assert len(rows) == 1
     ed = rows[0].event_data
+    assert ed.accelerometer.secondsRelativeToTriggerInSeconds == 2  # Int, not Double
     assert ed.accelerometer.data.triggeredAxis == "PositiveXAxis"
     assert ed.accelerometer.data.samples[0].z == 9.8
-    assert ed.gps.gpsRegion == "NorthWest"
-    assert ed.fence is None
+    assert ed.gps.data.gpsRegion == "NorthWest"
+    assert ed.gps.data.numberOfSatellites == 7  # Kotlin Int width
+    assert ed.fence.data.type == "End"  # time-fence variant of the union
+    assert ed.fence.data.durationInMinutes == 30
+    assert ed.fence.data.geoFenceId is None  # geo-fence fields unpopulated
