@@ -48,6 +48,7 @@ from flink_template_spark.plans import functions_ext  # noqa: F401
 from flink_template_spark.plans import datapipe  # noqa: F401
 from flink_template_spark.plans import variant  # noqa: F401
 from flink_template_spark.plans import quality  # noqa: F401
+from flink_template_spark.plans import safety  # noqa: F401
 
 # First 50 = this round's driver-check slate (see module docstring).
 _PRIORITY = [
@@ -141,8 +142,11 @@ _MIDDLE = [
     "q_scrub_repeated_passages",
 ]
 
-# Tail = families already driver-green in rounds 1-2 (regression pool).
+# Tail = families already driver-green in rounds 1-2 (regression pool);
+# "safety" leads it so the round-3 additions sit with the round-4
+# promotion set rather than behind the long-green relational tail.
 _TAIL_FAMILIES = [
+    "safety",
     "events_time",
     "telemetry",
     "text_dedup",

@@ -478,6 +478,76 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_unigram_logprob",
+    oracle="""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE word <> ''
+),
+vocab AS MATERIALIZED (
+  SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word
+),
+tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab),
+scored AS (
+  SELECT t.doc_id,
+    COUNT(*) AS n_tokens,
+    SUM(CAST(ROUND(log10(CAST(v.cnt AS DOUBLE) / tt.total) * 10000000.0, 0)
+        AS BIGINT)) AS sum_q
+  FROM tok t JOIN vocab v ON t.word = v.word CROSS JOIN tot tt
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens,
+  ROUND(CAST(sum_q AS DOUBLE) / (10000000.0 * n_tokens), 6) AS avg_logprob,
+  (CAST(sum_q AS DOUBLE) / (10000000.0 * n_tokens)) >= -2.0 AS keep
+FROM scored
+ORDER BY doc_id
+""",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality filter: a unigram LM trained on the
+    corpus itself scores each document by mean log10 token probability —
+    the cheap stand-in for the KenLM-style perplexity gate in real
+    curation stacks (documents full of corpus-rare tokens score low).
+
+    Scale shape: one corpus tokenization pass; the vocab is Zipf-small,
+    so the token⋈vocab equi-join broadcasts under AQE (and is an
+    ordinary shuffle join at web-corpus vocab sizes); the per-doc
+    reduction rides the doc_id shuffle. Per-token log-probs are
+    fixed-point-quantized (×1e7 → bigint) before summing so the mean is
+    exact in any partition order — the same cross-engine discipline as
+    the centroid means."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+    )
+    vocab = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("total"))
+    q = F.round(
+        F.log10(F.col("cnt").cast("double") / F.col("total")) * 10000000.0, 0
+    ).cast("bigint")
+    scored = (
+        tok.join(vocab, "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(q).alias("sum_q"),
+        )
+    )
+    avg = F.col("sum_q").cast("double") / (10000000.0 * F.col("n_tokens"))
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round(avg, 6).alias("avg_logprob"),
+        (avg >= -2.0).alias("keep"),
+    ).orderBy("doc_id")
+
+
 _Q6_DUCK = """CAST(ROUND(ROUND(
     0.5 * LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
     + 0.5 * LEAST(CAST(len(list_filter(string_split(text, ' '),

@@ -1,0 +1,283 @@
+"""Safety / scrubbing operators for LLM training-data curation (engine
+additions beyond the reference surface, same family as plans.quality):
+
+- PII detection and redaction (emails, phones, IPv4, SSN-shaped ids) as
+  pure JVM-side regex expressions — the standard pre-training scrub
+  pass, run per document with no shuffle at all;
+- Bloom-pruned benchmark decontamination: the exact n-gram overlap
+  check (q_contamination_check) re-expressed as build-a-bloom-over-the-
+  benchmark-shingles → prune the corpus stream → exact verify. At 100 TB
+  the corpus side never shuffles its non-matching shingles anywhere —
+  the bloom probe is a map-side codegen expression and only the ~fpp
+  survivors reach the exact semi-join.
+
+The synthetic documents corpus contains no natural PII, so the PII
+queries inject deterministic synthetic PII in a CTE evaluated
+IDENTICALLY by both engines (same discipline as the multimodal family's
+payload construction, plans/multimodal.py) — the machinery under test is
+the detection/redaction pipeline, not the generator.
+
+Cross-engine regex discipline: patterns stay inside the syntax subset
+Java regex and RE2 (DuckDB) agree on — character classes, bounded
+repetition, \\b word boundaries, non-capturing groups; no backreferences
+or lookaround.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_template_spark.functions.hashing import md5int_duckdb
+from flink_template_spark.plans.datapipe import TRAIN_PCT
+from flink_template_spark.plans.registry import register
+from flink_template_spark.tables import load_table
+
+# Java-regex and RE2 compatible (see module docstring).
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+]
+
+# Deterministic synthetic-PII injection, evaluated identically by both
+# engines: a subset of docs (by doc_id residue) gets an appended suffix
+# containing one PII instance of each class.
+_PII_DOCS_CTE = """pii_docs AS (
+  SELECT doc_id, lang, source,
+    text
+    || CASE WHEN doc_id % 7 = 0
+         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+         THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+              || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         ELSE '' END
+    || CASE WHEN doc_id % 13 = 0
+         THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.' || CAST(doc_id % 100 AS VARCHAR)
+         ELSE '' END
+    || CASE WHEN doc_id % 17 = 0
+         THEN ' id 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         ELSE '' END
+    AS text
+  FROM documents
+)"""
+
+
+def _with_synthetic_pii(docs: DataFrame) -> DataFrame:
+    """Spark dual of _PII_DOCS_CTE."""
+    d = F.col("doc_id")
+
+    def when_mod(m: int, suffix):
+        return F.when(d % m == 0, suffix).otherwise(F.lit(""))
+
+    text = F.concat(
+        F.col("text"),
+        when_mod(
+            7, F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com"))
+        ),
+        when_mod(
+            11,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((d % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((d % 10000).cast("string"), 4, "0"),
+            ),
+        ),
+        when_mod(
+            13,
+            F.concat(
+                F.lit(" host 10.0."),
+                (d % 256).cast("string"),
+                F.lit("."),
+                (d % 100).cast("string"),
+            ),
+        ),
+        when_mod(
+            17,
+            F.concat(
+                F.lit(" id 123-45-"), F.lpad((d % 10000).cast("string"), 4, "0")
+            ),
+        ),
+    )
+    return docs.select("doc_id", "lang", "source", text.alias("text"))
+
+
+def pii_counts(text: F.Column) -> list[F.Column]:
+    """One match-count Column per PII class (codegen regexp_extract_all)."""
+    return [
+        F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+
+
+def pii_redact(text: F.Column) -> F.Column:
+    """Sequential per-class redaction in fixed PII_PATTERNS order (the
+    order matters only for overlapping classes; patterns here are
+    disjoint on the injected shapes, but the fixed order makes the
+    operator deterministic for arbitrary input)."""
+    out = text
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+@register(
+    "q_pii_detect",
+    oracle=f"""
+WITH {_PII_DOCS_CTE}
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{PII_PATTERNS[0][1]}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '{PII_PATTERNS[1][1]}')) AS BIGINT) AS n_ssn,
+  CAST(len(regexp_extract_all(text, '{PII_PATTERNS[2][1]}')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(text, '{PII_PATTERNS[3][1]}')) AS BIGINT) AS n_ipv4,
+  (len(regexp_extract_all(text, '{PII_PATTERNS[0][1]}'))
+   + len(regexp_extract_all(text, '{PII_PATTERNS[1][1]}'))
+   + len(regexp_extract_all(text, '{PII_PATTERNS[2][1]}'))
+   + len(regexp_extract_all(text, '{PII_PATTERNS[3][1]}'))) > 0 AS any_pii
+FROM pii_docs
+ORDER BY doc_id
+""",
+)
+def q_pii_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII class counts + flag. Pure map-side regex in
+    whole-stage codegen: no shuffle, no UDF — the shape that lets the
+    scrub pass ride along any corpus scan at 100 TB for free."""
+    docs = _with_synthetic_pii(load_table(spark, sf_dir, "documents"))
+    counts = pii_counts(F.col("text"))
+    any_pii = None
+    for c in counts:
+        any_pii = c if any_pii is None else any_pii + c
+    return docs.select(
+        "doc_id", *counts, (any_pii > 0).alias("any_pii")
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_pii_redact",
+    oracle=f"""
+WITH {_PII_DOCS_CTE},
+red AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, '{PII_PATTERNS[0][1]}', '{PII_PATTERNS[0][2]}', 'g'),
+          '{PII_PATTERNS[1][1]}', '{PII_PATTERNS[1][2]}', 'g'),
+        '{PII_PATTERNS[2][1]}', '{PII_PATTERNS[2][2]}', 'g'),
+      '{PII_PATTERNS[3][1]}', '{PII_PATTERNS[3][2]}', 'g') AS redacted,
+    CAST(len(regexp_extract_all(text, '{PII_PATTERNS[0][1]}'))
+       + len(regexp_extract_all(text, '{PII_PATTERNS[1][1]}'))
+       + len(regexp_extract_all(text, '{PII_PATTERNS[2][1]}'))
+       + len(regexp_extract_all(text, '{PII_PATTERNS[3][1]}')) AS BIGINT)
+      AS n_redactions,
+    CAST(length(text) AS BIGINT) AS orig_len
+  FROM pii_docs
+)
+SELECT doc_id, redacted, n_redactions,
+  orig_len - CAST(length(redacted) AS BIGINT) AS len_delta
+FROM red
+WHERE n_redactions > 0
+ORDER BY doc_id
+""",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redacted text for every document that contained PII, with the
+    redaction count and the byte-length delta — the audit record a
+    scrub pass emits. Same no-shuffle map-only shape as q_pii_detect."""
+    docs = _with_synthetic_pii(load_table(spark, sf_dir, "documents"))
+    counts = pii_counts(F.col("text"))
+    total = None
+    for c in counts:
+        total = c if total is None else total + c
+    red = docs.select(
+        "doc_id",
+        pii_redact(F.col("text")).alias("redacted"),
+        total.alias("n_redactions"),
+        F.length("text").cast("long").alias("orig_len"),
+    )
+    return (
+        red.filter(F.col("n_redactions") > 0)
+        .select(
+            "doc_id",
+            "redacted",
+            "n_redactions",
+            (F.col("orig_len") - F.length("redacted").cast("long")).alias(
+                "len_delta"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DECON_N = 5  # shingle width for the decontamination check
+
+
+@register(
+    "q_decontaminate_bloom",
+    oracle=f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+      unnest(list_transform(range(1, len(w) - {_DECON_N - 2}),
+        i -> {" || ' ' || ".join(f"w[i+{j}]" for j in range(_DECON_N))}))
+        AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  )
+),
+lab AS (
+  SELECT doc_id,
+    ({md5int_duckdb("CAST(doc_id AS VARCHAR)")} % 100) < {TRAIN_PCT} AS is_train
+  FROM documents
+),
+tr AS (
+  SELECT s.doc_id, s.shingle FROM sh s JOIN lab l ON s.doc_id = l.doc_id
+  WHERE l.is_train
+),
+ev AS (
+  SELECT DISTINCT s.shingle FROM sh s JOIN lab l ON s.doc_id = l.doc_id
+  WHERE NOT l.is_train
+)
+SELECT t.doc_id, COUNT(*) AS n_contam
+FROM tr t JOIN ev e ON t.shingle = e.shingle
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+""",
+)
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination at corpus scale: the eval split's
+    distinct 5-gram shingles build a Bloom filter (operators.bloom —
+    distributed bit_or assembly, ~180 KB per million shingles at 1 %
+    fpp); every train-split shingle is probed MAP-SIDE and only the
+    ~fpp survivors reach the exact semi-join that removes false
+    positives. Bloom filters have no false negatives, so the result is
+    hash-identical to the plain exact overlap the oracle computes —
+    the bloom is pure shuffle avoidance: at 100 TB the corpus's
+    non-matching shingles (the overwhelming majority) never leave their
+    scan tasks."""
+    from flink_template_spark.operators.bloom import bloom_prune
+    from flink_template_spark.operators.dedup import shingle_rows
+    from flink_template_spark.plans.datapipe import split_of
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "is_train", split_of() == "train"
+    )
+    sh = shingle_rows(docs, _DECON_N, extra_cols=["is_train"])
+    train_sh = sh.filter(F.col("is_train")).select("doc_id", "shingle")
+    eval_sh = sh.filter(~F.col("is_train")).select("shingle").distinct()
+
+    n_eval = eval_sh.count()  # tiny control-plane scalar: sizes the bloom
+    pruned = bloom_prune(
+        train_sh, eval_sh, "shingle", "shingle", expected_items=max(n_eval, 1)
+    )
+    exact = pruned.join(eval_sh, "shingle", "left_semi")
+    return (
+        exact.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contam"))
+        .orderBy("doc_id")
+    )
