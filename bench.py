@@ -127,6 +127,10 @@ def main() -> None:
         "q_semdedup_keep",
         "q_dedup_increment",
         "q_source_quality_drift",
+        # round-3 safety/quality additions
+        "q_pii_redact",
+        "q_decontaminate_bloom",
+        "q_unigram_logprob",
     ]
     extended: dict[str, float] = {}
     for name in [n for n in EXTENDED if n in plans.QUERIES]:
