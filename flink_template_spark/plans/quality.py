@@ -277,8 +277,8 @@ def _bpe_replay_cte(n_merges: int = 16, batch: int = 8, rounds: int = 6) -> str:
       (min(batch, n_merges - picked_so_far)), threaded as scalar
       subqueries over the earlier rounds' pick CTEs. Rounds past
       exhaustion degrade to no-ops (cap 0 → empty candidate set →
-      vocab copied), so ``rounds`` only needs to be an upper bound —
-      measured 3-4 rounds at sf0.001-0.1, unrolled to {rounds}.
+      vocab copied), so ``rounds`` only needs to be an upper bound
+      (see _BPE_ROUNDS; measured 3-4 rounds at sf0.001-0.1).
 
     Exposes: pk1..pk{rounds} (per-round picks with order), allpk
     (globally rank-ordered merges), v{rounds} (final trained vocab —
@@ -375,7 +375,12 @@ def _bpe_replay_cte(n_merges: int = 16, batch: int = 8, rounds: int = 6) -> str:
     return ",\n".join(parts)
 
 
-_BPE_ROUNDS = 6
+# Upper bound on unrolled rounds: measured 3-4 at sf0.001-0.1; extra
+# rounds are cheap no-ops (<0.1 s each in DuckDB), so 8 buys margin
+# against corpus drift. If real data ever needed more, the oracle would
+# produce FEWER than 16 merges and the driver would flag a row-count
+# mismatch — a loud failure, never a silent wrong answer.
+_BPE_ROUNDS = 8
 
 
 @register(

@@ -76,3 +76,44 @@ def test_decontaminate_bloom_equals_exact_overlap(spark):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_streaming_pii_scrub(spark, tmp_path):
+    """pii_redact / pii_counts are pure Column expressions, so the scrub
+    pass drops straight into a stream: redacted text flows through, the
+    per-class counts ride along as audit columns, and clean rows pass
+    untouched."""
+    import json
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    rows = [
+        (1, "mail bob@example.com and 10.0.0.1 ok"),
+        (2, "nothing sensitive here"),
+        (3, "ssn 987-65-4321 call 555-123-4567"),
+    ]
+    (src / "p0.json").write_text(
+        "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in rows)
+    )
+    stream = spark.readStream.schema("doc_id LONG, text STRING").json(str(src))
+    scrubbed = stream.select(
+        "doc_id", pii_redact(F.col("text")).alias("text"), *pii_counts(F.col("text"))
+    )
+    q = (
+        scrubbed.writeStream.format("memory")
+        .queryName("pii_scrub")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(60)
+    finally:
+        q.stop()
+    got = {r.doc_id: r for r in spark.sql("SELECT * FROM pii_scrub").collect()}
+    assert got[1].text == "mail <EMAIL> and <IP> ok"
+    assert (got[1].n_email, got[1].n_ipv4) == (1, 1)
+    assert got[2].text == "nothing sensitive here"
+    assert got[2].n_email == got[2].n_phone == 0
+    assert got[3].text == "ssn <SSN> call <PHONE>"
