@@ -1,0 +1,137 @@
+"""Engine-portable HyperLogLog — a mergeable distinct-count sketch whose
+every step is deterministic integer/double arithmetic reproducible in
+DuckDB SQL, making the sketch ORACLE-EXACT (unlike native
+datasketches/approx_count_distinct, whose registers are
+engine-internal — see q_hll_mergeable_rollup for that path).
+
+Construction (classic HLL, p=8 → m=256 registers):
+
+- 60-bit portable hash (functions.hashing.md5int_*: md5-prefix integer,
+  identical in both dialects);
+- bucket = h % m (low p bits), v = h // m (w = 52 remaining bits);
+- rank = leading-zeros-of-v-in-w-bits + 1 = 53 - bitlen(v), with
+  bitlen via ``length(bin(v))`` — an INTEGER-exact floor(log2)+1 in
+  both engines (no float log);
+- register value = max rank per bucket — a plain groupBy max, so the
+  sketch is mergeable by construction: union of sets ≡ element-wise
+  max of registers. Rolling up a finer grain to a coarser one is
+  another max-aggregate over kilobytes, never a re-scan of rows;
+- harmonic estimate with an exact-integer inner sum: each register
+  contributes 2^-r, summed as 2^(53-r) BIGINTs (≤ m·2^53 < 2^62 — no
+  overflow, exact in any order) and divided back by 2^53 only at the
+  end; the empty-register and linear-counting small-range corrections
+  use only exact integers and one libm ``ln`` absorbed by the final
+  rounding.
+
+Scale shape: one shuffle to (cell, bucket) — at most m rows per cell
+regardless of input size — then per-cell folds. The 100 TB pattern:
+materialize per-bucket registers once, answer any coarser rollup by
+max-merging 256-int registers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_template_spark.functions.hashing import md5int_duckdb, md5int_spark
+
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers
+HLL_W = 60 - HLL_P  # 52 value bits
+_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+# alpha * m^2 * 2^53, precomputed in Python so BOTH engines divide the
+# same double literal by the exact integer register sum
+ALPHA_M2_P53 = _ALPHA * HLL_M * HLL_M * float(1 << 53)
+_LINEAR_THRESHOLD = 2.5 * HLL_M
+
+
+def hll_registers(
+    df: DataFrame, cell_cols: list[str], item_col: str
+) -> DataFrame:
+    """(cell_cols..., bucket, r): the sketch registers per cell. At most
+    HLL_M rows per cell; map-side combined before the shuffle."""
+    hashed = df.select(
+        *cell_cols,
+        F.expr(md5int_spark(f"CAST({item_col} AS STRING)", bits=60)).alias("__h"),
+    )
+    # integer `div`, NOT double division: h has up to 60 significant
+    # bits, beyond a double's 53-bit mantissa — floor(h/m) in doubles
+    # can be off by one
+    v = F.expr(f"__h div {HLL_M}")
+    rank = (
+        F.when(v == 0, F.lit(HLL_W + 1))
+        .otherwise(F.lit(HLL_W + 1) - F.length(F.bin(v)))
+        .alias("rank")
+    )
+    return (
+        hashed.select(
+            *cell_cols, F.pmod(F.col("__h"), F.lit(HLL_M)).alias("bucket"), rank
+        )
+        .groupBy(*cell_cols, "bucket")
+        .agg(F.max("rank").alias("r"))
+    )
+
+
+def hll_merge(registers: DataFrame, to_cols: list[str]) -> DataFrame:
+    """Roll registers up to a coarser grain: element-wise max ≡ sketch
+    union (exact, not approximate — merging loses nothing)."""
+    return registers.groupBy(*to_cols, "bucket").agg(F.max("r").alias("r"))
+
+
+def hll_estimate(registers: DataFrame, cell_cols: list[str]) -> DataFrame:
+    """(cell_cols..., approx_distinct): the HLL harmonic-mean estimate
+    with linear-counting small-range correction, rounded to 2 dp (the
+    one libm ``ln`` is the only cross-engine ulp source)."""
+    # dynamic shift count needs the SQL form (the pyspark wrapper only
+    # takes a literal numBits) — same note as operators.bloom
+    shifted = F.expr(f"shiftleft(1L, CAST({HLL_W + 1} - r AS INT))")
+    stats = registers.groupBy(*cell_cols).agg(
+        F.sum(shifted).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    s_int = F.col("s_present") + (F.lit(HLL_M) - F.col("n_present")) * F.lit(
+        1 << (HLL_W + 1)
+    )
+    zeros = (F.lit(HLL_M) - F.col("n_present")).cast("double")
+    e_raw = F.lit(ALPHA_M2_P53) / s_int.cast("double")
+    est = F.when(
+        (e_raw <= F.lit(_LINEAR_THRESHOLD)) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros),
+    ).otherwise(e_raw)
+    return stats.select(*cell_cols, F.round(est, 2).alias("approx_distinct"))
+
+
+# --- DuckDB oracle fragments (same math, same literals) -------------------
+
+
+def hll_registers_sql(table: str, cell_cols: list[str], item_col: str) -> str:
+    cells = ", ".join(cell_cols)
+    h = md5int_duckdb(f"CAST({item_col} AS VARCHAR)", bits=60)
+    return f"""
+  SELECT {cells}, bucket, MAX(rank) AS r FROM (
+    SELECT {cells},
+      ({h}) % {HLL_M} AS bucket,
+      CASE WHEN ({h}) // {HLL_M} = 0 THEN {HLL_W + 1}
+           ELSE {HLL_W + 1} - length(bin(({h}) // {HLL_M})) END AS rank
+    FROM {table}
+  ) GROUP BY {cells}, bucket
+"""
+
+
+def hll_estimate_sql(regs_cte: str, cell_cols: list[str]) -> str:
+    cells = ", ".join(cell_cols)
+    return f"""
+  SELECT {cells},
+    ROUND(CASE WHEN ({ALPHA_M2_P53!r} / CAST(s_int AS DOUBLE)) <= {_LINEAR_THRESHOLD!r}
+                AND zeros > 0
+           THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / zeros)
+           ELSE {ALPHA_M2_P53!r} / CAST(s_int AS DOUBLE) END, 2) AS approx_distinct
+  FROM (
+    SELECT {cells},
+      CAST(SUM(CAST(1 AS BIGINT) << ({HLL_W + 1} - r)) AS BIGINT)
+        + ({HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << {HLL_W + 1}) AS s_int,
+      CAST({HLL_M} - COUNT(*) AS DOUBLE) AS zeros
+    FROM {regs_cte} GROUP BY {cells}
+  )
+"""

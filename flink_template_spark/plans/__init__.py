@@ -140,11 +140,12 @@ _MIDDLE = [
     "q_source_quality_drift",
     "q_repeated_passages",
     "q_scrub_repeated_passages",
-    # round-3 additions (safety family + unigram gate)
+    # round-3 additions (safety family + unigram gate + portable HLL)
     "q_pii_detect",
     "q_pii_redact",
     "q_decontaminate_bloom",
     "q_unigram_logprob",
+    "q_hll_portable_rollup",
 ]
 
 # Tail = families already driver-green in rounds 1-2 (regression pool);

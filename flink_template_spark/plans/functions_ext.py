@@ -486,6 +486,66 @@ def q_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_portable_oracle() -> str:
+    from flink_template_spark.operators.sketches_portable import (
+        hll_estimate_sql,
+        hll_registers_sql,
+    )
+
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT CAST(ts AS DATE) AS day, event_type, user_id FROM events
+),
+regs AS MATERIALIZED ({hll_registers_sql('base', ['day', 'event_type'], 'user_id')}),
+merged AS (
+  SELECT event_type, bucket, MAX(r) AS r FROM regs GROUP BY event_type, bucket
+),
+est AS ({hll_estimate_sql('merged', ['event_type'])}),
+exact AS (
+  SELECT event_type,
+    COUNT(DISTINCT user_id) AS exact_users,
+    COUNT(DISTINCT day) AS n_days
+  FROM base GROUP BY event_type
+)
+SELECT est.event_type, est.approx_distinct AS approx_users,
+  exact.exact_users, exact.n_days
+FROM est JOIN exact ON est.event_type = exact.event_type
+ORDER BY est.event_type
+"""
+
+
+@register("q_hll_portable_rollup", oracle=_hll_portable_oracle())
+def q_hll_portable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count rollup with the ENGINE-PORTABLE HLL
+    (operators.sketches_portable): per-(day, event_type) registers are
+    max-merged up to per-type sketches, then estimated — the same
+    materialize-once / re-roll-for-free pattern as the datasketches
+    path (q_hll_mergeable_rollup), but with every register and the
+    final estimate reproduced exactly by the DuckDB oracle. The exact
+    COUNT(DISTINCT) rides along so the sketch error is visible in the
+    verified output itself."""
+    from flink_template_spark.operators.sketches_portable import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        F.to_date("ts").alias("day"), "event_type", "user_id"
+    )
+    regs = hll_registers(base, ["day", "event_type"], "user_id")
+    merged = hll_merge(regs, ["event_type"])
+    est = hll_estimate(merged, ["event_type"]).select(
+        "event_type", F.col("approx_distinct").alias("approx_users")
+    )
+    exact = base.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.count_distinct("day").alias("n_days"),
+    )
+    return est.join(exact, "event_type").orderBy("event_type")
+
+
 @register(
     "q_nested_array_hof",
     oracle="""

@@ -1,0 +1,49 @@
+"""Portable-HLL sketch properties (operators.sketches_portable):
+merge ≡ union, determinism, and estimate accuracy at cardinalities well
+past the linear-counting regime."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_template_spark.operators.sketches_portable import (
+    HLL_M,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+
+
+def test_merge_equals_union(spark):
+    """Registers of A∪B == element-wise max of A's and B's registers —
+    the property that makes rollups lossless."""
+    a = spark.range(0, 3000).select(F.lit("a").alias("g"), F.col("id"))
+    b = spark.range(2000, 6000).select(F.lit("b").alias("g"), F.col("id"))
+    both = a.union(b)
+
+    merged = hll_merge(hll_registers(both, ["g"], "id"), [])
+    direct = hll_registers(
+        both.select(F.lit("all").alias("g"), "id"), ["g"], "id"
+    ).select("bucket", "r")
+    got = {(r.bucket, r.r) for r in merged.collect()}
+    want = {(r.bucket, r.r) for r in direct.collect()}
+    assert got == want
+
+
+def test_estimate_accuracy_past_linear_range(spark):
+    """At n >> 2.5m the harmonic branch is active; standard error for
+    m=256 is ~1.04/sqrt(m) ≈ 6.5% — assert within 4 sigma."""
+    n = 50_000
+    df = spark.range(n).select(F.lit("x").alias("g"), F.col("id"))
+    est = hll_estimate(hll_registers(df, ["g"], "id"), ["g"]).first()
+    rel_err = abs(est.approx_distinct - n) / n
+    assert rel_err < 4 * 1.04 / (HLL_M ** 0.5), rel_err
+
+
+def test_registers_bounded_and_deterministic(spark):
+    df = spark.range(10_000).select(F.lit("g").alias("g"), F.col("id"))
+    regs1 = sorted(map(tuple, hll_registers(df, ["g"], "id").collect()))
+    regs2 = sorted(map(tuple, hll_registers(df, ["g"], "id").collect()))
+    assert regs1 == regs2
+    assert len(regs1) <= HLL_M
+    assert all(1 <= r for *_, r in regs1)
