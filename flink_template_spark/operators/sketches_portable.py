@@ -135,3 +135,110 @@ def hll_estimate_sql(regs_cte: str, cell_cols: list[str]) -> str:
     FROM {regs_cte} GROUP BY {cells}
   )
 """
+
+# --- Count-Min sketch (frequency twin of the HLL above) -------------------
+#
+# d hash rows x w counters; updates and merges are plain integer SUMs
+# (merge = counter addition = lossless union), point estimates are the
+# min over the d rows — never an underestimate, overestimate bounded by
+# collisions. Every step is integer arithmetic on the portable
+# md5 + Mersenne-affine hashes (functions.hashing.minhash_expr), so the
+# whole sketch — build, merge, lookup — is oracle-exact, with no float
+# anywhere. Scale shape mirrors HLL: the build shuffles at most d·w
+# counter rows per cell (map-side combined), and any coarser rollup is
+# a SUM over kilobytes.
+
+CMS_D = 4  # hash rows (reuses the first d MinHash affine constants)
+CMS_W = 1024  # counters per row
+
+
+def _cms_pos_spark(i: int, item_expr: str) -> str:
+    from flink_template_spark.functions.hashing import minhash_expr
+
+    x = md5int_spark(item_expr)
+    return f"({minhash_expr(i, x)}) % {CMS_W}"
+
+
+def _cms_pos_duckdb(i: int, item_expr: str) -> str:
+    from flink_template_spark.functions.hashing import minhash_expr
+
+    x = md5int_duckdb(item_expr)
+    return f"({minhash_expr(i, x)}) % {CMS_W}"
+
+
+def cms_counters(
+    df: DataFrame, cell_cols: list[str], item_expr: str
+) -> DataFrame:
+    """(cell_cols..., i, pos, cnt): the sketch counters per cell.
+    ``item_expr`` is a Spark SQL string expression for the keyed item
+    (e.g. a column name). One shuffle of ≤ d·w rows per cell."""
+    rows = df.select(
+        *cell_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.expr(_cms_pos_spark(i, item_expr)).alias("pos"),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("h"),
+    )
+    return (
+        rows.select(*cell_cols, F.col("h.i").alias("i"), F.col("h.pos").alias("pos"))
+        .groupBy(*cell_cols, "i", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(counters: DataFrame, to_cols: list[str]) -> DataFrame:
+    """Roll counters to a coarser grain: SUM ≡ sketch union (exact)."""
+    return counters.groupBy(*to_cols, "i", "pos").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cms_lookup(
+    counters: DataFrame, keys: DataFrame, key_expr: str
+) -> DataFrame:
+    """Point estimates for every row of ``keys``: min over the d rows'
+    counters at the key's positions. Join is on (i, pos) — the keys side
+    explodes to d rows, the counter side is already ≤ d·w rows (a
+    broadcastable sketch)."""
+    probed = keys.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.expr(_cms_pos_spark(i, key_expr)).alias("pos"),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("h"),
+    ).select("*", F.col("h.i").alias("i"), F.col("h.pos").alias("pos")).drop("h")
+    key_cols = [c for c in keys.columns]
+    return (
+        probed.join(F.broadcast(counters), ["i", "pos"])
+        .groupBy(*key_cols)
+        .agg(F.min("cnt").alias("est_count"))
+    )
+
+
+def cms_counters_sql(table: str, cell_cols: list[str], item_expr: str) -> str:
+    cells = ", ".join(cell_cols) + ", " if cell_cols else ""
+    branches = "\n  UNION ALL\n".join(
+        f"  SELECT {cells}{i} AS i, {_cms_pos_duckdb(i, item_expr)} AS pos "
+        f"FROM {table}"
+        for i in range(CMS_D)
+    )
+    group = ", ".join(cell_cols + ["i", "pos"])
+    return f"""
+  SELECT {group}, COUNT(*) AS cnt FROM (
+{branches}
+  ) GROUP BY {group}
+"""

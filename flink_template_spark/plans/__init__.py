@@ -146,6 +146,7 @@ _MIDDLE = [
     "q_decontaminate_bloom",
     "q_unigram_logprob",
     "q_hll_portable_rollup",
+    "q_cms_token_freq",
 ]
 
 # Tail = families already driver-green in rounds 1-2 (regression pool);

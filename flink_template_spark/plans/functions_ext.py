@@ -546,6 +546,80 @@ def q_hll_portable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "event_type").orderBy("event_type")
 
 
+def _cms_oracle() -> str:
+    from flink_template_spark.operators.sketches_portable import (
+        CMS_D,
+        _cms_pos_duckdb,
+        cms_counters_sql,
+    )
+
+    probe_branches = "\n  UNION ALL\n".join(
+        f"  SELECT token, exact_count, {i} AS i, "
+        f"{_cms_pos_duckdb(i, 'token')} AS pos FROM top"
+        for i in range(CMS_D)
+    )
+    return f"""
+WITH tok AS MATERIALIZED (
+  SELECT lang, word AS token FROM (
+    SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE word <> ''
+),
+counters AS MATERIALIZED ({cms_counters_sql('tok', ['lang'], 'token')}),
+merged AS (
+  SELECT i, pos, CAST(SUM(cnt) AS BIGINT) AS cnt
+  FROM counters GROUP BY i, pos
+),
+top AS MATERIALIZED (
+  SELECT token, COUNT(*) AS exact_count FROM tok
+  GROUP BY token ORDER BY exact_count DESC, token LIMIT 20
+),
+probe AS (
+{probe_branches}
+)
+SELECT p.token, p.exact_count, MIN(c.cnt) AS est_count,
+  MIN(c.cnt) - p.exact_count AS overestimate
+FROM probe p JOIN merged c ON p.i = c.i AND p.pos = c.pos
+GROUP BY p.token, p.exact_count
+ORDER BY p.exact_count DESC, p.token
+"""
+
+
+@register("q_cms_token_freq", oracle=_cms_oracle())
+def q_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency estimation with the engine-portable Count-Min sketch
+    (operators.sketches_portable): per-language counter grids are
+    SUM-merged into one global sketch (lossless union), then the exact
+    top-20 tokens are point-estimated against it — est ≥ exact always
+    (CMS never underestimates), and the overestimate column makes the
+    collision error visible in verified output. Pure integer arithmetic
+    end to end, so build, merge, and lookup are all oracle-exact."""
+    from flink_template_spark.operators.sketches_portable import (
+        cms_counters,
+        cms_lookup,
+        cms_merge,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    counters = cms_counters(tok, ["lang"], "token")
+    merged = cms_merge(counters, [])
+    top = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), "token")
+        .limit(20)
+    )
+    est = cms_lookup(merged, top, "token")
+    return est.select(
+        "token",
+        "exact_count",
+        "est_count",
+        (F.col("est_count") - F.col("exact_count")).alias("overestimate"),
+    ).orderBy(F.desc("exact_count"), "token")
+
+
 @register(
     "q_nested_array_hof",
     oracle="""

@@ -47,3 +47,39 @@ def test_registers_bounded_and_deterministic(spark):
     assert regs1 == regs2
     assert len(regs1) <= HLL_M
     assert all(1 <= r for *_, r in regs1)
+
+
+def test_cms_merge_equals_global_build(spark):
+    """SUM-merging per-cell counter grids equals building one global
+    sketch — counter addition is the lossless union."""
+    from flink_template_spark.operators.sketches_portable import (
+        cms_counters,
+        cms_merge,
+    )
+
+    df = spark.range(5000).select(
+        (F.col("id") % 3).cast("string").alias("cell"),
+        F.concat(F.lit("k"), (F.col("id") % 700).cast("string")).alias("k"),
+    )
+    per_cell = cms_counters(df, ["cell"], "k")
+    merged = {(r.i, r.pos): r.cnt for r in cms_merge(per_cell, []).collect()}
+    direct = {
+        (r.i, r.pos): r.cnt for r in cms_counters(df, [], "k").collect()
+    }
+    assert merged == direct
+
+
+def test_cms_never_underestimates(spark):
+    from flink_template_spark.operators.sketches_portable import (
+        cms_counters,
+        cms_lookup,
+    )
+
+    df = spark.range(20000).select(
+        F.concat(F.lit("w"), (F.col("id") % 1500).cast("string")).alias("k")
+    )
+    counters = cms_counters(df, [], "k")
+    exact = df.groupBy("k").agg(F.count(F.lit(1)).alias("exact"))
+    est = cms_lookup(counters, exact, "k")
+    bad = est.filter(F.col("est_count") < F.col("exact")).count()
+    assert bad == 0
