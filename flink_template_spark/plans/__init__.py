@@ -147,6 +147,7 @@ _MIDDLE = [
     "q_unigram_logprob",
     "q_hll_portable_rollup",
     "q_cms_token_freq",
+    "q_ddsketch_quantiles",
 ]
 
 # Tail = families already driver-green in rounds 1-2 (regression pool);

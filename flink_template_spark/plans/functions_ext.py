@@ -620,6 +620,133 @@ def q_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("exact_count"), "token")
 
 
+_DD_QS = (0.5, 0.9, 0.99)
+
+
+def _dd_oracle() -> str:
+    exact_branches = "\n  UNION ALL\n".join(
+        f"  SELECT CAST({q} AS DOUBLE) AS q, "
+        f"CAST(quantile_disc(o_totalprice, {q}) AS DOUBLE) AS exact_price "
+        f"FROM orders"
+        for q in _DD_QS
+    )
+    return f"""
+WITH binned AS (
+  SELECT cell, (e * 8 + CAST(FLOOR((v / CAST((CAST(1 AS BIGINT) << e) AS DOUBLE)
+                - 1.0) * 8.0) AS BIGINT)) AS idx
+  FROM (
+    SELECT o_orderpriority AS cell, o_totalprice AS v,
+      length(bin(CAST(FLOOR(o_totalprice) AS BIGINT))) - 1 AS e
+    FROM orders WHERE o_totalprice >= 1
+  )
+),
+b AS (SELECT cell, idx, COUNT(*) AS cnt FROM binned GROUP BY cell, idx),
+merged AS (SELECT idx, CAST(SUM(cnt) AS BIGINT) AS cnt FROM b GROUP BY idx),
+cum AS (
+  SELECT idx, SUM(cnt) OVER (ORDER BY idx
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM merged
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS n_buckets FROM merged),
+qs AS (SELECT unnest([{", ".join(f"CAST({q} AS DOUBLE)" for q in _DD_QS)}]) AS q),
+pick AS (
+  SELECT q, MIN(idx) AS est_idx
+  FROM qs, cum, tot WHERE cum >= CEIL(q * n)
+  GROUP BY q
+),
+est AS (
+  SELECT q,
+    ROUND(CAST((CAST(1 AS BIGINT) << (est_idx // 8)) AS DOUBLE)
+      * (1.0 + (CAST(est_idx % 8 AS DOUBLE) + 0.5) / 8.0), 6) AS est_price
+  FROM pick
+),
+exact AS (
+{exact_branches}
+)
+SELECT e.q, e.est_price, x.exact_price, t.n_buckets
+FROM est e JOIN exact x ON e.q = x.q CROSS JOIN tot t
+ORDER BY e.q
+"""
+
+
+@register("q_ddsketch_quantiles", oracle=_dd_oracle())
+def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile estimation, DDSketch-style: values land in
+    log-spaced buckets (8 per power of two → ≤ ~6.5 % relative error),
+    per-priority bucket grids SUM-merge into one global sketch, and
+    quantiles read off the cumulative counts. The bucket index uses
+    ONLY integer bit-length (length(bin(floor(v)))) and exact
+    power-of-two divisions — no libm anywhere — so sketch and estimate
+    replay exactly in DuckDB. Exact disc percentiles ride along so the
+    bounded relative error is visible in verified output.
+
+    Scale shape: one map-side-combined shuffle to ≤ a few hundred
+    bucket rows per cell; rollups and the quantile read are
+    sketch-sized. The exact-comparison column collects the full value
+    array (fine at driver scale; at 100 TB you would keep only the
+    sketch side)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1
+    )
+    e = F.length(F.bin(F.floor("o_totalprice").cast("long"))) - 1
+    pow2e = F.expr(
+        "CAST(shiftleft(1L, CAST(length(bin(CAST(FLOOR(o_totalprice) AS BIGINT))) - 1 AS INT)) AS DOUBLE)"
+    )
+    sub = F.floor((F.col("o_totalprice") / pow2e - 1.0) * 8.0).cast("long")
+    binned = orders.select(
+        F.col("o_orderpriority").alias("cell"), (e.cast("long") * 8 + sub).alias("idx")
+    )
+    b = binned.groupBy("cell", "idx").agg(F.count(F.lit(1)).alias("cnt"))
+    merged = b.groupBy("idx").agg(F.sum("cnt").alias("cnt"))
+    w = W.orderBy("idx").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = merged.select("idx", F.sum("cnt").over(w).alias("cum"))
+    tot = merged.agg(
+        F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("n_buckets")
+    )
+    qs = spark.createDataFrame([(float(q),) for q in _DD_QS], "q DOUBLE")
+    pick = (
+        qs.crossJoin(F.broadcast(cum))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("q")
+        .agg(F.min("idx").alias("est_idx"))
+    )
+    est_e = F.expr("CAST(shiftleft(1L, CAST(est_idx div 8 AS INT)) AS DOUBLE)")
+    est = pick.select(
+        "q",
+        F.round(
+            est_e * (1.0 + ((F.col("est_idx") % 8).cast("double") + 0.5) / 8.0), 6
+        ).alias("est_price"),
+    )
+    vals = F.sort_array(F.collect_list("o_totalprice"))
+
+    def disc(frac: float):
+        rank = F.ceil(F.size(vals) * F.lit(frac)).cast("int")
+        return F.element_at(vals, F.greatest(rank, F.lit(1)))
+
+    exact = orders.agg(
+        *[disc(q).cast("double").alias(f"x{i}") for i, q in enumerate(_DD_QS)]
+    )
+    exact_rows = exact.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(q)).alias("q"),
+                        F.col(f"x{i}").alias("exact_price"),
+                    )
+                    for i, q in enumerate(_DD_QS)
+                ]
+            )
+        ).alias("t")
+    ).select("t.q", "t.exact_price")
+    return (
+        est.join(exact_rows, "q")
+        .crossJoin(F.broadcast(tot.select("n_buckets")))
+        .orderBy("q")
+    )
+
+
 @register(
     "q_nested_array_hof",
     oracle="""
