@@ -131,6 +131,10 @@ def main() -> None:
         "q_pii_redact",
         "q_decontaminate_bloom",
         "q_unigram_logprob",
+        # round-3 portable mergeable sketches
+        "q_hll_portable_rollup",
+        "q_cms_token_freq",
+        "q_ddsketch_quantiles",
     ]
     extended: dict[str, float] = {}
     for name in [n for n in EXTENDED if n in plans.QUERIES]:

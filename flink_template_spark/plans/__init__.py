@@ -21,17 +21,14 @@ rotates per round so every family accumulates driver-checked entries:
   q_pack_chunked, simhash/minhash signature duals,
   q_multimodal_meta_filter, q_ann_ivf_probe, q_top_terms_per_lang).
 
-Round-4 rotation plan: promote the remaining never-checked middle —
-vectors rest (q_vector_norms, q_centroids_by_label, q_ivf_cluster_sizes,
-q_embedding_near_dup_exact/lsh, q_kmeans_clusters, q_ann_kmeans_probe,
-q_embedding_zscore, q_embedding_quantize_int8, q_pq_adc_topk), datapipe
-rest (q_train_test_split, q_text_normalize, q_stratified_sample,
-q_pack_greedy_bins, q_stratified_sample_hash, q_training_shards,
-q_weighted_sample, q_consistent_sample_topk), and the round-2 additions
-(q_dedup_increment, q_bpe_merges, q_bpe_fertility,
-q_source_quality_drift, q_repeated_passages, q_scrub_repeated_passages)
-— plus a regression sample of previously-green queries — and rotate this
-round's 50 to the tail.
+Round-4 rotation plan: promote the remaining never-checked middle
+(_MIDDLE below, in order) — vectors rest, datapipe rest, the round-2
+additions (dedup-increment, BPE, quality drift, repeated passages), and
+the round-3 additions (safety family, unigram gate, the portable
+HLL/CMS/DDSketch trio) — plus a regression sample of previously-green
+queries — and rotate this round's 50 to the tail. _MIDDLE has 28
+entries, so front-load all of it plus ~20 regression picks and the
+driver's 50 covers everything never checked.
 """
 
 from flink_template_spark.plans import registry  # noqa: F401

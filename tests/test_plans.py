@@ -292,3 +292,34 @@ def test_semdedup_pair_join_is_cluster_keyed(spark, sf):
     assert any(
         j in p for j in ("SortMergeJoin Inner", "ShuffledHashJoin Inner", "BroadcastHashJoin Inner")
     )
+
+
+def test_pii_scrub_is_map_only(spark, sf):
+    """The PII pass must ride a scan for free: zero exchanges, regex in
+    the projection."""
+    p = plan_of(plans.QUERIES["q_pii_detect"](spark, sf))
+    # the only allowed exchange is the final presentation orderBy
+    # (rangepartitioning); the scrub itself must not hash-shuffle
+    assert "hashpartitioning" not in p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_decontaminate_bloom_probe_precedes_exact_join(spark, sf):
+    """Bloom probe is a Filter (map-side), the exact verify is an
+    equi-semi-join — never a cartesian; the bloom bitmap arrives by
+    broadcast."""
+    p = plan_of(plans.QUERIES["q_decontaminate_bloom"](spark, sf))
+    assert "CartesianProduct" not in p
+    assert "LeftSemi" in p
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row bitmap ride-along
+
+
+def test_portable_sketches_shuffle_sketch_sized_state(spark, sf):
+    """HLL/CMS/DDSketch builds must partial-aggregate map-side (the
+    shuffle carries registers/counters, not items) and never cartesian
+    on the data side."""
+    for q in ("q_hll_portable_rollup", "q_cms_token_freq", "q_ddsketch_quantiles"):
+        p = plan_of(plans.QUERIES[q](spark, sf))
+        assert "partial_" in p, q  # map-side combine before every exchange
+        assert "CartesianProduct" not in p, q

@@ -65,3 +65,20 @@ def test_every_priority_name_exists():
 def test_oracle_queries_all_registered():
     for name in plans.ORACLES:
         assert name in plans.QUERIES
+
+
+def test_stale_priority_name_warns_not_raises(monkeypatch):
+    """A renamed/removed query in the slate must degrade to a warning
+    and be dropped from the order — never fail package import."""
+    import warnings
+
+    monkeypatch.setattr(
+        plans, "_PRIORITY", plans._PRIORITY[:3] + ["q_DOES_NOT_EXIST"]
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        order = plans._ordered_names()
+    assert "q_DOES_NOT_EXIST" not in order
+    assert any("q_DOES_NOT_EXIST" in str(x.message) for x in w)
+    # everything real is still present exactly once
+    assert len(order) == len(set(order)) == len(plans.QUERIES)
