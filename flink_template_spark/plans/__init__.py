@@ -145,6 +145,7 @@ _MIDDLE = [
     "q_hll_portable_rollup",
     "q_cms_token_freq",
     "q_ddsketch_quantiles",
+    "q_ann_multiprobe_rerank",
 ]
 
 # Tail = families already driver-green in rounds 1-2 (regression pool);

@@ -561,10 +561,13 @@ def _pq_sqdist_sql(sv: str, cvec: str) -> str:
     )
 
 
-@register(
-    "q_pq_adc_topk",
-    oracle=f"""
-WITH params AS (SELECT len(embedding) // 4 AS d FROM embeddings LIMIT 1),
+def _pq_replay_cte() -> str:
+    """CTE chain replaying pq_train(m=4, k=4, n_iter=1) + pq_encode +
+    the query's ADC distance table (query = vec 0). Exposes: ``codes``
+    (vec_id, j, c), ``adc`` (vec_id, adc_dist — all corpus vectors
+    except the query, unrounded sum in subspace order), ``cb1``
+    (trained codebooks)."""
+    return f"""params AS (SELECT len(embedding) // 4 AS d FROM embeddings LIMIT 1),
 js AS (SELECT unnest(range(0, 4)) AS j),
 init AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c, embedding
@@ -575,7 +578,7 @@ cb0 AS (  -- init codebooks: subvector slices of the first k vectors
     list_slice(i.embedding, js.j * p.d + 1, (js.j + 1) * p.d) AS cvec
   FROM init i, params p, js
 ),
-sub AS (  -- every vector's m subvectors
+sub AS MATERIALIZED (  -- every vector's m subvectors
   SELECT e.vec_id, js.j,
     list_slice(e.embedding, js.j * p.d + 1, (js.j + 1) * p.d) AS sv
   FROM embeddings e, params p, js
@@ -597,14 +600,14 @@ means AS (  -- exact fixed-point-integer means per (subspace, code, dim)
   unnest(range(0, len(s.sv))) AS t(pos)
   GROUP BY a.j, a.c, t.pos
 ),
-cb1 AS (  -- trained codebooks; empty clusters keep their init code
+cb1 AS MATERIALIZED (  -- trained codebooks; empty clusters keep init
   SELECT cb.j, cb.c,
     COALESCE(mm.cvec, CAST(cb.cvec AS DOUBLE[])) AS cvec
   FROM cb0 cb LEFT JOIN (
     SELECT j, c, list(m ORDER BY pos) AS cvec FROM means GROUP BY j, c
   ) mm ON cb.j = mm.j AND cb.c = mm.c
 ),
-codes AS (  -- encode: argmin against the trained codebooks
+codes AS MATERIALIZED (  -- encode: argmin against the trained codebooks
   SELECT vec_id, j, c FROM (
     SELECT s.vec_id, s.j, cb.c,
       ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
@@ -616,19 +619,27 @@ qtable AS (  -- the query's m x k asymmetric distance table
   SELECT cb.j, cb.c, {_pq_sqdist_sql('q.sv', 'cb.cvec')} AS dq
   FROM cb1 cb JOIN (SELECT j, sv FROM sub WHERE vec_id = 0) q ON cb.j = q.j
 ),
-pivoted AS (  -- one distance term per subspace, summed in j order
-  SELECT co.vec_id,
-    MAX(CASE WHEN co.j = 0 THEN qt.dq END) AS d0,
-    MAX(CASE WHEN co.j = 1 THEN qt.dq END) AS d1,
-    MAX(CASE WHEN co.j = 2 THEN qt.dq END) AS d2,
-    MAX(CASE WHEN co.j = 3 THEN qt.dq END) AS d3
-  FROM codes co JOIN qtable qt ON co.j = qt.j AND co.c = qt.c
-  WHERE co.vec_id <> 0
-  GROUP BY co.vec_id
-)
-SELECT vec_id, ROUND(d0 + d1 + d2 + d3, 6) AS adc_dist
-FROM pivoted
-ORDER BY adc_dist, vec_id
+adc AS (  -- per-vector ADC distance, summed in subspace order
+  SELECT vec_id, (d0 + d1) + d2 + d3 AS adc_dist FROM (
+    SELECT co.vec_id,
+      MAX(CASE WHEN co.j = 0 THEN qt.dq END) AS d0,
+      MAX(CASE WHEN co.j = 1 THEN qt.dq END) AS d1,
+      MAX(CASE WHEN co.j = 2 THEN qt.dq END) AS d2,
+      MAX(CASE WHEN co.j = 3 THEN qt.dq END) AS d3
+    FROM codes co JOIN qtable qt ON co.j = qt.j AND co.c = qt.c
+    WHERE co.vec_id <> 0
+    GROUP BY co.vec_id
+  )
+)"""
+
+
+@register(
+    "q_pq_adc_topk",
+    oracle=f"""
+WITH {_pq_replay_cte()}
+SELECT vec_id, ROUND(adc_dist, 6) AS adc_dist
+FROM adc
+ORDER BY ROUND(adc_dist, 6), vec_id
 LIMIT 10
 """,
 )
@@ -657,4 +668,109 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(
         encoded.filter(F.col("vec_id") != 0), codebooks, query, k_results=10,
         round_dp=6,
+    )
+
+
+@register(
+    "q_ann_multiprobe_rerank",
+    oracle=f"""
+WITH {_pq_replay_cte()},
+centroids AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings
+  WHERE vec_id < {N_CENTROIDS}
+),
+qv AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+probes AS (  -- multi-probe: the query's 2 nearest centroids
+  SELECT centroid_id FROM (
+    SELECT c.centroid_id,
+      ROUND({cosine_sql('c.embedding', 'qv.qvec')}, 6) AS s
+    FROM centroids c, qv
+  ) ORDER BY s DESC, centroid_id LIMIT 2
+),
+assigned AS (
+  SELECT vec_id, centroid_id AS cluster FROM (
+    SELECT v.vec_id, c.centroid_id,
+      ROUND({cosine_sql('v.embedding', 'c.embedding')}, 6) AS c_sim,
+      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        ORDER BY ROUND({cosine_sql('v.embedding', 'c.embedding')}, 6) DESC,
+                 c.centroid_id) AS rk
+    FROM embeddings v CROSS JOIN centroids c
+  ) WHERE rk = 1
+),
+members AS (
+  SELECT a.vec_id FROM assigned a JOIN probes p ON a.cluster = p.centroid_id
+  WHERE a.vec_id <> 0
+),
+short AS (  -- PQ-ADC shortlist inside the probed cells
+  SELECT m.vec_id, ROUND(adc.adc_dist, 6) AS adc_dist
+  FROM members m JOIN adc ON m.vec_id = adc.vec_id
+  ORDER BY ROUND(adc.adc_dist, 6), m.vec_id LIMIT 50
+)
+SELECT s.vec_id, s.adc_dist,
+  ROUND({cosine_sql('e.embedding', 'qv.qvec')}, 6) AS cos_sim
+FROM short s JOIN embeddings e ON s.vec_id = e.vec_id, qv
+ORDER BY cos_sim DESC, s.vec_id
+LIMIT 10
+""",
+)
+def q_ann_multiprobe_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production ANN stack in one composed, oracle-exact
+    plan: IVF multi-probe (query's 2 nearest centroids select the
+    cells to scan) → PQ asymmetric-distance shortlist (top-50 inside
+    the probed cells, touching only compressed codes) → exact cosine
+    rerank of the shortlist → top-10. At scale each stage cuts the
+    work its successor sees: probes cut the scan ~K/2×, ADC reads
+    4-byte codes instead of 256-byte vectors, and the exact math runs
+    on 50 rows. Every stage is deterministic (fixed seed centroids,
+    quantized PQ training, 6-dp rounded orderings with id tiebreaks),
+    so the whole composition replays in SQL."""
+    from flink_template_spark.operators.pq import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__qvec")
+    )
+    from flink_template_spark.functions.vector import cosine
+
+    probes = (
+        centroids.crossJoin(F.broadcast(qvec))
+        .select(
+            "centroid_id",
+            F.round(cosine(F.col("embedding"), F.col("__qvec")), 6).alias("s"),
+        )
+        .orderBy(F.desc("s"), "centroid_id")
+        .limit(2)
+        .select(F.col("centroid_id").alias("cluster"))
+    )
+    members = (
+        ivf_assign(emb, centroids)
+        .join(F.broadcast(probes), "cluster")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id")
+    )
+    codebooks = pq_train(emb, m=4, k=4, n_iter=1)
+    query = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    encoded = pq_encode(emb, codebooks).join(members, "vec_id", "left_semi")
+    short = pq_adc_topk(encoded, codebooks, query, k_results=50, round_dp=6)
+    return (
+        short.join(emb, "vec_id")
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            "vec_id",
+            "adc_dist",
+            F.round(cosine(F.col("embedding"), F.col("__qvec")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
     )
