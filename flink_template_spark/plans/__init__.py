@@ -146,6 +146,7 @@ _MIDDLE = [
     "q_cms_token_freq",
     "q_ddsketch_quantiles",
     "q_ann_multiprobe_rerank",
+    "q_hybrid_search_rrf",
 ]
 
 # Tail = families already driver-green in rounds 1-2 (regression pool);

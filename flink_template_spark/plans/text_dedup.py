@@ -795,9 +795,9 @@ def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("token", "n", "token_id")
 
 
-@register(
-    "q_bm25_search",
-    oracle="""
+# shared with q_hybrid_search_rrf (plans.vectors), which fuses this
+# lexical ranking with the semantic one
+BM25_ORACLE_SQL = """
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
 ),
@@ -834,8 +834,10 @@ SELECT doc_id, ROUND(score, 6) AS bm25
 FROM scored
 ORDER BY bm25 DESC, doc_id
 LIMIT 20
-""",
-)
+"""
+
+
+@register("q_bm25_search", oracle=BM25_ORACLE_SQL)
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval (k1=1.2, b=0.75) for the query
     {data, model, learning}: tf per (doc, term) after a pushdown-able

@@ -774,3 +774,99 @@ def q_ann_multiprobe_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
     )
+
+
+def _rrf_oracle() -> str:
+    from flink_template_spark.plans.text_dedup import BM25_ORACLE_SQL
+
+    # the BM25 oracle is a full statement (WITH ... SELECT ... LIMIT);
+    # nest it as a derived table
+    return f"""
+WITH lex AS MATERIALIZED (
+  SELECT * FROM ({BM25_ORACLE_SQL}) t
+),
+lexr AS (
+  SELECT doc_id,
+    CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS lex_rank
+  FROM lex
+),
+sem AS MATERIALIZED (
+  SELECT a.vec_id AS doc_id,
+    ROUND({cosine_sql('a.embedding', 'q.embedding')}, 6) AS cos_sim
+  FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+  WHERE a.vec_id <> 0
+  ORDER BY cos_sim DESC, a.vec_id
+  LIMIT 20
+),
+semr AS (
+  SELECT doc_id,
+    CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS sem_rank
+  FROM sem
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+    COALESCE(l.lex_rank, 0) AS lex_rank,
+    COALESCE(s.sem_rank, 0) AS sem_rank,
+    (CASE WHEN l.lex_rank IS NULL THEN 0.0
+          ELSE 1.0 / (60.0 + CAST(l.lex_rank AS DOUBLE)) END)
+    + (CASE WHEN s.sem_rank IS NULL THEN 0.0
+            ELSE 1.0 / (60.0 + CAST(s.sem_rank AS DOUBLE)) END) AS rrf
+  FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, lex_rank, sem_rank, ROUND(rrf, 6) AS rrf_score
+FROM fused
+ORDER BY ROUND(rrf, 6) DESC, doc_id
+LIMIT 15
+"""
+
+
+@register("q_hybrid_search_rrf", oracle=_rrf_oracle())
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-20 (query terms {data, model,
+    learning}) fused with cosine semantic top-20 (query = doc 0's
+    embedding; ids align across documents/embeddings) by reciprocal-rank
+    fusion, rrf = Σ 1/(60 + rank) over the lists a doc appears in —
+    the standard score-free fusion that needs no cross-system score
+    calibration. Both rank lists are deterministic (rounded scores,
+    id tiebreaks) and list-absence is encoded as rank 0, so the fused
+    ranking replays exactly in SQL. At scale both inputs are top-k
+    reductions (TakeOrderedAndProject), so the fusion join touches 2k
+    rows regardless of corpus size."""
+    from pyspark.sql import Window as W
+
+    from flink_template_spark.plans.text_dedup import q_bm25_search
+
+    lex = q_bm25_search(spark, sf_dir)
+    wl = W.orderBy(F.desc("bm25"), "doc_id")
+    lexr = lex.select(
+        "doc_id", F.row_number().over(wl).cast("long").alias("lex_rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    sem = brute_force_topk(emb, query, k=20).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    ws = W.orderBy(F.desc("cos_sim"), "doc_id")
+    semr = sem.select(
+        "doc_id", F.row_number().over(ws).cast("long").alias("sem_rank")
+    )
+    fused = lexr.join(semr, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+        F.coalesce("sem_rank", F.lit(0)).alias("sem_rank"),
+        (
+            F.when(
+                F.col("lex_rank").isNull(), F.lit(0.0)
+            ).otherwise(F.lit(1.0) / (F.lit(60.0) + F.col("lex_rank").cast("double")))
+            + F.when(
+                F.col("sem_rank").isNull(), F.lit(0.0)
+            ).otherwise(F.lit(1.0) / (F.lit(60.0) + F.col("sem_rank").cast("double")))
+        ).alias("rrf"),
+    )
+    return (
+        fused.select(
+            "doc_id", "lex_rank", "sem_rank", F.round("rrf", 6).alias("rrf_score")
+        )
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(15)
+    )
