@@ -147,6 +147,7 @@ _MIDDLE = [
     "q_ddsketch_quantiles",
     "q_ann_multiprobe_rerank",
     "q_hybrid_search_rrf",
+    "q_contrastive_triplets",
 ]
 
 # Tail = families already driver-green in rounds 1-2 (regression pool);

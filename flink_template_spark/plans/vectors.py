@@ -870,3 +870,113 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_score"), "doc_id")
         .limit(15)
     )
+
+
+TRIPLET_POS = 0.4  # positive pair: cosine >= this (near-dup band)
+TRIPLET_NEG = 0.2  # hard negative: same cell but cosine <= this
+
+
+@register(
+    "q_contrastive_triplets",
+    oracle=f"""
+WITH centroids AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings
+  WHERE vec_id < {N_CENTROIDS}
+),
+assigned AS MATERIALIZED (
+  SELECT vec_id, embedding, centroid_id AS cluster FROM (
+    SELECT v.vec_id, v.embedding, c.centroid_id,
+      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        ORDER BY ROUND({cosine_sql('v.embedding', 'c.embedding')}, 6) DESC,
+                 c.centroid_id) AS rk
+    FROM embeddings v CROSS JOIN centroids c
+  ) WHERE rk = 1
+),
+positives AS (
+  SELECT a.cluster, a.vec_id AS anchor, b.vec_id AS positive,
+    ROUND({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos_ap
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE ROUND({cosine_sql('a.embedding', 'b.embedding')}, 6) >= {TRIPLET_POS}
+),
+negatives AS (  -- deterministic hard negative: lowest-id far vector in cell
+  SELECT a.vec_id AS anchor, MIN(n.vec_id) AS negative
+  FROM assigned a JOIN assigned n
+    ON a.cluster = n.cluster AND n.vec_id <> a.vec_id
+  WHERE ROUND({cosine_sql('a.embedding', 'n.embedding')}, 6) <= {TRIPLET_NEG}
+  GROUP BY a.vec_id
+)
+SELECT p.anchor, p.positive, n.negative, p.cos_ap,
+  ROUND({cosine_sql('ae.embedding', 'ne.embedding')}, 6) AS cos_an
+FROM positives p
+JOIN negatives n ON p.anchor = n.anchor
+JOIN assigned ae ON ae.vec_id = p.anchor
+JOIN assigned ne ON ne.vec_id = n.negative
+ORDER BY p.anchor, p.positive
+""",
+)
+def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining for embedding-model training data:
+    (anchor, positive, hard-negative) triplets where positives are
+    near-dup pairs (cosine ≥ 0.4) and the hard negative is the
+    deterministic lowest-id SAME-CELL vector with cosine ≤ 0.2 — the
+    in-cell constraint is what makes the negative HARD (topically
+    close) and, like SemDeDup, what bounds the pair work to the largest
+    cell instead of the corpus. Anchors without a far-enough cell mate
+    drop out (inner join) — a real mining pass would widen the probe.
+    Every choice is deterministic (rounded cosines, id tiebreaks), so
+    the mined triplets replay exactly in SQL."""
+    from flink_template_spark.functions.vector import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = ivf_assign(emb, centroids)
+    a = assigned.select(
+        "cluster",
+        F.col("vec_id").alias("anchor"),
+        F.col("embedding").alias("va"),
+    )
+    b = assigned.select(
+        "cluster",
+        F.col("vec_id").alias("positive"),
+        F.col("embedding").alias("vb"),
+    )
+    positives = (
+        a.join(b, "cluster")
+        .filter(F.col("anchor") < F.col("positive"))
+        .select(
+            "anchor",
+            "positive",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_ap"),
+        )
+        .filter(F.col("cos_ap") >= TRIPLET_POS)
+    )
+    n = assigned.select(
+        "cluster",
+        F.col("vec_id").alias("negative"),
+        F.col("embedding").alias("vn"),
+    )
+    negatives = (
+        a.join(n, "cluster")
+        .filter(F.col("negative") != F.col("anchor"))
+        .filter(F.round(cosine(F.col("va"), F.col("vn")), 6) <= TRIPLET_NEG)
+        .groupBy("anchor")
+        .agg(F.min("negative").alias("negative"))
+    )
+    emb_a = assigned.select(F.col("vec_id").alias("anchor"), F.col("embedding").alias("ea"))
+    emb_n = assigned.select(F.col("vec_id").alias("negative"), F.col("embedding").alias("en"))
+    return (
+        positives.join(negatives, "anchor")
+        .join(emb_a, "anchor")
+        .join(emb_n, "negative")
+        .select(
+            "anchor",
+            "positive",
+            "negative",
+            "cos_ap",
+            F.round(cosine(F.col("ea"), F.col("en")), 6).alias("cos_an"),
+        )
+        .orderBy("anchor", "positive")
+    )
