@@ -148,6 +148,7 @@ _MIDDLE = [
     "q_ann_multiprobe_rerank",
     "q_hybrid_search_rrf",
     "q_contrastive_triplets",
+    "q_dataset_datasheet",
 ]
 
 # Tail = families already driver-green in rounds 1-2 (regression pool);

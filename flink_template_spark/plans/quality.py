@@ -822,3 +822,74 @@ def q_scrub_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.array_join(ordered, " "), F.lit("")).alias("clean_text"),
         F.count(F.lit(1)).cast("bigint").alias("n_kept_tokens"),
     )
+
+
+@register(
+    "q_dataset_datasheet",
+    oracle=f"""
+WITH scored AS MATERIALIZED (
+  SELECT source, lang, text,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    {_Q6_DUCK} AS q6,
+    md5(text) AS th
+  FROM documents
+),
+dup AS (SELECT th, COUNT(*) AS c FROM scored GROUP BY th)
+SELECT s.source, s.lang,
+  COUNT(*) AS n_docs,
+  CAST(SUM(s.n_tokens) AS BIGINT) AS total_tokens,
+  CAST(SUM(CASE WHEN d.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup_docs,
+  ROUND(CAST(SUM(s.q6) AS DOUBLE) / (1000000.0 * COUNT(*)), 6) AS mean_quality,
+  ROUND(CAST(SUM(CASE WHEN s.q6 >= 300000 THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*), 6) AS keep_frac
+FROM scored s JOIN dup d ON s.th = d.th
+GROUP BY s.source, s.lang
+ORDER BY s.source, s.lang
+""",
+)
+def q_dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset datasheet in one query: per (source, lang) — doc and
+    token counts, corpus-wide exact-duplicate incidence, mean quality,
+    and the fraction passing the quality gate (q6 ≥ 0.3). The summary a
+    curation run publishes next to its shards.
+
+    Scale shape: one corpus pass computes tokens/quality/text-hash; the
+    duplicate incidence joins against the (hash, count) aggregate —
+    both sides reduced before joining; all moments are exact-integer
+    sums (quantized quality, token counts) so the sheet is
+    reproducible across engines and backfills."""
+    from flink_template_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.round(quality_score(F.col("text")) * 1000000.0, 0)
+        .cast("bigint")
+        .alias("q6"),
+        F.md5("text").alias("th"),
+    )
+    dup = scored.groupBy("th").agg(F.count(F.lit(1)).alias("c"))
+    joined = scored.join(dup, "th")
+    return (
+        joined.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_exact_dup_docs"),
+            F.round(
+                F.sum("q6").cast("double") / (1000000.0 * F.count(F.lit(1))), 6
+            ).alias("mean_quality"),
+            F.round(
+                F.sum(F.when(F.col("q6") >= 300000, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("keep_frac"),
+        )
+        .orderBy("source", "lang")
+    )
