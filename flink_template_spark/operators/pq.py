@@ -32,7 +32,10 @@ from pyspark.sql import functions as F
 
 Codebook = list[list[float]]  # k code vectors for one subspace
 
-QUANT = 10_000_000.0  # fixed-point scale for exact-integer means
+# fixed-point scale for exact-integer means — ONE source of truth shared
+# with operators.kmeans (the vectors.py oracle CTEs hardcode the same
+# 1e7 literal; changing it means changing them together)
+from flink_template_spark.operators.kmeans import QUANT  # noqa: E402
 
 
 def _subvec(vec_col: str, j: int, d: int):

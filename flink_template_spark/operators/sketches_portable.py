@@ -50,8 +50,13 @@ def hll_registers(
     df: DataFrame, cell_cols: list[str], item_col: str
 ) -> DataFrame:
     """(cell_cols..., bucket, r): the sketch registers per cell. At most
-    HLL_M rows per cell; map-side combined before the shuffle."""
-    hashed = df.select(
+    HLL_M rows per cell; map-side combined before the shuffle.
+
+    NULL items are dropped (COUNT DISTINCT semantics): md5(NULL) would
+    otherwise produce a phantom NULL-bucket register that inflates the
+    estimate — identically in both engines, so the oracle could never
+    catch it."""
+    hashed = df.filter(F.col(item_col).isNotNull()).select(
         *cell_cols,
         F.expr(md5int_spark(f"CAST({item_col} AS STRING)", bits=60)).alias("__h"),
     )
@@ -114,7 +119,7 @@ def hll_registers_sql(table: str, cell_cols: list[str], item_col: str) -> str:
       ({h}) % {HLL_M} AS bucket,
       CASE WHEN ({h}) // {HLL_M} = 0 THEN {HLL_W + 1}
            ELSE {HLL_W + 1} - length(bin(({h}) // {HLL_M})) END AS rank
-    FROM {table}
+    FROM {table} WHERE {item_col} IS NOT NULL
   ) GROUP BY {cells}, bucket
 """
 
@@ -171,8 +176,9 @@ def cms_counters(
 ) -> DataFrame:
     """(cell_cols..., i, pos, cnt): the sketch counters per cell.
     ``item_expr`` is a Spark SQL string expression for the keyed item
-    (e.g. a column name). One shuffle of ≤ d·w rows per cell."""
-    rows = df.select(
+    (e.g. a column name). One shuffle of ≤ d·w rows per cell.
+    NULL items are dropped (same discipline as hll_registers)."""
+    rows = df.filter(F.expr(item_expr).isNotNull()).select(
         *cell_cols,
         F.explode(
             F.array(
@@ -206,7 +212,14 @@ def cms_lookup(
     """Point estimates for every row of ``keys``: min over the d rows'
     counters at the key's positions. Join is on (i, pos) — the keys side
     explodes to d rows, the counter side is already ≤ d·w rows (a
-    broadcastable sketch)."""
+    broadcastable sketch).
+
+    LEFT join + coalesce-to-0: the counters table is sparse (only
+    touched cells have rows), and an absent cell means counter value 0.
+    A key with ANY empty cell was never inserted, so its CMS estimate
+    is exactly 0 — an inner join would instead drop unseen keys
+    entirely and take the min over fewer than d rows for
+    partially-colliding ones, breaking the d-row error bound."""
     probed = keys.select(
         "*",
         F.explode(
@@ -223,9 +236,9 @@ def cms_lookup(
     ).select("*", F.col("h.i").alias("i"), F.col("h.pos").alias("pos")).drop("h")
     key_cols = [c for c in keys.columns]
     return (
-        probed.join(F.broadcast(counters), ["i", "pos"])
+        probed.join(F.broadcast(counters), ["i", "pos"], "left")
         .groupBy(*key_cols)
-        .agg(F.min("cnt").alias("est_count"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )
 
 
@@ -233,7 +246,7 @@ def cms_counters_sql(table: str, cell_cols: list[str], item_expr: str) -> str:
     cells = ", ".join(cell_cols) + ", " if cell_cols else ""
     branches = "\n  UNION ALL\n".join(
         f"  SELECT {cells}{i} AS i, {_cms_pos_duckdb(i, item_expr)} AS pos "
-        f"FROM {table}"
+        f"FROM {table} WHERE {item_expr} IS NOT NULL"
         for i in range(CMS_D)
     )
     group = ", ".join(cell_cols + ["i", "pos"])

@@ -26,9 +26,11 @@ Round-4 rotation plan: promote the remaining never-checked middle
 additions (dedup-increment, BPE, quality drift, repeated passages), and
 the round-3 additions (safety family, unigram gate, the portable
 HLL/CMS/DDSketch trio) — plus a regression sample of previously-green
-queries — and rotate this round's 50 to the tail. _MIDDLE has 28
-entries, so front-load all of it plus ~20 regression picks and the
-driver's 50 covers everything never checked.
+queries — and rotate this round's 50 to the tail. _MIDDLE holds every
+never-checked query (len(_MIDDLE) entries — recount at rotation time;
+it grows as round-3 adds queries): if it exceeds 50, split across
+rounds 4 and 5, newest-first, and fill any remaining slots with
+regression picks from the tail.
 """
 
 from flink_template_spark.plans import registry  # noqa: F401

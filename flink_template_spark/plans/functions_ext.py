@@ -624,10 +624,12 @@ _DD_QS = (0.5, 0.9, 0.99)
 
 
 def _dd_oracle() -> str:
+    # the >= 1 filter must match the Spark side's (the sketch domain):
+    # without it, a sub-1 price would shift the exact ranks on one side
     exact_branches = "\n  UNION ALL\n".join(
         f"  SELECT CAST({q} AS DOUBLE) AS q, "
         f"CAST(quantile_disc(o_totalprice, {q}) AS DOUBLE) AS exact_price "
-        f"FROM orders"
+        f"FROM orders WHERE o_totalprice >= 1"
         for q in _DD_QS
     )
     return f"""

@@ -267,7 +267,11 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "is_train", split_of() == "train"
     )
-    sh = shingle_rows(docs, _DECON_N, extra_cols=["is_train"])
+    # persist the shingle table: it feeds the train probe once and the
+    # eval side THREE times (bloom sizing count, bloom build, exact
+    # verify) — without the cache each reference re-runs the full
+    # tokenize + lead-window pass over the corpus
+    sh = shingle_rows(docs, _DECON_N, extra_cols=["is_train"]).persist()
     train_sh = sh.filter(F.col("is_train")).select("doc_id", "shingle")
     eval_sh = sh.filter(~F.col("is_train")).select("shingle").distinct()
 

@@ -17,9 +17,15 @@ partition task commits its rows together with an (epoch_id, partition_id)
 marker in ``__epochs`` in one transaction and skips replays — idempotent
 under both task retry and micro-batch replay.
 
-The DB-API connection is created inside the partition/batch function
-(executor-side), never serialized from the driver. Tests use sqlite3;
-any PEP-249 driver with ON CONFLICT support (e.g. psycopg2) drops in.
+The DB-API connection factory is never serialized with live state: data
+writes open their connections inside the partition function
+(executor-side), and the per-epoch replay pre-check opens ONE
+driver-side connection per micro-batch to read the marker table — so
+the sink database must be reachable from the driver as well as the
+executors (true for any ordinary JDBC/warehouse target; an
+executor-local-only store would need the pre-check disabled). Tests use
+sqlite3; any PEP-249 driver with ON CONFLICT support (e.g. psycopg2)
+drops in.
 """
 
 from __future__ import annotations

@@ -83,3 +83,46 @@ def test_cms_never_underestimates(spark):
     est = cms_lookup(counters, exact, "k")
     bad = est.filter(F.col("est_count") < F.col("exact")).count()
     assert bad == 0
+
+
+def test_cms_lookup_unseen_key_estimates_zero(spark):
+    """A key never inserted has at least one empty counter cell, so its
+    CMS estimate is exactly 0 — and it must appear in the output (left
+    join + coalesce, not an inner join that drops it)."""
+    from flink_template_spark.operators.sketches_portable import (
+        cms_counters,
+        cms_lookup,
+    )
+
+    df = spark.createDataFrame([("a",)] * 5 + [("b",)] * 3, "k STRING")
+    counters = cms_counters(df, [], "k")
+    keys = spark.createDataFrame([("a",), ("zzz_unseen",)], "k STRING")
+    got = {r.k: r.est_count for r in cms_lookup(counters, keys, "k").collect()}
+    assert got == {"a": 5, "zzz_unseen": 0}
+
+
+def test_hll_ignores_null_items(spark):
+    """NULL items must not create a phantom register: an all-NULL cell
+    estimates 0 distinct, and NULLs mixed with values change nothing."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("g", T.StringType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    rows = [("mixed", i) for i in range(100)] + [("mixed", None)] * 5 + [
+        ("allnull", None)
+    ] * 3
+    df = spark.createDataFrame(rows, schema)
+    regs = hll_registers(df, ["g"], "v")
+    assert regs.filter(F.col("g") == "allnull").count() == 0
+    est = {
+        r.g: r.approx_distinct
+        for r in hll_estimate(regs, ["g"]).collect()
+    }
+    clean = hll_estimate(
+        hll_registers(df.filter(F.col("v").isNotNull()), ["g"], "v"), ["g"]
+    ).first()
+    assert est["mixed"] == clean.approx_distinct

@@ -39,10 +39,10 @@ def test_priority_slate_shape():
 
 
 def test_middle_is_round4_promotion_set():
-    # positions 50..73 hold the still-never-checked queries so a driver
-    # that checks more than 50 reaches them next
+    # positions 50..50+len(_MIDDLE) hold the still-never-checked queries
+    # so a driver that checks more than 50 reaches them next
     names = list(plans.QUERIES)
-    middle = set(names[50:74])
+    middle = set(names[50 : 50 + len(plans._MIDDLE)])
     for q in (
         "q_kmeans_clusters",
         "q_pq_adc_topk",
