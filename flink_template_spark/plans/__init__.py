@@ -151,6 +151,7 @@ _MIDDLE = [
     "q_hybrid_search_rrf",
     "q_contrastive_triplets",
     "q_dataset_datasheet",
+    "q_source_overlap_matrix",
 ]
 
 # Tail = families already driver-green in rounds 1-2 (regression pool);

@@ -1019,3 +1019,69 @@ def q_dedup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     newbies = docs.filter(F.col("doc_id") % 10 >= 8)
     index = minhash_band_index(corpus)
     return minhash_dedup_increment(newbies, index)
+
+
+@register(
+    "q_source_overlap_matrix",
+    oracle="""
+WITH hashed AS (
+  SELECT DISTINCT md5(text) AS th, source FROM documents
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM hashed a JOIN hashed b ON a.th = b.th AND a.source < b.source
+),
+per_source AS (
+  SELECT source, COUNT(*) AS n_distinct_texts FROM hashed GROUP BY source
+)
+SELECT p.source_a, p.source_b,
+  COUNT(*) AS n_shared_texts,
+  ROUND(CAST(COUNT(*) AS DOUBLE) / LEAST(sa.n_distinct_texts,
+        sb.n_distinct_texts), 6) AS overlap_frac
+FROM pairs p
+JOIN per_source sa ON p.source_a = sa.source
+JOIN per_source sb ON p.source_b = sb.source
+GROUP BY p.source_a, p.source_b, sa.n_distinct_texts, sb.n_distinct_texts
+ORDER BY p.source_a, p.source_b
+""",
+)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, how many
+    distinct texts they share and the overlap as a fraction of the
+    smaller side — the diagnostic that tells a curation run which
+    ingestion feeds are mirrors of each other (and should be
+    deduplicated jointly, not independently).
+
+    Scale shape: documents reduce to DISTINCT (text-hash, source) rows
+    before any join — the pair join is on the hash key and only
+    duplicated hashes produce pairs; per-source totals are a tiny
+    broadcast side."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(F.md5("text").alias("th"), "source").distinct()
+    a = hashed.select(F.col("th"), F.col("source").alias("source_a"))
+    b = hashed.select(F.col("th"), F.col("source").alias("source_b"))
+    pairs = a.join(b, "th").filter(F.col("source_a") < F.col("source_b"))
+    per_source = hashed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_distinct_texts")
+    )
+    sa = per_source.select(
+        F.col("source").alias("source_a"), F.col("n_distinct_texts").alias("na")
+    )
+    sb = per_source.select(
+        F.col("source").alias("source_b"), F.col("n_distinct_texts").alias("nb")
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_texts"))
+        .join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared_texts",
+            F.round(
+                F.col("n_shared_texts").cast("double") / F.least("na", "nb"), 6
+            ).alias("overlap_frac"),
+        )
+        .orderBy("source_a", "source_b")
+    )
