@@ -152,6 +152,7 @@ _MIDDLE = [
     "q_contrastive_triplets",
     "q_dataset_datasheet",
     "q_source_overlap_matrix",
+    "q_dup_cluster_sizes",
 ]
 
 # Tail = families already driver-green in rounds 1-2 (regression pool);

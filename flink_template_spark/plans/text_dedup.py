@@ -237,9 +237,10 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.5)
 
 
-@register(
-    "q_near_dup_components",
-    oracle=f"""
+# shared with q_dup_cluster_sizes: the full edge-build + recursive
+# connected-components fixpoint, exposing `cc` (node, component) and
+# `sized` (component, cluster_size)
+_COMPONENTS_CTE = f"""
 WITH RECURSIVE
 sh AS ({_duck_shingles(3)}),
 sizes AS (
@@ -274,7 +275,12 @@ cc AS (
 ),
 sized AS (
   SELECT component, COUNT(*) AS cluster_size FROM cc GROUP BY component
-)
+)"""
+
+
+@register(
+    "q_near_dup_components",
+    oracle=f"""{_COMPONENTS_CTE}
 SELECT cc.node AS doc_id, cc.component, sized.cluster_size,
        cc.node = cc.component AS is_keeper
 FROM cc JOIN sized USING (component)
@@ -1084,4 +1090,47 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_frac"),
         )
         .orderBy("source_a", "source_b")
+    )
+
+
+@register(
+    "q_dup_cluster_sizes",
+    oracle=f"""{_COMPONENTS_CTE}
+SELECT cluster_size,
+  COUNT(*) AS n_clusters,
+  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+  CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_removable
+FROM sized
+GROUP BY cluster_size
+ORDER BY cluster_size
+""",
+)
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution: how many clusters of each
+    size, how many documents they hold, and how many a keep-one-per-
+    cluster dedup would remove — the headline numbers a dedup run
+    reports (singleton count = untouched corpus, the tail = mirror
+    farms). Built on the same component fixpoint as
+    q_near_dup_components; the histogram is an aggregate over the
+    (already cluster-sized) component table."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    comp = near_dup_components(docs, pairs)
+    sized = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sized.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_removable"),
+        )
+        .orderBy("cluster_size")
     )
