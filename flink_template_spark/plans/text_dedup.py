@@ -493,39 +493,7 @@ def q_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_best_of_cluster",
-    oracle=f"""
-WITH RECURSIVE
-sh AS ({_duck_shingles(3)}),
-sizes AS (
-  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
-),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle
-  WHERE a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT id_a, id_b
-  FROM inter
-  JOIN sizes sa ON inter.id_a = sa.doc_id
-  JOIN sizes sb ON inter.id_b = sb.doc_id
-  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
-        >= 0.4999995
-),
-edges AS (
-  SELECT id_a AS src, id_b AS dst FROM pairs
-  UNION ALL
-  SELECT id_b AS src, id_a AS dst FROM pairs
-),
-reach(node, lbl) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
-),
-cc AS (
-  SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node
-),
+    oracle=f"""{_COMPONENTS_CTE},
 scored AS (
   SELECT cc.component, d.doc_id,
     ROUND(
@@ -535,7 +503,7 @@ scored AS (
       - 0.25 * (CAST(length(regexp_replace(d.text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
           / length(d.text)),
     6) AS quality
-  FROM cc JOIN documents d ON cc.doc_id = d.doc_id
+  FROM cc JOIN documents d ON cc.node = d.doc_id
 ),
 ranked AS (
   SELECT component, doc_id, quality,
@@ -1029,64 +997,81 @@ def q_dedup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_source_overlap_matrix",
-    oracle="""
-WITH hashed AS (
-  SELECT DISTINCT md5(text) AS th, source FROM documents
+    oracle=f"""
+WITH sh AS ({_duck_shingles(3)}),
+tagged AS (
+  SELECT DISTINCT s.shingle, d.source
+  FROM sh s JOIN documents d ON s.doc_id = d.doc_id
 ),
 pairs AS (
   SELECT a.source AS source_a, b.source AS source_b
-  FROM hashed a JOIN hashed b ON a.th = b.th AND a.source < b.source
+  FROM tagged a JOIN tagged b ON a.shingle = b.shingle
+  WHERE a.source < b.source
 ),
 per_source AS (
-  SELECT source, COUNT(*) AS n_distinct_texts FROM hashed GROUP BY source
+  SELECT source, COUNT(*) AS n_distinct_shingles FROM tagged GROUP BY source
 )
 SELECT p.source_a, p.source_b,
-  COUNT(*) AS n_shared_texts,
-  ROUND(CAST(COUNT(*) AS DOUBLE) / LEAST(sa.n_distinct_texts,
-        sb.n_distinct_texts), 6) AS overlap_frac
+  COUNT(*) AS n_shared_shingles,
+  ROUND(CAST(COUNT(*) AS DOUBLE) / LEAST(sa.n_distinct_shingles,
+        sb.n_distinct_shingles), 6) AS overlap_frac
 FROM pairs p
 JOIN per_source sa ON p.source_a = sa.source
 JOIN per_source sb ON p.source_b = sb.source
-GROUP BY p.source_a, p.source_b, sa.n_distinct_texts, sb.n_distinct_texts
+GROUP BY p.source_a, p.source_b, sa.n_distinct_shingles,
+         sb.n_distinct_shingles
 ORDER BY p.source_a, p.source_b
 """,
 )
 def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-source duplication matrix: for every source pair, how many
-    distinct texts they share and the overlap as a fraction of the
-    smaller side — the diagnostic that tells a curation run which
-    ingestion feeds are mirrors of each other (and should be
-    deduplicated jointly, not independently).
+    """Cross-source duplication matrix at the 3-gram shingle level: for
+    every source pair, how many distinct shingles they share and the
+    overlap as a fraction of the smaller side — the diagnostic that
+    tells a curation run which ingestion feeds mirror each other (and
+    should be deduplicated jointly, not independently). Shingle-level
+    (not whole-text-hash) so near-dup mirrors count too — and so the
+    oracle comparison is non-vacuous at every test scale (the testdata
+    has zero cross-source byte-identical texts below sf0.1, but always
+    shares shingles).
 
-    Scale shape: documents reduce to DISTINCT (text-hash, source) rows
-    before any join — the pair join is on the hash key and only
-    duplicated hashes produce pairs; per-source totals are a tiny
-    broadcast side."""
+    Scale shape: documents reduce to DISTINCT (shingle, source) rows
+    before any join; the pair join is shingle-keyed and the overlap
+    aggregate is per source pair (a handful of rows); per-source totals
+    broadcast."""
+    from flink_template_spark.operators.dedup import shingle_rows
+
     docs = load_table(spark, sf_dir, "documents")
-    hashed = docs.select(F.md5("text").alias("th"), "source").distinct()
-    a = hashed.select(F.col("th"), F.col("source").alias("source_a"))
-    b = hashed.select(F.col("th"), F.col("source").alias("source_b"))
-    pairs = a.join(b, "th").filter(F.col("source_a") < F.col("source_b"))
-    per_source = hashed.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_distinct_texts")
+    tagged = (
+        shingle_rows(docs, 3, extra_cols=["source"])
+        .select("shingle", "source")
+        .distinct()
+    )
+    a = tagged.select("shingle", F.col("source").alias("source_a"))
+    b = tagged.select("shingle", F.col("source").alias("source_b"))
+    pairs = a.join(b, "shingle").filter(F.col("source_a") < F.col("source_b"))
+    per_source = tagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_distinct_shingles")
     )
     sa = per_source.select(
-        F.col("source").alias("source_a"), F.col("n_distinct_texts").alias("na")
+        F.col("source").alias("source_a"),
+        F.col("n_distinct_shingles").alias("na"),
     )
     sb = per_source.select(
-        F.col("source").alias("source_b"), F.col("n_distinct_texts").alias("nb")
+        F.col("source").alias("source_b"),
+        F.col("n_distinct_shingles").alias("nb"),
     )
     return (
         pairs.groupBy("source_a", "source_b")
-        .agg(F.count(F.lit(1)).alias("n_shared_texts"))
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
         .join(F.broadcast(sa), "source_a")
         .join(F.broadcast(sb), "source_b")
         .select(
             "source_a",
             "source_b",
-            "n_shared_texts",
+            "n_shared_shingles",
             F.round(
-                F.col("n_shared_texts").cast("double") / F.least("na", "nb"), 6
+                F.col("n_shared_shingles").cast("double") / F.least("na", "nb"),
+                6,
             ).alias("overlap_frac"),
         )
         .orderBy("source_a", "source_b")
@@ -1116,9 +1101,9 @@ def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
     comp = near_dup_components(docs, pairs)
-    sized = comp.groupBy("component").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
+    # one row per component, cluster_size already attached by the
+    # operator — no re-aggregation of the per-doc rows
+    sized = comp.filter(F.col("is_keeper")).select("component", "cluster_size")
     return (
         sized.groupBy("cluster_size")
         .agg(F.count(F.lit(1)).alias("n_clusters"))
