@@ -135,6 +135,10 @@ def main() -> None:
         "q_hll_portable_rollup",
         "q_cms_token_freq",
         "q_ddsketch_quantiles",
+        # round-3 composed retrieval/curation flagships
+        "q_ann_multiprobe_rerank",
+        "q_hybrid_search_rrf",
+        "q_dataset_datasheet",
     ]
     extended: dict[str, float] = {}
     for name in [n for n in EXTENDED if n in plans.QUERIES]:
