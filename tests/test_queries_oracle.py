@@ -25,3 +25,18 @@ def test_all_queries_have_entries():
     assert plans.QUERIES, "query registry is empty"
     for name in plans.ORACLES:
         assert name in plans.QUERIES
+
+
+def test_rows_only_queries_execute_nonempty(spark, sf_dir):
+    """The handful of legitimately oracle-less queries (engine-specific
+    sketches, seeded sampling) still execute and produce rows — the
+    driver gives them a rows-only verdict, so CI must too."""
+    rows_only = set(plans.QUERIES) - set(plans.ORACLES)
+    assert rows_only <= {
+        "q_approx_distinct_users",
+        "q_approx_percentile_value",
+        "q_hll_mergeable_rollup",
+        "q_stratified_sample",
+    }, f"unexpected oracle-less queries: {sorted(rows_only)}"
+    for name in sorted(rows_only):
+        assert plans.QUERIES[name](spark, sf_dir).count() > 0, name
