@@ -323,3 +323,29 @@ def test_portable_sketches_shuffle_sketch_sized_state(spark, sf):
         p = plan_of(plans.QUERIES[q](spark, sf))
         assert "partial_" in p, q  # map-side combine before every exchange
         assert "CartesianProduct" not in p, q
+
+
+def test_round3_flagship_compositions_no_cartesian(spark, sf):
+    """The composed retrieval/curation flagships must stay equi-keyed:
+    no CartesianProduct anywhere (the only nested-loop allowed is the
+    broadcast single-row query-vector / bitmap ride-along)."""
+    for q in (
+        "q_ann_multiprobe_rerank",
+        "q_hybrid_search_rrf",
+        "q_contrastive_triplets",
+        "q_dataset_datasheet",
+        "q_source_overlap_matrix",
+        "q_dup_cluster_sizes",
+    ):
+        p = plan_of(plans.QUERIES[q](spark, sf))
+        assert "CartesianProduct" not in p, q
+
+
+def test_datasheet_and_overlap_reduce_before_joining(spark, sf):
+    """Both curation reports join REDUCED sides: datasheet joins the
+    (hash, count) aggregate, the overlap matrix joins distinct
+    (shingle, source) rows — map-side partial aggregation before every
+    exchange."""
+    for q in ("q_dataset_datasheet", "q_source_overlap_matrix"):
+        p = plan_of(plans.QUERIES[q](spark, sf))
+        assert "partial_" in p, q
