@@ -220,6 +220,15 @@ def cms_lookup(
     is exactly 0 — an inner join would instead drop unseen keys
     entirely and take the min over fewer than d rows for
     partially-colliding ones, breaking the d-row error bound."""
+    # The (i, pos) join is only correct against a MERGED (cell-less)
+    # counter table; per-cell counters would silently cross-match cells
+    # and inflate every estimate (ADVICE r3) — fail loudly instead.
+    if set(counters.columns) != {"i", "pos", "cnt"}:
+        raise ValueError(
+            "cms_lookup requires merged counters with exactly columns "
+            f"{{i, pos, cnt}}; got {sorted(counters.columns)} — roll "
+            "per-cell counters up with cms_merge(counters, []) first"
+        )
     probed = keys.select(
         "*",
         F.explode(

@@ -13,24 +13,24 @@ rotates per round so every family accumulates driver-checked entries:
   events-loader bug and (b) the 30 core LLM-training-data-pipeline
   queries; 45/50 came back green, 5 red on oracle dtype/array
   harness-compat defects (fixed at round-3 start);
-- round 3 (this slate) keeps those 5 re-fixed queries in the slate to
-  prove the fixes driver-side, promotes the trip-pipeline flagship pair
-  (now with a full DuckDB wire-replay oracle), and front-loads the
-  never-checked subqueries (16) + functions_ext (17) families plus the
-  latent-dtype/array-fix proofs (variant, q_phash_dup_groups,
-  q_pack_chunked, simhash/minhash signature duals,
-  q_multimodal_meta_filter, q_ann_ivf_probe, q_top_terms_per_lang).
+- round 3 front-loaded the never-checked subqueries (16) + functions_ext
+  (17) families plus latent-dtype/array-fix proofs; 47/50 green, 0 wrong
+  answers, 3 ``no_oracle`` (the engine-internal approx sketches — a
+  slate-planning mistake, not a correctness one);
+- round 4 (this slate) promotes EVERY remaining never-checked query
+  (the round-3 _MIDDLE: vectors rest, datapipe rest, round-2 additions,
+  and all round-3 additions — safety family, portable sketch trio, ANN
+  stack, hybrid RRF, triplets, datasheet, overlap matrix) plus the new
+  q_ann_index_build (the build half of the round-4 ANN build/serve
+  split) and 12 regression picks from driver-green families. The three
+  queries that structurally CANNOT go green (engine-internal sketch
+  registers -> no oracle; their oracle-exact portable duals carry the
+  sketch verdict) are pinned to the permanent tail (_NO_ORACLE_TAIL)
+  and must never re-enter a 50-slot slate.
 
-Round-4 rotation plan: promote the remaining never-checked middle
-(_MIDDLE below, in order) — vectors rest, datapipe rest, the round-2
-additions (dedup-increment, BPE, quality drift, repeated passages), and
-the round-3 additions (safety family, unigram gate, the portable
-HLL/CMS/DDSketch trio) — plus a regression sample of previously-green
-queries — and rotate this round's 50 to the tail. _MIDDLE holds every
-never-checked query (len(_MIDDLE) entries — recount at rotation time;
-it grows as round-3 adds queries): if it exceeds 50, split across
-rounds 4 and 5, newest-first, and fill any remaining slots with
-regression picks from the tail.
+After this round every oracle-able query has a driver verdict; future
+rotations only need a regression sample of ~15 plus any newly added
+queries at the front.
 """
 
 from flink_template_spark.plans import registry  # noqa: F401
@@ -51,68 +51,8 @@ from flink_template_spark.plans import safety  # noqa: F401
 
 # First 50 = this round's driver-check slate (see module docstring).
 _PRIORITY = [
-    # -- round-2 red rows, re-fixed at round-3 start: prove driver-side (5)
-    "q_trip_stopped_time",
-    "q_trip_summary",
-    "q_multimodal_payload_stats",
-    "q_vocab_apply",
-    "q_multimodal_features",
-    # -- the reference's own flagship computation, now with a full
-    #    DuckDB wire-replay oracle (2)
-    "q_trip_pipeline_json",
-    "q_trip_pipeline_datasource",
-    # -- never-checked: subqueries family, TPC-H shapes (16)
-    "q2_min_price_parts",
-    "q4_exists_late_ship",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q11_important_balances",
-    "q12_priority_shipments",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_part_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_disjunctive_revenue",
-    "q20_volume_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
-    # -- never-checked: functions_ext family (17)
-    "q_grouping_sets",
-    "q_stats_aggregates",
-    "q_corr_price_qty",
-    "q_percentiles_disc",
-    "q_percentiles_cont",
-    "q_array_funcs",
-    "q_null_handling",
-    "q_nested_array_hof",
-    "q_map_funcs",
-    "q_string_agg",
-    "q_approx_distinct_users",
-    "q_approx_percentile_value",
-    "q_ntile_balance_deciles",
-    "q_price_histogram",
-    "q_null_safe_join",
-    "q_weighted_avg_pandas",
-    "q_hll_mergeable_rollup",
-    # -- never-checked: latent dtype/array-fix proofs + stragglers (10)
-    "q_variant_props_stats",
-    "q_variant_roundtrip",
-    "q_phash_dup_groups",
-    "q_pack_chunked",
-    "q_simhash_signatures",
-    "q_simhash_scalar",
-    "q_minhash_signatures",
-    "q_top_terms_per_lang",
-    "q_multimodal_meta_filter",
-    "q_ann_ivf_probe",
-]
-
-# Immediately after the slate: still-never-checked queries (the round-4
-# promotion set), in case the driver checks more than 50.
-_MIDDLE = [
-    # vectors rest
+    # -- round-4 promotion: every never-driver-checked query (38) --
+    # vectors rest (10)
     "q_vector_norms",
     "q_centroids_by_label",
     "q_ivf_cluster_sizes",
@@ -123,7 +63,12 @@ _MIDDLE = [
     "q_embedding_zscore",
     "q_embedding_quantize_int8",
     "q_pq_adc_topk",
-    # datapipe rest
+    # the round-4 ANN build/serve split: the materialized-index build
+    # and the rerank that now serves from it (both oracle-exact)
+    "q_ann_index_build",
+    "q_ann_multiprobe_rerank",
+    # datapipe rest (8) — q_stratified_sample is now oracle-exact
+    # (seed-salted portable hash replaces sampleBy's engine RNG)
     "q_train_test_split",
     "q_text_normalize",
     "q_stratified_sample",
@@ -132,14 +77,16 @@ _MIDDLE = [
     "q_training_shards",
     "q_weighted_sample",
     "q_consistent_sample_topk",
-    # round-2 additions
+    # round-2 additions (6)
     "q_dedup_increment",
     "q_bpe_merges",
     "q_bpe_fertility",
     "q_source_quality_drift",
     "q_repeated_passages",
     "q_scrub_repeated_passages",
-    # round-3 additions (safety family + unigram gate + portable HLL)
+    # round-3 additions (12): safety family, unigram gate, the portable
+    # sketch trio (oracle-exact duals of the approx queries), composed
+    # retrieval/curation flagships
     "q_pii_detect",
     "q_pii_redact",
     "q_decontaminate_bloom",
@@ -147,12 +94,45 @@ _MIDDLE = [
     "q_hll_portable_rollup",
     "q_cms_token_freq",
     "q_ddsketch_quantiles",
-    "q_ann_multiprobe_rerank",
     "q_hybrid_search_rrf",
     "q_contrastive_triplets",
     "q_dataset_datasheet",
     "q_source_overlap_matrix",
     "q_dup_cluster_sizes",
+    # -- regression picks from driver-green families (12): one per
+    #    family/flagship so dtype/array/harness-compat defects can
+    #    never silently return (VERDICT r3 "protect the wins") --
+    "q_trip_summary",
+    "q_trip_pipeline_json",
+    "q1_pricing_summary",
+    "q_minhash_lsh_pairs",
+    "q_semdedup_keep",
+    "q_training_data_pipeline",
+    "q_vocab_apply",
+    "q_multimodal_payload_stats",
+    "q_ann_ivf_probe",
+    "q_pack_chunked",
+    "q_top_terms_per_lang",
+    "q_grouping_sets",
+]
+
+# Immediately after the slate, in case the driver checks more than 50.
+# Empty after the round-4 rotation: every oracle-able query now has (or
+# is slated for) a driver verdict; only _NO_ORACLE_TAIL remains
+# permanently unchecked.
+_MIDDLE: list[str] = []
+
+# Queries that structurally CANNOT receive a driver hash verdict:
+# Spark's approx sketches keep engine-internal register state (HLL++/
+# KLL), so no cross-engine oracle exists (documented at
+# functions_ext.py's approx entries). Their oracle-exact portable duals
+# (q_hll_portable_rollup / q_cms_token_freq / q_ddsketch_quantiles)
+# carry the sketch verdict. Pinned LAST in the export order so they can
+# never burn a 50-slot slate position again (VERDICT r3 What's-wrong #1).
+_NO_ORACLE_TAIL = [
+    "q_approx_distinct_users",
+    "q_approx_percentile_value",
+    "q_hll_mergeable_rollup",
 ]
 
 # Tail = families already driver-green in rounds 1-2 (regression pool);
@@ -195,7 +175,14 @@ def _ordered_names() -> list[str]:
     order = list(priority)
     fam_rank = {m: i for i, m in enumerate(_TAIL_FAMILIES)}
     rest = [n for n in registry.QUERIES if n not in seen]
-    rest.sort(key=lambda n: fam_rank.get(registry.QUERIES[n].__module__.rsplit(".", 1)[-1], 99))
+    # the no-oracle approx queries sort after EVERYTHING else — they can
+    # never re-enter a fixed-size verification slate
+    rest.sort(
+        key=lambda n: (
+            n in _NO_ORACLE_TAIL,
+            fam_rank.get(registry.QUERIES[n].__module__.rsplit(".", 1)[-1], 99),
+        )
+    )
     order.extend(rest)
     return order
 

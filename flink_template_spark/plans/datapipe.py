@@ -106,17 +106,40 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register("q_stratified_sample")
+_SAMPLE_SEED = "s42:"  # hash salt ≅ sampleBy's seed, but engine-portable
+
+
+@register(
+    "q_stratified_sample",
+    oracle=f"""
+SELECT lang, COUNT(*) AS n_sampled
+FROM documents
+WHERE ({md5int_duckdb(f"'{_SAMPLE_SEED}' || CAST(doc_id AS VARCHAR)")}
+       % 10000) < 5000
+GROUP BY lang
+ORDER BY lang
+""",
+)
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sampling by language (sampleBy with a fixed seed) —
-    rows-only: Spark's Bernoulli sampler is deterministic per seed but
-    engine-specific, so there is no cross-engine oracle. Proportions
-    are asserted in tests/test_datapipe.py."""
+    """Stratified 50 % sample per language via a SEED-SALTED portable
+    record hash: membership = md5('s42:' || doc_id) % 10000 < 5000 — a
+    pure function of the row, so the sample is reproducible across
+    runs, engines, and backfills (the property Spark's ``sampleBy``
+    RNG cannot give; sampleBy's own per-seed determinism is pinned in
+    tests/test_datapipe.py). Changing the salt redraws an independent
+    sample, which is exactly what a seed is for. Oracle replays the
+    identical bucket selection in DuckDB, so this query is hash-exact
+    rather than rows-only."""
     docs = load_table(spark, sf_dir, "documents")
-    fractions = {"en": 0.5, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.5}
-    sample = docs.sampleBy("lang", fractions, seed=42)
+    bucket = (
+        F.expr(
+            md5int_spark(f"CONCAT('{_SAMPLE_SEED}', CAST(doc_id AS STRING))")
+        )
+        % 10000
+    )
     return (
-        sample.groupBy("lang")
+        docs.filter(bucket < 5000)
+        .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
         .orderBy("lang")
     )

@@ -684,9 +684,11 @@ def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one map-side-combined shuffle to ≤ a few hundred
     bucket rows per cell; rollups and the quantile read are
-    sketch-sized. The exact-comparison column collects the full value
-    array (fine at driver scale; at 100 TB you would keep only the
-    sketch side)."""
+    sketch-sized. The exact-comparison side is the two-pass
+    range-partitioned global rank (operators.rank_global): exact disc
+    percentile q = the row whose global row_number equals ceil(q·n) —
+    parallel range sort + a broadcast join against 3 target ranks, no
+    value array ever collects into one task."""
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_totalprice") >= 1
     )
@@ -700,6 +702,11 @@ def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = binned.groupBy("cell", "idx").agg(F.count(F.lit(1)).alias("cnt"))
     merged = b.groupBy("idx").agg(F.sum("cnt").alias("cnt"))
+    # single-partition window BY DESIGN: the input is the MERGED sketch
+    # (≤ a few hundred bucket rows regardless of data volume). Spark 4's
+    # optimizer folds away any constant partition key, so the WindowExec
+    # no-partition WARN is unavoidable plan-side — bench.py scopes that
+    # one logger to ERROR (see silence_bounded_window_warns).
     w = W.orderBy("idx").rowsBetween(W.unboundedPreceding, W.currentRow)
     cum = merged.select("idx", F.sum("cnt").over(w).alias("cum"))
     tot = merged.agg(
@@ -720,28 +727,27 @@ def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             est_e * (1.0 + ((F.col("est_idx") % 8).cast("double") + 0.5) / 8.0), 6
         ).alias("est_price"),
     )
-    vals = F.sort_array(F.collect_list("o_totalprice"))
+    # Exact disc percentiles WITHOUT collecting the value column: global
+    # row_number via range-partitioned two-pass rank, then a broadcast
+    # join against the 3 target ranks ceil(q*n). Ties in o_totalprice
+    # make rn assignment among equal values arbitrary, but every such
+    # row carries the same value, so exact_price is deterministic.
+    from flink_template_spark.operators.rank_global import with_global_ranks
 
-    def disc(frac: float):
-        rank = F.ceil(F.size(vals) * F.lit(frac)).cast("int")
-        return F.element_at(vals, F.greatest(rank, F.lit(1)))
-
-    exact = orders.agg(
-        *[disc(q).cast("double").alias(f"x{i}") for i, q in enumerate(_DD_QS)]
+    ranked = with_global_ranks(
+        orders.select("o_totalprice"),
+        [("o_totalprice", True)],
+        row_number_col="rn",
     )
-    exact_rows = exact.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(float(q)).alias("q"),
-                        F.col(f"x{i}").alias("exact_price"),
-                    )
-                    for i, q in enumerate(_DD_QS)
-                ]
-            )
-        ).alias("t")
-    ).select("t.q", "t.exact_price")
+    targets = qs.crossJoin(F.broadcast(tot.select("n"))).select(
+        "q",
+        F.greatest(F.ceil(F.col("q") * F.col("n")), F.lit(1))
+        .cast("long")
+        .alias("rn"),
+    )
+    exact_rows = ranked.join(F.broadcast(targets), "rn").select(
+        "q", F.col("o_totalprice").cast("double").alias("exact_price")
+    )
     return (
         est.join(exact_rows, "q")
         .crossJoin(F.broadcast(tot.select("n_buckets")))

@@ -267,11 +267,14 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "is_train", split_of() == "train"
     )
-    # persist the shingle table: it feeds the train probe once and the
-    # eval side THREE times (bloom sizing count, bloom build, exact
-    # verify) — without the cache each reference re-runs the full
-    # tokenize + lead-window pass over the corpus
-    sh = shingle_rows(docs, _DECON_N, extra_cols=["is_train"]).persist()
+    # localCheckpoint the shingle table: it feeds the train probe once
+    # and the eval side THREE times (bloom sizing count, bloom build,
+    # exact verify) — without materializing it each reference re-runs
+    # the full tokenize + lead-window pass over the corpus. Checkpoint
+    # rather than persist so the blocks are GC-scoped (freed with the
+    # DataFrame by the ContextCleaner) instead of pinned for the rest
+    # of a long driver session (ADVICE r3).
+    sh = shingle_rows(docs, _DECON_N, extra_cols=["is_train"]).localCheckpoint()
     train_sh = sh.filter(F.col("is_train")).select("doc_id", "shingle")
     eval_sh = sh.filter(~F.col("is_train")).select("shingle").distinct()
 

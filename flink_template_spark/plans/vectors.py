@@ -671,6 +671,102 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Materialized ANN index: build once, serve many (VERDICT r3 design
+# note — the round-3 rerank re-trained PQ and re-assigned IVF inside
+# every query; ~half its 9.56 s bench wall was index build).
+# ---------------------------------------------------------------------------
+
+_ANN_INDEX_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def ann_index(spark: SparkSession, sf_dir: str):
+    """The corpus's IVF-PQ serving index, built ONCE per (session,
+    sf_dir) and persisted: (vec_id, cluster, codes) plus the trained
+    codebooks and centroid table. Serving queries scan the compressed
+    codes (4 small ints/vector) instead of raw vectors and never
+    re-train. The persist is deliberate session-lifetime state — it IS
+    the index (same pattern as streaming/ingest_dedup's persisted band
+    index); at 100 TB this is the parquet artifact an offline build job
+    writes and every serving query reads.
+
+    Build stages are all distributed with bounded collects only
+    (pq_train's k=4 centroid init + Lloyd means, operators/pq.py):
+    one broadcast-argmax pass for IVF assignment, one encode pass for
+    PQ codes, one join to co-locate them.
+    """
+    from flink_template_spark.operators.pq import pq_encode, pq_train
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _ANN_INDEX_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    codebooks = pq_train(emb, m=4, k=4, n_iter=1)
+    assigned = ivf_assign(emb, centroids).select("vec_id", "cluster")
+    index = pq_encode(emb, codebooks).join(assigned, "vec_id").persist()
+    index.count()  # materialize the index once, before any serve path
+    _ANN_INDEX_CACHE[key] = (centroids, codebooks, index)
+    return centroids, codebooks, index
+
+
+@register(
+    "q_ann_index_build",
+    oracle=f"""
+WITH {_pq_replay_cte()},
+centroids AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings
+  WHERE vec_id < {N_CENTROIDS}
+),
+assigned AS (
+  SELECT vec_id, centroid_id AS cluster FROM (
+    SELECT v.vec_id, c.centroid_id,
+      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        ORDER BY ROUND({cosine_sql('v.embedding', 'c.embedding')}, 6) DESC,
+                 c.centroid_id) AS rk
+    FROM embeddings v CROSS JOIN centroids c
+  ) WHERE rk = 1
+),
+codesw AS (
+  SELECT vec_id,
+    MAX(CASE WHEN j = 0 THEN c END) AS c0,
+    MAX(CASE WHEN j = 1 THEN c END) AS c1,
+    MAX(CASE WHEN j = 2 THEN c END) AS c2,
+    MAX(CASE WHEN j = 3 THEN c END) AS c3
+  FROM codes GROUP BY vec_id
+)
+SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+  CAST(a.cluster AS BIGINT) AS cluster,
+  CAST(w.c0 AS BIGINT) AS c0, CAST(w.c1 AS BIGINT) AS c1,
+  CAST(w.c2 AS BIGINT) AS c2, CAST(w.c3 AS BIGINT) AS c3
+FROM assigned a JOIN codesw w ON a.vec_id = w.vec_id
+ORDER BY vec_id
+""",
+)
+def q_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The offline half of the ANN stack: materialize the IVF-PQ index
+    (every vector's cluster assignment + its m=4 PQ codes) via
+    :func:`ann_index`. Deterministic end-to-end (fixed-seed centroids,
+    quantized exact-integer PQ training, rounded argmax with id
+    tiebreaks), so the full build replays in SQL — the oracle re-derives
+    every vector's cluster AND all 4 code columns. Pair with
+    q_ann_multiprobe_rerank, which SERVES from this index without
+    re-training."""
+    _, _, index = ann_index(spark, sf_dir)
+    return index.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("cluster").cast("bigint").alias("cluster"),
+        *[
+            F.element_at("codes", j + 1).cast("bigint").alias(f"c{j}")
+            for j in range(4)
+        ],
+    ).orderBy("vec_id")
+
+
 @register(
     "q_ann_multiprobe_rerank",
     oracle=f"""
@@ -714,31 +810,27 @@ LIMIT 10
 """,
 )
 def q_ann_multiprobe_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full production ANN stack in one composed, oracle-exact
-    plan: IVF multi-probe (query's 2 nearest centroids select the
-    cells to scan) → PQ asymmetric-distance shortlist (top-50 inside
-    the probed cells, touching only compressed codes) → exact cosine
-    rerank of the shortlist → top-10. At scale each stage cuts the
-    work its successor sees: probes cut the scan ~K/2×, ADC reads
-    4-byte codes instead of 256-byte vectors, and the exact math runs
-    on 50 rows. Every stage is deterministic (fixed seed centroids,
-    quantized PQ training, 6-dp rounded orderings with id tiebreaks),
-    so the whole composition replays in SQL."""
-    from flink_template_spark.operators.pq import (
-        pq_adc_topk,
-        pq_encode,
-        pq_train,
-    )
+    """The SERVING half of the production ANN stack, reading the
+    materialized IVF-PQ index (:func:`ann_index` — built once per
+    session, persisted; q_ann_index_build verifies the build itself):
+    IVF multi-probe (query's 2 nearest centroids select the cells to
+    scan) → PQ asymmetric-distance shortlist (top-50 inside the probed
+    cells, touching only the index's compressed codes) → exact cosine
+    rerank of the shortlist → top-10. At scale each stage cuts the work
+    its successor sees: probes cut the scan ~K/2×, ADC reads 4-byte
+    codes instead of 256-byte vectors, and the exact math runs on 50
+    rows — and no training happens on the query path. Every stage is
+    deterministic (fixed seed centroids, quantized PQ training, 6-dp
+    rounded orderings with id tiebreaks), so the whole composition
+    (index build + serve) replays in SQL."""
+    from flink_template_spark.functions.vector import cosine
+    from flink_template_spark.operators.pq import pq_adc_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"), "embedding"
-    )
+    centroids, codebooks, index = ann_index(spark, sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("__qvec")
     )
-    from flink_template_spark.functions.vector import cosine
-
     probes = (
         centroids.crossJoin(F.broadcast(qvec))
         .select(
@@ -749,18 +841,15 @@ def q_ann_multiprobe_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(2)
         .select(F.col("centroid_id").alias("cluster"))
     )
-    members = (
-        ivf_assign(emb, centroids)
-        .join(F.broadcast(probes), "cluster")
-        .filter(F.col("vec_id") != 0)
-        .select("vec_id")
-    )
-    codebooks = pq_train(emb, m=4, k=4, n_iter=1)
     query = [
         float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
     ]
-    encoded = pq_encode(emb, codebooks).join(members, "vec_id", "left_semi")
-    short = pq_adc_topk(encoded, codebooks, query, k_results=50, round_dp=6)
+    cand = (
+        index.join(F.broadcast(probes), "cluster")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "codes")
+    )
+    short = pq_adc_topk(cand, codebooks, query, k_results=50, round_dp=6)
     return (
         short.join(emb, "vec_id")
         .crossJoin(F.broadcast(qvec))
@@ -837,6 +926,10 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_template_spark.plans.text_dedup import q_bm25_search
 
     lex = q_bm25_search(spark, sf_dir)
+    # single-partition rank windows BY DESIGN: both inputs are top-20
+    # lists (already reduced by TakeOrderedAndProject). Spark 4 folds
+    # away constant partition keys, so the no-partition WARN is
+    # unavoidable plan-side — bench.py scopes that one logger to ERROR.
     wl = W.orderBy(F.desc("bm25"), "doc_id")
     lexr = lex.select(
         "doc_id", F.row_number().over(wl).cast("long").alias("lex_rank")

@@ -96,8 +96,48 @@ ON CONFLICT (id) DO UPDATE SET
 EPOCHS_DDL = (
     "CREATE TABLE IF NOT EXISTS __epochs ("
     "epoch_id INTEGER, partition_id INTEGER, n_partitions INTEGER, "
+    "partitioner TEXT, "
     "PRIMARY KEY (epoch_id, partition_id))"
 )
+
+
+def _ensure_epoch_tables(cur) -> None:
+    """Create the sink tables; migrate a pre-round-4 __epochs table
+    (created without the ``partitioner`` column) in place."""
+    cur.execute(ACCOUNTS_DDL)
+    cur.execute(EPOCHS_DDL)
+    try:
+        cur.execute("ALTER TABLE __epochs ADD COLUMN partitioner TEXT")
+    except Exception:
+        pass  # column already present (fresh DDL or prior migration)
+
+
+_PARTITIONER_FP: dict[str, str] = {}
+
+
+def _partitioner_fingerprint(spark) -> str:
+    """Identity of the sink's hash partitioner, recorded with each
+    replay marker. ``repartition(n, col)`` slots rows by
+    murmur3(col) pmod n; pinning n alone (round 3) misses a Spark
+    upgrade that changes the hash function itself — same partition
+    count, different row→partition boundaries, so a partially applied
+    epoch could double-apply/skip rows without tripping ReplayMismatch
+    (ADVICE r3). The fingerprint is the Spark version plus the actual
+    murmur3 outputs for fixed probe keys, evaluated through the same
+    expression path HashPartitioning uses; any change to either
+    produces a different string and the partial-replay pre-check
+    refuses."""
+    key = spark.sparkContext.applicationId
+    fp = _PARTITIONER_FP.get(key)
+    if fp is None:
+        probes = spark.createDataFrame(
+            [(0,), (1,), (7,), (123456789,)], "id int"
+        ).select(F.hash("id").alias("h")).collect()
+        fp = f"spark-{spark.version}/murmur3:" + ",".join(
+            str(r["h"]) for r in probes
+        )
+        _PARTITIONER_FP[key] = fp
+    return fp
 
 # Fixed sink-side partition count. The sink repartitions every micro-batch
 # by key into exactly this many hash partitions, so the unit of replay
@@ -115,21 +155,32 @@ class ReplayMismatch(Exception):
     rows, so the sink refuses instead."""
 
 
-def _epoch_status(cur, epoch: int) -> tuple[int, int | None]:
-    """(marker_count, recorded n_partitions) for an epoch; raises
-    ReplayMismatch if recorded counts disagree with each other."""
+def _epoch_status(cur, epoch: int) -> tuple[int, int | None, str | None]:
+    """(marker_count, recorded n_partitions, recorded partitioner) for
+    an epoch; raises ReplayMismatch if recorded markers disagree with
+    each other."""
     cur.execute(
-        "SELECT COUNT(*), MIN(n_partitions), MAX(n_partitions) "
+        "SELECT COUNT(*), MIN(n_partitions), MAX(n_partitions), "
+        "MIN(partitioner), MAX(partitioner) "
         "FROM __epochs WHERE epoch_id = ?",
         (epoch,),
     )
-    n_markers, lo, hi = cur.fetchone()
+    n_markers, lo, hi, fp_lo, fp_hi = cur.fetchone()
     if n_markers and lo != hi:
         raise ReplayMismatch(
             f"epoch {epoch} has markers under conflicting partition "
             f"counts {lo} and {hi}"
         )
-    return int(n_markers), (int(lo) if n_markers else None)
+    if n_markers and fp_lo != fp_hi:
+        raise ReplayMismatch(
+            f"epoch {epoch} has markers under conflicting partitioners "
+            f"{fp_lo!r} and {fp_hi!r}"
+        )
+    return (
+        int(n_markers),
+        (int(lo) if n_markers else None),
+        (fp_lo if n_markers else None),
+    )
 
 
 def accounts_upsert_batch_fn(
@@ -169,15 +220,15 @@ def accounts_upsert_batch_fn(
     def write(df: DataFrame, epoch_id: int) -> None:
         validate_sink_schema(df.schema, ACCOUNTS_TARGET_SCHEMA)
         epoch = int(epoch_id)
+        fp = _partitioner_fingerprint(df.sparkSession)
 
         # driver-side pre-check of the epoch's replay markers
         con = connect()
         try:
             cur = con.cursor()
-            cur.execute(ACCOUNTS_DDL)
-            cur.execute(EPOCHS_DDL)
+            _ensure_epoch_tables(cur)
             con.commit()
-            n_markers, recorded = _epoch_status(cur, epoch)
+            n_markers, recorded, recorded_fp = _epoch_status(cur, epoch)
         finally:
             con.close()
         if n_markers:
@@ -189,6 +240,16 @@ def accounts_upsert_batch_fn(
                     f"n_partitions={recorded}, current sink uses "
                     f"{n_partitions}; refusing to resume"
                 )
+            # A NULL recorded_fp means pre-round-4 markers (no
+            # fingerprint column yet) — nothing to compare against, so
+            # resume on the n_partitions check alone as before.
+            if recorded_fp is not None and recorded_fp != fp:
+                raise ReplayMismatch(
+                    f"epoch {epoch} partially applied under partitioner "
+                    f"{recorded_fp!r}, current sink uses {fp!r}; the "
+                    "same partition COUNT no longer implies the same "
+                    "row->partition boundaries — refusing to resume"
+                )
 
         def write_partition(rows) -> None:
             from pyspark import TaskContext
@@ -198,8 +259,7 @@ def accounts_upsert_batch_fn(
             con = connect()
             try:
                 cur = con.cursor()
-                cur.execute(ACCOUNTS_DDL)
-                cur.execute(EPOCHS_DDL)
+                _ensure_epoch_tables(cur)
                 con.commit()  # release any DDL lock before the data txn
                 cur.execute(
                     "SELECT 1 FROM __epochs WHERE epoch_id = ? AND partition_id = ?",
@@ -216,9 +276,10 @@ def accounts_upsert_batch_fn(
                 if batch:
                     cur.executemany(ACCOUNTS_UPSERT_SQL, batch)
                 cur.execute(
-                    "INSERT INTO __epochs (epoch_id, partition_id, n_partitions)"
-                    " VALUES (?, ?, ?)",
-                    (epoch, pid, n_partitions),
+                    "INSERT INTO __epochs "
+                    "(epoch_id, partition_id, n_partitions, partitioner)"
+                    " VALUES (?, ?, ?, ?)",
+                    (epoch, pid, n_partitions, fp),
                 )
                 con.commit()
             finally:

@@ -101,6 +101,31 @@ def test_cms_lookup_unseen_key_estimates_zero(spark):
     assert got == {"a": 5, "zzz_unseen": 0}
 
 
+def test_cms_lookup_rejects_per_cell_counters(spark):
+    """cms_lookup joins on (i, pos) only, which is correct ONLY for a
+    merged (cell-less) counter table; per-cell counters would silently
+    cross-match cells and inflate estimates — misuse must fail loudly
+    (ADVICE r3)."""
+    import pytest
+
+    from flink_template_spark.operators.sketches_portable import (
+        cms_counters,
+        cms_lookup,
+        cms_merge,
+    )
+
+    df = spark.createDataFrame(
+        [("c1", "a"), ("c1", "a"), ("c2", "a"), ("c2", "b")], "cell STRING, k STRING"
+    )
+    per_cell = cms_counters(df, ["cell"], "k")
+    keys = spark.createDataFrame([("a",)], "k STRING")
+    with pytest.raises(ValueError, match="cms_merge"):
+        cms_lookup(per_cell, keys, "k")
+    # the prescribed fix works
+    got = cms_lookup(cms_merge(per_cell, []), keys, "k").first()
+    assert got.est_count == 3
+
+
 def test_hll_ignores_null_items(spark):
     """NULL items must not create a phantom register: an all-NULL cell
     estimates 0 distinct, and NULLs mixed with values change nothing."""

@@ -36,7 +36,6 @@ def test_rows_only_queries_execute_nonempty(spark, sf_dir):
         "q_approx_distinct_users",
         "q_approx_percentile_value",
         "q_hll_mergeable_rollup",
-        "q_stratified_sample",
     }, f"unexpected oracle-less queries: {sorted(rows_only)}"
     for name in sorted(rows_only):
         assert plans.QUERIES[name](spark, sf_dir).count() > 0, name

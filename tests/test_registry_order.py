@@ -12,45 +12,69 @@ def test_priority_slate_shape():
     names = list(plans.QUERIES)
     assert len(names) == len(set(names))
     first50 = set(names[:50])
-    # round-2 red rows re-fixed at round-3 start: must prove driver-side
+    # round-4 promotion: the round-3 additions with zero driver rows
     for q in (
-        "q_trip_stopped_time",
-        "q_trip_summary",
-        "q_multimodal_payload_stats",
-        "q_vocab_apply",
-        "q_multimodal_features",
+        "q_pii_detect",
+        "q_decontaminate_bloom",
+        "q_hll_portable_rollup",
+        "q_cms_token_freq",
+        "q_ddsketch_quantiles",
+        "q_hybrid_search_rrf",
+        "q_contrastive_triplets",
+        "q_source_overlap_matrix",
     ):
         assert q in first50, q
-    # the reference's own flagship computation
-    for q in ("q_trip_pipeline_json", "q_trip_pipeline_datasource"):
+    # the ANN build/serve split: both halves driver-checked together
+    for q in ("q_ann_index_build", "q_ann_multiprobe_rerank"):
         assert q in first50, q
-    # never-checked families promoted this round
-    for q in (
-        "q2_min_price_parts",
-        "q22_idle_rich_customers",
-        "q_grouping_sets",
-        "q_hll_mergeable_rollup",
-        "q_variant_props_stats",
-        "q_phash_dup_groups",
-        "q_simhash_signatures",
-        "q_ann_ivf_probe",
-    ):
-        assert q in first50, q
-
-
-def test_middle_is_round4_promotion_set():
-    # positions 50..50+len(_MIDDLE) hold the still-never-checked queries
-    # so a driver that checks more than 50 reaches them next
-    names = list(plans.QUERIES)
-    middle = set(names[50 : 50 + len(plans._MIDDLE)])
+    # never-checked vectors/datapipe/round-2 stragglers
     for q in (
         "q_kmeans_clusters",
         "q_pq_adc_topk",
-        "q_bpe_merges",
-        "q_dedup_increment",
+        "q_stratified_sample",
         "q_training_shards",
+        "q_dedup_increment",
+        "q_bpe_merges",
     ):
-        assert q in middle, q
+        assert q in first50, q
+    # regression picks: previously-green flagships stay under watch
+    for q in (
+        "q_trip_summary",
+        "q_trip_pipeline_json",
+        "q1_pricing_summary",
+        "q_minhash_lsh_pairs",
+        "q_semdedup_keep",
+        "q_training_data_pipeline",
+    ):
+        assert q in first50, q
+
+
+def test_slate_has_no_oracle_less_queries():
+    """VERDICT r3 What's-wrong #1: never slate a query that structurally
+    cannot go green. Every slate entry must have an oracle, and the
+    no-oracle approx queries must be pinned at the very end of the
+    export order."""
+    names = list(plans.QUERIES)
+    first50 = names[:50]
+    for q in first50:
+        assert q in plans.ORACLES, f"slate entry {q} has no oracle"
+    assert set(names[-len(plans._NO_ORACLE_TAIL):]) == set(
+        plans._NO_ORACLE_TAIL
+    )
+
+
+def test_slate_names_all_registered_strict():
+    """ADVICE r3: _ordered_names degrades unknown slate names to a
+    warning at runtime (import must never fail), so a typo in
+    _PRIORITY/_MIDDLE/_NO_ORACLE_TAIL must fail HERE instead of
+    silently reordering the verification slate."""
+    from flink_template_spark.plans import registry
+
+    for name in plans._PRIORITY + plans._MIDDLE + plans._NO_ORACLE_TAIL:
+        assert name in registry.QUERIES, f"slate name {name!r} not registered"
+    # the slate must also be duplicate-free so it fills exactly 50 slots
+    slate = plans._PRIORITY
+    assert len(slate) == len(set(slate)) == 50
 
 
 def test_every_priority_name_exists():

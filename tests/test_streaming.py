@@ -1205,3 +1205,49 @@ def test_upsert_sink_replay_partitioning_guard(spark, tmp_path):
     # only the missing partition's work
     accounts_upsert_batch_fn(factory, n_partitions=4)(df, 0)
     assert con.execute("SELECT COUNT(*) FROM __epochs").fetchone()[0] == 4
+
+
+def test_upsert_sink_replay_partitioner_fingerprint_guard(spark, tmp_path):
+    """Markers also record a partitioner-identity fingerprint (Spark
+    version + murmur3 probe outputs): a PARTIAL epoch whose markers
+    were written under a DIFFERENT hash function refuses to resume even
+    when the partition count matches — same count no longer implies the
+    same row->partition boundaries. Legacy markers (NULL fingerprint,
+    pre-round-4 schema) still resume on the count check alone."""
+    from flink_template_spark.sinks import (
+        ReplayMismatch,
+        _partitioner_fingerprint,
+        accounts_upsert_batch_fn,
+    )
+
+    db = str(tmp_path / "sink_fp_guard.db")
+    factory = lambda: sqlite3.connect(db, timeout=60)  # noqa: E731
+    df = spark.createDataFrame(
+        [(1, 10.0, False), (2, 5.0, False)],
+        "id INT, amount DOUBLE, is_terminator BOOLEAN",
+    )
+    write = accounts_upsert_batch_fn(factory, n_partitions=4)
+    write(df, 0)
+
+    con = sqlite3.connect(db)
+    fps = [
+        r[0]
+        for r in con.execute("SELECT DISTINCT partitioner FROM __epochs")
+    ]
+    assert fps == [_partitioner_fingerprint(spark)]  # recorded + uniform
+
+    # partial epoch whose surviving markers claim a different partitioner
+    con.execute("DELETE FROM __epochs WHERE epoch_id = 0 AND partition_id = 0")
+    con.execute(
+        "UPDATE __epochs SET partitioner = 'spark-9.9.9/murmur3:0' "
+        "WHERE epoch_id = 0"
+    )
+    con.commit()
+    with pytest.raises(ReplayMismatch):
+        write(df, 0)
+
+    # legacy markers (no fingerprint recorded): count-only resume still works
+    con.execute("UPDATE __epochs SET partitioner = NULL WHERE epoch_id = 0")
+    con.commit()
+    write(df, 0)
+    assert con.execute("SELECT COUNT(*) FROM __epochs").fetchone()[0] == 4
