@@ -850,8 +850,21 @@ def q_ann_multiprobe_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "codes")
     )
     short = pq_adc_topk(cand, codebooks, query, k_results=50, round_dp=6)
+    # Exact rerank via POINT LOOKUP, not a corpus re-scan: collect the
+    # shortlist (≤ 50 rows — bounded control-plane, like the query
+    # vector above) and push the id set down into the vector scan as an
+    # In filter (parquet row-group pruning). Joining `short` lazily
+    # against `emb` instead would stream the ENTIRE corpus through the
+    # join to fetch 50 vectors — the round-4 10× experiment measured
+    # exactly that as the serve path's only data-proportional term
+    # (SCALE.md round-4 table).
+    short_rows = short.collect()
+    short_df = spark.createDataFrame(short_rows, short.schema)
+    lookup = emb.filter(
+        F.col("vec_id").isin([r["vec_id"] for r in short_rows])
+    )
     return (
-        short.join(emb, "vec_id")
+        short_df.join(lookup, "vec_id")
         .crossJoin(F.broadcast(qvec))
         .select(
             "vec_id",
