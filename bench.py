@@ -38,6 +38,43 @@ HEADLINE = [
     "q_trip_summary",
 ]
 
+# Newer operator families, timed identically but reported OUTSIDE the
+# headline total so `value` stays comparable across rounds. Module-level
+# so tests/test_plans.py can walk the same set the bench times (the
+# unpartitioned-window allowlist guard).
+EXTENDED = [
+    "q_bloom_pruned_join",
+    "q_knn_join",
+    "q_gapfill_interpolate",
+    "q_variant_props_stats",
+    "q_hll_mergeable_rollup",
+    "q_scd2_merge",
+    "q_embedding_quantize_int8",
+    "q_bm25_search",
+    "q_training_data_pipeline",
+    "q_repetition_metrics",
+    "q_mixture_rebalance",
+    "q_ngram_novelty",
+    "q_semdedup_keep",
+    "q_dedup_increment",
+    "q_source_quality_drift",
+    # round-3 safety/quality additions
+    "q_pii_redact",
+    "q_decontaminate_bloom",
+    "q_unigram_logprob",
+    # round-3 portable mergeable sketches
+    "q_hll_portable_rollup",
+    "q_cms_token_freq",
+    "q_ddsketch_quantiles",
+    # round-3 composed retrieval/curation flagships (round 4 splits
+    # the ANN index build from serving: build runs first, the rerank
+    # then serves from the session-cached materialized index)
+    "q_ann_index_build",
+    "q_ann_multiprobe_rerank",
+    "q_hybrid_search_rrf",
+    "q_dataset_datasheet",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -112,40 +149,6 @@ def main() -> None:
     except Exception as exc:
         errors["trip_pipeline"] = f"{type(exc).__name__}: {str(exc)[:300]}"
 
-    # Newer operator families, timed identically but reported OUTSIDE
-    # the headline total so `value` stays comparable across rounds.
-    EXTENDED = [
-        "q_bloom_pruned_join",
-        "q_knn_join",
-        "q_gapfill_interpolate",
-        "q_variant_props_stats",
-        "q_hll_mergeable_rollup",
-        "q_scd2_merge",
-        "q_embedding_quantize_int8",
-        "q_bm25_search",
-        "q_training_data_pipeline",
-        "q_repetition_metrics",
-        "q_mixture_rebalance",
-        "q_ngram_novelty",
-        "q_semdedup_keep",
-        "q_dedup_increment",
-        "q_source_quality_drift",
-        # round-3 safety/quality additions
-        "q_pii_redact",
-        "q_decontaminate_bloom",
-        "q_unigram_logprob",
-        # round-3 portable mergeable sketches
-        "q_hll_portable_rollup",
-        "q_cms_token_freq",
-        "q_ddsketch_quantiles",
-        # round-3 composed retrieval/curation flagships (round 4 splits
-        # the ANN index build from serving: build runs first, the rerank
-        # then serves from the session-cached materialized index)
-        "q_ann_index_build",
-        "q_ann_multiprobe_rerank",
-        "q_hybrid_search_rrf",
-        "q_dataset_datasheet",
-    ]
     extended: dict[str, float] = {}
     for name in [n for n in EXTENDED if n in plans.QUERIES]:
         wall = run_one(name)

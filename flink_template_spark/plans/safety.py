@@ -273,7 +273,13 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the full tokenize + lead-window pass over the corpus. Checkpoint
     # rather than persist so the blocks are GC-scoped (freed with the
     # DataFrame by the ContextCleaner) instead of pinned for the rest
-    # of a long driver session (ADVICE r3).
+    # of a long driver session (ADVICE r3). Known trade: localCheckpoint
+    # truncates lineage, so on a cluster an executor loss between here
+    # and the last consumer fails the query instead of recomputing —
+    # acceptable for a batch job that simply re-runs; a deployment that
+    # needs mid-query fault recovery should swap this for persist() and
+    # unpersist after the final action (the same trade every
+    # localCheckpoint in operators.components/kmeans makes).
     sh = shingle_rows(docs, _DECON_N, extra_cols=["is_train"]).localCheckpoint()
     train_sh = sh.filter(F.col("is_train")).select("doc_id", "shingle")
     eval_sh = sh.filter(~F.col("is_train")).select("shingle").distinct()

@@ -8,6 +8,9 @@ from ``functions.vector``.
 
 from __future__ import annotations
 
+import threading
+from collections import OrderedDict
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -677,7 +680,15 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every query; ~half its 9.56 s bench wall was index build).
 # ---------------------------------------------------------------------------
 
-_ANN_INDEX_CACHE: dict[tuple[str, str], tuple] = {}
+# Bounded + locked: the lock serializes concurrent first builds (two
+# threads would otherwise both train and leave one orphaned persisted
+# index pinned in executor storage), and the size bound evicts the
+# oldest entries — including ones from stopped sessions, whose
+# (applicationId, sf_dir) keys can never be hit again — unpersisting
+# their blocks on the way out.
+_ANN_INDEX_CACHE: OrderedDict[tuple[str, str], tuple] = OrderedDict()
+_ANN_INDEX_LOCK = threading.Lock()
+_ANN_INDEX_MAX = 4
 
 
 def ann_index(spark: SparkSession, sf_dir: str):
@@ -698,20 +709,28 @@ def ann_index(spark: SparkSession, sf_dir: str):
     from flink_template_spark.operators.pq import pq_encode, pq_train
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _ANN_INDEX_CACHE.get(key)
-    if hit is not None:
-        return hit
+    with _ANN_INDEX_LOCK:
+        hit = _ANN_INDEX_CACHE.get(key)
+        if hit is not None:
+            _ANN_INDEX_CACHE.move_to_end(key)
+            return hit
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"), "embedding"
-    )
-    codebooks = pq_train(emb, m=4, k=4, n_iter=1)
-    assigned = ivf_assign(emb, centroids).select("vec_id", "cluster")
-    index = pq_encode(emb, codebooks).join(assigned, "vec_id").persist()
-    index.count()  # materialize the index once, before any serve path
-    _ANN_INDEX_CACHE[key] = (centroids, codebooks, index)
-    return centroids, codebooks, index
+        emb = load_table(spark, sf_dir, "embeddings")
+        centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        codebooks = pq_train(emb, m=4, k=4, n_iter=1)
+        assigned = ivf_assign(emb, centroids).select("vec_id", "cluster")
+        index = pq_encode(emb, codebooks).join(assigned, "vec_id").persist()
+        index.count()  # materialize the index once, before any serve path
+        _ANN_INDEX_CACHE[key] = (centroids, codebooks, index)
+        while len(_ANN_INDEX_CACHE) > _ANN_INDEX_MAX:
+            _, (_, _, old) = _ANN_INDEX_CACHE.popitem(last=False)
+            try:
+                old.unpersist(True)
+            except Exception:
+                pass  # owning session already stopped
+        return centroids, codebooks, index
 
 
 @register(

@@ -101,15 +101,29 @@ EPOCHS_DDL = (
 )
 
 
-def _ensure_epoch_tables(cur) -> None:
+def _ensure_epoch_tables(con, cur) -> None:
     """Create the sink tables; migrate a pre-round-4 __epochs table
-    (created without the ``partitioner`` column) in place."""
+    (created without the ``partitioner`` column) in place.
+
+    The CREATEs commit BEFORE the migration probe, and a failed ALTER
+    rolls back: on a fresh database the ALTER fails with
+    duplicate-column (EPOCHS_DDL already has the column), and on a
+    transactional backend (PostgreSQL-style) a failed statement aborts
+    the open transaction — swallowing it without rollback would
+    silently discard the uncommitted CREATEs and break every later
+    statement on the connection."""
     cur.execute(ACCOUNTS_DDL)
     cur.execute(EPOCHS_DDL)
+    con.commit()
     try:
         cur.execute("ALTER TABLE __epochs ADD COLUMN partitioner TEXT")
+        con.commit()
     except Exception:
-        pass  # column already present (fresh DDL or prior migration)
+        # column already present (fresh DDL or prior migration)
+        try:
+            con.rollback()
+        except Exception:
+            pass
 
 
 _PARTITIONER_FP: dict[str, str] = {}
@@ -158,14 +172,21 @@ class ReplayMismatch(Exception):
 def _epoch_status(cur, epoch: int) -> tuple[int, int | None, str | None]:
     """(marker_count, recorded n_partitions, recorded partitioner) for
     an epoch; raises ReplayMismatch if recorded markers disagree with
-    each other."""
+    each other.
+
+    The NULL/non-NULL fingerprint MIX is itself a conflict: SQL
+    MIN/MAX skip NULLs, so without the explicit COUNT(partitioner)
+    check a partial epoch holding legacy (NULL) markers from hash A
+    plus fingerprinted markers from hash B would read as uniformly
+    fingerprinted and resume — the exact double-apply the fingerprint
+    exists to refuse."""
     cur.execute(
         "SELECT COUNT(*), MIN(n_partitions), MAX(n_partitions), "
-        "MIN(partitioner), MAX(partitioner) "
+        "MIN(partitioner), MAX(partitioner), COUNT(partitioner) "
         "FROM __epochs WHERE epoch_id = ?",
         (epoch,),
     )
-    n_markers, lo, hi, fp_lo, fp_hi = cur.fetchone()
+    n_markers, lo, hi, fp_lo, fp_hi, n_fp = cur.fetchone()
     if n_markers and lo != hi:
         raise ReplayMismatch(
             f"epoch {epoch} has markers under conflicting partition "
@@ -175,6 +196,12 @@ def _epoch_status(cur, epoch: int) -> tuple[int, int | None, str | None]:
         raise ReplayMismatch(
             f"epoch {epoch} has markers under conflicting partitioners "
             f"{fp_lo!r} and {fp_hi!r}"
+        )
+    if 0 < int(n_fp) < int(n_markers):
+        raise ReplayMismatch(
+            f"epoch {epoch} mixes legacy (no partitioner recorded) and "
+            f"fingerprinted markers; partition boundaries are not "
+            "provably consistent — refusing to resume"
         )
     return (
         int(n_markers),
@@ -226,8 +253,7 @@ def accounts_upsert_batch_fn(
         con = connect()
         try:
             cur = con.cursor()
-            _ensure_epoch_tables(cur)
-            con.commit()
+            _ensure_epoch_tables(con, cur)
             n_markers, recorded, recorded_fp = _epoch_status(cur, epoch)
         finally:
             con.close()
@@ -251,6 +277,13 @@ def accounts_upsert_batch_fn(
                     "row->partition boundaries — refusing to resume"
                 )
 
+        # When resuming a LEGACY partial epoch (all markers NULL), the
+        # markers written by this resume stay NULL too: recording the
+        # current fingerprint would create the NULL/non-NULL mix that
+        # _epoch_status refuses, bricking the epoch after a mid-resume
+        # crash. A fresh epoch records the real fingerprint.
+        marker_fp = fp if (not n_markers or recorded_fp is not None) else None
+
         def write_partition(rows) -> None:
             from pyspark import TaskContext
 
@@ -259,8 +292,7 @@ def accounts_upsert_batch_fn(
             con = connect()
             try:
                 cur = con.cursor()
-                _ensure_epoch_tables(cur)
-                con.commit()  # release any DDL lock before the data txn
+                _ensure_epoch_tables(con, cur)  # commits its DDL
                 cur.execute(
                     "SELECT 1 FROM __epochs WHERE epoch_id = ? AND partition_id = ?",
                     (epoch, pid),
@@ -279,7 +311,7 @@ def accounts_upsert_batch_fn(
                     "INSERT INTO __epochs "
                     "(epoch_id, partition_id, n_partitions, partitioner)"
                     " VALUES (?, ?, ?, ?)",
-                    (epoch, pid, n_partitions, fp),
+                    (epoch, pid, n_partitions, marker_fp),
                 )
                 con.commit()
             finally:

@@ -150,6 +150,61 @@ def test_ann_serve_reads_materialized_index(spark, sf):
     assert "CartesianProduct" not in p
 
 
+# The audited bounded-size single-partition windows: ddsketch's
+# merged-sketch cumsum + rank_global's per-range-partition offset table,
+# and hybrid RRF's two top-20 rank lists. These are the ONLY bench
+# queries allowed an unpartitioned WindowExec — everything else must
+# partition. This guard is what makes session.silence_bounded_window_warns
+# safe: the WARN the bench log suppresses is re-checked here structurally,
+# so a future plan regressing into a genuine full-data window funnel
+# fails CI instead of logging into a silenced logger.
+_UNPARTITIONED_WINDOW_ALLOWLIST = {
+    "q_ddsketch_quantiles": 2,
+    "q_hybrid_search_rrf": 2,
+}
+
+
+def _unpartitioned_window_count(plan: str) -> int:
+    """Count WindowExec nodes with an EMPTY partition spec: in
+    explain('formatted') a Window node's Arguments line has 3 top-level
+    bracket groups ([exprs], [partitionSpec], [orderSpec]) when
+    partitioned and only 2 when not."""
+    import re
+
+    n = 0
+    for m in re.finditer(
+        r"^\(\d+\) Window\n(?:[^\n]*\n)*?Arguments: ([^\n]*)$", plan, re.M
+    ):
+        depth = groups = 0
+        for ch in m.group(1):
+            if ch == "[":
+                if depth == 0:
+                    groups += 1
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+        n += groups == 2
+    return n
+
+
+def test_bench_queries_unpartitioned_windows_allowlisted(spark, sf):
+    import bench
+
+    offenders = {}
+    for name in bench.HEADLINE + bench.EXTENDED:
+        if name not in plans.QUERIES:
+            continue
+        k = _unpartitioned_window_count(plan_of(plans.QUERIES[name](spark, sf)))
+        if k != _UNPARTITIONED_WINDOW_ALLOWLIST.get(name, 0):
+            offenders[name] = k
+    assert not offenders, (
+        f"unpartitioned WindowExec count changed for {offenders}; either a "
+        "plan regressed into a full-data single-partition window (fix the "
+        "plan) or a NEW bounded-size window was audited (extend the "
+        "allowlist with a size justification)"
+    )
+
+
 def test_global_rank_matches_naive_window(spark, sf):
     """Randomized parity: the two-pass range-partitioned rank equals the
     single-partition Window.orderBy formulation on data with heavy key

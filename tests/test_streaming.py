@@ -1246,8 +1246,27 @@ def test_upsert_sink_replay_partitioner_fingerprint_guard(spark, tmp_path):
     with pytest.raises(ReplayMismatch):
         write(df, 0)
 
-    # legacy markers (no fingerprint recorded): count-only resume still works
+    # a MIXED epoch (some legacy NULL markers, some fingerprinted) is a
+    # conflict in itself: MIN/MAX skip NULLs, so without the explicit
+    # mix check it would read as uniformly fingerprinted and resume
+    con.execute(
+        "UPDATE __epochs SET partitioner = NULL "
+        "WHERE epoch_id = 0 AND partition_id = 1"
+    )
+    con.commit()
+    with pytest.raises(ReplayMismatch, match="mixes legacy"):
+        write(df, 0)
+
+    # legacy markers (no fingerprint recorded): count-only resume still
+    # works, and the resume's own markers stay NULL so the epoch never
+    # becomes mixed after a mid-resume crash
     con.execute("UPDATE __epochs SET partitioner = NULL WHERE epoch_id = 0")
     con.commit()
     write(df, 0)
     assert con.execute("SELECT COUNT(*) FROM __epochs").fetchone()[0] == 4
+    assert (
+        con.execute(
+            "SELECT COUNT(partitioner) FROM __epochs WHERE epoch_id = 0"
+        ).fetchone()[0]
+        == 0
+    )
