@@ -150,6 +150,32 @@ def test_ann_serve_reads_materialized_index(spark, sf):
     assert "CartesianProduct" not in p
 
 
+def test_ann_index_cache_bounded_eviction(spark, sf, monkeypatch):
+    """The index cache is an LRU bounded by _ANN_INDEX_MAX: overflowing
+    it evicts (and unpersists) the oldest entry, and a later call for
+    the evicted key rebuilds rather than returning a dead reference."""
+    from flink_template_spark.plans import vectors as V
+
+    monkeypatch.setattr(V, "_ANN_INDEX_MAX", 1)
+    V._ANN_INDEX_CACHE.clear()
+    _, _, idx_a = V.ann_index(spark, sf)
+    key_a = (spark.sparkContext.applicationId, sf)
+    assert key_a in V._ANN_INDEX_CACHE
+    _, _, idx_b = V.ann_index(spark, "/root/testdata/sf0.01")
+    # sf's entry was evicted (cache holds only the newest) and its
+    # persisted blocks released
+    assert list(V._ANN_INDEX_CACHE) == [
+        (spark.sparkContext.applicationId, "/root/testdata/sf0.01")
+    ]
+    assert idx_a.storageLevel.useMemory is False  # unpersisted
+    # the evicted key rebuilds fresh
+    _, _, idx_a2 = V.ann_index(spark, sf)
+    assert idx_a2 is not idx_a
+    V._ANN_INDEX_CACHE.clear()
+    idx_a2.unpersist(True)
+    idx_b.unpersist(True)
+
+
 # The audited bounded-size single-partition windows: ddsketch's
 # merged-sketch cumsum + rank_global's per-range-partition offset table,
 # and hybrid RRF's two top-20 rank lists. These are the ONLY bench
