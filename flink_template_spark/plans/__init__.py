@@ -17,20 +17,21 @@ rotates per round so every family accumulates driver-checked entries:
   (17) families plus latent-dtype/array-fix proofs; 47/50 green, 0 wrong
   answers, 3 ``no_oracle`` (the engine-internal approx sketches — a
   slate-planning mistake, not a correctness one);
-- round 4 (this slate) promotes EVERY remaining never-checked query
-  (the round-3 _MIDDLE: vectors rest, datapipe rest, round-2 additions,
-  and all round-3 additions — safety family, portable sketch trio, ANN
-  stack, hybrid RRF, triplets, datasheet, overlap matrix) plus the new
-  q_ann_index_build (the build half of the round-4 ANN build/serve
-  split) and 12 regression picks from driver-green families. The three
+- round 4 promoted EVERY remaining never-checked query plus the new
+  q_ann_index_build and 12 regression picks; 50/50 green. The three
   queries that structurally CANNOT go green (engine-internal sketch
   registers -> no oracle; their oracle-exact portable duals carry the
   sketch verdict) are pinned to the permanent tail (_NO_ORACLE_TAIL)
-  and must never re-enter a 50-slot slate.
-
-After this round every oracle-able query has a driver verdict; future
-rotations only need a regression sample of ~15 plus any newly added
-queries at the front.
+  and must never re-enter a 50-slot slate;
+- round 5 (this slate) is pure regression assurance (VERDICT r4 next
+  #1): every query is green at least once, but 110 oracle-able greens
+  predate the round-4 seam churn (sinks replay guard, slate handling,
+  session log scoping). Slate = the 40 STALEST greens oldest-first
+  (all 29 last checked in round 1 + the 11 oldest round-2 names) + 10
+  round-4-rebuilt regression picks (ANN build/serve pair, ddsketch,
+  both stratified samples, portable sketch pair, PQ-ADC, BPE, trip
+  flagship). _MIDDLE carries the remaining stale greens oldest-first
+  in case the driver checks past 50.
 """
 
 from flink_template_spark.plans import registry  # noqa: F401
@@ -51,76 +52,145 @@ from flink_template_spark.plans import safety  # noqa: F401
 
 # First 50 = this round's driver-check slate (see module docstring).
 _PRIORITY = [
-    # -- round-4 promotion: every never-driver-checked query (38) --
-    # vectors rest (10)
-    "q_vector_norms",
-    "q_centroids_by_label",
-    "q_ivf_cluster_sizes",
-    "q_embedding_near_dup_exact",
-    "q_embedding_near_dup_lsh",
-    "q_kmeans_clusters",
-    "q_ann_kmeans_probe",
-    "q_embedding_zscore",
-    "q_embedding_quantize_int8",
-    "q_pq_adc_topk",
-    # the round-4 ANN build/serve split: the materialized-index build
-    # and the rerank that now serves from it (both oracle-exact)
+    # -- stalest greens: all 29 queries last driver-checked in round 1,
+    #    before the r2-r4 seam churn (oldest evidence in the ledger) --
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q_rank_family",
+    "q_lag_lead_order_gaps",
+    "q_running_customer_revenue",
+    "q_topk_orders_per_segment",
+    "q_first_last_value_per_part",
+    "q_rank_suppliers_by_balance",
+    "q_global_rank_scalable",
+    "q_percent_contribution",
+    "q_rollup_region_nation",
+    "q_cube_flag_status",
+    "q_pivot_status_by_flag",
+    "q_unpivot_balances",
+    "q_setops_nations",
+    "q_setops_all_variants",
+    "q_semi_join_urgent_customers",
+    "q_anti_join_idle_customers",
+    "q_full_outer_join",
+    "q_cross_join_calendar",
+    "q_salted_join_revenue",
+    "q_bloom_pruned_join",
+    "q_distinct_agg_segments",
+    "q_date_funcs",
+    "q_string_funcs",
+    "q_math_funcs",
+    # -- 11 oldest round-2 greens: one per r2 family seam (as-of &
+    #    interval joins, dedup/components, knn, sessions, funnel,
+    #    lateral, SCD2, trip geo) --
+    "q_asof_latest_order_per_event",
+    "q_asof_next_order_per_event",
+    "q_interval_join_attribution",
+    "q_dedup_exact_docs",
+    "q_near_dup_components",
+    "q_knn_join",
+    "q_events_session_30m",
+    "q_funnel_view_click_purchase",
+    "q_lateral_topk_nations",
+    "q_scd2_merge",
+    "q_trip_path_distance",
+    # -- 10 round-4-rebuilt regression picks (VERDICT r4 next #1):
+    #    the seams this round touches again (ANN build/serve, ddsketch
+    #    rank_global, seed-salted samples, portable sketches, PQ, BPE,
+    #    trip flagship) --
     "q_ann_index_build",
     "q_ann_multiprobe_rerank",
-    # datapipe rest (8) — q_stratified_sample is now oracle-exact
-    # (seed-salted portable hash replaces sampleBy's engine RNG)
-    "q_train_test_split",
-    "q_text_normalize",
+    "q_ddsketch_quantiles",
     "q_stratified_sample",
-    "q_pack_greedy_bins",
     "q_stratified_sample_hash",
-    "q_training_shards",
-    "q_weighted_sample",
-    "q_consistent_sample_topk",
-    # round-2 additions (6)
-    "q_dedup_increment",
-    "q_bpe_merges",
-    "q_bpe_fertility",
-    "q_source_quality_drift",
-    "q_repeated_passages",
-    "q_scrub_repeated_passages",
-    # round-3 additions (12): safety family, unigram gate, the portable
-    # sketch trio (oracle-exact duals of the approx queries), composed
-    # retrieval/curation flagships
-    "q_pii_detect",
-    "q_pii_redact",
-    "q_decontaminate_bloom",
-    "q_unigram_logprob",
     "q_hll_portable_rollup",
     "q_cms_token_freq",
-    "q_ddsketch_quantiles",
-    "q_hybrid_search_rrf",
-    "q_contrastive_triplets",
-    "q_dataset_datasheet",
-    "q_source_overlap_matrix",
-    "q_dup_cluster_sizes",
-    # -- regression picks from driver-green families (12): one per
-    #    family/flagship so dtype/array/harness-compat defects can
-    #    never silently return (VERDICT r3 "protect the wins") --
+    "q_pq_adc_topk",
+    "q_bpe_merges",
     "q_trip_summary",
-    "q_trip_pipeline_json",
-    "q1_pricing_summary",
-    "q_minhash_lsh_pairs",
-    "q_semdedup_keep",
-    "q_training_data_pipeline",
-    "q_vocab_apply",
-    "q_multimodal_payload_stats",
-    "q_ann_ivf_probe",
-    "q_pack_chunked",
-    "q_top_terms_per_lang",
-    "q_grouping_sets",
 ]
 
-# Immediately after the slate, in case the driver checks more than 50.
-# Empty after the round-4 rotation: every oracle-able query now has (or
-# is slated for) a driver verdict; only _NO_ORACLE_TAIL remains
-# permanently unchecked.
-_MIDDLE: list[str] = []
+# Immediately after the slate, in case the driver checks more than 50:
+# the remaining stale greens, oldest-first (round-2 cohort rest, then
+# the round-3 cohort), so any extra checking always lands on the least
+# recently verified queries.
+_MIDDLE: list[str] = [
+    # round-2 cohort rest (31)
+    "q_best_of_cluster",
+    "q_bm25_search",
+    "q_contamination_check",
+    "q_cosine_topk",
+    "q_dedup_events_keep_first",
+    "q_doc_chunks",
+    "q_doc_fingerprints",
+    "q_event_transitions",
+    "q_events_exact_moments",
+    "q_events_sliding_2d_1d",
+    "q_events_tumbling_daily",
+    "q_fuzzy_name_pairs",
+    "q_gapfill_interpolate",
+    "q_json_get",
+    "q_lang_guess_confusion",
+    "q_mixture_rebalance",
+    "q_multimodal_byte_histogram",
+    "q_multimodal_frame_sample",
+    "q_multimodal_resize",
+    "q_ngram_jaccard_pairs",
+    "q_ngram_novelty",
+    "q_quality_scores",
+    "q_range_frame_rolling_7d",
+    "q_repetition_metrics",
+    "q_resample_daily_expr",
+    "q_resample_daily_ffill",
+    "q_retention_cohorts",
+    "q_simhash_hamming_pairs",
+    "q_text_stats_by_lang",
+    "q_tfidf_top_terms",
+    "q_vocab_build",
+    # round-3 cohort (oracle-able, 39)
+    "q2_min_price_parts",
+    "q4_exists_late_ship",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q11_important_balances",
+    "q12_priority_shipments",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    "q20_volume_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "q_array_funcs",
+    "q_corr_price_qty",
+    "q_map_funcs",
+    "q_minhash_signatures",
+    "q_multimodal_features",
+    "q_multimodal_meta_filter",
+    "q_nested_array_hof",
+    "q_ntile_balance_deciles",
+    "q_null_handling",
+    "q_null_safe_join",
+    "q_percentiles_cont",
+    "q_percentiles_disc",
+    "q_phash_dup_groups",
+    "q_price_histogram",
+    "q_simhash_scalar",
+    "q_simhash_signatures",
+    "q_stats_aggregates",
+    "q_string_agg",
+    "q_trip_pipeline_datasource",
+    "q_trip_stopped_time",
+    "q_variant_props_stats",
+    "q_variant_roundtrip",
+    "q_weighted_avg_pandas",
+]
 
 # Queries that structurally CANNOT receive a driver hash verdict:
 # Spark's approx sketches keep engine-internal register state (HLL++/

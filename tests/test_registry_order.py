@@ -12,39 +12,38 @@ def test_priority_slate_shape():
     names = list(plans.QUERIES)
     assert len(names) == len(set(names))
     first50 = set(names[:50])
-    # round-4 promotion: the round-3 additions with zero driver rows
+    # round-5 rotation: the stalest greens (last checked in round 1)
     for q in (
-        "q_pii_detect",
-        "q_decontaminate_bloom",
-        "q_hll_portable_rollup",
-        "q_cms_token_freq",
+        "q3_shipping_priority",
+        "q10_returned_items",
+        "q_rank_family",
+        "q_rollup_region_nation",
+        "q_pivot_status_by_flag",
+        "q_setops_all_variants",
+        "q_salted_join_revenue",
+        "q_date_funcs",
+    ):
+        assert q in first50, q
+    # oldest round-2 seam representatives
+    for q in (
+        "q_asof_latest_order_per_event",
+        "q_interval_join_attribution",
+        "q_near_dup_components",
+        "q_knn_join",
+        "q_scd2_merge",
+        "q_trip_path_distance",
+    ):
+        assert q in first50, q
+    # round-4-rebuilt regression picks: the seams round 5 touches again
+    for q in (
+        "q_ann_index_build",
+        "q_ann_multiprobe_rerank",
         "q_ddsketch_quantiles",
-        "q_hybrid_search_rrf",
-        "q_contrastive_triplets",
-        "q_source_overlap_matrix",
-    ):
-        assert q in first50, q
-    # the ANN build/serve split: both halves driver-checked together
-    for q in ("q_ann_index_build", "q_ann_multiprobe_rerank"):
-        assert q in first50, q
-    # never-checked vectors/datapipe/round-2 stragglers
-    for q in (
-        "q_kmeans_clusters",
-        "q_pq_adc_topk",
         "q_stratified_sample",
-        "q_training_shards",
-        "q_dedup_increment",
+        "q_hll_portable_rollup",
+        "q_pq_adc_topk",
         "q_bpe_merges",
-    ):
-        assert q in first50, q
-    # regression picks: previously-green flagships stay under watch
-    for q in (
         "q_trip_summary",
-        "q_trip_pipeline_json",
-        "q1_pricing_summary",
-        "q_minhash_lsh_pairs",
-        "q_semdedup_keep",
-        "q_training_data_pipeline",
     ):
         assert q in first50, q
 
