@@ -27,7 +27,7 @@ separated data.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 Codebook = list[list[float]]  # k code vectors for one subspace
@@ -44,30 +44,49 @@ def _subvec(vec_col: str, j: int, d: int):
 
 def _sq_l2(sub, code: list[float]):
     """Squared L2 between a subvector Column and a literal code vector,
-    as an unrolled codegen sum (no HOF lambdas; d is small by design).
+    as a higher-order-function fold (zip_with + aggregate), same shape
+    as functions.vector.dot.
 
-    The unrolled form trades a few seconds of one-time janino compile
-    (k·d terms per argmin) for per-row evaluation that stays inside
-    whole-stage codegen — the right side of the trade everywhere the
-    expression runs per corpus row (encode/ADC) and acceptable for
-    training, which at real scale runs on a sample anyway.
+    An earlier unrolled-codegen form (k·d explicit terms per argmin)
+    paid several seconds of janino compile and ~1.5 MiB task binaries
+    per stage — measured 9.2 s for a single sf0.1 pq_train round whose
+    data is trivially small (BENCH r4's q_ann_index_build flag). The
+    HOF fold keeps the identical left-to-right summation order
+    (0.0 + t0 + t1 + … ≡ t0 + t1 + …: every term is a non-negative
+    square, so the 0.0 seed is IEEE-exact) and therefore stays
+    bit-identical to the DuckDB oracle replay (_pq_sqdist_sql's
+    list_sum/list_transform fold).
 
     diff*diff, not diff**2: plain multiplication is the same IEEE
-    operation in every engine, whereas pow() is libm-dependent — keeps
-    the distances bit-identical to the DuckDB oracle replay."""
-    terms = []
-    for i, c in enumerate(code):
-        diff = F.element_at(sub, i + 1).cast("double") - F.lit(float(c))
-        terms.append(diff * diff)
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+    operation in every engine, whereas pow() is libm-dependent."""
+    return F.aggregate(
+        F.zip_with(
+            sub,
+            code if isinstance(code, Column) else _lit_vec(code),
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def _lit_vec(code: list[float]):
+    return F.array(*[F.lit(float(c)) for c in code])
 
 
 def _argmin_code(sub, codebook: Codebook):
-    """Index (0-based) of the nearest code; ties → lowest index."""
-    dists = F.array(*[_sq_l2(sub, c) for c in codebook])
+    """Index (0-based) of the nearest code; ties → lowest index.
+
+    The codebook enters the plan as ONE array<array<double>> literal
+    scanned with ``transform`` — literals are DATA the generated code
+    references, so the compiled class is identical for every codebook,
+    subspace, and k (janino cache hit), where the earlier per-code
+    unrolled expressions compiled a fresh multi-hundred-term class per
+    stage (~1.5 MiB task binaries, seconds of compile each — the
+    BENCH r4 q_ann_index_build flag). This is also the only form whose
+    plan size survives real-world k=256 codebooks."""
+    table = F.array(*[_lit_vec(c) for c in codebook])
+    dists = F.transform(table, lambda cb: _sq_l2(sub, cb))
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
@@ -86,11 +105,15 @@ def pq_train(
     quantization (×1e7 → exact bigint sums, identical in any partition
     order — same discipline as operators.kmeans); an empty cluster
     keeps its previous code vector."""
-    dim = len(vectors.select(vec_col).first()[0])
+    # one bounded collect serves both the k init vectors AND the dim
+    # probe (an earlier separate .first() job was pure fixed overhead)
+    init_rows = vectors.orderBy(id_col).limit(k).select(vec_col).collect()
+    if not init_rows:
+        raise ValueError("pq_train needs at least one vector")
+    dim = len(init_rows[0][vec_col])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     d = dim // m
-    init_rows = vectors.orderBy(id_col).limit(k).select(vec_col).collect()
     codebooks: list[Codebook] = [
         [
             [float(x) for x in row[vec_col][j * d : (j + 1) * d]]

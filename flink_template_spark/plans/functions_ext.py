@@ -688,17 +688,35 @@ def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-partitioned global rank (operators.rank_global): exact disc
     percentile q = the row whose global row_number equals ceil(q·n) —
     parallel range sort + a broadcast join against 3 target ranks, no
-    value array ever collects into one task."""
+    value array ever collects into one task.
+
+    Scan sharing (BENCH r4 regression fix): the sketch is binned from
+    the SAME ``ranked`` lineage the exact side ranks, so the orders
+    parquet feeds ONE range exchange that both consumers reuse
+    (ReusedExchange) instead of two independent scans; and every
+    broadcast of the ``tot`` totals row uses the identical subtree so
+    the broadcast exchange is built once, not three times."""
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_totalprice") >= 1
+    )
+    # One range-partitioned pass over orders carries BOTH the exact
+    # rank and the sketch payload (cell); ties in o_totalprice make rn
+    # assignment among equal values arbitrary, but every such row
+    # carries the same value, so exact_price is deterministic.
+    from flink_template_spark.operators.rank_global import with_global_ranks
+
+    ranked = with_global_ranks(
+        orders.select(F.col("o_orderpriority").alias("cell"), "o_totalprice"),
+        [("o_totalprice", True)],
+        row_number_col="rn",
     )
     e = F.length(F.bin(F.floor("o_totalprice").cast("long"))) - 1
     pow2e = F.expr(
         "CAST(shiftleft(1L, CAST(length(bin(CAST(FLOOR(o_totalprice) AS BIGINT))) - 1 AS INT)) AS DOUBLE)"
     )
     sub = F.floor((F.col("o_totalprice") / pow2e - 1.0) * 8.0).cast("long")
-    binned = orders.select(
-        F.col("o_orderpriority").alias("cell"), (e.cast("long") * 8 + sub).alias("idx")
+    binned = ranked.select(
+        "cell", (e.cast("long") * 8 + sub).alias("idx")
     )
     b = binned.groupBy("cell", "idx").agg(F.count(F.lit(1)).alias("cnt"))
     merged = b.groupBy("idx").agg(F.sum("cnt").alias("cnt"))
@@ -713,6 +731,10 @@ def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("n_buckets")
     )
     qs = spark.createDataFrame([(float(q),) for q in _DD_QS], "q DOUBLE")
+    # broadcast(tot) appears three times below with the IDENTICAL
+    # subtree, so Spark builds the broadcast exchange once and reuses
+    # it (canonical-plan match); selecting n / n_buckets happens after
+    # the join, never on a divergent pre-broadcast projection.
     pick = (
         qs.crossJoin(F.broadcast(cum))
         .crossJoin(F.broadcast(tot))
@@ -727,19 +749,7 @@ def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             est_e * (1.0 + ((F.col("est_idx") % 8).cast("double") + 0.5) / 8.0), 6
         ).alias("est_price"),
     )
-    # Exact disc percentiles WITHOUT collecting the value column: global
-    # row_number via range-partitioned two-pass rank, then a broadcast
-    # join against the 3 target ranks ceil(q*n). Ties in o_totalprice
-    # make rn assignment among equal values arbitrary, but every such
-    # row carries the same value, so exact_price is deterministic.
-    from flink_template_spark.operators.rank_global import with_global_ranks
-
-    ranked = with_global_ranks(
-        orders.select("o_totalprice"),
-        [("o_totalprice", True)],
-        row_number_col="rn",
-    )
-    targets = qs.crossJoin(F.broadcast(tot.select("n"))).select(
+    targets = qs.crossJoin(F.broadcast(tot)).select(
         "q",
         F.greatest(F.ceil(F.col("q") * F.col("n")), F.lit(1))
         .cast("long")
@@ -749,8 +759,9 @@ def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q", F.col("o_totalprice").cast("double").alias("exact_price")
     )
     return (
-        est.join(exact_rows, "q")
-        .crossJoin(F.broadcast(tot.select("n_buckets")))
+        exact_rows.join(F.broadcast(est), "q")
+        .crossJoin(F.broadcast(tot))
+        .select("q", "est_price", "exact_price", "n_buckets")
         .orderBy("q")
     )
 

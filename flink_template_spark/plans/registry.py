@@ -16,6 +16,16 @@ Numeric discipline for hash-stable cross-engine results:
   engines then perform the same IEEE double division;
 - trig / irrational results: round to a tolerance far above libm ulp
   differences (documented per query).
+
+Execution contract: QUERIES[name](spark, sf_dir) is *usually* a pure
+lazy plan builder, but a few entries run bounded Spark jobs at
+CONSTRUCTION time (ADVICE r4): iterative trainers collect k-row
+centroid/merge batches (kmeans/PQ/BPE), and the ANN serve path
+materializes the session's index on first touch and collects its ≤50-row
+shortlist to push an In(vec_id) filter into the vector scan
+(plans/vectors.py ann_index / q_ann_multiprobe_rerank). Explain-only
+tooling must therefore tolerate job execution (and transient failures
+surfacing) inside QUERIES[name]() itself, not just at action time.
 """
 
 from __future__ import annotations

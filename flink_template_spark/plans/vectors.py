@@ -661,13 +661,15 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_encode,
         pq_train,
     )
+    from flink_template_spark.operators.similarity import _spread
 
     emb = load_table(spark, sf_dir, "embeddings")
+    emb_r = _spread(emb)  # distance folds on all cores, not one split
     # one Lloyd round keeps the smoke fast; codebook QUALITY (more
     # rounds) is pinned by tests/test_pq.py, not by this entry
-    codebooks = pq_train(emb, m=4, k=4, n_iter=1)
+    codebooks = pq_train(emb_r, m=4, k=4, n_iter=1)
     query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    encoded = pq_encode(emb, codebooks)
+    encoded = pq_encode(emb_r, codebooks)
     return pq_adc_topk(
         encoded.filter(F.col("vec_id") != 0), codebooks, query, k_results=10,
         round_dp=6,
@@ -680,15 +682,46 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every query; ~half its 9.56 s bench wall was index build).
 # ---------------------------------------------------------------------------
 
-# Bounded + locked: the lock serializes concurrent first builds (two
-# threads would otherwise both train and leave one orphaned persisted
-# index pinned in executor storage), and the size bound evicts the
-# oldest entries — including ones from stopped sessions, whose
-# (applicationId, sf_dir) keys can never be hit again — unpersisting
-# their blocks on the way out.
+# Bounded + locked: a PER-KEY lock serializes concurrent first builds
+# of the SAME (session, sf_dir) index (two threads would otherwise both
+# train and leave one orphaned persisted index pinned in executor
+# storage) without serializing independent keys behind one multi-job
+# build (ADVICE r4); the global lock only guards the tiny dict
+# operations. The size bound evicts oldest-first but PREFERS entries
+# from other (stopped) sessions, whose keys can never be hit again —
+# evicting a live-session entry would silently degrade "serve from
+# materialized index" to full recompute, so when it's unavoidable we
+# warn (ADVICE r4).
 _ANN_INDEX_CACHE: OrderedDict[tuple[str, str], tuple] = OrderedDict()
 _ANN_INDEX_LOCK = threading.Lock()
+_ANN_INDEX_KEY_LOCKS: dict[tuple[str, str], threading.Lock] = {}
 _ANN_INDEX_MAX = 4
+
+
+def _ann_evict_locked(current_app: str) -> None:
+    """Evict past the size bound (caller holds _ANN_INDEX_LOCK):
+    other-session entries oldest-first, then — with a warning — the
+    current session's own oldest."""
+    while len(_ANN_INDEX_CACHE) > _ANN_INDEX_MAX:
+        victim = next(
+            (k for k in _ANN_INDEX_CACHE if k[0] != current_app),
+            next(iter(_ANN_INDEX_CACHE)),
+        )
+        if victim[0] == current_app:
+            import warnings
+
+            warnings.warn(
+                f"ann_index cache evicting LIVE-session index {victim[1]!r};"
+                " subsequent serves for it will rebuild (raise"
+                " _ANN_INDEX_MAX if this session genuinely needs more"
+                f" than {_ANN_INDEX_MAX} corpora)",
+                stacklevel=3,
+            )
+        _, _, old = _ANN_INDEX_CACHE.pop(victim)
+        try:
+            old.unpersist(True)
+        except Exception:
+            pass  # owning session already stopped
 
 
 def ann_index(spark: SparkSession, sf_dir: str):
@@ -704,9 +737,13 @@ def ann_index(spark: SparkSession, sf_dir: str):
     Build stages are all distributed with bounded collects only
     (pq_train's k=4 centroid init + Lloyd means, operators/pq.py):
     one broadcast-argmax pass for IVF assignment, one encode pass for
-    PQ codes, one join to co-locate them.
+    PQ codes, one join to co-locate them. The corpus is _spread to
+    session parallelism first — the per-row distance folds are the
+    build's hot loop, and a single-file parquet input would otherwise
+    evaluate them on one core (one input split).
     """
     from flink_template_spark.operators.pq import pq_encode, pq_train
+    from flink_template_spark.operators.similarity import _spread
 
     key = (spark.sparkContext.applicationId, sf_dir)
     with _ANN_INDEX_LOCK:
@@ -714,22 +751,30 @@ def ann_index(spark: SparkSession, sf_dir: str):
         if hit is not None:
             _ANN_INDEX_CACHE.move_to_end(key)
             return hit
+        key_lock = _ANN_INDEX_KEY_LOCKS.setdefault(key, threading.Lock())
+
+    # Build outside the global lock (the multi-job Spark build must not
+    # serialize unrelated keys); the per-key lock + double-check makes
+    # concurrent same-key callers share one build.
+    with key_lock:
+        with _ANN_INDEX_LOCK:
+            hit = _ANN_INDEX_CACHE.get(key)
+            if hit is not None:
+                _ANN_INDEX_CACHE.move_to_end(key)
+                return hit
 
         emb = load_table(spark, sf_dir, "embeddings")
         centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
             F.col("vec_id").alias("centroid_id"), "embedding"
         )
-        codebooks = pq_train(emb, m=4, k=4, n_iter=1)
-        assigned = ivf_assign(emb, centroids).select("vec_id", "cluster")
-        index = pq_encode(emb, codebooks).join(assigned, "vec_id").persist()
+        emb_r = _spread(emb)
+        codebooks = pq_train(emb_r, m=4, k=4, n_iter=1)
+        assigned = ivf_assign(emb_r, centroids).select("vec_id", "cluster")
+        index = pq_encode(emb_r, codebooks).join(assigned, "vec_id").persist()
         index.count()  # materialize the index once, before any serve path
-        _ANN_INDEX_CACHE[key] = (centroids, codebooks, index)
-        while len(_ANN_INDEX_CACHE) > _ANN_INDEX_MAX:
-            _, (_, _, old) = _ANN_INDEX_CACHE.popitem(last=False)
-            try:
-                old.unpersist(True)
-            except Exception:
-                pass  # owning session already stopped
+        with _ANN_INDEX_LOCK:
+            _ANN_INDEX_CACHE[key] = (centroids, codebooks, index)
+            _ann_evict_locked(spark.sparkContext.applicationId)
         return centroids, codebooks, index
 
 

@@ -105,25 +105,34 @@ def _ensure_epoch_tables(con, cur) -> None:
     """Create the sink tables; migrate a pre-round-4 __epochs table
     (created without the ``partitioner`` column) in place.
 
-    The CREATEs commit BEFORE the migration probe, and a failed ALTER
-    rolls back: on a fresh database the ALTER fails with
-    duplicate-column (EPOCHS_DDL already has the column), and on a
-    transactional backend (PostgreSQL-style) a failed statement aborts
-    the open transaction — swallowing it without rollback would
-    silently discard the uncommitted CREATEs and break every later
-    statement on the connection."""
+    The migration probes the schema DETERMINISTICALLY (a zero-row
+    SELECT of the column — portable across DB-API backends, unlike
+    PRAGMA/information_schema) and only ALTERs when the column is
+    truly missing. An earlier version treated ANY ALTER failure as
+    "column already present" (ADVICE r4) — a transient locked-database
+    or permission error would then surface much later as a confusing
+    INSERT failure; now an ALTER on a genuinely missing column raises
+    at the migration site. The CREATEs commit BEFORE the probe, and a
+    failed probe rolls back: on a transactional backend
+    (PostgreSQL-style) a failed statement aborts the open transaction,
+    and proceeding without rollback would break every later statement
+    on the connection."""
     cur.execute(ACCOUNTS_DDL)
     cur.execute(EPOCHS_DDL)
     con.commit()
     try:
-        cur.execute("ALTER TABLE __epochs ADD COLUMN partitioner TEXT")
-        con.commit()
+        cur.execute("SELECT partitioner FROM __epochs LIMIT 0")
+        cur.fetchall()
+        return  # column present (fresh DDL or prior migration)
     except Exception:
-        # column already present (fresh DDL or prior migration)
         try:
             con.rollback()
         except Exception:
             pass
+    # column genuinely missing -> migrate; unexpected errors RAISE here,
+    # next to their cause
+    cur.execute("ALTER TABLE __epochs ADD COLUMN partitioner TEXT")
+    con.commit()
 
 
 _PARTITIONER_FP: dict[str, str] = {}

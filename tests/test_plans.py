@@ -153,27 +153,82 @@ def test_ann_serve_reads_materialized_index(spark, sf):
 def test_ann_index_cache_bounded_eviction(spark, sf, monkeypatch):
     """The index cache is an LRU bounded by _ANN_INDEX_MAX: overflowing
     it evicts (and unpersists) the oldest entry, and a later call for
-    the evicted key rebuilds rather than returning a dead reference."""
+    the evicted key rebuilds rather than returning a dead reference.
+    Evicting a LIVE-session entry (both keys here belong to this
+    session) must be loud — a warning, not a silent serve-path
+    degradation (ADVICE r4)."""
+    import os
+    import warnings
+
+    import pytest
+
     from flink_template_spark.plans import vectors as V
+
+    # a sibling sf dir DIFFERENT from the configured test scale (the
+    # second cache key must not collide with `sf` — ADVICE r4)
+    base = os.path.dirname(sf.rstrip("/"))
+    other = next(
+        (
+            os.path.join(base, d)
+            for d in sorted(os.listdir(base))
+            if os.path.join(base, d) != sf.rstrip("/")
+            and os.path.exists(os.path.join(base, d, "embeddings.parquet"))
+        ),
+        None,
+    )
+    if other is None:
+        pytest.skip("no sibling sf dir with embeddings to overflow the cache")
 
     monkeypatch.setattr(V, "_ANN_INDEX_MAX", 1)
     V._ANN_INDEX_CACHE.clear()
     _, _, idx_a = V.ann_index(spark, sf)
     key_a = (spark.sparkContext.applicationId, sf)
     assert key_a in V._ANN_INDEX_CACHE
-    _, _, idx_b = V.ann_index(spark, "/root/testdata/sf0.01")
-    # sf's entry was evicted (cache holds only the newest) and its
-    # persisted blocks released
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _, _, idx_b = V.ann_index(spark, other)
+    # sf's entry was evicted (cache holds only the newest), its
+    # persisted blocks released, and the live-session eviction warned
     assert list(V._ANN_INDEX_CACHE) == [
-        (spark.sparkContext.applicationId, "/root/testdata/sf0.01")
+        (spark.sparkContext.applicationId, other)
     ]
     assert idx_a.storageLevel.useMemory is False  # unpersisted
+    assert any("LIVE-session" in str(x.message) for x in w)
     # the evicted key rebuilds fresh
-    _, _, idx_a2 = V.ann_index(spark, sf)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        _, _, idx_a2 = V.ann_index(spark, sf)
     assert idx_a2 is not idx_a
     V._ANN_INDEX_CACHE.clear()
     idx_a2.unpersist(True)
     idx_b.unpersist(True)
+
+
+def test_ann_index_eviction_prefers_stopped_sessions(spark, sf, monkeypatch):
+    """When the cache overflows, entries from OTHER (stopped) sessions
+    are evicted before the current session's own — even if the foreign
+    entry is newer (ADVICE r4)."""
+    from flink_template_spark.plans import vectors as V
+
+    monkeypatch.setattr(V, "_ANN_INDEX_MAX", 1)
+    V._ANN_INDEX_CACHE.clear()
+    _, _, idx_a = V.ann_index(spark, sf)
+
+    class _Dead:
+        def unpersist(self, blocking):
+            raise RuntimeError("session stopped")
+
+    # a foreign-session entry inserted AFTER ours (newer in LRU order)
+    V._ANN_INDEX_CACHE[("app-other", sf)] = (None, None, _Dead())
+    with V._ANN_INDEX_LOCK:
+        V._ann_evict_locked(spark.sparkContext.applicationId)
+    # the foreign entry went first; ours survived, still persisted
+    assert list(V._ANN_INDEX_CACHE) == [
+        (spark.sparkContext.applicationId, sf)
+    ]
+    assert idx_a.storageLevel.useMemory is True
+    V._ANN_INDEX_CACHE.clear()
+    idx_a.unpersist(True)
 
 
 # The audited bounded-size single-partition windows: ddsketch's
