@@ -42,8 +42,8 @@ def _subvec(vec_col: str, j: int, d: int):
     return F.slice(F.col(vec_col), j * d + 1, d)
 
 
-def _sq_l2(sub, code: list[float]):
-    """Squared L2 between a subvector Column and a literal code vector,
+def _sq_l2(sub, code: Column):
+    """Squared L2 between a subvector Column and a code-vector Column,
     as a higher-order-function fold (zip_with + aggregate), same shape
     as functions.vector.dot.
 
@@ -62,7 +62,7 @@ def _sq_l2(sub, code: list[float]):
     return F.aggregate(
         F.zip_with(
             sub,
-            code if isinstance(code, Column) else _lit_vec(code),
+            code,
             lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
         ),
         F.lit(0.0),
@@ -108,8 +108,13 @@ def pq_train(
     # one bounded collect serves both the k init vectors AND the dim
     # probe (an earlier separate .first() job was pure fixed overhead)
     init_rows = vectors.orderBy(id_col).limit(k).select(vec_col).collect()
-    if not init_rows:
-        raise ValueError("pq_train needs at least one vector")
+    if len(init_rows) < k:
+        # catching this late (codebooks[j][c] rebuild indexing) gives an
+        # IndexError far from the cause
+        raise ValueError(
+            f"pq_train needs at least k={k} vectors for the init"
+            f" (got {len(init_rows)})"
+        )
     dim = len(init_rows[0][vec_col])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -186,7 +191,7 @@ def pq_decode_expr(codebooks: list[Codebook]):
     """Reconstructed vector from a ``codes`` column (literal lookup)."""
     parts = []
     for j, cb in enumerate(codebooks):
-        table = F.array(*[F.array(*[F.lit(x) for x in code]) for code in cb])
+        table = F.array(*[_lit_vec(code) for code in cb])
         parts.append(F.element_at(table, F.element_at("codes", j + 1) + 1))
     out = parts[0]
     for p in parts[1:]:

@@ -687,41 +687,62 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # train and leave one orphaned persisted index pinned in executor
 # storage) without serializing independent keys behind one multi-job
 # build (ADVICE r4); the global lock only guards the tiny dict
-# operations. The size bound evicts oldest-first but PREFERS entries
-# from other (stopped) sessions, whose keys can never be hit again —
-# evicting a live-session entry would silently degrade "serve from
-# materialized index" to full recompute, so when it's unavoidable we
-# warn (ADVICE r4).
+# operations. The size bound evicts STOPPED-session entries first —
+# their keys can never be hit again — judged by the cached index's own
+# SparkContext liveness, not by whose applicationId is inserting (a
+# second live session in the same process must not get its index
+# silently unpersisted just for being foreign). Evicting any
+# live-session entry degrades "serve from materialized index" to full
+# recompute, so when it's unavoidable we warn — AFTER the pop/unpersist,
+# so a warnings-as-errors run still leaves the cache within its bound
+# (ADVICE r4 + r5 self-review). Per-key locks are popped with their
+# entries so the lock dict stays as bounded as the cache itself.
 _ANN_INDEX_CACHE: OrderedDict[tuple[str, str], tuple] = OrderedDict()
 _ANN_INDEX_LOCK = threading.Lock()
 _ANN_INDEX_KEY_LOCKS: dict[tuple[str, str], threading.Lock] = {}
 _ANN_INDEX_MAX = 4
 
 
-def _ann_evict_locked(current_app: str) -> None:
+def _ann_entry_stopped(entry: tuple) -> bool:
+    """True when the session that built this cache entry is stopped
+    (its index can never be served again)."""
+    try:
+        sc = entry[2].sparkSession.sparkContext
+        return sc._jsc is None or sc._jsc.sc().isStopped()
+    except Exception:
+        return True
+
+
+def _ann_evict_locked() -> None:
     """Evict past the size bound (caller holds _ANN_INDEX_LOCK):
-    other-session entries oldest-first, then — with a warning — the
-    current session's own oldest."""
+    stopped-session entries oldest-first, then — with a post-pop
+    warning — the oldest live entry."""
     while len(_ANN_INDEX_CACHE) > _ANN_INDEX_MAX:
         victim = next(
-            (k for k in _ANN_INDEX_CACHE if k[0] != current_app),
+            (
+                k
+                for k, v in _ANN_INDEX_CACHE.items()
+                if _ann_entry_stopped(v)
+            ),
             next(iter(_ANN_INDEX_CACHE)),
         )
-        if victim[0] == current_app:
+        entry = _ANN_INDEX_CACHE.pop(victim)
+        _ANN_INDEX_KEY_LOCKS.pop(victim, None)
+        stopped = _ann_entry_stopped(entry)
+        try:
+            entry[2].unpersist(True)
+        except Exception:
+            pass  # owning session already stopped
+        if not stopped:
             import warnings
 
             warnings.warn(
-                f"ann_index cache evicting LIVE-session index {victim[1]!r};"
+                f"ann_index cache evicted LIVE-session index {victim[1]!r};"
                 " subsequent serves for it will rebuild (raise"
-                " _ANN_INDEX_MAX if this session genuinely needs more"
-                f" than {_ANN_INDEX_MAX} corpora)",
+                " _ANN_INDEX_MAX if the process genuinely needs more"
+                f" than {_ANN_INDEX_MAX} live indexes)",
                 stacklevel=3,
             )
-        _, _, old = _ANN_INDEX_CACHE.pop(victim)
-        try:
-            old.unpersist(True)
-        except Exception:
-            pass  # owning session already stopped
 
 
 def ann_index(spark: SparkSession, sf_dir: str):
@@ -773,8 +794,16 @@ def ann_index(spark: SparkSession, sf_dir: str):
         index = pq_encode(emb_r, codebooks).join(assigned, "vec_id").persist()
         index.count()  # materialize the index once, before any serve path
         with _ANN_INDEX_LOCK:
+            stale = _ANN_INDEX_CACHE.get(key)
+            if stale is not None:
+                # only reachable if this key's lock was evicted+recreated
+                # mid-build; don't orphan the racing build's persist
+                try:
+                    stale[2].unpersist(True)
+                except Exception:
+                    pass
             _ANN_INDEX_CACHE[key] = (centroids, codebooks, index)
-            _ann_evict_locked(spark.sparkContext.applicationId)
+            _ann_evict_locked()
         return centroids, codebooks, index
 
 

@@ -129,10 +129,23 @@ def _ensure_epoch_tables(con, cur) -> None:
             con.rollback()
         except Exception:
             pass
-    # column genuinely missing -> migrate; unexpected errors RAISE here,
-    # next to their cause
-    cur.execute("ALTER TABLE __epochs ADD COLUMN partitioner TEXT")
-    con.commit()
+    # column genuinely missing -> migrate. A failed ALTER is re-probed
+    # before raising: a concurrent writer may have migrated between our
+    # probe and our ALTER (duplicate-column error), or the probe itself
+    # may have failed transiently (locked database) on an
+    # already-migrated table — in both cases the column is present now
+    # and the sink can proceed. Only a still-missing column makes the
+    # ALTER failure real, and then it raises here, next to its cause.
+    try:
+        cur.execute("ALTER TABLE __epochs ADD COLUMN partitioner TEXT")
+        con.commit()
+    except Exception:
+        try:
+            con.rollback()
+        except Exception:
+            pass
+        cur.execute("SELECT partitioner FROM __epochs LIMIT 0")
+        cur.fetchall()
 
 
 _PARTITIONER_FP: dict[str, str] = {}

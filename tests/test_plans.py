@@ -205,9 +205,11 @@ def test_ann_index_cache_bounded_eviction(spark, sf, monkeypatch):
 
 
 def test_ann_index_eviction_prefers_stopped_sessions(spark, sf, monkeypatch):
-    """When the cache overflows, entries from OTHER (stopped) sessions
-    are evicted before the current session's own — even if the foreign
-    entry is newer (ADVICE r4)."""
+    """When the cache overflows, entries whose OWNING session is stopped
+    (judged by the cached index's own SparkContext, not by whose
+    applicationId is inserting) are evicted before any live entry —
+    even if the stopped entry is newer. Popping also drops the victim's
+    per-key build lock so the lock dict stays bounded (r5 review)."""
     from flink_template_spark.plans import vectors as V
 
     monkeypatch.setattr(V, "_ANN_INDEX_MAX", 1)
@@ -215,17 +217,22 @@ def test_ann_index_eviction_prefers_stopped_sessions(spark, sf, monkeypatch):
     _, _, idx_a = V.ann_index(spark, sf)
 
     class _Dead:
+        # no .sparkSession -> _ann_entry_stopped treats it as stopped
         def unpersist(self, blocking):
             raise RuntimeError("session stopped")
 
-    # a foreign-session entry inserted AFTER ours (newer in LRU order)
-    V._ANN_INDEX_CACHE[("app-other", sf)] = (None, None, _Dead())
+    # a stopped-session entry inserted AFTER ours (newer in LRU order)
+    dead_key = ("app-other", sf)
+    V._ANN_INDEX_CACHE[dead_key] = (None, None, _Dead())
+    V._ANN_INDEX_KEY_LOCKS.setdefault(dead_key, V.threading.Lock())
     with V._ANN_INDEX_LOCK:
-        V._ann_evict_locked(spark.sparkContext.applicationId)
-    # the foreign entry went first; ours survived, still persisted
+        V._ann_evict_locked()
+    # the stopped entry went first; ours survived, still persisted;
+    # the victim's key lock went with it
     assert list(V._ANN_INDEX_CACHE) == [
         (spark.sparkContext.applicationId, sf)
     ]
+    assert dead_key not in V._ANN_INDEX_KEY_LOCKS
     assert idx_a.storageLevel.useMemory is True
     V._ANN_INDEX_CACHE.clear()
     idx_a.unpersist(True)
