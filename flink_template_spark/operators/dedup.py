@@ -411,3 +411,105 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_inter", "jaccard")
     )
+
+
+def jaccard_prefix_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    t_num: int = 9,
+    t_den: int = 20,
+    n: int = 4,
+) -> DataFrame:
+    """Exact set-similarity join (Jaccard >= t_num/t_den over distinct
+    word n-gram shingles) via PPJoin-style PREFIX FILTERING.
+
+    ``ngram_jaccard_pairs`` buckets on EVERY shingle, so a shingle shared
+    by d documents contributes d*(d-1)/2 candidate pairs — at 100 TB one
+    boilerplate sentence ("all rights reserved ...") appearing in 10 M
+    docs is a 5*10^13-pair bucket that no executor survives. Prefix
+    filtering is the classic exact fix (Chaudhuri et al. ICDE'06 /
+    Xiao et al. WWW'08): order every document's shingle set by GLOBAL
+    document frequency ascending (rarest first, ties by shingle text),
+    index only each document's first p = |S| - ceil(t*|S|) + 1 shingles,
+    and join on those. Any pair with J(A,B) >= t must share at least one
+    prefix shingle (pigeonhole on the common total order), so the
+    candidate set is a strict superset of the answer — but hot
+    boilerplate shingles sit at the END of the frequency order and never
+    enter a prefix, exactly inverting the blow-up. Candidates are then
+    verified exactly against the full shingle sets.
+
+    All threshold math is INTEGER (t = t_num/t_den; ceil(t*s) =
+    (t_num*s + t_den - 1) div t_den; final filter
+    inter*t_den >= t_num*union) — no float boundary epsilon on either
+    engine, so the DuckDB oracle matches bit-for-bit.
+
+    Shuffle shape: one shuffle to count shingle document frequency, one
+    hash-partition by doc for the per-doc frequency ordering (window),
+    one equi-join on prefix shingle, one verify join on the (small)
+    candidate set. No all-pairs stage anywhere.
+    """
+    sh = _shingled(docs, id_col, text_col, n)
+    # global document frequency per shingle — the total order everything
+    # below agrees on
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfreq"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                W.partitionBy(id_col).orderBy("dfreq", "shingle")
+            ),
+        )
+        .withColumn("n_sh", F.count(F.lit(1)).over(W.partitionBy(id_col)))
+    )
+    # prefix length p = s - ceil(t*s) + 1, integer-exact
+    ceil_ts = ((F.lit(t_num) * F.col("n_sh") + F.lit(t_den - 1)) / F.lit(t_den)).cast("bigint")
+    prefix = ranked.filter(F.col("pos") <= F.col("n_sh") - ceil_ts + F.lit(1))
+
+    pa = prefix.select(
+        F.col(id_col).alias("id_a"), "shingle", F.col("n_sh").alias("n_a")
+    )
+    pb = prefix.select(
+        F.col(id_col).alias("id_b"), "shingle", F.col("n_sh").alias("n_b")
+    )
+    # candidate pairs: share >= 1 prefix shingle; the symmetric length
+    # filter t*max <= min prunes pairs no verification could pass
+    cands = (
+        pa.join(pb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.least("n_a", "n_b") * F.lit(t_den)
+            >= F.greatest("n_a", "n_b") * F.lit(t_num)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    docsets = sh.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("shs"),
+        F.count(F.lit(1)).alias("n_sh"),
+    )
+    da = docsets.select(
+        F.col(id_col).alias("id_a"),
+        F.col("shs").alias("shs_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    db = docsets.select(
+        F.col(id_col).alias("id_b"),
+        F.col("shs").alias("shs_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    return (
+        cands.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("n_inter", inter)
+        .filter(F.col("n_inter") * F.lit(t_den) >= F.lit(t_num) * union)
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter").cast("double") / union.cast("double"), 6),
+        )
+        .select("id_a", "id_b", "n_inter", "jaccard")
+    )

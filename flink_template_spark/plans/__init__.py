@@ -49,6 +49,7 @@ from flink_template_spark.plans import datapipe  # noqa: F401
 from flink_template_spark.plans import variant  # noqa: F401
 from flink_template_spark.plans import quality  # noqa: F401
 from flink_template_spark.plans import safety  # noqa: F401
+from flink_template_spark.plans import graph  # noqa: F401
 
 # First 50 = this round's driver-check slate (see module docstring).
 _PRIORITY = [

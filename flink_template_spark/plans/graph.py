@@ -1,0 +1,137 @@
+"""Graph-centrality queries (link-based quality priors).
+
+``q_pagerank_trade`` runs operators.pagerank over the nation-level
+trade graph (customer nation → supplier nation edges derived from
+lineitem⋈orders⋈customer⋈supplier): the batch shape of host-level
+PageRank quality weighting in web-corpus curation. The DuckDB oracle
+replays the SAME fixed number of damped rounds as an unrolled CTE
+chain in the same fixed-point integer arithmetic, so ranks match
+bit-for-bit (no float summation order anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_template_spark.operators.pagerank import (
+    DAMP_DEN,
+    DAMP_NUM,
+    QUANT_PR,
+    pagerank,
+)
+from flink_template_spark.plans.registry import register
+from flink_template_spark.tables import load_table
+
+_PR_ITER = 5
+
+# above-average-volume pairs only: at every SF the raw nation-pair graph
+# is near-complete (regular => uniform, bug-hiding ranks); thresholding
+# on the mean pair weight keeps the degree sequence irregular, and the
+# comparison cnt * n_pairs > total is integer-exact in both engines
+_TRADE_EDGES_SQL = """
+  SELECT src, dst FROM (
+    SELECT src, dst, cnt,
+           COUNT(*) OVER () AS n_pairs,
+           SUM(cnt) OVER () AS total
+    FROM (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             COUNT(*) AS cnt
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY 1, 2
+    )
+  )
+  WHERE cnt * n_pairs > total
+"""
+
+
+def _pagerank_oracle(n_iter: int) -> str:
+    teleport = f"(({DAMP_DEN - DAMP_NUM}) * base_q) // {DAMP_DEN}"
+    rounds = []
+    for i in range(1, n_iter + 1):
+        rounds.append(
+            f"""r{i} AS (
+  SELECT b.id, b.base_q,
+         CAST({teleport}
+              + ({DAMP_NUM} * COALESCE(s.s, 0)) // {DAMP_DEN} AS BIGINT)
+           AS rank_q
+  FROM base b
+  LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.rank_q // d.deg) AS s
+    FROM edges e
+    JOIN outdeg d ON e.src = d.src
+    JOIN r{i - 1} r ON r.id = e.src
+    GROUP BY e.dst
+  ) s ON b.id = s.id
+)"""
+        )
+    chain = ",\n".join(rounds)
+    # AS MATERIALIZED: edges is referenced from every round's CTE and
+    # from outdeg; DuckDB would otherwise INLINE the 4-way lineitem
+    # join once per reference (~15 evaluations for 5 rounds — minutes
+    # at sf0.1 instead of seconds)
+    return f"""
+WITH edges AS MATERIALIZED ({_TRADE_EDGES_SQL}),
+outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+base AS (
+  SELECT n_nationkey AS id,
+         CAST({QUANT_PR} AS BIGINT)
+           // (SELECT COUNT(*) FROM nation) AS base_q
+  FROM nation
+),
+r0 AS (SELECT id, base_q, base_q AS rank_q FROM base),
+{chain}
+SELECT n.n_name, r.rank_q
+FROM r{n_iter} r JOIN nation n ON r.id = n.n_nationkey
+"""
+
+
+@register("q_pagerank_trade", oracle=_pagerank_oracle(_PR_ITER))
+def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 damped rounds, d=85/100, fixed-point bigint ranks)
+    over the cross-nation trade graph. Self-loops (domestic trade) are
+    excluded so the graph has real structure. The per-round shuffle is
+    the edge⋈rank join on src + the contribution sum on dst — the
+    textbook distributed PageRank shape that holds at any edge count;
+    here the node table is 25 rows, so the rank/degree sides broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    pair_counts = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = pair_counts.agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.sum("cnt").alias("total")
+    )
+    # above-mean pair weight, integer-exact (see _TRADE_EDGES_SQL)
+    edges = (
+        pair_counts.crossJoin(F.broadcast(totals))
+        .filter(F.col("cnt") * F.col("n_pairs") > F.col("total"))
+        .select("src", "dst")
+    )
+    nodes = nation.select(F.col("n_nationkey").alias("id"))
+    ranks = pagerank(nodes, edges, n_iter=_PR_ITER)
+    return ranks.join(
+        nation, ranks.id == nation.n_nationkey
+    ).select("n_name", "rank_q")

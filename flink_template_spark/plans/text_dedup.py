@@ -29,6 +29,7 @@ from flink_template_spark.functions.text import (
 from flink_template_spark.operators.components import near_dup_components
 from flink_template_spark.operators.dedup import (
     exact_dup_groups,
+    jaccard_prefix_pairs,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -1119,3 +1120,38 @@ def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+@register(
+    "q_jaccard_prefix_pairs",
+    oracle=f"""
+WITH sh AS ({_duck_shingles(4)}),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT
+  id_a, id_b, n_inter,
+  ROUND(CAST(n_inter AS DOUBLE)
+        / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.id_a = sa.doc_id
+JOIN sizes sb ON inter.id_b = sb.doc_id
+WHERE n_inter * 20 >= 9 * (sa.n_sh + sb.n_sh - n_inter)
+""",
+)
+def q_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 9/20 over 4-gram shingles via PPJoin prefix
+    filtering (operators.dedup.jaccard_prefix_pairs) — the scalable
+    exact dual of q_ngram_jaccard_pairs: candidates come only from the
+    RAREST shingles of each document, so one hot boilerplate shingle
+    can't quadratically explode a bucket. The oracle is the brute-force
+    all-pairs join; the threshold filter is integer arithmetic on both
+    sides, so the boundary is bit-exact with no epsilon."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_prefix_pairs(docs, t_num=9, t_den=20, n=4)

@@ -1,0 +1,129 @@
+"""Unit tests for operators.pagerank and the PPJoin prefix-filter
+set-similarity join (operators.dedup.jaccard_prefix_pairs).
+
+The registry-level oracle comparison (test_queries_oracle) already
+pins both against DuckDB on the real tables; these tests pin the
+ALGORITHMS on adversarial hand-built inputs the synthetic corpus
+doesn't exercise: a known-rank asymmetric graph, a dangling node,
+threshold-boundary pairs, and the hot-boilerplate-shingle case that
+prefix filtering exists to survive.
+"""
+
+from __future__ import annotations
+
+from flink_template_spark.operators.dedup import (
+    jaccard_prefix_pairs,
+    ngram_jaccard_pairs,
+)
+from flink_template_spark.operators.pagerank import (
+    DAMP_DEN,
+    DAMP_NUM,
+    QUANT_PR,
+    pagerank,
+)
+
+
+def _pagerank_reference(n_nodes: int, edges: list[tuple[int, int]], n_iter: int):
+    """Pure-Python replay of the exact integer iteration."""
+    base = QUANT_PR // n_nodes
+    outdeg: dict[int, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {v: base for v in range(n_nodes)}
+    for _ in range(n_iter):
+        sums = {v: 0 for v in range(n_nodes)}
+        for s, d in edges:
+            sums[d] += rank[s] // outdeg[s]
+        rank = {
+            v: ((DAMP_DEN - DAMP_NUM) * base) // DAMP_DEN
+            + (DAMP_NUM * sums[v]) // DAMP_DEN
+            for v in range(n_nodes)
+        }
+    return rank
+
+
+def test_pagerank_matches_reference_on_asymmetric_graph(spark):
+    """4-node graph with a hub (everyone links to 0), a chain, and a
+    dangling node (3 has no out-edges — its rank leaks, by design)."""
+    edges = [(1, 0), (2, 0), (3, 0), (0, 1), (1, 2), (2, 3)]
+    nodes_df = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    edges_df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["id"]: r["rank_q"]
+        for r in pagerank(nodes_df, edges_df, n_iter=4).collect()
+    }
+    want = _pagerank_reference(4, edges, 4)
+    assert got == want
+    # the hub outranks everything; the only-fed-by-the-chain tail is last
+    assert got[0] == max(got.values())
+    assert got[3] == min(got.values())
+
+
+def test_pagerank_rank_mass_conserved_without_dangling(spark):
+    """On a graph with no dangling nodes the only mass loss is the
+    integral-division truncation — total rank stays within n_nodes *
+    (DAMP_DEN + max-truncation) of the initial mass, catching any
+    double-count/drop of contributions."""
+    # directed 3-cycle plus a chord
+    edges = [(0, 1), (1, 2), (2, 0), (0, 2)]
+    nodes_df = spark.createDataFrame([(i,) for i in range(3)], "id long")
+    edges_df = spark.createDataFrame(edges, "src long, dst long")
+    ranks = [
+        r["rank_q"] for r in pagerank(nodes_df, edges_df, n_iter=5).collect()
+    ]
+    assert len(ranks) == 3
+    total = sum(ranks)
+    # each of 5 rounds truncates < DAMP_DEN units per node per div site
+    slack = 3 * 5 * 3 * DAMP_DEN
+    assert QUANT_PR - slack <= total <= QUANT_PR
+
+
+def _docs(spark, texts: list[str]):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_prefix_filter_matches_bruteforce_with_hot_shingle(spark):
+    """A boilerplate sentence shared by EVERY doc (the bucket-join
+    killer) plus genuinely similar pairs: the prefix-filtered join must
+    return exactly the brute-force >= 0.5 answer."""
+    boiler = "all rights reserved by the original author"
+    texts = [
+        f"the quick brown fox jumps over lazy dogs {boiler}",
+        f"the quick brown fox jumps over lazy cats {boiler}",
+        f"completely different words about spark engines {boiler}",
+        f"completely different words about spark engines today {boiler}",
+        f"unrelated text with nothing shared at all whatsoever {boiler}",
+    ]
+    docs = _docs(spark, texts)
+    got = {
+        (r["id_a"], r["id_b"], r["n_inter"], r["jaccard"])
+        for r in jaccard_prefix_pairs(docs, t_num=1, t_den=2, n=3).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], r["n_inter"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert got == want
+    assert got, "fixture must produce at least one qualifying pair"
+
+
+def test_prefix_filter_exact_threshold_boundary(spark):
+    """Integer threshold semantics: a pair at EXACTLY J = t must be
+    kept (inter*t_den >= t_num*union, no float epsilon). Two 9-token
+    docs sharing 7 of their 7+7-3=... construct J exactly 1/2: sets of
+    sizes 6 and 6 sharing 4 shingles -> 4/8 = 1/2."""
+    # 8-token docs -> 6 3-shingles each; first 6 tokens shared -> 4
+    # shared shingles; union = 8 -> J = 0.5 exactly
+    a = "w1 w2 w3 w4 w5 w6 xa xb"
+    b = "w1 w2 w3 w4 w5 w6 yc yd"
+    docs = _docs(spark, [a, b])
+    rows = jaccard_prefix_pairs(docs, t_num=1, t_den=2, n=3).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"], r["n_inter"], r["jaccard"]) == (0, 1, 4, 0.5)
+    # and just under the boundary is excluded at a tighter threshold
+    assert (
+        jaccard_prefix_pairs(docs, t_num=51, t_den=100, n=3).count() == 0
+    )
