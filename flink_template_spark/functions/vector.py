@@ -115,3 +115,18 @@ def dequantize_int8(q: Column) -> Column:
         q.getField("codes"),
         lambda c: c.cast("double") * q.getField("scale"),
     )
+
+
+def rp_signs(out_dim: int, in_dim: int, seed: int = 1337) -> list[list[int]]:
+    """Deterministic ±1 sign matrix for random projection (dense
+    Rademacher / Achlioptas'01 JL variant): out_dim rows of in_dim
+    signs from a fixed-seed PRNG, so the Spark plan and the DuckDB
+    oracle inline the SAME literals (the MINHASH_A/B pattern in
+    functions.hashing)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [1 if rng.random() < 0.5 else -1 for _ in range(in_dim)]
+        for _ in range(out_dim)
+    ]

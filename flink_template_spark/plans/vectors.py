@@ -14,7 +14,12 @@ from collections import OrderedDict
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_template_spark.functions.vector import cosine_sql, l2_norm, l2_norm_sql
+from flink_template_spark.functions.vector import (
+    cosine_sql,
+    l2_norm,
+    l2_norm_sql,
+    rp_signs,
+)
 from flink_template_spark.operators.similarity import (
     brute_force_topk,
     cosine_near_dup_exact,
@@ -1178,4 +1183,80 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("ea"), F.col("en")), 6).alias("cos_an"),
         )
         .orderBy("anchor", "positive")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random projection (Johnson-Lindenstrauss dimensionality reduction)
+# ---------------------------------------------------------------------------
+
+_RP_OUT_DIM = 8
+_RP_IN_DIM = 64  # testdata embedding width; asserted in tests
+_RP_SIGNS = rp_signs(_RP_OUT_DIM, _RP_IN_DIM)
+
+
+def _rp_signs_values_sql() -> str:
+    return ",\n".join(
+        f"  ({j}, {list(_RP_SIGNS[j])})" for j in range(_RP_OUT_DIM)
+    )
+
+
+@register(
+    "q_random_projection",
+    oracle=f"""
+WITH signs(j, s) AS (VALUES
+{_rp_signs_values_sql()}
+),
+ex AS (
+  SELECT vec_id, pos,
+    CAST(ROUND(CAST(embedding[pos + 1] AS DOUBLE) * 10000000.0, 0) AS BIGINT)
+      AS q
+  FROM embeddings, unnest(range(0, len(embedding))) AS t(pos)
+)
+SELECT e.vec_id, signs.j,
+  CAST(SUM(e.q * signs.s[e.pos + 1]) AS BIGINT) / 10000000.0 AS proj
+FROM ex e CROSS JOIN signs
+GROUP BY e.vec_id, signs.j
+""",
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rademacher random projection 64 → 8 dims (Achlioptas'01 dense
+    ±1 JL transform), long format (vec_id, j, proj) — the cheap
+    similarity-preserving compression step ahead of clustering/LSH at
+    lake scale (unscaled signed sums; consumers apply the constant
+    1/sqrt(out_dim) if they need calibrated distances).
+
+    Map-side only until one groupBy(vec_id) with 8 partial-aggregated
+    integer sums: elements are fixed-point-quantized (×1e7 bigint, the
+    operators.kmeans discipline) so the sums — and therefore the
+    projections — are partition-order-independent and bit-identical to
+    the oracle's replay with the SAME inlined sign literals
+    (functions.vector.rp_signs, fixed seed)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("pos", "el"))
+    q = F.round(F.col("el").cast("double") * 10000000.0, 0).cast("bigint")
+    aggs = [
+        F.sum(
+            q
+            * F.element_at(
+                F.array(*[F.lit(s) for s in _RP_SIGNS[j]]),
+                F.col("pos") + 1,
+            )
+        ).alias(f"s{j}")
+        for j in range(_RP_OUT_DIM)
+    ]
+    sums = ex.groupBy("vec_id").agg(*aggs)
+    return sums.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.col(f"s{j}") for j in range(_RP_OUT_DIM)])
+        ).alias("j", "sq"),
+    ).select(
+        "vec_id",
+        "j",
+        # no final rounding: every sum is an exact multiple of 1e-7, so
+        # ROUND(x, 6) would hit exact half-cases where the engines'
+        # tie-breaking differs; bigint→double then one division is the
+        # same correctly-rounded IEEE op in both engines
+        (F.col("sq").cast("double") / F.lit(10000000.0)).alias("proj"),
     )

@@ -127,3 +127,37 @@ def test_prefix_filter_exact_threshold_boundary(spark):
     assert (
         jaccard_prefix_pairs(docs, t_num=51, t_den=100, n=3).count() == 0
     )
+
+
+def test_random_projection_preserves_norms_in_expectation(spark, sf_dir):
+    """Rademacher JL property: for ±1 signs, E[(Px)_j^2] = ||x||^2 per
+    output dim, so averaged over the corpus ||Px||^2 / (k*||x||^2)
+    concentrates near 1 — catches sign-matrix indexing bugs (a
+    misaligned element_at collapses the ratio) without pinning exact
+    values (the DuckDB oracle already does that)."""
+    import math
+
+    from flink_template_spark.plans import registry
+    from flink_template_spark.tables import load_table
+
+    from pyspark.sql import functions as F
+
+    proj = registry.QUERIES["q_random_projection"](spark, sf_dir)
+    pn = proj.groupBy("vec_id").agg(
+        F.sum(F.col("proj") * F.col("proj")).alias("p2")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("x2"),
+    )
+    row = (
+        pn.join(emb, "vec_id")
+        .agg(F.avg(F.col("p2") / (F.lit(8.0) * F.col("x2"))).alias("ratio"))
+        .first()
+    )
+    assert row["ratio"] is not None and math.isfinite(row["ratio"])
+    assert 0.8 < row["ratio"] < 1.2, row["ratio"]
