@@ -73,6 +73,11 @@ EXTENDED = [
     "q_ann_multiprobe_rerank",
     "q_hybrid_search_rrf",
     "q_dataset_datasheet",
+    # round-5 additions: prefix-filtered exact set-similarity join,
+    # integer-exact PageRank, JL random projection
+    "q_jaccard_prefix_pairs",
+    "q_pagerank_trade",
+    "q_random_projection",
 ]
 
 

@@ -451,10 +451,13 @@ def jaccard_prefix_pairs(
     """
     sh = _shingled(docs, id_col, text_col, n)
     # global document frequency per shingle — the total order everything
-    # below agrees on
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfreq"))
+    # below agrees on. Window count over the shingle partition, not
+    # groupBy+self-join: one exchange on shingle instead of two plus a
+    # join, and the downstream doc-keyed window reshuffles either way.
     ranked = (
-        sh.join(dfreq, "shingle")
+        sh.withColumn(
+            "dfreq", F.count(F.lit(1)).over(W.partitionBy("shingle"))
+        )
         .withColumn(
             "pos",
             F.row_number().over(

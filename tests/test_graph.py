@@ -161,3 +161,53 @@ def test_random_projection_preserves_norms_in_expectation(spark, sf_dir):
     )
     assert row["ratio"] is not None and math.isfinite(row["ratio"])
     assert 0.8 < row["ratio"] < 1.2, row["ratio"]
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_word_st = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+)
+_doc_st = st.lists(_word_st, min_size=5, max_size=12).map(" ".join)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(_doc_st, min_size=3, max_size=7),
+    thresh=st.sampled_from([(1, 3), (1, 2), (2, 3), (9, 20)]),
+)
+def test_prefix_filter_equals_bruteforce_property(spark, texts, thresh):
+    """Hypothesis: on random tiny-vocab corpora (maximal shingle
+    collisions — the adversarial case for prefix selection) the
+    prefix-filtered join returns EXACTLY the brute-force answer at any
+    rational threshold. Pairs are compared on ids and intersection size
+    (the brute-force jaccard is float-rounded; the integer fields are
+    the exact semantics)."""
+    t_num, t_den = thresh
+    docs = _docs(spark, texts)
+    got = {
+        (r["id_a"], r["id_b"], r["n_inter"])
+        for r in jaccard_prefix_pairs(
+            docs, t_num=t_num, t_den=t_den, n=2
+        ).collect()
+    }
+    # brute force in plain Python over the same 2-gram shingle sets
+    def shingles(t):
+        w = t.split(" ")
+        return {" ".join(w[i : i + 2]) for i in range(len(w) - 1)}
+
+    sets = {i: shingles(t) for i, t in enumerate(texts)}
+    want = set()
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if inter * t_den >= t_num * union:
+                    want.add((a, b, inter))
+    assert got == want

@@ -254,24 +254,37 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
 
 def _unpartitioned_window_count(plan: str) -> int:
     """Count WindowExec nodes with an EMPTY partition spec: in
-    explain('formatted') a Window node's Arguments line has 3 top-level
-    bracket groups ([exprs], [partitionSpec], [orderSpec]) when
-    partitioned and only 2 when not."""
+    explain('formatted') a Window node's Arguments line prints only the
+    NON-EMPTY groups of ([exprs], [partitionSpec], [orderSpec]) — 3
+    groups means partitioned+ordered; with 2 groups the second is
+    EITHER a partition spec (partitioned, no ordering — e.g. a plain
+    count() over partitionBy, fine at scale) or an order spec
+    (UNPARTITIONED ordered window — the full-data funnel this audit
+    exists to catch). Order-spec entries always carry a sort direction
+    token; partition specs never do."""
     import re
 
     n = 0
     for m in re.finditer(
         r"^\(\d+\) Window\n(?:[^\n]*\n)*?Arguments: ([^\n]*)$", plan, re.M
     ):
-        depth = groups = 0
-        for ch in m.group(1):
+        args = m.group(1)
+        depth = 0
+        groups: list[str] = []
+        start = 0
+        for i, ch in enumerate(args):
             if ch == "[":
                 if depth == 0:
-                    groups += 1
+                    start = i
                 depth += 1
             elif ch == "]":
                 depth -= 1
-        n += groups == 2
+                if depth == 0:
+                    groups.append(args[start : i + 1])
+        if len(groups) < 2:
+            n += 1  # bare window funcs: no partition spec at all
+        elif len(groups) == 2:
+            n += " ASC" in groups[1] or " DESC" in groups[1]
     return n
 
 
