@@ -466,8 +466,9 @@ def jaccard_prefix_pairs(
         )
         .withColumn("n_sh", F.count(F.lit(1)).over(W.partitionBy(id_col)))
     )
-    # prefix length p = s - ceil(t*s) + 1, integer-exact
-    ceil_ts = ((F.lit(t_num) * F.col("n_sh") + F.lit(t_den - 1)) / F.lit(t_den)).cast("bigint")
+    # prefix length p = s - ceil(t*s) + 1, integer-exact (integral DIV,
+    # not float division + cast — the docstring's invariant)
+    ceil_ts = F.expr(f"({t_num} * n_sh + {t_den - 1}) DIV {t_den}")
     prefix = ranked.filter(F.col("pos") <= F.col("n_sh") - ceil_ts + F.lit(1))
 
     pa = prefix.select(

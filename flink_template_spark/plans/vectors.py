@@ -723,17 +723,19 @@ def _ann_evict_locked() -> None:
     stopped-session entries oldest-first, then — with a post-pop
     warning — the oldest live entry."""
     while len(_ANN_INDEX_CACHE) > _ANN_INDEX_MAX:
-        victim = next(
+        # one liveness probe per entry (it's a py4j round-trip held
+        # under the global lock): carry the scan's verdict to the
+        # post-pop warning instead of re-probing the victim
+        victim, stopped = next(
             (
-                k
+                (k, True)
                 for k, v in _ANN_INDEX_CACHE.items()
                 if _ann_entry_stopped(v)
             ),
-            next(iter(_ANN_INDEX_CACHE)),
+            (next(iter(_ANN_INDEX_CACHE)), False),
         )
         entry = _ANN_INDEX_CACHE.pop(victim)
         _ANN_INDEX_KEY_LOCKS.pop(victim, None)
-        stopped = _ann_entry_stopped(entry)
         try:
             entry[2].unpersist(True)
         except Exception:

@@ -139,13 +139,22 @@ def _ensure_epoch_tables(con, cur) -> None:
     try:
         cur.execute("ALTER TABLE __epochs ADD COLUMN partitioner TEXT")
         con.commit()
-    except Exception:
+    except Exception as alter_err:
         try:
             con.rollback()
         except Exception:
             pass
-        cur.execute("SELECT partitioner FROM __epochs LIMIT 0")
-        cur.fetchall()
+        try:
+            cur.execute("SELECT partitioner FROM __epochs LIMIT 0")
+            cur.fetchall()
+        except Exception:
+            try:
+                con.rollback()
+            except Exception:
+                pass
+            # column still missing: the ALTER failure is the root cause
+            # — keep it primary, not the re-probe's no-such-column
+            raise alter_err
 
 
 _PARTITIONER_FP: dict[str, str] = {}
