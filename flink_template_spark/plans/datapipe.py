@@ -497,3 +497,58 @@ def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cell", "bin_id", "n_docs", "bin_tokens", shard)
         .orderBy("cell", "bin_id")
     )
+
+
+def rendezvous_shard(
+    id_col: str, n_shards: int, salt: str = "rz"
+) -> F.Column:
+    """Rendezvous (highest-random-weight) shard assignment as a pure
+    map-side expression: shard = argmax over s of h(salt:id:s), ties to
+    the lowest s. Unlike ``hash % n`` (q_training_shards), growing the
+    shard count from N to N+1 moves only ~1/(N+1) of the corpus — each
+    doc moves iff the NEW shard's weight beats its current maximum —
+    which is what keeps a 100 TB re-shard (or a shard-count bump on a
+    live dataset) from rewriting every file. Weights are the portable
+    md5 integer, so assignment is reproducible across engines and
+    backfills (same contract as the samplers above).
+
+    The argmax folds through ``greatest`` over (weight, -s) structs —
+    row-local codegen expressions, zero shuffle at any scale."""
+    cands = [
+        F.struct(
+            F.expr(
+                md5int_spark(
+                    f"CONCAT('{salt}:', CAST({id_col} AS STRING), ':', '{s}')"
+                )
+            ).alias("w"),
+            F.lit(-s).alias("ns"),
+        )
+        for s in range(n_shards)
+    ]
+    return (-F.greatest(*cands).getField("ns")).cast("bigint")
+
+
+def _rendezvous_oracle(n_shards: int, salt: str = "rz") -> str:
+    w = md5int_duckdb(
+        f"'{salt}:' || CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)"
+    )
+    return f"""
+SELECT doc_id, shard FROM (
+  SELECT doc_id, s AS shard,
+    ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY {w} DESC, s
+    ) AS rk
+  FROM documents, unnest(range(0, {n_shards})) AS t(s)
+) WHERE rk = 1
+"""
+
+
+@register("q_rendezvous_shards", oracle=_rendezvous_oracle(N_SHARDS))
+def q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent shard assignment via rendezvous hashing (see
+    rendezvous_shard); the movement bound under shard-count growth is
+    pinned in tests/test_datapipe.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rendezvous_shard("doc_id", N_SHARDS).alias("shard")
+    )

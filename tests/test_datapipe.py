@@ -107,3 +107,33 @@ def test_training_data_pipeline_invariants(spark, sf_dir):
     assert all("/" in c for c in cells)  # split/lang cells
     again = q(spark, sf_dir).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_rendezvous_shard_minimal_movement(spark, sf_dir):
+    """THE consistent-hashing property: growing N shards to N+1 moves
+    only the docs whose new shard's weight beats their previous max —
+    ~1/(N+1) of the corpus in expectation. hash%N would move ~N/(N+1).
+    Also: every moved doc must move TO the new shard (a rendezvous
+    invariant — existing shards' weights are unchanged)."""
+    from flink_template_spark.plans.datapipe import rendezvous_shard
+    from flink_template_spark.tables import load_table
+
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    both = docs.select(
+        "doc_id",
+        rendezvous_shard("doc_id", 8).alias("s8"),
+        rendezvous_shard("doc_id", 9).alias("s9"),
+    )
+    agg = both.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("s8") != F.col("s9")).cast("int")).alias("moved"),
+        F.sum(
+            ((F.col("s8") != F.col("s9")) & (F.col("s9") != 8)).cast("int")
+        ).alias("moved_wrong"),
+    ).first()
+    assert agg["moved_wrong"] == 0
+    frac = agg["moved"] / agg["n"]
+    # expectation 1/9 ~ 11%; generous bound still far below hash%N's ~89%
+    assert frac < 0.25, frac

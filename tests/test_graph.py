@@ -211,3 +211,33 @@ def test_prefix_filter_equals_bruteforce_property(spark, texts, thresh):
                 if inter * t_den >= t_num * union:
                     want.add((a, b, inter))
     assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 4)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=10,
+        unique=True,
+    ),
+    n_iter=st.integers(1, 3),
+)
+def test_pagerank_property_matches_reference(spark, edges, n_iter):
+    """Hypothesis: on random digraphs the distributed integer iteration
+    equals the pure-Python replay exactly — any contribution routed to
+    the wrong endpoint, dropped dangling node, or division-order drift
+    breaks bigint equality."""
+    nodes_df = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    edges_df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["id"]: r["rank_q"]
+        for r in pagerank(nodes_df, edges_df, n_iter=n_iter).collect()
+    }
+    assert got == _pagerank_reference(5, edges, n_iter)
