@@ -90,15 +90,9 @@ FROM r{n_iter} r JOIN nation n ON r.id = n.n_nationkey
 """
 
 
-@register("q_pagerank_trade", oracle=_pagerank_oracle(_PR_ITER))
-def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank (5 damped rounds, d=85/100, fixed-point bigint ranks)
-    over the cross-nation trade graph. Self-loops (domestic trade) are
-    excluded so the graph has real structure. The per-round shuffle is
-    the edge⋈rank join on src + the contribution sum on dst — the
-    textbook distributed PageRank shape that holds at any edge count;
-    here the node table is 25 rows, so the rank/degree sides broadcast.
-    """
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The directed above-mean-volume trade edge table (src, dst) —
+    the Spark dual of _TRADE_EDGES_SQL."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
@@ -109,7 +103,6 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_nationkey"
     )
-    nation = load_table(spark, sf_dir, "nation")
     pair_counts = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
@@ -125,13 +118,78 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"), F.sum("cnt").alias("total")
     )
     # above-mean pair weight, integer-exact (see _TRADE_EDGES_SQL)
-    edges = (
+    return (
         pair_counts.crossJoin(F.broadcast(totals))
         .filter(F.col("cnt") * F.col("n_pairs") > F.col("total"))
         .select("src", "dst")
     )
+
+
+@register("q_pagerank_trade", oracle=_pagerank_oracle(_PR_ITER))
+def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 damped rounds, d=85/100, fixed-point bigint ranks)
+    over the cross-nation trade graph. Self-loops (domestic trade) are
+    excluded so the graph has real structure. The per-round shuffle is
+    the edge⋈rank join on src + the contribution sum on dst — the
+    textbook distributed PageRank shape that holds at any edge count;
+    here the node table is 25 rows, so the rank/degree sides broadcast.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    edges = _trade_edges(spark, sf_dir)
     nodes = nation.select(F.col("n_nationkey").alias("id"))
     ranks = pagerank(nodes, edges, n_iter=_PR_ITER)
     return ranks.join(
         nation, ranks.id == nation.n_nationkey
     ).select("n_name", "rank_q")
+
+
+@register(
+    "q_triangle_participation",
+    oracle=f"""
+WITH edges AS MATERIALIZED ({_TRADE_EDGES_SQL}),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS x, GREATEST(src, dst) AS y
+  FROM edges WHERE src <> dst
+),
+tri AS (
+  SELECT e1.x AS a, e1.y AS b, e2.y AS c
+  FROM und e1
+  JOIN und e2 ON e2.x = e1.y
+  JOIN und e3 ON e3.x = e1.x AND e3.y = e2.y
+),
+corners AS (
+  SELECT a AS v FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT n.n_name, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS n_triangles
+FROM nation n
+LEFT JOIN (SELECT v, COUNT(*) AS cnt FROM corners GROUP BY v) c
+  ON n.n_nationkey = c.v
+""",
+)
+def q_triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation triangle participation in the undirected trade graph
+    (operators.triangles — degree-ordered wedge join, each triangle
+    found once). The oracle enumerates triangles the brute a<b<c way;
+    both sides count the identical triangle SET, so participation
+    counts match exactly. Nations in no triangle report 0."""
+    from flink_template_spark.operators.triangles import triangles
+
+    nation = load_table(spark, sf_dir, "nation")
+    tri = triangles(_trade_edges(spark, sf_dir))
+    corners = (
+        tri.select(F.col("a").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("v")))
+        .unionAll(tri.select(F.col("c").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return nation.join(
+        corners, nation.n_nationkey == corners.v, "left"
+    ).select(
+        "n_name",
+        F.coalesce(F.col("cnt"), F.lit(0).cast("bigint")).alias(
+            "n_triangles"
+        ),
+    )

@@ -241,3 +241,57 @@ def test_pagerank_property_matches_reference(spark, edges, n_iter):
         for r in pagerank(nodes_df, edges_df, n_iter=n_iter).collect()
     }
     assert got == _pagerank_reference(5, edges, n_iter)
+
+
+from itertools import combinations  # noqa: E402
+
+from flink_template_spark.operators.triangles import triangles  # noqa: E402
+
+
+def _tri_brute(edges):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({v for e in und for v in e})
+    return {
+        (a, b, c)
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in und and (b, c) in und and (a, c) in und
+    }
+
+
+def test_triangles_known_graph_with_hub(spark):
+    """K4 plus a hub wired to everything: 4 triangles in K4 + C(4,2)=6
+    through the hub; the hub's high degree must not duplicate or drop
+    any (the orientation points every hub edge INTO the hub)."""
+    k4 = [(a, b) for a, b in combinations(range(4), 2)]
+    hub = [(v, 9) for v in range(4)]
+    edges = k4 + hub
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r["a"], r["b"], r["c"]) for r in triangles(df).collect()}
+    want = _tri_brute(edges)
+    assert got == want
+    assert len(got) == 4 + 6
+
+
+def test_triangles_ignores_direction_duplicates_and_self_loops(spark):
+    edges = [(0, 1), (1, 0), (1, 2), (2, 0), (0, 0), (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r["a"], r["b"], r["c"]) for r in triangles(df).collect()}
+    assert got == {(0, 1, 2)}
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_triangles_property_matches_bruteforce(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r["a"], r["b"], r["c"]) for r in triangles(df).collect()}
+    assert got == _tri_brute(edges)
