@@ -17,6 +17,7 @@ from flink_template_spark.functions.hashing import (
     NUM_HASHES,
     ROWS_PER_BAND,
     md5int_duckdb,
+    md5int_spark,
     minhash_expr,
 )
 from flink_template_spark.functions.text import (
@@ -1155,3 +1156,96 @@ def q_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides, so the boundary is bit-exact with no epsilon."""
     docs = load_table(spark, sf_dir, "documents")
     return jaccard_prefix_pairs(docs, t_num=9, t_den=20, n=4)
+
+
+# full winnowing (Schleimer/Wilkerson/Aiken SIGMOD'03): k-gram hashes,
+# sliding window of WINNOW_W consecutive hashes, keep each window's
+# minimum with the RIGHTMOST-position tie-break; guarantees any shared
+# substring of >= WINNOW_W + WINNOW_K - 1 tokens yields a shared
+# fingerprint. The (hash, rightmost-pos) selection is encoded in ONE
+# bigint key = h * 2^20 + (2^20-1-pos) so the window MIN is a single
+# portable integer op in both engines (pos < 2^20 guarded by doc size).
+WINNOW_K = 3
+WINNOW_W = 4
+_POS_ENC = 1 << 20
+
+
+@register(
+    "q_winnowing_fingerprints",
+    oracle=f"""
+WITH kg AS (
+  SELECT doc_id, i - 1 AS pos,
+         {md5int_duckdb("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS h
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       unnest(range(1, len(w) - {WINNOW_K - 2})) AS t(i)
+),
+keyed AS (
+  SELECT doc_id, pos,
+         h * {_POS_ENC} + ({_POS_ENC - 1} - pos) AS key,
+         MIN(h * {_POS_ENC} + ({_POS_ENC - 1} - pos)) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING
+         ) AS minkey,
+         COUNT(*) OVER (PARTITION BY doc_id) AS m
+  FROM kg
+)
+SELECT DISTINCT doc_id,
+  CAST(minkey // {_POS_ENC} AS BIGINT) AS fp_hash,
+  CAST({_POS_ENC - 1} - (minkey % {_POS_ENC}) AS BIGINT) AS fp_pos
+FROM keyed
+WHERE pos <= m - {WINNOW_W}
+""",
+)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed fingerprint set per document: (fp_hash, fp_pos) of the
+    rightmost-minimum k-gram hash in every window of WINNOW_W
+    consecutive hashes, deduplicated (consecutive windows usually
+    re-select the same minimum — that collapse is winnowing's density
+    guarantee, ~2/(w+1) of positions). One doc-keyed window shuffle
+    covers the k-gram build, the sliding min, and the dedup; at corpus
+    scale fingerprints feed an equi-join index exactly like MinHash
+    bands (a shared >= w+k-1-token passage ALWAYS shares a
+    fingerprint — the exact-guarantee dual of MinHash's probabilistic
+    one)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w0")
+    )
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    lead_cols = [
+        F.lead("w0", i).over(wd).alias(f"w{i}") for i in range(1, WINNOW_K)
+    ]
+    kg = (
+        tok.select("doc_id", "pos", "w0", *lead_cols)
+        .filter(F.col(f"w{WINNOW_K - 1}").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.expr(
+                md5int_spark(
+                    "concat_ws(' ', "
+                    + ", ".join(f"w{i}" for i in range(WINNOW_K))
+                    + ")"
+                )
+            ).alias("h"),
+        )
+    )
+    key = F.col("h") * _POS_ENC + (F.lit(_POS_ENC - 1) - F.col("pos"))
+    wk = wd.rowsBetween(0, WINNOW_W - 1)
+    keyed = kg.select(
+        "doc_id",
+        "pos",
+        F.min(key).over(wk).alias("minkey"),
+        F.count(F.lit(1)).over(W.partitionBy("doc_id")).alias("m"),
+    )
+    return (
+        keyed.filter(F.col("pos") <= F.col("m") - WINNOW_W)
+        .select(
+            "doc_id",
+            F.expr(f"minkey DIV {_POS_ENC}").alias("fp_hash"),
+            (F.lit(_POS_ENC - 1) - F.col("minkey") % _POS_ENC).alias(
+                "fp_pos"
+            ),
+        )
+        .distinct()
+    )

@@ -295,3 +295,66 @@ def test_triangles_property_matches_bruteforce(spark, edges):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {(r["a"], r["b"], r["c"]) for r in triangles(df).collect()}
     assert got == _tri_brute(edges)
+
+
+def _winnow_brute(text, k=3, w=4):
+    """Pure-Python winnowing with rightmost-min tie-break."""
+    import hashlib
+
+    toks = text.split(" ")
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = [
+        int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams
+    ]
+    out = set()
+    for s in range(len(hs) - w + 1):
+        win = hs[s : s + w]
+        mn = min(win)
+        pos = s + max(i for i, h in enumerate(win) if h == mn)
+        out.add((mn, pos))
+    return out
+
+
+def test_winnowing_matches_python_reference(spark, sf_dir):
+    """The Spark winnowing query equals the classic per-doc Python
+    algorithm on the first documents of the real corpus."""
+    from flink_template_spark.plans import registry
+    from flink_template_spark.tables import load_table
+
+    df = registry.QUERIES["q_winnowing_fingerprints"](spark, sf_dir)
+    got = {}
+    for r in df.filter("doc_id < 5").collect():
+        got.setdefault(r["doc_id"], set()).add((r["fp_hash"], r["fp_pos"]))
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter("doc_id < 5")
+        .collect()
+    }
+    for did, text in docs.items():
+        assert got.get(did, set()) == _winnow_brute(text), did
+
+
+def test_winnowing_shared_passage_guarantee(spark, monkeypatch, tmp_path):
+    """THE winnowing guarantee: two docs sharing a >= w+k-1 = 6-token
+    passage share at least one fingerprint HASH, however different the
+    surrounding text."""
+    passage = "alpha beta gamma delta epsilon zeta"
+    texts = [
+        f"one two three four {passage} five six seven eight",
+        f"nine ten {passage} eleven twelve thirteen fourteen fifteen",
+    ]
+    a, b = (_winnow_brute(t) for t in texts)
+    shared = {h for h, _ in a} & {h for h, _ in b}
+    assert shared, "reference must share a fingerprint"
+    # and the Spark operator agrees on both docs
+    df = _docs(spark, texts)
+    import flink_template_spark.plans.text_dedup as TD
+    from flink_template_spark.tables import load_table as _lt
+
+    monkeypatch.setattr(TD, "load_table", lambda s, d, t: df)
+    out = TD.q_winnowing_fingerprints(spark, "unused")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], set()).add((r["fp_hash"], r["fp_pos"]))
+    assert got[0] == a and got[1] == b
