@@ -552,3 +552,61 @@ def q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", rendezvous_shard("doc_id", N_SHARDS).alias("shard")
     )
+
+
+_PRIORITY_K = 5
+_PRIORITY_SALT = "ps"
+
+
+@register(
+    "q_priority_sample",
+    oracle=f"""
+SELECT doc_id, lang, n_chars, priority FROM (
+  SELECT doc_id, lang, n_chars,
+    (({md5int_duckdb(f"'{_PRIORITY_SALT}:' || CAST(doc_id AS VARCHAR)")} + 1)
+      / 4294967296.0) / n_chars AS priority,
+    ROW_NUMBER() OVER (
+      PARTITION BY lang
+      ORDER BY (({md5int_duckdb(f"'{_PRIORITY_SALT}:' || CAST(doc_id AS VARCHAR)")} + 1)
+        / 4294967296.0) / n_chars, doc_id
+    ) AS rk
+  FROM documents WHERE n_chars > 0
+) WHERE rk <= {_PRIORITY_K}
+""",
+)
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup, JACM'07): weighted
+    WITHOUT-replacement k-per-stratum — each doc gets priority u/w
+    (u uniform from the portable hash, w = n_chars) and the k smallest
+    priorities per language win, giving heavier docs proportionally
+    higher inclusion odds plus unbiased subset-sum estimators (the
+    (k+1)-th priority is the estimation threshold). Complements
+    q_weighted_sample's Bernoulli design (variable size, independent)
+    with a FIXED-size-per-stratum draw.
+
+    Engine-portable with zero tolerance: u = (h+1)/2^32 divides by a
+    power of two (exact in IEEE), and u/w is one correctly-rounded
+    division both engines perform identically — so even the priority
+    VALUES hash-match, no rounding discipline needed. Per-stratum
+    top-k = partitioned window heap, no global sort."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.expr(
+            md5int_spark(
+                f"CONCAT('{_PRIORITY_SALT}:', CAST(doc_id AS STRING))"
+            )
+        )
+        + 1
+    ) / F.lit(4294967296.0)
+    pri = u / F.col("n_chars")
+    w = W.partitionBy("lang").orderBy(pri.asc(), F.col("doc_id").asc())
+    return (
+        docs.select(
+            "doc_id", "lang", "n_chars", pri.alias("priority"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= _PRIORITY_K)
+        .select("doc_id", "lang", "n_chars", "priority")
+    )

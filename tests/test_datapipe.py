@@ -137,3 +137,32 @@ def test_rendezvous_shard_minimal_movement(spark, sf_dir):
     frac = agg["moved"] / agg["n"]
     # expectation 1/9 ~ 11%; generous bound still far below hash%N's ~89%
     assert frac < 0.25, frac
+
+
+def test_priority_sample_fixed_size_and_weight_bias(spark, sf_dir):
+    """Priority sampling draws exactly min(k, |stratum|) docs per
+    language, never repeats a doc, and — the point of weighting —
+    over-represents heavy (long) docs: the selected mean n_chars must
+    exceed the corpus mean."""
+    from flink_template_spark.plans import registry
+    from flink_template_spark.plans.datapipe import _PRIORITY_K
+    from flink_template_spark.tables import load_table
+
+    from pyspark.sql import functions as F
+
+    sel = registry.QUERIES["q_priority_sample"](spark, sf_dir)
+    rows = sel.collect()
+    assert len(rows) == len({r["doc_id"] for r in rows})
+    docs = load_table(spark, sf_dir, "documents").filter("n_chars > 0")
+    sizes = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    per_lang: dict = {}
+    for r in rows:
+        per_lang[r["lang"]] = per_lang.get(r["lang"], 0) + 1
+    for lang, n in sizes.items():
+        assert per_lang.get(lang, 0) == min(_PRIORITY_K, n), lang
+    sel_mean = sum(r["n_chars"] for r in rows) / len(rows)
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    assert sel_mean > corpus_mean
