@@ -74,10 +74,15 @@ EXTENDED = [
     "q_hybrid_search_rrf",
     "q_dataset_datasheet",
     # round-5 additions: prefix-filtered exact set-similarity join,
-    # integer-exact PageRank, JL random projection
+    # integer-exact PageRank, JL random projection, consistent
+    # sharding, triangle counting, winnowing, priority sampling
     "q_jaccard_prefix_pairs",
     "q_pagerank_trade",
     "q_random_projection",
+    "q_rendezvous_shards",
+    "q_triangle_participation",
+    "q_winnowing_fingerprints",
+    "q_priority_sample",
 ]
 
 

@@ -57,6 +57,7 @@ def shingle_rows(
     text_col: str = "text",
     distinct: bool = True,
     extra_cols: list[str] | None = None,
+    keep_pos: bool = False,
 ) -> DataFrame:
     """Exploded (id, shingle) word n-gram rows, built in codegen.
 
@@ -80,20 +81,25 @@ def shingle_rows(
     (measured ~2× slower end-to-end at sf0.1).
     """
     extras = [F.col(c) for c in (extra_cols or [])]
+    pos_cols = [F.col("pos")] if keep_pos else []
     tok = docs.select(
         F.col(id_col),
         *extras,
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
     )
     if n == 1:
-        out = tok.select(F.col(id_col), *extras, F.col("w").alias("shingle"))
+        out = tok.select(
+            F.col(id_col), *extras, *pos_cols, F.col("w").alias("shingle")
+        )
         return out.distinct() if distinct else out
     w = W.partitionBy(id_col).orderBy("pos")
     leads = [F.lead("w", k).over(w).alias(f"w{k}") for k in range(1, n)]
-    with_leads = tok.select(F.col(id_col), *extras, F.col("w"), *leads)
+    with_leads = tok.select(
+        F.col(id_col), *extras, F.col("pos"), F.col("w"), *leads
+    )
     shingle = F.concat_ws(" ", "w", *[f"w{k}" for k in range(1, n)])
     out = with_leads.filter(F.col(f"w{n-1}").isNotNull()).select(
-        F.col(id_col), *extras, shingle.alias("shingle")
+        F.col(id_col), *extras, *pos_cols, shingle.alias("shingle")
     )
     return out.distinct() if distinct else out
 

@@ -67,15 +67,12 @@ def triangles(
     )
     tri = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
     # canonical corner order by id (the orientation order was by
-    # degree); middle corner = sum minus extremes (ids are integral)
+    # degree); array_sort, not sum-minus-extremes — the arithmetic
+    # trick overflows bigint under ANSI mode for ids near 2^62
+    # (64-bit hashed node ids are the norm on real web graphs)
+    corners = F.array_sort(F.array("u", "v1", "v2"))
     return tri.select(
-        F.least("u", "v1", "v2").alias("a"),
-        (
-            F.col("u")
-            + F.col("v1")
-            + F.col("v2")
-            - F.least("u", "v1", "v2")
-            - F.greatest("u", "v1", "v2")
-        ).alias("b"),
-        F.greatest("u", "v1", "v2").alias("c"),
+        F.element_at(corners, 1).alias("a"),
+        F.element_at(corners, 2).alias("b"),
+        F.element_at(corners, 3).alias("c"),
     )

@@ -514,6 +514,11 @@ def rendezvous_shard(
 
     The argmax folds through ``greatest`` over (weight, -s) structs —
     row-local codegen expressions, zero shuffle at any scale."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if n_shards == 1:
+        # F.greatest needs >= 2 args; one shard wins every race anyway
+        return F.lit(0).cast("bigint")
     cands = [
         F.struct(
             F.expr(

@@ -405,7 +405,6 @@ FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash-style fingerprint: min 32-bit hash over 4-word
     shingles (winnowing-lite) + full md5."""
-    from flink_template_spark.functions.hashing import md5int_spark
     from flink_template_spark.operators.dedup import shingle_rows
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1163,11 +1162,15 @@ def q_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # minimum with the RIGHTMOST-position tie-break; guarantees any shared
 # substring of >= WINNOW_W + WINNOW_K - 1 tokens yields a shared
 # fingerprint. The (hash, rightmost-pos) selection is encoded in ONE
-# bigint key = h * 2^20 + (2^20-1-pos) so the window MIN is a single
-# portable integer op in both engines (pos < 2^20 guarded by doc size).
+# bigint key = h * 2^31 + (2^31-1-pos): the window MIN is a single
+# portable integer op in both engines, max key = (2^32-1)*2^31 + 2^31-1
+# = 2^63-1 exactly (no bigint overflow even under ANSI mode), and the
+# encoding is lossless for any document under 2^31 tokens — far beyond
+# the longest real document, vs. the 2^20 (1M-token) cliff an earlier
+# draft had.
 WINNOW_K = 3
 WINNOW_W = 4
-_POS_ENC = 1 << 20
+_POS_ENC = 1 << 31
 
 
 @register(
@@ -1207,29 +1210,13 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands (a shared >= w+k-1-token passage ALWAYS shares a
     fingerprint — the exact-guarantee dual of MinHash's probabilistic
     one)."""
+    from flink_template_spark.operators.dedup import shingle_rows
+
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w0")
+    kg = shingle_rows(docs, WINNOW_K, distinct=False, keep_pos=True).select(
+        "doc_id", "pos", F.expr(md5int_spark("shingle")).alias("h")
     )
     wd = W.partitionBy("doc_id").orderBy("pos")
-    lead_cols = [
-        F.lead("w0", i).over(wd).alias(f"w{i}") for i in range(1, WINNOW_K)
-    ]
-    kg = (
-        tok.select("doc_id", "pos", "w0", *lead_cols)
-        .filter(F.col(f"w{WINNOW_K - 1}").isNotNull())
-        .select(
-            "doc_id",
-            "pos",
-            F.expr(
-                md5int_spark(
-                    "concat_ws(' ', "
-                    + ", ".join(f"w{i}" for i in range(WINNOW_K))
-                    + ")"
-                )
-            ).alias("h"),
-        )
-    )
     key = F.col("h") * _POS_ENC + (F.lit(_POS_ENC - 1) - F.col("pos"))
     wk = wd.rowsBetween(0, WINNOW_W - 1)
     keyed = kg.select(

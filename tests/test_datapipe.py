@@ -166,3 +166,17 @@ def test_priority_sample_fixed_size_and_weight_bias(spark, sf_dir):
     sel_mean = sum(r["n_chars"] for r in rows) / len(rows)
     corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
     assert sel_mean > corpus_mean
+
+
+def test_rendezvous_shard_degenerate_counts(spark):
+    """n_shards=1 returns shard 0 for every row (greatest needs two
+    args, so the single-shard case short-circuits); n_shards=0 raises."""
+    import pytest
+
+    from flink_template_spark.plans.datapipe import rendezvous_shard
+
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    out = df.select(rendezvous_shard("doc_id", 1).alias("s")).collect()
+    assert {r["s"] for r in out} == {0}
+    with pytest.raises(ValueError):
+        rendezvous_shard("doc_id", 0)

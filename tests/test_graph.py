@@ -335,7 +335,7 @@ def test_winnowing_matches_python_reference(spark, sf_dir):
         assert got.get(did, set()) == _winnow_brute(text), did
 
 
-def test_winnowing_shared_passage_guarantee(spark, monkeypatch, tmp_path):
+def test_winnowing_shared_passage_guarantee(spark, monkeypatch):
     """THE winnowing guarantee: two docs sharing a >= w+k-1 = 6-token
     passage share at least one fingerprint HASH, however different the
     surrounding text."""
@@ -350,7 +350,6 @@ def test_winnowing_shared_passage_guarantee(spark, monkeypatch, tmp_path):
     # and the Spark operator agrees on both docs
     df = _docs(spark, texts)
     import flink_template_spark.plans.text_dedup as TD
-    from flink_template_spark.tables import load_table as _lt
 
     monkeypatch.setattr(TD, "load_table", lambda s, d, t: df)
     out = TD.q_winnowing_fingerprints(spark, "unused")
@@ -358,3 +357,14 @@ def test_winnowing_shared_passage_guarantee(spark, monkeypatch, tmp_path):
     for r in out.collect():
         got.setdefault(r["doc_id"], set()).add((r["fp_hash"], r["fp_pos"]))
     assert got[0] == a and got[1] == b
+
+
+def test_triangles_survives_64bit_node_ids(spark):
+    """Node ids near 2^62 (hashed web-graph ids): the canonical corner
+    ordering must not overflow bigint under ANSI mode (the old
+    sum-minus-extremes middle-corner trick did)."""
+    base = 1 << 62
+    edges = [(base, base + 1), (base + 1, base + 2), (base, base + 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = [(r["a"], r["b"], r["c"]) for r in triangles(df).collect()]
+    assert got == [(base, base + 1, base + 2)]
