@@ -83,6 +83,7 @@ EXTENDED = [
     "q_triangle_participation",
     "q_winnowing_fingerprints",
     "q_priority_sample",
+    "q_knn_join_gemm",
 ]
 
 

@@ -1262,3 +1262,38 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         # same correctly-rounded IEEE op in both engines
         (F.col("sq").cast("double") / F.lit(10000000.0)).alias("proj"),
     )
+
+
+@register(
+    "q_knn_join_gemm",
+    oracle=f"""
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT
+    q.vec_id AS query_id,
+    c.vec_id AS neighbor_id,
+    ROUND({cosine_sql('c.embedding', 'q.embedding')}, 6) AS cos_sim,
+    ROW_NUMBER() OVER (
+      PARTITION BY q.vec_id
+      ORDER BY ROUND({cosine_sql('c.embedding', 'q.embedding')}, 6) DESC, c.vec_id
+    ) AS rank
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 40 AND c.vec_id <> q.vec_id
+) WHERE rank <= 4
+""",
+)
+def q_knn_join_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn_join_exact's BLAS dual (operators.similarity.knn_join_gemm):
+    one float64 GEMM per Arrow batch scores a 40-query batch against
+    the corpus, per-batch top-k preselection bounds the shuffle at
+    k·|Q| rows per batch, and the final window reproduces the exact
+    rounded-sim/id ranking — the oracle is the same full cross-join
+    replay as q_knn_join. Collects the 40 query vectors at plan time
+    (bounded control-plane, registry docstring contract)."""
+    from flink_template_spark.operators.similarity import (
+        _spread,
+        knn_join_gemm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 40)
+    return knn_join_gemm(queries, _spread(emb), k=4)

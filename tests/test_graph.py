@@ -368,3 +368,22 @@ def test_triangles_survives_64bit_node_ids(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = [(r["a"], r["b"], r["c"]) for r in triangles(df).collect()]
     assert got == [(base, base + 1, base + 2)]
+
+
+def test_knn_gemm_equals_exact(spark, sf_dir):
+    """The BLAS path must reproduce knn_join_exact's exact rounded
+    ranking — same comparator, same rounding grain, identical rows."""
+    from flink_template_spark.operators.similarity import (
+        knn_join_exact,
+        knn_join_gemm,
+    )
+    from flink_template_spark.tables import load_table
+
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+    got = sorted(map(key, knn_join_gemm(queries, emb, k=3).collect()))
+    want = sorted(map(key, knn_join_exact(queries, emb, k=3).collect()))
+    assert got == want
