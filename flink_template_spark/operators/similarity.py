@@ -338,12 +338,18 @@ def knn_join_exact(
     Scale: cost is |corpus|×|Q| similarity evaluations — right whenever
     |Q| fits a broadcast (eval sets, probe batches); for corpus×corpus
     scale use knn_join_ivf. Similarities rounded to 1e-6 with neighbor-
-    id tiebreak so rankings are reproducible across engines."""
-    q = queries.select(
+    id tiebreak so rankings are reproducible across engines.
+
+    Zero-norm vectors (cosine undefined) are EXCLUDED from both sides —
+    the contract knn_join_gemm mirrors; without the filter, ANSI mode
+    (the Spark 4 default) aborts the whole join with DIVIDE_BY_ZERO on
+    the first degenerate row."""
+    q = queries.filter(l2_norm(F.col(vec_col)) > 0).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
     )
     scored = (
-        corpus.crossJoin(F.broadcast(q))
+        corpus.filter(l2_norm(F.col(vec_col)) > 0)
+        .crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
@@ -417,15 +423,28 @@ def knn_join_gemm(
     shuffle carries candidates, not the corpus.
 
     Numerics: dot and norms are computed separately and divided in the
-    same order as functions.vector.cosine, then rounded to 6 dp; BLAS
-    blocked summation differs from the sequential fold only in final
-    ulps, far below the rounding grain, so results match
-    knn_join_exact (pinned by test and by the shared oracle shape).
+    same order as functions.vector.cosine; the batch emits RAW sims and
+    the 6-dp rounding happens in the Spark plan (F.round), so the
+    output values carry Spark's canonical HALF_UP semantics, identical
+    to knn_join_exact's. Preselection orders by a HALF_UP-matched
+    numpy key (away-from-zero at the same grain). Zero-norm vectors
+    are excluded on both sides, mirroring knn_join_exact's contract
+    (cosine undefined; the JVM path would otherwise abort under ANSI
+    mode, and numpy would silently sort the NaN last). Residual
+    divergence vs the fold path is confined to raw sims within an ulp
+    of a .5e-6 rounding midpoint (BLAS-vs-fold summation order) — far
+    rarer than the systematic half-even-vs-half-up mismatch np.round
+    would introduce at EVERY midpoint.
     """
     import numpy as np
     import pandas as pd
 
     qrows = queries.select(id_col, vec_col).collect()  # bounded: |Q| small
+    qrows = [
+        r
+        for r in qrows
+        if any(float(x) != 0.0 for x in r[vec_col])
+    ]
     if not qrows:
         raise ValueError("knn_join_gemm needs a non-empty query set")
     qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
@@ -437,22 +456,28 @@ def knn_join_gemm(
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             norm = np.sqrt((mat * mat).sum(axis=1))
-            sims = np.round(
-                (mat @ qmat.T) / (norm[:, None] * qnorm[None, :]), 6
+            nz = norm > 0.0  # zero-norm corpus rows: cosine undefined
+            ids, mat, norm = ids[nz], mat[nz], norm[nz]
+            if not len(ids):
+                continue
+            sims = (mat @ qmat.T) / (norm[:, None] * qnorm[None, :])
+            # preselection comparator: HALF_UP-rounded sim desc, id asc
+            rounded = (
+                np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
             )
+            sort_key = -rounded
             out_q, out_n, out_s = [], [], []
             for j in range(len(qids)):
-                col = sims[:, j]
                 keep = ids != qids[j]
                 cand = np.flatnonzero(keep)
                 if not len(cand):
                     continue
-                # top-k under (sim desc, id asc): lexsort ascending on
-                # (-sim, id), take first k
-                order = cand[np.lexsort((ids[cand], -col[cand]))][:k]
+                order = cand[
+                    np.lexsort((ids[cand], sort_key[cand, j]))
+                ][:k]
                 out_q.append(np.full(len(order), qids[j]))
                 out_n.append(ids[order])
-                out_s.append(col[order])
+                out_s.append(sims[order, j])
             if out_q:
                 yield pd.DataFrame(
                     {
@@ -464,7 +489,7 @@ def knn_join_gemm(
 
     cands = corpus.select(id_col, vec_col).mapInPandas(
         gen, "query_id long, neighbor_id long, cos_sim double"
-    )
+    ).withColumn("cos_sim", F.round("cos_sim", 6))
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return cands.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k

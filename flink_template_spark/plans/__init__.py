@@ -119,6 +119,16 @@ _PRIORITY = [
 # the round-3 cohort), so any extra checking always lands on the least
 # recently verified queries.
 _MIDDLE: list[str] = [
+    # round-5 additions: never driver-checked — first in line for the
+    # round-6 slate rotation (all oracle-green locally at 3 SFs)
+    "q_jaccard_prefix_pairs",
+    "q_pagerank_trade",
+    "q_triangle_participation",
+    "q_random_projection",
+    "q_rendezvous_shards",
+    "q_winnowing_fingerprints",
+    "q_priority_sample",
+    "q_knn_join_gemm",
     # round-2 cohort rest (31)
     "q_best_of_cluster",
     "q_bm25_search",

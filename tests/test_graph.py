@@ -387,3 +387,33 @@ def test_knn_gemm_equals_exact(spark, sf_dir):
     got = sorted(map(key, knn_join_gemm(queries, emb, k=3).collect()))
     want = sorted(map(key, knn_join_exact(queries, emb, k=3).collect()))
     assert got == want
+
+
+def test_knn_zero_norm_vectors_excluded_identically(spark):
+    """Cosine is undefined for a zero-norm vector, and under ANSI mode
+    (the Spark 4 default) the JVM division would abort the whole join —
+    so BOTH knn paths exclude zero-norm rows from both sides, and must
+    return identical results on a corpus containing one."""
+    from flink_template_spark.operators.similarity import (
+        knn_join_exact,
+        knn_join_gemm,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # zero norm -> excluded everywhere
+        (3, [0.5, 0.5, 0.0, 0.0]),
+        (4, [0.0, 1.0, 0.0, 0.0]),
+        (5, [0.3, 0.7, 0.1, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    queries = df.filter("vec_id <= 2")  # includes the zero-norm query
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+    got = sorted(map(key, knn_join_gemm(queries, df, k=3).collect()))
+    want = sorted(map(key, knn_join_exact(queries, df, k=3).collect()))
+    assert got == want
+    assert got, "non-degenerate queries must still produce neighbors"
+    assert not any(r[0] == 2 or r[2] == 2 for r in got)
