@@ -98,14 +98,24 @@ def quantize_int8(vec: Column) -> Column:
     Returns struct(scale double, codes array<tinyint>). At 100 TB this
     is 4× smaller embedding storage and 4× less shuffle for ANN
     pipelines that tolerate ~0.4% per-element error (scale/254 expected
-    |err| ≈ 0.2% of max|x|)."""
+    |err| ≈ 0.2% of max|x|).
+
+    An all-zero vector gets scale 0 and all-zero codes (a lossless
+    round-trip through dequantize) — the CASE guard matters because
+    ANSI mode (the Spark 4 default) would otherwise abort the whole
+    job on the 0/0 division for one degenerate row."""
     scale = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double")))) / F.lit(
         127.0
     )
-    codes = F.transform(
-        vec,
-        lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("tinyint"),
-    )
+    codes = F.when(
+        scale > 0,
+        F.transform(
+            vec,
+            lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast(
+                "tinyint"
+            ),
+        ),
+    ).otherwise(F.transform(vec, lambda x: F.lit(0).cast("tinyint")))
     return F.struct(scale.alias("scale"), codes.alias("codes"))
 
 
@@ -130,3 +140,12 @@ def rp_signs(out_dim: int, in_dim: int, seed: int = 1337) -> list[list[int]]:
         [1 if rng.random() < 0.5 else -1 for _ in range(in_dim)]
         for _ in range(out_dim)
     ]
+
+
+def nonzero_vec(vec: Column) -> Column:
+    """True when the vector has any non-zero element. Every cosine
+    consumer filters on this at entry: a zero-norm vector makes the
+    cosine division 0/0, which ANSI mode (the Spark 4 default) turns
+    into a job-aborting DIVIDE_BY_ZERO — one bad row must not kill a
+    100 TB join. Cheaper than a norm fold (no multiply/sqrt)."""
+    return F.exists(vec, lambda x: x != F.lit(0.0))

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from flink_template_spark.functions.vector import cosine, dot, l2_norm
+from flink_template_spark.functions.vector import cosine, dot, l2_norm, nonzero_vec
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -38,12 +38,15 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Top-k by cosine to the (single-row) query DataFrame."""
-    q = query.select(
+    """Top-k by cosine to the (single-row) query DataFrame.
+    Zero-norm vectors are excluded on both sides (cosine undefined;
+    ANSI mode would abort the job on the 0/0)."""
+    q = query.filter(nonzero_vec(F.col(vec_col))).select(
         F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
     )
     scored = (
-        vectors.crossJoin(F.broadcast(q))
+        vectors.filter(nonzero_vec(F.col(vec_col)))
+        .crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("__qid"))
         .select(
             id_col,
@@ -61,11 +64,16 @@ def ivf_assign(
     centroid_id: str = "centroid_id",
 ) -> DataFrame:
     """Assign every vector to its max-cosine centroid (broadcast argmax;
-    rounded similarity + centroid id tiebreak for determinism)."""
-    c = centroids.select(
+    rounded similarity + centroid id tiebreak for determinism).
+    Zero-norm vectors/centroids are excluded (cosine undefined; ANSI
+    mode would abort the job) — every IVF/semdedup/knn-IVF consumer
+    inherits the guard from here."""
+    c = centroids.filter(nonzero_vec(F.col(vec_col))).select(
         F.col(centroid_id), F.col(vec_col).alias("__cvec")
     )
-    scored = vectors.crossJoin(F.broadcast(c)).select(
+    scored = vectors.filter(nonzero_vec(F.col(vec_col))).crossJoin(
+        F.broadcast(c)
+    ).select(
         id_col,
         vec_col,
         centroid_id,
@@ -93,7 +101,7 @@ def cosine_near_dup_exact(
     Norms are computed once per vector BEFORE the pair join (n·d work),
     not per pair (n²·d) — cosine per pair is then one dot + one divide.
     Identical doubles: same expressions, same fold order."""
-    with_norm = _spread(vectors).select(
+    with_norm = _spread(vectors.filter(nonzero_vec(F.col(vec_col)))).select(
         id_col, vec_col, l2_norm(F.col(vec_col)).alias("__norm")
     )
     a = with_norm.select(
@@ -256,7 +264,10 @@ def cosine_near_dup_lsh(
     """LSH candidates (same signature in ≥1 band) verified by exact
     cosine — the 100 TB-scale near-dup path: the self-join explodes only
     within (band, signature) buckets, never across the full table."""
-    bands = band_signatures(vectors, n_bands, bits_per_band, id_col, vec_col)
+    bands = band_signatures(
+        vectors.filter(nonzero_vec(F.col(vec_col))),
+        n_bands, bits_per_band, id_col, vec_col,
+    )
     a = bands.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),

@@ -417,3 +417,44 @@ def test_knn_zero_norm_vectors_excluded_identically(spark):
     assert got == want
     assert got, "non-degenerate queries must still produce neighbors"
     assert not any(r[0] == 2 or r[2] == 2 for r in got)
+
+
+def test_cosine_family_survives_zero_norm_vectors(spark):
+    """One degenerate (all-zero) vector must not abort any cosine-family
+    operator under ANSI mode — each excludes it and still returns the
+    non-degenerate results; quantize_int8 round-trips it losslessly."""
+    from flink_template_spark.functions.vector import (
+        dequantize_int8,
+        quantize_int8,
+    )
+    from flink_template_spark.operators.similarity import (
+        brute_force_topk,
+        cosine_near_dup_exact,
+        cosine_near_dup_lsh,
+        ivf_assign,
+        semdedup,
+    )
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, [0.5, 0.5, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = df.filter("vec_id = 0").select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assert brute_force_topk(df, df.filter("vec_id = 0"), k=3).count() == 2
+    assigned = ivf_assign(df, cents).collect()
+    assert {r["vec_id"] for r in assigned} == {0, 1, 3}
+    assert cosine_near_dup_exact(df, threshold=0.5).count() > 0
+    cosine_near_dup_lsh(df, threshold=0.5).count()  # must not abort
+    semdedup(df, cents, threshold=0.99).count()  # must not abort
+    q = df.select(
+        "vec_id", dequantize_int8(quantize_int8(F.col("embedding"))).alias("d")
+    ).collect()
+    dec = {r["vec_id"]: r["d"] for r in q}
+    assert dec[2] == [0.0, 0.0, 0.0, 0.0]  # lossless zero round-trip
