@@ -236,7 +236,7 @@ SELECT
   (CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS DOUBLE)
    - CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
      * CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
-  / (COUNT(*) - 1) AS variance
+  / NULLIF(COUNT(*) - 1, 0) AS variance
 FROM events
 GROUP BY event_type
 """,
@@ -257,9 +257,11 @@ def q_events_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sum_v",
         "sum_sq",
+        # NULL (not an ANSI abort, not inf) for single-row groups, the
+        # var_samp convention — NULLIF mirrors the oracle exactly
         (
             (F.col("sum_sq") - F.col("sum_v") * F.col("sum_v") / F.col("n"))
-            / (F.col("n") - 1)
+            / F.nullif((F.col("n") - 1).cast("bigint"), F.lit(0).cast("bigint"))
         ).alias("variance"),
     )
 

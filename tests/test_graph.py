@@ -458,3 +458,25 @@ def test_cosine_family_survives_zero_norm_vectors(spark):
     ).collect()
     dec = {r["vec_id"]: r["d"] for r in q}
     assert dec[2] == [0.0, 0.0, 0.0, 0.0]  # lossless zero round-trip
+
+
+def test_exact_moments_single_row_group_is_null_not_abort(spark, monkeypatch):
+    """A group with one event has undefined sample variance: NULL (the
+    var_samp convention, mirrored by the oracle's NULLIF), not an
+    ANSI-mode divide-by-zero job abort."""
+    import flink_template_spark.plans.events_time as ET
+    from flink_template_spark.plans import registry
+
+    ev = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("b", 4.0)],
+        "event_type string, value double",
+    )
+    monkeypatch.setattr(ET, "load_table", lambda s, sd, t: ev)
+    rows = {
+        r["event_type"]: r["variance"]
+        for r in registry.QUERIES["q_events_exact_moments"](
+            spark, "unused"
+        ).collect()
+    }
+    assert rows["a"] is None
+    assert rows["b"] == 2.0
