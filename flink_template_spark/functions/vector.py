@@ -103,7 +103,10 @@ def quantize_int8(vec: Column) -> Column:
     An all-zero vector gets scale 0 and all-zero codes (a lossless
     round-trip through dequantize) — the CASE guard matters because
     ANSI mode (the Spark 4 default) would otherwise abort the whole
-    job on the 0/0 division for one degenerate row."""
+    job on the 0/0 division for one degenerate row. A vector with a
+    NaN/Inf element quantizes to NULL — an honest "cannot quantize"
+    marker (scale would be NaN/Inf and every dequantized element NaN,
+    i.e. a differently-corrupt row with no signal)."""
     scale = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double")))) / F.lit(
         127.0
     )
@@ -116,7 +119,8 @@ def quantize_int8(vec: Column) -> Column:
             ),
         ),
     ).otherwise(F.transform(vec, lambda x: F.lit(0).cast("tinyint")))
-    return F.struct(scale.alias("scale"), codes.alias("codes"))
+    quantized = F.struct(scale.alias("scale"), codes.alias("codes"))
+    return F.when(finite_vec(vec), quantized)
 
 
 def dequantize_int8(q: Column) -> Column:
@@ -143,9 +147,31 @@ def rp_signs(out_dim: int, in_dim: int, seed: int = 1337) -> list[list[int]]:
 
 
 def nonzero_vec(vec: Column) -> Column:
-    """True when the vector has any non-zero element. Every cosine
-    consumer filters on this at entry: a zero-norm vector makes the
-    cosine division 0/0, which ANSI mode (the Spark 4 default) turns
-    into a job-aborting DIVIDE_BY_ZERO — one bad row must not kill a
-    100 TB join. Cheaper than a norm fold (no multiply/sqrt)."""
+    """True when the vector has any non-zero element (NaN counts as
+    non-zero — use valid_vec for the full corrupt-row guard)."""
     return F.exists(vec, lambda x: x != F.lit(0.0))
+
+
+def finite_vec(vec: Column) -> Column:
+    """True when every element is finite (no NaN, no ±Inf)."""
+    return F.forall(
+        vec,
+        lambda x: ~F.isnan(x.cast("double"))
+        & (F.abs(x.cast("double")) < F.lit(float("inf"))),
+    )
+
+
+def valid_vec(vec: Column) -> Column:
+    """The cosine-family admission guard: all elements finite AND at
+    least one non-zero. Every cosine consumer filters on this at
+    entry. A zero-norm vector makes the division 0/0, which ANSI mode
+    (the Spark 4 default) turns into a job-aborting DIVIDE_BY_ZERO;
+    a NaN/Inf element is worse — no abort, but the NaN similarity
+    sorts FIRST under DESC in both Spark and DuckDB, so one corrupt
+    row would silently win every top-k. One bad row must neither kill
+    nor pollute a 100 TB join; excluded rows are recoverable upstream
+    with ``df.filter(~valid_vec(col))``. Oracle note: the DuckDB
+    oracle SQL does not repeat this guard — driver testdata contains
+    no degenerate vectors (both sides agree exactly there), and on
+    dirty corpora the engine's exclusion semantics is the contract."""
+    return finite_vec(vec) & nonzero_vec(vec)

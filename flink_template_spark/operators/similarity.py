@@ -18,10 +18,12 @@ Two tiers (SURVEY.md §2.7 north-star):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from flink_template_spark.functions.vector import cosine, dot, l2_norm, nonzero_vec
+from flink_template_spark.functions.vector import cosine, dot, l2_norm, valid_vec
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -39,13 +41,13 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Top-k by cosine to the (single-row) query DataFrame.
-    Zero-norm vectors are excluded on both sides (cosine undefined;
-    ANSI mode would abort the job on the 0/0)."""
-    q = query.filter(nonzero_vec(F.col(vec_col))).select(
+    Degenerate vectors (zero-norm / NaN / Inf elements) are excluded
+    on both sides — see functions.vector.valid_vec."""
+    q = query.filter(valid_vec(F.col(vec_col))).select(
         F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
     )
     scored = (
-        vectors.filter(nonzero_vec(F.col(vec_col)))
+        vectors.filter(valid_vec(F.col(vec_col)))
         .crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("__qid"))
         .select(
@@ -65,13 +67,15 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign every vector to its max-cosine centroid (broadcast argmax;
     rounded similarity + centroid id tiebreak for determinism).
-    Zero-norm vectors/centroids are excluded (cosine undefined; ANSI
-    mode would abort the job) — every IVF/semdedup/knn-IVF consumer
-    inherits the guard from here."""
-    c = centroids.filter(nonzero_vec(F.col(vec_col))).select(
+    Degenerate vectors/centroids (zero-norm / NaN / Inf) are excluded
+    (functions.vector.valid_vec) — every IVF/semdedup/knn-IVF consumer
+    inherits the guard from here; consumers whose output is a KEEP-SET
+    (semdedup) therefore also exclude them, so pipelines that must not
+    lose rows should route df.filter(~valid_vec(col)) separately."""
+    c = centroids.filter(valid_vec(F.col(vec_col))).select(
         F.col(centroid_id), F.col(vec_col).alias("__cvec")
     )
-    scored = vectors.filter(nonzero_vec(F.col(vec_col))).crossJoin(
+    scored = vectors.filter(valid_vec(F.col(vec_col))).crossJoin(
         F.broadcast(c)
     ).select(
         id_col,
@@ -101,7 +105,7 @@ def cosine_near_dup_exact(
     Norms are computed once per vector BEFORE the pair join (n·d work),
     not per pair (n²·d) — cosine per pair is then one dot + one divide.
     Identical doubles: same expressions, same fold order."""
-    with_norm = _spread(vectors.filter(nonzero_vec(F.col(vec_col)))).select(
+    with_norm = _spread(vectors.filter(valid_vec(F.col(vec_col)))).select(
         id_col, vec_col, l2_norm(F.col(vec_col)).alias("__norm")
     )
     a = with_norm.select(
@@ -265,7 +269,7 @@ def cosine_near_dup_lsh(
     cosine — the 100 TB-scale near-dup path: the self-join explodes only
     within (band, signature) buckets, never across the full table."""
     bands = band_signatures(
-        vectors.filter(nonzero_vec(F.col(vec_col))),
+        vectors.filter(valid_vec(F.col(vec_col))),
         n_bands, bits_per_band, id_col, vec_col,
     )
     a = bands.select(
@@ -351,15 +355,16 @@ def knn_join_exact(
     scale use knn_join_ivf. Similarities rounded to 1e-6 with neighbor-
     id tiebreak so rankings are reproducible across engines.
 
-    Zero-norm vectors (cosine undefined) are EXCLUDED from both sides —
-    the contract knn_join_gemm mirrors; without the filter, ANSI mode
-    (the Spark 4 default) aborts the whole join with DIVIDE_BY_ZERO on
-    the first degenerate row."""
-    q = queries.filter(l2_norm(F.col(vec_col)) > 0).select(
+    Degenerate vectors (zero-norm / NaN / Inf elements) are EXCLUDED
+    from both sides (functions.vector.valid_vec) — the contract
+    knn_join_gemm mirrors; without the filter, ANSI mode (the Spark 4
+    default) aborts the whole join on a zero-norm row, and a NaN
+    similarity would silently rank FIRST in every top-k."""
+    q = queries.filter(valid_vec(F.col(vec_col))).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
     )
     scored = (
-        corpus.filter(l2_norm(F.col(vec_col)) > 0)
+        corpus.filter(valid_vec(F.col(vec_col)))
         .crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
@@ -427,37 +432,44 @@ def knn_join_gemm(
     per-pair aggregate fold — the "when Python is unavoidable, make it
     BLAS" tier. The query matrix rides the task closure (|Q| is
     broadcast-bounded by the same contract as knn_join_exact); each
-    batch pre-selects its own top-k per query under the FINAL
-    comparator (rounded sim desc, neighbor id asc) — candidates a
-    batch ranks below its own k can never enter the global top-k, so
-    the window over the ~k·|Q|-per-batch survivors is exact, and the
-    shuffle carries candidates, not the corpus.
+    batch keeps, per query, every candidate whose RAW sim is within a
+    4e-6 margin of the batch's k-th best — provably a superset of what
+    the final Spark window can rank top-k (Spark's 6-dp rounding moves
+    a value by at most 5e-7 + ulp slop, so a candidate more than 2e-6
+    below a kept one can never round above it; the margin doubles
+    that). The shuffle carries ~k·|Q| candidates per batch, not the
+    corpus, and NO rounding happens in numpy at all.
 
     Numerics: dot and norms are computed separately and divided in the
-    same order as functions.vector.cosine; the batch emits RAW sims and
-    the 6-dp rounding happens in the Spark plan (F.round), so the
-    output values carry Spark's canonical HALF_UP semantics, identical
-    to knn_join_exact's. Preselection orders by a HALF_UP-matched
-    numpy key (away-from-zero at the same grain). Zero-norm vectors
-    are excluded on both sides, mirroring knn_join_exact's contract
-    (cosine undefined; the JVM path would otherwise abort under ANSI
-    mode, and numpy would silently sort the NaN last). Residual
-    divergence vs the fold path is confined to raw sims within an ulp
-    of a .5e-6 rounding midpoint (BLAS-vs-fold summation order) — far
-    rarer than the systematic half-even-vs-half-up mismatch np.round
-    would introduce at EVERY midpoint.
+    same order as functions.vector.cosine; the batch emits RAW sims
+    and the 6-dp rounding happens in the Spark plan (F.round), so
+    output values carry Spark's exact rounding semantics (BigDecimal
+    HALF_UP over the shortest decimal repr — not reproducible in
+    vectorized numpy, which is why the batch side must not round).
+    Residual divergence vs the fold path is confined to raw sims
+    within an ulp of a rounding boundary (BLAS-vs-fold summation
+    order). Degenerate vectors (zero-norm / NaN / Inf) are excluded
+    on both sides, mirroring knn_join_exact's valid_vec contract; a
+    query set with only degenerate rows returns an EMPTY result, like
+    the exact path, not an error.
     """
     import numpy as np
     import pandas as pd
+
+    _MARGIN = 4e-6
 
     qrows = queries.select(id_col, vec_col).collect()  # bounded: |Q| small
     qrows = [
         r
         for r in qrows
-        if any(float(x) != 0.0 for x in r[vec_col])
+        if all(math.isfinite(float(x)) for x in r[vec_col])
+        and any(float(x) != 0.0 for x in r[vec_col])
     ]
+    out_schema = "query_id long, neighbor_id long, cos_sim double"
     if not qrows:
-        raise ValueError("knn_join_gemm needs a non-empty query set")
+        # mirror knn_join_exact: degenerate/empty query set -> empty
+        empty = corpus.sparkSession.createDataFrame([], out_schema)
+        return empty.withColumn("rank", F.lit(1).cast("int")).filter(F.lit(False))
     qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
     qmat = np.array([r[vec_col] for r in qrows], dtype=np.float64)
     qnorm = np.sqrt((qmat * qmat).sum(axis=1))
@@ -466,29 +478,25 @@ def knn_join_gemm(
         for pdf in batches:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            norm = np.sqrt((mat * mat).sum(axis=1))
-            nz = norm > 0.0  # zero-norm corpus rows: cosine undefined
-            ids, mat, norm = ids[nz], mat[nz], norm[nz]
+            ok = np.isfinite(mat).all(axis=1) & (mat != 0.0).any(axis=1)
+            ids, mat = ids[ok], mat[ok]
             if not len(ids):
                 continue
+            norm = np.sqrt((mat * mat).sum(axis=1))
             sims = (mat @ qmat.T) / (norm[:, None] * qnorm[None, :])
-            # preselection comparator: HALF_UP-rounded sim desc, id asc
-            rounded = (
-                np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
-            )
-            sort_key = -rounded
             out_q, out_n, out_s = [], [], []
             for j in range(len(qids)):
                 keep = ids != qids[j]
                 cand = np.flatnonzero(keep)
                 if not len(cand):
                     continue
-                order = cand[
-                    np.lexsort((ids[cand], sort_key[cand, j]))
-                ][:k]
-                out_q.append(np.full(len(order), qids[j]))
-                out_n.append(ids[order])
-                out_s.append(sims[order, j])
+                col = sims[cand, j]
+                if len(cand) > k:
+                    kth = np.partition(col, len(col) - k)[len(col) - k]
+                    cand = cand[col >= kth - _MARGIN]
+                out_q.append(np.full(len(cand), qids[j]))
+                out_n.append(ids[cand])
+                out_s.append(sims[cand, j])
             if out_q:
                 yield pd.DataFrame(
                     {
@@ -499,7 +507,7 @@ def knn_join_gemm(
                 )
 
     cands = corpus.select(id_col, vec_col).mapInPandas(
-        gen, "query_id long, neighbor_id long, cos_sim double"
+        gen, out_schema
     ).withColumn("cos_sim", F.round("cos_sim", 6))
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return cands.withColumn("rank", F.row_number().over(w)).filter(

@@ -404,8 +404,9 @@ def test_knn_zero_norm_vectors_excluded_identically(spark):
         (1, [0.9, 0.1, 0.0, 0.0]),
         (2, [0.0, 0.0, 0.0, 0.0]),  # zero norm -> excluded everywhere
         (3, [0.5, 0.5, 0.0, 0.0]),
-        (4, [0.0, 1.0, 0.0, 0.0]),
-        (5, [0.3, 0.7, 0.1, 0.0]),
+        (4, [float("nan"), 1.0, 0.0, 0.0]),  # NaN would rank FIRST
+        (5, [float("inf"), 0.7, 0.1, 0.0]),  # Inf likewise corrupt
+        (6, [0.3, 0.7, 0.1, 0.0]),
     ]
     df = spark.createDataFrame(
         rows, "vec_id long, embedding array<float>"
@@ -416,7 +417,12 @@ def test_knn_zero_norm_vectors_excluded_identically(spark):
     want = sorted(map(key, knn_join_exact(queries, df, k=3).collect()))
     assert got == want
     assert got, "non-degenerate queries must still produce neighbors"
-    assert not any(r[0] == 2 or r[2] == 2 for r in got)
+    # none of the degenerate rows (zero/NaN/Inf) appear on either side
+    assert not any(r[0] in (2, 4, 5) or r[2] in (2, 4, 5) for r in got)
+    # an all-degenerate query set returns EMPTY, like the exact path
+    degenerate = df.filter("vec_id = 2")
+    assert knn_join_gemm(degenerate, df, k=3).count() == 0
+    assert knn_join_exact(degenerate, df, k=3).count() == 0
 
 
 def test_cosine_family_survives_zero_norm_vectors(spark):
