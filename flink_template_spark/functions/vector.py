@@ -162,16 +162,26 @@ def finite_vec(vec: Column) -> Column:
 
 
 def valid_vec(vec: Column) -> Column:
-    """The cosine-family admission guard: all elements finite AND at
-    least one non-zero. Every cosine consumer filters on this at
-    entry. A zero-norm vector makes the division 0/0, which ANSI mode
-    (the Spark 4 default) turns into a job-aborting DIVIDE_BY_ZERO;
-    a NaN/Inf element is worse — no abort, but the NaN similarity
-    sorts FIRST under DESC in both Spark and DuckDB, so one corrupt
-    row would silently win every top-k. One bad row must neither kill
-    nor pollute a 100 TB join; excluded rows are recoverable upstream
-    with ``df.filter(~valid_vec(col))``. Oracle note: the DuckDB
-    oracle SQL does not repeat this guard — driver testdata contains
-    no degenerate vectors (both sides agree exactly there), and on
-    dirty corpora the engine's exclusion semantics is the contract."""
-    return finite_vec(vec) & nonzero_vec(vec)
+    """The cosine-family admission guard: 0 < l2_norm < Inf. Every
+    cosine consumer filters on this at entry. A zero-norm vector makes
+    the division 0/0, which ANSI mode (the Spark 4 default) turns into
+    a job-aborting DIVIDE_BY_ZERO; a NaN/Inf element is worse — no
+    abort, but the NaN similarity sorts FIRST under DESC in both Spark
+    and DuckDB, so one corrupt row would silently win every top-k. One
+    bad row must neither kill nor pollute a 100 TB join; excluded rows
+    are recoverable upstream with ``df.filter(~valid_vec(col))``.
+
+    The predicate is on the NORM, not the elements, because elementwise
+    checks miss double-precision edge rows: all-subnormal vectors
+    (every element < ~1.5e-154) square-underflow to norm 0 and would
+    still divide-by-zero, and huge finite elements (~1e155+) overflow
+    the norm to Inf and yield NaN sims. Norm NaN (a NaN element) fails
+    ``norm < Inf`` under Spark's NaN-is-largest ordering, and a NULL
+    vector / NULL element folds the norm to NULL, which a filter drops
+    — so the one fold covers every degenerate shape. Oracle note: the
+    DuckDB oracle SQL does not repeat this guard — driver testdata
+    contains no degenerate vectors (both sides agree exactly there),
+    and on dirty corpora the engine's exclusion semantics is the
+    contract."""
+    norm = l2_norm(vec)
+    return (norm > F.lit(0.0)) & (norm < F.lit(float("inf")))

@@ -18,8 +18,6 @@ Two tiers (SURVEY.md §2.7 north-star):
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -315,9 +313,12 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Probe only the query's cluster, then exact top-k inside it."""
+    """Probe only the query's cluster, then exact top-k inside it.
+    The query side carries its own valid_vec guard — ivf_assign only
+    filters the corpus/centroid sides, and a degenerate __qvec would
+    reach cosine() (ANSI abort on zero norm, NaN pollution otherwise)."""
     assigned = ivf_assign(vectors, centroids, id_col, vec_col)
-    q = query.select(
+    q = query.filter(valid_vec(F.col(vec_col))).select(
         F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
     )
     q_cluster = (
@@ -448,38 +449,40 @@ def knn_join_gemm(
     vectorized numpy, which is why the batch side must not round).
     Residual divergence vs the fold path is confined to raw sims
     within an ulp of a rounding boundary (BLAS-vs-fold summation
-    order). Degenerate vectors (zero-norm / NaN / Inf) are excluded
-    on both sides, mirroring knn_join_exact's valid_vec contract; a
+    order). Degenerate vectors (zero-norm / NaN / Inf / NULL) are
+    excluded on both sides by the SAME Spark-side valid_vec filter the
+    exact path uses (a NULL embedding must not crash the numpy
+    conversion, so the guard lives in the plan, not the batch fn); a
     query set with only degenerate rows returns an EMPTY result, like
-    the exact path, not an error.
+    the exact path, not an error. Id columns keep their source types
+    (query_id from queries, neighbor_id from corpus), mirroring
+    knn_join_exact's genericity — nothing coerces ids to int64.
     """
     import numpy as np
     import pandas as pd
 
     _MARGIN = 4e-6
 
-    qrows = queries.select(id_col, vec_col).collect()  # bounded: |Q| small
-    qrows = [
-        r
-        for r in qrows
-        if all(math.isfinite(float(x)) for x in r[vec_col])
-        and any(float(x) != 0.0 for x in r[vec_col])
-    ]
-    out_schema = "query_id long, neighbor_id long, cos_sim double"
+    qrows = (
+        queries.filter(valid_vec(F.col(vec_col)) & F.col(id_col).isNotNull())
+        .select(id_col, vec_col)
+        .collect()  # bounded: |Q| small by contract
+    )
+    q_id_type = queries.schema[id_col].dataType.simpleString()
+    c_id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {q_id_type}, neighbor_id {c_id_type}, cos_sim double"
     if not qrows:
         # mirror knn_join_exact: degenerate/empty query set -> empty
         empty = corpus.sparkSession.createDataFrame([], out_schema)
         return empty.withColumn("rank", F.lit(1).cast("int")).filter(F.lit(False))
-    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    qids = np.array([r[id_col] for r in qrows])
     qmat = np.array([r[vec_col] for r in qrows], dtype=np.float64)
     qnorm = np.sqrt((qmat * qmat).sum(axis=1))
 
     def gen(batches):
         for pdf in batches:
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            ids = pdf[id_col].to_numpy()
             mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            ok = np.isfinite(mat).all(axis=1) & (mat != 0.0).any(axis=1)
-            ids, mat = ids[ok], mat[ok]
             if not len(ids):
                 continue
             norm = np.sqrt((mat * mat).sum(axis=1))
@@ -506,9 +509,12 @@ def knn_join_gemm(
                     }
                 )
 
-    cands = corpus.select(id_col, vec_col).mapInPandas(
-        gen, out_schema
-    ).withColumn("cos_sim", F.round("cos_sim", 6))
+    cands = (
+        corpus.filter(valid_vec(F.col(vec_col)) & F.col(id_col).isNotNull())
+        .select(id_col, vec_col)
+        .mapInPandas(gen, out_schema)
+        .withColumn("cos_sim", F.round("cos_sim", 6))
+    )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return cands.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k

@@ -425,6 +425,63 @@ def test_knn_zero_norm_vectors_excluded_identically(spark):
     assert knn_join_exact(degenerate, df, k=3).count() == 0
 
 
+def test_knn_null_and_subnormal_vectors_excluded_identically(spark):
+    """The guard lives in the PLAN (valid_vec), so a NULL embedding
+    must not crash the GEMM path's numpy conversion, and a vector of
+    all-subnormal doubles (whose squares underflow to norm 0 — an
+    ANSI divide-by-zero the elementwise nonzero check would miss)
+    is excluded on both paths."""
+    from flink_template_spark.operators.similarity import (
+        knn_join_exact,
+        knn_join_gemm,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, None),  # NULL embedding: dropped, not a numpy crash
+        (3, [1e-200, 1e-201, 0.0]),  # norm underflows to exactly 0.0
+        (4, [1e200, 0.0, 0.0]),  # norm overflows to +Inf -> NaN sims
+        (5, [0.4, 0.6, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter("vec_id in (0, 2, 3)")
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+    got = sorted(map(key, knn_join_gemm(queries, df, k=3).collect()))
+    want = sorted(map(key, knn_join_exact(queries, df, k=3).collect()))
+    assert got == want
+    assert got, "the valid query must still produce neighbors"
+    assert not any(r[0] in (2, 3, 4) or r[2] in (2, 3, 4) for r in got)
+
+
+def test_knn_gemm_generic_string_ids(spark):
+    """knn_join_gemm mirrors knn_join_exact's id-type genericity — a
+    string id column must ride through the Arrow batch untouched, not
+    hit an int64 coercion."""
+    from flink_template_spark.operators.similarity import (
+        knn_join_exact,
+        knn_join_gemm,
+    )
+
+    rows = [
+        ("doc-a", [1.0, 0.0, 0.0]),
+        ("doc-b", [0.9, 0.1, 0.0]),
+        ("doc-c", [0.5, 0.5, 0.0]),
+        ("doc-d", [0.1, 0.9, 0.2]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, embedding array<float>")
+    queries = df.filter("doc_id in ('doc-a', 'doc-d')")
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+    got = sorted(
+        map(key, knn_join_gemm(queries, df, k=2, id_col="doc_id").collect())
+    )
+    want = sorted(
+        map(key, knn_join_exact(queries, df, k=2, id_col="doc_id").collect())
+    )
+    assert got == want and len(got) == 4
+    assert {type(r[0]) for r in got} == {str}
+
+
 def test_cosine_family_survives_zero_norm_vectors(spark):
     """One degenerate (all-zero) vector must not abort any cosine-family
     operator under ANSI mode — each excludes it and still returns the
@@ -438,6 +495,7 @@ def test_cosine_family_survives_zero_norm_vectors(spark):
         cosine_near_dup_exact,
         cosine_near_dup_lsh,
         ivf_assign,
+        ivf_topk,
         semdedup,
     )
 
@@ -459,6 +517,9 @@ def test_cosine_family_survives_zero_norm_vectors(spark):
     assert cosine_near_dup_exact(df, threshold=0.5).count() > 0
     cosine_near_dup_lsh(df, threshold=0.5).count()  # must not abort
     semdedup(df, cents, threshold=0.99).count()  # must not abort
+    # a degenerate QUERY vector must not abort the probe path either
+    assert ivf_topk(df, cents, df.filter("vec_id = 2"), k=3).count() == 0
+    assert ivf_topk(df, cents, df.filter("vec_id = 1"), k=3).count() > 0
     q = df.select(
         "vec_id", dequantize_int8(quantize_int8(F.col("embedding"))).alias("d")
     ).collect()
