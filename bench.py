@@ -84,6 +84,7 @@ EXTENDED = [
     "q_winnowing_fingerprints",
     "q_priority_sample",
     "q_knn_join_gemm",
+    "q_kmv_set_ops",
 ]
 
 

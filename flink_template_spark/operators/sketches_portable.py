@@ -31,7 +31,7 @@ max-merging 256-int registers.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from flink_template_spark.functions.hashing import md5int_duckdb, md5int_spark
@@ -263,4 +263,141 @@ def cms_counters_sql(table: str, cell_cols: list[str], item_expr: str) -> str:
   SELECT {group}, COUNT(*) AS cnt FROM (
 {branches}
   ) GROUP BY {group}
+"""
+
+# --- KMV / theta sketch (distinct counting WITH set operations) -----------
+#
+# The k-minimum-values sketch (Bar-Yossef et al. '02; the theta-sketch
+# formulation of Dasgupta et al. '16): keep the k smallest distinct
+# 32-bit portable hash values per cell. theta = the k-th smallest value
+# (the full range when fewer than k were seen), retained = hashes
+# strictly below theta, and any set S estimates as
+# |retained| * 2^32 / theta. What HLL cannot do and KMV can: set
+# INTERSECTION — two sketches intersect by counting common retained
+# hashes below min(theta_a, theta_b), which HLL's register maxes
+# destroy. Union stays closed too: the k smallest of the merged value
+# sets is a valid KMV of the union (each side kept ITS k smallest, and
+# the union's k smallest is a subset of the two kept sets).
+#
+# Oracle-exactness: the hash is functions.hashing.md5int (identical in
+# both dialects), selection is integer ranking, and the only float op
+# is ONE correctly-rounded IEEE division of exact-integer operands
+# ((k-1)*2^32 and cnt*2^32 are < 2^39, theta < 2^33 — all exact
+# doubles), so estimates carry ZERO rounding, like the priority-sample
+# keys. Scale shape: the one real shuffle is the distinct over
+# (cell, h); the k-smallest selection is two-level (top-k per
+# (cell, h%32) sub-bucket first, then top-k of the ≤ 32k survivors) so
+# no single task ever ranks a celebrity cell's full distinct stream.
+# After that every sketch is ≤ k rows — unions, intersections, and
+# rollups are joins over kilobytes. 32-bit hashes keep every estimate
+# division exact; widen via md5int(bits=60) if ~2^16 distinct-per-cell
+# collision rates matter (the casts stay deterministic cross-engine,
+# the doubles merely stop being exact integers).
+
+KMV_K = 64
+KMV_RANGE = 1 << 32
+_KMV_SUBBUCKETS = 32
+# (k-1) * 2^32 — an exact double literal both engines divide by theta
+KMV_NUM = float((KMV_K - 1) * KMV_RANGE)
+
+
+def kmv_sketch(
+    df: DataFrame, cell_cols: list[str], item_col: str, k: int = KMV_K
+) -> DataFrame:
+    """(cell_cols..., h): the k smallest distinct portable hashes per
+    cell. NULL items are dropped (COUNT DISTINCT semantics, same
+    discipline as hll_registers)."""
+    hashed = (
+        df.filter(F.col(item_col).isNotNull())
+        .select(
+            *cell_cols,
+            F.expr(md5int_spark(f"CAST({item_col} AS STRING)")).alias("h"),
+        )
+        .distinct()
+    )
+    sub = W.partitionBy(*cell_cols, "__b").orderBy("h")
+    pruned = (
+        hashed.withColumn("__b", F.pmod("h", F.lit(_KMV_SUBBUCKETS)))
+        .withColumn("__rn", F.row_number().over(sub))
+        .filter(F.col("__rn") <= k)
+        .drop("__b", "__rn")
+    )
+    top = W.partitionBy(*cell_cols).orderBy("h")
+    return (
+        pruned.withColumn("__rn", F.row_number().over(top))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_merge(
+    sketch: DataFrame, to_cols: list[str], k: int = KMV_K
+) -> DataFrame:
+    """Roll sketch rows up to a coarser grain ≡ set union: distinct
+    hashes, re-select the k smallest. Operates on kilobytes."""
+    merged = sketch.select(*to_cols, "h").distinct()
+    top = W.partitionBy(*to_cols).orderBy("h")
+    return (
+        merged.withColumn("__rn", F.row_number().over(top))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame, cell_cols: list[str], k: int = KMV_K
+) -> DataFrame:
+    """(cell_cols..., n_h, theta, est): distinct-count estimate per
+    cell. A cell that never filled its sketch (n_h < k) is EXACT
+    (theta = the full range); a full sketch estimates
+    (k-1) * 2^32 / theta in one exact-operand IEEE division."""
+    num = float((k - 1) * KMV_RANGE)
+    return (
+        sketch.groupBy(*cell_cols)
+        .agg(F.count(F.lit(1)).alias("n_h"), F.max("h").alias("__hk"))
+        .select(
+            *cell_cols,
+            "n_h",
+            F.when(F.col("n_h") < k, F.lit(KMV_RANGE).cast("bigint"))
+            .otherwise(F.col("__hk"))
+            .alias("theta"),
+            F.when(F.col("n_h") < k, F.col("n_h").cast("double"))
+            .otherwise(F.lit(num) / F.col("__hk").cast("double"))
+            .alias("est"),
+        )
+    )
+
+
+def kmv_sketch_sql(
+    table: str, cell_cols: list[str], item_col: str, k: int = KMV_K
+) -> str:
+    """DuckDB: the same k smallest distinct hashes per cell (one-level
+    ranking — identical output to the two-level Spark selection)."""
+    cells = ", ".join(cell_cols) + ", " if cell_cols else ""
+    part = ", ".join(cell_cols) if cell_cols else "1"
+    h = md5int_duckdb(f"CAST({item_col} AS VARCHAR)")
+    return f"""
+  SELECT {cells}h FROM (
+    SELECT {cells}h,
+      row_number() OVER (PARTITION BY {part} ORDER BY h) AS rn
+    FROM (
+      SELECT DISTINCT {cells}{h} AS h
+      FROM {table} WHERE {item_col} IS NOT NULL
+    )
+  ) WHERE rn <= {k}
+"""
+
+
+def kmv_estimate_sql(sketch_cte: str, cell_cols: list[str], k: int = KMV_K) -> str:
+    cells = ", ".join(cell_cols)
+    num = float((k - 1) * KMV_RANGE)
+    return f"""
+  SELECT {cells}, n_h,
+    CASE WHEN n_h < {k} THEN CAST({KMV_RANGE} AS BIGINT) ELSE hk END AS theta,
+    CASE WHEN n_h < {k} THEN CAST(n_h AS DOUBLE)
+         ELSE {num!r} / CAST(hk AS DOUBLE) END AS est
+  FROM (
+    SELECT {cells}, COUNT(*) AS n_h, MAX(h) AS hk
+    FROM {sketch_cte} GROUP BY {cells}
+  )
 """

@@ -129,6 +129,7 @@ _MIDDLE: list[str] = [
     "q_winnowing_fingerprints",
     "q_priority_sample",
     "q_knn_join_gemm",
+    "q_kmv_set_ops",
     # round-2 cohort rest (31)
     "q_best_of_cluster",
     "q_bm25_search",

@@ -950,3 +950,192 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch: distinct counting with SET OPERATIONS (union AND
+# intersection estimates) — the capability HLL registers cannot express.
+# ---------------------------------------------------------------------------
+
+
+def _kmv_oracle() -> str:
+    from flink_template_spark.operators.sketches_portable import (
+        KMV_K,
+        KMV_NUM,
+        KMV_RANGE,
+        kmv_estimate_sql,
+        kmv_sketch_sql,
+    )
+
+    k = KMV_K
+    return f"""
+WITH sk AS MATERIALIZED ({kmv_sketch_sql('events', ['event_type'], 'user_id')}),
+stats AS MATERIALIZED ({kmv_estimate_sql('sk', ['event_type'])}),
+pairs AS MATERIALIZED (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.est AS users_a_est, b.est AS users_b_est,
+         LEAST(a.theta, b.theta) AS theta_ab
+  FROM stats a JOIN stats b ON a.event_type < b.event_type
+),
+u AS (
+  SELECT p.type_a, p.type_b, s.h
+  FROM pairs p JOIN sk s ON s.event_type IN (p.type_a, p.type_b)
+  GROUP BY 1, 2, 3
+),
+uk AS (
+  SELECT type_a, type_b, COUNT(*) AS n_u,
+         MAX(CASE WHEN rn = {k} THEN h END) AS hk
+  FROM (
+    SELECT type_a, type_b, h,
+           row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+    FROM u
+  ) GROUP BY 1, 2
+),
+inter AS (
+  SELECT sa.event_type AS type_a, sb.event_type AS type_b, COUNT(*) AS cnt
+  FROM sk sa
+  JOIN sk sb ON sa.h = sb.h AND sa.event_type < sb.event_type
+  JOIN pairs p ON p.type_a = sa.event_type AND p.type_b = sb.event_type
+  WHERE sa.h < p.theta_ab
+  GROUP BY 1, 2
+),
+du AS MATERIALIZED (
+  SELECT DISTINCT event_type, user_id FROM events WHERE user_id IS NOT NULL
+),
+ex AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*) AS exact_intersect
+  FROM du a JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.users_a_est, p.users_b_est,
+  CASE WHEN uk.n_u < {k} THEN CAST(uk.n_u AS DOUBLE)
+       ELSE {KMV_NUM!r} / CAST(uk.hk AS DOUBLE) END AS union_est,
+  CAST(COALESCE(i.cnt, 0) * {KMV_RANGE} AS DOUBLE) / CAST(p.theta_ab AS DOUBLE)
+    AS intersect_est,
+  CAST(COALESCE(ex.exact_intersect, 0) AS BIGINT) AS exact_intersect
+FROM pairs p
+JOIN uk ON uk.type_a = p.type_a AND uk.type_b = p.type_b
+LEFT JOIN inter i ON i.type_a = p.type_a AND i.type_b = p.type_b
+LEFT JOIN ex ON ex.type_a = p.type_a AND ex.type_b = p.type_b
+ORDER BY p.type_a, p.type_b
+"""
+
+
+@register("q_kmv_set_ops", oracle=_kmv_oracle())
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix from KMV/theta sketches
+    (operators.sketches_portable.kmv_*): per-event-type distinct-user
+    sketches, then for every type pair the estimated distinct users of
+    each side, of the UNION (merge k smallest, re-estimate), and of the
+    INTERSECTION (common retained hashes below min theta) — the set
+    algebra HLL cannot do, with the exact intersection riding along so
+    the sketch error is visible in verified output. Every estimate is
+    one exact-operand IEEE division (zero rounding), so the DuckDB
+    oracle matches bit-for-bit. At 100 TB the one full-data shuffle is
+    the distinct over (type, hash); everything after runs on ≤ k-row
+    sketches per type."""
+    from flink_template_spark.operators.sketches_portable import (
+        KMV_K,
+        KMV_NUM,
+        KMV_RANGE,
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    k = KMV_K
+    events = load_table(spark, sf_dir, "events")
+    # localCheckpoint: the sketch (≤ k rows per type) feeds four
+    # consumers (stats, both union sides, intersection); same GC-scoped
+    # trade as the decontamination shingle table (plans.safety).
+    sk = kmv_sketch(events, ["event_type"], "user_id").localCheckpoint()
+    stats = kmv_estimate(sk, ["event_type"])
+    a = stats.select(
+        F.col("event_type").alias("type_a"),
+        F.col("est").alias("users_a_est"),
+        F.col("theta").alias("__ta"),
+    )
+    b = stats.select(
+        F.col("event_type").alias("type_b"),
+        F.col("est").alias("users_b_est"),
+        F.col("theta").alias("__tb"),
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            "users_a_est",
+            "users_b_est",
+            F.least("__ta", "__tb").alias("theta_ab"),
+        )
+    )
+    pkeys = ["type_a", "type_b"]
+    # union sketch per pair: tag each side's rows with the pair key,
+    # then kmv_merge re-selects the k smallest of the merged sets
+    ua = pairs.select(*pkeys).join(
+        sk.select(F.col("event_type").alias("type_a"), "h"), "type_a"
+    )
+    ub = pairs.select(*pkeys).join(
+        sk.select(F.col("event_type").alias("type_b"), "h"), "type_b"
+    )
+    usk = kmv_merge(ua.select(*pkeys, "h").unionAll(ub.select(*pkeys, "h")), pkeys)
+    west = W.partitionBy(*pkeys).orderBy("h")
+    u_est = (
+        usk.withColumn("__rn", F.row_number().over(west))
+        .groupBy(*pkeys)
+        .agg(
+            F.count(F.lit(1)).alias("n_u"),
+            F.max(F.when(F.col("__rn") == k, F.col("h"))).alias("__hk"),
+        )
+        .select(
+            *pkeys,
+            F.when(F.col("n_u") < k, F.col("n_u").cast("double"))
+            .otherwise(F.lit(KMV_NUM) / F.col("__hk").cast("double"))
+            .alias("union_est"),
+        )
+    )
+    inter = (
+        sk.select(F.col("event_type").alias("type_a"), "h")
+        .join(sk.select(F.col("event_type").alias("type_b"), "h"), "h")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .join(pairs.select(*pkeys, "theta_ab"), pkeys)
+        .filter(F.col("h") < F.col("theta_ab"))
+        .groupBy(*pkeys)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    du = (
+        events.filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    ex = (
+        du.select(F.col("event_type").alias("type_a"), "user_id")
+        .join(du.select(F.col("event_type").alias("type_b"), "user_id"), "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy(*pkeys)
+        .agg(F.count(F.lit(1)).alias("exact_intersect"))
+    )
+    return (
+        pairs.join(u_est, pkeys)
+        .join(inter, pkeys, "left")
+        .join(ex, pkeys, "left")
+        .select(
+            *pkeys,
+            "users_a_est",
+            "users_b_est",
+            "union_est",
+            (
+                (F.coalesce(F.col("cnt"), F.lit(0)) * F.lit(KMV_RANGE)).cast(
+                    "double"
+                )
+                / F.col("theta_ab").cast("double")
+            ).alias("intersect_est"),
+            F.coalesce(F.col("exact_intersect"), F.lit(0))
+            .cast("bigint")
+            .alias("exact_intersect"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -64,3 +64,83 @@ def test_hll_mergeable_rollup_matches_exact(spark, sf_dir):
         assert abs(r.approx_users - exact[r.event_type]) <= max(
             3, 0.05 * exact[r.event_type]
         )
+
+
+def test_kmv_exact_when_under_k(spark):
+    """A cell whose distinct count never fills the sketch is EXACT
+    (theta = full range, est = n), and disjoint cells discriminate."""
+    from flink_template_spark.operators.sketches_portable import (
+        KMV_RANGE,
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    rows = [("a", i) for i in range(10)] + [("b", 100 + i) for i in range(5)]
+    df = spark.createDataFrame(rows * 3, "cell string, item long")  # dups collapse
+    est = {
+        r["cell"]: r
+        for r in kmv_estimate(kmv_sketch(df, ["cell"], "item"), ["cell"]).collect()
+    }
+    assert est["a"]["est"] == 10.0 and est["a"]["theta"] == KMV_RANGE
+    assert est["b"]["est"] == 5.0 and est["b"]["n_h"] == 5
+
+
+def test_kmv_estimate_accuracy_and_set_ops(spark):
+    """Estimating branch: half-overlapping 500-element sets; per-side,
+    union, and intersection estimates must land within the KMV rsd
+    envelope (~1/sqrt(k-1) ≈ 12.6% at k=64; assert 3x that)."""
+    from pyspark.sql import functions as F
+
+    from flink_template_spark.operators.sketches_portable import (
+        KMV_K,
+        KMV_NUM,
+        KMV_RANGE,
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    # a = {0..499}, b = {250..749}: |a|=|b|=500, |a∪b|=750, |a∩b|=250
+    rows = [("a", i) for i in range(500)] + [("b", 250 + i) for i in range(500)]
+    df = spark.createDataFrame(rows, "cell string, item long")
+    sk = kmv_sketch(df, ["cell"], "item").localCheckpoint()
+    est = {r["cell"]: r for r in kmv_estimate(sk, ["cell"]).collect()}
+    tol = 3 * (1.0 / (KMV_K - 1) ** 0.5)
+    assert abs(est["a"]["est"] - 500) <= tol * 500
+    assert abs(est["b"]["est"] - 500) <= tol * 500
+    # union: merge the two sketches under one key, re-estimate
+    u = kmv_merge(sk.select(F.lit("u").alias("cell"), "h"), ["cell"])
+    u_est = kmv_estimate(u, ["cell"]).collect()[0]["est"]
+    assert abs(u_est - 750) <= tol * 750
+    # intersection: common retained hashes below min theta
+    theta = min(est["a"]["theta"], est["b"]["theta"])
+    a_h = {r["h"] for r in sk.filter("cell = 'a'").collect()}
+    b_h = {r["h"] for r in sk.filter("cell = 'b'").collect()}
+    common = [h for h in a_h & b_h if h < theta]
+    i_est = len(common) * KMV_RANGE / theta
+    # intersection rsd is worse (small Jaccard); assert a loose sanity band
+    assert 250 * 0.3 <= i_est <= 250 * 2.2
+
+
+def test_kmv_merge_equals_rebuild(spark):
+    """Merging per-cell sketches must equal the sketch built directly
+    on the union of the rows — the k smallest of a union is a subset
+    of each side's k smallest, so kmv_merge is lossless BY VALUE, not
+    approximately."""
+    from pyspark.sql import functions as F
+
+    from flink_template_spark.operators.sketches_portable import (
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    rows = [("a", i * 7) for i in range(300)] + [("b", i * 11) for i in range(300)]
+    df = spark.createDataFrame(rows, "cell string, item long")
+    merged = kmv_merge(
+        kmv_sketch(df, ["cell"], "item").select(F.lit("all").alias("cell"), "h"),
+        ["cell"],
+    )
+    direct = kmv_sketch(df.select(F.lit("all").alias("cell"), "item"), ["cell"], "item")
+    got = sorted(r["h"] for r in merged.collect())
+    want = sorted(r["h"] for r in direct.collect())
+    assert got == want
