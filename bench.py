@@ -85,6 +85,7 @@ EXTENDED = [
     "q_priority_sample",
     "q_knn_join_gemm",
     "q_kmv_set_ops",
+    "q_kcore_trade",
 ]
 
 

@@ -193,3 +193,44 @@ def q_triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_triangles"
         ),
     )
+
+
+_KCORE_K = 12
+_KCORE_ROUNDS = 5
+
+
+def _kcore_oracle() -> str:
+    from flink_template_spark.operators.kcore import kcore_sql
+
+    return f"""
+WITH edges AS MATERIALIZED ({_TRADE_EDGES_SQL}),
+{kcore_sql('edges', _KCORE_K, _KCORE_ROUNDS)},
+core AS (
+  SELECT a AS node, COUNT(*) AS core_deg
+  FROM sym{_KCORE_ROUNDS} GROUP BY a
+)
+SELECT n.n_name, CAST(c.core_deg AS BIGINT) AS core_deg
+FROM core c JOIN nation n ON c.node = n.n_nationkey
+ORDER BY n.n_name
+"""
+
+
+@register("q_kcore_trade", oracle=_kcore_oracle())
+def q_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {k}-core of the undirected trade graph (operators.kcore,
+    k=12, 5 peel rounds — fixpoint at every test SF, asserted in
+    tests/test_graph.py): nations in the densely-trading core with
+    their within-core degree. The graph-quality prior of web curation
+    — outside-core nodes are leaf chains / halos, the core is the
+    community worth boosting. Oracle replays the IDENTICAL peel rounds
+    as an unrolled materialized-CTE chain, so survival and degrees
+    match exactly."""
+    from flink_template_spark.operators.kcore import kcore
+
+    nation = load_table(spark, sf_dir, "nation")
+    core = kcore(_trade_edges(spark, sf_dir), k=_KCORE_K, rounds=_KCORE_ROUNDS)
+    return (
+        core.join(nation, core.node == nation.n_nationkey)
+        .select("n_name", F.col("core_deg").cast("bigint").alias("core_deg"))
+        .orderBy("n_name")
+    )

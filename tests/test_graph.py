@@ -547,3 +547,58 @@ def test_exact_moments_single_row_group_is_null_not_abort(spark, monkeypatch):
     }
     assert rows["a"] is None
     assert rows["b"] == 2.0
+
+
+def test_kcore_hand_graph(spark):
+    """K4 plus a pendant chain: the 3-core is exactly the K4 (each
+    corner degree 3); the chain peels away over CASCADING rounds (the
+    chain end enables the next peel — one round is not enough)."""
+    from flink_template_spark.operators.kcore import kcore
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    chain = [(4, 5), (5, 6), (6, 7)]  # pendant path off corner 4
+    df = spark.createDataFrame(k4 + chain, "src long, dst long")
+    got = {
+        r["node"]: r["core_deg"] for r in kcore(df, k=3, rounds=4).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # under-budgeted rounds give a SUPERSET (not-yet-peeled chain
+    # nodes), never a wrong deletion
+    partial = {r["node"] for r in kcore(df, k=2, rounds=0).collect()}
+    assert partial >= {1, 2, 3, 4}
+
+
+def test_kcore_2core_drops_all_trees(spark):
+    """A tree has no 2-core: peeling must empty it completely, which
+    takes rounds proportional to the tree depth (cascade proof)."""
+    from flink_template_spark.operators.kcore import kcore
+
+    path = [(i, i + 1) for i in range(8)]
+    df = spark.createDataFrame(path, "src long, dst long")
+    assert kcore(df, k=2, rounds=4).count() == 0
+
+
+def test_kcore_trade_fixpoint(spark, sf_dir):
+    """5 peel rounds must BE the fixpoint on the trade graph at the
+    configured SF: one more round changes nothing (q_kcore_trade's
+    round budget is sized, not guessed)."""
+    from flink_template_spark.operators.kcore import kcore
+    from flink_template_spark.plans.graph import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+        _trade_edges,
+    )
+
+    edges = _trade_edges(spark, sf_dir)
+    key = lambda r: (r["node"], r["core_deg"])
+    at_budget = sorted(
+        map(key, kcore(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS).collect())
+    )
+    one_more = sorted(
+        map(key, kcore(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS + 1).collect())
+    )
+    assert at_budget == one_more
+    # the 12-core is EMPTY at sf0.001 (max thresholded degree 15, but
+    # peeling cascades to nothing — verified against DuckDB) and 19/25
+    # nations at sf0.01/sf0.1; the driver's sf0.01 oracle gate covers
+    # the non-empty path, this test pins the round budget at any SF
