@@ -86,6 +86,7 @@ EXTENDED = [
     "q_knn_join_gemm",
     "q_kmv_set_ops",
     "q_kcore_trade",
+    "q_zorder_layout",
 ]
 
 

@@ -131,6 +131,7 @@ _MIDDLE: list[str] = [
     "q_knn_join_gemm",
     "q_kmv_set_ops",
     "q_kcore_trade",
+    "q_zorder_layout",
     # round-2 cohort rest (31)
     "q_best_of_cluster",
     "q_bm25_search",

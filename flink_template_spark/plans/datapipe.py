@@ -615,3 +615,74 @@ def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _PRIORITY_K)
         .select("doc_id", "lang", "n_chars", "priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout: multi-dimensional file-skipping bounds
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 6  # 64x64 quantized grid -> 12-bit Morton key
+_Z_PRICE_BUCKET = 2048.0  # price in [901.82, 104997.88] -> buckets 0..51
+_Z_PARTS_SHIFT = 8  # top 4 of 12 bits -> 16 partitions = 4x4 tile grid
+
+
+def _zorder_oracle() -> str:
+    from flink_template_spark.functions.zorder import morton_interleave_sql
+
+    z = morton_interleave_sql("qx", "qy", _Z_BITS)
+    return f"""
+WITH q AS (
+  SELECT
+    CAST(floor(l_extendedprice / {_Z_PRICE_BUCKET}) AS BIGINT) AS qx,
+    CAST(floor(l_quantity) - 1 AS BIGINT) AS qy,
+    l_extendedprice, l_quantity
+  FROM lineitem
+)
+SELECT {z} // {1 << _Z_PARTS_SHIFT} AS pid,
+  COUNT(*) AS n_rows,
+  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+  MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
+FROM q
+GROUP BY 1
+ORDER BY pid
+"""
+
+
+@register("q_zorder_layout", oracle=_zorder_oracle())
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit (functions.zorder): lineitem rows keyed by
+    the Morton interleave of quantized (price, quantity), bucketed into
+    the 16 top-bit partitions, reporting each partition's row count and
+    per-dimension min/max — the exact bounds parquet footer stats would
+    carry if the table were written with
+    ``repartitionByRange(zkey).sortWithinPartitions(zkey)``. Because
+    top-bit blocks of a Morton key are ALIGNED tiles, every partition's
+    box spans at most 1/4 of each dimension's range (tested), so a
+    predicate on EITHER price or quantity prunes ~3/4 of files — the
+    reason to z-order a 100 TB fact table instead of sorting it by one
+    column. Quantization uses floor (a bare double→int CAST rounds in
+    DuckDB but truncates in Spark — the cross-engine trap)."""
+    from flink_template_spark.functions.zorder import morton_interleave
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_quantity"
+    )
+    qx = F.floor(F.col("l_extendedprice") / F.lit(_Z_PRICE_BUCKET))
+    qy = F.floor(F.col("l_quantity")) - F.lit(1)
+    zkey = morton_interleave(qx, qy, _Z_BITS)
+    return (
+        li.select(
+            F.shiftright(zkey, _Z_PARTS_SHIFT).alias("pid"),
+            "l_quantity",
+            "l_extendedprice",
+        )
+        .groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+        .orderBy("pid")
+    )

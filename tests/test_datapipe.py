@@ -180,3 +180,71 @@ def test_rendezvous_shard_degenerate_counts(spark):
     assert {r["s"] for r in out} == {0}
     with pytest.raises(ValueError):
         rendezvous_shard("doc_id", 0)
+
+
+def test_morton_matches_python_reference(spark):
+    """Bit-interleave correctness on the full 16x16 grid against a
+    pure-Python reference (catches any shift/position transposition)."""
+    from flink_template_spark.functions.zorder import morton_interleave
+
+    from pyspark.sql import functions as F
+
+    def ref(x, y, bits=4):
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", morton_interleave(F.col("x"), F.col("y"), 4).alias("z")
+        ).collect()
+    }
+    assert got == {(x, y): ref(x, y) for x, y in rows}
+    # the 256 keys are a permutation of 0..255 (no collisions)
+    assert sorted(got.values()) == list(range(256))
+
+
+def test_zorder_partitions_are_aligned_tiles(spark, sf_dir):
+    """The scale claim q_zorder_layout makes: top-bit partitions of a
+    Morton key are ALIGNED tiles, so every partition's quantized
+    bounding box spans at most 1/4 of EACH dimension (16 of 64 cells
+    at 6-bit quantization, 4-bit partition prefix) — the both-column
+    skipping property a single-column sort cannot give."""
+    from flink_template_spark.plans.datapipe import (
+        _Z_BITS,
+        _Z_PARTS_SHIFT,
+        _Z_PRICE_BUCKET,
+    )
+    from flink_template_spark.functions.zorder import morton_interleave
+    from flink_template_spark.tables import load_table
+
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    qx = F.floor(F.col("l_extendedprice") / F.lit(_Z_PRICE_BUCKET))
+    qy = F.floor(F.col("l_quantity")) - F.lit(1)
+    zkey = morton_interleave(qx, qy, _Z_BITS)
+    tile = 1 << (_Z_BITS - (2 * _Z_BITS - _Z_PARTS_SHIFT) // 2)  # 16
+    rows = (
+        li.select(
+            F.shiftright(zkey, _Z_PARTS_SHIFT).alias("pid"),
+            qx.alias("qx"),
+            qy.alias("qy"),
+        )
+        .groupBy("pid")
+        .agg(
+            F.min("qx").alias("x0"), F.max("qx").alias("x1"),
+            F.min("qy").alias("y0"), F.max("qy").alias("y1"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        # aligned: both corners in the same tile-width window
+        assert r["x0"] // tile == r["x1"] // tile, r
+        assert r["y0"] // tile == r["y1"] // tile, r
