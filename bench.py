@@ -87,6 +87,7 @@ EXTENDED = [
     "q_kmv_set_ops",
     "q_kcore_trade",
     "q_zorder_layout",
+    "q_ewma_value",
 ]
 
 

@@ -132,6 +132,7 @@ _MIDDLE: list[str] = [
     "q_kmv_set_ops",
     "q_kcore_trade",
     "q_zorder_layout",
+    "q_ewma_value",
     # round-2 cohort rest (31)
     "q_best_of_cluster",
     "q_bm25_search",

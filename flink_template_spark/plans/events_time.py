@@ -624,3 +624,85 @@ def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(interp, 6).alias("value_filled"),
         F.col("v").isNull().alias("interpolated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing (time-series denoising with EXACT cross-engine floats)
+# ---------------------------------------------------------------------------
+
+# 24 lags with decay 1/2: every weight w_j = 2^-(j+1) is a POWER OF
+# TWO, so each product w_j * x is EXACT (pure exponent shift, mantissa
+# untouched) — which is what makes the fold bit-reproducible across
+# engines: DuckDB's executor CONTRACTS multiply-add chains (FMA, one
+# rounding for a*b+c), Spark's JVM codegen never does, and the two
+# only agree when the product needs no rounding at all (measured: at
+# decay 3/4 — exact weights but INEXACT products — 1-3 % of rows came
+# back one ulp apart). The fold itself is a fixed left-associative
+# expression chain (not a list_sum, whose summation order DuckDB does
+# not guarantee), the normalizer (a sum of distinct powers of two) is
+# exact, and the final division rounds once — smoothed values
+# hash-match the oracle UNROUNDED, the priority-sample discipline
+# applied to a float recurrence. Tail truncation at 24 lags is 2^-24
+# of the weight mass, absorbed by the per-row normalizer (weights of
+# PRESENT lags only).
+_EWMA_LAGS = 24
+_EWMA_WEIGHTS = [2.0 ** -(j + 1) for j in range(_EWMA_LAGS)]
+_EWMA_SAMPLE = 25  # emit every 25th row: verifies the chain densely
+
+
+def _ewma_oracle() -> str:
+    num = []
+    den = []
+    for j, w in enumerate(_EWMA_WEIGHTS):
+        lag = "value" if j == 0 else f"lag(value, {j}) OVER w"
+        # CAST every literal to DOUBLE: DuckDB parses bare decimal
+        # literals as DECIMAL and would fold the denominator in exact
+        # decimal arithmetic — an ulp off the Spark double fold
+        num.append(f"COALESCE(CAST({w!r} AS DOUBLE) * ({lag}), 0.0)")
+        den.append(
+            f"(CASE WHEN ({lag}) IS NULL THEN CAST(0.0 AS DOUBLE)"
+            f" ELSE CAST({w!r} AS DOUBLE) END)"
+        )
+    return f"""
+SELECT event_type, rn, ewma FROM (
+  SELECT event_type,
+    CAST(row_number() OVER w AS BIGINT) AS rn,
+    ({" + ".join(num)}) / ({" + ".join(den)}) AS ewma
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+)
+WHERE rn % {_EWMA_SAMPLE} = 0
+ORDER BY event_type, rn
+"""
+
+
+@register("q_ewma_value", oracle=_ewma_oracle())
+def q_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the event value per
+    type (24-lag window, decay 1/2), sampled every 25th row — metric
+    denoising / drift smoothing as ONE partitioned-window pass: the 24
+    lag expressions share a single (event_type)-keyed sort, no
+    self-joins, no state. Every weight is an exact double and the fold
+    order is pinned left-associative on both engines, so the smoothed
+    floats hash-match the oracle unrounded (see the module constants
+    for why power-of-two weights are the ONLY decay immune to DuckDB's
+    FMA contraction)."""
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    num = None
+    den = None
+    for j, wt in enumerate(_EWMA_WEIGHTS):
+        lag = F.col("value") if j == 0 else F.lag("value", j).over(w)
+        n_term = F.coalesce(F.lit(wt) * lag, F.lit(0.0))
+        d_term = F.when(lag.isNull(), F.lit(0.0)).otherwise(F.lit(wt))
+        num = n_term if num is None else num + n_term
+        den = d_term if den is None else den + d_term
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_type",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            (num / den).alias("ewma"),
+        )
+        .filter(F.col("rn") % _EWMA_SAMPLE == 0)
+        .orderBy("event_type", "rn")
+    )

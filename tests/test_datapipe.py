@@ -248,3 +248,43 @@ def test_zorder_partitions_are_aligned_tiles(spark, sf_dir):
         # aligned: both corners in the same tile-width window
         assert r["x0"] // tile == r["x1"] // tile, r
         assert r["y0"] // tile == r["y1"] // tile, r
+
+
+def test_ewma_matches_python_reference(spark, monkeypatch):
+    """EWMA fold vs a pure-Python left-assoc replay on a hand series,
+    including the start-of-series rows where the normalizer sums only
+    the PRESENT lags' weights (the truncated-window correction)."""
+    import datetime
+
+    import flink_template_spark.plans.events_time as ET
+
+    vals = [3.0, 1.5, 4.25, 2.0, 8.5, 0.25, 7.75, 5.5]
+    base = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            ("a", base + datetime.timedelta(minutes=i), i, v)
+            for i, v in enumerate(vals)
+        ],
+        "event_type string, ts timestamp, event_id long, value double",
+    )
+    monkeypatch.setattr(ET, "load_table", lambda s, sd, t: ev)
+    monkeypatch.setattr(ET, "_EWMA_SAMPLE", 1)
+    got = {
+        r["rn"]: r["ewma"] for r in ET.q_ewma_value(spark, "unused").collect()
+    }
+
+    def ref(t):
+        num = den = None
+        for j, w in enumerate(ET._EWMA_WEIGHTS):
+            x = vals[t - j] if t - j >= 0 else None
+            nt = w * x if x is not None else 0.0
+            dt = w if x is not None else 0.0
+            num = nt if num is None else num + nt
+            den = dt if den is None else den + dt
+        return num / den
+
+    assert got == {t + 1: ref(t) for t in range(len(vals))}
+    # smoothing sanity: the smoothed series varies less than the raw one
+    raw_span = max(vals) - min(vals)
+    sm = list(got.values())
+    assert max(sm) - min(sm) < raw_span
