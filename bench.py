@@ -88,6 +88,7 @@ EXTENDED = [
     "q_kcore_trade",
     "q_zorder_layout",
     "q_ewma_value",
+    "q_sorted_neighborhood_pairs",
 ]
 
 

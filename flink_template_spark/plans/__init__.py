@@ -133,6 +133,7 @@ _MIDDLE: list[str] = [
     "q_kcore_trade",
     "q_zorder_layout",
     "q_ewma_value",
+    "q_sorted_neighborhood_pairs",
     # round-2 cohort rest (31)
     "q_best_of_cluster",
     "q_bm25_search",

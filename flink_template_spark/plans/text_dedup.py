@@ -1236,3 +1236,69 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood (merge/purge) blocking — the skew-proof 5th family
+# ---------------------------------------------------------------------------
+
+_SNM_WINDOW = 4  # compare each row to its 3 sort-successors per pass
+
+
+def _snm_oracle() -> str:
+    branches = []
+    for key in ("text", "rkey"):
+        for k in range(1, _SNM_WINDOW):
+            branches.append(
+                f"    SELECT doc_id, lead(doc_id, {k}) OVER "
+                f"(PARTITION BY lang ORDER BY {key}, doc_id) AS n FROM base"
+            )
+    union = "\n    UNION ALL\n".join(branches)
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, text, lang,
+         array_to_string(list_reverse(string_split(text, ' ')), ' ') AS rkey
+  FROM documents
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT LEAST(doc_id, n) AS id_a, GREATEST(doc_id, n) AS id_b
+  FROM (
+{union}
+  ) WHERE n IS NOT NULL AND doc_id <> n
+),
+sh AS MATERIALIZED ({_duck_shingles(3)}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_inter,
+  ROUND(CAST(n_inter AS DOUBLE)
+        / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.id_a = sa.doc_id
+JOIN sizes sb ON inter.id_b = sb.doc_id
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
+      >= 0.4999995
+"""
+
+
+@register("q_sorted_neighborhood_pairs", oracle=_snm_oracle())
+def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass sorted-neighborhood near-dup pairs
+    (operators.dedup.sorted_neighborhood_pairs): per-language sort by
+    text order then reversed-word order, window-4 neighbor candidates,
+    exact shingle-Jaccard verification at >= 0.5. The skew-proof
+    blocking family: a fixed window-1 candidate budget per row per
+    pass regardless of how hot any bucket is (where LSH/shingle
+    buckets go quadratic). Precision 1 by construction; recall vs the
+    brute-force join is pinned in tests/test_simhash_wide.py."""
+    from flink_template_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sorted_neighborhood_pairs(
+        docs, window=_SNM_WINDOW, threshold=0.5
+    )
