@@ -89,6 +89,8 @@ EXTENDED = [
     "q_zorder_layout",
     "q_ewma_value",
     "q_sorted_neighborhood_pairs",
+    "q_trustrank_trade",
+    "q_trade_hops",
 ]
 
 

@@ -58,6 +58,51 @@ def pagerank(
         F.col(id_col).alias("id"),
         F.expr(f"CAST({QUANT_PR} AS BIGINT) DIV n_nodes").alias("base_q"),
     )
+    return _damped_rounds(base, edges, n_iter, src_col, dst_col)
+
+
+def trustrank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 5,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """TrustRank (Gyöngyi-Garcia-Molina-Pedersen '04): PageRank with
+    the teleport mass restricted to a TRUSTED SEED set — the
+    quality-propagation prior of web curation (trust flows out from
+    vetted hosts; link-spam farms with no seed-reachable in-path decay
+    to rank ≈ 0 instead of collecting uniform teleport mass). Same
+    fixed-point integer iteration as ``pagerank`` (same oracle
+    replayability), only the base vector differs: QUANT_PR/|seeds| on
+    seed nodes, 0 elsewhere. ``seeds`` is a 1-column DataFrame of
+    ``id_col`` values (a subset of ``nodes``)."""
+    n_seeds = seeds.agg(F.count(F.lit(1)).alias("n_seeds"))
+    seed_ids = seeds.select(F.col(id_col).alias("id"), F.lit(1).alias("__seed"))
+    base = (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(seed_ids, "id", "left")
+        .crossJoin(F.broadcast(n_seeds))
+        .select(
+            "id",
+            F.when(
+                F.col("__seed").isNotNull(),
+                F.expr(f"CAST({QUANT_PR} AS BIGINT) DIV n_seeds"),
+            )
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("base_q"),
+        )
+    )
+    return _damped_rounds(base, edges, n_iter, src_col, dst_col)
+
+
+def _damped_rounds(
+    base: DataFrame, edges: DataFrame, n_iter: int, src_col: str, dst_col: str
+) -> DataFrame:
+    """The shared fixed-point loop: (id, base_q) in, (id, rank_q) out
+    after ``n_iter`` rounds of the damped integer iteration."""
     outdeg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("deg"))
     edges_d = edges.join(outdeg, src_col)
 

@@ -134,6 +134,8 @@ _MIDDLE: list[str] = [
     "q_zorder_layout",
     "q_ewma_value",
     "q_sorted_neighborhood_pairs",
+    "q_trustrank_trade",
+    "q_trade_hops",
     # round-2 cohort rest (31)
     "q_best_of_cluster",
     "q_bm25_search",

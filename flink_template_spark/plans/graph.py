@@ -49,7 +49,10 @@ _TRADE_EDGES_SQL = """
 """
 
 
-def _pagerank_oracle(n_iter: int) -> str:
+def _pr_rounds_chain(n_iter: int) -> str:
+    """The unrolled damped-iteration CTE chain r1..r{n_iter}; works for
+    ANY per-node base vector (uniform PageRank, seed-only TrustRank) —
+    the teleport term already reads b.base_q per node."""
     teleport = f"(({DAMP_DEN - DAMP_NUM}) * base_q) // {DAMP_DEN}"
     rounds = []
     for i in range(1, n_iter + 1):
@@ -69,7 +72,10 @@ def _pagerank_oracle(n_iter: int) -> str:
   ) s ON b.id = s.id
 )"""
         )
-    chain = ",\n".join(rounds)
+    return ",\n".join(rounds)
+
+
+def _rank_oracle(n_iter: int, base_cte: str) -> str:
     # AS MATERIALIZED: edges is referenced from every round's CTE and
     # from outdeg; DuckDB would otherwise INLINE the 4-way lineitem
     # join once per reference (~15 evaluations for 5 rounds — minutes
@@ -77,17 +83,24 @@ def _pagerank_oracle(n_iter: int) -> str:
     return f"""
 WITH edges AS MATERIALIZED ({_TRADE_EDGES_SQL}),
 outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
-base AS (
+base AS ({base_cte}),
+r0 AS (SELECT id, base_q, base_q AS rank_q FROM base),
+{_pr_rounds_chain(n_iter)}
+SELECT n.n_name, r.rank_q
+FROM r{n_iter} r JOIN nation n ON r.id = n.n_nationkey
+"""
+
+
+def _pagerank_oracle(n_iter: int) -> str:
+    return _rank_oracle(
+        n_iter,
+        f"""
   SELECT n_nationkey AS id,
          CAST({QUANT_PR} AS BIGINT)
            // (SELECT COUNT(*) FROM nation) AS base_q
   FROM nation
-),
-r0 AS (SELECT id, base_q, base_q AS rank_q FROM base),
-{chain}
-SELECT n.n_name, r.rank_q
-FROM r{n_iter} r JOIN nation n ON r.id = n.n_nationkey
-"""
+""",
+    )
 
 
 def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,5 +245,100 @@ def q_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         core.join(nation, core.node == nation.n_nationkey)
         .select("n_name", F.col("core_deg").cast("bigint").alias("core_deg"))
+        .orderBy("n_name")
+    )
+
+
+_TRUST_REGION = "AMERICA"
+
+
+def _trustrank_oracle() -> str:
+    base = f"""
+  SELECT n_nationkey AS id,
+         CASE WHEN r_name = '{_TRUST_REGION}'
+              THEN CAST({QUANT_PR} AS BIGINT) // (
+                SELECT COUNT(*) FROM nation n2
+                JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+                WHERE r2.r_name = '{_TRUST_REGION}')
+              ELSE CAST(0 AS BIGINT) END AS base_q
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+    return _rank_oracle(_PR_ITER, base)
+
+
+@register("q_trustrank_trade", oracle=_trustrank_oracle())
+def q_trustrank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank over the trade graph (operators.pagerank.trustrank):
+    the damped iteration with teleport mass restricted to the trusted
+    seed set — here the AMERICA-region nations — so trust decays with trade
+    distance from the seeds instead of every node collecting uniform
+    teleport mass (the web-curation prior that separates
+    seed-reachable content from link-farm halos). Same fixed-point
+    bigint arithmetic and unrolled-CTE oracle as q_pagerank_trade;
+    only the base vector differs."""
+    from flink_template_spark.operators.pagerank import trustrank
+
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nodes = nation.select(F.col("n_nationkey").alias("id"))
+    seeds = (
+        nation.join(
+            F.broadcast(
+                region.filter(F.col("r_name") == _TRUST_REGION)
+            ),
+            nation.n_regionkey == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("id"))
+    )
+    ranks = trustrank(nodes, _trade_edges(spark, sf_dir), seeds, n_iter=_PR_ITER)
+    return ranks.join(
+        nation, ranks.id == nation.n_nationkey
+    ).select("n_name", "rank_q")
+
+
+_BFS_ROUNDS = 6
+
+
+def _bfs_oracle() -> str:
+    from flink_template_spark.operators.bfs import bfs_hops_sql
+
+    return f"""
+WITH edges AS MATERIALIZED ({_TRADE_EDGES_SQL}),
+seeds AS (
+  SELECT n_nationkey AS id FROM nation
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{_TRUST_REGION}'
+),
+{bfs_hops_sql('edges', 'seeds', _BFS_ROUNDS)}
+SELECT n.n_name, d.hops
+FROM d{_BFS_ROUNDS} d JOIN nation n ON d.id = n.n_nationkey
+ORDER BY n.n_name
+"""
+
+
+@register("q_trade_hops", oracle=_bfs_oracle())
+def q_trade_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed supply-chain hop distance from the AMERICA-region
+    nations over the trade graph (operators.bfs — bounded-round
+    min-plus relaxation, one edge shuffle + dst-keyed MIN per round).
+    The reachability dual of q_trustrank_trade: "k hops from a trusted
+    seed" as an exact integer feature. Nations unreachable within 6
+    hops are absent; the oracle replays the identical rounds as an
+    unrolled CTE chain."""
+    from flink_template_spark.operators.bfs import bfs_hops
+
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    seeds = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == _TRUST_REGION)),
+            nation.n_regionkey == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("id"))
+    )
+    hops = bfs_hops(_trade_edges(spark, sf_dir), seeds, rounds=_BFS_ROUNDS)
+    return (
+        hops.join(nation, hops.id == nation.n_nationkey)
+        .select("n_name", "hops")
         .orderBy("n_name")
     )

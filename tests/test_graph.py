@@ -602,3 +602,52 @@ def test_kcore_trade_fixpoint(spark, sf_dir):
     # peeling cascades to nothing — verified against DuckDB) and 19/25
     # nations at sf0.01/sf0.1; the driver's sf0.01 oracle gate covers
     # the non-empty path, this test pins the round budget at any SF
+
+
+def test_trustrank_decays_from_seeds(spark):
+    """Trust must flow FROM the seed set: on a seed -> mid -> far chain
+    plus a disconnected spam pair, the seed outranks mid outranks far,
+    and nodes unreachable from any seed get EXACTLY the zero-teleport
+    floor (0 — integer arithmetic, no epsilon) while uniform PageRank
+    gives them positive mass."""
+    from flink_template_spark.operators.pagerank import pagerank, trustrank
+
+    edges = [(0, 1), (1, 2), (3, 4), (4, 3)]  # chain 0->1->2; spam cycle 3<->4
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    edges_df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "id long")
+    tr = {
+        r["id"]: r["rank_q"]
+        for r in trustrank(nodes, edges_df, seeds, n_iter=4).collect()
+    }
+    pr = {
+        r["id"]: r["rank_q"]
+        for r in pagerank(nodes, edges_df, n_iter=4).collect()
+    }
+    assert tr[0] > tr[1] > tr[2] > 0  # decay along the trust chain
+    assert tr[3] == 0 and tr[4] == 0  # unreachable from seeds: exact 0
+    assert pr[3] > 0 and pr[4] > 0  # uniform teleport keeps spam afloat
+
+
+def test_bfs_hops_hand_graph(spark):
+    """Directed chain + multi-source min + unreached absence: hops
+    follow edge direction only, the nearest source wins, and nodes
+    beyond the round budget (or unreachable) are absent."""
+    from flink_template_spark.operators.bfs import bfs_hops
+
+    # 0 -> 1 -> 2 -> 3;  5 -> 2 (second source closer to 2);  4 isolated
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 2)], "src long, dst long"
+    )
+    sources = spark.createDataFrame([(0,), (5,)], "id long")
+    got = {
+        r["id"]: r["hops"] for r in bfs_hops(edges, sources, rounds=4).collect()
+    }
+    assert got == {0: 0, 5: 0, 1: 1, 2: 1, 3: 2}  # 2 via 5 (min), not via 0
+    # direction respected: nothing reaches 4, nothing flows backwards
+    assert 4 not in got
+    # truncated budget: with 1 round, node 3 (2 hops) is absent
+    one = {
+        r["id"]: r["hops"] for r in bfs_hops(edges, sources, rounds=1).collect()
+    }
+    assert one == {0: 0, 5: 0, 1: 1, 2: 1}
