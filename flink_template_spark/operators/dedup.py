@@ -401,6 +401,18 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    return _jaccard_from_inter(inter, sizes, id_col, threshold)
+
+
+def _jaccard_from_inter(
+    inter: DataFrame, sizes: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Shared verification tail: (id_a, id_b, n_inter) + per-doc
+    shingle counts -> 6-dp-rounded Jaccard, filtered to >= threshold.
+    One implementation so every blocking family (bucket combinations,
+    sorted neighborhoods) inherits identical rounding/threshold
+    semantics — the subset-of-brute-force property is definitional,
+    not maintained by hand."""
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
@@ -556,23 +568,48 @@ def sorted_neighborhood_pairs(
     Output matches ngram_jaccard_pairs: (id_a, id_b, n_inter, jaccard
     rounded to 6 dp) at ``jaccard >= threshold`` — by construction a
     SUBSET of the exact all-pairs answer (verification is exact, so
-    precision is 1; recall is what the passes bought)."""
+    precision is 1; recall is what the passes bought).
+
+    Neighbor generation runs on the GLOBAL (block, key, id) order via
+    the two-pass range-partitioned rank (operators.rank_global), then
+    an equi-join on rank+d — NOT a per-block window, which would
+    funnel a whole language through one task when blocks are few and
+    huge (the low-cardinality-partition-key variant of the
+    single-partition-window pathology). Ranks are a pure function of
+    the total order, independent of range-partition boundaries, so
+    the candidate set — and the oracle — is the plain global-window
+    lead set either way."""
+    from flink_template_spark.operators.rank_global import with_global_ranks
+
+    if window < 2:
+        raise ValueError(f"window must be >= 2 (got {window})")
     rev_key = F.array_join(F.reverse(F.split(F.col(text_col), " ")), " ")
     passes = [F.col(text_col), rev_key]
     cands = None
     for key in passes:
-        w = W.partitionBy(block_col).orderBy(key, id_col)
-        leads = [
-            F.lead(id_col, k).over(w).alias(f"__n{k}")
-            for k in range(1, window)
-        ]
-        neigh = docs.select(F.col(id_col), *leads)
-        for k in range(1, window):
-            pair = neigh.filter(F.col(f"__n{k}").isNotNull()).select(
-                F.least(id_col, f"__n{k}").alias("id_a"),
-                F.greatest(id_col, f"__n{k}").alias("id_b"),
-            )
-            cands = pair if cands is None else cands.unionAll(pair)
+        ranked = with_global_ranks(
+            docs.select(F.col(id_col), F.col(block_col), key.alias("__key")),
+            [(F.col(block_col), True), (F.col("__key"), True)],
+            tiebreak=[id_col],
+            row_number_col="__rn",
+        ).select(id_col, block_col, "__rn")
+        a = ranked.select(
+            F.col(block_col).alias("__blk"),
+            F.col(id_col).alias("__ida"),
+            F.col("__rn").alias("__r"),
+        )
+        b = ranked.select(
+            F.col(block_col).alias("__blk"),
+            F.col(id_col).alias("__idb"),
+            F.explode(
+                F.array(*[F.col("__rn") - F.lit(d) for d in range(1, window)])
+            ).alias("__r"),
+        )
+        pair = a.join(b, ["__blk", "__r"]).select(
+            F.least("__ida", "__idb").alias("id_a"),
+            F.greatest("__ida", "__idb").alias("id_b"),
+        )
+        cands = pair if cands is None else cands.unionAll(pair)
     cands = cands.filter(F.col("id_a") != F.col("id_b")).distinct()
     sh = _shingled(docs, id_col, text_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))

@@ -78,9 +78,13 @@ def trustrank(
     fixed-point integer iteration as ``pagerank`` (same oracle
     replayability), only the base vector differs: QUANT_PR/|seeds| on
     seed nodes, 0 elsewhere. ``seeds`` is a 1-column DataFrame of
-    ``id_col`` values (a subset of ``nodes``)."""
-    n_seeds = seeds.agg(F.count(F.lit(1)).alias("n_seeds"))
-    seed_ids = seeds.select(F.col(id_col).alias("id"), F.lit(1).alias("__seed"))
+    ``id_col`` values (a subset of ``nodes``); duplicates are
+    collapsed — a seed list built from a fanning join must not fan the
+    base vector out (duplicated output rows) or dilute the per-seed
+    teleport mass (n_seeds counting copies)."""
+    uniq = seeds.select(F.col(id_col).alias("id")).distinct()
+    n_seeds = uniq.agg(F.count(F.lit(1)).alias("n_seeds"))
+    seed_ids = uniq.select("id", F.lit(1).alias("__seed"))
     base = (
         nodes.select(F.col(id_col).alias("id"))
         .join(seed_ids, "id", "left")

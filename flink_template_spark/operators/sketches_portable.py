@@ -389,15 +389,18 @@ def kmv_sketch_sql(
 
 
 def kmv_estimate_sql(sketch_cte: str, cell_cols: list[str], k: int = KMV_K) -> str:
-    cells = ", ".join(cell_cols)
+    """Supports the same empty-cell (global sketch) domain as
+    kmv_sketch_sql — no dangling commas, GROUP BY omitted."""
+    cells = ", ".join(cell_cols) + ", " if cell_cols else ""
+    group = f"GROUP BY {', '.join(cell_cols)}" if cell_cols else ""
     num = float((k - 1) * KMV_RANGE)
     return f"""
-  SELECT {cells}, n_h,
+  SELECT {cells}n_h,
     CASE WHEN n_h < {k} THEN CAST({KMV_RANGE} AS BIGINT) ELSE hk END AS theta,
     CASE WHEN n_h < {k} THEN CAST(n_h AS DOUBLE)
          ELSE {num!r} / CAST(hk AS DOUBLE) END AS est
   FROM (
-    SELECT {cells}, COUNT(*) AS n_h, MAX(h) AS hk
-    FROM {sketch_cte} GROUP BY {cells}
+    SELECT {cells}COUNT(*) AS n_h, MAX(h) AS hk
+    FROM {sketch_cte} {group}
   )
 """

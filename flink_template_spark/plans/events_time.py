@@ -667,7 +667,8 @@ def _ewma_oracle() -> str:
 SELECT event_type, rn, ewma FROM (
   SELECT event_type,
     CAST(row_number() OVER w AS BIGINT) AS rn,
-    ({" + ".join(num)}) / ({" + ".join(den)}) AS ewma
+    CASE WHEN ({" + ".join(den)}) > 0.0
+         THEN ({" + ".join(num)}) / ({" + ".join(den)}) END AS ewma
   FROM events
   WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
 )
@@ -701,7 +702,10 @@ def q_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.select(
             "event_type",
             F.row_number().over(w).cast("bigint").alias("rn"),
-            (num / den).alias("ewma"),
+            # NULL, not an ANSI divide-by-zero abort, when every value
+            # in the 24-lag window is NULL (den sums to exactly 0.0) —
+            # the nullable-column dual of the var_samp single-row guard
+            F.when(den > F.lit(0.0), num / den).alias("ewma"),
         )
         .filter(F.col("rn") % _EWMA_SAMPLE == 0)
         .orderBy("event_type", "rn")

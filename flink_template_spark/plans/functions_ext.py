@@ -1037,7 +1037,6 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches per type."""
     from flink_template_spark.operators.sketches_portable import (
         KMV_K,
-        KMV_NUM,
         KMV_RANGE,
         kmv_estimate,
         kmv_merge,
@@ -1082,20 +1081,11 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         sk.select(F.col("event_type").alias("type_b"), "h"), "type_b"
     )
     usk = kmv_merge(ua.select(*pkeys, "h").unionAll(ub.select(*pkeys, "h")), pkeys)
-    west = W.partitionBy(*pkeys).orderBy("h")
-    u_est = (
-        usk.withColumn("__rn", F.row_number().over(west))
-        .groupBy(*pkeys)
-        .agg(
-            F.count(F.lit(1)).alias("n_u"),
-            F.max(F.when(F.col("__rn") == k, F.col("h"))).alias("__hk"),
-        )
-        .select(
-            *pkeys,
-            F.when(F.col("n_u") < k, F.col("n_u").cast("double"))
-            .otherwise(F.lit(KMV_NUM) / F.col("__hk").cast("double"))
-            .alias("union_est"),
-        )
+    # the merged sketch holds <= k rows per pair, so its k-th smallest
+    # IS its max — the shared estimator applies unchanged (no inline
+    # re-derivation to drift from the per-side estimates)
+    u_est = kmv_estimate(usk, pkeys).select(
+        *pkeys, F.col("est").alias("union_est")
     )
     inter = (
         sk.select(F.col("event_type").alias("type_a"), "h")

@@ -288,3 +288,23 @@ def test_ewma_matches_python_reference(spark, monkeypatch):
     raw_span = max(vals) - min(vals)
     sm = list(got.values())
     assert max(sm) - min(sm) < raw_span
+
+
+def test_ewma_all_null_window_is_null_not_abort(spark, monkeypatch):
+    """A partition whose first rows have only NULL values has a 0.0
+    normalizer: the smoothed value must be NULL (mirrored by the
+    oracle's CASE), not an ANSI-mode DIVIDE_BY_ZERO job abort."""
+    import datetime
+
+    import flink_template_spark.plans.events_time as ET
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [("a", base, 0, None), ("a", base + datetime.timedelta(minutes=1), 1, 4.0)]
+    ev = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    monkeypatch.setattr(ET, "load_table", lambda s, sd, t: ev)
+    monkeypatch.setattr(ET, "_EWMA_SAMPLE", 1)
+    got = {r["rn"]: r["ewma"] for r in ET.q_ewma_value(spark, "unused").collect()}
+    assert got[1] is None  # all-NULL window -> NULL, no abort
+    assert got[2] == 4.0  # NULL lag contributes nothing; lone value passes through

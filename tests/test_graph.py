@@ -627,6 +627,12 @@ def test_trustrank_decays_from_seeds(spark):
     assert tr[0] > tr[1] > tr[2] > 0  # decay along the trust chain
     assert tr[3] == 0 and tr[4] == 0  # unreachable from seeds: exact 0
     assert pr[3] > 0 and pr[4] > 0  # uniform teleport keeps spam afloat
+    # duplicate seed rows (a fanning seed join) must not fan the base
+    # vector out or dilute the teleport mass
+    dup_seeds = spark.createDataFrame([(0,), (0,)], "id long")
+    tr_dup = trustrank(nodes, edges_df, dup_seeds, n_iter=4).collect()
+    assert len(tr_dup) == 5
+    assert {r["id"]: r["rank_q"] for r in tr_dup} == tr
 
 
 def test_bfs_hops_hand_graph(spark):

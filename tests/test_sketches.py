@@ -144,3 +144,17 @@ def test_kmv_merge_equals_rebuild(spark):
     got = sorted(r["h"] for r in merged.collect())
     want = sorted(r["h"] for r in direct.collect())
     assert got == want
+
+
+def test_sorted_neighborhood_rejects_degenerate_window(spark):
+    """window=1 means 'no neighbors' — a loud ValueError at call time,
+    not a NoneType crash deep in plan assembly."""
+    import pytest
+
+    from flink_template_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = spark.createDataFrame(
+        [(0, "a b c", "en")], "doc_id long, text string, lang string"
+    )
+    with pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(docs, window=1)
