@@ -249,6 +249,12 @@ def test_ann_index_eviction_prefers_stopped_sessions(spark, sf, monkeypatch):
 _UNPARTITIONED_WINDOW_ALLOWLIST = {
     "q_ddsketch_quantiles": 2,
     "q_hybrid_search_rrf": 2,
+    # two passes x two references (the a- and b-side of the rank+d
+    # equi-join each re-expand the ranked subtree) of rank_global's
+    # cumulative-offset window over the per-partition STATS table —
+    # always <= spark.sql.shuffle.partitions rows, never data-sized;
+    # the local-rank windows are pid-partitioned and don't count
+    "q_sorted_neighborhood_pairs": 4,
 }
 
 
