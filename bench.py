@@ -91,6 +91,7 @@ EXTENDED = [
     "q_sorted_neighborhood_pairs",
     "q_trustrank_trade",
     "q_trade_hops",
+    "q_curriculum_order",
 ]
 
 

@@ -69,10 +69,22 @@ def with_global_ranks(
 
     # Pass 1: range exchange on the semantic key (ties co-located), then
     # partition-local sort including the tiebreak.
+    #
+    # The LAZY localCheckpoint is load-bearing, not an optimization:
+    # `ranged` feeds BOTH the stats aggregation and the pass-2 output,
+    # and RangePartitioner samples its boundaries with a per-RDD seed —
+    # two independent evaluations can draw DIFFERENT boundaries, making
+    # the offsets describe a partitioning the output rows don't have
+    # (observed at sf0.1: a gap + a duplicate in the "global" rank).
+    # Checkpointing pins one materialized partitioning that every
+    # consumer shares; eager=False keeps plan construction lazy (the
+    # checkpoint happens at the first action, inside which both
+    # subtrees reference the same computed RDD).
     ranged = (
         df.repartitionByRange(n, *sort_key)
         .sortWithinPartitions(*full_sort)
         .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
 
     # Tiny stats: one row per partition -> cumulative offsets. The

@@ -136,6 +136,7 @@ _MIDDLE: list[str] = [
     "q_sorted_neighborhood_pairs",
     "q_trustrank_trade",
     "q_trade_hops",
+    "q_curriculum_order",
     # round-2 cohort rest (31)
     "q_best_of_cluster",
     "q_bm25_search",

@@ -686,3 +686,63 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering: easy-to-hard with deterministic source interleave
+# ---------------------------------------------------------------------------
+
+_CURRICULUM_SAMPLE = 25
+
+
+@register(
+    "q_curriculum_order",
+    oracle=f"""
+SELECT pos, doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+    CAST(row_number() OVER (ORDER BY rk, source, doc_id) AS BIGINT) AS pos
+  FROM (
+    SELECT doc_id, source, n_chars,
+      row_number() OVER (
+        PARTITION BY source ORDER BY n_chars, doc_id
+      ) AS rk
+    FROM documents WHERE n_chars > 0
+  )
+)
+WHERE pos % {_CURRICULUM_SAMPLE} = 0
+ORDER BY pos
+""",
+)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering: rank docs easy→hard (n_chars as the
+    difficulty proxy) WITHIN each source, then emit the global
+    position under the (within-source-rank, source, doc_id) total
+    order — a deterministic round-robin interleave, so consecutive
+    training positions rotate across sources instead of feeding the
+    model one source's run (the ordering/mixing stage of a training
+    pipeline, reproducible across backfills because every rank is a
+    pure function of the data). The global position uses the two-pass
+    range-partitioned rank (operators.rank_global) — no
+    single-partition window over the corpus; the per-source rank
+    windows are source-partitioned. Sampled every 25th position so the
+    oracle verifies the order densely end to end."""
+    from pyspark.sql import Window as W
+
+    from flink_template_spark.operators.rank_global import with_global_ranks
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    w = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "doc_id", "source", "n_chars", F.row_number().over(w).alias("rk")
+    )
+    pos = with_global_ranks(
+        ranked,
+        [(F.col("rk"), True), (F.col("source"), True)],
+        tiebreak=["doc_id"],
+        row_number_col="pos",
+    )
+    return (
+        pos.filter(F.col("pos") % _CURRICULUM_SAMPLE == 0)
+        .select(F.col("pos").cast("bigint").alias("pos"), "doc_id", "source", "n_chars")
+        .orderBy("pos")
+    )

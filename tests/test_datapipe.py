@@ -308,3 +308,33 @@ def test_ewma_all_null_window_is_null_not_abort(spark, monkeypatch):
     got = {r["rn"]: r["ewma"] for r in ET.q_ewma_value(spark, "unused").collect()}
     assert got[1] is None  # all-NULL window -> NULL, no abort
     assert got[2] == 4.0  # NULL lag contributes nothing; lone value passes through
+
+
+def test_curriculum_order_interleaves_and_ascends(spark, monkeypatch):
+    """The two properties the ordering buys: consecutive positions
+    rotate across sources (round-robin — no source runs longer than
+    the source count while all sources still have docs), and within
+    each source positions follow ascending difficulty."""
+    import flink_template_spark.plans.datapipe as DP
+
+    rows = [
+        (i, f"src{i % 3}", 100 + i) for i in range(30)
+    ]  # 3 sources x 10 docs, difficulty strictly increasing with id
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    monkeypatch.setattr(DP, "load_table", lambda s, sd, t: docs)
+    monkeypatch.setattr(DP, "_CURRICULUM_SAMPLE", 1)
+    out = sorted(
+        (r["pos"], r["source"], r["n_chars"])
+        for r in DP.q_curriculum_order(spark, "unused").collect()
+    )
+    assert len(out) == 30
+    # round-robin: positions 1..3 hit three distinct sources, etc.
+    for block in range(10):
+        srcs = {s for _, s, _ in out[block * 3 : block * 3 + 3]}
+        assert len(srcs) == 3, out[block * 3 : block * 3 + 3]
+    # within each source, difficulty ascends with position
+    per_src: dict = {}
+    for pos, s, nc in out:
+        per_src.setdefault(s, []).append(nc)
+    for s, ncs in per_src.items():
+        assert ncs == sorted(ncs)

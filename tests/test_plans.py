@@ -540,3 +540,35 @@ def test_datasheet_and_overlap_reduce_before_joining(spark, sf):
     for q in ("q_dataset_datasheet", "q_source_overlap_matrix"):
         p = plan_of(plans.QUERIES[q](spark, sf))
         assert "partial_" in p, q
+
+
+def test_global_ranks_are_a_permutation(spark):
+    """Regression for the double-evaluation boundary bug: `ranged`
+    feeds both the stats aggregation and pass 2, and RangePartitioner
+    samples boundaries per evaluation — without the pinned
+    materialization the offsets can describe a partitioning the output
+    rows don't have, yielding gaps/duplicates in the 'global' rank
+    (observed at sf0.1 through q_curriculum_order). The invariant that
+    breaks is exactly: rn must be a permutation of 1..N."""
+    from pyspark.sql import functions as F
+
+    from flink_template_spark.operators.rank_global import with_global_ranks
+
+    n = 50_000
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            (F.col("id") * 2654435761 % 1000003).alias("key"),
+        )
+    )
+    ranked = with_global_ranks(
+        df, [(F.col("key"), True)], tiebreak=["id"], row_number_col="rn"
+    )
+    got = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("rn").alias("n_distinct"),
+        F.min("rn").alias("lo"),
+        F.max("rn").alias("hi"),
+    ).first()
+    assert (got["n"], got["n_distinct"], got["lo"], got["hi"]) == (n, n, 1, n)
