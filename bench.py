@@ -92,6 +92,8 @@ EXTENDED = [
     "q_trustrank_trade",
     "q_trade_hops",
     "q_curriculum_order",
+    "q_robust_outlier_fence",
+    "q_bigram_logprob",
 ]
 
 

@@ -137,6 +137,8 @@ _MIDDLE: list[str] = [
     "q_trustrank_trade",
     "q_trade_hops",
     "q_curriculum_order",
+    "q_robust_outlier_fence",
+    "q_bigram_logprob",
     # round-2 cohort rest (31)
     "q_best_of_cluster",
     "q_bm25_search",

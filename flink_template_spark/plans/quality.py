@@ -893,3 +893,207 @@ def q_dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier fences: median/MAD per group with EXACT arithmetic
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_robust_outlier_fence",
+    oracle="""
+WITH ranked AS (
+  SELECT lang, doc_id, n_chars,
+    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+    COUNT(*) OVER (PARTITION BY lang) AS cnt
+  FROM documents
+),
+med AS (
+  SELECT lang,
+    SUM(CAST(n_chars AS DOUBLE)) / COUNT(*) AS med
+  FROM ranked
+  WHERE rn IN ((cnt + 1) // 2, (cnt + 2) // 2)
+  GROUP BY lang
+),
+dev AS (
+  SELECT r.lang, r.doc_id, ABS(CAST(r.n_chars AS DOUBLE) - m.med) AS d,
+    m.med,
+    row_number() OVER (
+      PARTITION BY r.lang
+      ORDER BY ABS(CAST(r.n_chars AS DOUBLE) - m.med), r.doc_id
+    ) AS rn,
+    COUNT(*) OVER (PARTITION BY r.lang) AS cnt
+  FROM ranked r JOIN med m ON r.lang = m.lang
+),
+mad AS (
+  SELECT lang, SUM(d) / COUNT(*) AS mad
+  FROM dev
+  WHERE rn IN ((cnt + 1) // 2, (cnt + 2) // 2)
+  GROUP BY lang
+)
+SELECT d.lang, MAX(d.med) AS med, MAX(mad.mad) AS mad,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN d.d > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_outliers
+FROM dev d JOIN mad ON d.lang = mad.lang
+GROUP BY d.lang
+ORDER BY d.lang
+""",
+)
+def q_robust_outlier_fence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language median / MAD of document length and the 3-MAD
+    outlier count — the robust quality fence (mean/stddev fences break
+    on the very outliers they hunt; median/MAD have a 50% breakdown
+    point). EXACT arithmetic throughout, so the doubles hash-match
+    with no rounding: medians of integers are either integers or .5
+    halves (division by 1 or 2 — exponent shifts), deviations inherit
+    the .5 grain, and the 3-MAD fence multiplies exactly. Medians come
+    from rank selection (rows (cnt+1)//2 and (cnt+2)//2 cover odd and
+    even group sizes with one expression), windows are
+    lang-partitioned — no sort funnel, no percentile UDF."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w_rank = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    w_cnt = W.partitionBy("lang")
+    ranked = docs.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_cnt).alias("cnt"),
+    )
+    med = (
+        ranked.filter(
+            (F.col("rn") == F.expr("(cnt + 1) div 2"))
+            | (F.col("rn") == F.expr("(cnt + 2) div 2"))
+        )
+        .groupBy("lang")
+        .agg(
+            (F.sum(F.col("n_chars").cast("double")) / F.count(F.lit(1))).alias(
+                "med"
+            )
+        )
+    )
+    w_dev = W.partitionBy("lang").orderBy("d", "doc_id")
+    dev = (
+        ranked.join(med, "lang")
+        .select(
+            "lang",
+            "doc_id",
+            F.abs(F.col("n_chars").cast("double") - F.col("med")).alias("d"),
+            "med",
+        )
+        .select(
+            "lang",
+            "doc_id",
+            "d",
+            "med",
+            F.row_number().over(w_dev).alias("rn"),
+            F.count(F.lit(1)).over(w_cnt).alias("cnt"),
+        )
+    )
+    mad = (
+        dev.filter(
+            (F.col("rn") == F.expr("(cnt + 1) div 2"))
+            | (F.col("rn") == F.expr("(cnt + 2) div 2"))
+        )
+        .groupBy("lang")
+        .agg((F.sum("d") / F.count(F.lit(1))).alias("mad"))
+    )
+    return (
+        dev.join(mad, "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(F.col("d") > F.lit(3.0) * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q_bigram_logprob",
+    oracle="""
+WITH big AS MATERIALIZED (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+),
+counts AS MATERIALIZED (SELECT bg, COUNT(*) AS c12 FROM big GROUP BY bg),
+firsts AS MATERIALIZED (
+  SELECT string_split(bg, ' ')[1] AS w1, CAST(SUM(c12) AS BIGINT) AS c1
+  FROM counts GROUP BY 1
+),
+scored AS (
+  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+    SUM(CAST(ROUND(log10(CAST(c.c12 AS DOUBLE) / CAST(f.c1 AS DOUBLE))
+        * 10000000.0, 0) AS BIGINT)) AS sum_q
+  FROM big b
+  JOIN counts c ON b.bg = c.bg
+  JOIN firsts f ON string_split(b.bg, ' ')[1] = f.w1
+  GROUP BY b.doc_id
+)
+SELECT doc_id, n_bigrams,
+  ROUND(CAST(sum_q AS DOUBLE) / (10000000.0 * n_bigrams), 6) AS avg_logprob,
+  (CAST(sum_q AS DOUBLE) / (10000000.0 * n_bigrams)) >= -1.5 AS keep
+FROM scored
+ORDER BY doc_id
+""",
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conditional upgrade of q_unigram_logprob: a bigram LM
+    trained on the corpus scores each document by mean
+    log10 p(w2 | w1) = log10(count(w1 w2) / count(w1 ·)) — sensitive
+    to IMPLAUSIBLE TRANSITIONS (shuffled or template-stitched text
+    scores low even when every individual token is common, the failure
+    mode a unigram gate cannot see). No smoothing is needed because
+    the corpus scores itself (every bigram was observed). Same scale
+    shape and fixed-point discipline as the unigram gate: one
+    tokenization pass, Zipf-small count tables on the join's build
+    side, per-bigram log-probs quantized (×1e7 → bigint) before the
+    doc-keyed sum so the mean is partition-order-exact. Docs with
+    fewer than two tokens have no bigrams and are absent, as in the
+    oracle."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+    )
+    w_lead = W.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.select(
+            "doc_id",
+            F.col("w").alias("w1"),
+            F.lead("w", 1).over(w_lead).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    counts = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    firsts = counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    q = F.round(
+        F.log10(F.col("c12").cast("double") / F.col("c1").cast("double"))
+        * 10000000.0,
+        0,
+    ).cast("bigint")
+    scored = (
+        big.join(counts, ["w1", "w2"])
+        .join(firsts, "w1")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum(q).alias("sum_q"))
+    )
+    avg = F.col("sum_q").cast("double") / (10000000.0 * F.col("n_bigrams"))
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(avg, 6).alias("avg_logprob"),
+        (avg >= -1.5).alias("keep"),
+    ).orderBy("doc_id")

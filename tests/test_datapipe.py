@@ -338,3 +338,53 @@ def test_curriculum_order_interleaves_and_ascends(spark, monkeypatch):
         per_src.setdefault(s, []).append(nc)
     for s, ncs in per_src.items():
         assert ncs == sorted(ncs)
+
+
+def test_robust_fence_median_mad_reference(spark, monkeypatch):
+    """Median/MAD selection on hand data covering odd and even group
+    sizes, plus a gross outlier the 3-MAD fence must catch while the
+    median ignores it (the breakdown-point property mean/std lacks)."""
+    import flink_template_spark.plans.quality as Q
+
+    rows = (
+        [(i, "odd", v) for i, v in enumerate([10, 20, 30, 40, 1000])]
+        + [(10 + i, "even", v) for i, v in enumerate([10, 20, 30, 41])]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    monkeypatch.setattr(Q, "load_table", lambda s, sd, t: docs)
+    got = {
+        r["lang"]: r
+        for r in Q.q_robust_outlier_fence(spark, "unused").collect()
+    }
+    # odd group: median 30 (unmoved by the 1000 outlier); deviations
+    # {0,10,20,10,970} -> MAD 10; fence 30: only 1000 is out
+    assert got["odd"]["med"] == 30.0
+    assert got["odd"]["mad"] == 10.0
+    assert got["odd"]["n_outliers"] == 1
+    # even group: median (20+30)/2 = 25; deviations {15,5,5,16} ->
+    # sorted {5,5,15,16} -> MAD (5+15)/2 = 10; fence 30: none out
+    assert got["even"]["med"] == 25.0
+    assert got["even"]["mad"] == 10.0
+    assert got["even"]["n_outliers"] == 0
+
+
+def test_bigram_gate_penalizes_shuffled_text(spark, monkeypatch):
+    """The property the conditional model adds over the unigram gate:
+    a document whose TOKENS are all common but whose TRANSITIONS are
+    scrambled scores strictly lower than the naturally-ordered
+    documents that trained the counts."""
+    import flink_template_spark.plans.quality as Q
+
+    natural = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, natural) for i in range(8)] + [
+        (8, "dog the over quick lazy brown the jumps fox")  # same tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(Q, "load_table", lambda s, sd, t: docs)
+    got = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in Q.q_bigram_logprob(spark, "unused").collect()
+    }
+    assert got[8] < got[0], got
+    # natural copies all share the (high) score of the dominant chains
+    assert len({got[i] for i in range(8)}) == 1
