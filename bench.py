@@ -94,6 +94,7 @@ EXTENDED = [
     "q_curriculum_order",
     "q_robust_outlier_fence",
     "q_bigram_logprob",
+    "q_token_entropy",
 ]
 
 

@@ -139,6 +139,7 @@ _MIDDLE: list[str] = [
     "q_curriculum_order",
     "q_robust_outlier_fence",
     "q_bigram_logprob",
+    "q_token_entropy",
     # round-2 cohort rest (31)
     "q_best_of_cluster",
     "q_bm25_search",

@@ -1097,3 +1097,92 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(avg, 6).alias("avg_logprob"),
         (avg >= -1.5).alias("keep"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_token_entropy",
+    oracle="""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE word <> ''
+),
+c AS (SELECT doc_id, word, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+t AS (
+  SELECT doc_id, c,
+    CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS tot
+  FROM c
+),
+e AS (
+  SELECT doc_id,
+    CAST(MAX(tot) AS BIGINT) AS n_tokens,
+    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+    SUM(CAST(ROUND(
+      (CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))
+      * log2(CAST(tot AS DOUBLE) / CAST(c AS DOUBLE))
+      * 10000000.0, 0) AS BIGINT)) AS ent_q
+  FROM t GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+  CAST(ent_q AS DOUBLE) / 10000000.0 AS entropy_bits,
+  (CAST(ent_q AS DOUBLE) / 10000000.0) >=
+    CASE WHEN n_distinct > 1 THEN 0.7 * log2(CAST(n_distinct AS DOUBLE))
+         ELSE 0.0 END AS keep
+FROM e
+ORDER BY doc_id
+""",
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per document (bits) — the
+    smooth dual of the hard repetition rules: a doc that cycles three
+    phrases has low entropy long before any single dup fraction trips,
+    and boilerplate detection keys off entropy << log2(n_distinct)
+    (the keep flag: >= 70% of the max possible for its vocabulary).
+    Per-term contributions p*log2(1/p) are quantized (×1e7 → bigint)
+    before the doc-keyed sum — the unigram-gate fixed-point discipline,
+    so the sum is partition-order-exact and the oracle hash-matches.
+    One tokenization pass; the per-doc term counts shuffle once on
+    doc_id and the window total rides that same partitioning."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+    )
+    c = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    w_doc = W.partitionBy("doc_id")
+    tot = F.sum("c").over(w_doc)
+    term_q = F.round(
+        (F.col("c").cast("double") / tot.cast("double"))
+        * F.log2(tot.cast("double") / F.col("c").cast("double"))
+        * 10000000.0,
+        0,
+    ).cast("bigint")
+    e = (
+        c.select("doc_id", "c", term_q.alias("tq"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.sum("tq").alias("ent_q"),
+        )
+    )
+    ent = F.col("ent_q").cast("double") / 10000000.0
+    keep = ent >= F.when(
+        F.col("n_distinct") > 1,
+        F.lit(0.7) * F.log2(F.col("n_distinct").cast("double")),
+    ).otherwise(F.lit(0.0))
+    # entropy_bits is emitted UNROUNDED: ent_q/1e7 is an exact multiple
+    # of 1e-7, so every value is a ROUND(x, 6) half-case and the two
+    # engines tie-break differently — the single division of exact
+    # operands is itself bit-identical (the priority-sample rule)
+    return e.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        ent.alias("entropy_bits"),
+        keep.alias("keep"),
+    ).orderBy("doc_id")

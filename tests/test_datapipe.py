@@ -388,3 +388,29 @@ def test_bigram_gate_penalizes_shuffled_text(spark, monkeypatch):
     assert got[8] < got[0], got
     # natural copies all share the (high) score of the dominant chains
     assert len({got[i] for i in range(8)}) == 1
+
+
+def test_token_entropy_reference_and_boilerplate(spark, monkeypatch):
+    """Hand-checkable entropies: a uniform 4-word doc hits exactly
+    2 bits (its maximum -> keep), a doc cycling one word hits 0 bits
+    (boilerplate -> drop), and a skewed doc lands strictly between
+    with keep driven by the 70%-of-max rule."""
+    import math
+
+    import flink_template_spark.plans.quality as Q
+
+    rows = [
+        (0, "a b c d"),  # uniform: H = 2.0 bits = log2(4) -> keep
+        (1, "spam spam spam spam spam"),  # H = 0 -> drop (max 0 tho: n_distinct 1 -> keep by convention)
+        (2, "a a a a a a b"),  # skewed 2-word: H ~ 0.59 < 0.7*1 -> drop
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(Q, "load_table", lambda s, sd, t: docs)
+    got = {r["doc_id"]: r for r in Q.q_token_entropy(spark, "unused").collect()}
+    assert got[0]["entropy_bits"] == 2.0 and got[0]["keep"]
+    assert got[1]["entropy_bits"] == 0.0
+    assert got[1]["keep"]  # single-word vocab: max entropy 0, trivially kept
+    h2 = got[2]["entropy_bits"]
+    expect = 6 / 7 * math.log2(7 / 6) + 1 / 7 * math.log2(7)
+    assert abs(h2 - expect) < 1e-6
+    assert not got[2]["keep"]  # 0.59 bits < 0.7 * log2(2)

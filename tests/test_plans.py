@@ -255,6 +255,9 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     # always <= spark.sql.shuffle.partitions rows, never data-sized;
     # the local-rank windows are pid-partitioned and don't count
     "q_sorted_neighborhood_pairs": 4,
+    # one rank_global call: its cumulative-offset window over the
+    # per-partition stats table (<= shuffle-partition-count rows)
+    "q_curriculum_order": 1,
 }
 
 
