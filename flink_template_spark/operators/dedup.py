@@ -605,7 +605,14 @@ def sorted_neighborhood_pairs(
                 F.array(*[F.col("__rn") - F.lit(d) for d in range(1, window)])
             ).alias("__r"),
         )
-        pair = a.join(b, ["__blk", "__r"]).select(
+        # eqNullSafe on the block: a NULL block key is ITS OWN block in
+        # both the old window semantics and the oracle's PARTITION BY
+        # (a plain equi-join would silently drop NULL-block rows from
+        # candidate generation)
+        pair = a.join(
+            b,
+            a["__blk"].eqNullSafe(b["__blk"]) & (a["__r"] == b["__r"]),
+        ).select(
             F.least("__ida", "__idb").alias("id_a"),
             F.greatest("__ida", "__idb").alias("id_b"),
         )
@@ -622,21 +629,4 @@ def sorted_neighborhood_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast(
-                    "double"
-                ),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "n_inter", "jaccard")
-    )
+    return _jaccard_from_inter(inter, sizes, id_col, threshold)

@@ -77,9 +77,18 @@ def with_global_ranks(
     # the offsets describe a partitioning the output rows don't have
     # (observed at sf0.1: a gap + a duplicate in the "global" rank).
     # Checkpointing pins one materialized partitioning that every
-    # consumer shares; eager=False keeps plan construction lazy (the
-    # checkpoint happens at the first action, inside which both
-    # subtrees reference the same computed RDD).
+    # consumer shares; eager=False defers the checkpoint MATERIALIZATION
+    # to the first action (both subtrees then reference the same
+    # computed RDD). Known trade, accepted deliberately: wrapping the
+    # checkpoint resolves the plan to an RDD at construction time, and
+    # a range exchange computes its sampled boundaries when that RDD is
+    # built — so constructing (or explain-ing) a with_global_ranks
+    # consumer runs the pass-1 sampling job even without an action.
+    # The alternative, persist(), stays fully lazy but pins an
+    # InMemoryRelation per call in the session cache with no unpersist
+    # point (this function cannot know when its caller is done);
+    # checkpoint blocks are GC-scoped instead — the same trade
+    # operators.components and plans.safety make.
     ranged = (
         df.repartitionByRange(n, *sort_key)
         .sortWithinPartitions(*full_sort)

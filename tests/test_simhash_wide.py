@@ -141,3 +141,26 @@ def test_sorted_neighborhood_pass2_is_needed(spark):
         for r in sorted_neighborhood_pairs(docs, window=2).collect()
     }
     assert (0, 1) in got  # the reversed-word pass repairs the miss
+
+
+def test_sorted_neighborhood_null_block_rows_compared(spark):
+    """NULL block keys form their own block — both in the old window
+    semantics and in the oracle's PARTITION BY — so two near-dup docs
+    with lang NULL must still pair (the rank+d equi-join must be
+    null-safe on the block key, not silently drop those rows)."""
+    from flink_template_spark.operators.dedup import sorted_neighborhood_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base, None),
+        (1, base + " mu", None),  # near-dup of 0, same NULL block
+        (2, base, "en"),  # same text, real block: no cross-block pair
+        (3, "completely different words about nothing shared here", None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(docs, window=3).collect()
+    }
+    assert (0, 1) in got  # NULL-block near-dups are compared
+    assert not any(2 in p for p in got)  # NULL block != 'en' block
