@@ -95,6 +95,7 @@ EXTENDED = [
     "q_robust_outlier_fence",
     "q_bigram_logprob",
     "q_token_entropy",
+    "q_coreset_greedy",
 ]
 
 

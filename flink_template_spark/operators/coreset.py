@@ -1,0 +1,140 @@
+"""Greedy facility-location coreset selection.
+
+The submodular-maximization primitive of data curation: pick k
+exemplars maximizing total coverage Σ_d max_{c ∈ S} sim(d, c) — the
+classic facility-location objective whose greedy algorithm carries the
+(1 − 1/e) approximation guarantee. In LLM-pipeline terms: choose the k
+most REPRESENTATIVE documents of a class/cluster (coreset / prototype
+selection), the complement of semdedup's "drop the redundant" — here
+we KEEP the cover.
+
+Determinism & oracle-exactness: similarities are quantized to integer
+micro-units (ROUND(cos·1e6) → bigint) before any accumulation, so
+gains and coverage totals are exact integer sums in any partition
+order, the argmax (gain desc, id asc) is total, and a DuckDB oracle
+replaying the same k rounds as an unrolled CTE chain matches
+bit-for-bit — the kmeans/pagerank replay discipline applied to a
+greedy submodular loop.
+
+Scale shape: the pair-similarity table is the cost. This operator
+takes the UNIVERSE as given and is meant to run blocked — per class
+(the query below), per IVF cell, or per LSH bucket — exactly like
+semdedup's cluster-blocked pair join: quadratic only within a block,
+never across the corpus. Each greedy round is one join + one
+aggregation over the block's pair table; the only driver-side
+materialization is the 1-row argmax per round (bounded control-plane
+fetch, k rows total, like the k-row centroid collects in
+operators.kmeans).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_template_spark.functions.vector import cosine, valid_vec
+
+
+def pair_sims_q(
+    universe: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(d, c, sim_q): micro-unit-quantized cosine for every ordered
+    pair of the (blocked, small) universe, self-pairs included
+    (sim_q(d,d) = 1e6 — a facility covers itself). Degenerate vectors
+    are excluded by the cosine-family valid_vec contract."""
+    u = universe.filter(valid_vec(F.col(vec_col))).select(
+        F.col(id_col), F.col(vec_col)
+    )
+    a = u.select(F.col(id_col).alias("d"), F.col(vec_col).alias("__va"))
+    b = u.select(F.col(id_col).alias("c"), F.col(vec_col).alias("__vb"))
+    return a.crossJoin(b).select(
+        "d",
+        "c",
+        F.round(cosine(F.col("__va"), F.col("__vb")) * 1_000_000.0, 0)
+        .cast("bigint")
+        .alias("sim_q"),
+    )
+
+
+def facility_location_greedy(
+    universe: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[dict]:
+    """Run k greedy rounds; returns one dict per round:
+    {round, chosen id, gain_q, total_cov_q} (gain and running total in
+    micro-units). Driver-side list BY DESIGN — the result is k rows of
+    control-plane data, like kmeans' centroid fetches."""
+    sims = pair_sims_q(universe, id_col, vec_col).localCheckpoint()
+    spark = universe.sparkSession
+    cov = sims.select("d").distinct().select(
+        "d", F.lit(0).cast("bigint").alias("cov")
+    ).localCheckpoint()
+    out: list[dict] = []
+    total = 0
+    for t in range(1, k + 1):
+        gains = (
+            sims.join(cov, "d")
+            .groupBy("c")
+            .agg(F.sum(F.greatest(F.col("sim_q") - F.col("cov"), F.lit(0))).alias("gain"))
+        )
+        top = gains.orderBy(F.desc("gain"), "c").limit(1).collect()
+        if not top:
+            break
+        chosen, gain = top[0]["c"], top[0]["gain"]
+        total += gain
+        out.append(
+            {"round": t, id_col: chosen, "gain_q": gain, "total_cov_q": total}
+        )
+        chosen_sims = sims.filter(F.col("c") == chosen).select("d", "sim_q")
+        cov = (
+            cov.join(chosen_sims, "d", "left")
+            .select(
+                "d",
+                F.greatest(
+                    F.col("cov"), F.coalesce(F.col("sim_q"), F.lit(0))
+                ).alias("cov"),
+            )
+            .localCheckpoint()
+        )
+    return out
+
+
+def facility_location_sql(
+    universe_cte: str, k: int, id_col: str = "vec_id"
+) -> str:
+    """DuckDB oracle: the identical k rounds unrolled. Expects a CTE
+    ``sims(d, c, sim_q)`` to exist; emits cov0..cov{k} and pick1..
+    pick{k}, plus a final ``picks`` CTE with (round, id, gain_q,
+    total_cov_q)."""
+    parts = [
+        f"cov0 AS MATERIALIZED (SELECT DISTINCT d, CAST(0 AS BIGINT) AS cov FROM sims)"
+    ]
+    for t in range(1, k + 1):
+        parts.append(
+            f"""g{t} AS (
+  SELECT s.c, SUM(GREATEST(s.sim_q - cv.cov, 0)) AS gain
+  FROM sims s JOIN cov{t - 1} cv ON s.d = cv.d
+  GROUP BY s.c
+),
+pick{t} AS MATERIALIZED (
+  SELECT c, CAST(gain AS BIGINT) AS gain FROM g{t}
+  ORDER BY gain DESC, c LIMIT 1
+),
+cov{t} AS MATERIALIZED (
+  SELECT cv.d,
+         GREATEST(cv.cov, COALESCE(s.sim_q, 0)) AS cov
+  FROM cov{t - 1} cv
+  LEFT JOIN (
+    SELECT sims.d, sims.sim_q FROM sims JOIN pick{t} ON sims.c = pick{t}.c
+  ) s ON cv.d = s.d
+)"""
+        )
+    rounds_union = "\n  UNION ALL\n".join(
+        f"  SELECT {t} AS round, c AS {id_col}, gain AS gain_q,"
+        f" (SELECT CAST(SUM(cov) AS BIGINT) FROM cov{t}) AS total_cov_q"
+        f" FROM pick{t}"
+        for t in range(1, k + 1)
+    )
+    return ",\n".join(parts) + f",\npicks AS (\n{rounds_union}\n)"

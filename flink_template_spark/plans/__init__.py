@@ -140,6 +140,7 @@ _MIDDLE: list[str] = [
     "q_robust_outlier_fence",
     "q_bigram_logprob",
     "q_token_entropy",
+    "q_coreset_greedy",
     # round-2 cohort rest (31)
     "q_best_of_cluster",
     "q_bm25_search",

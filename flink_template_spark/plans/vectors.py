@@ -1297,3 +1297,57 @@ def q_knn_join_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 40)
     return knn_join_gemm(queries, _spread(emb), k=4)
+
+
+# ---------------------------------------------------------------------------
+# Greedy facility-location coreset (submodular prototype selection)
+# ---------------------------------------------------------------------------
+
+_CORESET_K = 5
+_CORESET_LABEL = 0
+
+
+def _coreset_oracle() -> str:
+    from flink_template_spark.operators.coreset import facility_location_sql
+
+    return f"""
+WITH u AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE label = {_CORESET_LABEL}
+),
+sims AS MATERIALIZED (
+  SELECT a.vec_id AS d, b.vec_id AS c,
+    CAST(ROUND({cosine_sql('a.embedding', 'b.embedding')} * 1000000.0, 0)
+      AS BIGINT) AS sim_q
+  FROM u a CROSS JOIN u b
+),
+{facility_location_sql('u', _CORESET_K)}
+SELECT round, vec_id, gain_q, total_cov_q FROM picks ORDER BY round
+"""
+
+
+@register("q_coreset_greedy", oracle=_coreset_oracle())
+def q_coreset_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy facility-location coreset of one embedding class
+    (operators.coreset): the 5 exemplars maximizing total class
+    coverage Σ_d max_c sim_q(d, c), with per-round marginal gains and
+    the running coverage total in verified output — prototype
+    selection, the KEEP-the-cover complement of semdedup. Runs blocked
+    (here: per label; per IVF cell at corpus scale) so the pair table
+    is quadratic only within a block. Micro-unit integer similarities
+    make every gain an exact sum, and the oracle replays the identical
+    greedy rounds as an unrolled CTE chain (the kmeans/pagerank
+    discipline applied to a submodular loop). Eager by design: each
+    round collects ONE argmax row (k-row control plane total)."""
+    from flink_template_spark.operators.coreset import facility_location_greedy
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("label") == _CORESET_LABEL
+    )
+    rows = facility_location_greedy(emb, k=_CORESET_K)
+    return spark.createDataFrame(
+        [
+            (r["round"], r["vec_id"], r["gain_q"], r["total_cov_q"])
+            for r in rows
+        ],
+        "round int, vec_id bigint, gain_q bigint, total_cov_q bigint",
+    ).orderBy("round")

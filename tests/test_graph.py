@@ -657,3 +657,36 @@ def test_bfs_hops_hand_graph(spark):
         r["id"]: r["hops"] for r in bfs_hops(edges, sources, rounds=1).collect()
     }
     assert one == {0: 0, 5: 0, 1: 1, 2: 1}
+
+
+def test_coreset_greedy_properties(spark):
+    """Facility-location greedy invariants on a hand-built set: the
+    first pick is the hub closest to everything, marginal gains are
+    non-increasing (submodularity + greedy), and the reported running
+    total equals the recomputed coverage of the selected prefix."""
+    from flink_template_spark.operators.coreset import (
+        facility_location_greedy,
+        pair_sims_q,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),  # near 0
+        (2, [0.8, 0.2, 0.0]),  # near 0 — the hub's neighborhood
+        (3, [0.0, 1.0, 0.0]),  # orthogonal outlier
+        (4, [0.0, 0.0, 1.0]),  # second orthogonal outlier
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    picks = facility_location_greedy(df, k=3)
+    assert [p["round"] for p in picks] == [1, 2, 3]
+    assert picks[0]["vec_id"] in (0, 1, 2)  # a hub, never an outlier
+    gains = [p["gain_q"] for p in picks]
+    assert gains == sorted(gains, reverse=True)  # diminishing returns
+    # running total == recomputed coverage of the selected prefix
+    chosen = {p["vec_id"] for p in picks}
+    sims = pair_sims_q(df).collect()
+    best = {}
+    for r in sims:
+        if r["c"] in chosen:
+            best[r["d"]] = max(best.get(r["d"], 0), r["sim_q"])
+    assert picks[-1]["total_cov_q"] == sum(best.values())
