@@ -96,6 +96,7 @@ EXTENDED = [
     "q_bigram_logprob",
     "q_token_entropy",
     "q_coreset_greedy",
+    "q_quantile_normalize",
 ]
 
 

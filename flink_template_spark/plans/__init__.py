@@ -141,6 +141,7 @@ _MIDDLE: list[str] = [
     "q_bigram_logprob",
     "q_token_entropy",
     "q_coreset_greedy",
+    "q_quantile_normalize",
     # round-2 cohort rest (31)
     "q_best_of_cluster",
     "q_bm25_search",

@@ -1186,3 +1186,82 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ent.alias("entropy_bits"),
         keep.alias("keep"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Cross-source quantile normalization (score calibration)
+# ---------------------------------------------------------------------------
+
+_QNORM_SAMPLE = 25
+
+
+@register(
+    "q_quantile_normalize",
+    oracle=f"""
+WITH scored AS MATERIALIZED (
+  SELECT doc_id, source, n_chars,
+    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+    COUNT(*) OVER (PARTITION BY source) AS n_src
+  FROM documents
+),
+g AS MATERIALIZED (
+  SELECT n_chars AS gval,
+    row_number() OVER (ORDER BY n_chars, doc_id) AS grk,
+    COUNT(*) OVER () AS n_all
+  FROM documents
+)
+SELECT s.doc_id, s.source, s.n_chars, CAST(g.gval AS BIGINT) AS norm_score
+FROM scored s
+JOIN g ON g.grk = ((s.rk * 2 - 1) * g.n_all + s.n_src) // (2 * s.n_src)
+WHERE s.rk % {_QNORM_SAMPLE} = 0
+ORDER BY s.source, s.doc_id
+""",
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of a quality score (n_chars
+    as the stand-in): each document's SOURCE-LOCAL rank maps to the
+    value at the same relative rank of the GLOBAL distribution —
+    calibrating heterogeneous per-source scorers onto one scale so a
+    single global threshold means the same thing for every source
+    (midpoint index ⌊((2·rk−1)·n_all + n_src) / (2·n_src)⌋, pure
+    integer arithmetic → the mapping and the looked-up values are
+    exact in both engines, no interpolation floats). The global value
+    ranks ride operators.rank_global (range-partitioned two-pass — no
+    corpus-sized single-partition window, same as q_curriculum_order),
+    the source-local windows are source-partitioned, and the index
+    lookup is an ordinary equi-join. Output sampled every
+    {_QNORM_SAMPLE}th source-local rank so the oracle verifies the
+    mapping densely across every source."""
+    from pyspark.sql import Window as W
+
+    from flink_template_spark.operators.rank_global import with_global_ranks
+
+    docs = load_table(spark, sf_dir, "documents")
+    w_src = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    w_cnt = W.partitionBy("source")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w_src).alias("rk"),
+        F.count(F.lit(1)).over(w_cnt).alias("n_src"),
+    )
+    g_ranked = with_global_ranks(
+        docs.select(F.col("n_chars").alias("gval"), "doc_id"),
+        [(F.col("gval"), True)],
+        tiebreak=["doc_id"],
+        row_number_col="grk",
+    ).select("gval", "grk")
+    n_all = docs.agg(F.count(F.lit(1)).alias("n_all"))
+    idx = F.expr("((rk * 2 - 1) * n_all + n_src) div (2 * n_src)")
+    joined = (
+        scored.crossJoin(F.broadcast(n_all))
+        .filter(F.col("rk") % _QNORM_SAMPLE == 0)
+        .join(g_ranked, idx == F.col("grk"))
+    )
+    return joined.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.col("gval").cast("bigint").alias("norm_score"),
+    ).orderBy("source", "doc_id")

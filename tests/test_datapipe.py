@@ -414,3 +414,27 @@ def test_token_entropy_reference_and_boilerplate(spark, monkeypatch):
     expect = 6 / 7 * math.log2(7 / 6) + 1 / 7 * math.log2(7)
     assert abs(h2 - expect) < 1e-6
     assert not got[2]["keep"]  # 0.59 bits < 0.7 * log2(2)
+
+
+def test_quantile_normalize_calibrates_shifted_sources(spark, monkeypatch):
+    """The calibration property: source B's scores are source A's
+    shifted by +1000, so raw thresholds mean different things per
+    source — but after quantile normalization, the doc at the same
+    local rank in A and B maps to the SAME global value."""
+    import flink_template_spark.plans.quality as Q
+
+    a = [(i, "A", 100 + i) for i in range(50)]
+    b = [(100 + i, "B", 1100 + i) for i in range(50)]
+    docs = spark.createDataFrame(a + b, "doc_id long, source string, n_chars long")
+    monkeypatch.setattr(Q, "load_table", lambda s, sd, t: docs)
+    monkeypatch.setattr(Q, "_QNORM_SAMPLE", 5)
+    got = Q.q_quantile_normalize(spark, "unused").collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r["norm_score"])
+    # same local ranks sampled in both sources -> identical normalized
+    # scores, despite the +1000 raw shift
+    assert by_src["A"] == by_src["B"]
+    # and the normalized scores span the GLOBAL distribution (values
+    # from both halves appear)
+    assert min(by_src["A"]) < 1100 <= max(by_src["A"])

@@ -258,6 +258,7 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     # one rank_global call: its cumulative-offset window over the
     # per-partition stats table (<= shuffle-partition-count rows)
     "q_curriculum_order": 1,
+    "q_quantile_normalize": 1,
 }
 
 
