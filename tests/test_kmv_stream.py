@@ -1,0 +1,77 @@
+"""Streaming KMV sketches: the stream-maintained sketch must be
+BIT-IDENTICAL to the batch sketch over all events seen (KMV union is
+lossless by value), and compaction must preserve it exactly."""
+
+from __future__ import annotations
+
+import json
+
+from flink_template_spark.streaming.sketch_stream import (
+    compact_kmv,
+    read_kmv,
+    write_kmv_stream,
+)
+
+SCHEMA = "ts TIMESTAMP, event_type STRING, user_id LONG"
+
+
+def _lines(rows):
+    return "\n".join(json.dumps(r) for r in rows) + "\n"
+
+
+def _batch_expected(spark, in_dir):
+    from flink_template_spark.operators.sketches_portable import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    df = spark.read.schema(SCHEMA).json(str(in_dir))
+    return kmv_estimate(kmv_sketch(df, ["event_type"], "user_id"), ["event_type"])
+
+
+def test_kmv_stream_equals_batch_and_survives_compaction(spark, tmp_path):
+    in_dir = tmp_path / "in"
+    sk_dir = tmp_path / "sk"
+    ckpt = tmp_path / "ckpt"
+    in_dir.mkdir()
+    # two files -> (at least) two micro-batches under availableNow;
+    # heavy overlap between them so the union actually dedups hashes
+    f1 = [
+        {"ts": "2024-01-01T00:00:00", "event_type": "click", "user_id": u}
+        for u in range(120)
+    ] + [
+        {"ts": "2024-01-01T00:01:00", "event_type": "view", "user_id": u}
+        for u in range(30)
+    ]
+    f2 = [
+        {"ts": "2024-01-01T01:00:00", "event_type": "click", "user_id": u}
+        for u in range(60, 200)  # overlaps f1's 60..119
+    ] + [
+        {"ts": "2024-01-01T01:01:00", "event_type": "view", "user_id": u}
+        for u in range(10, 40)
+    ]
+    (in_dir / "a.json").write_text(_lines(f1))
+    (in_dir / "b.json").write_text(_lines(f2))
+
+    stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(
+        str(in_dir)
+    )
+    q = write_kmv_stream(
+        stream, str(sk_dir), str(ckpt), available_now=True
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    key = lambda r: (r["event_type"], r["n_h"], r["theta"], r["est"])
+    want = sorted(map(key, _batch_expected(spark, in_dir).collect()))
+    got = sorted(map(key, read_kmv(spark, str(sk_dir)).collect()))
+    assert got == want  # lossless union: bit-identical to batch
+    # click crossed k=64 distinct (estimating branch), view stayed exact
+    by_type = {r[0]: r for r in got}
+    assert by_type["click"][1] == 64  # n_h capped at k
+    assert by_type["view"][1] == 40 and by_type["view"][3] == 40.0
+
+    # compaction folds epochs into one and preserves the sketch exactly
+    compact_kmv(spark, str(sk_dir))
+    after = sorted(map(key, read_kmv(spark, str(sk_dir)).collect()))
+    assert after == want
