@@ -97,6 +97,7 @@ EXTENDED = [
     "q_token_entropy",
     "q_coreset_greedy",
     "q_quantile_normalize",
+    "q_table_stats",
 ]
 
 

@@ -142,6 +142,7 @@ _MIDDLE: list[str] = [
     "q_token_entropy",
     "q_coreset_greedy",
     "q_quantile_normalize",
+    "q_table_stats",
     # round-2 cohort rest (31)
     "q_best_of_cluster",
     "q_bm25_search",

@@ -1129,3 +1129,102 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style one-pass column statistics (NDV via KMV)
+# ---------------------------------------------------------------------------
+
+_STATS_COLS = [
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_returnflag",
+    "l_linestatus",
+]
+
+
+def _table_stats_oracle() -> str:
+    from flink_template_spark.operators.sketches_portable import (
+        kmv_estimate_sql,
+        kmv_sketch_sql,
+    )
+
+    branches = "\n  UNION ALL\n".join(
+        f"  SELECT '{c}' AS col, CAST({c} AS VARCHAR) AS val FROM lineitem"
+        for c in _STATS_COLS
+    )
+    return f"""
+WITH stacked AS MATERIALIZED (
+{branches}
+),
+sk AS MATERIALIZED ({kmv_sketch_sql('stacked', ['col'], 'val')}),
+est AS ({kmv_estimate_sql('sk', ['col'])}),
+base AS (
+  SELECT col,
+    CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(COUNT(*) - COUNT(val) AS BIGINT) AS n_nulls,
+    CAST(COUNT(DISTINCT val) AS BIGINT) AS ndv_exact
+  FROM stacked GROUP BY col
+)
+SELECT b.col AS col_name, b.n_rows, b.n_nulls,
+  e.est AS ndv_est, b.ndv_exact
+FROM base b JOIN est e ON b.col = e.col
+ORDER BY b.col
+"""
+
+
+@register("q_table_stats", oracle=_table_stats_oracle())
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE in one pass: per-column row/null counts and an
+    NDV estimate from the portable KMV sketch (exact for
+    low-cardinality columns like l_returnflag, k-minimum-values
+    estimate for keys), with the exact COUNT(DISTINCT) riding along so
+    the sketch error is visible in verified output — the
+    cost-based-optimizer statistics sweep every lakehouse runs, as a
+    first-class query. ONE scan covers every column (rows stack into
+    (col, value) pairs map-side); at 100 TB the alternative — one
+    COUNT(DISTINCT) job per column — re-reads the table N_cols times
+    and shuffles raw values, while the stacked KMV shuffles at most
+    k rows per column past the distinct. Only integer/string columns:
+    float→string rendering differs across engines (the repertoire
+    trap), so double columns get their stats from the typed paths."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stacked = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(c).cast("string").alias("val"),
+                    )
+                    for c in _STATS_COLS
+                ]
+            )
+        ).alias("s")
+    ).select("s.col", "s.val")
+    from flink_template_spark.operators.sketches_portable import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    est = kmv_estimate(kmv_sketch(stacked, ["col"], "val"), ["col"]).select(
+        "col", F.col("est").alias("ndv_est")
+    )
+    base = stacked.groupBy("col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("val")).cast("bigint").alias("n_nulls"),
+        F.count_distinct("val").cast("bigint").alias("ndv_exact"),
+    )
+    return (
+        base.join(est, "col")
+        .select(
+            F.col("col").alias("col_name"),
+            "n_rows",
+            "n_nulls",
+            "ndv_est",
+            "ndv_exact",
+        )
+        .orderBy("col_name")
+    )

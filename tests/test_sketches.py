@@ -158,3 +158,29 @@ def test_sorted_neighborhood_rejects_degenerate_window(spark):
     )
     with pytest.raises(ValueError, match="window"):
         sorted_neighborhood_pairs(docs, window=1)
+
+
+def test_table_stats_ndv_branches_and_nulls(spark, sf_dir):
+    """Low-cardinality columns get EXACT NDV (sketch under k), key
+    columns get estimates within the KMV rsd envelope, and null
+    accounting is exact."""
+    from flink_template_spark.operators.sketches_portable import KMV_K
+    from flink_template_spark.plans import registry
+
+    rows = {
+        r["col_name"]: r
+        for r in registry.QUERIES["q_table_stats"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_returnflag", "l_linestatus",
+    }
+    flag = rows["l_returnflag"]
+    assert flag["ndv_est"] == flag["ndv_exact"] and flag["ndv_exact"] <= 4
+    ok = rows["l_orderkey"]
+    assert ok["ndv_exact"] > KMV_K  # estimating branch exercised
+    tol = 3 * (1.0 / (KMV_K - 1) ** 0.5)
+    assert abs(ok["ndv_est"] - ok["ndv_exact"]) <= tol * ok["ndv_exact"]
+    assert all(r["n_nulls"] == 0 for r in rows.values())
+    n = {r["n_rows"] for r in rows.values()}
+    assert len(n) == 1  # every column saw every row
