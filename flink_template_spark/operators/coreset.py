@@ -67,11 +67,11 @@ def facility_location_greedy(
     micro-units). Driver-side list BY DESIGN — the result is k rows of
     control-plane data, like kmeans' centroid fetches."""
     sims = pair_sims_q(universe, id_col, vec_col).localCheckpoint()
-    spark = universe.sparkSession
     cov = sims.select("d").distinct().select(
         "d", F.lit(0).cast("bigint").alias("cov")
     ).localCheckpoint()
     out: list[dict] = []
+    chosen_ids: list = []
     total = 0
     for t in range(1, k + 1):
         gains = (
@@ -79,10 +79,16 @@ def facility_location_greedy(
             .groupBy("c")
             .agg(F.sum(F.greatest(F.col("sim_q") - F.col("cov"), F.lit(0))).alias("gain"))
         )
+        # exclude already-chosen facilities: once coverage saturates,
+        # every remaining gain is 0 and the bare argmax would re-pick
+        # the same exemplar forever instead of k DISTINCT prototypes
+        if chosen_ids:
+            gains = gains.filter(~F.col("c").isin(chosen_ids))
         top = gains.orderBy(F.desc("gain"), "c").limit(1).collect()
         if not top:
-            break
+            break  # universe smaller than k: no candidates left
         chosen, gain = top[0]["c"], top[0]["gain"]
+        chosen_ids.append(chosen)
         total += gain
         out.append(
             {"round": t, id_col: chosen, "gain_q": gain, "total_cov_q": total}
@@ -101,17 +107,17 @@ def facility_location_greedy(
     return out
 
 
-def facility_location_sql(
-    universe_cte: str, k: int, id_col: str = "vec_id"
-) -> str:
-    """DuckDB oracle: the identical k rounds unrolled. Expects a CTE
-    ``sims(d, c, sim_q)`` to exist; emits cov0..cov{k} and pick1..
-    pick{k}, plus a final ``picks`` CTE with (round, id, gain_q,
-    total_cov_q)."""
+def facility_location_sql(k: int, id_col: str = "vec_id") -> str:
+    """DuckDB oracle: the identical k rounds unrolled (including the
+    already-chosen exclusion). Expects a CTE ``sims(d, c, sim_q)`` to
+    exist; emits cov0..cov{k} and pick1..pick{k}, plus a final
+    ``picks`` CTE with (round, id, gain_q, total_cov_q)."""
     parts = [
         f"cov0 AS MATERIALIZED (SELECT DISTINCT d, CAST(0 AS BIGINT) AS cov FROM sims)"
     ]
     for t in range(1, k + 1):
+        prior = " UNION ALL ".join(f"SELECT c FROM pick{i}" for i in range(1, t))
+        excl = f"\n  WHERE c NOT IN ({prior})" if t > 1 else ""
         parts.append(
             f"""g{t} AS (
   SELECT s.c, SUM(GREATEST(s.sim_q - cv.cov, 0)) AS gain
@@ -119,7 +125,7 @@ def facility_location_sql(
   GROUP BY s.c
 ),
 pick{t} AS MATERIALIZED (
-  SELECT c, CAST(gain AS BIGINT) AS gain FROM g{t}
+  SELECT c, CAST(gain AS BIGINT) AS gain FROM g{t}{excl}
   ORDER BY gain DESC, c LIMIT 1
 ),
 cov{t} AS MATERIALIZED (

@@ -1169,8 +1169,8 @@ base AS (
   FROM stacked GROUP BY col
 )
 SELECT b.col AS col_name, b.n_rows, b.n_nulls,
-  e.est AS ndv_est, b.ndv_exact
-FROM base b JOIN est e ON b.col = e.col
+  COALESCE(e.est, 0.0) AS ndv_est, b.ndv_exact
+FROM base b LEFT JOIN est e ON b.col = e.col
 ORDER BY b.col
 """
 
@@ -1191,19 +1191,26 @@ def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     float→string rendering differs across engines (the repertoire
     trap), so double columns get their stats from the typed paths."""
     li = load_table(spark, sf_dir, "lineitem")
-    stacked = li.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("col"),
-                        F.col(c).cast("string").alias("val"),
-                    )
-                    for c in _STATS_COLS
-                ]
-            )
-        ).alias("s")
-    ).select("s.col", "s.val")
+    # lazy checkpoint: stacked feeds BOTH the KMV-estimate and the
+    # base-stats subtrees — without it the scan+explode runs twice,
+    # which is exactly the cost this one-pass design exists to avoid
+    stacked = (
+        li.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("col"),
+                            F.col(c).cast("string").alias("val"),
+                        )
+                        for c in _STATS_COLS
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.col", "s.val")
+        .localCheckpoint(eager=False)
+    )
     from flink_template_spark.operators.sketches_portable import (
         kmv_estimate,
         kmv_sketch,
@@ -1212,18 +1219,22 @@ def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = kmv_estimate(kmv_sketch(stacked, ["col"], "val"), ["col"]).select(
         "col", F.col("est").alias("ndv_est")
     )
+    # LEFT join + 0-coalesce: an all-NULL column has NO sketch rows
+    # (kmv drops NULL items) but is exactly the column a stats sweep
+    # must flag — n_rows=N, n_nulls=N, ndv=0, not a vanished row
+    # (the cms_lookup sparse-sketch discipline)
     base = stacked.groupBy("col").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         (F.count(F.lit(1)) - F.count("val")).cast("bigint").alias("n_nulls"),
         F.count_distinct("val").cast("bigint").alias("ndv_exact"),
     )
     return (
-        base.join(est, "col")
+        base.join(est, "col", "left")
         .select(
             F.col("col").alias("col_name"),
             "n_rows",
             "n_nulls",
-            "ndv_est",
+            F.coalesce(F.col("ndv_est"), F.lit(0.0)).alias("ndv_est"),
             "ndv_exact",
         )
         .orderBy("col_name")

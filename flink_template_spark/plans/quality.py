@@ -1230,7 +1230,7 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized single-partition window, same as q_curriculum_order),
     the source-local windows are source-partitioned, and the index
     lookup is an ordinary equi-join. Output sampled every
-    {_QNORM_SAMPLE}th source-local rank so the oracle verifies the
+    25th source-local rank (_QNORM_SAMPLE) so the oracle verifies the
     mapping densely across every source."""
     from pyspark.sql import Window as W
 

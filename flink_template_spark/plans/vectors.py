@@ -1320,7 +1320,7 @@ sims AS MATERIALIZED (
       AS BIGINT) AS sim_q
   FROM u a CROSS JOIN u b
 ),
-{facility_location_sql('u', _CORESET_K)}
+{facility_location_sql(_CORESET_K)}
 SELECT round, vec_id, gain_q, total_cov_q FROM picks ORDER BY round
 """
 

@@ -67,32 +67,72 @@ def write_kmv_stream(
     return writer.start()
 
 
+def _read_optional(spark: SparkSession, path: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None  # directory absent -> treat as empty
+
+
 def read_kmv(
     spark: SparkSession,
     sketch_dir: str,
     cell_col: str = "event_type",
     k: int = KMV_K,
 ) -> DataFrame:
-    """(cell, n_h, theta, est): merge every epoch's sketches and
-    estimate — identical to the batch sketch over all events seen."""
-    log = spark.read.parquet(os.path.join(sketch_dir, "changelog"))
-    merged = kmv_merge(log.select(cell_col, "h"), [cell_col], k=k)
+    """(cell, n_h, theta, est): merge base ∪ every changelog epoch and
+    estimate — identical to the batch sketch over all events seen.
+    Sketch union is idempotent and commutative, so base/changelog
+    duplicates (a crash between compaction's write and delete) merge
+    away instead of double-counting."""
+    parts = [
+        df.select(cell_col, "h")
+        for df in (
+            _read_optional(spark, os.path.join(sketch_dir, "base")),
+            _read_optional(spark, os.path.join(sketch_dir, "changelog")),
+        )
+        if df is not None
+    ]
+    if not parts:
+        raise FileNotFoundError(f"no KMV sketch data under {sketch_dir}")
+    union = parts[0] if len(parts) == 1 else parts[0].unionAll(parts[1])
+    merged = kmv_merge(union, [cell_col], k=k)
     return kmv_estimate(merged, [cell_col], k=k)
 
 
 def compact_kmv(spark: SparkSession, sketch_dir: str, cell_col: str = "event_type",
                 k: int = KMV_K) -> None:
-    """Fold the changelog into a single base epoch (epoch=0 rewrite):
+    """Fold base ∪ changelog into a new base snapshot OUTSIDE the
+    epoch namespace (the streaming.rollup compaction discipline):
     kmv_merge IS the compaction — the merged sketch is the exact union
-    state, so read amplification returns to k rows per cell."""
-    log = spark.read.parquet(os.path.join(sketch_dir, "changelog"))
-    merged = kmv_merge(log.select(cell_col, "h"), [cell_col], k=k).localCheckpoint()
-    tmp = os.path.join(sketch_dir, "changelog_compacted")
-    merged.repartition(1).write.mode("overwrite").parquet(
-        os.path.join(tmp, "epoch=0")
-    )
+    state, so read amplification returns to k rows per cell.
+    Write-then-delete ordering: the new base is fully in place before
+    any changelog epoch is removed, so a crash mid-compaction leaves
+    base/changelog duplicates that the reader's merge absorbs (union
+    is idempotent) — never data loss. Keeping the base out of the
+    epoch=N namespace also means a restarted stream whose checkpoint
+    was lost (epoch ids reset to 0) can never overwrite compacted
+    history."""
     import shutil
 
-    old = os.path.join(sketch_dir, "changelog")
-    shutil.rmtree(old)
-    os.rename(tmp, old)
+    parts = [
+        df.select(cell_col, "h")
+        for df in (
+            _read_optional(spark, os.path.join(sketch_dir, "base")),
+            _read_optional(spark, os.path.join(sketch_dir, "changelog")),
+        )
+        if df is not None
+    ]
+    if not parts:
+        return
+    union = parts[0] if len(parts) == 1 else parts[0].unionAll(parts[1])
+    merged = kmv_merge(union, [cell_col], k=k).localCheckpoint()
+    tmp = os.path.join(sketch_dir, "base_new")
+    merged.repartition(1).write.mode("overwrite").parquet(tmp)
+    base = os.path.join(sketch_dir, "base")
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    os.rename(tmp, base)
+    log = os.path.join(sketch_dir, "changelog")
+    if os.path.exists(log):
+        shutil.rmtree(log)

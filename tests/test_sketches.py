@@ -184,3 +184,40 @@ def test_table_stats_ndv_branches_and_nulls(spark, sf_dir):
     assert all(r["n_nulls"] == 0 for r in rows.values())
     n = {r["n_rows"] for r in rows.values()}
     assert len(n) == 1  # every column saw every row
+
+
+def test_table_stats_reports_all_null_column(spark, monkeypatch):
+    """An all-NULL column has no KMV sketch rows (NULL items drop) but
+    is exactly what a stats sweep must flag: n_nulls = n_rows and
+    ndv 0 — not a silently vanished output row."""
+    import flink_template_spark.plans.functions_ext as FE
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, None)], "l_orderkey long, l_comment string"
+    )
+    monkeypatch.setattr(FE, "load_table", lambda s, sd, t: df)
+    monkeypatch.setattr(FE, "_STATS_COLS", ["l_orderkey", "l_comment"])
+    rows = {r["col_name"]: r for r in FE.q_table_stats(spark, "unused").collect()}
+    assert set(rows) == {"l_orderkey", "l_comment"}
+    c = rows["l_comment"]
+    assert (c["n_rows"], c["n_nulls"], c["ndv_est"], c["ndv_exact"]) == (3, 3, 0.0, 0)
+    o = rows["l_orderkey"]
+    assert (o["n_nulls"], o["ndv_est"], o["ndv_exact"]) == (0, 3.0, 3)
+
+
+def test_coreset_exhaustion_returns_distinct_prototypes(spark):
+    """Duplicate embeddings saturate coverage after one pick: the
+    remaining rounds must return DISTINCT exemplars with zero marginal
+    gain (never the same id twice), and a universe smaller than k
+    stops early instead of inventing picks."""
+    from flink_template_spark.operators.coreset import facility_location_greedy
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    picks = facility_location_greedy(df, k=3)
+    ids = [p["vec_id"] for p in picks]
+    assert ids == [0, 1, 2]  # distinct, id-ordered once gains are 0
+    assert [p["gain_q"] for p in picks][1:] == [0, 0]
+    assert facility_location_greedy(df.filter("vec_id < 2"), k=5)[-1]["round"] == 2
