@@ -98,6 +98,7 @@ EXTENDED = [
     "q_coreset_greedy",
     "q_quantile_normalize",
     "q_table_stats",
+    "q_leakage_safe_split",
 ]
 
 

@@ -143,6 +143,7 @@ _MIDDLE: list[str] = [
     "q_coreset_greedy",
     "q_quantile_normalize",
     "q_table_stats",
+    "q_leakage_safe_split",
     # round-2 cohort rest (31)
     "q_best_of_cluster",
     "q_bm25_search",

@@ -1302,3 +1302,67 @@ def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_neighborhood_pairs(
         docs, window=_SNM_WINDOW, threshold=0.5
     )
+
+
+def _leakage_split_oracle() -> str:
+    # function-level import: plans.datapipe does not import text_dedup,
+    # so pulling its split fragment here is cycle-free at decoration time
+    from flink_template_spark.plans.datapipe import _split_sql
+
+    return f"""{_COMPONENTS_CTE}
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT component) AS BIGINT) AS n_clusters,
+  CAST(SUM(CASE WHEN naive <> split THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_rescued
+FROM (
+  SELECT cc.node AS doc_id, cc.component,
+    {_split_sql('component')} AS split,
+    {_split_sql('node')} AS naive
+  FROM cc
+)
+GROUP BY split
+ORDER BY split
+"""
+
+
+@register("q_leakage_safe_split", oracle=_leakage_split_oracle())
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split hash is keyed
+    on the NEAR-DUP CLUSTER id (the component's canonical min doc_id),
+    not the document id — so a whole cluster of near-duplicates lands
+    in ONE split and can never straddle train/test (the contamination
+    channel a per-doc hash split leaves open: doc A in train, its 0.9-
+    Jaccard twin in test). Output per split: doc count, cluster count,
+    and n_rescued — how many docs the naive per-doc split would have
+    placed in a DIFFERENT split than their cluster (each one a leak
+    this operator closed). Builds on the proven pieces: the components
+    fixpoint (q_near_dup_components) and the portable hash split
+    (q_train_test_split); singleton docs hash exactly as before
+    (component == doc_id), so only genuine duplicate clusters move."""
+    from flink_template_spark.operators.dedup import ngram_jaccard_pairs
+    from flink_template_spark.plans.datapipe import split_of
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    comp = near_dup_components(docs, pairs).select("doc_id", "component")
+    tagged = comp.select(
+        "doc_id",
+        "component",
+        split_of("component").alias("split"),
+        split_of("doc_id").alias("__naive"),
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct("component").cast("bigint").alias("n_clusters"),
+            F.sum(
+                (F.col("__naive") != F.col("split")).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_rescued"),
+        )
+        .orderBy("split")
+    )
+
+
