@@ -37,6 +37,14 @@ def bfs_hops(
     """(id, hops): directed hop distance from the nearest source, for
     every node reachable within ``rounds`` hops (sources themselves at
     0). Unreached nodes are absent from the result."""
+    # checkpoint the edge table ONCE: unlike pagerank (one lazy plan,
+    # ReuseExchange dedupes the repeated edge subtree within a single
+    # job), the per-round localCheckpoints here run SEPARATE jobs, and
+    # stage reuse does not span jobs — without this, a derived edge
+    # table (e.g. the 4-way trade join) is rebuilt every round
+    # (measured 5.0 -> 3.5 s warm at sf0.1 for 6 rounds; the residual
+    # is per-round job overhead plus the one-time build)
+    edges = edges.localCheckpoint()
     dist = sources.select(
         F.col(id_col).alias("id"), F.lit(0).cast("bigint").alias("hops")
     ).localCheckpoint()
