@@ -791,15 +791,25 @@ def ann_index(spark: SparkSession, sf_dir: str):
                 _ANN_INDEX_CACHE.move_to_end(key)
                 return hit
 
-        emb = load_table(spark, sf_dir, "embeddings")
-        centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-            F.col("vec_id").alias("centroid_id"), "embedding"
-        )
-        emb_r = _spread(emb)
-        codebooks = pq_train(emb_r, m=4, k=4, n_iter=1)
-        assigned = ivf_assign(emb_r, centroids).select("vec_id", "cluster")
-        index = pq_encode(emb_r, codebooks).join(assigned, "vec_id").persist()
-        index.count()  # materialize the index once, before any serve path
+        try:
+            emb = load_table(spark, sf_dir, "embeddings")
+            centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+                F.col("vec_id").alias("centroid_id"), "embedding"
+            )
+            emb_r = _spread(emb)
+            codebooks = pq_train(emb_r, m=4, k=4, n_iter=1)
+            assigned = ivf_assign(emb_r, centroids).select("vec_id", "cluster")
+            index = pq_encode(emb_r, codebooks).join(assigned, "vec_id").persist()
+            index.count()  # materialize the index once, before any serve path
+        except BaseException:
+            # Failed build: drop the key lock created above unless some
+            # other thread DID insert an entry for this key (locks are
+            # otherwise only popped at eviction, so failed keys would
+            # leak lock objects for the process lifetime — ADVICE r5).
+            with _ANN_INDEX_LOCK:
+                if key not in _ANN_INDEX_CACHE:
+                    _ANN_INDEX_KEY_LOCKS.pop(key, None)
+            raise
         with _ANN_INDEX_LOCK:
             stale = _ANN_INDEX_CACHE.get(key)
             if stale is not None:

@@ -68,10 +68,17 @@ def write_kmv_stream(
 
 
 def _read_optional(spark: SparkSession, path: str) -> DataFrame | None:
-    try:
-        return spark.read.parquet(path)
-    except Exception:
-        return None  # directory absent -> treat as empty
+    """Read a local sketch directory, or None if it does not exist.
+
+    Only the missing-path case is treated as empty (os-level existence
+    check — the sketch dirs are local paths by contract, same as the
+    rollup sink). Any OTHER read failure (permissions, corrupt footer,
+    transient FS error) propagates: silently returning None there would
+    make read_kmv build estimates from the changelog alone and
+    undercount (ADVICE r5)."""
+    if not os.path.exists(path):
+        return None
+    return spark.read.parquet(path)
 
 
 def read_kmv(
@@ -82,22 +89,41 @@ def read_kmv(
 ) -> DataFrame:
     """(cell, n_h, theta, est): merge base ∪ every changelog epoch and
     estimate — identical to the batch sketch over all events seen.
-    Sketch union is idempotent and commutative, so base/changelog
-    duplicates (a crash between compaction's write and delete) merge
-    away instead of double-counting."""
+    Sketch union is idempotent and commutative, so base/base_old/
+    changelog duplicates (a crash anywhere inside compaction's
+    rename dance) merge away instead of double-counting. ``base_old``
+    exists only in compact_kmv's crash window where ``base`` has been
+    renamed aside but the new base is not yet in place — reading it
+    makes every crash point recoverable (ADVICE r5)."""
+    union = _union_sketch_parts(spark, sketch_dir, cell_col)
+    if union is None:
+        raise FileNotFoundError(f"no KMV sketch data under {sketch_dir}")
+    merged = kmv_merge(union, [cell_col], k=k)
+    return kmv_estimate(merged, [cell_col], k=k)
+
+
+def _union_sketch_parts(
+    spark: SparkSession, sketch_dir: str, cell_col: str
+) -> DataFrame | None:
+    """Union every extant sketch source: base, base_old (compaction
+    crash window), changelog. Never reads ``base_new`` — at every crash
+    point its content is still fully covered by base/base_old+changelog,
+    and a crash DURING its parquet write can leave it partial."""
     parts = [
         df.select(cell_col, "h")
         for df in (
             _read_optional(spark, os.path.join(sketch_dir, "base")),
+            _read_optional(spark, os.path.join(sketch_dir, "base_old")),
             _read_optional(spark, os.path.join(sketch_dir, "changelog")),
         )
         if df is not None
     ]
     if not parts:
-        raise FileNotFoundError(f"no KMV sketch data under {sketch_dir}")
-    union = parts[0] if len(parts) == 1 else parts[0].unionAll(parts[1])
-    merged = kmv_merge(union, [cell_col], k=k)
-    return kmv_estimate(merged, [cell_col], k=k)
+        return None
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionAll(p)
+    return union
 
 
 def compact_kmv(spark: SparkSession, sketch_dir: str, cell_col: str = "event_type",
@@ -106,33 +132,40 @@ def compact_kmv(spark: SparkSession, sketch_dir: str, cell_col: str = "event_typ
     epoch namespace (the streaming.rollup compaction discipline):
     kmv_merge IS the compaction — the merged sketch is the exact union
     state, so read amplification returns to k rows per cell.
-    Write-then-delete ordering: the new base is fully in place before
-    any changelog epoch is removed, so a crash mid-compaction leaves
-    base/changelog duplicates that the reader's merge absorbs (union
-    is idempotent) — never data loss. Keeping the base out of the
-    epoch=N namespace also means a restarted stream whose checkpoint
-    was lost (epoch ids reset to 0) can never overwrite compacted
-    history."""
+
+    Rename-aside ordering (ADVICE r5 — the old delete-before-rename
+    had a window where compacted history lived ONLY in base_new, which
+    no reader consulted): (1) merge base ∪ base_old ∪ changelog and
+    write it to base_new; (2) rename base aside to base_old; (3) rename
+    base_new into place as base; (4) only then delete base_old and the
+    changelog. At every crash point the full state is readable from
+    {base, base_old, changelog} (see _union_sketch_parts) and the next
+    compaction folds whatever survives — never data loss. Keeping the
+    base out of the epoch=N namespace also means a restarted stream
+    whose checkpoint was lost (epoch ids reset to 0) can never
+    overwrite compacted history."""
     import shutil
 
-    parts = [
-        df.select(cell_col, "h")
-        for df in (
-            _read_optional(spark, os.path.join(sketch_dir, "base")),
-            _read_optional(spark, os.path.join(sketch_dir, "changelog")),
-        )
-        if df is not None
-    ]
-    if not parts:
+    union = _union_sketch_parts(spark, sketch_dir, cell_col)
+    if union is None:
         return
-    union = parts[0] if len(parts) == 1 else parts[0].unionAll(parts[1])
+    # Pin the merged rows BEFORE any renames below invalidate the lazy
+    # plan's input paths.
     merged = kmv_merge(union, [cell_col], k=k).localCheckpoint()
-    tmp = os.path.join(sketch_dir, "base_new")
-    merged.repartition(1).write.mode("overwrite").parquet(tmp)
     base = os.path.join(sketch_dir, "base")
+    base_old = os.path.join(sketch_dir, "base_old")
+    base_new = os.path.join(sketch_dir, "base_new")
+    merged.repartition(1).write.mode("overwrite").parquet(base_new)
+    # A stale base_old from a prior crash is already folded into merged
+    # (and, when base also exists, base superseded it) — clear it so the
+    # rename-aside below cannot collide.
+    if os.path.exists(base_old):
+        shutil.rmtree(base_old)
     if os.path.exists(base):
-        shutil.rmtree(base)
-    os.rename(tmp, base)
+        os.rename(base, base_old)
+    os.rename(base_new, base)
+    if os.path.exists(base_old):
+        shutil.rmtree(base_old)
     log = os.path.join(sketch_dir, "changelog")
     if os.path.exists(log):
         shutil.rmtree(log)

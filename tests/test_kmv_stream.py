@@ -75,3 +75,36 @@ def test_kmv_stream_equals_batch_and_survives_compaction(spark, tmp_path):
     compact_kmv(spark, str(sk_dir))
     after = sorted(map(key, read_kmv(spark, str(sk_dir)).collect()))
     assert after == want
+
+    # -- crash-window recoverability (ADVICE r5): simulate a crash
+    # between compaction's rename-aside and rename-into-place, i.e.
+    # base moved to base_old, base_new complete, base missing. Both the
+    # reader and a re-run compaction must recover the full state.
+    import shutil
+
+    (sk_dir / "base_new").mkdir()  # even a PARTIAL base_new must be ignored
+    (sk_dir / "base_new" / "part-corrupt.parquet").write_bytes(b"\x00garbage")
+    shutil.move(str(sk_dir / "base"), str(sk_dir / "base_old"))
+    mid_crash = sorted(map(key, read_kmv(spark, str(sk_dir)).collect()))
+    assert mid_crash == want  # reader falls back to base_old
+    compact_kmv(spark, str(sk_dir))  # re-run heals the layout
+    assert (sk_dir / "base").exists()
+    assert not (sk_dir / "base_old").exists()
+    assert not (sk_dir / "base_new").exists()
+    healed = sorted(map(key, read_kmv(spark, str(sk_dir)).collect()))
+    assert healed == want
+
+
+def test_read_kmv_raises_on_corrupt_base(spark, tmp_path):
+    """A present-but-unreadable base must FAIL, not silently degrade to
+    changelog-only undercounts (ADVICE r5)."""
+    import pytest
+
+    sk = tmp_path / "sk"
+    (sk / "base").mkdir(parents=True)
+    (sk / "base" / "part-00000.parquet").write_bytes(b"not a parquet file")
+    with pytest.raises(Exception):
+        read_kmv(spark, str(sk))
+    # and a missing dir is still just "no data", loud but specific
+    with pytest.raises(FileNotFoundError):
+        read_kmv(spark, str(tmp_path / "absent"))

@@ -238,6 +238,23 @@ def test_ann_index_eviction_prefers_stopped_sessions(spark, sf, monkeypatch):
     idx_a.unpersist(True)
 
 
+def test_ann_index_failed_build_releases_key_lock(spark, tmp_path):
+    """A build that raises must not leak its per-key lock: locks are
+    otherwise popped only at eviction, so every failed key would pin a
+    lock object for the process lifetime (ADVICE r5)."""
+    import pytest
+
+    from flink_template_spark.plans import vectors as V
+
+    bad_dir = str(tmp_path / "no-such-sf")  # load_table will raise
+    key = (spark.sparkContext.applicationId, bad_dir)
+    assert key not in V._ANN_INDEX_KEY_LOCKS
+    with pytest.raises(Exception):
+        V.ann_index(spark, bad_dir)
+    assert key not in V._ANN_INDEX_CACHE
+    assert key not in V._ANN_INDEX_KEY_LOCKS  # lock popped on failure
+
+
 # The audited bounded-size single-partition windows: ddsketch's
 # merged-sketch cumsum + rank_global's per-range-partition offset table,
 # and hybrid RRF's two top-20 rank lists. These are the ONLY bench
