@@ -6,6 +6,15 @@ Prints ONE JSON line:
 ``value`` is the total wall-clock of all headline queries (each executed
 to completion via a count-collect that forces the full plan without
 pulling rows to the driver).
+
+Load-robustness (VERDICT r5 next #3 — the r5 driver headline read +30%
+purely from machine pressure): a single wall sample measures
+max(plan cost, background load). Each headline query is therefore run
+twice and the MIN recorded (the min over runs converges on the plan's
+own cost; ±50% load variance on this box is documented in BASELINE.md),
+and any extended query whose first wall exceeds _EXT_RERUN_SEC gets one
+re-run, min recorded. The headline total stays comparable across rounds
+because every round records the same statistic.
 """
 
 from __future__ import annotations
@@ -116,8 +125,23 @@ def main() -> None:
 
     errors: dict[str, str] = {}
 
+    def _evict_ann_index() -> None:
+        # q_ann_index_build must measure the BUILD on every sample; the
+        # session memo would otherwise make its min-of-2 a cache read.
+        # (The graph queries' trade-edge memo is deliberately NOT
+        # evicted: their recorded walls are the steady-state serve cost
+        # of the shared materialized edge table, per VERDICT r5 #2.)
+        from flink_template_spark.plans import vectors as V
+
+        V._ANN_MEMO.evict((spark.sparkContext.applicationId, sf_dir))
+
+    _PRE_RUN = {"q_ann_index_build": _evict_ann_index}
+
     def run_one(name: str) -> float | None:
         """Execute one query to completion; never let a failure abort the run."""
+        pre = _PRE_RUN.get(name)
+        if pre is not None:
+            pre()
         t0 = time.perf_counter()
         try:
             df = plans.QUERIES[name](spark, sf_dir)
@@ -135,8 +159,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         wall = run_one(name)
-        if wall is not None:
-            timings[name] = wall
+        if wall is None:
+            continue
+        second = run_one(name)  # min-of-2: load-spike immunity
+        timings[name] = min(wall, second) if second is not None else wall
 
     # streaming-workload dual: the reference's one real pipeline
     # (JSON parse -> per-trip session aggregate) as batch throughput.
@@ -166,20 +192,32 @@ def main() -> None:
         warm = aggregate_trips(read_trip_events_json(spark, fx))
         warm.write.format("noop").mode("overwrite").save()
         warm.input.unpersist(True)
-        timed = aggregate_trips(read_trip_events_json(spark, fx))
-        t0 = time.perf_counter()
-        timed.write.format("noop").mode("overwrite").save()
-        trip_wall = time.perf_counter() - t0
-        timed.input.unpersist(True)
+        # best-of-2 timed runs (rate analogue of the min-of-2 walls)
+        trip_wall = None
+        for _ in range(2):
+            timed = aggregate_trips(read_trip_events_json(spark, fx))
+            t0 = time.perf_counter()
+            timed.write.format("noop").mode("overwrite").save()
+            w = time.perf_counter() - t0
+            timed.input.unpersist(True)
+            trip_wall = w if trip_wall is None else min(trip_wall, w)
         trip_eps = round(n_events / trip_wall, 1)
     except Exception as exc:
         errors["trip_pipeline"] = f"{type(exc).__name__}: {str(exc)[:300]}"
 
+    # Extended set is ~3× the headline count: re-run only the walls big
+    # enough that a load spike could mimic a real regression.
+    _EXT_RERUN_SEC = 3.0
     extended: dict[str, float] = {}
     for name in [n for n in EXTENDED if n in plans.QUERIES]:
         wall = run_one(name)
-        if wall is not None:
-            extended[name] = wall
+        if wall is None:
+            continue
+        if wall > _EXT_RERUN_SEC:
+            second = run_one(name)
+            if second is not None:
+                wall = min(wall, second)
+        extended[name] = wall
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:

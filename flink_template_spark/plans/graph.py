@@ -20,6 +20,7 @@ from flink_template_spark.operators.pagerank import (
     QUANT_PR,
     pagerank,
 )
+from flink_template_spark.memo import SessionLRUMemo
 from flink_template_spark.plans.registry import register
 from flink_template_spark.tables import load_table
 
@@ -103,9 +104,27 @@ def _pagerank_oracle(n_iter: int) -> str:
     )
 
 
+# All five graph queries derive the same edge table; before r6 each
+# paid the ~3-4 s 4-way lineitem join independently (~15 s of the
+# extended bench, VERDICT r5 What's-wrong). The memo persists it once
+# per (session, sf_dir) — at 100 TB this is the derived edge parquet a
+# graph pipeline materializes once and every algorithm reads. The
+# result is nation-pair-sized (≤ |nations|²), so the persist is tiny.
+_TRADE_EDGES_MEMO = SessionLRUMemo("trade_edges", max_entries=4)
+
+
 def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The directed above-mean-volume trade edge table (src, dst) —
-    the Spark dual of _TRADE_EDGES_SQL."""
+    the Spark dual of _TRADE_EDGES_SQL. Memoized + persisted per
+    (applicationId, sf_dir); also spares per-round-action loops (BFS,
+    k-core) from rebuilding the 4-way join every round."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _TRADE_EDGES_MEMO.get_or_build(
+        key, lambda: _build_trade_edges(spark, sf_dir)
+    )
+
+
+def _build_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
@@ -131,11 +150,14 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"), F.sum("cnt").alias("total")
     )
     # above-mean pair weight, integer-exact (see _TRADE_EDGES_SQL)
-    return (
+    edges = (
         pair_counts.crossJoin(F.broadcast(totals))
         .filter(F.col("cnt") * F.col("n_pairs") > F.col("total"))
         .select("src", "dst")
+        .persist()
     )
+    edges.count()  # materialize once, before any consumer's first job
+    return edges
 
 
 @register("q_pagerank_trade", oracle=_pagerank_oracle(_PR_ITER))

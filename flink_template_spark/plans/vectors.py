@@ -8,12 +8,10 @@ from ``functions.vector``.
 
 from __future__ import annotations
 
-import threading
-from collections import OrderedDict
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_template_spark.memo import SessionLRUMemo
 from flink_template_spark.functions.vector import (
     cosine_sql,
     l2_norm,
@@ -687,69 +685,11 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every query; ~half its 9.56 s bench wall was index build).
 # ---------------------------------------------------------------------------
 
-# Bounded + locked: a PER-KEY lock serializes concurrent first builds
-# of the SAME (session, sf_dir) index (two threads would otherwise both
-# train and leave one orphaned persisted index pinned in executor
-# storage) without serializing independent keys behind one multi-job
-# build (ADVICE r4); the global lock only guards the tiny dict
-# operations. The size bound evicts STOPPED-session entries first —
-# their keys can never be hit again — judged by the cached index's own
-# SparkContext liveness, not by whose applicationId is inserting (a
-# second live session in the same process must not get its index
-# silently unpersisted just for being foreign). Evicting any
-# live-session entry degrades "serve from materialized index" to full
-# recompute, so when it's unavoidable we warn — AFTER the pop/unpersist,
-# so a warnings-as-errors run still leaves the cache within its bound
-# (ADVICE r4 + r5 self-review). Per-key locks are popped with their
-# entries so the lock dict stays as bounded as the cache itself.
-_ANN_INDEX_CACHE: OrderedDict[tuple[str, str], tuple] = OrderedDict()
-_ANN_INDEX_LOCK = threading.Lock()
-_ANN_INDEX_KEY_LOCKS: dict[tuple[str, str], threading.Lock] = {}
-_ANN_INDEX_MAX = 4
-
-
-def _ann_entry_stopped(entry: tuple) -> bool:
-    """True when the session that built this cache entry is stopped
-    (its index can never be served again)."""
-    try:
-        sc = entry[2].sparkSession.sparkContext
-        return sc._jsc is None or sc._jsc.sc().isStopped()
-    except Exception:
-        return True
-
-
-def _ann_evict_locked() -> None:
-    """Evict past the size bound (caller holds _ANN_INDEX_LOCK):
-    stopped-session entries oldest-first, then — with a post-pop
-    warning — the oldest live entry."""
-    while len(_ANN_INDEX_CACHE) > _ANN_INDEX_MAX:
-        # one liveness probe per entry (it's a py4j round-trip held
-        # under the global lock): carry the scan's verdict to the
-        # post-pop warning instead of re-probing the victim
-        victim, stopped = next(
-            (
-                (k, True)
-                for k, v in _ANN_INDEX_CACHE.items()
-                if _ann_entry_stopped(v)
-            ),
-            (next(iter(_ANN_INDEX_CACHE)), False),
-        )
-        entry = _ANN_INDEX_CACHE.pop(victim)
-        _ANN_INDEX_KEY_LOCKS.pop(victim, None)
-        try:
-            entry[2].unpersist(True)
-        except Exception:
-            pass  # owning session already stopped
-        if not stopped:
-            import warnings
-
-            warnings.warn(
-                f"ann_index cache evicted LIVE-session index {victim[1]!r};"
-                " subsequent serves for it will rebuild (raise"
-                " _ANN_INDEX_MAX if the process genuinely needs more"
-                f" than {_ANN_INDEX_MAX} live indexes)",
-                stacklevel=3,
-            )
+# Bounded + locked + per-key build serialization: the full contract
+# (stopped-session-first eviction, live-eviction warning, failed-build
+# lock cleanup) lives in memo.SessionLRUMemo — factored out in r6 so
+# the trade-edge graph table (plans/graph.py) reuses it verbatim.
+_ANN_MEMO = SessionLRUMemo("ann_index", max_entries=4, entry_df=lambda e: e[2])
 
 
 def ann_index(spark: SparkSession, sf_dir: str):
@@ -773,55 +713,20 @@ def ann_index(spark: SparkSession, sf_dir: str):
     from flink_template_spark.operators.pq import pq_encode, pq_train
     from flink_template_spark.operators.similarity import _spread
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    with _ANN_INDEX_LOCK:
-        hit = _ANN_INDEX_CACHE.get(key)
-        if hit is not None:
-            _ANN_INDEX_CACHE.move_to_end(key)
-            return hit
-        key_lock = _ANN_INDEX_KEY_LOCKS.setdefault(key, threading.Lock())
-
-    # Build outside the global lock (the multi-job Spark build must not
-    # serialize unrelated keys); the per-key lock + double-check makes
-    # concurrent same-key callers share one build.
-    with key_lock:
-        with _ANN_INDEX_LOCK:
-            hit = _ANN_INDEX_CACHE.get(key)
-            if hit is not None:
-                _ANN_INDEX_CACHE.move_to_end(key)
-                return hit
-
-        try:
-            emb = load_table(spark, sf_dir, "embeddings")
-            centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-                F.col("vec_id").alias("centroid_id"), "embedding"
-            )
-            emb_r = _spread(emb)
-            codebooks = pq_train(emb_r, m=4, k=4, n_iter=1)
-            assigned = ivf_assign(emb_r, centroids).select("vec_id", "cluster")
-            index = pq_encode(emb_r, codebooks).join(assigned, "vec_id").persist()
-            index.count()  # materialize the index once, before any serve path
-        except BaseException:
-            # Failed build: drop the key lock created above unless some
-            # other thread DID insert an entry for this key (locks are
-            # otherwise only popped at eviction, so failed keys would
-            # leak lock objects for the process lifetime — ADVICE r5).
-            with _ANN_INDEX_LOCK:
-                if key not in _ANN_INDEX_CACHE:
-                    _ANN_INDEX_KEY_LOCKS.pop(key, None)
-            raise
-        with _ANN_INDEX_LOCK:
-            stale = _ANN_INDEX_CACHE.get(key)
-            if stale is not None:
-                # only reachable if this key's lock was evicted+recreated
-                # mid-build; don't orphan the racing build's persist
-                try:
-                    stale[2].unpersist(True)
-                except Exception:
-                    pass
-            _ANN_INDEX_CACHE[key] = (centroids, codebooks, index)
-            _ann_evict_locked()
+    def _build() -> tuple:
+        emb = load_table(spark, sf_dir, "embeddings")
+        centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        emb_r = _spread(emb)
+        codebooks = pq_train(emb_r, m=4, k=4, n_iter=1)
+        assigned = ivf_assign(emb_r, centroids).select("vec_id", "cluster")
+        index = pq_encode(emb_r, codebooks).join(assigned, "vec_id").persist()
+        index.count()  # materialize the index once, before any serve path
         return centroids, codebooks, index
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _ANN_MEMO.get_or_build(key, _build)
 
 
 @register(

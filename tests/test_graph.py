@@ -690,3 +690,22 @@ def test_coreset_greedy_properties(spark):
         if r["c"] in chosen:
             best[r["d"]] = max(best.get(r["d"], 0), r["sim_q"])
     assert picks[-1]["total_cov_q"] == sum(best.values())
+
+
+def test_trade_edges_memoized_per_session(spark, sf_dir):
+    """All five graph queries share one persisted trade-edge table per
+    (session, sf_dir): repeated calls return the SAME DataFrame (no
+    re-running the 4-way lineitem join), and its plan reads back from
+    the in-memory cache (VERDICT r5 next #2)."""
+    import contextlib
+    import io
+
+    from flink_template_spark.plans.graph import _trade_edges
+
+    e1 = _trade_edges(spark, sf_dir)
+    e2 = _trade_edges(spark, sf_dir)
+    assert e1 is e2
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        e1.explain("formatted")
+    assert "InMemoryTableScan" in buf.getvalue()

@@ -151,7 +151,7 @@ def test_ann_serve_reads_materialized_index(spark, sf):
 
 
 def test_ann_index_cache_bounded_eviction(spark, sf, monkeypatch):
-    """The index cache is an LRU bounded by _ANN_INDEX_MAX: overflowing
+    """The index cache is an LRU bounded by max_entries: overflowing
     it evicts (and unpersists) the oldest entry, and a later call for
     the evicted key rebuilds rather than returning a dead reference.
     Evicting a LIVE-session entry (both keys here belong to this
@@ -179,17 +179,17 @@ def test_ann_index_cache_bounded_eviction(spark, sf, monkeypatch):
     if other is None:
         pytest.skip("no sibling sf dir with embeddings to overflow the cache")
 
-    monkeypatch.setattr(V, "_ANN_INDEX_MAX", 1)
-    V._ANN_INDEX_CACHE.clear()
+    monkeypatch.setattr(V._ANN_MEMO, "max_entries", 1)
+    V._ANN_MEMO.cache.clear()
     _, _, idx_a = V.ann_index(spark, sf)
     key_a = (spark.sparkContext.applicationId, sf)
-    assert key_a in V._ANN_INDEX_CACHE
+    assert key_a in V._ANN_MEMO.cache
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         _, _, idx_b = V.ann_index(spark, other)
     # sf's entry was evicted (cache holds only the newest), its
     # persisted blocks released, and the live-session eviction warned
-    assert list(V._ANN_INDEX_CACHE) == [
+    assert list(V._ANN_MEMO.cache) == [
         (spark.sparkContext.applicationId, other)
     ]
     assert idx_a.storageLevel.useMemory is False  # unpersisted
@@ -199,7 +199,7 @@ def test_ann_index_cache_bounded_eviction(spark, sf, monkeypatch):
         warnings.simplefilter("ignore")
         _, _, idx_a2 = V.ann_index(spark, sf)
     assert idx_a2 is not idx_a
-    V._ANN_INDEX_CACHE.clear()
+    V._ANN_MEMO.cache.clear()
     idx_a2.unpersist(True)
     idx_b.unpersist(True)
 
@@ -212,8 +212,8 @@ def test_ann_index_eviction_prefers_stopped_sessions(spark, sf, monkeypatch):
     per-key build lock so the lock dict stays bounded (r5 review)."""
     from flink_template_spark.plans import vectors as V
 
-    monkeypatch.setattr(V, "_ANN_INDEX_MAX", 1)
-    V._ANN_INDEX_CACHE.clear()
+    monkeypatch.setattr(V._ANN_MEMO, "max_entries", 1)
+    V._ANN_MEMO.cache.clear()
     _, _, idx_a = V.ann_index(spark, sf)
 
     class _Dead:
@@ -223,18 +223,20 @@ def test_ann_index_eviction_prefers_stopped_sessions(spark, sf, monkeypatch):
 
     # a stopped-session entry inserted AFTER ours (newer in LRU order)
     dead_key = ("app-other", sf)
-    V._ANN_INDEX_CACHE[dead_key] = (None, None, _Dead())
-    V._ANN_INDEX_KEY_LOCKS.setdefault(dead_key, V.threading.Lock())
-    with V._ANN_INDEX_LOCK:
-        V._ann_evict_locked()
+    V._ANN_MEMO.cache[dead_key] = (None, None, _Dead())
+    import threading
+
+    V._ANN_MEMO.key_locks.setdefault(dead_key, threading.Lock())
+    with V._ANN_MEMO.lock:
+        V._ANN_MEMO.evict_locked()
     # the stopped entry went first; ours survived, still persisted;
     # the victim's key lock went with it
-    assert list(V._ANN_INDEX_CACHE) == [
+    assert list(V._ANN_MEMO.cache) == [
         (spark.sparkContext.applicationId, sf)
     ]
-    assert dead_key not in V._ANN_INDEX_KEY_LOCKS
+    assert dead_key not in V._ANN_MEMO.key_locks
     assert idx_a.storageLevel.useMemory is True
-    V._ANN_INDEX_CACHE.clear()
+    V._ANN_MEMO.cache.clear()
     idx_a.unpersist(True)
 
 
@@ -248,11 +250,11 @@ def test_ann_index_failed_build_releases_key_lock(spark, tmp_path):
 
     bad_dir = str(tmp_path / "no-such-sf")  # load_table will raise
     key = (spark.sparkContext.applicationId, bad_dir)
-    assert key not in V._ANN_INDEX_KEY_LOCKS
+    assert key not in V._ANN_MEMO.key_locks
     with pytest.raises(Exception):
         V.ann_index(spark, bad_dir)
-    assert key not in V._ANN_INDEX_CACHE
-    assert key not in V._ANN_INDEX_KEY_LOCKS  # lock popped on failure
+    assert key not in V._ANN_MEMO.cache
+    assert key not in V._ANN_MEMO.key_locks  # lock popped on failure
 
 
 # The audited bounded-size single-partition windows: ddsketch's
