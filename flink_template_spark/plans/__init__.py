@@ -23,15 +23,17 @@ rotates per round so every family accumulates driver-checked entries:
   registers -> no oracle; their oracle-exact portable duals carry the
   sketch verdict) are pinned to the permanent tail (_NO_ORACLE_TAIL)
   and must never re-enter a 50-slot slate;
-- round 5 (this slate) is pure regression assurance (VERDICT r4 next
-  #1): every query is green at least once, but 110 oracle-able greens
-  predate the round-4 seam churn (sinks replay guard, slate handling,
-  session log scoping). Slate = the 40 STALEST greens oldest-first
-  (all 29 last checked in round 1 + the 11 oldest round-2 names) + 10
-  round-4-rebuilt regression picks (ANN build/serve pair, ddsketch,
-  both stratified samples, portable sketch pair, PQ-ADC, BPE, trip
-  flagship). _MIDDLE carries the remaining stale greens oldest-first
-  in case the driver checks past 50.
+- round 5 was pure regression assurance (VERDICT r4 next #1): slate =
+  the 40 STALEST greens oldest-first + 10 round-4-rebuilt regression
+  picks; came back 50/50 green;
+- round 6 (this slate, VERDICT r5 next #1): front the 23 round-5
+  additions that have never received a driver verdict (graph priors,
+  PPJoin, GEMM kNN, KMV, winnowing, sampling/quality gates — all
+  oracle-green in-session at up to 3 SFs) + the 27 oldest stale greens
+  (the round-2 cohort, last driver-checked in round 2). _MIDDLE holds
+  the staleness ledger for round 7: the 4 remaining r2-cohort names,
+  then the 39-query r3 cohort — after a green r6 those 43 are the only
+  queries whose last driver verdict predates round 4.
 """
 
 from flink_template_spark.plans import registry  # noqa: F401
@@ -53,74 +55,8 @@ from flink_template_spark.plans import graph  # noqa: F401
 
 # First 50 = this round's driver-check slate (see module docstring).
 _PRIORITY = [
-    # -- stalest greens: all 29 queries last driver-checked in round 1,
-    #    before the r2-r4 seam churn (oldest evidence in the ledger) --
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_revenue_forecast",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q_rank_family",
-    "q_lag_lead_order_gaps",
-    "q_running_customer_revenue",
-    "q_topk_orders_per_segment",
-    "q_first_last_value_per_part",
-    "q_rank_suppliers_by_balance",
-    "q_global_rank_scalable",
-    "q_percent_contribution",
-    "q_rollup_region_nation",
-    "q_cube_flag_status",
-    "q_pivot_status_by_flag",
-    "q_unpivot_balances",
-    "q_setops_nations",
-    "q_setops_all_variants",
-    "q_semi_join_urgent_customers",
-    "q_anti_join_idle_customers",
-    "q_full_outer_join",
-    "q_cross_join_calendar",
-    "q_salted_join_revenue",
-    "q_bloom_pruned_join",
-    "q_distinct_agg_segments",
-    "q_date_funcs",
-    "q_string_funcs",
-    "q_math_funcs",
-    # -- 11 oldest round-2 greens: one per r2 family seam (as-of &
-    #    interval joins, dedup/components, knn, sessions, funnel,
-    #    lateral, SCD2, trip geo) --
-    "q_asof_latest_order_per_event",
-    "q_asof_next_order_per_event",
-    "q_interval_join_attribution",
-    "q_dedup_exact_docs",
-    "q_near_dup_components",
-    "q_knn_join",
-    "q_events_session_30m",
-    "q_funnel_view_click_purchase",
-    "q_lateral_topk_nations",
-    "q_scd2_merge",
-    "q_trip_path_distance",
-    # -- 10 round-4-rebuilt regression picks (VERDICT r4 next #1):
-    #    the seams this round touches again (ANN build/serve, ddsketch
-    #    rank_global, seed-salted samples, portable sketches, PQ, BPE,
-    #    trip flagship) --
-    "q_ann_index_build",
-    "q_ann_multiprobe_rerank",
-    "q_ddsketch_quantiles",
-    "q_stratified_sample",
-    "q_stratified_sample_hash",
-    "q_hll_portable_rollup",
-    "q_cms_token_freq",
-    "q_pq_adc_topk",
-    "q_bpe_merges",
-    "q_trip_summary",
-]
-
-# Immediately after the slate, in case the driver checks more than 50:
-# the remaining stale greens, oldest-first (round-2 cohort rest, then
-# the round-3 cohort), so any extra checking always lands on the least
-# recently verified queries.
-_MIDDLE: list[str] = [
-    # round-5 additions: never driver-checked — first in line for the
-    # round-6 slate rotation (all oracle-green locally at 3 SFs)
+    # -- the 23 round-5 additions: never driver-checked before this
+    #    round (VERDICT r5 next #1) --
     "q_jaccard_prefix_pairs",
     "q_pagerank_trade",
     "q_triangle_participation",
@@ -144,7 +80,8 @@ _MIDDLE: list[str] = [
     "q_quantile_normalize",
     "q_table_stats",
     "q_leakage_safe_split",
-    # round-2 cohort rest (31)
+    # -- 27 oldest stale greens: round-2 cohort, last driver-checked
+    #    in round 2 --
     "q_best_of_cluster",
     "q_bm25_search",
     "q_contamination_check",
@@ -172,11 +109,19 @@ _MIDDLE: list[str] = [
     "q_resample_daily_expr",
     "q_resample_daily_ffill",
     "q_retention_cohorts",
+]
+
+# Immediately after the slate, in case the driver checks more than 50:
+# the remaining stale greens, oldest-first (round-2 cohort rest, then
+# the round-3 cohort), so any extra checking always lands on the least
+# recently verified queries.
+_MIDDLE: list[str] = [
+    # staleness ledger for round 7 (oldest-first): the 4 r2-cohort
+    #    names that did not fit the r6 slate, then the r3 cohort (39)
     "q_simhash_hamming_pairs",
     "q_text_stats_by_lang",
     "q_tfidf_top_terms",
     "q_vocab_build",
-    # round-3 cohort (oracle-able, 39)
     "q2_min_price_parts",
     "q4_exists_late_ship",
     "q8_market_share",

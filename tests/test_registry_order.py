@@ -12,38 +12,42 @@ def test_priority_slate_shape():
     names = list(plans.QUERIES)
     assert len(names) == len(set(names))
     first50 = set(names[:50])
-    # round-5 rotation: the stalest greens (last checked in round 1)
+    # round-6 rotation: ALL 23 round-5 additions (never driver-checked
+    # before this round — the round's capability claim)
     for q in (
-        "q3_shipping_priority",
-        "q10_returned_items",
-        "q_rank_family",
-        "q_rollup_region_nation",
-        "q_pivot_status_by_flag",
-        "q_setops_all_variants",
-        "q_salted_join_revenue",
-        "q_date_funcs",
+        "q_jaccard_prefix_pairs",
+        "q_pagerank_trade",
+        "q_triangle_participation",
+        "q_random_projection",
+        "q_rendezvous_shards",
+        "q_winnowing_fingerprints",
+        "q_priority_sample",
+        "q_knn_join_gemm",
+        "q_kmv_set_ops",
+        "q_kcore_trade",
+        "q_zorder_layout",
+        "q_ewma_value",
+        "q_sorted_neighborhood_pairs",
+        "q_trustrank_trade",
+        "q_trade_hops",
+        "q_curriculum_order",
+        "q_robust_outlier_fence",
+        "q_bigram_logprob",
+        "q_token_entropy",
+        "q_coreset_greedy",
+        "q_quantile_normalize",
+        "q_table_stats",
+        "q_leakage_safe_split",
     ):
         assert q in first50, q
-    # oldest round-2 seam representatives
+    # oldest-stale fill: round-2 cohort representatives
     for q in (
-        "q_asof_latest_order_per_event",
-        "q_interval_join_attribution",
-        "q_near_dup_components",
-        "q_knn_join",
-        "q_scd2_merge",
-        "q_trip_path_distance",
-    ):
-        assert q in first50, q
-    # round-4-rebuilt regression picks: the seams round 5 touches again
-    for q in (
-        "q_ann_index_build",
-        "q_ann_multiprobe_rerank",
-        "q_ddsketch_quantiles",
-        "q_stratified_sample",
-        "q_hll_portable_rollup",
-        "q_pq_adc_topk",
-        "q_bpe_merges",
-        "q_trip_summary",
+        "q_best_of_cluster",
+        "q_cosine_topk",
+        "q_events_sliding_2d_1d",
+        "q_multimodal_resize",
+        "q_ngram_jaccard_pairs",
+        "q_retention_cohorts",
     ):
         assert q in first50, q
 
