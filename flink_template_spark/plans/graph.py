@@ -154,10 +154,15 @@ def _build_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair_counts.crossJoin(F.broadcast(totals))
         .filter(F.col("cnt") * F.col("n_pairs") > F.col("total"))
         .select("src", "dst")
-        .persist()
     )
-    edges.count()  # materialize once, before any consumer's first job
-    return edges
+    # localCheckpoint, not persist: a persisted table keeps its full
+    # LINEAGE, and the graph consumers reference the edge table many
+    # times (triangle's wedge tree expands it ~30×), so Catalyst
+    # re-plans the whole 4-way-join subtree per reference even though
+    # execution reads cache — measured 4.0 s warm walls that drop to
+    # 1.0 s once the lineage is truncated to the materialized blocks.
+    # Eager is fine here: the memo build is already an eager seam.
+    return edges.localCheckpoint(eager=True)
 
 
 @register("q_pagerank_trade", oracle=_pagerank_oracle(_PR_ITER))

@@ -708,4 +708,8 @@ def test_trade_edges_memoized_per_session(spark, sf_dir):
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         e1.explain("formatted")
-    assert "InMemoryTableScan" in buf.getvalue()
+    plan = buf.getvalue()
+    # lineage truncated to the checkpointed blocks: consumers must not
+    # re-plan the 4-way lineitem join per reference
+    assert "Scan ExistingRDD" in plan
+    assert "lineitem" not in plan
