@@ -108,6 +108,10 @@ EXTENDED = [
     "q_quantile_normalize",
     "q_table_stats",
     "q_leakage_safe_split",
+    # round-6 additions: HITS hub/authority link prior, DSIR
+    # importance weighting
+    "q_hits_trade",
+    "q_dsir_weights",
 ]
 
 

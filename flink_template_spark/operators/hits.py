@@ -1,0 +1,104 @@
+"""Distributed HITS (hubs & authorities) in integer fixed-point.
+
+The Kleinberg hub/authority iteration is the classic complement to
+PageRank as a link-quality prior: authorities are pages good hubs point
+AT, hubs are pages that point at good authorities — in training-data
+curation the authority score separates linked-to reference content from
+link-farm hubs that PageRank alone can conflate. Reference parity note:
+the Flink reference has no graph operators (its scope is
+`TripAggregatorApplication.kt`); this is part of the engine's
+LLM-pipeline surface, same family as operators/pagerank.py.
+
+Determinism discipline (same as pagerank/kmeans/pq): all arithmetic is
+INTEGER. Scores are fixed-point bigints scaled by ``QUANT_HITS`` and
+every round SUM-NORMALIZES with integral division, so partial-agg order
+can't perturb results and a DuckDB oracle replaying the same unrolled
+rounds matches bit-for-bit.
+
+Overflow is structurally impossible at ANY graph size: the initial hub
+vector is normalized to total ≈ Q (``Q DIV N`` per node), each raw
+propagation sum is therefore ≤ the current total ≤ Q, and the
+normalization multiply is bounded by Q² = 10^14 < 2^63. (Contrast the
+naive start-at-Q-per-node iteration, whose first-round product is
+indegree-proportional.)
+
+Scale shape (100 TB): per half-round, one edge-table shuffle (join on
+the propagating endpoint) + one destination-keyed SUM with map-side
+partials — identical to the PageRank round — plus a 1-row total
+aggregate broadcast back for the normalization. The score tables are
+node-sized. Fixed iteration count, one lazy plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+QUANT_HITS = 10**7
+
+
+def _sum_normalize(nodes: DataFrame, raw: DataFrame) -> DataFrame:
+    """(id, score): raw propagation sums rescaled to total ≈ QUANT_HITS
+    by integral division; nodes with no contribution get exact 0."""
+    total = raw.agg(F.sum("raw").alias("t"))
+    return (
+        nodes.join(raw, "id", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "id",
+            F.coalesce(
+                F.expr(f"(raw * CAST({QUANT_HITS} AS BIGINT)) DIV t"),
+                F.lit(0).cast("bigint"),
+            ).alias("score"),
+        )
+    )
+
+
+def _propagate(
+    nodes: DataFrame,
+    edges: DataFrame,
+    score: DataFrame,
+    from_col: str,
+    to_col: str,
+) -> DataFrame:
+    """Sum ``score`` over edges from ``from_col`` endpoints onto
+    ``to_col`` endpoints, then sum-normalize."""
+    raw = (
+        edges.join(
+            score.select(F.col("id").alias(from_col), "score"), from_col
+        )
+        .groupBy(F.col(to_col).alias("id"))
+        .agg(F.sum("score").alias("raw"))
+    )
+    return _sum_normalize(nodes, raw)
+
+
+def hits(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 2,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(id, hub_q, auth_q) after ``n_iter`` full HITS rounds (each round:
+    authorities from hubs, then hubs from the new authorities). Scores
+    are fixed-point bigints (scale ``QUANT_HITS``), sum-normalized per
+    half-round, exact and engine-portable. ``edges`` must be distinct
+    (src, dst) pairs with both endpoints in ``nodes``."""
+    nodes = nodes.select(F.col(id_col).alias("id"))
+    edges = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    hub = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "id",
+        F.expr(f"CAST({QUANT_HITS} AS BIGINT) DIV n_nodes").alias("score"),
+    )
+    auth = None
+    for _ in range(n_iter):
+        auth = _propagate(nodes, edges, hub, "src", "dst")
+        hub = _propagate(nodes, edges, auth, "dst", "src")
+    return hub.select("id", F.col("score").alias("hub_q")).join(
+        auth.select("id", F.col("score").alias("auth_q")), "id"
+    )

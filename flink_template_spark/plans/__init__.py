@@ -116,6 +116,10 @@ _PRIORITY = [
 # the round-3 cohort), so any extra checking always lands on the least
 # recently verified queries.
 _MIDDLE: list[str] = [
+    # round-6 additions: never driver-checked — first in line for the
+    # round-7 slate (oracle-green locally at 3 SFs)
+    "q_hits_trade",
+    "q_dsir_weights",
     # staleness ledger for round 7 (oldest-first): the 4 r2-cohort
     #    names that did not fit the r6 slate, then the r3 cohort (39)
     "q_simhash_hamming_pairs",

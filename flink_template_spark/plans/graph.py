@@ -369,3 +369,70 @@ def q_trade_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name", "hops")
         .orderBy("n_name")
     )
+
+
+_HITS_ITER = 2
+
+
+def _hits_oracle(n_iter: int) -> str:
+    """Unrolled HITS rounds: each half-round is one propagation CTE +
+    one 1-row total CTE + one normalization CTE — the exact integer
+    arithmetic of operators.hits (Q=1e7; `//` == Spark DIV for the
+    non-negative operands here)."""
+    q = "CAST(10000000 AS BIGINT)"
+    parts = [
+        "nn AS (SELECT COUNT(*) AS n FROM base)",
+        f"h0 AS (SELECT id, {q} // n AS score FROM base CROSS JOIN nn)",
+    ]
+    prev_hub = "h0"
+    for i in range(1, n_iter + 1):
+        for tag, frm, to, src_cte in (
+            (f"a{i}", "src", "dst", prev_hub),
+            (f"h{i}", "dst", "src", f"a{i}"),
+        ):
+            parts.append(
+                f"""{tag}r AS (
+  SELECT e.{to} AS id, SUM(s.score) AS raw
+  FROM edges e JOIN {src_cte} s ON s.id = e.{frm}
+  GROUP BY e.{to}
+)"""
+            )
+            parts.append(f"{tag}t AS (SELECT SUM(raw) AS t FROM {tag}r)")
+            parts.append(
+                f"""{tag} AS (
+  SELECT b.id,
+         CAST(COALESCE((r.raw * {q}) // t.t, 0) AS BIGINT) AS score
+  FROM base b LEFT JOIN {tag}r r ON b.id = r.id CROSS JOIN {tag}t t
+)"""
+            )
+        prev_hub = f"h{i}"
+    chain = ",\n".join(parts)
+    return f"""
+WITH edges AS MATERIALIZED ({_TRADE_EDGES_SQL}),
+base AS (SELECT n_nationkey AS id FROM nation),
+{chain}
+SELECT n.n_name, h.score AS hub_q, a.score AS auth_q
+FROM h{n_iter} h
+JOIN a{n_iter} a ON h.id = a.id
+JOIN nation n ON h.id = n.n_nationkey
+"""
+
+
+@register("q_hits_trade", oracle=_hits_oracle(_HITS_ITER))
+def q_hits_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the trade graph (operators.hits —
+    sum-normalized integer fixed-point, 2 full rounds). The directed
+    complement to q_pagerank_trade: a nation that BUYS from many
+    well-connected exporters scores as a hub, a nation many hubs buy
+    FROM scores as an authority — the two sides of the link-quality
+    prior a web-corpus curation stack wants (PageRank alone conflates
+    them). The oracle replays the identical rounds as an unrolled CTE
+    chain; every number is a bigint, so the match is bit-exact."""
+    from flink_template_spark.operators.hits import hits
+
+    nation = load_table(spark, sf_dir, "nation")
+    nodes = nation.select(F.col("n_nationkey").alias("id"))
+    scores = hits(nodes, _trade_edges(spark, sf_dir), n_iter=_HITS_ITER)
+    return scores.join(nation, scores.id == nation.n_nationkey).select(
+        "n_name", "hub_q", "auth_q"
+    )

@@ -1265,3 +1265,123 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.col("gval").cast("bigint").alias("norm_score"),
     ).orderBy("source", "doc_id")
+
+
+_DSIR_B = 256  # hashed feature-space size (buckets)
+_DSIR_TARGET_LANG = "en"
+
+
+@register(
+    "q_dsir_weights",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, {md5int_duckdb('word')} % {_DSIR_B} AS b
+  FROM (
+    SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS word
+    FROM documents
+  )
+  WHERE word <> ''
+),
+tot AS (
+  SELECT COUNT(*) AS tot_r,
+         COUNT(*) FILTER (WHERE lang = '{_DSIR_TARGET_LANG}') AS tot_t
+  FROM tok
+),
+rawc AS (SELECT b, COUNT(*) AS cnt_r FROM tok GROUP BY b),
+tgtc AS (
+  SELECT b, COUNT(*) AS cnt_t FROM tok
+  WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b
+),
+wt AS (
+  SELECT r.b,
+         CAST(ROUND(LOG10(CAST(COALESCE(t.cnt_t, 0) + 1 AS DOUBLE)
+                          / CAST(tot_t + {_DSIR_B} AS DOUBLE))
+                    * 10000000.0, 0) AS BIGINT)
+         - CAST(ROUND(LOG10(CAST(r.cnt_r + 1 AS DOUBLE)
+                            / CAST(tot_r + {_DSIR_B} AS DOUBLE))
+                      * 10000000.0, 0) AS BIGINT) AS w_q
+  FROM rawc r LEFT JOIN tgtc t ON r.b = t.b CROSS JOIN tot
+)
+SELECT tok.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(wt.w_q) AS BIGINT) AS score_q,
+       SUM(wt.w_q) > 0 AS keep
+FROM tok JOIN wt ON tok.b = wt.b
+GROUP BY tok.doc_id
+""",
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by how much more likely its hashed-unigram bag is under a target
+    distribution (here: the lang='en' slice) than under the raw
+    corpus — log p_target(x) − log p_raw(x) with Laplace-smoothed
+    hashed n-gram models. keep = score > 0 (more target-like than
+    raw-average); a budgeted pipeline feeds score_q into
+    q_priority_sample / rank-based selection instead.
+
+    Engine shape: feature hashing is the scaling device — the model is
+    a FIXED 256-bucket table regardless of vocabulary size, so both
+    per-bucket count tables aggregate map-side and the bucket⇄weight
+    join broadcasts at any corpus scale; one tokenization pass feeds
+    counts and scoring. Cross-engine discipline: per-bucket log10
+    ratios of exact integer counts are ×1e7-quantized to bigints (the
+    q_unigram_logprob precedent) BEFORE the doc-keyed sum, so the doc
+    score is partition-order-exact; no per-doc avg is emitted because
+    score_q DIV n_tokens truncates toward zero in Spark but floors in
+    DuckDB for the negative scores this query produces.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(f"{md5int_spark('word')} % {_DSIR_B}").alias("b"),
+        )
+    )
+    tot = tok.agg(
+        F.count(F.lit(1)).alias("tot_r"),
+        F.count(F.when(F.col("lang") == _DSIR_TARGET_LANG, 1)).alias("tot_t"),
+    )
+    rawc = tok.groupBy("b").agg(F.count(F.lit(1)).alias("cnt_r"))
+    tgtc = (
+        tok.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cnt_t"))
+    )
+
+    def _log_q(cnt, tot_col):
+        ratio = cnt.cast("double") / (
+            (F.col(tot_col) + F.lit(_DSIR_B)).cast("double")
+        )
+        return F.round(F.log10(ratio) * 10000000.0, 0).cast("bigint")
+
+    wt = (
+        rawc.join(tgtc, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                _log_q(F.coalesce(F.col("cnt_t"), F.lit(0)) + 1, "tot_t")
+                - _log_q(F.col("cnt_r") + 1, "tot_r")
+            ).alias("w_q"),
+        )
+    )
+    return (
+        tok.join(wt, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w_q").alias("score_q"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "score_q",
+            (F.col("score_q") > 0).alias("keep"),
+        )
+    )

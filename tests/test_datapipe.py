@@ -438,3 +438,38 @@ def test_quantile_normalize_calibrates_shifted_sources(spark, monkeypatch):
     # and the normalized scores span the GLOBAL distribution (values
     # from both halves appear)
     assert min(by_src["A"]) < 1100 <= max(by_src["A"])
+
+
+def test_dsir_weights_prefer_target_like_docs(spark, monkeypatch):
+    """DSIR semantics: documents sharing the TARGET slice's vocabulary
+    get positive importance (keep=True); documents built from vocab the
+    target never uses score negative. A doc mixing both lands between
+    the extremes. Weights come from the corpus itself, so the non-'en'
+    doc that USES target vocabulary still keeps — DSIR scores content,
+    not the lang label."""
+    import flink_template_spark.plans.quality as Q
+
+    tgt = "alpha beta gamma delta alpha beta gamma delta"
+    offtgt = "uno dos tres cuatro uno dos tres cuatro"
+    # 50 copies per slice so real counts dominate the +1/+B Laplace
+    # smoothing (with token totals ~ B the smoothing denominators would
+    # drag every weight negative regardless of content)
+    rows = (
+        [(i, tgt, "en") for i in range(50)]
+        + [(50 + i, offtgt, "es") for i in range(50)]
+        + [
+            (100, tgt, "fr"),  # target-like content, non-target label
+            (101, "alpha beta uno dos", "es"),  # half and half
+        ]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    monkeypatch.setattr(Q, "load_table", lambda s, sd, t: docs)
+    got = {
+        r["doc_id"]: (r["score_q"], r["keep"])
+        for r in Q.q_dsir_weights(spark, "unused").collect()
+    }
+    assert got[0][1] is True and got[50][1] is False
+    assert got[100] == got[0]  # content-scored, label-blind at scoring time
+    assert got[50][0] < got[101][0] < got[0][0]
+    # per-token consistency: identical docs share identical scores
+    assert got[0] == got[1] == got[2]

@@ -713,3 +713,81 @@ def test_trade_edges_memoized_per_session(spark, sf_dir):
     # re-plan the 4-way lineitem join per reference
     assert "Scan ExistingRDD" in plan
     assert "lineitem" not in plan
+
+
+def _hits_reference(n_nodes, edges, n_iter):
+    """Pure-Python replay of operators.hits integer arithmetic."""
+    from flink_template_spark.operators.hits import QUANT_HITS
+
+    hub = {v: QUANT_HITS // n_nodes for v in range(n_nodes)}
+    auth = {}
+
+    def prop(score, frm_to):
+        raw = {}
+        for s, d in edges:
+            a, b = (s, d) if frm_to == "sd" else (d, s)
+            if a in score:
+                raw[b] = raw.get(b, 0) + score[a]
+        t = sum(raw.values())
+        return {
+            v: (raw.get(v, 0) * QUANT_HITS) // t if v in raw else 0
+            for v in range(n_nodes)
+        }
+
+    for _ in range(n_iter):
+        auth = prop(hub, "sd")
+        hub = prop(auth, "ds")
+    return hub, auth
+
+
+def test_hits_matches_reference_and_separates_roles(spark):
+    """Bipartite-ish graph: node 0 points at everything (pure hub,
+    nothing points at it -> auth 0); node 3 is pointed at by everyone
+    (pure authority, points at nothing -> hub 0)."""
+    from flink_template_spark.operators.hits import hits
+
+    edges_py = [(0, 1), (0, 2), (0, 3), (1, 3), (2, 3)]
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "id INT")
+    edges = spark.createDataFrame(edges_py, "src INT, dst INT")
+    got = {
+        r["id"]: (r["hub_q"], r["auth_q"])
+        for r in hits(nodes, edges, n_iter=2).collect()
+    }
+    hub, auth = _hits_reference(4, edges_py, 2)
+    assert got == {v: (hub[v], auth[v]) for v in range(4)}
+    assert got[0][1] == 0  # nothing points at the pure hub
+    assert got[3][0] == 0  # the pure authority points at nothing
+    assert got[0][0] == max(h for h, _ in got.values())
+    assert got[3][1] == max(a for _, a in got.values())
+
+
+def test_hits_property_matches_reference(spark):
+    import random
+
+    from flink_template_spark.operators.hits import hits
+
+    rng = random.Random(7)
+    n = 8
+    edges_py = sorted(
+        {
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(20)
+        }
+    )
+    edges_py = [(s, d) for s, d in edges_py if s != d]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id INT")
+    edges = spark.createDataFrame(edges_py, "src INT, dst INT")
+    for n_iter in (1, 3):
+        got = {
+            r["id"]: (r["hub_q"], r["auth_q"])
+            for r in hits(nodes, edges, n_iter=n_iter).collect()
+        }
+        hub, auth = _hits_reference(n, edges_py, n_iter)
+        assert got == {v: (hub[v], auth[v]) for v in range(n)}
+        # sum-normalization keeps every score bounded by the scale
+        from flink_template_spark.operators.hits import QUANT_HITS
+
+        assert all(
+            0 <= h <= QUANT_HITS and 0 <= a <= QUANT_HITS
+            for h, a in got.values()
+        )
