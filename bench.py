@@ -109,9 +109,10 @@ EXTENDED = [
     "q_table_stats",
     "q_leakage_safe_split",
     # round-6 additions: HITS hub/authority link prior, DSIR
-    # importance weighting
+    # importance weighting, binary-embedding Hamming retrieval
     "q_hits_trade",
     "q_dsir_weights",
+    "q_binary_embedding_topk",
 ]
 
 

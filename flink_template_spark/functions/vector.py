@@ -185,3 +185,29 @@ def valid_vec(vec: Column) -> Column:
     contract."""
     norm = l2_norm(vec)
     return (norm > F.lit(0.0)) & (norm < F.lit(float("inf")))
+
+
+def sign_pack_expr(col: str, lo: int, width: int = 32) -> str:
+    """Spark SQL: pack the sign bits of ``width`` consecutive vector
+    dimensions (1-based start ``lo``) into one bigint — bit j set when
+    element lo+j ≥ 0. Binary (1-bit) embedding quantization: 64 dims
+    become two of these words, 32× smaller than the float array, and
+    Hamming distance over the words is two xor+bit_count ops.
+
+    Unrolled literal sum, not a HOF fold: it runs once per ROW (not per
+    pair), the literals are powers of two so the sum can't overflow
+    (max 2^32−1), and the identical text works in both dialects."""
+    terms = [
+        f"IF(element_at({col}, {lo + j}) >= 0, {1 << j}L, 0L)"
+        for j in range(width)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def sign_pack_duckdb(col: str, lo: int, width: int = 32) -> str:
+    """DuckDB SQL: the same packed sign word (1-based indexing)."""
+    terms = [
+        f"(CASE WHEN {col}[{lo + j}] >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(width)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"

@@ -519,3 +519,89 @@ def knn_join_gemm(
     return cands.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def binary_hamming_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    shortlist: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Binary-embedding k-NN: 1-bit sign quantization → packed-word
+    Hamming shortlist → exact cosine rerank.
+
+    Output: (query_id, neighbor_id, hamming, cos_sim, rank ≤ k).
+
+    The production trick this implements: sign-quantized embeddings are
+    32× smaller than the float arrays (two bigint words for 64 dims)
+    and Hamming distance is two xor+bit_count ALU ops, so the full
+    |corpus|×|Q| scan runs over 16-byte codes at a fraction of the
+    float-cosine cost; exact math only touches the per-query
+    ``shortlist`` survivors, fetched from the vector table by id —
+    the same scan-codes/rerank-few shape as the IVF-PQ stack, without
+    an index build. Shortlist and final ranks both break ties by
+    neighbor id, so results replay exactly in any engine.
+
+    Degenerate vectors are excluded on both sides (the knn_join
+    contract — see knn_join_exact): NaN compares ≥ 0 as true in BOTH
+    engines so even the sign bits of an invalid vector would agree,
+    but its rerank cosine is an ANSI abort or a NaN that outranks
+    everything."""
+    from flink_template_spark.functions.vector import sign_pack_expr
+
+    half = dim // 2
+    p0 = sign_pack_expr(vec_col, 1, half)
+    p1 = sign_pack_expr(vec_col, 1 + half, half)
+    q = queries.filter(valid_vec(F.col(vec_col))).select(
+        F.col(id_col).alias("query_id"),
+        F.expr(p0).alias("q0"),
+        F.expr(p1).alias("q1"),
+    )
+    c = corpus.filter(valid_vec(F.col(vec_col))).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(p0).alias("c0"),
+        F.expr(p1).alias("c1"),
+    )
+    ham = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.bit_count(F.expr("q0 ^ c0"))
+                + F.bit_count(F.expr("q1 ^ c1"))
+            ).cast("bigint").alias("hamming"),
+        )
+    )
+    wham = W.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    short = ham.withColumn("hrk", F.row_number().over(wham)).filter(
+        F.col("hrk") <= shortlist
+    )
+    # exact math on the shortlist only: join the float vectors back in
+    # by id (the code scan above never carries them)
+    qv = queries.filter(valid_vec(F.col(vec_col))).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    cv = corpus.filter(valid_vec(F.col(vec_col))).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    rr = (
+        short.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            F.round(cosine(F.col("__cvec"), F.col("__qvec")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    wrank = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return rr.withColumn("rank", F.row_number().over(wrank)).filter(
+        F.col("rank") <= k
+    )

@@ -120,6 +120,7 @@ _MIDDLE: list[str] = [
     # round-7 slate (oracle-green locally at 3 SFs)
     "q_hits_trade",
     "q_dsir_weights",
+    "q_binary_embedding_topk",
     # staleness ledger for round 7 (oldest-first): the 4 r2-cohort
     #    names that did not fit the r6 slate, then the r3 cohort (39)
     "q_simhash_hamming_pairs",

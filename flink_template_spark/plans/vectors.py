@@ -1266,3 +1266,63 @@ def q_coreset_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "round int, vec_id bigint, gain_q bigint, total_cov_q bigint",
     ).orderBy("round")
+
+
+def _binary_topk_oracle() -> str:
+    from flink_template_spark.functions.vector import sign_pack_duckdb
+
+    p0 = sign_pack_duckdb("embedding", 1, 32)
+    p1 = sign_pack_duckdb("embedding", 33, 32)
+    ham = (
+        "bit_count(xor(q.q0, c.c0)) + bit_count(xor(q.q1, c.c1))"
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id, {p0} AS q0, {p1} AS q1 FROM embeddings WHERE vec_id < 8
+),
+c AS (
+  SELECT vec_id, {p0} AS c0, {p1} AS c1 FROM embeddings
+),
+short AS (
+  SELECT query_id, neighbor_id, hamming FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST({ham} AS BIGINT) AS hamming,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY CAST({ham} AS BIGINT), c.vec_id
+           ) AS hrk
+    FROM q, c WHERE c.vec_id <> q.vec_id
+  ) WHERE hrk <= 10
+)
+SELECT query_id, neighbor_id, hamming, cos_sim, rank FROM (
+  SELECT s.query_id, s.neighbor_id, s.hamming,
+         ROUND({cosine_sql('ce.embedding', 'qe.embedding')}, 6) AS cos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY s.query_id
+           ORDER BY ROUND({cosine_sql('ce.embedding', 'qe.embedding')}, 6)
+                      DESC,
+                    s.neighbor_id
+         ) AS rank
+  FROM short s
+  JOIN embeddings qe ON qe.vec_id = s.query_id
+  JOIN embeddings ce ON ce.vec_id = s.neighbor_id
+)
+WHERE rank <= 3
+"""
+
+
+@register("q_binary_embedding_topk", oracle=_binary_topk_oracle())
+def q_binary_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-embedding retrieval (operators.similarity.
+    binary_hamming_topk): 1-bit sign quantization packs each 64-dim
+    vector into two bigint words; the |corpus|×|Q| candidate scan runs
+    Hamming distance (xor+bit_count) over 16-byte codes — ~32× less
+    data movement than float cosine — and exact cosine only touches
+    the per-query top-10 Hamming shortlist, fetched back by id. The
+    oracle replays pack → Hamming shortlist → rerank with identical
+    integer/rounding discipline, so ranks match exactly."""
+    from flink_template_spark.operators.similarity import binary_hamming_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return binary_hamming_topk(queries, emb, k=3, shortlist=10)

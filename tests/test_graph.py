@@ -791,3 +791,51 @@ def test_hits_property_matches_reference(spark):
             0 <= h <= QUANT_HITS and 0 <= a <= QUANT_HITS
             for h, a in got.values()
         )
+
+
+def test_binary_hamming_topk_codes_and_ranking(spark):
+    """Sign packing matches a pure-Python reference, an identical
+    vector is Hamming-0 and rank-1, and a sign-flipped vector lands
+    last in Hamming order (all 64 bits differ)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from flink_template_spark.functions.vector import sign_pack_expr
+    from flink_template_spark.operators.similarity import binary_hamming_topk
+
+    rng = random.Random(3)
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    rows = [
+        (0, base),
+        (1, list(base)),                      # identical -> hamming 0
+        (2, [-x if x != 0 else -1.0 for x in base]),  # all signs flipped
+        (3, [x + rng.uniform(-0.05, 0.05) for x in base]),  # near-dup
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # packing parity with the reference
+    packed = emb.select(
+        "vec_id",
+        F.expr(sign_pack_expr("embedding", 1, 32)).alias("p0"),
+        F.expr(sign_pack_expr("embedding", 33, 32)).alias("p1"),
+    ).collect()
+    emb_py = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    for r in packed:
+        v = emb_py[r["vec_id"]]
+        want0 = sum((1 << j) for j in range(32) if v[j] >= 0)
+        want1 = sum((1 << j) for j in range(32) if v[32 + j] >= 0)
+        assert (r["p0"], r["p1"]) == (want0, want1), r["vec_id"]
+
+    got = binary_hamming_topk(
+        emb.filter(F.col("vec_id") == 0), emb, k=3, shortlist=3
+    ).collect()
+    by_rank = {r["rank"]: r for r in got}
+    assert by_rank[1]["neighbor_id"] == 1 and by_rank[1]["hamming"] == 0
+    assert by_rank[1]["cos_sim"] == 1.0
+    # the flipped vector can never enter a 3-wide shortlist over
+    # {identical, near-dup, flipped}: its hamming is the maximum 64
+    assert all(r["neighbor_id"] != 2 or r["hamming"] == 64 for r in got)
+    neighbors = {r["neighbor_id"] for r in got}
+    assert neighbors == {1, 2, 3}  # shortlist=3 admits all three here
+    assert by_rank[3]["neighbor_id"] == 2  # flipped reranks last (cos -1)
