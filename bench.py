@@ -113,6 +113,7 @@ EXTENDED = [
     "q_hits_trade",
     "q_dsir_weights",
     "q_binary_embedding_topk",
+    "q_bootstrap_ci",
 ]
 
 

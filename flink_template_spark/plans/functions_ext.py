@@ -1239,3 +1239,121 @@ def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+_BOOT_R = 32  # bootstrap replicas (half-sample subsampling)
+
+
+def _bootstrap_ci_oracle() -> str:
+    from flink_template_spark.functions.hashing import md5int_duckdb
+
+    arms = []
+    for r in range(_BOOT_R):
+        h = md5int_duckdb(f"CAST(o_orderkey AS VARCHAR) || ':r{r}'")
+        arms.append(
+            f"SUM(CASE WHEN {h} % 2 = 0 THEN cents END) AS s{r},\n"
+            f"  COUNT(CASE WHEN {h} % 2 = 0 THEN 1 END) AS n{r}"
+        )
+    unpivot = "\nUNION ALL ".join(
+        f"SELECT o_orderpriority, {r} AS rep, s{r} AS s, n{r} AS n FROM g"
+        for r in range(_BOOT_R)
+    )
+    return f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS cents
+  FROM orders
+),
+g AS (
+  SELECT o_orderpriority,
+         SUM(cents) AS s_all, COUNT(*) AS n_all,
+  {",  ".join(arms)}
+  FROM base GROUP BY o_orderpriority
+),
+reps AS ({unpivot}),
+ranked AS (
+  SELECT o_orderpriority, rep, s, n,
+         CAST(s AS DOUBLE) / CAST(100 * n AS DOUBLE) AS m,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY CAST(s AS DOUBLE) / CAST(100 * n AS DOUBLE), rep
+         ) AS rk
+  FROM reps WHERE n > 0
+)
+SELECT g.o_orderpriority,
+       CAST(g.s_all AS DOUBLE) / CAST(100 * g.n_all AS DOUBLE) AS mean_price,
+       lo.m AS ci_lo, hi.m AS ci_hi,
+       CAST({_BOOT_R} AS BIGINT) AS n_replicas
+FROM g
+JOIN ranked lo ON lo.o_orderpriority = g.o_orderpriority AND lo.rk = 2
+JOIN ranked hi ON hi.o_orderpriority = g.o_orderpriority
+              AND hi.rk = {_BOOT_R} - 1
+"""
+
+
+@register("q_bootstrap_ci", oracle=_bootstrap_ci_oracle())
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bootstrap confidence intervals for the per-priority
+    mean order price: 32 half-sample replicas (row r-membership = one
+    portable-hash bit of (orderkey, r) — replayable in any engine or
+    backfill, no RNG state), per-replica means, and a percentile CI
+    from the replicas' order statistics (ranks 2 and R−1 of 32 ≈ a
+    90 % interval).
+
+    Scale shape: NO row multiplication — the 32 replicas are 64
+    conditional aggregates in the ONE group-by pass (an exploded
+    replica index would scan 32× the data), then `stack` unpivots the
+    replica-sized result (groups × 32 rows). Exactness: prices quantize
+    to integer cents before summing (partition-order-exact); each
+    replica mean is a single correctly-rounded IEEE division of exact
+    integers, and the CI uses ORDER STATISTICS of those means —
+    never a float variance, whose summation order would drift across
+    engines. Replicas with no rows are filtered identically on both
+    sides before ranking (guards the 0/0 ANSI abort; unreachable at
+    real group sizes)."""
+    from flink_template_spark.functions.hashing import md5int_spark
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint")
+    base = orders.select(
+        "o_orderkey", "o_orderpriority", cents.alias("cents")
+    )
+    aggs = [
+        F.sum("cents").alias("s_all"),
+        F.count(F.lit(1)).alias("n_all"),
+    ]
+    for r in range(_BOOT_R):
+        h = md5int_spark(f"CONCAT(CAST(o_orderkey AS STRING), ':r{r}')")
+        inc = F.expr(h) % 2 == 0
+        aggs.append(F.sum(F.when(inc, F.col("cents"))).alias(f"s{r}"))
+        aggs.append(F.count(F.when(inc, 1)).alias(f"n{r}"))
+    g = base.groupBy("o_orderpriority").agg(*aggs)
+    stack_args = ", ".join(f"{r}, s{r}, n{r}" for r in range(_BOOT_R))
+    reps = g.select(
+        "o_orderpriority",
+        "s_all",
+        "n_all",
+        F.expr(f"stack({_BOOT_R}, {stack_args}) AS (rep, s, n)"),
+    ).filter(F.col("n") > 0)
+    m = F.col("s").cast("double") / (F.lit(100) * F.col("n")).cast("double")
+    wr = W.partitionBy("o_orderpriority").orderBy(m.asc(), "rep")
+    ranked = reps.select(
+        "o_orderpriority", "s_all", "n_all", m.alias("m"),
+        F.row_number().over(wr).alias("rk"),
+    )
+    lo = ranked.filter(F.col("rk") == 2).select(
+        "o_orderpriority", "s_all", "n_all", F.col("m").alias("ci_lo")
+    )
+    hi = ranked.filter(F.col("rk") == _BOOT_R - 1).select(
+        "o_orderpriority", F.col("m").alias("ci_hi")
+    )
+    return lo.join(hi, "o_orderpriority").select(
+        "o_orderpriority",
+        (
+            F.col("s_all").cast("double")
+            / (F.lit(100) * F.col("n_all")).cast("double")
+        ).alias("mean_price"),
+        "ci_lo",
+        "ci_hi",
+        F.lit(_BOOT_R).cast("bigint").alias("n_replicas"),
+    )

@@ -473,3 +473,35 @@ def test_dsir_weights_prefer_target_like_docs(spark, monkeypatch):
     assert got[50][0] < got[101][0] < got[0][0]
     # per-token consistency: identical docs share identical scores
     assert got[0] == got[1] == got[2]
+
+
+def test_bootstrap_ci_brackets_the_mean_and_reacts_to_spread(spark, monkeypatch):
+    """The percentile CI must bracket the full-sample mean, be wider for
+    a high-variance group than a (nearly) constant one, and collapse to
+    ~zero width when every value is identical."""
+    import random
+
+    import flink_template_spark.plans.functions_ext as FE
+
+    rng = random.Random(11)
+    rows = []
+    k = 0
+    for _ in range(400):  # tight group: constant price
+        rows.append((k, "tight", 100.0)); k += 1
+    for _ in range(400):  # wide group: heavy spread
+        rows.append((k, "wide", round(rng.uniform(10.0, 1000.0), 2))); k += 1
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    )
+    monkeypatch.setattr(FE, "load_table", lambda s, sd, t: orders)
+    got = {
+        r["o_orderpriority"]: r
+        for r in FE.q_bootstrap_ci(spark, "unused").collect()
+    }
+    t, w = got["tight"], got["wide"]
+    assert t["ci_lo"] <= t["mean_price"] <= t["ci_hi"]
+    assert w["ci_lo"] <= w["mean_price"] <= w["ci_hi"]
+    assert t["mean_price"] == 100.0
+    assert (t["ci_hi"] - t["ci_lo"]) == 0.0  # constant data -> zero width
+    assert (w["ci_hi"] - w["ci_lo"]) > 1.0   # spread -> visible interval
+    assert t["n_replicas"] == w["n_replicas"] == 32
