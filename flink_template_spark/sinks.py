@@ -559,3 +559,87 @@ def compact_parquet(
     else:
         df.coalesce(n_files).write.mode("overwrite").parquet(dst)
     return int(n_files)
+
+
+def apply_deletes(
+    spark,
+    path: str,
+    delete_keys: DataFrame,
+    id_col: str = "doc_id",
+) -> dict:
+    """Targeted row deletion (GDPR/right-to-be-forgotten propagation)
+    over a flat parquet directory: rewrite ONLY the files that contain
+    a victim row, leave every other file byte-identical.
+
+    Why file-level surgery: at 100 TB a delete request touches a
+    vanishing fraction of files — especially when the table is
+    clustered/Z-ordered on the key — and a full-table rewrite per
+    deletion batch is a cluster-day. The victim scan is one pass that
+    ships only (id, file) pairs; files to rewrite come back as a
+    bounded control-plane collect (file names, not rows).
+
+    Idempotent, crash-recoverable swap (the compact_kmv discipline,
+    adapted): cleaned rows are written to a scratch dir, moved into the
+    table under a DETERMINISTIC batch prefix (md5 of the sorted victim
+    file names), and only then are victim files removed. A crash
+    mid-swap leaves duplicates of KEPT rows (never resurrects deleted
+    ones); re-running with the same delete set recomputes the same
+    batch prefix, clears any stale partial batch, and finishes the
+    removal. This is the non-transactional contract of this repo's
+    maintenance sinks — snapshot isolation for concurrent readers is a
+    table-format (Delta/Iceberg) concern, documented not claimed.
+
+    Returns {"n_files": total files, "n_rewritten": victim files,
+    "n_rows_deleted": rows removed}.
+    """
+    import glob as _glob
+    import hashlib
+    import shutil
+    from urllib.parse import unquote, urlparse
+
+    keys = delete_keys.select(id_col).distinct()
+    tagged = spark.read.parquet(path).withColumn(
+        "__file", F.input_file_name()
+    )
+    victim_files = sorted(
+        unquote(urlparse(r["__file"]).path)
+        for r in tagged.join(keys, id_col, "left_semi")
+        .select("__file")
+        .distinct()
+        .collect()  # bounded: one row per FILE containing a victim
+    )
+    n_files = len(
+        _glob.glob(os.path.join(path, "*.parquet"))
+    )
+    if not victim_files:
+        return {"n_files": n_files, "n_rewritten": 0, "n_rows_deleted": 0}
+
+    batch = hashlib.md5("\n".join(victim_files).encode()).hexdigest()[:12]
+    victims_df = spark.read.parquet(*victim_files)
+    cleaned = victims_df.join(keys, id_col, "left_anti")
+    n_deleted = victims_df.count() - cleaned.count()
+
+    scratch = os.path.join(path, f".delete_tmp_{batch}")
+    if os.path.exists(scratch):
+        shutil.rmtree(scratch)  # stale partial write from a crash
+    cleaned.coalesce(max(1, len(victim_files))).write.mode(
+        "overwrite"
+    ).parquet(scratch)
+    # clear any stale half-moved batch before moving the fresh one in
+    for f in _glob.glob(os.path.join(path, f"cleaned-{batch}-*.parquet")):
+        os.remove(f)
+    for i, part in enumerate(
+        sorted(_glob.glob(os.path.join(scratch, "*.parquet")))
+    ):
+        os.rename(
+            part, os.path.join(path, f"cleaned-{batch}-{i:05d}.parquet")
+        )
+    for f in victim_files:
+        if os.path.exists(f):
+            os.remove(f)
+    shutil.rmtree(scratch)
+    return {
+        "n_files": n_files,
+        "n_rewritten": len(victim_files),
+        "n_rows_deleted": int(n_deleted),
+    }

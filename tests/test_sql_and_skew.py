@@ -354,3 +354,52 @@ def test_compact_parquet_bin_packs_small_files(spark, sf_dir, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2
+
+
+def test_apply_deletes_touches_only_victim_files(spark, sf_dir, tmp_path):
+    """GDPR delete propagation: files without victims stay
+    byte-identical, victim files are replaced, the surviving table is
+    exactly the anti-join, deleted ids never resurface, and a re-run
+    with the same keys is a no-op."""
+    import glob
+    import os
+
+    from flink_template_spark.sinks import apply_deletes, write_clustered_parquet
+    from flink_template_spark.tables import load_table
+
+    out = str(tmp_path / "orders_clustered")
+    orders = load_table(spark, sf_dir, "orders")
+    write_clustered_parquet(orders, out, cluster_by=["o_orderkey"], n_files=8)
+    before = {
+        f: open(f, "rb").read()
+        for f in glob.glob(os.path.join(out, "*.parquet"))
+    }
+    assert len(before) == 8
+
+    # victims drawn from a narrow key range -> clustered layout keeps
+    # them in few files
+    lo = orders.agg(F.min("o_orderkey")).first()[0]
+    keys = orders.filter(
+        (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < lo + 40)
+    ).select("o_orderkey")
+    n_victim_rows = keys.count()
+    assert n_victim_rows > 0
+
+    stats = apply_deletes(spark, out, keys, id_col="o_orderkey")
+    assert stats["n_files"] == 8
+    assert 1 <= stats["n_rewritten"] <= 2  # range-clustered -> few files
+    assert stats["n_rows_deleted"] == n_victim_rows
+
+    after_files = glob.glob(os.path.join(out, "*.parquet"))
+    untouched = [f for f in after_files if f in before]
+    assert len(untouched) == 8 - stats["n_rewritten"]
+    for f in untouched:
+        assert open(f, "rb").read() == before[f]  # byte-identical
+
+    survivors = spark.read.parquet(out)
+    assert survivors.count() == orders.count() - n_victim_rows
+    assert survivors.join(keys, "o_orderkey", "left_semi").count() == 0
+
+    # idempotent re-run: nothing left to rewrite
+    stats2 = apply_deletes(spark, out, keys, id_col="o_orderkey")
+    assert stats2["n_rewritten"] == 0 and stats2["n_rows_deleted"] == 0
