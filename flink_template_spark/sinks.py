@@ -598,7 +598,19 @@ def apply_deletes(
     from urllib.parse import unquote, urlparse
 
     keys = delete_keys.select(id_col).distinct()
-    tagged = spark.read.parquet(path).withColumn(
+    all_files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    n_files = len(all_files)
+    # Zone-map pruning BEFORE any data scan: a file whose footer
+    # [min, max] for id_col excludes every delete key cannot contain a
+    # victim. On a key-clustered/Z-ordered table this prunes the victim
+    # scan itself to a handful of files — the footer pass is
+    # control-plane (one metadata read per file, no row data). Falls
+    # back to scanning everything when keys are non-collectable
+    # (too many) or stats are absent; zone maps only ever FALSE-POSITIVE.
+    candidates = _zone_map_candidates(all_files, id_col, keys)
+    if not candidates:
+        return {"n_files": n_files, "n_rewritten": 0, "n_rows_deleted": 0}
+    tagged = spark.read.parquet(*candidates).withColumn(
         "__file", F.input_file_name()
     )
     victim_files = sorted(
@@ -607,9 +619,6 @@ def apply_deletes(
         .select("__file")
         .distinct()
         .collect()  # bounded: one row per FILE containing a victim
-    )
-    n_files = len(
-        _glob.glob(os.path.join(path, "*.parquet"))
     )
     if not victim_files:
         return {"n_files": n_files, "n_rewritten": 0, "n_rows_deleted": 0}
@@ -643,3 +652,53 @@ def apply_deletes(
         "n_rewritten": len(victim_files),
         "n_rows_deleted": int(n_deleted),
     }
+
+
+_ZONE_MAP_KEY_CAP = 100_000  # collect bound for the delete-key set
+
+
+def _zone_map_candidates(
+    files: list[str], id_col: str, keys: DataFrame
+) -> list[str]:
+    """Files whose parquet-footer [min, max] for ``id_col`` could
+    contain a delete key (zone-map pruning). Conservative by
+    construction: any file with missing/unreadable stats, and every
+    file when the key set exceeds the collect cap, stays a candidate —
+    pruning may only ever produce false positives, never drop a real
+    victim file."""
+    import bisect
+
+    if not files:
+        return []
+    n_keys = keys.limit(_ZONE_MAP_KEY_CAP + 1).count()
+    if n_keys == 0:
+        return []
+    if n_keys > _ZONE_MAP_KEY_CAP:
+        return list(files)  # control-plane bound exceeded: scan all
+    key_vals = sorted(r[0] for r in keys.collect() if r[0] is not None)
+    if not key_vals:
+        return []
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # no footer access -> no pruning
+        return list(files)
+    out = []
+    for f in files:
+        try:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(id_col)
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError("no stats")
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        except Exception:
+            out.append(f)  # unreadable/statless: keep as candidate
+            continue
+        # any key in [lo, hi]?
+        i = bisect.bisect_left(key_vals, lo)
+        if i < len(key_vals) and key_vals[i] <= hi:
+            out.append(f)
+    return out

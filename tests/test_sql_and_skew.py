@@ -403,3 +403,43 @@ def test_apply_deletes_touches_only_victim_files(spark, sf_dir, tmp_path):
     # idempotent re-run: nothing left to rewrite
     stats2 = apply_deletes(spark, out, keys, id_col="o_orderkey")
     assert stats2["n_rewritten"] == 0 and stats2["n_rows_deleted"] == 0
+
+
+def test_zone_map_candidates_prune_and_stay_conservative(spark, sf_dir, tmp_path):
+    """Footer zone-map pruning: on a key-clustered table only the files
+    whose [min,max] covers a delete key are candidates; the pruned-out
+    files truly contain no victims; empty key sets prune everything;
+    and an out-of-range key set prunes every file."""
+    import glob
+    import os
+
+    from flink_template_spark.sinks import _zone_map_candidates, write_clustered_parquet
+    from flink_template_spark.tables import load_table
+
+    out = str(tmp_path / "orders_zm")
+    orders = load_table(spark, sf_dir, "orders")
+    write_clustered_parquet(orders, out, cluster_by=["o_orderkey"], n_files=8)
+    files = sorted(glob.glob(os.path.join(out, "*.parquet")))
+
+    lo = orders.agg(F.min("o_orderkey")).first()[0]
+    keys = orders.filter(
+        (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < lo + 40)
+    ).select("o_orderkey")
+    cand = _zone_map_candidates(files, "o_orderkey", keys)
+    assert 1 <= len(cand) <= 2 and set(cand) <= set(files)
+    # conservative: every pruned file is genuinely victim-free
+    pruned = [f for f in files if f not in cand]
+    assert pruned
+    no_victims = spark.read.parquet(*pruned).join(
+        keys, "o_orderkey", "left_semi"
+    )
+    assert no_victims.count() == 0
+
+    # empty and out-of-range key sets
+    empty = keys.filter(F.lit(False))
+    assert _zone_map_candidates(files, "o_orderkey", empty) == []
+    hi = orders.agg(F.max("o_orderkey")).first()[0]
+    beyond = spark.range(hi + 1000, hi + 1010).withColumnRenamed(
+        "id", "o_orderkey"
+    )
+    assert _zone_map_candidates(files, "o_orderkey", beyond) == []
