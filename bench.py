@@ -114,6 +114,7 @@ EXTENDED = [
     "q_dsir_weights",
     "q_binary_embedding_topk",
     "q_bootstrap_ci",
+    "q_stupid_backoff",
 ]
 
 

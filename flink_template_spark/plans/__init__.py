@@ -122,6 +122,7 @@ _MIDDLE: list[str] = [
     "q_dsir_weights",
     "q_binary_embedding_topk",
     "q_bootstrap_ci",
+    "q_stupid_backoff",
     # staleness ledger for round 7 (oldest-first): the 4 r2-cohort
     #    names that did not fit the r6 slate, then the r3 cohort (39)
     "q_simhash_hamming_pairs",

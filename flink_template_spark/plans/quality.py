@@ -1385,3 +1385,145 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("score_q") > 0).alias("keep"),
         )
     )
+
+
+# round(log10(0.4) * 1e7): the stupid-backoff penalty in the same
+# fixed-point scale as the per-position log-probs (a Python-computed
+# literal so both engines use the identical integer)
+_SB_PENALTY_Q = -3979400
+
+
+def _stupid_backoff_oracle() -> str:
+    from flink_template_spark.plans.datapipe import _split_sql
+
+    return f"""
+WITH big AS MATERIALIZED (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+),
+counts AS MATERIALIZED (
+  SELECT bg, COUNT(*) AS c12 FROM big
+  WHERE {_split_sql()} = 'train' GROUP BY bg
+),
+ctx AS MATERIALIZED (
+  SELECT string_split(bg, ' ')[1] AS w1, CAST(SUM(c12) AS BIGINT) AS c1
+  FROM counts GROUP BY 1
+),
+uni AS MATERIALIZED (
+  SELECT word, COUNT(*) AS cu FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE {_split_sql()} = 'train' GROUP BY word
+),
+tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS v
+        FROM uni),
+scored AS (
+  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+    CAST(SUM(CASE WHEN c.c12 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_backoff,
+    SUM(CASE WHEN c.c12 IS NOT NULL THEN
+          CAST(ROUND(log10(CAST(c.c12 AS DOUBLE) / CAST(x.c1 AS DOUBLE))
+               * 10000000.0, 0) AS BIGINT)
+        ELSE {_SB_PENALTY_Q} +
+          CAST(ROUND(log10(CAST(COALESCE(u.cu, 0) + 1 AS DOUBLE)
+                           / CAST(t.t + t.v + 1 AS DOUBLE))
+               * 10000000.0, 0) AS BIGINT)
+        END) AS sum_q
+  FROM big b
+  LEFT JOIN counts c ON b.bg = c.bg
+  LEFT JOIN ctx x ON string_split(b.bg, ' ')[1] = x.w1
+  LEFT JOIN uni u ON string_split(b.bg, ' ')[2] = u.word
+  CROSS JOIN tot t
+  GROUP BY b.doc_id
+)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, n_backoff,
+  ROUND(CAST(sum_q AS DOUBLE) / (10000000.0 * n_bigrams), 6) AS avg_logprob
+FROM scored
+ORDER BY doc_id
+"""
+
+
+@register("q_stupid_backoff", oracle=_stupid_backoff_oracle())
+def q_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff LM scoring (Brants et al. 2007, "Large Language
+    Models in Machine Translation"): a bigram LM is FROZEN on the
+    train split and scores EVERY document — unlike q_bigram_logprob's
+    self-scoring corpus, held-out docs contain unseen bigrams, and
+    each unseen transition backs off to 0.4 × the Laplace-smoothed
+    train unigram — the non-normalized backoff that made web-scale LMs
+    tractable (no discount mass bookkeeping, just a fixed multiplier).
+    n_backoff per doc is itself a novelty signal (how much of the doc
+    the train corpus has never seen in context).
+
+    Scale shape: the model tables (bigram, context, unigram counts)
+    are Zipf-small aggregates that broadcast under AQE; scoring is the
+    one bigram pass with three left joins. Fixed-point discipline as
+    the sibling gates: both branches quantize their log10 to ×1e7
+    bigints per position (the backoff penalty is a Python-computed
+    literal, identical in both engines) before the doc-keyed sum."""
+    from pyspark.sql import Window as W
+
+    from flink_template_spark.plans.datapipe import split_of
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+    )
+    w_lead = W.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.select(
+            "doc_id",
+            F.col("w").alias("w1"),
+            F.lead("w", 1).over(w_lead).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    is_train = split_of() == "train"
+    counts = (
+        big.filter(is_train).groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).alias("c12")
+        )
+    )
+    ctx = counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    uni = (
+        tok.filter(is_train).groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    )
+    tot = uni.agg(
+        F.sum("cu").alias("t"), F.count(F.lit(1)).alias("v")
+    )
+    hit_q = F.round(
+        F.log10(F.col("c12").cast("double") / F.col("c1").cast("double"))
+        * 10000000.0,
+        0,
+    ).cast("bigint")
+    backoff_q = F.lit(_SB_PENALTY_Q).cast("bigint") + F.round(
+        F.log10(
+            (F.coalesce(F.col("cu"), F.lit(0)) + 1).cast("double")
+            / (F.col("t") + F.col("v") + 1).cast("double")
+        )
+        * 10000000.0,
+        0,
+    ).cast("bigint")
+    scored = (
+        big.join(counts, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(uni.withColumnRenamed("w", "w2"), "w2", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.col("c12").isNull().cast("int"))
+            .cast("bigint")
+            .alias("n_backoff"),
+            F.sum(
+                F.when(F.col("c12").isNotNull(), hit_q).otherwise(backoff_q)
+            ).alias("sum_q"),
+        )
+    )
+    avg = F.col("sum_q").cast("double") / (10000000.0 * F.col("n_bigrams"))
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "n_backoff",
+        F.round(avg, 6).alias("avg_logprob"),
+    ).orderBy("doc_id")

@@ -505,3 +505,29 @@ def test_bootstrap_ci_brackets_the_mean_and_reacts_to_spread(spark, monkeypatch)
     assert (t["ci_hi"] - t["ci_lo"]) == 0.0  # constant data -> zero width
     assert (w["ci_hi"] - w["ci_lo"]) > 1.0   # spread -> visible interval
     assert t["n_replicas"] == w["n_replicas"] == 32
+
+
+def test_stupid_backoff_penalizes_unseen_transitions(spark, monkeypatch):
+    """The frozen-model property the self-scoring bigram gate lacks:
+    a held-out doc (ids 8/16 hash to non-train splits) made of train
+    vocabulary in UNSEEN transitions scores every position through the
+    0.4-weighted unigram backoff and lands strictly below an in-model
+    doc; a held-out doc with fully OOV vocabulary scores lower still."""
+    import flink_template_spark.plans.quality as Q
+
+    natural = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, natural) for i in range(8) if i != 8]  # all hash to train
+    rows.append((8, "dog the over quick lazy brown the jumps fox"))  # held out
+    rows.append((16, "zyx wvu tsr qpo nml kji hgf edc ba"))  # held out, OOV
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(Q, "load_table", lambda s, sd, t: docs)
+    got = {r["doc_id"]: r for r in Q.q_stupid_backoff(spark, "unused").collect()}
+    # in-model docs: zero backoff, shared score
+    assert got[0]["n_backoff"] == 0
+    assert got[0]["avg_logprob"] == got[1]["avg_logprob"]
+    # scrambled held-out doc: every transition unseen -> all backoff
+    assert got[8]["n_backoff"] == got[8]["n_bigrams"]
+    assert got[8]["avg_logprob"] < got[0]["avg_logprob"]
+    # OOV held-out doc: all backoff AND the floor unigram -> lowest
+    assert got[16]["n_backoff"] == got[16]["n_bigrams"]
+    assert got[16]["avg_logprob"] < got[8]["avg_logprob"]
