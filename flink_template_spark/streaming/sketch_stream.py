@@ -105,12 +105,20 @@ def read_kmv(
 def _union_sketch_parts(
     spark: SparkSession, sketch_dir: str, cell_col: str
 ) -> DataFrame | None:
+    return union_parts(spark, sketch_dir, [cell_col, "h"])
+
+
+def union_parts(
+    spark: SparkSession, sketch_dir: str, cols: list[str]
+) -> DataFrame | None:
     """Union every extant sketch source: base, base_old (compaction
     crash window), changelog. Never reads ``base_new`` — at every crash
     point its content is still fully covered by base/base_old+changelog,
-    and a crash DURING its parquet write can leave it partial."""
+    and a crash DURING its parquet write can leave it partial. Shared
+    by every mergeable-sketch changelog (KMV here, CMS in
+    streaming.cms_stream)."""
     parts = [
-        df.select(cell_col, "h")
+        df.select(*cols)
         for df in (
             _read_optional(spark, os.path.join(sketch_dir, "base")),
             _read_optional(spark, os.path.join(sketch_dir, "base_old")),
@@ -124,6 +132,35 @@ def _union_sketch_parts(
     for p in parts[1:]:
         union = union.unionAll(p)
     return union
+
+
+def swap_base(sketch_dir: str, merged: DataFrame) -> None:
+    """The crash-recoverable base swap shared by every sketch
+    changelog: write ``merged`` (caller must have pinned it with
+    localCheckpoint — the renames below invalidate its input paths) to
+    base_new, rename base aside to base_old, rename base_new into
+    place, then delete base_old and the changelog. Every crash point
+    leaves the full state readable from {base, base_old, changelog}
+    (see union_parts) and a re-run heals the layout."""
+    import shutil
+
+    base = os.path.join(sketch_dir, "base")
+    base_old = os.path.join(sketch_dir, "base_old")
+    base_new = os.path.join(sketch_dir, "base_new")
+    merged.repartition(1).write.mode("overwrite").parquet(base_new)
+    # A stale base_old from a prior crash is already folded into merged
+    # (and, when base also exists, base superseded it) — clear it so the
+    # rename-aside below cannot collide.
+    if os.path.exists(base_old):
+        shutil.rmtree(base_old)
+    if os.path.exists(base):
+        os.rename(base, base_old)
+    os.rename(base_new, base)
+    if os.path.exists(base_old):
+        shutil.rmtree(base_old)
+    log = os.path.join(sketch_dir, "changelog")
+    if os.path.exists(log):
+        shutil.rmtree(log)
 
 
 def compact_kmv(spark: SparkSession, sketch_dir: str, cell_col: str = "event_type",
@@ -144,28 +181,10 @@ def compact_kmv(spark: SparkSession, sketch_dir: str, cell_col: str = "event_typ
     base out of the epoch=N namespace also means a restarted stream
     whose checkpoint was lost (epoch ids reset to 0) can never
     overwrite compacted history."""
-    import shutil
-
     union = _union_sketch_parts(spark, sketch_dir, cell_col)
     if union is None:
         return
     # Pin the merged rows BEFORE any renames below invalidate the lazy
     # plan's input paths.
     merged = kmv_merge(union, [cell_col], k=k).localCheckpoint()
-    base = os.path.join(sketch_dir, "base")
-    base_old = os.path.join(sketch_dir, "base_old")
-    base_new = os.path.join(sketch_dir, "base_new")
-    merged.repartition(1).write.mode("overwrite").parquet(base_new)
-    # A stale base_old from a prior crash is already folded into merged
-    # (and, when base also exists, base superseded it) — clear it so the
-    # rename-aside below cannot collide.
-    if os.path.exists(base_old):
-        shutil.rmtree(base_old)
-    if os.path.exists(base):
-        os.rename(base, base_old)
-    os.rename(base_new, base)
-    if os.path.exists(base_old):
-        shutil.rmtree(base_old)
-    log = os.path.join(sketch_dir, "changelog")
-    if os.path.exists(log):
-        shutil.rmtree(log)
+    swap_base(sketch_dir, merged)
