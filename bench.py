@@ -115,6 +115,7 @@ EXTENDED = [
     "q_binary_embedding_topk",
     "q_bootstrap_ci",
     "q_stupid_backoff",
+    "q_recursive_chain_rollup",
 ]
 
 

@@ -123,6 +123,7 @@ _MIDDLE: list[str] = [
     "q_binary_embedding_topk",
     "q_bootstrap_ci",
     "q_stupid_backoff",
+    "q_recursive_chain_rollup",
     # staleness ledger for round 7 (oldest-first): the 4 r2-cohort
     #    names that did not fit the r6 slate, then the r3 cohort (39)
     "q_simhash_hamming_pairs",

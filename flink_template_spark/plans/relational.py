@@ -918,3 +918,52 @@ def q_unpivot_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["n_name"], ["total_bal", "min_bal", "max_bal"], "metric", "val"
     ).orderBy("n_name", "metric")
+
+
+def _recursive_chain_sql(div: str) -> str:
+    """WITH RECURSIVE hierarchy rollup, dialect-parameterized on the
+    integer-division operator (Spark ``DIV`` == DuckDB ``//`` for the
+    positive keys here). The hierarchy is the implicit binary tree
+    parent = suppkey {div} 2 (root = supplier 1) — a deterministic
+    org-chart stand-in; recursion terminates structurally (every step
+    halves the key) and row growth is O(n log n), never a cyclic or
+    path-counting explosion."""
+    return f"""
+WITH RECURSIVE chain(suppkey, anc, depth, chain_bal_q) AS (
+  SELECT s_suppkey, s_suppkey, 0,
+         CAST(ROUND(s_acctbal * 100.0, 0) AS BIGINT)
+  FROM supplier
+  UNION ALL
+  SELECT c.suppkey, c.anc {div} 2, c.depth + 1,
+         c.chain_bal_q + CAST(ROUND(p.s_acctbal * 100.0, 0) AS BIGINT)
+  FROM chain c
+  JOIN supplier p ON p.s_suppkey = c.anc {div} 2
+  WHERE c.anc > 1
+)
+SELECT suppkey, CAST(depth AS BIGINT) AS chain_len, chain_bal_q
+FROM chain
+WHERE anc = 1
+ORDER BY suppkey
+"""
+
+
+@register("q_recursive_chain_rollup", oracle=_recursive_chain_sql("//"))
+def q_recursive_chain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): walk every supplier's
+    management chain up the implicit binary tree (parent =
+    suppkey DIV 2) to the root, accumulating chain length and the
+    exact integer-cents balance sum along the chain — the hierarchical
+    rollup shape (org charts, BOM explosions, folder trees) that
+    needed an iterative DataFrame loop before Spark 4. Both engines
+    run the textually identical recursion (modulo the div operator),
+    so the oracle is bit-exact.
+
+    Scale shape: each recursive step is one equi-join of the frontier
+    against the parent table — the same per-round shuffle as the
+    operator-level BFS (operators/bfs.py), with the engine owning
+    round scheduling; depth is log2(n) by construction. The DataFrame
+    dual of this family (bounded rounds + localCheckpoint) remains the
+    100 TB posture for graphs whose depth is data-dependent."""
+    from flink_template_spark.sql import run_sql
+
+    return run_sql(spark, sf_dir, _recursive_chain_sql("DIV"))
