@@ -630,3 +630,89 @@ def sorted_neighborhood_pairs(
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     return _jaccard_from_inter(inter, sizes, id_col, threshold)
+
+
+def containment_prefix_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    t_num: int = 4,
+    t_den: int = 5,
+    n: int = 4,
+) -> DataFrame:
+    """Exact ASYMMETRIC containment join: ordered pairs (a, b), a != b,
+    with C(a -> b) = |S_a ∩ S_b| / |S_a| >= t_num/t_den over distinct
+    word n-gram shingles — the sub-document-duplication detector that
+    symmetric Jaccard structurally misses (a 50-shingle doc pasted into
+    a 5000-shingle doc has J ≈ 0.01 but C = 1.0; quote farms, wrapper
+    boilerplate, and excerpt spam all look exactly like this).
+
+    Prefix filtering adapts to the asymmetry (Chaudhuri et al.
+    ICDE'06 pigeonhole, applied one-sided): order shingles by global
+    document frequency ascending (rarest first, ties by text — the
+    same total order as jaccard_prefix_pairs); if C(a -> b) >= t then
+    fewer than t*|S_a| of S_a's shingles are OUTSIDE the intersection,
+    so among a's first p_a = |S_a| - ceil(t*|S_a|) + 1 shingles at
+    least one lies in S_b. Candidates therefore come from a-PREFIX vs
+    b-FULL-SET equi-join on shingle; hot boilerplate shingles sit at
+    the end of the frequency order and never enter a prefix, so the
+    b-side's hot rows never find a matching key — the same
+    hot-shingle-proofness as the Jaccard join, with NO length filter
+    on b (none is sound: b may be arbitrarily larger than a).
+
+    All threshold math is INTEGER (ceil(t*s) = (t_num*s + t_den - 1)
+    DIV t_den; verify filter n_inter * t_den >= t_num * n_a), so the
+    DuckDB brute-force oracle matches bit-for-bit.
+    """
+    sh = _shingled(docs, id_col, text_col, n)
+    ranked = (
+        sh.withColumn(
+            "dfreq", F.count(F.lit(1)).over(W.partitionBy("shingle"))
+        )
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                W.partitionBy(id_col).orderBy("dfreq", "shingle")
+            ),
+        )
+        .withColumn("n_sh", F.count(F.lit(1)).over(W.partitionBy(id_col)))
+    )
+    ceil_ts = F.expr(f"({t_num} * n_sh + {t_den - 1}) DIV {t_den}")
+    prefix = ranked.filter(F.col("pos") <= F.col("n_sh") - ceil_ts + F.lit(1))
+
+    pa = prefix.select(F.col(id_col).alias("id_a"), "shingle")
+    full_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    cands = (
+        pa.join(full_b, "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    docsets = sh.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("shs"),
+        F.count(F.lit(1)).alias("n_sh"),
+    )
+    da = docsets.select(
+        F.col(id_col).alias("id_a"),
+        F.col("shs").alias("shs_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    db = docsets.select(
+        F.col(id_col).alias("id_b"), F.col("shs").alias("shs_b")
+    )
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    return (
+        cands.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("n_inter", inter)
+        .filter(F.col("n_inter") * F.lit(t_den) >= F.lit(t_num) * F.col("n_a"))
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("n_inter").cast("double") / F.col("n_a").cast("double"),
+                6,
+            ),
+        )
+        .select("id_a", "id_b", "n_inter", "containment")
+    )

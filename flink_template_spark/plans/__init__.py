@@ -124,6 +124,10 @@ _MIDDLE: list[str] = [
     "q_bootstrap_ci",
     "q_stupid_backoff",
     "q_recursive_chain_rollup",
+    "q_ks_source_drift",
+    "q_line_dedup_corpus",
+    "q_containment_pairs",
+    "q_ann_recall_eval",
     # staleness ledger for round 7 (oldest-first): the 4 r2-cohort
     #    names that did not fit the r6 slate, then the r3 cohort (39)
     "q_simhash_hamming_pairs",

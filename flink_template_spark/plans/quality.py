@@ -1527,3 +1527,128 @@ def q_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_backoff",
         F.round(avg, 6).alias("avg_logprob"),
     ).orderBy("doc_id")
+
+
+_KS_ORACLE = """
+WITH srcs AS (
+  SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+),
+tot AS (SELECT COUNT(*) AS n_all FROM documents),
+vals AS (SELECT DISTINCT n_chars AS val FROM documents),
+cnt AS (
+  SELECT source, n_chars AS val, COUNT(*) AS c FROM documents GROUP BY 1, 2
+),
+grid AS (
+  SELECT s.source, s.n_s, v.val, COALESCE(c.c, 0) AS c0
+  FROM srcs s CROSS JOIN vals v
+  LEFT JOIN cnt c ON c.source = s.source AND c.val = v.val
+),
+scum AS (
+  SELECT source, n_s, val,
+         SUM(c0) OVER (PARTITION BY source ORDER BY val
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_s
+  FROM grid
+),
+allcum AS (
+  SELECT val, SUM(c_s) AS c_all FROM scum GROUP BY val
+),
+cum AS (
+  SELECT s.source, s.n_s, s.val, s.c_s, a.c_all
+  FROM scum s JOIN allcum a ON s.val = a.val
+),
+diffs AS (
+  SELECT source, n_s, val,
+         ROUND(ABS(CAST(c_s AS DOUBLE) / CAST(n_s AS DOUBLE)
+                   - CAST(c_all - c_s AS DOUBLE)
+                     / CAST(n_all - n_s AS DOUBLE)), 6) AS d
+  FROM cum CROSS JOIN tot
+  WHERE n_all > n_s
+),
+ranked AS (
+  SELECT source, n_s, val, d,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY d DESC, val) AS rk
+  FROM diffs
+)
+SELECT source, CAST(n_s AS BIGINT) AS n_rows, d AS ks_stat,
+       CAST(val AS BIGINT) AS ks_at
+FROM ranked WHERE rk = 1
+ORDER BY source
+"""
+
+
+@register("q_ks_source_drift", oracle=_KS_ORACLE)
+def q_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift score per source: each
+    source's n_chars distribution vs the REST of the corpus,
+    D = max_x |F_src(x) - F_rest(x)| — the standard nonparametric
+    detector for "this crawl/source drifted from the corpus" that a
+    curation pipeline runs per ingest batch before mixing. Reported at
+    the value where the gap peaks (ks_at, min value on ties).
+
+    Exactness: both empirical CDFs are exact integer cumulative counts;
+    each gap is ONE IEEE subtraction of two correctly-rounded divisions
+    (no float accumulation anywhere), so every engine computes the
+    identical double, and the argmax orders by the 6-dp-rounded gap
+    with a value tiebreak — bit-stable cross-engine.
+
+    Scale shape: one groupBy for per-(source, value) counts, one for
+    the global per-value counts; the CDF grid is |sources| x |distinct
+    values| — bounded because production score columns are quantized
+    (n_chars here; a continuous score would be binned first, the
+    ddsketch/histogram discipline) — and its windows partition BY
+    SOURCE, so nothing funnels through one task at corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    srcs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    tot = docs.agg(F.count(F.lit(1)).alias("n_all"))
+    vals = docs.select(F.col("n_chars").alias("val")).distinct()
+    cnt = docs.groupBy(
+        "source", F.col("n_chars").alias("val")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    grid = (
+        srcs.crossJoin(vals)
+        .join(cnt, ["source", "val"], "left")
+        .select(
+            "source", "n_s", "val", F.coalesce(F.col("c"), F.lit(0)).alias("c0")
+        )
+    )
+    wcum = W.partitionBy("source").orderBy("val").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    scum = grid.withColumn("c_s", F.sum("c0").over(wcum))
+    # c_all(val) = sum of the per-source cumulatives — a val-keyed
+    # groupBy, NOT a global cumulative window (nothing single-partition
+    # anywhere in this plan)
+    allcum = scum.groupBy("val").agg(F.sum("c_s").alias("c_all"))
+    cum = scum.join(allcum, "val")
+    diffs = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_all") > F.col("n_s"))
+        .select(
+            "source",
+            "n_s",
+            "val",
+            F.round(
+                F.abs(
+                    F.col("c_s").cast("double") / F.col("n_s").cast("double")
+                    - (F.col("c_all") - F.col("c_s")).cast("double")
+                    / (F.col("n_all") - F.col("n_s")).cast("double")
+                ),
+                6,
+            ).alias("d"),
+        )
+    )
+    wrk = W.partitionBy("source").orderBy(F.desc("d"), "val")
+    return (
+        diffs.withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "source",
+            F.col("n_s").cast("bigint").alias("n_rows"),
+            F.col("d").alias("ks_stat"),
+            F.col("val").cast("bigint").alias("ks_at"),
+        )
+        .orderBy("source")
+    )

@@ -1366,3 +1366,157 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# C4-style corpus-level segment dedup: documents are segmented into
+# consecutive SEG_W-word blocks (the "line" surrogate for this corpus's
+# newline-free text); any block whose text occurs more than once in the
+# WHOLE corpus keeps only its globally-first occurrence (min doc_id,
+# then min position) and every other occurrence is dropped — the C4
+# "deduplicate lines across the corpus" rule that strips boilerplate
+# (nav bars, license footers) without dropping whole documents. The
+# first-occurrence winner is a MIN over an encoded (doc_id, seg_idx)
+# bigint — an aggregate with map-side partials, not a per-segment
+# sorted window, so a boilerplate block shared by 10M docs costs one
+# hot-key agg, never a quadratic bucket or a funnel sort.
+SEG_W = 8
+_SEG_ENC = 1 << 31  # key = doc_id * 2^31 + seg_idx (both < 2^31)
+
+
+@register(
+    "q_line_dedup_corpus",
+    oracle=f"""
+WITH segs AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(
+           list_slice(w, {SEG_W} * i + 1, {SEG_W} * i + {SEG_W}), ' ') AS seg,
+         doc_id * {_SEG_ENC} + i AS key
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       unnest(range(0, CAST(ceil(len(w) / {SEG_W}.0) AS INT))) AS t(i)
+),
+mins AS (
+  SELECT seg, MIN(key) AS min_key, COUNT(*) AS n_occ
+  FROM segs GROUP BY seg
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segs,
+       CAST(SUM(CASE WHEN s.key = m.min_key THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_removed,
+       COALESCE(string_agg(CASE WHEN s.key = m.min_key THEN s.seg END,
+                           ' ' ORDER BY s.seg_idx), '') AS kept_text
+FROM segs s JOIN mins m ON s.seg = m.seg
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+""",
+)
+def q_line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicate-segment removal (the C4 line-dedup rule;
+    see module comment above SEG_W): per document, how many SEG_W-word
+    blocks it had, how many were removed as non-first duplicate
+    occurrences, and the surviving text reassembled in order.
+
+    Scale shape: one segment-keyed groupBy computes each distinct
+    block's global first occurrence (MIN of the encoded
+    doc_id*2^31+seg_idx key — commutative, map-side combinable) and
+    occurrence count; one equi-join tags occurrences; one doc-keyed
+    aggregate reassembles. At 100 TB the segment join key would be the
+    block's hash rather than its text (identical plan shape); the
+    reassembly's collect_list is per-document (document-sized, not
+    corpus-sized) and sorts each doc's own blocks only."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    segs = (
+        docs.select("doc_id", w.alias("w"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.expr(f"CAST(ceil(size(w) / {SEG_W}.0) AS INT) - 1"),
+                )
+            ).alias("seg_idx"),
+            F.col("w"),
+        )
+        .select(
+            "doc_id",
+            "seg_idx",
+            F.array_join(
+                F.slice("w", F.col("seg_idx") * SEG_W + 1, SEG_W), " "
+            ).alias("seg"),
+            (F.col("doc_id") * _SEG_ENC + F.col("seg_idx")).alias("key"),
+        )
+    )
+    mins = segs.groupBy("seg").agg(
+        F.min("key").alias("min_key"), F.count(F.lit(1)).alias("n_occ")
+    )
+    tagged = segs.join(mins, "seg").withColumn(
+        "kept", F.col("key") == F.col("min_key")
+    )
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum(F.when(F.col("kept"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("kept"),
+                                    F.struct("seg_idx", "seg"),
+                                )
+                            )
+                        ),
+                        lambda x: x["seg"],
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("kept_text"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_segs").cast("bigint").alias("n_segs"),
+            "n_removed",
+            "kept_text",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_containment_pairs",
+    oracle=f"""
+WITH sh AS ({_duck_shingles(4)}),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_inter,
+  ROUND(CAST(n_inter AS DOUBLE) / CAST(sa.n_sh AS DOUBLE), 6) AS containment
+FROM inter
+JOIN sizes sa ON inter.id_a = sa.doc_id
+WHERE n_inter * 5 >= 4 * sa.n_sh
+""",
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered containment pairs C(a -> b) >= 4/5 over 4-gram shingles
+    via one-sided prefix filtering
+    (operators.dedup.containment_prefix_pairs) — finds documents
+    mostly CONTAINED in another (excerpt spam, quoted-wrapper
+    boilerplate) that Jaccard can't see when the container is much
+    larger. The oracle is the brute-force ordered-pairs join; the
+    threshold filter is integer arithmetic on both sides, so the
+    boundary is bit-exact with no epsilon."""
+    from flink_template_spark.operators.dedup import containment_prefix_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_prefix_pairs(docs, t_num=4, t_den=5, n=4)

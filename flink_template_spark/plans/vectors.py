@@ -1326,3 +1326,143 @@ def q_binary_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     return binary_hamming_topk(queries, emb, k=3, shortlist=10)
+
+
+_RECALL_K = 10
+_RECALL_NQ = 8  # query sample: vec_id < 8
+
+
+def _ann_recall_oracle() -> str:
+    sim = f"ROUND({cosine_sql('e.embedding', 'q.embedding')}, 6)"
+    csim = f"ROUND({cosine_sql('v.embedding', 'c.embedding')}, 6)"
+    return f"""
+WITH centroids AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings
+  WHERE vec_id < {N_CENTROIDS}
+),
+assigned AS (
+  SELECT vec_id, centroid_id AS cluster FROM (
+    SELECT v.vec_id, c.centroid_id,
+      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        ORDER BY {csim} DESC, c.centroid_id) AS rk
+    FROM embeddings v CROSS JOIN centroids c
+  ) WHERE rk = 1
+),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+      WHERE vec_id < {_RECALL_NQ}),
+probes AS (
+  SELECT query_id, centroid_id AS cluster FROM (
+    SELECT q.query_id, c.centroid_id,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id
+        ORDER BY ROUND({cosine_sql('c.embedding', 'q.embedding')}, 6) DESC,
+                 c.centroid_id) AS prk
+    FROM centroids c CROSS JOIN q
+  ) WHERE prk <= 2
+),
+pairs AS (
+  SELECT q.query_id, e.vec_id, {sim} AS s
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY s DESC, vec_id) AS rk
+    FROM pairs
+  ) WHERE rk <= {_RECALL_K}
+),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, p.vec_id,
+      ROW_NUMBER() OVER (PARTITION BY p.query_id
+        ORDER BY p.s DESC, p.vec_id) AS rk
+    FROM pairs p
+    JOIN assigned a ON p.vec_id = a.vec_id
+    JOIN probes pr ON pr.query_id = p.query_id AND pr.cluster = a.cluster
+  ) WHERE rk <= {_RECALL_K}
+)
+SELECT e.query_id,
+  CAST(COUNT(ap.vec_id) AS BIGINT) AS n_hit,
+  ROUND(CAST(COUNT(ap.vec_id) AS DOUBLE) / {_RECALL_K}.0, 6) AS recall
+FROM exact e
+LEFT JOIN approx ap ON e.query_id = ap.query_id AND e.vec_id = ap.vec_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+"""
+
+
+@register("q_ann_recall_eval", oracle=_ann_recall_oracle())
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF multi-probe tier against exact brute-force
+    ground truth, per query — the evaluation harness every ANN
+    deployment runs before trusting its index (recall <1.0 quantifies
+    exactly what the 2-of-{N_CENTROIDS}-cells probe scope gives up).
+    Cluster assignments come from the SAME memoized index the serving
+    path reads (ann_index), so the number measures the shipped index,
+    not a re-derivation.
+
+    Scale shape: ground truth is inherently one brute-force pass —
+    the eval cost you pay ON A QUERY SAMPLE (8 queries here), never
+    corpus×corpus; both tiers rank the same per-query-partitioned
+    pair table, and the recall join is per (query, k). Determinism:
+    6-dp-rounded cosines with id tiebreaks everywhere (the ANN family
+    discipline), so both engines rank identically."""
+    from pyspark.sql import Window as W
+
+    from flink_template_spark.functions.vector import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, _, index = ann_index(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < _RECALL_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qvec")
+    )
+    probes = (
+        centroids.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            F.col("centroid_id").alias("cluster"),
+            F.round(cosine(F.col("embedding"), F.col("__qvec")), 6).alias("s"),
+        )
+        .withColumn(
+            "prk",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.desc("s"), "cluster")
+            ),
+        )
+        .filter(F.col("prk") <= 2)
+        .select("query_id", "cluster")
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("__qvec")), 6).alias("s"),
+        )
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("s"), "vec_id")
+    exact = (
+        pairs.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= _RECALL_K)
+        .select("query_id", "vec_id")
+    )
+    approx = (
+        pairs.join(index.select("vec_id", "cluster"), "vec_id")
+        .join(probes, ["query_id", "cluster"])
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= _RECALL_K)
+        .select("query_id", "vec_id", F.lit(1).alias("hit"))
+    )
+    return (
+        exact.join(approx, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").cast("bigint").alias("n_hit"),
+            F.round(F.count("hit").cast("double") / _RECALL_K, 6).alias(
+                "recall"
+            ),
+        )
+        .orderBy("query_id")
+    )

@@ -30,6 +30,7 @@ drops in.
 
 from __future__ import annotations
 
+import json
 import os
 from collections.abc import Callable
 
@@ -579,15 +580,23 @@ def apply_deletes(
     bounded control-plane collect (file names, not rows).
 
     Idempotent, crash-recoverable swap (the compact_kmv discipline,
-    adapted): cleaned rows are written to a scratch dir, moved into the
-    table under a DETERMINISTIC batch prefix (md5 of the sorted victim
-    file names), and only then are victim files removed. A crash
-    mid-swap leaves duplicates of KEPT rows (never resurrects deleted
-    ones); re-running with the same delete set recomputes the same
-    batch prefix, clears any stale partial batch, and finishes the
-    removal. This is the non-transactional contract of this repo's
-    maintenance sinks — snapshot isolation for concurrent readers is a
-    table-format (Delta/Iceberg) concern, documented not claimed.
+    adapted to many files): cleaned rows are written to a scratch dir,
+    a MANIFEST naming the batch and its victim files is committed
+    atomically (tmp + rename), the cleaned parts are moved into the
+    table under the batch prefix, and only then are victim files
+    removed and the manifest retired. Every call first COMPLETES any
+    pending manifest, so a crash at ANY point either replays from
+    scratch (pre-manifest: nothing was moved, the same victim set
+    recomputes the same batch) or finishes the interrupted swap
+    (post-manifest: remaining parts move, remaining victims go) —
+    kept rows are never duplicated and deleted rows never resurrected.
+    (Without the manifest, a crash mid-victim-removal would shrink the
+    next run's victim set, change the batch hash, and re-emit kept
+    rows beside the first run's cleaned files — permanent duplicates;
+    r6 self-review.) This is the non-transactional contract of this
+    repo's maintenance sinks — snapshot isolation for concurrent
+    readers is a table-format (Delta/Iceberg) concern, documented not
+    claimed.
 
     Returns {"n_files": total files, "n_rewritten": victim files,
     "n_rows_deleted": rows removed}.
@@ -597,6 +606,7 @@ def apply_deletes(
     import shutil
     from urllib.parse import unquote, urlparse
 
+    _finish_pending_deletes(path)
     keys = delete_keys.select(id_col).distinct()
     all_files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
     n_files = len(all_files)
@@ -634,24 +644,66 @@ def apply_deletes(
     cleaned.coalesce(max(1, len(victim_files))).write.mode(
         "overwrite"
     ).parquet(scratch)
-    # clear any stale half-moved batch before moving the fresh one in
-    for f in _glob.glob(os.path.join(path, f"cleaned-{batch}-*.parquet")):
-        os.remove(f)
-    for i, part in enumerate(
-        sorted(_glob.glob(os.path.join(scratch, "*.parquet")))
-    ):
-        os.rename(
-            part, os.path.join(path, f"cleaned-{batch}-{i:05d}.parquet")
-        )
-    for f in victim_files:
-        if os.path.exists(f):
-            os.remove(f)
-    shutil.rmtree(scratch)
+    # Point of no return: commit the manifest atomically, then run the
+    # same swap a crash-recovery entry would (move parts, drop victims,
+    # retire the manifest) — one code path for both.
+    manifest = os.path.join(path, _DELETE_MANIFEST)
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"batch": batch, "victim_files": victim_files}, fh)
+    os.replace(tmp, manifest)
+    _finish_pending_deletes(path)
     return {
         "n_files": n_files,
         "n_rewritten": len(victim_files),
         "n_rows_deleted": int(n_deleted),
     }
+
+
+_DELETE_MANIFEST = ".delete_manifest.json"
+
+
+def _finish_pending_deletes(path: str) -> None:
+    """Complete (or clean up after) any interrupted apply_deletes swap.
+
+    With a manifest present, the scratch write is known-complete (the
+    manifest is only committed after it), so: move every cleaned part
+    still in scratch into the table (skip-if-present — part basenames
+    are unique, so a re-move is a no-op, never a clobber), remove
+    every listed victim file that still exists, then retire the
+    manifest and scratch. Without a manifest, any leftover scratch dir
+    predates its batch's manifest commit — none of its parts were ever
+    moved — so it is swept and the batch replays from nothing.
+    """
+    import glob as _glob
+    import shutil
+
+    manifest = os.path.join(path, _DELETE_MANIFEST)
+    if os.path.exists(manifest):
+        with open(manifest) as fh:
+            pending = json.load(fh)
+        batch = pending["batch"]
+        scratch = os.path.join(path, f".delete_tmp_{batch}")
+        if os.path.isdir(scratch):
+            for part in sorted(_glob.glob(os.path.join(scratch, "*.parquet"))):
+                dst = os.path.join(
+                    path, f"cleaned-{batch}-{os.path.basename(part)}"
+                )
+                if not os.path.exists(dst):
+                    os.rename(part, dst)
+                else:
+                    os.remove(part)
+        for f in pending["victim_files"]:
+            if os.path.exists(f):
+                os.remove(f)
+        os.remove(manifest)
+        if os.path.isdir(scratch):
+            shutil.rmtree(scratch)
+    # manifest-less scratch dirs: crashed before their manifest commit
+    # (nothing moved) or after a completed swap (already empty) — sweep
+    for stale in _glob.glob(os.path.join(path, ".delete_tmp_*")):
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)
 
 
 _ZONE_MAP_KEY_CAP = 100_000  # collect bound for the delete-key set

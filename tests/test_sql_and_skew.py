@@ -405,6 +405,105 @@ def test_apply_deletes_touches_only_victim_files(spark, sf_dir, tmp_path):
     assert stats2["n_rewritten"] == 0 and stats2["n_rows_deleted"] == 0
 
 
+def test_apply_deletes_recovers_from_mid_swap_crash(spark, sf_dir, tmp_path):
+    """Crash DURING victim-file removal (cleaned parts moved in, some
+    victims still on disk, manifest pending): the next apply_deletes
+    call must finish the interrupted swap — no duplicated kept rows,
+    no resurrected victims. (Pre-manifest, a crash here would shrink
+    the next run's victim set, change the batch hash, and permanently
+    duplicate kept rows — the r6 self-review finding.)"""
+    import glob
+    import json
+    import os
+
+    from flink_template_spark.sinks import (
+        _DELETE_MANIFEST,
+        apply_deletes,
+        write_clustered_parquet,
+    )
+    from flink_template_spark.tables import load_table
+
+    out = str(tmp_path / "orders_crash")
+    orders = load_table(spark, sf_dir, "orders")
+    write_clustered_parquet(orders, out, cluster_by=["o_orderkey"], n_files=8)
+
+    lo = orders.agg(F.min("o_orderkey")).first()[0]
+    hi = orders.agg(F.max("o_orderkey")).first()[0]
+    # victims at BOTH ends of the key range -> two separate victim files
+    keys = orders.filter(
+        (F.col("o_orderkey") < lo + 20) | (F.col("o_orderkey") > hi - 20)
+    ).select("o_orderkey")
+    n_victim_rows = keys.count()
+
+    stats = apply_deletes(spark, out, keys, id_col="o_orderkey")
+    assert stats["n_rewritten"] >= 2
+
+    # Second delete batch, intercepting the swap mid-victim-removal.
+    keys2 = orders.filter(
+        (F.col("o_orderkey") >= lo + 100) & (F.col("o_orderkey") < lo + 140)
+    ).select("o_orderkey")
+    n2 = keys2.count()
+    assert n2 > 0
+
+    import flink_template_spark.sinks as sinks_mod
+
+    real_finish = sinks_mod._finish_pending_deletes
+    calls = {"n": 0}
+
+    def crashing_finish(path):
+        # first call = the entry-recovery no-op; second = the real swap,
+        # which we interrupt after moving parts but before removing the
+        # LAST victim (partial removal = the dangerous window)
+        calls["n"] += 1
+        if calls["n"] < 2:
+            return real_finish(path)
+        mpath = os.path.join(path, _DELETE_MANIFEST)
+        with open(mpath) as fh:
+            pending = json.load(fh)
+        batch = pending["batch"]
+        scratch = os.path.join(path, f".delete_tmp_{batch}")
+        for part in sorted(glob.glob(os.path.join(scratch, "*.parquet"))):
+            dst = os.path.join(
+                path, f"cleaned-{batch}-{os.path.basename(part)}"
+            )
+            if not os.path.exists(dst):
+                os.rename(part, dst)
+        for f in pending["victim_files"][:-1]:
+            if os.path.exists(f):
+                os.remove(f)
+        raise RuntimeError("simulated crash mid victim removal")
+
+    sinks_mod._finish_pending_deletes = crashing_finish
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="simulated crash"):
+            apply_deletes(spark, out, keys2, id_col="o_orderkey")
+    finally:
+        sinks_mod._finish_pending_deletes = real_finish
+
+    # crash state: manifest pending, last victim still on disk, cleaned
+    # parts already moved in -> table would double the kept rows of the
+    # surviving victim file if read naively... recovery must fix it
+    assert os.path.exists(os.path.join(out, _DELETE_MANIFEST))
+
+    stats3 = apply_deletes(spark, out, keys2, id_col="o_orderkey")
+    assert stats3["n_rows_deleted"] == 0  # recovery finished the swap
+    assert not os.path.exists(os.path.join(out, _DELETE_MANIFEST))
+    assert not glob.glob(os.path.join(out, ".delete_tmp_*"))
+
+    survivors = spark.read.parquet(out)
+    expect = orders.count() - n_victim_rows - n2
+    assert survivors.count() == expect  # no duplicated kept rows
+    assert survivors.join(keys2, "o_orderkey", "left_semi").count() == 0
+    # exact multiset equality with the anti-join of the original table
+    both = orders.join(keys, "o_orderkey", "left_anti").join(
+        keys2, "o_orderkey", "left_anti"
+    )
+    assert survivors.exceptAll(both).count() == 0
+    assert both.exceptAll(survivors).count() == 0
+
+
 def test_zone_map_candidates_prune_and_stay_conservative(spark, sf_dir, tmp_path):
     """Footer zone-map pruning: on a key-clustered table only the files
     whose [min,max] covers a delete key are candidates; the pruned-out
