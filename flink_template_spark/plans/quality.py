@@ -1652,3 +1652,93 @@ def q_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_AUC_ORACLE = """
+WITH scored AS (
+  SELECT source, n_chars AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+ranked AS (
+  SELECT source, pos,
+         2 * RANK() OVER (PARTITION BY source ORDER BY score)
+           + COUNT(*) OVER (PARTITION BY source, score) - 1 AS midrank2
+  FROM scored
+),
+agg AS (
+  SELECT source,
+         SUM(pos) AS n_pos,
+         COUNT(*) - SUM(pos) AS n_neg,
+         SUM(CASE WHEN pos = 1 THEN midrank2 ELSE 0 END) AS pos_midrank2
+  FROM ranked GROUP BY source
+)
+SELECT source,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_neg AS BIGINT) AS n_neg,
+       ROUND(CAST(pos_midrank2 - n_pos * (n_pos + 1) AS DOUBLE)
+             / CAST(2 * n_pos * n_neg AS DOUBLE), 6) AS auc
+FROM agg
+WHERE n_pos > 0 AND n_neg > 0
+ORDER BY source
+"""
+
+
+@register("q_auc_lang_confound", oracle=_AUC_ORACLE)
+def q_auc_lang_confound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC (Mann-Whitney U with midrank tie handling) of a
+    candidate gating score (document length) predicting lang='en',
+    per source — the confound audit a curation pipeline runs before
+    adopting any quality gate: AUC far from 0.5 means thresholding on
+    the score silently reshapes the language mixture of that source.
+
+    Exactness: midranks are kept DOUBLED so tie averaging stays in
+    integers (2*midrank = 2*rank_low + tie_count - 1); U and the
+    denominator are integer; the single division happens once at the
+    end and both engines divide the same exact integers — bit-stable.
+
+    Scale shape: ranks partition BY SOURCE (never a global window);
+    a pathologically dominant source would move to the two-pass
+    range-partitioned rank (operators.rank_global) with identical
+    semantics — documented, not needed at dimension-bounded source
+    counts. Degenerate sources (single-class) are excluded by the
+    same integer filter on both sides."""
+    from pyspark.sql import Window as W
+
+    scored = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    ranked = scored.select(
+        "source",
+        "pos",
+        (
+            F.lit(2) * F.rank().over(W.partitionBy("source").orderBy("score"))
+            + F.count(F.lit(1)).over(W.partitionBy("source", "score"))
+            - F.lit(1)
+        ).alias("midrank2"),
+    )
+    agg = ranked.groupBy("source").agg(
+        F.sum("pos").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("pos")).alias("n_neg"),
+        F.sum(F.when(F.col("pos") == 1, F.col("midrank2")).otherwise(0)).alias(
+            "pos_midrank2"
+        ),
+    )
+    return (
+        agg.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .select(
+            "source",
+            F.col("n_pos").cast("bigint").alias("n_pos"),
+            F.col("n_neg").cast("bigint").alias("n_neg"),
+            F.round(
+                (
+                    F.col("pos_midrank2") - F.col("n_pos") * (F.col("n_pos") + 1)
+                ).cast("double")
+                / (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("double"),
+                6,
+            ).alias("auc"),
+        )
+        .orderBy("source")
+    )

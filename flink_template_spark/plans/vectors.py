@@ -1466,3 +1466,297 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+_SHAP_K = 3  # the KNN classifier being valued
+_SHAP_SCALE = 10**15  # fixed-point scale for the per-term rationals
+_SHAP_TOP = 20
+
+
+def _knn_shapley_oracle() -> str:
+    sim = f"ROUND({cosine_sql('x.embedding', 'q.embedding')}, 6)"
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS y_q, embedding FROM embeddings
+  WHERE vec_id < {_RECALL_NQ}
+),
+train AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  WHERE vec_id >= {_RECALL_NQ}
+),
+n AS (SELECT COUNT(*) AS n_train FROM train),
+ranked AS (
+  SELECT q.query_id, x.vec_id,
+    CASE WHEN x.label = q.y_q THEN 1 ELSE 0 END AS ind,
+    ROW_NUMBER() OVER (PARTITION BY q.query_id
+      ORDER BY {sim} DESC, x.vec_id) AS rn
+  FROM train x CROSS JOIN q
+),
+terms AS (
+  SELECT query_id, vec_id, rn, ind,
+    LEAD(ind) OVER (PARTITION BY query_id ORDER BY rn) AS ind_next
+  FROM ranked
+),
+scaled AS (
+  SELECT t.query_id, t.vec_id, t.rn,
+    CASE WHEN t.rn < n.n_train THEN
+      (t.ind - t.ind_next)
+      * (CAST(LEAST({_SHAP_K}, t.rn) AS BIGINT) * {_SHAP_SCALE}
+         // ({_SHAP_K} * t.rn))
+    ELSE CAST(t.ind AS BIGINT) * ({_SHAP_SCALE} // n.n_train) END AS term
+  FROM terms t CROSS JOIN n
+),
+svals AS (
+  SELECT query_id, vec_id,
+    SUM(term) OVER (PARTITION BY query_id ORDER BY rn
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS s_scaled
+  FROM scaled
+)
+SELECT vec_id,
+  ROUND(CAST(CAST(SUM(s_scaled) AS HUGEINT) AS DOUBLE)
+        / ({_RECALL_NQ}.0 * {_SHAP_SCALE}), 6) AS shapley
+FROM svals
+GROUP BY vec_id
+ORDER BY shapley DESC, vec_id
+LIMIT {_SHAP_TOP}
+"""
+
+
+@register("q_knn_shapley", oracle=_knn_shapley_oracle())
+def q_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact KNN-Shapley data valuation (Jia et al., VLDB'19 closed
+    form): each training vector's Shapley contribution to a
+    {_SHAP_K}-NN classifier's accuracy on the held-out query sample,
+    averaged over queries — the principled "which training points help,
+    which hurt" signal used to prune harmful examples from a training
+    corpus. Top-20 most valuable points reported.
+
+    The closed form needs one sort per test point: with train points
+    ranked by distance ascending (here: 6-dp cosine DESC, id tiebreak),
+    s_N = 1[y_N = y_q]/N and s_i = s_(i+1) +
+    (1[y_i=y_q] - 1[y_(i+1)=y_q]) * min(K,i) / (K*i) — evaluated as a
+    reverse cumulative sum over the rank order.
+
+    Exactness: every per-rank term is a FIXED-POINT bigint — the
+    statistic is *defined* with floor(min(K,i)*1e15/(K*i)), and the
+    sign factor (ind_i - ind_{{i+1}}) multiplies OUTSIDE the division so
+    the floor always acts on positive integers (no truncate-vs-floor
+    engine skew). Integer sums are order-free, so window/aggregation
+    internals can't produce float drift; the single cast-to-double at
+    the end maps the same exact integer to the same IEEE double in both
+    engines. Worst-case |s_i| <= (2/3 + ln N)*1e15 keeps per-query sums
+    and the 8-query total far from bigint overflow through N ~ 1e6.
+
+    Scale shape: valuation cost is query_sample x corpus (one
+    broadcast of the 8 queries, per-query-partitioned windows), the
+    same posture as q_ann_recall_eval — never corpus x corpus; the
+    final top-20 is a TakeOrdered, not a global sort."""
+    from pyspark.sql import Window as W
+
+    from flink_template_spark.functions.vector import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _RECALL_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("y_q"),
+        F.col("embedding").alias("__qvec"),
+    )
+    train = emb.filter(F.col("vec_id") >= _RECALL_NQ)
+    n_train = train.count()  # bounded control-plane: one scalar
+
+    ranked = (
+        train.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "vec_id",
+            F.when(F.col("label") == F.col("y_q"), 1).otherwise(0).alias("ind"),
+            F.round(cosine(F.col("embedding"), F.col("__qvec")), 6).alias("s"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.desc("s"), "vec_id")
+            ),
+        )
+    )
+    wlead = W.partitionBy("query_id").orderBy("rn")
+    terms = ranked.withColumn("ind_next", F.lead("ind").over(wlead))
+    scaled = terms.withColumn(
+        "term",
+        F.when(
+            F.col("rn") < n_train,
+            (F.col("ind") - F.col("ind_next"))
+            * F.expr(
+                f"CAST(LEAST({_SHAP_K}, rn) AS BIGINT) * {_SHAP_SCALE} "
+                f"DIV ({_SHAP_K} * rn)"
+            ),
+        ).otherwise(F.col("ind").cast("bigint") * (_SHAP_SCALE // n_train)),
+    )
+    wrev = (
+        W.partitionBy("query_id")
+        .orderBy("rn")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    svals = scaled.withColumn("s_scaled", F.sum("term").over(wrev))
+    return (
+        svals.groupBy("vec_id")
+        .agg(
+            F.round(
+                F.sum("s_scaled").cast("double")
+                / (float(_RECALL_NQ) * _SHAP_SCALE),
+                6,
+            ).alias("shapley")
+        )
+        .orderBy(F.desc("shapley"), "vec_id")
+        .limit(_SHAP_TOP)
+    )
+
+
+def _davies_bouldin_oracle() -> str:
+    vsim = f"ROUND({cosine_sql('v.embedding', 'c.embedding')}, 6)"
+    return f"""
+WITH centroids AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings
+  WHERE vec_id < {N_CENTROIDS}
+),
+assigned AS (
+  SELECT vec_id, cluster, d_int FROM (
+    SELECT v.vec_id, c.centroid_id AS cluster,
+      CAST(ROUND((1.0 - {vsim}) * 1000000, 0) AS BIGINT) AS d_int,
+      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        ORDER BY {vsim} DESC, c.centroid_id) AS rk
+    FROM embeddings v CROSS JOIN centroids c
+  ) WHERE rk = 1
+),
+scatter AS (
+  SELECT cluster, COUNT(*) AS n_members,
+    CAST(SUM(d_int) AS DOUBLE) / (COUNT(*) * 1000000.0) AS s
+  FROM assigned GROUP BY cluster
+),
+cdist AS (
+  SELECT a.centroid_id AS ci, b.centroid_id AS cj,
+    CAST(ROUND((1.0 - ROUND({cosine_sql('a.embedding', 'b.embedding')}, 6))
+               * 1000000, 0) AS BIGINT) AS m_int
+  FROM centroids a JOIN centroids b ON a.centroid_id <> b.centroid_id
+),
+ratios AS (
+  SELECT d.ci AS cluster,
+    ROUND((si.s + sj.s) / (CAST(d.m_int AS DOUBLE) / 1000000.0), 6) AS r
+  FROM cdist d
+  JOIN scatter si ON si.cluster = d.ci
+  JOIN scatter sj ON sj.cluster = d.cj
+  WHERE d.m_int > 0
+)
+SELECT s.cluster,
+  CAST(s.n_members AS BIGINT) AS n_members,
+  ROUND(s.s, 6) AS s_scatter,
+  MAX(r.r) AS db_component
+FROM scatter s JOIN ratios r ON r.cluster = s.cluster
+GROUP BY s.cluster, s.n_members, s.s
+ORDER BY s.cluster
+"""
+
+
+@register("q_davies_bouldin", oracle=_davies_bouldin_oracle())
+def q_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies-Bouldin cluster-quality components for the SERVED IVF
+    index (the memoized ann_index assignment, not a re-derivation):
+    per cluster, its scatter S_i (mean cosine distance of members to
+    their centroid) and DB component max_{j!=i} (S_i+S_j)/M_ij — the
+    index-health metric an ANN deployment tracks to decide when cells
+    have degraded enough to re-train (a high component = two cells
+    overlap relative to their internal spread).
+
+    Exactness: each member distance is quantized ONCE to an integer
+    micro-distance (round((1-cos)*1e6)) — identical doubles in, same
+    integer out in both engines; scatters are exact-integer sums (far
+    below 2^53) with one deterministic division; ratios are rounded to
+    6dp BEFORE max so the argmax can't flip on last-bit float noise.
+
+    Scale shape: one broadcast-centroid pass for member distances
+    (k=N_CENTROIDS rows broadcast), one k x k centroid self-join — the
+    quadratic term is in the CELL COUNT, never the corpus; identical-
+    direction centroid pairs (m_int=0) are excluded by the same integer
+    filter both sides."""
+    from flink_template_spark.functions.vector import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, _, index = ann_index(spark, sf_dir)
+
+    members = (
+        index.select("vec_id", "cluster")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(
+            F.broadcast(
+                centroids.select(
+                    F.col("centroid_id").alias("cluster"),
+                    F.col("embedding").alias("__cvec"),
+                )
+            ),
+            "cluster",
+        )
+        .select(
+            "cluster",
+            F.round(
+                (F.lit(1.0) - F.round(cosine(F.col("embedding"), F.col("__cvec")), 6))
+                * 1000000,
+                0,
+            )
+            .cast("bigint")
+            .alias("d_int"),
+        )
+    )
+    scatter = members.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        (
+            F.sum("d_int").cast("double")
+            / (F.count(F.lit(1)) * F.lit(1000000.0))
+        ).alias("s"),
+    )
+    ca = centroids.select(
+        F.col("centroid_id").alias("ci"), F.col("embedding").alias("va")
+    )
+    cb = centroids.select(
+        F.col("centroid_id").alias("cj"), F.col("embedding").alias("vb")
+    )
+    cdist = (
+        ca.join(cb, F.col("ci") != F.col("cj"))
+        .select(
+            "ci",
+            "cj",
+            F.round(
+                (F.lit(1.0) - F.round(cosine(F.col("va"), F.col("vb")), 6))
+                * 1000000,
+                0,
+            )
+            .cast("bigint")
+            .alias("m_int"),
+        )
+        .filter(F.col("m_int") > 0)
+    )
+    si = scatter.select(F.col("cluster").alias("ci"), F.col("s").alias("s_i"))
+    sj = scatter.select(F.col("cluster").alias("cj"), F.col("s").alias("s_j"))
+    ratios = (
+        cdist.join(si, "ci")
+        .join(sj, "cj")
+        .select(
+            F.col("ci").alias("cluster"),
+            F.round(
+                (F.col("s_i") + F.col("s_j"))
+                / (F.col("m_int").cast("double") / F.lit(1000000.0)),
+                6,
+            ).alias("r"),
+        )
+    )
+    return (
+        scatter.join(ratios, "cluster")
+        .groupBy("cluster", "n_members", "s")
+        .agg(F.max("r").alias("db_component"))
+        .select(
+            "cluster",
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.round("s", 6).alias("s_scatter"),
+            "db_component",
+        )
+        .orderBy("cluster")
+    )
