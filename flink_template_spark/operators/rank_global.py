@@ -135,3 +135,62 @@ def with_global_ranks(
         )
     return out.drop(_PID, "__rg_opid", "__rg_cnt", "__rg_keys",
                     "__rg_row_off", "__rg_key_off")
+
+
+def with_global_prefix_sum(
+    df: DataFrame,
+    order_by: Sequence[tuple[Column | str, bool]],
+    value_col: Column | str,
+    *,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add an inclusive global prefix sum of ``value_col`` over the
+    total order ``order_by`` — same two-pass range-partitioned shape as
+    :func:`with_global_ranks` (no single-partition window): range
+    exchange + local cumulative window, then a per-partition totals
+    table (≤ n rows) turned into broadcast offsets.
+
+    ``order_by`` must be a TOTAL order (include a tiebreak column);
+    equal keys land in one partition under the range exchange, and the
+    local sort makes the within-partition prefix deterministic. Sums
+    are whatever type ``value_col`` carries — use integers for
+    cross-engine exactness (float prefix sums are order-dependent by
+    nature; this operator guarantees one fixed order, but an oracle
+    computes its own).
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    val = _as_col(value_col)
+    sort_key = [
+        (_as_col(c).asc() if asc else _as_col(c).desc()) for c, asc in order_by
+    ]
+
+    # Same lazy-localCheckpoint rationale as with_global_ranks: the
+    # range exchange samples boundaries with a per-RDD seed, and two
+    # independent evaluations (totals subtree vs output subtree) could
+    # otherwise disagree on which partition a row is in.
+    ranged = (
+        df.withColumn("__ps_val", val)
+        .repartitionByRange(n, *sort_key)
+        .sortWithinPartitions(*sort_key)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    totals = ranged.groupBy(_PID).agg(F.sum("__ps_val").alias("__ps_tot"))
+    # ≤ n rows (one per range partition) — bounded by partition count
+    w_cum = W.orderBy(_PID).rowsBetween(W.unboundedPreceding, W.currentRow)
+    offsets = totals.select(
+        F.col(_PID).alias("__ps_opid"),
+        (F.sum("__ps_tot").over(w_cum) - F.col("__ps_tot")).alias("__ps_off"),
+    )
+    w_local = (
+        W.partitionBy(_PID)
+        .orderBy(*sort_key)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        ranged.join(F.broadcast(offsets), F.col(_PID) == F.col("__ps_opid"))
+        .withColumn(out_col, F.sum("__ps_val").over(w_local) + F.col("__ps_off"))
+        .drop(_PID, "__ps_opid", "__ps_off", "__ps_val")
+    )

@@ -128,6 +128,11 @@ _MIDDLE: list[str] = [
     "q_line_dedup_corpus",
     "q_containment_pairs",
     "q_ann_recall_eval",
+    "q_auc_lang_confound",
+    "q_knn_shapley",
+    "q_davies_bouldin",
+    "q_systematic_resample",
+    "q_length_bucket_efficiency",
     # staleness ledger for round 7 (oldest-first): the 4 r2-cohort
     #    names that did not fit the r6 slate, then the r3 cohort (39)
     "q_simhash_hamming_pairs",

@@ -746,3 +746,152 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("pos").cast("bigint").alias("pos"), "doc_id", "source", "n_chars")
         .orderBy("pos")
     )
+
+
+_RESAMPLE_M = 100  # systematic picks drawn from the weight line
+
+
+@register(
+    "q_systematic_resample",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, n_chars AS wt,
+    SUM(n_chars) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_hi
+  FROM documents
+),
+tot AS (SELECT SUM(n_chars) AS w_all FROM documents)
+SELECT doc_id, CAST(wt AS BIGINT) AS weight,
+  CAST((cum_hi * {_RESAMPLE_M}) // w_all
+       - ((cum_hi - wt) * {_RESAMPLE_M}) // w_all AS BIGINT) AS n_copies
+FROM w CROSS JOIN tot
+WHERE (cum_hi * {_RESAMPLE_M}) // w_all
+      > ((cum_hi - wt) * {_RESAMPLE_M}) // w_all
+ORDER BY doc_id
+""",
+)
+def q_systematic_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic systematic resampling: draw exactly
+    {_RESAMPLE_M} picks (with multiplicity) proportional to integer
+    document weights — the RNG-free "apply the importance weights" step
+    that turns DSIR-style weights into an actual resampled corpus.
+    A document is picked once per stride boundary falling inside its
+    weight interval on the cumulative line: n_copies =
+    floor(cum_hi*M/W) - floor(cum_lo*M/W); the telescoping sum makes
+    the total exactly M, every run, every engine.
+
+    Exactness: weights and cumulative sums are integers; the stride
+    test is integer floor-division on non-negative operands (no
+    truncate-vs-floor skew) — bit-exact. Int64 headroom: cum*M must fit
+    bigint, i.e. total weight below ~9e16 at M=100 — about 90 PB of
+    text; past that the cumulative line moves to DECIMAL(38,0) with
+    identical semantics (documented, not needed).
+
+    Scale shape: the global cumulative sum is the two-pass
+    range-partitioned prefix sum (operators.rank_global.
+    with_global_prefix_sum — range exchange + local windows + a
+    broadcast offsets table of <= shuffle-partition rows), never a
+    single-partition window; the total is one scalar broadcast."""
+    from flink_template_spark.operators.rank_global import (
+        with_global_prefix_sum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("wt")
+    )
+    cum = with_global_prefix_sum(
+        docs, [("doc_id", True)], "wt", out_col="cum_hi"
+    )
+    tot = docs.agg(F.sum("wt").alias("w_all"))
+    m = F.lit(_RESAMPLE_M)
+    hi = F.expr(f"(cum_hi * {_RESAMPLE_M}) DIV w_all")
+    lo = F.expr(f"((cum_hi - wt) * {_RESAMPLE_M}) DIV w_all")
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn("n_copies", (hi - lo).cast("bigint"))
+        .filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            F.col("wt").cast("bigint").alias("weight"),
+            "n_copies",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_LEN_BUCKETS = [2 ** p for p in range(4, 17)]  # 16 .. 65536
+
+
+@register(
+    "q_length_bucket_efficiency",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+),
+bucketed AS (
+  SELECT doc_id, n_tok,
+    COALESCE(list_min(list_filter({_LEN_BUCKETS},
+                                  x -> x >= n_tok)),
+             {_LEN_BUCKETS[-1]}) AS bucket
+  FROM toks
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(LEAST(n_tok, bucket)) AS BIGINT) AS sum_tokens,
+  CAST(SUM(bucket - LEAST(n_tok, bucket)) AS BIGINT) AS pad_tokens,
+  ROUND(CAST(SUM(LEAST(n_tok, bucket)) AS DOUBLE)
+        / CAST(SUM(bucket) AS DOUBLE), 6) AS efficiency
+FROM bucketed
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+def q_length_bucket_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing audit: assign each document to the
+    smallest power-of-two length bucket holding its whitespace token
+    count (capped at the top bucket = truncation), and report per
+    bucket how much of the padded batch is real tokens — the number
+    that decides a training job's bucket boundaries (efficiency far
+    below 1.0 = wasted FLOPs on pad tokens; documents above the cap
+    lose sum(n_tok - bucket) tokens to truncation).
+
+    Exactness: all integer (token counts, literal bucket array, LEAST,
+    sums) with one final division of exact integers. Scale shape: one
+    map-side bucket assignment against a 13-element literal array, one
+    bucket-keyed aggregate — nothing wider than the bucket count ever
+    shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    buckets = F.array(*[F.lit(b) for b in _LEN_BUCKETS])
+    toks = docs.select(
+        F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    )
+    bucketed = toks.withColumn(
+        "bucket",
+        F.coalesce(
+            F.array_min(
+                F.filter(buckets, lambda x: x >= F.col("n_tok"))
+            ),
+            F.lit(_LEN_BUCKETS[-1]),
+        ),
+    )
+    tok_in = F.least(F.col("n_tok"), F.col("bucket"))
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(tok_in).cast("bigint").alias("sum_tokens"),
+            F.sum(F.col("bucket") - tok_in).cast("bigint").alias("pad_tokens"),
+            F.round(
+                F.sum(tok_in).cast("double") / F.sum("bucket").cast("double"),
+                6,
+            ).alias("efficiency"),
+        )
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "n_docs",
+            "sum_tokens",
+            "pad_tokens",
+            "efficiency",
+        )
+        .orderBy("bucket")
+    )

@@ -531,3 +531,40 @@ def test_stupid_backoff_penalizes_unseen_transitions(spark, monkeypatch):
     # OOV held-out doc: all backoff AND the floor unigram -> lowest
     assert got[16]["n_backoff"] == got[16]["n_bigrams"]
     assert got[16]["avg_logprob"] < got[8]["avg_logprob"]
+
+
+def test_systematic_resample_total_is_exactly_m(spark, sf_dir):
+    """Telescoping invariant: multiplicities sum to exactly M picks,
+    and every picked document's weight interval genuinely straddles at
+    least one stride boundary (n_copies >= 1)."""
+    import flink_template_spark.plans.datapipe as DP
+
+    out = DP.q_systematic_resample(spark, sf_dir).collect()
+    assert sum(r["n_copies"] for r in out) == DP._RESAMPLE_M
+    assert all(r["n_copies"] >= 1 for r in out)
+
+
+def test_global_prefix_sum_matches_serial(spark):
+    """with_global_prefix_sum over a forced multi-partition range
+    exchange equals the serial cumulative sum, including duplicate
+    order keys disambiguated by the tiebreak."""
+    from pyspark.sql import functions as F
+
+    from flink_template_spark.operators.rank_global import (
+        with_global_prefix_sum,
+    )
+
+    df = spark.range(5000).select(
+        (F.col("id") % 97).alias("k"), F.col("id").alias("tb"),
+        ((F.col("id") * 7) % 13 + 1).alias("w"),
+    )
+    out = with_global_prefix_sum(
+        df, [("k", True), ("tb", True)], "w", out_col="cum", num_partitions=11
+    ).collect()
+    got = {(r["k"], r["tb"]): r["cum"] for r in out}
+    acc = 0
+    for k, tb, w in sorted(
+        (r["k"], r["tb"], r["w"]) for r in df.collect()
+    ):
+        acc += w
+        assert got[(k, tb)] == acc
