@@ -133,6 +133,8 @@ _MIDDLE: list[str] = [
     "q_davies_bouldin",
     "q_systematic_resample",
     "q_length_bucket_efficiency",
+    "q_matryoshka_overlap",
+    "q_split_fingerprint_leakage",
     # staleness ledger for round 7 (oldest-first): the 4 r2-cohort
     #    names that did not fit the r6 slate, then the r3 cohort (39)
     "q_simhash_hamming_pairs",

@@ -1520,3 +1520,117 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return containment_prefix_pairs(docs, t_num=4, t_den=5, n=4)
+
+
+def _split_leakage_oracle() -> str:
+    from flink_template_spark.plans.datapipe import _split_sql
+
+    return f"""
+WITH kg AS (
+  SELECT doc_id, i - 1 AS pos,
+         {md5int_duckdb("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS h
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       unnest(range(1, len(w) - {WINNOW_K - 2})) AS t(i)
+),
+keyed AS (
+  SELECT doc_id, pos,
+         MIN(h * {_POS_ENC} + ({_POS_ENC - 1} - pos)) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING
+         ) AS minkey,
+         COUNT(*) OVER (PARTITION BY doc_id) AS m
+  FROM kg
+),
+fps AS (
+  SELECT DISTINCT doc_id, CAST(minkey // {_POS_ENC} AS BIGINT) AS h,
+         {_split_sql("doc_id")} AS split
+  FROM keyed WHERE pos <= m - {WINNOW_W}
+),
+sp AS (SELECT DISTINCT split, h FROM fps),
+shared AS (
+  SELECT a.split AS s1, b.split AS s2, COUNT(*) AS n_shared_fps
+  FROM sp a JOIN sp b ON a.h = b.h AND a.split <> b.split
+  GROUP BY 1, 2
+),
+contaminated AS (
+  SELECT f.split AS s1, o.split AS s2,
+         COUNT(DISTINCT f.doc_id) AS n_docs_contaminated
+  FROM fps f JOIN sp o ON f.h = o.h AND f.split <> o.split
+  GROUP BY 1, 2
+)
+SELECT c.s1 AS split_docs, c.s2 AS split_other,
+       CAST(s.n_shared_fps AS BIGINT) AS n_shared_fps,
+       CAST(c.n_docs_contaminated AS BIGINT) AS n_docs_contaminated
+FROM contaminated c
+JOIN shared s ON s.s1 = c.s1 AND s.s2 = c.s2
+ORDER BY 1, 2
+"""
+
+
+@register("q_split_fingerprint_leakage", oracle=_split_leakage_oracle())
+def q_split_fingerprint_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination audit of the naive id-hash train/val/test split:
+    for every directed split pair, how many winnowed fingerprints
+    (q_winnowing_fingerprints' exact shared-passage guarantee) occur on
+    BOTH sides, and how many documents on the first side carry at least
+    one of them — the eval-leakage number that motivates the
+    cluster-keyed split (q_leakage_safe_split). Run against any split
+    before training: nonzero n_docs_contaminated on a (test, train) row
+    means eval passages literally occur in the training corpus.
+
+    Scale shape: fingerprinting is the one doc-keyed window pass;
+    all audit joins are on fingerprint hash against per-split DISTINCT
+    hash sets (<= |splits| rows per hash), so a boilerplate passage
+    shared by millions of docs multiplies the probe by at most the
+    split count — never quadratic in its popularity."""
+    from flink_template_spark.operators.dedup import shingle_rows
+    from flink_template_spark.plans.datapipe import split_of
+
+    docs = load_table(spark, sf_dir, "documents")
+    kg = shingle_rows(docs, WINNOW_K, distinct=False, keep_pos=True).select(
+        "doc_id", "pos", F.expr(md5int_spark("shingle")).alias("h")
+    )
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    key = F.col("h") * _POS_ENC + (F.lit(_POS_ENC - 1) - F.col("pos"))
+    keyed = kg.select(
+        "doc_id",
+        "pos",
+        F.min(key).over(wd.rowsBetween(0, WINNOW_W - 1)).alias("minkey"),
+        F.count(F.lit(1)).over(W.partitionBy("doc_id")).alias("m"),
+    )
+    fps = (
+        keyed.filter(F.col("pos") <= F.col("m") - WINNOW_W)
+        .select(
+            "doc_id",
+            F.expr(f"minkey DIV {_POS_ENC}").alias("h"),
+            split_of("doc_id").alias("split"),
+        )
+        .distinct()
+    )
+    sp = fps.select("split", "h").distinct()
+    sa = sp.select(F.col("split").alias("s1"), "h")
+    sb = sp.select(F.col("split").alias("s2"), "h")
+    shared = (
+        sa.join(sb, "h")
+        .filter(F.col("s1") != F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+    )
+    contaminated = (
+        fps.join(sb, "h")
+        .filter(F.col("split") != F.col("s2"))
+        .groupBy(F.col("split").alias("s1"), "s2")
+        .agg(F.count_distinct("doc_id").alias("n_docs_contaminated"))
+    )
+    return (
+        contaminated.join(shared, ["s1", "s2"])
+        .select(
+            F.col("s1").alias("split_docs"),
+            F.col("s2").alias("split_other"),
+            F.col("n_shared_fps").cast("bigint").alias("n_shared_fps"),
+            F.col("n_docs_contaminated")
+            .cast("bigint")
+            .alias("n_docs_contaminated"),
+        )
+        .orderBy("split_docs", "split_other")
+    )

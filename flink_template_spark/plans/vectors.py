@@ -1760,3 +1760,126 @@ def q_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+_MATRYOSHKA_DIMS = [8, 16, 32]
+_MATRYOSHKA_K = 10
+
+
+def _matryoshka_oracle() -> str:
+    full = f"ROUND({cosine_sql('e.embedding', 'q.embedding')}, 6)"
+    parts = []
+    for d in _MATRYOSHKA_DIMS:
+        trunc = cosine_sql(
+            f"list_slice(e.embedding, 1, {d})",
+            f"list_slice(q.embedding, 1, {d})",
+        )
+        parts.append(f"""
+trunc{d} AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        ORDER BY ROUND({trunc}, 6) DESC, e.vec_id) AS rk
+    FROM embeddings e CROSS JOIN qs q WHERE e.vec_id <> q.vec_id
+  ) WHERE rk <= {_MATRYOSHKA_K}
+)""")
+    unions = " UNION ALL ".join(
+        f"SELECT query_id, vec_id, {d} AS dim FROM trunc{d}"
+        for d in _MATRYOSHKA_DIMS
+    )
+    return f"""
+WITH qs AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_RECALL_NQ}
+),
+full_topk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        ORDER BY {full} DESC, e.vec_id) AS rk
+    FROM embeddings e CROSS JOIN qs q WHERE e.vec_id <> q.vec_id
+  ) WHERE rk <= {_MATRYOSHKA_K}
+),
+{",".join(p.strip() for p in parts)},
+truncs AS ({unions})
+SELECT t.dim AS dim, f.query_id AS query_id,
+  CAST(COUNT(t.vec_id) AS BIGINT) AS n_overlap,
+  ROUND(CAST(COUNT(t.vec_id) AS DOUBLE) / {_MATRYOSHKA_K}.0, 6)
+    AS overlap_frac
+FROM full_topk f
+LEFT JOIN truncs t
+  ON t.query_id = f.query_id AND t.vec_id = f.vec_id
+GROUP BY t.dim, f.query_id
+HAVING t.dim IS NOT NULL
+ORDER BY 1, 2
+"""
+
+
+@register("q_matryoshka_overlap", oracle=_matryoshka_oracle())
+def q_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval audit: for each candidate
+    truncated dimension (prefix 8/16/32 of the 64-d embedding), the
+    top-{_MATRYOSHKA_K} overlap between truncated-cosine and
+    full-cosine rankings per held-out query — the measurement that
+    decides how far an embedding column can be truncated (4-8x less
+    scan + shuffle per retrieval) before ranking quality degrades.
+
+    Scale shape: one query-sample x corpus pass computes ALL tiers
+    (the truncated cosines are prefix folds of the same broadcast
+    row); per-query-partitioned windows, overlap join per (query, k).
+    Exactness: 6-dp-rounded cosines with id tiebreaks — the ANN family
+    discipline — so both engines rank identically at every dim."""
+    from pyspark.sql import Window as W
+
+    from flink_template_spark.functions.vector import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _RECALL_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qvec")
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("__qvec")), 6).alias(
+                "s_full"
+            ),
+            *[
+                F.round(
+                    cosine(
+                        F.slice(F.col("embedding"), 1, d),
+                        F.slice(F.col("__qvec"), 1, d),
+                    ),
+                    6,
+                ).alias(f"s_{d}")
+                for d in _MATRYOSHKA_DIMS
+            ],
+        )
+    )
+    wq = lambda c: W.partitionBy("query_id").orderBy(F.desc(c), "vec_id")
+    full_topk = (
+        pairs.withColumn("rk", F.row_number().over(wq("s_full")))
+        .filter(F.col("rk") <= _MATRYOSHKA_K)
+        .select("query_id", "vec_id")
+    )
+    truncs = None
+    for d in _MATRYOSHKA_DIMS:
+        t = (
+            pairs.withColumn("rk", F.row_number().over(wq(f"s_{d}")))
+            .filter(F.col("rk") <= _MATRYOSHKA_K)
+            .select("query_id", "vec_id", F.lit(d).alias("dim"))
+        )
+        truncs = t if truncs is None else truncs.unionByName(t)
+    return (
+        full_topk.join(truncs, ["query_id", "vec_id"], "left")
+        .filter(F.col("dim").isNotNull())
+        .groupBy("dim", "query_id")
+        .agg(
+            F.count("vec_id").cast("bigint").alias("n_overlap"),
+            F.round(
+                F.count("vec_id").cast("double") / _MATRYOSHKA_K, 6
+            ).alias("overlap_frac"),
+        )
+        .orderBy("dim", "query_id")
+    )
