@@ -116,6 +116,23 @@ EXTENDED = [
     "q_bootstrap_ci",
     "q_stupid_backoff",
     "q_recursive_chain_rollup",
+    # round-6 additions, second wave: drift/eval/valuation audits and
+    # corpus-level dedup (KS drift, C4 line dedup, containment join,
+    # ANN recall + matryoshka + Davies-Bouldin evals, KNN-Shapley,
+    # AUC confound, systematic resample, length buckets, split leakage)
+    "q_ks_source_drift",
+    "q_line_dedup_corpus",
+    "q_containment_pairs",
+    "q_ann_recall_eval",
+    "q_auc_lang_confound",
+    "q_knn_shapley",
+    "q_davies_bouldin",
+    "q_systematic_resample",
+    "q_length_bucket_efficiency",
+    "q_matryoshka_overlap",
+    "q_split_fingerprint_leakage",
+    "q_phrase_search",
+    "q_labelprop_communities",
 ]
 
 

@@ -436,3 +436,111 @@ def q_hits_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scores.join(nation, scores.id == nation.n_nationkey).select(
         "n_name", "hub_q", "auth_q"
     )
+
+
+_LP_ITER = 3
+
+
+def _labelprop_oracle(n_iter: int) -> str:
+    rounds = []
+    for i in range(1, n_iter + 1):
+        prev = "l0" if i == 1 else f"l{i - 1}"
+        rounds.append(f"""
+l{i} AS MATERIALIZED (
+  SELECT n.id,
+    COALESCE((
+      SELECT lbl FROM (
+        SELECT p.label AS lbl, COUNT(*) AS c
+        FROM sym e JOIN {prev} p ON p.id = e.dst
+        WHERE e.src = n.id
+        GROUP BY p.label
+      ) t ORDER BY c DESC, lbl LIMIT 1
+    ), n.id) AS label
+  FROM nodes n
+)""")
+    chain = ",".join(rounds)
+    return f"""
+WITH edges AS MATERIALIZED ({_TRADE_EDGES_SQL}),
+sym AS MATERIALIZED (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT dst AS src, src AS dst FROM edges
+),
+nodes AS (SELECT n_nationkey AS id FROM nation),
+l0 AS (SELECT id, id AS label FROM nodes),
+{chain}
+SELECT CAST(l.label AS BIGINT) AS community,
+  CAST(COUNT(*) AS BIGINT) AS n_members,
+  CAST(MIN(l.id) AS BIGINT) AS min_member
+FROM l{n_iter} l
+GROUP BY l.label
+ORDER BY community
+"""
+
+
+@register("q_labelprop_communities", oracle=_labelprop_oracle(_LP_ITER))
+def q_labelprop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation community detection over the
+    (symmetrized) trade graph: every node starts as its own label;
+    each round it adopts the most frequent label among its neighbors
+    (ties broken by the smaller label; isolated nodes keep their own)
+    for a FIXED {_LP_ITER} rounds — the deterministic variant of LPA
+    used as a host-clustering prior in corpus curation (communities of
+    mutually-linking sources get one quality/mixture decision).
+
+    Determinism: classic async LPA is run-order dependent; the
+    synchronous round with the (count DESC, label ASC) argmax is a
+    pure function of the previous labeling, so both engines replay the
+    identical sequence — the oracle unrolls the same rounds as CTEs.
+
+    Scale shape: per round, one edge⋈label equi-join shuffle and one
+    (node, label)-keyed count with a node-partitioned argmax window —
+    the same edge-proportional round cost as the PageRank family; the
+    edge table is the memoized session build (no re-derivation)."""
+    from pyspark.sql import Window as W
+
+    edges = _trade_edges(spark, sf_dir)
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    nodes = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("id")
+    )
+    labels = nodes.select("id", F.col("id").alias("label"))
+    warg = W.partitionBy("id").orderBy(F.desc("c"), "lbl")
+    for _ in range(_LP_ITER):
+        neigh = (
+            sym.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("label").alias("lbl")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = (
+            neigh.withColumn("rk", F.row_number().over(warg))
+            .filter(F.col("rk") == 1)
+            .select("id", F.col("lbl").alias("new_label"))
+        )
+        labels = (
+            nodes.join(best, "id", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("new_label"), F.col("id")).alias("label"),
+            )
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min("id").cast("bigint").alias("min_member"),
+        )
+        .select(
+            F.col("community").cast("bigint").alias("community"),
+            "n_members",
+            "min_member",
+        )
+        .orderBy("community")
+    )

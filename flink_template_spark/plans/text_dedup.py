@@ -1634,3 +1634,101 @@ def q_split_fingerprint_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split_docs", "split_other")
     )
+
+
+_PHRASES = ["table table", "fast key scan", "slow table", "the row a"]
+_PHRASE_TOP = 5
+
+
+def _phrase_oracle() -> str:
+    blocks = []
+    for phrase in _PHRASES:
+        words = phrase.split(" ")
+        joins = "\n    ".join(
+            f"JOIN posting t{i} ON t{i}.doc_id = t0.doc_id "
+            f"AND t{i}.pos = t0.pos + {i} AND t{i}.token = '{w}'"
+            for i, w in enumerate(words)
+            if i > 0
+        )
+        blocks.append(f"""
+  SELECT '{phrase}' AS phrase, t0.doc_id,
+         COUNT(*) AS n_matches, MIN(t0.pos) AS first_pos
+  FROM posting t0
+    {joins}
+  WHERE t0.token = '{words[0]}'
+  GROUP BY t0.doc_id
+""")
+    union = "  UNION ALL\n".join(blocks)
+    return f"""
+WITH posting AS MATERIALIZED (
+  SELECT doc_id, i - 1 AS pos, w[i] AS token
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       unnest(range(1, len(w) + 1)) AS t(i)
+),
+matches AS (
+{union}
+),
+ranked AS (
+  SELECT phrase, doc_id, n_matches, first_pos,
+    ROW_NUMBER() OVER (PARTITION BY phrase
+                       ORDER BY n_matches DESC, doc_id) AS rk
+  FROM matches
+)
+SELECT phrase, doc_id,
+  CAST(n_matches AS BIGINT) AS n_matches,
+  CAST(first_pos AS BIGINT) AS first_pos
+FROM ranked WHERE rk <= {_PHRASE_TOP}
+ORDER BY phrase, doc_id
+"""
+
+
+@register("q_phrase_search", oracle=_phrase_oracle())
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over a positional inverted index: for each
+    query phrase, the top-{_PHRASE_TOP} documents by occurrence count
+    (doc_id tiebreak) with the first match position — the
+    positional-retrieval primitive BM25's bag-of-words scoring cannot
+    express (quoted queries, template detection, citation finding).
+
+    Plan shape: ONE posting build (posexplode), then per phrase a
+    chain of L-1 self-equi-joins on (doc_id, pos+k), each side
+    TOKEN-FILTERED before the join so selective words prune the
+    postings at the scan. At corpus scale the joins would be ordered
+    rarest-token-first (df-ascending — a bounded control-plane lookup
+    per phrase); results are identical, the candidate stream just
+    shrinks earlier. All-integer; top-k per phrase is a bounded
+    window over per-doc aggregates, never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    posting = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"),
+    )
+    matches = None
+    for phrase in _PHRASES:
+        words = phrase.split(" ")
+        cur = (
+            posting.filter(F.col("token") == words[0])
+            .select("doc_id", F.col("pos").alias("p0"))
+        )
+        for i, w in enumerate(words[1:], start=1):
+            nxt = posting.filter(F.col("token") == w).select(
+                "doc_id", (F.col("pos") - i).alias("p0")
+            )
+            cur = cur.join(nxt, ["doc_id", "p0"])
+        m = cur.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("p0").alias("first_pos"),
+        ).select(F.lit(phrase).alias("phrase"), "doc_id", "n_matches", "first_pos")
+        matches = m if matches is None else matches.unionByName(m)
+    wp = W.partitionBy("phrase").orderBy(F.desc("n_matches"), "doc_id")
+    return (
+        matches.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= _PHRASE_TOP)
+        .select(
+            "phrase",
+            "doc_id",
+            F.col("n_matches").cast("bigint").alias("n_matches"),
+            F.col("first_pos").cast("bigint").alias("first_pos"),
+        )
+        .orderBy("phrase", "doc_id")
+    )

@@ -1,0 +1,135 @@
+"""Streaming CUSUM drift monitor (per-source change detection).
+
+The streaming complement of the batch KS drift audit
+(plans.quality.q_ks_source_drift): KS answers "has this source's
+distribution drifted" over a finished corpus snapshot; a live ingest
+wants the alarm DURING the batch that drifts. The two-sided CUSUM
+(Page 1954) is the standard sequential detector: per source, maintain
+
+    S_hi <- max(0, S_hi + (x - mu - slack))
+    S_lo <- max(0, S_lo + (mu - x - slack))
+
+and raise an alarm (then reset that side) whenever either side crosses
+the decision threshold ``h``. ``mu`` is the reference mean from the
+last trusted snapshot; ``slack`` absorbs in-control noise so only a
+sustained shift accumulates.
+
+Operator shape: ``applyInPandasWithState`` keyed by source — state is
+four numbers per source (two sums, rows seen, alarms raised), so state
+size is O(|sources|) forever, no watermark needed (NoTimeout). Within
+each micro-batch rows are folded in a DETERMINISTIC total order
+(doc_id) so a replayed batch produces the identical state; across
+batches CUSUM is a left fold, so micro-batch boundaries don't change
+the result — the stream equals the one-pass batch fold over the same
+ordered rows (pinned in tests/test_drift_stream.py).
+
+At 100 TB: the per-source fold is sequential BY DEFINITION (CUSUM is
+an order-dependent statistic); parallelism comes from the source key,
+exactly like any keyed stateful operator. Integer inputs keep the
+sums exact (values and mu are ints scaled by ``SCALE``; no float
+accumulation anywhere).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SCALE = 100  # fixed-point: value*SCALE stays integer for mu like 1234.56
+
+STATE_SCHEMA = (
+    "s_hi LONG, s_lo LONG, n_seen LONG, n_alarms LONG"
+)
+OUTPUT_SCHEMA = (
+    "source STRING, n_seen LONG, s_hi LONG, s_lo LONG, n_alarms LONG"
+)
+
+
+def cusum_fold(
+    values: list[int],
+    mu_scaled: int,
+    slack_scaled: int,
+    h_scaled: int,
+    state: tuple[int, int, int, int] = (0, 0, 0, 0),
+) -> tuple[int, int, int, int]:
+    """Pure integer CUSUM fold (the reference both the operator and the
+    tests use). ``values`` are SCALE-scaled ints in processing order."""
+    s_hi, s_lo, n_seen, n_alarms = state
+    for x in values:
+        s_hi = max(0, s_hi + (x - mu_scaled - slack_scaled))
+        s_lo = max(0, s_lo + (mu_scaled - x - slack_scaled))
+        n_seen += 1
+        if s_hi > h_scaled:
+            n_alarms += 1
+            s_hi = 0
+        if s_lo > h_scaled:
+            n_alarms += 1
+            s_lo = 0
+    return s_hi, s_lo, n_seen, n_alarms
+
+
+def _monitor_fn(mu_scaled: int, slack_scaled: int, h_scaled: int):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        prev = state.get if state.exists else (0, 0, 0, 0)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        # deterministic within-batch order: replays fold identically
+        rows = rows.sort_values("order_key", kind="mergesort")
+        cur = cusum_fold(
+            [int(v) * SCALE for v in rows["value"]],
+            mu_scaled,
+            slack_scaled,
+            h_scaled,
+            prev,
+        )
+        state.update(cur)
+        yield pd.DataFrame(
+            [
+                {
+                    "source": key[0],
+                    "n_seen": cur[2],
+                    "s_hi": cur[0],
+                    "s_lo": cur[1],
+                    "n_alarms": cur[3],
+                }
+            ]
+        )
+
+    return fn
+
+
+def monitor_stream(
+    stream: DataFrame,
+    mu: float,
+    slack: float,
+    h: float,
+    key_col: str = "source",
+    value_col: str = "n_chars",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Keyed streaming CUSUM: emits each source's updated
+    (n_seen, s_hi, s_lo, n_alarms) once per micro-batch it appears in
+    (update mode). ``mu``/``slack``/``h`` are quantized to the fixed
+    SCALE once here; all downstream arithmetic is integer."""
+    from pyspark.sql import functions as F
+
+    keyed = stream.select(
+        F.col(key_col).alias("source"),
+        F.col(value_col).cast("long").alias("value"),
+        F.col(order_col).cast("long").alias("order_key"),
+    ).groupBy("source")
+    return keyed.applyInPandasWithState(
+        _monitor_fn(round(mu * SCALE), round(slack * SCALE), round(h * SCALE)),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

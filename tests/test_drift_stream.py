@@ -1,0 +1,95 @@
+"""Streaming CUSUM drift monitor: the stream's final per-source state
+must equal the one-pass integer fold over the same ordered rows
+(micro-batch boundaries invisible), a sustained shift must alarm, and
+an in-control source must not."""
+
+from __future__ import annotations
+
+import json
+
+from flink_template_spark.streaming.drift import (
+    SCALE,
+    cusum_fold,
+    monitor_stream,
+)
+
+SCHEMA = "doc_id LONG, source STRING, n_chars LONG"
+
+MU, SLACK, H = 100.0, 5.0, 300.0
+
+
+def _lines(rows):
+    return "\n".join(json.dumps(r) for r in rows) + "\n"
+
+
+def _rows():
+    steady = [
+        {"doc_id": i, "source": "ok", "n_chars": 100 + (i % 7) - 3}
+        for i in range(120)
+    ]
+    # 'drifty' runs in-control for 40 docs then shifts +20 for 80 docs:
+    # each shifted doc adds ~ (20-5)*SCALE to s_hi -> crosses H fast
+    drifty = [
+        {"doc_id": 1000 + i, "source": "drifty",
+         "n_chars": (100 if i < 40 else 120) + (i % 5) - 2}
+        for i in range(120)
+    ]
+    return steady, drifty
+
+
+def test_cusum_stream_equals_fold_and_alarms(spark, tmp_path):
+    in_dir = tmp_path / "in"
+    ckpt = tmp_path / "ckpt"
+    in_dir.mkdir()
+    steady, drifty = _rows()
+    # two micro-batches with contiguous doc ranges per file: the fold
+    # must be invariant to the batch split
+    half = len(steady) // 2
+    (in_dir / "a.json").write_text(_lines(steady[:half] + drifty[:half]))
+    (in_dir / "b.json").write_text(_lines(steady[half:] + drifty[half:]))
+
+    stream = spark.readStream.schema(SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).json(str(in_dir))
+    q = (
+        monitor_stream(stream, MU, SLACK, H)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cusum")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    # update mode: keep each source's LAST emitted row
+    got = {}
+    for r in spark.sql(
+        "SELECT * FROM cusum ORDER BY n_seen"
+    ).collect():
+        got[r["source"]] = (
+            r["s_hi"], r["s_lo"], r["n_seen"], r["n_alarms"]
+        )
+
+    mu_s, k_s, h_s = round(MU * SCALE), round(SLACK * SCALE), round(H * SCALE)
+    for name, rows in (("ok", steady), ("drifty", drifty)):
+        vals = [r["n_chars"] * SCALE for r in sorted(rows, key=lambda r: r["doc_id"])]
+        assert got[name] == cusum_fold(vals, mu_s, k_s, h_s), name
+
+    assert got["ok"][3] == 0  # in-control: no alarms
+    assert got["drifty"][3] >= 1  # sustained +20 shift: alarms
+
+
+def test_cusum_fold_reference_behavior():
+    """Hand-checked fold: slack absorbs in-control noise; one-sided
+    accumulation resets after each alarm."""
+    mu_s, k_s, h_s = 100 * SCALE, 5 * SCALE, 30 * SCALE
+    # exactly on-mean values never accumulate
+    assert cusum_fold([100 * SCALE] * 50, mu_s, k_s, h_s) == (0, 0, 50, 0)
+    # +10 shift: each step adds 5*SCALE to s_hi; alarm after 7 steps
+    # (7*5=35 > 30), then the side resets and re-accumulates
+    s = cusum_fold([110 * SCALE] * 7, mu_s, k_s, h_s)
+    assert s[3] == 1 and s[0] == 0
+    # low-side shift mirrors
+    s = cusum_fold([90 * SCALE] * 7, mu_s, k_s, h_s)
+    assert s[3] == 1 and s[1] == 0
