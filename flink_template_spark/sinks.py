@@ -754,3 +754,64 @@ def _zone_map_candidates(
         if i < len(key_vals) and key_vals[i] <= hi:
             out.append(f)
     return out
+
+
+_DELETES_SUBDIR = "_deletes"
+
+
+def append_delete_file(
+    spark: "SparkSession",
+    path: str,
+    delete_keys: DataFrame,
+    id_col: str = "doc_id",
+) -> None:
+    """Merge-on-read deletion (the Iceberg equality-delete dual of
+    ``apply_deletes``'s copy-on-write): record the keys in a delete
+    file under ``path/_deletes/`` — O(keys) write, zero data files
+    touched. Readers subtract them (``read_with_deletes``); a later
+    ``compact_deletes`` folds them into a real rewrite when the delete
+    ratio justifies it. This is the write-cheap/read-taxed half of the
+    standard lakehouse trade: GDPR delete REQUESTS land immediately
+    and cheaply; physical erasure happens at compaction.
+
+    Underscore-prefixed dirs are invisible to Spark's parquet reader,
+    so plain ``spark.read.parquet(path)`` still sees the raw table —
+    deletion semantics are opt-in via the reader below, exactly like a
+    table format's scan planning."""
+    out = os.path.join(path, _DELETES_SUBDIR)
+    delete_keys.select(id_col).distinct().write.mode("append").parquet(out)
+
+
+def read_with_deletes(
+    spark: "SparkSession", path: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """The merge-on-read scan: data files anti-joined against the
+    accumulated delete keys. The delete side is key-only and usually
+    tiny → Catalyst broadcasts it and the anti-join is map-side; data
+    files never shuffle. With no delete files this is a plain scan."""
+    df = spark.read.parquet(path)
+    ddir = os.path.join(path, _DELETES_SUBDIR)
+    if not os.path.isdir(ddir):
+        return df
+    keys = spark.read.parquet(ddir).select(id_col).distinct()
+    return df.join(keys, id_col, "left_anti")
+
+
+def compact_deletes(
+    spark: "SparkSession", path: str, id_col: str = "doc_id"
+) -> dict:
+    """Fold accumulated delete files into a physical rewrite
+    (apply_deletes' zone-map-pruned copy-on-write path), then retire
+    them. Crash-safe ordering: the rewrite completes (manifest swap
+    included) BEFORE the delete files are removed — a crash in between
+    leaves already-applied delete keys in place, and re-applying a
+    delete key is a no-op by construction (anti-join semantics)."""
+    import shutil
+
+    ddir = os.path.join(path, _DELETES_SUBDIR)
+    if not os.path.isdir(ddir):
+        return {"n_files": 0, "n_rewritten": 0, "n_rows_deleted": 0}
+    keys = spark.read.parquet(ddir).select(id_col).distinct()
+    stats = apply_deletes(spark, path, keys, id_col=id_col)
+    shutil.rmtree(ddir)
+    return stats

@@ -542,3 +542,64 @@ def test_zone_map_candidates_prune_and_stay_conservative(spark, sf_dir, tmp_path
         "id", "o_orderkey"
     )
     assert _zone_map_candidates(files, "o_orderkey", beyond) == []
+
+
+def test_merge_on_read_deletes_and_compaction(spark, sf_dir, tmp_path):
+    """Equality-delete files subtract at read time without touching
+    data files; compaction folds them into the copy-on-write rewrite
+    and retires them; re-reading after compaction needs no delete
+    logic. Raw reads (no reader) still see the full table."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flink_template_spark.sinks import (
+        append_delete_file,
+        compact_deletes,
+        read_with_deletes,
+        write_clustered_parquet,
+    )
+    from flink_template_spark.tables import load_table
+
+    out = str(tmp_path / "orders_mor")
+    orders = load_table(spark, sf_dir, "orders")
+    write_clustered_parquet(orders, out, cluster_by=["o_orderkey"], n_files=6)
+    files_before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(out, "*.parquet"))
+    }
+    n_all = orders.count()
+
+    lo = orders.agg(F.min("o_orderkey")).first()[0]
+    k1 = orders.filter(F.col("o_orderkey") < lo + 30).select("o_orderkey")
+    k2 = orders.filter(
+        (F.col("o_orderkey") >= lo + 50) & (F.col("o_orderkey") < lo + 80)
+    ).select("o_orderkey")
+    n1, n2 = k1.count(), k2.count()
+
+    append_delete_file(spark, out, k1, id_col="o_orderkey")
+    append_delete_file(spark, out, k2, id_col="o_orderkey")
+
+    # read-time subtraction; data files untouched byte-for-byte
+    got = read_with_deletes(spark, out, id_col="o_orderkey")
+    assert got.count() == n_all - n1 - n2
+    assert got.join(k1, "o_orderkey", "left_semi").count() == 0
+    for f, mtime in files_before.items():
+        assert os.path.getmtime(f) == mtime, f
+    # raw scan still sees everything (deletes are opt-in)
+    assert spark.read.parquet(out).count() == n_all
+
+    stats = compact_deletes(spark, out, id_col="o_orderkey")
+    assert stats["n_rows_deleted"] == n1 + n2
+    assert not os.path.isdir(os.path.join(out, "_deletes"))
+    # post-compaction: physical state equals the merge-on-read view
+    after = spark.read.parquet(out)
+    assert after.count() == n_all - n1 - n2
+    assert read_with_deletes(spark, out, id_col="o_orderkey").count() == (
+        n_all - n1 - n2
+    )
+    # idempotent: compacting again is a no-op
+    assert compact_deletes(spark, out, id_col="o_orderkey") == {
+        "n_files": 0, "n_rewritten": 0, "n_rows_deleted": 0,
+    }
