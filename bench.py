@@ -133,6 +133,7 @@ EXTENDED = [
     "q_split_fingerprint_leakage",
     "q_phrase_search",
     "q_labelprop_communities",
+    "q_time_decay_sample",
 ]
 
 

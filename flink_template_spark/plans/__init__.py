@@ -137,6 +137,7 @@ _MIDDLE: list[str] = [
     "q_split_fingerprint_leakage",
     "q_phrase_search",
     "q_labelprop_communities",
+    "q_time_decay_sample",
     # staleness ledger for round 7 (oldest-first): the 4 r2-cohort
     #    names that did not fit the r6 slate, then the r3 cohort (39)
     "q_simhash_hamming_pairs",

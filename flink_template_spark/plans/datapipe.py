@@ -895,3 +895,84 @@ def q_length_bucket_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_DECAY_WEEK_CAP = 20  # shift cap: past ~20 half-lives nothing survives
+
+
+@register(
+    "q_time_decay_sample",
+    oracle=f"""
+WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events),
+aged AS (
+  SELECT event_id,
+    LEAST(date_diff('day', CAST(ts AS DATE), mx.maxd) // 7,
+          {_DECAY_WEEK_CAP}) AS age_wk
+  FROM events CROSS JOIN mx
+),
+tagged AS (
+  SELECT age_wk,
+    CASE WHEN ({md5int_duckdb("'d' || CAST(event_id AS VARCHAR)")} % 1048576)
+              < (1048576 // (1 << CAST(age_wk AS INT)))
+         THEN 1 ELSE 0 END AS kept
+  FROM aged
+)
+SELECT CAST(age_wk AS BIGINT) AS age_wk,
+  CAST(COUNT(*) AS BIGINT) AS n_total,
+  CAST(SUM(kept) AS BIGINT) AS n_kept,
+  ROUND(CAST(SUM(kept) AS DOUBLE) / COUNT(*), 6) AS keep_rate
+FROM tagged
+GROUP BY age_wk
+ORDER BY age_wk
+""",
+)
+def q_time_decay_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted sampling: keep probability halves per week of
+    age (piecewise-exponential decay, threshold = 2^20 >> age_weeks) —
+    the deterministic "recent data matters more" sampler a freshness-
+    sensitive training mix uses, reported as per-age-week keep rates.
+
+    Exactness: age is whole-day date arithmetic, the decay threshold
+    is a pure bit shift, and acceptance is an integer comparison on
+    the salted portable record hash — no float pow anywhere, so both
+    engines accept the identical row set. Scale shape: one map-side
+    tag (max-date broadcast) + one bucket-keyed aggregate; the sampler
+    itself (the ``kept`` predicate) is a shuffle-free filter at any
+    corpus size, and re-running on a grown corpus keeps every
+    still-recent previous pick whose bucket didn't age (consistent
+    sampling under the same hash)."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.col("ts").cast("date")).alias("maxd"))
+    aged = ev.crossJoin(F.broadcast(mx)).select(
+        "event_id",
+        F.least(
+            F.floor(
+                F.datediff(F.col("maxd"), F.col("ts").cast("date")) / 7
+            ),
+            F.lit(_DECAY_WEEK_CAP),
+        ).alias("age_wk"),
+    )
+    u = F.expr(md5int_spark("'d' || CAST(event_id AS STRING)")) % 1048576
+    thr = F.expr(
+        "CAST(1048576 AS BIGINT) DIV CAST(SHIFTLEFT(1, CAST(age_wk AS INT)) AS BIGINT)"
+    )
+    tagged = aged.select(
+        "age_wk", F.when(u < thr, 1).otherwise(0).alias("kept")
+    )
+    return (
+        tagged.groupBy("age_wk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+            F.round(
+                F.sum("kept").cast("double") / F.count(F.lit(1)), 6
+            ).alias("keep_rate"),
+        )
+        .select(
+            F.col("age_wk").cast("bigint").alias("age_wk"),
+            "n_total",
+            "n_kept",
+            "keep_rate",
+        )
+        .orderBy("age_wk")
+    )
