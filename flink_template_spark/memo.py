@@ -117,35 +117,46 @@ class SessionLRUMemo:
             if hit is not None:
                 self.cache.move_to_end(key)
                 return hit
-            key_lock = self.key_locks.setdefault(key, threading.Lock())
+            # Per-key locks are REFCOUNTED: a failed build may only
+            # retire the lock when no other thread is still queued on
+            # that same lock object. Popping it eagerly (the first
+            # ADVICE-r5 fix) let a queued waiter and a fresh arrival —
+            # which setdefault would hand a NEW lock — build the same
+            # key concurrently, and the second insert unpersisted an
+            # entry the first caller was already using (r6 review).
+            holder = self.key_locks.setdefault(key, [threading.Lock(), 0])
+            holder[1] += 1
+            key_lock = holder[0]
 
         # Build outside the global lock (a multi-job Spark build must
         # not serialize unrelated keys); the per-key lock + double-check
         # makes concurrent same-key callers share one build.
-        with key_lock:
-            with self.lock:
-                hit = self.cache.get(key)
-                if hit is not None:
-                    self.cache.move_to_end(key)
-                    return hit
-            try:
-                entry = build()
-            except BaseException:
-                # Failed build: drop the key lock created above unless
-                # some other thread DID insert an entry for this key
-                # (locks are otherwise only popped at eviction, so
-                # failed keys would leak lock objects — ADVICE r5).
+        try:
+            with key_lock:
                 with self.lock:
-                    if key not in self.cache:
-                        self.key_locks.pop(key, None)
-                raise
+                    hit = self.cache.get(key)
+                    if hit is not None:
+                        self.cache.move_to_end(key)
+                        return hit
+                entry = build()
+                with self.lock:
+                    stale = self.cache.get(key)
+                    if stale is not None:
+                        # only reachable if this key's lock was
+                        # evicted+recreated mid-build; don't orphan the
+                        # racing build's persist
+                        self._unpersist_entry(stale)
+                    self.cache[key] = entry
+                    self.evict_locked()
+                return entry
+        finally:
             with self.lock:
-                stale = self.cache.get(key)
-                if stale is not None:
-                    # only reachable if this key's lock was
-                    # evicted+recreated mid-build; don't orphan the
-                    # racing build's persist
-                    self._unpersist_entry(stale)
-                self.cache[key] = entry
-                self.evict_locked()
-            return entry
+                h = self.key_locks.get(key)
+                if h is not None and h[0] is key_lock:
+                    h[1] -= 1
+                    # retire failed keys' locks only once idle (no
+                    # waiters) and nothing cached — bounded without the
+                    # concurrent-rebuild race (cached keys keep their
+                    # lock until eviction pops it)
+                    if h[1] <= 0 and key not in self.cache:
+                        self.key_locks.pop(key, None)

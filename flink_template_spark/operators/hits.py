@@ -85,7 +85,10 @@ def hits(
     authorities from hubs, then hubs from the new authorities). Scores
     are fixed-point bigints (scale ``QUANT_HITS``), sum-normalized per
     half-round, exact and engine-portable. ``edges`` must be distinct
-    (src, dst) pairs with both endpoints in ``nodes``."""
+    (src, dst) pairs with both endpoints in ``nodes``; ``n_iter`` must
+    be >= 1 (the authority table only exists after a first round)."""
+    if n_iter < 1:
+        raise ValueError(f"hits requires n_iter >= 1, got {n_iter}")
     nodes = nodes.select(F.col(id_col).alias("id"))
     edges = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")

@@ -636,7 +636,6 @@ def apply_deletes(
     batch = hashlib.md5("\n".join(victim_files).encode()).hexdigest()[:12]
     victims_df = spark.read.parquet(*victim_files)
     cleaned = victims_df.join(keys, id_col, "left_anti")
-    n_deleted = victims_df.count() - cleaned.count()
 
     scratch = os.path.join(path, f".delete_tmp_{batch}")
     if os.path.exists(scratch):
@@ -644,6 +643,11 @@ def apply_deletes(
     cleaned.coalesce(max(1, len(victim_files))).write.mode(
         "overwrite"
     ).parquet(scratch)
+    # Deleted-row count without re-running the anti-join (r6 review —
+    # counting cleaned directly would scan the victim files a third
+    # time): one victim-file count plus a count of the just-written
+    # scratch output (small, and its footers carry exact row counts).
+    n_deleted = victims_df.count() - spark.read.parquet(scratch).count()
     # Point of no return: commit the manifest atomically, then run the
     # same swap a crash-recovery entry would (move parts, drop victims,
     # retire the manifest) — one code path for both.

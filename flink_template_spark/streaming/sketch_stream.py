@@ -114,9 +114,14 @@ def union_parts(
     """Union every extant sketch source: base, base_old (compaction
     crash window), changelog. Never reads ``base_new`` — at every crash
     point its content is still fully covered by base/base_old+changelog,
-    and a crash DURING its parquet write can leave it partial. Shared
-    by every mergeable-sketch changelog (KMV here, CMS in
-    streaming.cms_stream)."""
+    and a crash DURING its parquet write can leave it partial.
+
+    SET-SEMANTICS SKETCHES ONLY (KMV/theta: rows are distinct hashes,
+    so re-reading a superseded part is harmless). Counter sketches must
+    NOT use this read rule — counter addition is not idempotent, and
+    reading base + base_old + changelog double-counts folded epochs in
+    the compaction crash window; streaming.cms_stream implements the
+    counter-safe one-base + folded-epochs-sidecar rule instead."""
     parts = [
         df.select(*cols)
         for df in (
@@ -135,25 +140,35 @@ def union_parts(
 
 
 def swap_base(sketch_dir: str, merged: DataFrame) -> None:
-    """The crash-recoverable base swap shared by every sketch
-    changelog: write ``merged`` (caller must have pinned it with
-    localCheckpoint — the renames below invalidate its input paths) to
-    base_new, rename base aside to base_old, rename base_new into
-    place, then delete base_old and the changelog. Every crash point
-    leaves the full state readable from {base, base_old, changelog}
-    (see union_parts) and a re-run heals the layout."""
+    """The crash-recoverable base swap for SET-SEMANTICS sketch
+    changelogs (see union_parts): write ``merged`` (caller must have
+    pinned it with localCheckpoint — the renames below invalidate its
+    input paths) to base_new, rename base aside to base_old, rename
+    base_new into place, then delete base_old and the changelog.
+
+    base_old is only ever removed while a base DIRECTORY exists
+    (either the old base that supersedes it, or the freshly renamed
+    merged one that contains it). In the healing path — a prior crash
+    left {base_old, changelog} with NO base — the stale base_old is
+    the only copy of compacted history, so it must survive until
+    base_new has been renamed in; deleting it first would strand that
+    history in base_new, which no reader consults, and the next
+    compaction's overwrite of base_new would destroy it (r6 review).
+    Every crash point leaves the full state readable from
+    {base, base_old, changelog} and a re-run heals the layout."""
     import shutil
 
     base = os.path.join(sketch_dir, "base")
     base_old = os.path.join(sketch_dir, "base_old")
     base_new = os.path.join(sketch_dir, "base_new")
+    if os.path.exists(base_new):
+        shutil.rmtree(base_new)  # partial write from a prior crash
     merged.repartition(1).write.mode("overwrite").parquet(base_new)
-    # A stale base_old from a prior crash is already folded into merged
-    # (and, when base also exists, base superseded it) — clear it so the
-    # rename-aside below cannot collide.
-    if os.path.exists(base_old):
-        shutil.rmtree(base_old)
     if os.path.exists(base):
+        # a stale base_old is superseded by base (and by merged):
+        # clear it so the rename-aside cannot collide
+        if os.path.exists(base_old):
+            shutil.rmtree(base_old)
         os.rename(base, base_old)
     os.rename(base_new, base)
     if os.path.exists(base_old):

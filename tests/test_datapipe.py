@@ -516,7 +516,7 @@ def test_stupid_backoff_penalizes_unseen_transitions(spark, monkeypatch):
     import flink_template_spark.plans.quality as Q
 
     natural = "the quick brown fox jumps over the lazy dog"
-    rows = [(i, natural) for i in range(8) if i != 8]  # all hash to train
+    rows = [(i, natural) for i in range(8)]  # ids 0-7 hash to train
     rows.append((8, "dog the over quick lazy brown the jumps fox"))  # held out
     rows.append((16, "zyx wvu tsr qpo nml kji hgf edc ba"))  # held out, OOV
     docs = spark.createDataFrame(rows, "doc_id long, text string")

@@ -108,3 +108,71 @@ def test_read_kmv_raises_on_corrupt_base(spark, tmp_path):
     # and a missing dir is still just "no data", loud but specific
     with pytest.raises(FileNotFoundError):
         read_kmv(spark, str(tmp_path / "absent"))
+
+
+def test_kmv_healing_compaction_crash_keeps_base_old(
+    spark, tmp_path, monkeypatch
+):
+    """The r6-review hole: while HEALING a prior crash (state =
+    {base_old, changelog}, no base), the swap must not delete base_old
+    — the only copy of compacted history — before base_new is renamed
+    into place. A crash at that rename must leave base_old readable,
+    and the next compaction must fold it (base_new is never read)."""
+    import shutil
+
+    import flink_template_spark.streaming.sketch_stream as SS
+
+    in_dir = tmp_path / "in"
+    sk_dir = tmp_path / "sk"
+    ckpt = tmp_path / "ckpt"
+    in_dir.mkdir()
+    rows = [
+        {"ts": "2024-01-01T00:00:00", "event_type": "click", "user_id": u}
+        for u in range(80)
+    ]
+    (in_dir / "a.json").write_text(_lines(rows))
+    stream = spark.readStream.schema(SCHEMA).json(str(in_dir))
+    q = write_kmv_stream(stream, str(sk_dir), str(ckpt), available_now=True)
+    q.awaitTermination(120)
+
+    key = lambda r: (r["event_type"], r["n_h"], r["theta"], r["est"])
+    compact_kmv(spark, str(sk_dir))
+    want = sorted(map(key, read_kmv(spark, str(sk_dir)).collect()))
+
+    # new epoch arrives, then simulate the prior crash state:
+    # base renamed aside, no base
+    rows2 = [
+        {"ts": "2024-01-01T01:00:00", "event_type": "view", "user_id": u}
+        for u in range(25)
+    ]
+    (in_dir / "b.json").write_text(_lines(rows2))
+    q = write_kmv_stream(stream, str(sk_dir), str(ckpt), available_now=True)
+    q.awaitTermination(120)
+    shutil.move(str(sk_dir / "base"), str(sk_dir / "base_old"))
+    want2 = sorted(map(key, read_kmv(spark, str(sk_dir)).collect()))
+
+    real_rename = SS.os.rename
+
+    def crashing_rename(src, dst):
+        if str(src).endswith("base_new"):
+            raise RuntimeError("simulated crash before base_new rename")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(SS.os, "rename", crashing_rename)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        compact_kmv(spark, str(sk_dir))
+    monkeypatch.setattr(SS.os, "rename", real_rename)
+
+    # the fix's guarantee: base_old survived the crashed healing run
+    assert (sk_dir / "base_old").exists()
+    assert not (sk_dir / "base").exists()
+    assert sorted(map(key, read_kmv(spark, str(sk_dir)).collect())) == want2
+
+    compact_kmv(spark, str(sk_dir))  # second heal completes
+    assert (sk_dir / "base").exists()
+    assert not (sk_dir / "base_old").exists()
+    assert not (sk_dir / "base_new").exists()
+    assert sorted(map(key, read_kmv(spark, str(sk_dir)).collect())) == want2
+    assert want2 != want  # the new epoch is genuinely in the fold

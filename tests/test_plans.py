@@ -278,6 +278,9 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     # per-partition stats table (<= shuffle-partition-count rows)
     "q_curriculum_order": 1,
     "q_quantile_normalize": 1,
+    # with_global_prefix_sum's cumulative-offset window over the
+    # per-partition totals table (<= shuffle-partition-count rows)
+    "q_systematic_resample": 1,
 }
 
 
