@@ -134,6 +134,8 @@ EXTENDED = [
     "q_phrase_search",
     "q_labelprop_communities",
     "q_time_decay_sample",
+    "q_hellinger_affinity_matrix",
+    "q_content_fingerprint",
 ]
 
 

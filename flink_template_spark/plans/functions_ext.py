@@ -1357,3 +1357,55 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ci_hi",
         F.lit(_BOOT_R).cast("bigint").alias("n_replicas"),
     )
+
+
+from flink_template_spark.functions.hashing import (  # noqa: E402
+    md5int_duckdb as _md5_duck,
+    md5int_spark as _md5_spark,
+)
+
+_FP_ROW = "CAST(doc_id AS VARCHAR) || '|' || lang || '|' || CAST(n_chars AS VARCHAR) || '|' || text"
+_FP_ROW_SPARK = "CAST(doc_id AS STRING) || '|' || lang || '|' || CAST(n_chars AS STRING) || '|' || text"
+
+
+@register(
+    "q_content_fingerprint",
+    oracle=f"""
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(BIT_XOR({_md5_duck(_FP_ROW, bits=60)}) AS BIGINT) AS xor_fp,
+  CAST(SUM({_md5_duck(_FP_ROW, bits=32)}) AS BIGINT) AS sum_fp
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def q_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-free content fingerprints per source: XOR and SUM of
+    portable per-row hashes over the canonical row serialization —
+    the cheap end-to-end integrity check a 100 TB migration/replication
+    runs on BOTH sides (this engine and whatever produced or consumed
+    the data) to prove the row MULTISETS match without moving rows.
+    XOR alone is blind to duplicated-row PAIRS (x XOR x = 0), so a
+    32-bit SUM rider (bigint-overflow-safe to ~2e9 rows per group) and
+    the exact count travel with it; a mismatch in any of the three
+    localizes corruption to the source partition.
+
+    Scale shape: pure map-side hash + commutative aggregates with
+    partial combine — no shuffle wider than |sources|, no sort, no
+    collect; XOR/SUM/count all merge, so per-file fingerprints roll up
+    to table fingerprints for free."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.expr(f"BIT_XOR({_md5_spark(_FP_ROW_SPARK, bits=60)})")
+            .cast("bigint")
+            .alias("xor_fp"),
+            F.sum(F.expr(_md5_spark(_FP_ROW_SPARK, bits=32)))
+            .cast("bigint")
+            .alias("sum_fp"),
+        )
+        .orderBy("source")
+    )

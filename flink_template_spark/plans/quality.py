@@ -1742,3 +1742,100 @@ def q_auc_lang_confound(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_HELLINGER_ORACLE = f"""
+WITH tok AS (
+  SELECT source, {md5int_duckdb('word')} % {_DSIR_B} AS b
+  FROM (
+    SELECT source, UNNEST(string_split(text, ' ')) AS word
+    FROM documents
+  )
+),
+srcs AS (SELECT source, COUNT(*) AS n FROM tok GROUP BY source),
+cnts AS (SELECT source, b, COUNT(*) AS c FROM tok GROUP BY source, b),
+probs AS (
+  SELECT s.source, g.b,
+    CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+      / CAST(s.n + {_DSIR_B} AS DOUBLE) AS p
+  FROM srcs s
+  CROSS JOIN (SELECT UNNEST(range(0, {_DSIR_B})) AS b) g
+  LEFT JOIN cnts c ON c.source = s.source AND c.b = g.b
+),
+terms AS (
+  SELECT a.source AS source_a, bb.source AS source_b,
+    CAST(ROUND(SQRT(a.p * bb.p) * 1000000000.0, 0) AS BIGINT) AS t_q
+  FROM probs a JOIN probs bb ON a.b = bb.b AND a.source < bb.source
+)
+SELECT source_a, source_b,
+  CAST(SUM(t_q) AS BIGINT) AS bc_q,
+  ROUND(1.0 - CAST(SUM(t_q) AS DOUBLE) / 1000000000.0, 6) AS hellinger_sq
+FROM terms
+GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+"""
+
+
+@register("q_hellinger_affinity_matrix", oracle=_HELLINGER_ORACLE)
+def q_hellinger_affinity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise squared Hellinger distance between the sources' hashed-
+    unigram distributions (DSIR 256-bucket feature space, Laplace +1
+    smoothing) — the mixture-design diagnostic: near-zero means two
+    feeds are distribution-level near-duplicates (merge their quota),
+    large flags a feed needing its own quality calibration. H2 =
+    1 - BC with BC = sum_i sqrt(p_i*q_i); symmetric, bounded in [0,1],
+    and a proper metric (its square root), like JS but transcendental-
+    free.
+
+    Why Hellinger and not JS here: IEEE 754 REQUIRES sqrt to be
+    correctly rounded, so sqrt(p*q) of identical doubles is
+    bit-identical in every engine; log10 carries no such guarantee and
+    a 1-ulp JVM-vs-libm divergence was observed to flip a quantized JS
+    term at the rounding boundary (r6 build log). Each Bhattacharyya
+    term is quantized ROUND(sqrt(pa*pb)*1e9)->bigint; per-pair sums
+    are integer — no float accumulation anywhere.
+
+    Scale shape: the only corpus-proportional stage is the map-side
+    combinable (source, bucket) count; everything after operates on
+    the |sources| x 256 dense grid and its bucket-keyed self-join —
+    fixed size regardless of corpus volume."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.col("text"), " ")).alias("word"),
+    ).select(
+        "source", F.expr(f"{md5int_spark('word')} % {_DSIR_B}").alias("b")
+    )
+    srcs = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    cnts = tok.groupBy("source", "b").agg(F.count(F.lit(1)).alias("c"))
+    buckets = spark.range(_DSIR_B).select(F.col("id").cast("int").alias("b"))
+    grid = (
+        srcs.crossJoin(F.broadcast(buckets))
+        .join(cnts, ["source", "b"], "left")
+        .select(
+            "source",
+            "b",
+            (
+                (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                / (F.col("n") + _DSIR_B).cast("double")
+            ).alias("p"),
+        )
+    )
+    a = grid.select(F.col("source").alias("source_a"), "b", F.col("p").alias("pa"))
+    bb = grid.select(F.col("source").alias("source_b"), "b", F.col("p").alias("pb"))
+    t_q = F.round(
+        F.sqrt(F.col("pa") * F.col("pb")) * 1000000000.0, 0
+    ).cast("bigint")
+    return (
+        a.join(bb, "b")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .select("source_a", "source_b", t_q.alias("t_q"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum("t_q").cast("bigint").alias("bc_q"),
+            F.round(
+                F.lit(1.0) - F.sum("t_q").cast("double") / 1000000000.0, 6
+            ).alias("hellinger_sq"),
+        )
+        .orderBy("source_a", "source_b")
+    )
