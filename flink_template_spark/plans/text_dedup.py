@@ -1690,14 +1690,18 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     positional-retrieval primitive BM25's bag-of-words scoring cannot
     express (quoted queries, template detection, citation finding).
 
-    Plan shape: ONE posting build (posexplode), then per phrase a
+    Plan shape: a posting relation (posexplode), then per phrase a
     chain of L-1 self-equi-joins on (doc_id, pos+k), each side
     TOKEN-FILTERED before the join so selective words prune the
-    postings at the scan. At corpus scale the joins would be ordered
-    rarest-token-first (df-ascending — a bounded control-plane lookup
-    per phrase); results are identical, the candidate stream just
-    shrinks earlier. All-integer; top-k per phrase is a bounded
-    window over per-doc aggregates, never a global sort."""
+    postings early; the filtered sides broadcast and the top-k rides
+    WindowGroupLimit (rank pushdown), never a global sort. Catalyst
+    re-plans the posting subtree per reference (each is a 2-column
+    pruned scan locally); at corpus scale the posting relation is the
+    thing you MATERIALIZE once as a token-bucketed inverted index, so
+    each filter becomes a bucket point-lookup, and the joins would be
+    ordered rarest-token-first (df-ascending, a bounded control-plane
+    lookup per phrase) — identical results, candidates shrink
+    earlier. All-integer arithmetic."""
     docs = load_table(spark, sf_dir, "documents")
     posting = docs.select(
         "doc_id",
