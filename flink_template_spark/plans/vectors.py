@@ -1514,7 +1514,8 @@ svals AS (
 )
 SELECT vec_id,
   ROUND(CAST(CAST(SUM(s_scaled) AS HUGEINT) AS DOUBLE)
-        / ({_RECALL_NQ}.0 * {_SHAP_SCALE}), 6) AS shapley
+        / (CAST((SELECT COUNT(*) FROM q) AS DOUBLE) * {_SHAP_SCALE}), 6)
+    AS shapley
 FROM svals
 GROUP BY vec_id
 ORDER BY shapley DESC, vec_id
@@ -1562,7 +1563,13 @@ def q_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("__qvec"),
     )
     train = emb.filter(F.col("vec_id") >= _RECALL_NQ)
-    n_train = train.count()  # bounded control-plane: one scalar
+    # bounded control-plane: two scalars. Divide by the ACTUAL query
+    # count, not the _RECALL_NQ id bound — they coincide on the full
+    # corpus but differ on filtered fixtures, and the hardcoded bound
+    # silently mis-scaled every value (caught by the efficiency-axiom
+    # test, which the replayed oracle structurally cannot catch).
+    n_train = train.count()
+    n_q = q.count()
 
     ranked = (
         train.crossJoin(F.broadcast(q))
@@ -1603,7 +1610,7 @@ def q_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 F.sum("s_scaled").cast("double")
-                / (float(_RECALL_NQ) * _SHAP_SCALE),
+                / (float(n_q) * _SHAP_SCALE),
                 6,
             ).alias("shapley")
         )

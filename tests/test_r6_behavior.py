@@ -1,0 +1,198 @@
+"""Behavioral pins for the round-6 second-wave operators — properties
+the corpus oracle can't see (axioms, planted structures, extremes)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_knn_shapley_efficiency_axiom(spark, monkeypatch):
+    """Shapley efficiency: the values over ALL training points sum to
+    the full-set utility v(N) = (1/K) * sum_{j<=K} 1[y_(j) = y_q],
+    averaged over test points (Jia et al. closed form). Checked on a
+    synthetic set small enough that the top-20 cut returns everything,
+    up to the 1e-15 fixed-point floor per term."""
+    import flink_template_spark.plans.vectors as V
+
+    # 2 test points (vec_id 0, 1), 10 train points; 1-d embeddings so
+    # distances are transparent. label = parity.
+    rows = []
+    for vid in range(2):
+        rows.append((vid, [float(vid), 1.0], vid % 2))
+    for i in range(10):
+        rows.append((8 + i, [float(i) / 10.0, 1.0], i % 2))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    monkeypatch.setattr(V, "load_table", lambda s, sd, t: emb)
+
+    got = {r["vec_id"]: r["shapley"] for r in V.q_knn_shapley(spark, "x").collect()}
+    assert len(got) == 10  # top-20 cut returned every train point
+
+    # reference utility per test point: rank train by true cosine desc
+    import math
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        )
+
+    k = V._SHAP_K
+    total_v = 0.0
+    for vid in range(2):
+        q = [float(vid), 1.0]
+        y_q = vid % 2
+        ranked = sorted(
+            ((round(cos([float(i) / 10.0, 1.0], q), 6), -(8 + i), i % 2)
+             for i in range(10)),
+            reverse=True,
+        )
+        total_v += sum(1 for _, _, y in ranked[:k] if y == y_q) / k
+    want = total_v / 2  # mean over the 2 test points
+    assert abs(sum(got.values()) - want) < 1e-6
+
+
+def test_containment_finds_what_jaccard_misses(spark, monkeypatch):
+    """A small doc pasted verbatim into a much larger one: containment
+    C(small -> big) = 1.0 while Jaccard is far below any usable
+    threshold — the asymmetric detector's whole reason to exist."""
+    import flink_template_spark.plans.text_dedup as TD
+    from flink_template_spark.operators.dedup import (
+        containment_prefix_pairs,
+        jaccard_prefix_pairs,
+    )
+
+    small = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(60))
+    big = filler + " " + small + " " + " ".join(f"z{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, "unrelated words only here now")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_prefix_pairs(docs, t_num=4, t_den=5, n=4).collect()
+    }
+    assert got[(1, 2)] == 1.0  # small fully contained in big
+    assert (2, 1) not in got  # big is NOT contained in small
+    assert (1, 3) not in got and (3, 1) not in got
+    # symmetric Jaccard at the same 0.8 bar sees nothing
+    jac = jaccard_prefix_pairs(docs, t_num=4, t_den=5, n=4).collect()
+    assert not [r for r in jac if {r["id_a"], r["id_b"]} == {1, 2}]
+
+
+def test_line_dedup_strips_boilerplate_keeps_first(spark, monkeypatch):
+    """A footer block shared by every doc survives only in the
+    globally-first occurrence (min doc_id, then min position); unique
+    content is untouched."""
+    import flink_template_spark.plans.text_dedup as TD
+
+    footer = " ".join(f"f{i}" for i in range(TD.SEG_W))  # one exact segment
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"a{i}" for i in range(TD.SEG_W)) + " " + footer),
+            (2, " ".join(f"b{i}" for i in range(TD.SEG_W)) + " " + footer),
+            (3, footer),
+        ],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(TD, "load_table", lambda s, sd, t: docs)
+    got = {r["doc_id"]: r for r in TD.q_line_dedup_corpus(spark, "x").collect()}
+    assert got[1]["n_removed"] == 0  # first occurrence of the footer wins
+    assert footer in got[1]["kept_text"]
+    assert got[2]["n_removed"] == 1 and footer not in got[2]["kept_text"]
+    assert got[3]["n_removed"] == 1 and got[3]["kept_text"] == ""
+
+
+def test_hellinger_extremes(spark, monkeypatch):
+    """Identical word distributions -> ~0; disjoint vocabularies ->
+    near the H^2 upper bound (1 - smoothing floor)."""
+    import flink_template_spark.plans.quality as Q
+
+    # heavy sources so the +1/256-bucket Laplace smoothing mass is
+    # small relative to the real distribution (tiny sources would look
+    # mutually similar through the smoothing floor alone)
+    same = "tok1 tok2 tok3 tok4 " * 500
+    docs = spark.createDataFrame(
+        [
+            (1, same, "a"),
+            (2, same, "b"),
+            (3, "completely different words here " * 500, "c"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    monkeypatch.setattr(Q, "load_table", lambda s, sd, t: docs)
+    got = {
+        (r["source_a"], r["source_b"]): r["hellinger_sq"]
+        for r in Q.q_hellinger_affinity_matrix(spark, "x").collect()
+    }
+    assert got[("a", "b")] < 0.001  # identical distributions
+    assert got[("a", "c")] > 0.5  # disjoint vocab, far apart
+    assert got[("a", "c")] == got[("b", "c")]  # symmetry via identical dists
+
+
+def test_matryoshka_prefix_identical_vectors_full_overlap(spark, monkeypatch):
+    """When every vector's information lives entirely in the first 8
+    dims (the rest exactly zero — a constant NONZERO tail would shift
+    per-vector norms and legitimately reorder the full ranking),
+    every truncation tier reproduces the full ranking exactly —
+    overlap 1.0 for all queries and dims."""
+    import flink_template_spark.plans.vectors as V
+
+    rows = []
+    for i in range(24):
+        head = [float((i * j) % 7 + 1) for j in range(8)]
+        rows.append((i, head + [0.0] * 56, 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    monkeypatch.setattr(V, "load_table", lambda s, sd, t: emb)
+    out = V.q_matryoshka_overlap(spark, "x").collect()
+    assert len(out) == len(V._MATRYOSHKA_DIMS) * V._RECALL_NQ
+    low = [r for r in out if r["overlap_frac"] < 1.0]
+    # dims 16/32 include the constant tail; dim 8 is the pure head —
+    # all three must reproduce the full-vector ranking here
+    assert not low, low
+
+
+def test_phrase_search_counts_and_positions(spark, monkeypatch):
+    """Hand-checkable phrase occurrences: overlapping matches count
+    per starting position, first_pos is the earliest."""
+    import flink_template_spark.plans.text_dedup as TD
+
+    docs = spark.createDataFrame(
+        [
+            (1, "table table table fast key scan"),
+            (2, "fast key scan fast key scan"),
+            (3, "nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(TD, "load_table", lambda s, sd, t: docs)
+    got = {
+        (r["phrase"], r["doc_id"]): (r["n_matches"], r["first_pos"])
+        for r in TD.q_phrase_search(spark, "x").collect()
+    }
+    # "table table" at positions 0 and 1 (overlapping) in doc 1
+    assert got[("table table", 1)] == (2, 0)
+    assert got[("fast key scan", 1)] == (1, 3)
+    assert got[("fast key scan", 2)] == (2, 0)
+    assert ("fast key scan", 3) not in got
+
+
+def test_systematic_resample_proportionality(spark, monkeypatch):
+    """A document holding half the total weight receives ~half the
+    picks (floor/ceil of M/2); zero-weight neighbors are never picked."""
+    import flink_template_spark.plans.datapipe as DP
+
+    m = DP._RESAMPLE_M
+    rows = [(1, 500), (2, 100), (3, 100), (4, 100), (5, 100), (6, 100)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    monkeypatch.setattr(DP, "load_table", lambda s, sd, t: docs)
+    got = {r["doc_id"]: r["n_copies"] for r in DP.q_systematic_resample(spark, "x").collect()}
+    assert sum(got.values()) == m
+    assert got[1] == m // 2  # exactly proportional on exact halves
+    for d in (2, 3, 4, 5, 6):
+        assert got[d] == m // 10
