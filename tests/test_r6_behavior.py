@@ -196,3 +196,101 @@ def test_systematic_resample_proportionality(spark, monkeypatch):
     assert got[1] == m // 2  # exactly proportional on exact halves
     for d in (2, 3, 4, 5, 6):
         assert got[d] == m // 10
+
+
+def test_auc_extremes_and_ties(spark, monkeypatch):
+    """Perfect score separation -> AUC 1.0 (or 0.0 reversed); an
+    all-tied score -> exactly 0.5 via midranks; single-class sources
+    are excluded."""
+    import flink_template_spark.plans.quality as Q
+
+    rows = []
+    # source 'sep': every en doc longer than every other doc
+    for i in range(10):
+        rows.append((i, "en" if i < 5 else "de", 1000 + i if i < 5 else i, "sep"))
+    # source 'tie': all scores equal, both classes present
+    for i in range(10):
+        rows.append((100 + i, "en" if i % 2 == 0 else "de", 42, "tie"))
+    # source 'mono': only one class -> must be excluded
+    for i in range(4):
+        rows.append((200 + i, "en", i, "mono"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_chars long, source string"
+    )
+    monkeypatch.setattr(Q, "load_table", lambda s, sd, t: docs)
+    got = {r["source"]: r for r in Q.q_auc_lang_confound(spark, "x").collect()}
+    assert got["sep"]["auc"] == 1.0
+    assert got["tie"]["auc"] == 0.5
+    assert "mono" not in got
+
+
+def test_ks_drift_flags_shifted_source(spark, monkeypatch):
+    """A source whose n_chars distribution is shifted far from the
+    rest carries a near-1 KS statistic; a source drawn identically to
+    the rest stays small."""
+    import flink_template_spark.plans.quality as Q
+
+    # the drifted source is SMALL relative to the corpus so "rest of
+    # corpus" still approximates the in-family distribution for a and b
+    # (a large drifted source legitimately raises everyone's KS — the
+    # statistic is source-vs-rest, not source-vs-family)
+    rows = []
+    for i in range(200):
+        rows.append((i, "a", 100 + (i % 20)))          # in-family
+        rows.append((1000 + i, "b", 100 + ((i * 7) % 20)))  # same family
+    for i in range(20):
+        rows.append((2000 + i, "c", 900 + (i % 20)))   # shifted +800
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    monkeypatch.setattr(Q, "load_table", lambda s, sd, t: docs)
+    got = {r["source"]: r["ks_stat"] for r in Q.q_ks_source_drift(spark, "x").collect()}
+    assert got["c"] == 1.0  # disjoint support: maximal drift
+    assert got["a"] < 0.2 and got["b"] < 0.2
+
+
+def test_content_fingerprint_sensitivity(spark, monkeypatch):
+    """One changed byte in one row flips the XOR fingerprint; a
+    DUPLICATED row pair — invisible to XOR (x^x=0) — is caught by the
+    count and SUM riders. That duplication blindness is exactly why
+    the riders travel with the XOR."""
+    import flink_template_spark.plans.functions_ext as FE
+
+    base = [(i, "en", 10 + i, f"text {i}", "s") for i in range(50)]
+
+    def fp(rows):
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, n_chars long, text string, source string"
+        )
+        monkeypatch.setattr(FE, "load_table", lambda s, sd, t: df)
+        r = FE.q_content_fingerprint(spark, "x").collect()[0]
+        return (r["n_rows"], r["xor_fp"], r["sum_fp"])
+
+    clean = fp(base)
+    flipped = fp([(i, "en", 10 + i, ("TEXT 7" if i == 7 else f"text {i}"), "s") for i in range(50)])
+    assert flipped[1] != clean[1]  # xor catches a single-row change
+
+    dup_pair = fp(base + [base[3], base[3]])  # same row twice more
+    assert dup_pair[1] == clean[1]  # XOR alone is blind to the pair
+    assert dup_pair[0] != clean[0]  # ...but the count rider is not
+    assert dup_pair[2] != clean[2]  # ...and neither is the sum rider
+
+
+def test_labelprop_two_cliques_converge_to_two_communities(spark, monkeypatch):
+    """Two 4-cliques joined by one bridge edge resolve to exactly two
+    communities, each labeled by its clique's minimum node id."""
+    import flink_template_spark.plans.graph as G
+    from pyspark.sql import functions as F
+
+    c1 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a != b]
+    bridge = [(3, 10)]
+    edges = spark.createDataFrame(c1 + c2 + bridge, "src int, dst int")
+    nodes = spark.createDataFrame(
+        [(i,) for i in list(range(4)) + list(range(10, 14))], "n_nationkey int"
+    )
+    monkeypatch.setattr(G, "_trade_edges", lambda s, sd: edges)
+    monkeypatch.setattr(
+        G, "load_table", lambda s, sd, t: nodes
+    )
+    got = {r["community"]: r for r in G.q_labelprop_communities(spark, "x").collect()}
+    assert set(got) == {0, 10}
+    assert got[0]["n_members"] == 4 and got[10]["n_members"] == 4
