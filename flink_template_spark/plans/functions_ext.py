@@ -1247,20 +1247,23 @@ _BOOT_R = 32  # bootstrap replicas (half-sample subsampling)
 def _bootstrap_ci_oracle() -> str:
     from flink_template_spark.functions.hashing import md5int_duckdb
 
+    # replica r membership = bit r of ONE 60-bit row hash (32 bits of
+    # one md5, not 32 md5s — the hash is the scan's dominant cost)
     arms = []
     for r in range(_BOOT_R):
-        h = md5int_duckdb(f"CAST(o_orderkey AS VARCHAR) || ':r{r}'")
+        inc = f"(h >> {r}) & 1 = 0"
         arms.append(
-            f"SUM(CASE WHEN {h} % 2 = 0 THEN cents END) AS s{r},\n"
-            f"  COUNT(CASE WHEN {h} % 2 = 0 THEN 1 END) AS n{r}"
+            f"SUM(CASE WHEN {inc} THEN cents END) AS s{r},\n"
+            f"  COUNT(CASE WHEN {inc} THEN 1 END) AS n{r}"
         )
     unpivot = "\nUNION ALL ".join(
         f"SELECT o_orderpriority, {r} AS rep, s{r} AS s, n{r} AS n FROM g"
         for r in range(_BOOT_R)
     )
+    h60 = md5int_duckdb("CAST(o_orderkey AS VARCHAR)", bits=60)
     return f"""
 WITH base AS (
-  SELECT o_orderkey, o_orderpriority,
+  SELECT o_orderkey, o_orderpriority, {h60} AS h,
          CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS cents
   FROM orders
 ),
@@ -1302,8 +1305,11 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: NO row multiplication — the 32 replicas are 64
     conditional aggregates in the ONE group-by pass (an exploded
-    replica index would scan 32× the data), then `stack` unpivots the
-    replica-sized result (groups × 32 rows). Exactness: prices quantize
+    replica index would scan 32× the data), and all 32 memberships are
+    BITS of one 60-bit row hash (one md5 per row, not 32 — the r6
+    profile showed per-replica hashing dominating the scan); `stack`
+    then unpivots the replica-sized result (groups × 32 rows).
+    Exactness: prices quantize
     to integer cents before summing (partition-order-exact); each
     replica mean is a single correctly-rounded IEEE division of exact
     integers, and the CI uses ORDER STATISTICS of those means —
@@ -1315,16 +1321,16 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint")
+    h60 = md5int_spark("CAST(o_orderkey AS STRING)", bits=60)
     base = orders.select(
-        "o_orderkey", "o_orderpriority", cents.alias("cents")
+        "o_orderpriority", F.expr(h60).alias("h"), cents.alias("cents")
     )
     aggs = [
         F.sum("cents").alias("s_all"),
         F.count(F.lit(1)).alias("n_all"),
     ]
     for r in range(_BOOT_R):
-        h = md5int_spark(f"CONCAT(CAST(o_orderkey AS STRING), ':r{r}')")
-        inc = F.expr(h) % 2 == 0
+        inc = F.expr(f"(h >> {r}) & 1 = 0")
         aggs.append(F.sum(F.when(inc, F.col("cents"))).alias(f"s{r}"))
         aggs.append(F.count(F.when(inc, 1)).alias(f"n{r}"))
     g = base.groupBy("o_orderpriority").agg(*aggs)
