@@ -54,7 +54,8 @@ class SessionLRUMemo:
         self._entry_df = entry_df
         self.cache: "OrderedDict[Any, Any]" = OrderedDict()
         self.lock = threading.Lock()
-        self.key_locks: dict[Any, threading.Lock] = {}
+        # key -> [lock, waiter_refcount] holder (see get_or_build)
+        self.key_locks: dict[Any, list] = {}
 
     def _entry_stopped(self, entry: Any) -> bool:
         """True when the session that built this entry is stopped (its
@@ -88,7 +89,7 @@ class SessionLRUMemo:
                 (next(iter(self.cache)), False),
             )
             entry = self.cache.pop(victim)
-            self.key_locks.pop(victim, None)
+            self._retire_lock_locked(victim)
             self._unpersist_entry(entry)
             if not stopped:
                 warnings.warn(
@@ -104,9 +105,22 @@ class SessionLRUMemo:
         by the bench to force a true cold build per timed sample."""
         with self.lock:
             entry = self.cache.pop(key, None)
-            self.key_locks.pop(key, None)
+            self._retire_lock_locked(key)
         if entry is not None:
             self._unpersist_entry(entry)
+
+    def _retire_lock_locked(self, key: Any) -> None:
+        """Drop ``key``'s lock holder ONLY when no thread is queued on
+        it (caller holds self.lock). Popping a holder with live waiters
+        re-opens the concurrent-rebuild race the refcount exists to
+        close: the waiter proceeds under the old lock while a fresh
+        arrival setdefaults a new one, and the second insert unpersists
+        an entry the first caller is already using (r6 review, second
+        pass). A holder left behind here is retired by get_or_build's
+        finally block once its last waiter drains."""
+        h = self.key_locks.get(key)
+        if h is not None and h[1] <= 0:
+            self.key_locks.pop(key, None)
 
     def get_or_build(self, key: Any, build: Callable[[], Any]) -> Any:
         """Return the cached entry for ``key``, building it (via

@@ -1365,23 +1365,33 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from flink_template_spark.functions.hashing import (  # noqa: E402
-    md5int_duckdb as _md5_duck,
-    md5int_spark as _md5_spark,
-)
-
-_FP_ROW = "CAST(doc_id AS VARCHAR) || '|' || lang || '|' || CAST(n_chars AS VARCHAR) || '|' || text"
-_FP_ROW_SPARK = "CAST(doc_id AS STRING) || '|' || lang || '|' || CAST(n_chars AS STRING) || '|' || text"
+# Null-safe injective row serialization: each field is 'v' || value
+# or the bare 'n' sentinel when NULL (no collision: values always get
+# the 'v' prefix), so rows differing only in NULL fields hash — and
+# therefore fingerprint — differently. Only the LAST field (text) can
+# contain the '|' separator, so field boundaries stay unambiguous.
+def _fp_serial(cast_kw: str) -> str:
+    parts = [
+        f"COALESCE('v' || CAST(doc_id AS {cast_kw}), 'n')",
+        "COALESCE('v' || lang, 'n')",
+        f"COALESCE('v' || CAST(n_chars AS {cast_kw}), 'n')",
+        "COALESCE('v' || text, 'n')",
+    ]
+    return " || '|' || ".join(parts)
 
 
 @register(
     "q_content_fingerprint",
     oracle=f"""
+WITH hx AS (
+  SELECT source, md5({_fp_serial("VARCHAR")}) AS hx FROM documents
+)
 SELECT source,
   CAST(COUNT(*) AS BIGINT) AS n_rows,
-  CAST(BIT_XOR({_md5_duck(_FP_ROW, bits=60)}) AS BIGINT) AS xor_fp,
-  CAST(SUM({_md5_duck(_FP_ROW, bits=32)}) AS BIGINT) AS sum_fp
-FROM documents
+  CAST(BIT_XOR(CAST('0x' || substr(hx, 1, 15) AS BIGINT)) AS BIGINT)
+    AS xor_fp,
+  CAST(SUM(CAST('0x' || substr(hx, 1, 8) AS BIGINT)) AS BIGINT) AS sum_fp
+FROM hx
 GROUP BY source
 ORDER BY source
 """,
@@ -1402,14 +1412,24 @@ def q_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect; XOR/SUM/count all merge, so per-file fingerprints roll up
     to table fingerprints for free."""
     docs = load_table(spark, sf_dir, "documents")
+    # ONE md5 per row: both fingerprints slice prefixes of the same
+    # projected digest (two md5int calls would hash every row twice —
+    # hashing is this operator's dominant cost; r6 review, second pass)
+    hexed = docs.select(
+        "source", F.md5(F.expr(_fp_serial("STRING"))).alias("hx")
+    )
     return (
-        docs.groupBy("source")
+        hexed.groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.expr(f"BIT_XOR({_md5_spark(_FP_ROW_SPARK, bits=60)})")
+            F.expr(
+                "BIT_XOR(CAST(conv(substr(hx, 1, 15), 16, 10) AS BIGINT))"
+            )
             .cast("bigint")
             .alias("xor_fp"),
-            F.sum(F.expr(_md5_spark(_FP_ROW_SPARK, bits=32)))
+            F.sum(
+                F.expr("CAST(conv(substr(hx, 1, 8), 16, 10) AS BIGINT)")
+            )
             .cast("bigint")
             .alias("sum_fp"),
         )

@@ -161,8 +161,8 @@ def swap_base(sketch_dir: str, merged: DataFrame) -> None:
     base = os.path.join(sketch_dir, "base")
     base_old = os.path.join(sketch_dir, "base_old")
     base_new = os.path.join(sketch_dir, "base_new")
-    if os.path.exists(base_new):
-        shutil.rmtree(base_new)  # partial write from a prior crash
+    # a partial base_new from a prior crash needs no explicit cleanup:
+    # mode("overwrite") below replaces the directory wholesale
     merged.repartition(1).write.mode("overwrite").parquet(base_new)
     if os.path.exists(base):
         # a stale base_old is superseded by base (and by merged):

@@ -273,6 +273,14 @@ def test_content_fingerprint_sensitivity(spark, monkeypatch):
     assert dup_pair[0] != clean[0]  # ...but the count rider is not
     assert dup_pair[2] != clean[2]  # ...and neither is the sum rider
 
+    # NULL fields must still fingerprint (a naive '||' concat hashes
+    # to NULL and the row vanishes from every aggregate): two tables
+    # whose NULL-text rows differ must disagree
+    null_a = fp(base[:-1] + [(49, "en", 59, None, "s")])
+    null_b = fp(base[:-1] + [(999, "de", 1, None, "s")])
+    assert null_a[0] == null_b[0] == clean[0]  # same row counts
+    assert null_a[1] != null_b[1]  # xor sees through the NULL field
+
 
 def test_labelprop_two_cliques_converge_to_two_communities(spark, monkeypatch):
     """Two 4-cliques joined by one bridge edge resolve to exactly two
