@@ -1806,11 +1806,18 @@ def q_hellinger_affinity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "source", F.expr(f"{md5int_spark('word')} % {_DSIR_B}").alias("b")
     )
-    cnts = tok.groupBy("source", "b").agg(F.count(F.lit(1)).alias("c"))
     # per-source totals DERIVE from the bucket counts (every token
     # lands in some bucket) — a separate tok.groupBy would re-evaluate
     # the tokenize+hash subtree, scanning the corpus twice (r6 review,
-    # second pass); cnts is the single corpus-proportional pass
+    # second pass). cnts itself feeds two consumers (srcs and the
+    # grid join), so the lazy checkpoint pins the one corpus pass —
+    # the q_table_stats shared-subtree discipline; the pinned table is
+    # only |sources|x256 rows.
+    cnts = (
+        tok.groupBy("source", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     srcs = cnts.groupBy("source").agg(F.sum("c").alias("n"))
     buckets = spark.range(_DSIR_B).select(F.col("id").cast("int").alias("b"))
     grid = (

@@ -3,9 +3,6 @@ the corpus oracle can't see (axioms, planted structures, extremes)."""
 
 from __future__ import annotations
 
-import pytest
-from pyspark.sql import functions as F
-
 
 def test_knn_shapley_efficiency_axiom(spark, monkeypatch):
     """Shapley efficiency: the values over ALL training points sum to
