@@ -1617,7 +1617,12 @@ def q_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     wcum = W.partitionBy("source").orderBy("val").rowsBetween(
         W.unboundedPreceding, 0
     )
-    scum = grid.withColumn("c_s", F.sum("c0").over(wcum))
+    # scum feeds BOTH the global-cumulative rollup and the gap join;
+    # the lazy checkpoint pins the |sources| x |distinct values| grid
+    # so its window pass runs once (shared-subtree discipline)
+    scum = grid.withColumn("c_s", F.sum("c0").over(wcum)).localCheckpoint(
+        eager=False
+    )
     # c_all(val) = sum of the per-source cumulatives — a val-keyed
     # groupBy, NOT a global cumulative window (nothing single-partition
     # anywhere in this plan)

@@ -1598,6 +1598,10 @@ def q_split_fingerprint_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(key).over(wd.rowsBetween(0, WINNOW_W - 1)).alias("minkey"),
         F.count(F.lit(1)).over(W.partitionBy("doc_id")).alias("m"),
     )
+    # fps feeds the shared-hash audit (via sp) AND the contaminated-doc
+    # count; the lazy checkpoint pins the fingerprint table so the
+    # k-gram window pass runs once (shared-subtree discipline) — fps is
+    # fingerprint-sized (~2/(w+1) of token positions), not corpus-sized
     fps = (
         keyed.filter(F.col("pos") <= F.col("m") - WINNOW_W)
         .select(
@@ -1606,8 +1610,9 @@ def q_split_fingerprint_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             split_of("doc_id").alias("split"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    sp = fps.select("split", "h").distinct()
+    sp = fps.select("split", "h").distinct().localCheckpoint(eager=False)
     sa = sp.select(F.col("split").alias("s1"), "h")
     sb = sp.select(F.col("split").alias("s2"), "h")
     shared = (

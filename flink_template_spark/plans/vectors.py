@@ -1830,9 +1830,12 @@ def q_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     decides how far an embedding column can be truncated (4-8x less
     scan + shuffle per retrieval) before ranking quality degrades.
 
-    Scale shape: one query-sample x corpus pass computes ALL tiers
-    (the truncated cosines are prefix folds of the same broadcast
-    row); per-query-partitioned windows, overlap join per (query, k).
+    Scale shape: ONE query-sample x corpus pass computes ALL tiers —
+    the ranked relation chains the full-rank window and one window per
+    truncation tier over the same query partitioning, then explodes a
+    literal (dim, rank) array, so the cosine folds are evaluated once
+    (the first draft derived full-topk and each tier from the pair
+    table separately: 4 evaluations of the corpus pass; r6 audit).
     Exactness: 6-dp-rounded cosines with id tiebreaks — the ANN family
     discipline — so both engines rank identically at every dim."""
     from pyspark.sql import Window as W
@@ -1865,27 +1868,26 @@ def q_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wq = lambda c: W.partitionBy("query_id").orderBy(F.desc(c), "vec_id")
-    full_topk = (
-        pairs.withColumn("rk", F.row_number().over(wq("s_full")))
-        .filter(F.col("rk") <= _MATRYOSHKA_K)
-        .select("query_id", "vec_id")
-    )
-    truncs = None
+    ranked = pairs.withColumn("rk_full", F.row_number().over(wq("s_full")))
     for d in _MATRYOSHKA_DIMS:
-        t = (
-            pairs.withColumn("rk", F.row_number().over(wq(f"s_{d}")))
-            .filter(F.col("rk") <= _MATRYOSHKA_K)
-            .select("query_id", "vec_id", F.lit(d).alias("dim"))
+        ranked = ranked.withColumn(
+            f"rk_{d}", F.row_number().over(wq(f"s_{d}"))
         )
-        truncs = t if truncs is None else truncs.unionByName(t)
+    tiers = F.array(
+        *[
+            F.struct(F.lit(d).alias("dim"), F.col(f"rk_{d}").alias("rk_t"))
+            for d in _MATRYOSHKA_DIMS
+        ]
+    )
     return (
-        full_topk.join(truncs, ["query_id", "vec_id"], "left")
-        .filter(F.col("dim").isNotNull())
-        .groupBy("dim", "query_id")
+        ranked.filter(F.col("rk_full") <= _MATRYOSHKA_K)
+        .select("query_id", F.explode(tiers).alias("t"))
+        .filter(F.col("t.rk_t") <= _MATRYOSHKA_K)
+        .groupBy(F.col("t.dim").alias("dim"), "query_id")
         .agg(
-            F.count("vec_id").cast("bigint").alias("n_overlap"),
+            F.count(F.lit(1)).cast("bigint").alias("n_overlap"),
             F.round(
-                F.count("vec_id").cast("double") / _MATRYOSHKA_K, 6
+                F.count(F.lit(1)).cast("double") / _MATRYOSHKA_K, 6
             ).alias("overlap_frac"),
         )
         .orderBy("dim", "query_id")
