@@ -1442,27 +1442,34 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("embedding"), F.col("__qvec")), 6).alias("s"),
         )
     )
+    # ONE evaluation of the query-sample x corpus pass: tag each pair
+    # with probe membership (index join + left probe join), rank the
+    # full order with row_number, and rank WITHIN the probed subset as
+    # the running SUM of the membership flag over the same total order
+    # — equal to the subset's row_number, without deriving a second
+    # relation from the lazy pair table (the first draft evaluated the
+    # cosine pass twice; r6 audit).
     wq = W.partitionBy("query_id").orderBy(F.desc("s"), "vec_id")
-    exact = (
-        pairs.withColumn("rk", F.row_number().over(wq))
-        .filter(F.col("rk") <= _RECALL_K)
-        .select("query_id", "vec_id")
-    )
-    approx = (
+    wrun = wq.rowsBetween(W.unboundedPreceding, W.currentRow)
+    tagged = (
         pairs.join(index.select("vec_id", "cluster"), "vec_id")
-        .join(probes, ["query_id", "cluster"])
-        .withColumn("rk", F.row_number().over(wq))
-        .filter(F.col("rk") <= _RECALL_K)
-        .select("query_id", "vec_id", F.lit(1).alias("hit"))
+        .join(probes.withColumn("probed", F.lit(1)), ["query_id", "cluster"], "left")
+        .select("query_id", "vec_id", "s", F.coalesce("probed", F.lit(0)).alias("probed"))
     )
+    ranked = (
+        tagged.withColumn("rk_full", F.row_number().over(wq))
+        .withColumn("rk_a", F.sum("probed").over(wrun))
+    )
+    hit = (F.col("probed") == 1) & (F.col("rk_a") <= _RECALL_K)
     return (
-        exact.join(approx, ["query_id", "vec_id"], "left")
+        ranked.filter(F.col("rk_full") <= _RECALL_K)
         .groupBy("query_id")
         .agg(
-            F.count("hit").cast("bigint").alias("n_hit"),
-            F.round(F.count("hit").cast("double") / _RECALL_K, 6).alias(
-                "recall"
-            ),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias("n_hit"),
+            F.round(
+                F.sum(F.when(hit, 1).otherwise(0)).cast("double") / _RECALL_K,
+                6,
+            ).alias("recall"),
         )
         .orderBy("query_id")
     )
