@@ -226,7 +226,8 @@ def test_ann_index_eviction_prefers_stopped_sessions(spark, sf, monkeypatch):
     V._ANN_MEMO.cache[dead_key] = (None, None, _Dead())
     import threading
 
-    V._ANN_MEMO.key_locks.setdefault(dead_key, threading.Lock())
+    # holder format: [lock, waiter_refcount]; 0 waiters -> evictable
+    V._ANN_MEMO.key_locks.setdefault(dead_key, [threading.Lock(), 0])
     with V._ANN_MEMO.lock:
         V._ANN_MEMO.evict_locked()
     # the stopped entry went first; ours survived, still persisted;
