@@ -39,7 +39,16 @@ QUANT_HITS = 10**7
 
 def _sum_normalize(nodes: DataFrame, raw: DataFrame) -> DataFrame:
     """(id, score): raw propagation sums rescaled to total ≈ QUANT_HITS
-    by integral division; nodes with no contribution get exact 0."""
+    by integral division; nodes with no contribution get exact 0.
+
+    The lazy localCheckpoint bounds PLAN growth, not data: ``raw`` is
+    referenced twice per half-round (the total aggregate and the join)
+    and the next half-round builds on this output, so without a
+    lineage cut the logical plan doubles per half-round — 142 scan
+    nodes at n_iter=2, janino-hostile at anything deeper (r6 audit).
+    The checkpointed table is node-sized; eager=False keeps query
+    construction lazy (the bfs/kcore rounds checkpoint eagerly because
+    their loops make per-round scheduling decisions; HITS does not)."""
     total = raw.agg(F.sum("raw").alias("t"))
     return (
         nodes.join(raw, "id", "left")
@@ -51,6 +60,7 @@ def _sum_normalize(nodes: DataFrame, raw: DataFrame) -> DataFrame:
                 F.lit(0).cast("bigint"),
             ).alias("score"),
         )
+        .localCheckpoint(eager=False)
     )
 
 
