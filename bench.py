@@ -136,6 +136,7 @@ EXTENDED = [
     "q_time_decay_sample",
     "q_hellinger_affinity_matrix",
     "q_content_fingerprint",
+    "q_embedding_drift",
 ]
 
 

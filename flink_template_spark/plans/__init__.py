@@ -146,6 +146,7 @@ _MIDDLE: list[str] = [
     "q_time_decay_sample",
     "q_hellinger_affinity_matrix",
     "q_content_fingerprint",
+    "q_embedding_drift",
     # staleness ledger for round 7 (oldest-first): the 4 r2-cohort
     #    names that did not fit the r6 slate, then the r3 cohort (39)
     "q_simhash_hamming_pairs",

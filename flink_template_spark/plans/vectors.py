@@ -1899,3 +1899,131 @@ def q_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim", "query_id")
     )
+
+
+_DRIFT_Q = 10**6  # element / product quantization scale
+
+
+def _embedding_drift_oracle() -> str:
+    from flink_template_spark.functions.hashing import md5int_duckdb
+
+    half = f"{md5int_duckdb('CAST(vec_id AS VARCHAR)')} % 2"
+    return f"""
+WITH elems AS (
+  SELECT label, {half} AS half, d - 1 AS dim,
+    CAST(ROUND(CAST(embedding[d] AS DOUBLE) * {_DRIFT_Q}, 0) AS BIGINT) AS e_q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(d)
+),
+cent AS (
+  SELECT label, half, dim,
+    CAST(SUM(e_q) AS DOUBLE) / COUNT(*) AS c
+  FROM elems GROUP BY label, half, dim
+),
+counts AS (
+  SELECT label, half, COUNT(DISTINCT vec_id) AS n
+  FROM (SELECT label, {half} AS half, vec_id FROM embeddings)
+  GROUP BY label, half
+),
+pairs AS (
+  SELECT a.label,
+    SUM(CAST(ROUND(a.c * b.c / {_DRIFT_Q}, 0) AS BIGINT)) AS dot_q,
+    SUM(CAST(ROUND(a.c * a.c / {_DRIFT_Q}, 0) AS BIGINT)) AS na_q,
+    SUM(CAST(ROUND(b.c * b.c / {_DRIFT_Q}, 0) AS BIGINT)) AS nb_q
+  FROM cent a JOIN cent b
+    ON a.label = b.label AND a.dim = b.dim AND a.half = 0 AND b.half = 1
+  GROUP BY a.label
+)
+SELECT p.label,
+  CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+  ROUND(CAST(p.dot_q AS DOUBLE) / (SQRT(CAST(p.na_q AS DOUBLE))
+        * SQRT(CAST(p.nb_q AS DOUBLE))), 6) AS centroid_cos
+FROM pairs p
+JOIN counts ca ON ca.label = p.label AND ca.half = 0
+JOIN counts cb ON cb.label = p.label AND cb.half = 1
+ORDER BY p.label
+"""
+
+
+@register("q_embedding_drift", oracle=_embedding_drift_oracle())
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-centroid agreement between two disjoint
+    corpus halves (portable hash split of vec_id): centroid_cos near
+    1.0 means the label's embedding distribution is stable across the
+    halves; a drop flags drift — the check an embedding pipeline runs
+    between snapshots (or train/serve feeds) before trusting distance
+    thresholds tuned on the old distribution.
+
+    Determinism discipline: elements quantize to integers BEFORE any
+    aggregation (per-(label, half, dim) integer sums — order-free);
+    each centroid element is one exact-integer division; the cross-
+    half dot/norm accumulations quantize every per-dim product back
+    to an integer before summing (a raw float SUM over dims would be
+    partial-agg-order-dependent), and the final sqrt is IEEE-exact.
+
+    Scale shape: posexplode → (label, half, dim)-keyed integer sums
+    with map-side combine (the only corpus-proportional stage), then
+    everything operates on |labels| x 2 x dims rows. Two snapshots
+    living in different tables would swap the hash-half for a snapshot
+    tag — identical plan."""
+    from flink_template_spark.functions.hashing import md5int_spark
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    half = F.expr(md5int_spark("CAST(vec_id AS STRING)")) % 2
+    elems = emb.select(
+        "label",
+        half.alias("half"),
+        F.posexplode("embedding").alias("dim", "e"),
+    ).select(
+        "label",
+        "half",
+        "dim",
+        F.round(F.col("e").cast("double") * _DRIFT_Q, 0)
+        .cast("bigint")
+        .alias("e_q"),
+    )
+    cent = elems.groupBy("label", "half", "dim").agg(
+        (F.sum("e_q").cast("double") / F.count(F.lit(1))).alias("c")
+    )
+    counts = emb.select("label", half.alias("half"), "vec_id").groupBy(
+        "label", "half"
+    ).agg(F.count_distinct("vec_id").alias("n"))
+    a = cent.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("c").alias("ca")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("c").alias("cb")
+    )
+    q = lambda col: F.round(col / _DRIFT_Q, 0).cast("bigint")
+    pairs = (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.sum(q(F.col("ca") * F.col("cb"))).alias("dot_q"),
+            F.sum(q(F.col("ca") * F.col("ca"))).alias("na_q"),
+            F.sum(q(F.col("cb") * F.col("cb"))).alias("nb_q"),
+        )
+    )
+    ca = counts.filter(F.col("half") == 0).select(
+        "label", F.col("n").alias("n_a")
+    )
+    cb = counts.filter(F.col("half") == 1).select(
+        "label", F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(ca, "label")
+        .join(cb, "label")
+        .select(
+            "label",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("dot_q").cast("double")
+                / (
+                    F.sqrt(F.col("na_q").cast("double"))
+                    * F.sqrt(F.col("nb_q").cast("double"))
+                ),
+                6,
+            ).alias("centroid_cos"),
+        )
+        .orderBy("label")
+    )
