@@ -1981,38 +1981,40 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("e_q"),
     )
-    cent = elems.groupBy("label", "half", "dim").agg(
-        (F.sum("e_q").cast("double") / F.count(F.lit(1))).alias("c")
-    )
-    counts = emb.select("label", half.alias("half"), "vec_id").groupBy(
-        "label", "half"
-    ).agg(F.count_distinct("vec_id").alias("n"))
-    a = cent.filter(F.col("half") == 0).select(
-        "label", "dim", F.col("c").alias("ca")
-    )
-    b = cent.filter(F.col("half") == 1).select(
-        "label", "dim", F.col("c").alias("cb")
-    )
-    q = lambda col: F.round(col / _DRIFT_Q, 0).cast("bigint")
-    pairs = (
-        a.join(b, ["label", "dim"])
-        .groupBy("label")
+    # BOTH halves' centroids come out of ONE (label, dim) aggregate as
+    # conditional sums — splitting a per-half table and re-joining it
+    # would evaluate the posexplode pass once per consumer (the
+    # multi-consumer trap this round's audit kept finding)
+    is0 = F.col("half") == 0
+    cent = (
+        elems.groupBy("label", "dim")
         .agg(
-            F.sum(q(F.col("ca") * F.col("cb"))).alias("dot_q"),
-            F.sum(q(F.col("ca") * F.col("ca"))).alias("na_q"),
-            F.sum(q(F.col("cb") * F.col("cb"))).alias("nb_q"),
+            F.sum(F.when(is0, F.col("e_q"))).alias("s0"),
+            F.count(F.when(is0, 1)).alias("k0"),
+            F.sum(F.when(~is0, F.col("e_q"))).alias("s1"),
+            F.count(F.when(~is0, 1)).alias("k1"),
+        )
+        .filter((F.col("k0") > 0) & (F.col("k1") > 0))
+        .select(
+            "label",
+            (F.col("s0").cast("double") / F.col("k0")).alias("ca"),
+            (F.col("s1").cast("double") / F.col("k1")).alias("cb"),
+            (F.col("k0")).alias("n_a_dim"),
+            (F.col("k1")).alias("n_b_dim"),
         )
     )
-    ca = counts.filter(F.col("half") == 0).select(
-        "label", F.col("n").alias("n_a")
-    )
-    cb = counts.filter(F.col("half") == 1).select(
-        "label", F.col("n").alias("n_b")
+    q = lambda col: F.round(col / _DRIFT_Q, 0).cast("bigint")
+    pairs = cent.groupBy("label").agg(
+        F.sum(q(F.col("ca") * F.col("cb"))).alias("dot_q"),
+        F.sum(q(F.col("ca") * F.col("ca"))).alias("na_q"),
+        F.sum(q(F.col("cb") * F.col("cb"))).alias("nb_q"),
+        # per-dim row counts equal the half's vector count (one elems
+        # row per vector per dim), identical across dims — MAX picks it
+        F.max("n_a_dim").cast("bigint").alias("n_a"),
+        F.max("n_b_dim").cast("bigint").alias("n_b"),
     )
     return (
-        pairs.join(ca, "label")
-        .join(cb, "label")
-        .select(
+        pairs.select(
             "label",
             F.col("n_a").cast("bigint").alias("n_a"),
             F.col("n_b").cast("bigint").alias("n_b"),
