@@ -137,6 +137,7 @@ EXTENDED = [
     "q_hellinger_affinity_matrix",
     "q_content_fingerprint",
     "q_embedding_drift",
+    "q_gate_rates_wilson",
 ]
 
 

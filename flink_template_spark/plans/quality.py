@@ -1855,3 +1855,82 @@ def q_hellinger_affinity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+_WILSON_Z2 = "3.841458820694124"  # z^2 for the 95% interval (z=1.959964...)
+_GATE_MIN_TOKENS = 64  # the minimum-length gate being monitored
+
+
+_WILSON_ORACLE = f"""
+WITH gated AS (
+  SELECT source,
+    CASE WHEN len(string_split(text, ' ')) >= {_GATE_MIN_TOKENS}
+         THEN 1 ELSE 0 END AS pass
+  FROM documents
+),
+agg AS (
+  SELECT source, COUNT(*) AS n, SUM(pass) AS k FROM gated GROUP BY source
+)
+SELECT source,
+  CAST(n AS BIGINT) AS n_docs,
+  CAST(k AS BIGINT) AS n_pass,
+  ROUND(CAST(k AS DOUBLE) / n, 6) AS pass_rate,
+  ROUND((CAST(k AS DOUBLE) / n + {_WILSON_Z2} / (2 * n)
+         - SQRT({_WILSON_Z2}) * SQRT((CAST(k AS DOUBLE) / n)
+             * (1.0 - CAST(k AS DOUBLE) / n) / n
+             + {_WILSON_Z2} / (4.0 * n * n)))
+        / (1.0 + {_WILSON_Z2} / n), 6) AS wilson_lo,
+  ROUND((CAST(k AS DOUBLE) / n + {_WILSON_Z2} / (2 * n)
+         + SQRT({_WILSON_Z2}) * SQRT((CAST(k AS DOUBLE) / n)
+             * (1.0 - CAST(k AS DOUBLE) / n) / n
+             + {_WILSON_Z2} / (4.0 * n * n)))
+        / (1.0 + {_WILSON_Z2} / n), 6) AS wilson_hi
+FROM agg
+ORDER BY source
+"""
+
+
+@register("q_gate_rates_wilson", oracle=_WILSON_ORACLE)
+def q_gate_rates_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source pass rate of a quality gate (minimum-length,
+    >= {_GATE_MIN_TOKENS} tokens) with a Wilson 95% score interval —
+    the statistically honest version of the pass-rate dashboard every
+    curation pipeline watches: a small source's scary-looking rate
+    drop often sits inside its Wilson interval (volume can't support
+    the alarm), while the same drop on a large source is real. Wilson
+    beats the naive normal interval at extreme rates and small n (it
+    never leaves [0, 1]).
+
+    Exactness: n and k are exact integers; every subsequent operation
+    is +,-,*,/ on the identical doubles plus SQRT — all IEEE
+    correctly-rounded, so both engines produce the same bits before
+    the final 6-dp round (the sqrt-not-log discipline from the
+    Hellinger matrix). z^2 is a shared decimal literal.
+
+    Scale shape: one map-side gate evaluation + one source-keyed
+    count/sum with partial combine; the interval math runs on
+    |sources| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    gated = docs.select(
+        "source",
+        F.when(
+            F.size(F.split(F.col("text"), " ")) >= _GATE_MIN_TOKENS, 1
+        ).otherwise(0).alias("pass"),
+    )
+    agg = gated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pass").alias("k")
+    )
+    z2 = F.expr(_WILSON_Z2)
+    n = F.col("n").cast("double")
+    p = F.col("k").cast("double") / n
+    center = p + z2 / (2 * n)
+    half = F.sqrt(z2) * F.sqrt(p * (F.lit(1.0) - p) / n + z2 / (4.0 * n * n))
+    denom = F.lit(1.0) + z2 / n
+    return agg.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("k").cast("bigint").alias("n_pass"),
+        F.round(p, 6).alias("pass_rate"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    ).orderBy("source")
