@@ -136,23 +136,23 @@ def test_cms_compaction_crash_before_epoch_deletion(
     read-everything rule would double-count every folded epoch; the
     sidecar read rule must return the exact counters, and a re-run must
     heal the layout."""
-    import flink_template_spark.streaming.cms_stream as CS
+    import flink_template_spark.streaming.changelog as CL
 
     sk_dir, want = _run_two_epoch_stream(spark, tmp_path, "w1")
 
-    real_rmtree = CS.shutil.rmtree
+    real_rmtree = CL.shutil.rmtree
 
     def crashing_rmtree(p, *a, **kw):
         if "changelog" in str(p) and "epoch=" in str(p):
             raise RuntimeError("simulated crash mid epoch deletion")
         return real_rmtree(p, *a, **kw)
 
-    monkeypatch.setattr(CS.shutil, "rmtree", crashing_rmtree)
+    monkeypatch.setattr(CL.shutil, "rmtree", crashing_rmtree)
     import pytest as _pytest
 
     with _pytest.raises(RuntimeError, match="simulated crash"):
         compact_cms(spark, str(sk_dir))
-    monkeypatch.setattr(CS.shutil, "rmtree", real_rmtree)
+    monkeypatch.setattr(CL.shutil, "rmtree", real_rmtree)
 
     # crash state: merged base + still-on-disk folded epochs
     assert (sk_dir / "base").exists()
@@ -172,6 +172,7 @@ def test_cms_compaction_crash_between_base_renames(
     base_new takes its place: the reader must fall back to base_old's
     counters plus its sidecar's unfolded-epoch rule, and a re-run must
     rebuild and heal."""
+    import flink_template_spark.streaming.changelog as CL
     import flink_template_spark.streaming.cms_stream as CS
 
     sk_dir, want = _run_two_epoch_stream(spark, tmp_path, "w2")
@@ -192,19 +193,19 @@ def test_cms_compaction_crash_between_base_renames(
     want2 = sorted(map(tuple, read_cms(spark, str(sk_dir)).collect()))
     assert want2 != want
 
-    real_rename = CS.os.rename
+    real_rename = CL.os.rename
 
     def crashing_rename(src, dst):
         if str(dst).endswith("base") and str(src).endswith("base_new"):
             raise RuntimeError("simulated crash between base renames")
         return real_rename(src, dst)
 
-    monkeypatch.setattr(CS.os, "rename", crashing_rename)
+    monkeypatch.setattr(CL.os, "rename", crashing_rename)
     import pytest as _pytest
 
     with _pytest.raises(RuntimeError, match="simulated crash"):
         compact_cms(spark, str(sk_dir))
-    monkeypatch.setattr(CS.os, "rename", real_rename)
+    monkeypatch.setattr(CL.os, "rename", real_rename)
 
     # crash state: no base, base_old + base_new + untouched changelog
     assert not (sk_dir / "base").exists()
