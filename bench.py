@@ -138,6 +138,8 @@ EXTENDED = [
     "q_content_fingerprint",
     "q_embedding_drift",
     "q_gate_rates_wilson",
+    "q_event_burstiness",
+    "q_event_correlation_matrix",
 ]
 
 

@@ -710,3 +710,169 @@ def q_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") % _EWMA_SAMPLE == 0)
         .orderBy("event_type", "rn")
     )
+
+
+@register(
+    "q_event_burstiness",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+mo AS (
+  SELECT event_type,
+    COUNT(*) AS n_days, SUM(c) AS s1, SUM(c * c) AS s2
+  FROM daily GROUP BY event_type
+)
+SELECT event_type,
+  CAST(n_days AS BIGINT) AS n_days,
+  CAST(s1 AS BIGINT) AS n_events,
+  ROUND(CAST(s1 AS DOUBLE) / n_days, 6) AS mean_daily,
+  ROUND((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_days)
+        / (n_days - 1) / (CAST(s1 AS DOUBLE) / n_days), 6) AS fano
+FROM mo
+WHERE n_days > 1 AND s1 > 0
+ORDER BY event_type
+""",
+)
+def q_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type burstiness of daily volume: the Fano factor
+    (sample variance of daily counts over their mean). ~1 = Poisson
+    arrivals; >>1 = bursty traffic (campaign spikes, batch re-ingest,
+    scraper storms) — the dispersion diagnostic a pipeline alerting
+    system uses to pick thresholds per metric instead of one global
+    rule.
+
+    Exactness: daily counts are integers, so n, sum, and sum-of-squares
+    are exact bigints; variance and Fano come from a fixed dag of
+    IEEE divisions on those exact values — identical bits cross-engine
+    before the final rounding, no float accumulation anywhere.
+
+    Scale shape: one (type, day)-keyed count with map-side combine
+    (the only corpus-proportional stage) and one type-keyed moment
+    aggregate over day rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    mo = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    n = F.col("n_days").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    mean = s1 / F.col("n_days")
+    var = (s2 - s1 * F.col("s1") / F.col("n_days")) / (F.col("n_days") - 1)
+    return (
+        mo.filter((F.col("n_days") > 1) & (F.col("s1") > 0))
+        .select(
+            "event_type",
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.col("s1").cast("bigint").alias("n_events"),
+            F.round(mean, 6).alias("mean_daily"),
+            F.round(var / mean, 6).alias("fano"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_event_correlation_matrix",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT d FROM daily),
+types AS (SELECT DISTINCT event_type FROM daily),
+grid AS (
+  SELECT t.event_type, dd.d, COALESCE(x.c, 0) AS c
+  FROM types t CROSS JOIN days dd
+  LEFT JOIN daily x ON x.event_type = t.event_type AND x.d = dd.d
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+    COUNT(*) AS n, SUM(a.c) AS sx, SUM(b.c) AS sy,
+    SUM(a.c * b.c) AS sxy, SUM(a.c * a.c) AS sxx, SUM(b.c * b.c) AS syy
+  FROM grid a JOIN grid b
+    ON a.d = b.d AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, CAST(n AS BIGINT) AS n_days,
+  ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+        / (SQRT(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+           * SQRT(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)),
+        6) AS pearson_r
+FROM pairs
+WHERE (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) > 0
+  AND (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) > 0
+ORDER BY type_a, type_b
+""",
+)
+def q_event_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of the event types' daily-volume
+    series (zero-filled to a common day grid) — the metric-correlation
+    matrix an ops team reads to know which signals move together (one
+    incident, many alarms) and which are independent checks.
+
+    Exactness: the day grid makes counts integers everywhere, so all
+    five co-moments are exact bigint sums; Pearson r is a fixed dag of
+    IEEE divisions and sqrts over those exact values — bit-identical
+    cross-engine before rounding. Constant (zero-variance) series are
+    excluded by the same exact test both sides.
+
+    Scale shape: one (day, type)-keyed count (map-side combinable) is
+    the only corpus-proportional stage; the grid and its day-keyed
+    self-join are |days| x |types| rows — time-bounded, not
+    volume-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    # bounded intermediates, multi-consumer: pin once (audit discipline)
+    daily = daily.localCheckpoint(eager=False)
+    days = daily.select("d").distinct()
+    types = daily.select("event_type").distinct()
+    grid = (
+        types.crossJoin(days)
+        .join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type", "d", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = grid.select(
+        F.col("event_type").alias("type_a"), "d", F.col("c").alias("ca")
+    )
+    b = grid.select(
+        F.col("event_type").alias("type_b"), "d", F.col("c").alias("cb")
+    )
+    pairs = (
+        a.join(b, "d")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("ca").alias("sx"),
+            F.sum("cb").alias("sy"),
+            F.sum(F.col("ca") * F.col("cb")).alias("sxy"),
+            F.sum(F.col("ca") * F.col("ca")).alias("sxx"),
+            F.sum(F.col("cb") * F.col("cb")).alias("syy"),
+        )
+    )
+    n = F.col("n")
+    vx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / n
+    vy = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / n
+    cov = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / n
+    return (
+        pairs.filter((vx > 0) & (vy > 0))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n").cast("bigint").alias("n_days"),
+            F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("pearson_r"),
+        )
+        .orderBy("type_a", "type_b")
+    )
