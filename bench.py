@@ -140,6 +140,7 @@ EXTENDED = [
     "q_gate_rates_wilson",
     "q_event_burstiness",
     "q_event_correlation_matrix",
+    "q_theil_sen_trend",
 ]
 
 

@@ -32,14 +32,14 @@ rotates per round so every family accumulates driver-checked entries:
   oracle-green in-session at up to 3 SFs) + the 27 oldest stale greens
   (the round-2 cohort, last driver-checked in round 2). _MIDDLE holds
   the staleness ledger for round 7, in the order round 7 should slate
-  it: FIRST the 26 round-6 additions (never driver-checked; each
+  it: FIRST the 27 round-6 additions (never driver-checked; each
   oracle-green in-session at 3 SFs — drift/eval/valuation audits,
   corpus line dedup, containment join, phrase search, label
   propagation, Hellinger matrix, fingerprints, samplers), THEN the 4
   r2-cohort names that did not fit the r6 slate, then the 39-query r3
   cohort. After a green r6, those 43 r2/r3 names are the only queries
   whose last driver verdict predates round 4 — a 50-slot r7 slate
-  (26 + 24 oldest) finishes the r2 cohort and most of r3.
+  (27 + 23 oldest) finishes the r2 cohort and most of r3.
 """
 
 from flink_template_spark.plans import registry  # noqa: F401
@@ -150,6 +150,7 @@ _MIDDLE: list[str] = [
     "q_gate_rates_wilson",
     "q_event_burstiness",
     "q_event_correlation_matrix",
+    "q_theil_sen_trend",
     # staleness ledger for round 7 (oldest-first): the 4 r2-cohort
     #    names that did not fit the r6 slate, then the r3 cohort (39)
     "q_simhash_hamming_pairs",

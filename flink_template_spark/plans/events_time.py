@@ -876,3 +876,97 @@ def q_event_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "q_theil_sen_trend",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+t0 AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+pts AS (
+  SELECT event_type, date_diff('day', d0, d) AS x, c
+  FROM daily CROSS JOIN t0
+),
+slopes AS (
+  SELECT a.event_type,
+    CAST(b.c - a.c AS DOUBLE) / (b.x - a.x) AS slope
+  FROM pts a JOIN pts b
+    ON a.event_type = b.event_type AND b.x > a.x
+),
+ranked AS (
+  SELECT event_type, slope,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope) AS rk,
+    COUNT(*) OVER (PARTITION BY event_type) AS m
+  FROM slopes
+)
+SELECT event_type,
+  CAST(MAX(m) AS BIGINT) AS n_pairs,
+  ROUND(AVG(slope), 6) AS ts_slope
+FROM ranked
+WHERE rk IN ((m + 1) // 2, m // 2 + 1)
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of each event type's daily volume: the
+    MEDIAN of all pairwise day-to-day slopes — up to ~29% corrupted
+    days (outages, backfill spikes) cannot move it, where an OLS slope
+    chases every outlier. The estimator a traffic-forecast sanity
+    check wants on dirty operational series.
+
+    Exactness: each slope is ONE IEEE division of exact integers
+    (count delta over day delta); the median is an order statistic —
+    rank by value, average the middle one or two — so no float
+    accumulation exists anywhere (the even-count average of two exact
+    doubles is a single correctly-rounded add+halve).
+
+    Scale shape: pairwise slopes are quadratic in DAYS (time-bounded),
+    never in event volume — the (type, day)-keyed count absorbs the
+    corpus; at multi-year horizons the pair join windows per quarter
+    with identical semantics. Slope ranking partitions by type."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    t0 = ev.agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    pts = daily.crossJoin(F.broadcast(t0)).select(
+        "event_type",
+        F.datediff(F.col("d"), F.col("d0")).alias("x"),
+        "c",
+    ).localCheckpoint(eager=False)  # feeds both sides of the pair join
+    a = pts.select("event_type", F.col("x").alias("xa"), F.col("c").alias("ca"))
+    b = pts.select("event_type", F.col("x").alias("xb"), F.col("c").alias("cb"))
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("xb") > F.col("xa"))
+        .select(
+            "event_type",
+            (
+                (F.col("cb") - F.col("ca")).cast("double")
+                / (F.col("xb") - F.col("xa"))
+            ).alias("slope"),
+        )
+    )
+    wt = W.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(wt.orderBy("slope")).alias("rk"),
+        F.count(F.lit(1)).over(wt).alias("m"),
+    )
+    return (
+        ranked.filter(
+            (F.col("rk") == F.expr("(m + 1) DIV 2"))
+            | (F.col("rk") == F.expr("m DIV 2 + 1"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("m").cast("bigint").alias("n_pairs"),
+            F.round(F.avg("slope"), 6).alias("ts_slope"),
+        )
+        .orderBy("event_type")
+    )
