@@ -93,3 +93,58 @@ def test_cusum_fold_reference_behavior():
     # low-side shift mirrors
     s = cusum_fold([90 * SCALE] * 7, mu_s, k_s, h_s)
     assert s[3] == 1 and s[1] == 0
+
+
+def test_cusum_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState state must carry across a checkpointed
+    restart: stop after batch 1, append new data, restart with the
+    SAME checkpoint — the final state equals the one-pass fold over
+    all rows (no reprocessing, no reset)."""
+    in_dir = tmp_path / "in"
+    ckpt = tmp_path / "ckpt"
+    in_dir.mkdir()
+    steady, drifty = _rows()
+    half = len(steady) // 2
+    (in_dir / "a.json").write_text(_lines(steady[:half] + drifty[:half]))
+
+    out_dir = tmp_path / "out"
+
+    def start():
+        # memory sink cannot recover from a checkpoint; foreachBatch
+        # appending the emitted state rows can
+        def sink(batch_df, epoch_id):
+            batch_df.write.mode("append").parquet(str(out_dir))
+
+        stream = spark.readStream.schema(SCHEMA).json(str(in_dir))
+        return (
+            monitor_stream(stream, MU, SLACK, H)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    (in_dir / "b.json").write_text(_lines(steady[half:] + drifty[half:]))
+    q = start()
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    # last emitted row per source = the one with max n_seen
+    got = {}
+    for r in sorted(
+        spark.read.parquet(str(out_dir)).collect(), key=lambda r: r["n_seen"]
+    ):
+        got[r["source"]] = (r["s_hi"], r["s_lo"], r["n_seen"], r["n_alarms"])
+
+    mu_s, k_s, h_s = round(MU * SCALE), round(SLACK * SCALE), round(H * SCALE)
+    for name, rows in (("ok", steady), ("drifty", drifty)):
+        vals = [
+            r["n_chars"] * SCALE
+            for r in sorted(rows, key=lambda r: r["doc_id"])
+        ]
+        assert got[name] == cusum_fold(vals, mu_s, k_s, h_s), name
