@@ -299,3 +299,109 @@ def test_labelprop_two_cliques_converge_to_two_communities(spark, monkeypatch):
     got = {r["community"]: r for r in G.q_labelprop_communities(spark, "x").collect()}
     assert set(got) == {0, 10}
     assert got[0]["n_members"] == 4 and got[10]["n_members"] == 4
+
+
+def _ev_rows(spec):
+    """spec: {event_type: [day0_count, day1_count, ...]} -> event rows."""
+    rows = []
+    eid = 0
+    for et, counts in spec.items():
+        for day, c in enumerate(counts):
+            for _ in range(c):
+                rows.append(
+                    (eid, f"2024-01-{day + 1:02d}T12:00:00", 1, et, 1.0, "{}")
+                )
+                eid += 1
+    return rows
+
+
+def _ev_df(spark, spec):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        _ev_rows(spec),
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    )
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_burstiness_extremes(spark, monkeypatch):
+    """Constant daily volume -> Fano exactly 0; a bursty series
+    (all mass on one day) -> Fano >> 1."""
+    import flink_template_spark.plans.events_time as ET
+
+    ev = _ev_df(
+        spark,
+        {"flat": [5, 5, 5, 5], "bursty": [20, 1, 1, 1]},
+    )
+    monkeypatch.setattr(ET, "load_table", lambda s, sd, t: ev)
+    got = {r["event_type"]: r for r in ET.q_event_burstiness(spark, "x").collect()}
+    assert got["flat"]["fano"] == 0.0
+    # bursty: mean 5.75, var ((20-5.75)^2+3*(1-5.75)^2)/3 = 90.25
+    assert got["bursty"]["fano"] > 10
+
+
+def test_correlation_matrix_extremes(spark, monkeypatch):
+    """Identical series -> r = 1; mirrored series -> r = -1; the grid
+    zero-fills days a type never fired on."""
+    import flink_template_spark.plans.events_time as ET
+
+    ev = _ev_df(
+        spark,
+        {"a": [1, 2, 3, 4], "b": [1, 2, 3, 4], "c": [4, 3, 2, 1]},
+    )
+    monkeypatch.setattr(ET, "load_table", lambda s, sd, t: ev)
+    got = {
+        (r["type_a"], r["type_b"]): r["pearson_r"]
+        for r in ET.q_event_correlation_matrix(spark, "x").collect()
+    }
+    assert got[("a", "b")] == 1.0
+    assert got[("a", "c")] == -1.0
+    assert got[("b", "c")] == -1.0
+
+
+def test_theil_sen_ignores_outlier_day(spark, monkeypatch):
+    """A clean +2/day linear series keeps slope exactly 2.0 even with
+    one wild outlier day injected — the estimator's whole point; OLS
+    on the same data would be far off."""
+    import flink_template_spark.plans.events_time as ET
+
+    clean = [2, 4, 6, 8, 10, 12, 14]
+    spiked = list(clean)
+    spiked[3] = 200  # one corrupted day
+    ev = _ev_df(spark, {"clean": clean, "spiked": spiked})
+    monkeypatch.setattr(ET, "load_table", lambda s, sd, t: ev)
+    got = {r["event_type"]: r["ts_slope"] for r in ET.q_theil_sen_trend(spark, "x").collect()}
+    assert got["clean"] == 2.0
+    assert got["spiked"] == 2.0  # median of pairwise slopes shrugs it off
+
+
+def test_wilson_interval_contains_rate_and_respects_volume(spark, monkeypatch):
+    """The Wilson interval brackets the observed rate, stays inside
+    [0, 1] even at extreme rates, and shrinks with volume."""
+    import flink_template_spark.plans.quality as Q
+
+    long_txt = " ".join(["w"] * 100)
+    short_txt = "w w"
+    rows = []
+    # small source: 3/4 pass; big source: 300/400 pass; all-pass source
+    for i in range(4):
+        rows.append((i, "en", 1, long_txt if i < 3 else short_txt, "small"))
+    for i in range(400):
+        rows.append((100 + i, "en", 1, long_txt if i < 300 else short_txt, "big"))
+    for i in range(50):
+        rows.append((1000 + i, "en", 1, long_txt, "allpass"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_chars long, text string, source string"
+    )
+    monkeypatch.setattr(Q, "load_table", lambda s, sd, t: docs)
+    got = {r["source"]: r for r in Q.q_gate_rates_wilson(spark, "x").collect()}
+    for src in ("small", "big", "allpass"):
+        r = got[src]
+        assert 0.0 <= r["wilson_lo"] <= r["pass_rate"] <= r["wilson_hi"] <= 1.0
+    # same rate, 100x volume -> much tighter interval
+    w_small = got["small"]["wilson_hi"] - got["small"]["wilson_lo"]
+    w_big = got["big"]["wilson_hi"] - got["big"]["wilson_lo"]
+    assert w_big < w_small / 5
+    assert got["allpass"]["wilson_hi"] == 1.0 and got["allpass"]["wilson_lo"] > 0.9
