@@ -1,11 +1,23 @@
 """Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints ONE JSON line to stdout:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 ``value`` is the total wall-clock of all headline queries (each executed
 to completion via a count-collect that forces the full plan without
 pulling rows to the driver).
+
+Record parseability (VERDICT r6 what's-wrong #1): the grading driver
+captures only the LAST 2000 characters of stdout and parses the JSON it
+finds there. Round 6's single line grew past that when the extended set
+hit ~70 queries, so the driver recorded ``"parsed": null`` and the
+headline total was lost from the artifact trail. The contract is now:
+stdout carries EXACTLY ONE compact line — the headline object
+(metric/value/unit/headline per-query walls/trip rate/sf/error names),
+guaranteed to fit the 2000-char tail — while the full record including
+the per-extended-query walls and full error messages is written to
+``bench_extended.json`` next to this file (and echoed to stderr for
+humans running it by hand).
 
 Load-robustness (VERDICT r5 next #3 — the r5 driver headline read +30%
 purely from machine pressure): a single wall sample measures
@@ -257,18 +269,49 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    out = {
+    # Full record -> sidecar file (auditable per-extended-query walls)
+    # + stderr. Compact headline-only record -> stdout, sized to always
+    # fit the driver's 2000-char tail capture (see module docstring).
+    full = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "extended": extended,
+        "extended_total": round(sum(extended.values()), 3),
         "trip_pipeline_events_per_sec": trip_eps,
         "sf": sf_val,
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        full["errors"] = errors
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_extended.json")
+    try:
+        with open(sidecar, "w") as fh:
+            json.dump(full, fh, indent=1)
+    except OSError as exc:  # never let the sidecar kill the record
+        print(f"bench: could not write {sidecar}: {exc}", file=sys.stderr)
+    print(json.dumps(full), file=sys.stderr)
+
+    headline = {
+        "metric": "headline_queries_total_wall",
+        "value": full["value"],
+        "unit": "sec",
+        "queries": timings,
+        "extended_total": full["extended_total"],
+        "extended_n": len(extended),
+        "trip_pipeline_events_per_sec": trip_eps,
+        "sf": sf_val,
+    }
+    if errors:
+        # names only: full messages live in the sidecar; stdout must stay
+        # under the 2000-char tail no matter how many queries error.
+        headline["error_names"] = sorted(errors)[:20]
+        headline["error_count"] = len(errors)
+    line = json.dumps(headline, separators=(",", ":"))
+    if len(line) > 1900:  # belt-and-braces: drop per-query walls before overflowing
+        headline["queries"] = {"_dropped_for_size": len(timings)}
+        line = json.dumps(headline, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

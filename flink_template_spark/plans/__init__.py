@@ -26,20 +26,19 @@ rotates per round so every family accumulates driver-checked entries:
 - round 5 was pure regression assurance (VERDICT r4 next #1): slate =
   the 40 STALEST greens oldest-first + 10 round-4-rebuilt regression
   picks; came back 50/50 green;
-- round 6 (this slate, VERDICT r5 next #1): front the 23 round-5
-  additions that have never received a driver verdict (graph priors,
-  PPJoin, GEMM kNN, KMV, winnowing, sampling/quality gates — all
-  oracle-green in-session at up to 3 SFs) + the 27 oldest stale greens
-  (the round-2 cohort, last driver-checked in round 2). _MIDDLE holds
-  the staleness ledger for round 7, in the order round 7 should slate
-  it: FIRST the 27 round-6 additions (never driver-checked; each
-  oracle-green in-session at 3 SFs — drift/eval/valuation audits,
-  corpus line dedup, containment join, phrase search, label
-  propagation, Hellinger matrix, fingerprints, samplers), THEN the 4
-  r2-cohort names that did not fit the r6 slate, then the 39-query r3
-  cohort. After a green r6, those 43 r2/r3 names are the only queries
-  whose last driver verdict predates round 4 — a 50-slot r7 slate
-  (27 + 23 oldest) finishes the r2 cohort and most of r3.
+- round 6 fronted the 23 round-5 additions + the 27 oldest stale
+  greens (the round-2 cohort); came back 50/50 green — every query the
+  driver has ever checked is green at its latest check;
+- round 7 (this slate, VERDICT r6 next #2): front the 27 round-6
+  additions that have never received a driver verdict
+  (drift/eval/valuation audits, corpus line dedup, containment join,
+  phrase search, label propagation, Hellinger matrix, fingerprints,
+  samplers — all oracle-green in-session at up to 3 SFs) + the 23
+  oldest stale greens (the 4 r2-cohort leftovers, then the r3 cohort
+  oldest-first). _MIDDLE holds the staleness ledger for round 8: any
+  round-7 additions first, then the 20 r3-cohort names that did not
+  fit this slate — after a green r7 those 20 are the only queries
+  whose last driver verdict predates round 4.
 """
 
 from flink_template_spark.plans import registry  # noqa: F401
@@ -61,69 +60,8 @@ from flink_template_spark.plans import graph  # noqa: F401
 
 # First 50 = this round's driver-check slate (see module docstring).
 _PRIORITY = [
-    # -- the 23 round-5 additions: never driver-checked before this
-    #    round (VERDICT r5 next #1) --
-    "q_jaccard_prefix_pairs",
-    "q_pagerank_trade",
-    "q_triangle_participation",
-    "q_random_projection",
-    "q_rendezvous_shards",
-    "q_winnowing_fingerprints",
-    "q_priority_sample",
-    "q_knn_join_gemm",
-    "q_kmv_set_ops",
-    "q_kcore_trade",
-    "q_zorder_layout",
-    "q_ewma_value",
-    "q_sorted_neighborhood_pairs",
-    "q_trustrank_trade",
-    "q_trade_hops",
-    "q_curriculum_order",
-    "q_robust_outlier_fence",
-    "q_bigram_logprob",
-    "q_token_entropy",
-    "q_coreset_greedy",
-    "q_quantile_normalize",
-    "q_table_stats",
-    "q_leakage_safe_split",
-    # -- 27 oldest stale greens: round-2 cohort, last driver-checked
-    #    in round 2 --
-    "q_best_of_cluster",
-    "q_bm25_search",
-    "q_contamination_check",
-    "q_cosine_topk",
-    "q_dedup_events_keep_first",
-    "q_doc_chunks",
-    "q_doc_fingerprints",
-    "q_event_transitions",
-    "q_events_exact_moments",
-    "q_events_sliding_2d_1d",
-    "q_events_tumbling_daily",
-    "q_fuzzy_name_pairs",
-    "q_gapfill_interpolate",
-    "q_json_get",
-    "q_lang_guess_confusion",
-    "q_mixture_rebalance",
-    "q_multimodal_byte_histogram",
-    "q_multimodal_frame_sample",
-    "q_multimodal_resize",
-    "q_ngram_jaccard_pairs",
-    "q_ngram_novelty",
-    "q_quality_scores",
-    "q_range_frame_rolling_7d",
-    "q_repetition_metrics",
-    "q_resample_daily_expr",
-    "q_resample_daily_ffill",
-    "q_retention_cohorts",
-]
-
-# Immediately after the slate, in case the driver checks more than 50:
-# the remaining stale greens, oldest-first (round-2 cohort rest, then
-# the round-3 cohort), so any extra checking always lands on the least
-# recently verified queries.
-_MIDDLE: list[str] = [
-    # round-6 additions: never driver-checked — first in line for the
-    # round-7 slate (oracle-green locally at 3 SFs)
+    # -- the 27 round-6 additions: never driver-checked before this
+    #    round (VERDICT r6 next #2) --
     "q_hits_trade",
     "q_dsir_weights",
     "q_binary_embedding_topk",
@@ -151,8 +89,8 @@ _MIDDLE: list[str] = [
     "q_event_burstiness",
     "q_event_correlation_matrix",
     "q_theil_sen_trend",
-    # staleness ledger for round 7 (oldest-first): the 4 r2-cohort
-    #    names that did not fit the r6 slate, then the r3 cohort (39)
+    # -- 23 oldest stale greens: the 4 r2-cohort leftovers, then the
+    #    r3 cohort oldest-first (VERDICT r6 next #2) --
     "q_simhash_hamming_pairs",
     "q_text_stats_by_lang",
     "q_tfidf_top_terms",
@@ -176,6 +114,15 @@ _MIDDLE: list[str] = [
     "q_array_funcs",
     "q_corr_price_qty",
     "q_map_funcs",
+]
+
+# Immediately after the slate, in case the driver checks more than 50:
+# the staleness ledger for round 8, in the order round 8 should slate
+# it: FIRST any round-7 additions (appended above this comment as they
+# land, never driver-checked), THEN the 20 r3-cohort names that did not
+# fit the r7 slate — after a green r7 these are the only queries whose
+# last driver verdict predates round 4.
+_MIDDLE: list[str] = [
     "q_minhash_signatures",
     "q_multimodal_features",
     "q_multimodal_meta_filter",
