@@ -654,11 +654,22 @@ def containment_prefix_pairs(
     fewer than t*|S_a| of S_a's shingles are OUTSIDE the intersection,
     so among a's first p_a = |S_a| - ceil(t*|S_a|) + 1 shingles at
     least one lies in S_b. Candidates therefore come from a-PREFIX vs
-    b-FULL-SET equi-join on shingle; hot boilerplate shingles sit at
-    the end of the frequency order and never enter a prefix, so the
-    b-side's hot rows never find a matching key — the same
-    hot-shingle-proofness as the Jaccard join, with NO length filter
-    on b (none is sound: b may be arbitrarily larger than a).
+    b-FULL-SET equi-join on shingle, with NO length filter on b (none
+    is sound: b may be arbitrarily larger than a).
+
+    Skew posture (softened per ADVICE r6): hot boilerplate shingles
+    sort to the END of each doc's frequency order, so for a TYPICAL
+    doc — one with at least a prefix-worth of rarer-than-boilerplate
+    shingles — they never enter the prefix and the b-side's hot rows
+    find no matching key. The guarantee is per-document, not global:
+    a doc composed almost entirely of globally-hot shingles has no
+    rarer shingles to fill its prefix, its prefix necessarily carries
+    hot keys, and the join fans out by those shingles' document
+    frequency (a performance cliff, never a correctness one — the
+    verify filter is exact either way). If a corpus has many such
+    boilerplate-only docs, cap the candidate fan-out with a document-
+    frequency ceiling on prefix keys and route the (few) capped docs
+    through the exact docset verify directly.
 
     All threshold math is INTEGER (ceil(t*s) = (t_num*s + t_den - 1)
     DIV t_den; verify filter n_inter * t_den >= t_num * n_a), so the

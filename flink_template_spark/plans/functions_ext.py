@@ -1368,12 +1368,18 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Null-safe injective row serialization: each field is 'v' || value
 # or the bare 'n' sentinel when NULL (no collision: values always get
 # the 'v' prefix), so rows differing only in NULL fields hash — and
-# therefore fingerprint — differently. Only the LAST field (text) can
-# contain the '|' separator, so field boundaries stay unambiguous.
+# therefore fingerprint — differently. Field boundaries stay
+# unambiguous for ANY content: doc_id/n_chars are numeric (can never
+# contain the '|' separator), text is the LAST field (everything after
+# the final separator), and lang — the one free-text interior field —
+# is LENGTH-PREFIXED ('v<len>:<lang>'), so a '|' inside lang cannot
+# shift a boundary (ADVICE r6: without the prefix, lang='en|v7' with
+# n_chars=8 and lang='en' with text='8|…' serialized identically;
+# pinned by test_fp_serial_injective_on_pipe_bearing_lang).
 def _fp_serial(cast_kw: str) -> str:
     parts = [
         f"COALESCE('v' || CAST(doc_id AS {cast_kw}), 'n')",
-        "COALESCE('v' || lang, 'n')",
+        f"COALESCE('v' || CAST(length(lang) AS {cast_kw}) || ':' || lang, 'n')",
         f"COALESCE('v' || CAST(n_chars AS {cast_kw}), 'n')",
         "COALESCE('v' || text, 'n')",
     ]

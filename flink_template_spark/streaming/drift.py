@@ -84,7 +84,7 @@ def _monitor_fn(mu_scaled: int, slack_scaled: int, h_scaled: int):
         # deterministic within-batch order: replays fold identically
         rows = rows.sort_values("order_key", kind="mergesort")
         cur = cusum_fold(
-            [int(v) * SCALE for v in rows["value"]],
+            [int(v) for v in rows["value"]],  # pre-scaled in monitor_stream
             mu_scaled,
             slack_scaled,
             h_scaled,
@@ -117,13 +117,19 @@ def monitor_stream(
 ) -> DataFrame:
     """Keyed streaming CUSUM: emits each source's updated
     (n_seen, s_hi, s_lo, n_alarms) once per micro-batch it appears in
-    (update mode). ``mu``/``slack``/``h`` are quantized to the fixed
-    SCALE once here; all downstream arithmetic is integer."""
+    (update mode). ``mu``/``slack``/``h`` AND the value column are all
+    quantized to the fixed SCALE here — scale-then-round, so a
+    fractional value column keeps its centi-precision like the
+    reference parameters do (ADVICE r6: the old cast-to-long-THEN-scale
+    floor-truncated fractional values while mu kept its decimals);
+    all downstream arithmetic is integer."""
     from pyspark.sql import functions as F
 
     keyed = stream.select(
         F.col(key_col).alias("source"),
-        F.col(value_col).cast("long").alias("value"),
+        F.round(F.col(value_col).cast("double") * SCALE)
+        .cast("long")
+        .alias("value"),
         F.col(order_col).cast("long").alias("order_key"),
     ).groupBy("source")
     return keyed.applyInPandasWithState(

@@ -95,6 +95,41 @@ def test_cusum_fold_reference_behavior():
     assert s[3] == 1 and s[1] == 0
 
 
+def test_cusum_fractional_values_keep_centi_precision(spark, tmp_path):
+    """ADVICE r6: a fractional value column must be scaled THEN
+    rounded, not floor-truncated to long before the ×SCALE. A steady
+    +0.6 offset over mu is invisible under truncation (0.6 floors to
+    0) but accumulates 60-slack per step once centi-precision is kept;
+    with slack=0.1 and h=30 it must alarm within 120 rows."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    rows = [
+        {"doc_id": i, "source": "frac", "n_chars": 100.6} for i in range(120)
+    ]
+    (in_dir / "a.json").write_text(_lines(rows))
+
+    stream = spark.readStream.schema(
+        "doc_id LONG, source STRING, n_chars DOUBLE"
+    ).json(str(in_dir))
+    q = (
+        monitor_stream(stream, 100.0, 0.1, 30.0)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cusum_frac")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM cusum_frac").collect()[0]
+
+    vals = [round(100.6 * SCALE)] * 120  # = 10060, not 10000
+    exp = cusum_fold(
+        vals, round(100.0 * SCALE), round(0.1 * SCALE), round(30.0 * SCALE)
+    )
+    assert (got["s_hi"], got["s_lo"], got["n_seen"], got["n_alarms"]) == exp
+    assert exp[3] >= 1  # the fractional drift actually alarms
+
+
 def test_cusum_state_survives_restart(spark, tmp_path):
     """applyInPandasWithState state must carry across a checkpointed
     restart: stop after batch 1, append new data, restart with the

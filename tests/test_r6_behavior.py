@@ -279,6 +279,74 @@ def test_content_fingerprint_sensitivity(spark, monkeypatch):
     assert null_a[1] != null_b[1]  # xor sees through the NULL field
 
 
+def test_fp_serial_injective_on_pipe_bearing_lang(spark, monkeypatch):
+    """ADVICE r6: serialization injectivity must survive a '|' inside
+    the interior free-text field. Under the unprefixed scheme,
+    (1,'en|v7',8,'T') and (1,'en',7,'8|vT') concatenated to the SAME
+    string (the '|' in lang forged the lang/n_chars boundary), so both
+    engines fingerprinted two different tables identically — the exact
+    corruption the query exists to catch. The length prefix on lang
+    makes boundaries parseable for any content; pin the forged pair
+    apart, in Spark AND in the DuckDB oracle side."""
+    import duckdb
+
+    import flink_template_spark.plans.functions_ext as FE
+
+    def fp(row):
+        df = spark.createDataFrame(
+            [row], "doc_id long, lang string, n_chars long, text string, source string"
+        )
+        monkeypatch.setattr(FE, "load_table", lambda s, sd, t: df)
+        r = FE.q_content_fingerprint(spark, "x").collect()[0]
+        return (r["xor_fp"], r["sum_fp"])
+
+    forged_a = (1, "en|v7", 8, "T", "s")
+    forged_b = (1, "en", 7, "8|vT", "s")
+    assert fp(forged_a) != fp(forged_b)
+
+    # the oracle side serializes identically (cross-engine parity on
+    # the adversarial rows, not just the corpus)
+    con = duckdb.connect()
+    expr = FE._fp_serial("VARCHAR")
+    ha = con.execute(
+        f"SELECT md5({expr}) FROM (SELECT 1 AS doc_id, 'en|v7' AS lang,"
+        " 8 AS n_chars, 'T' AS text)"
+    ).fetchone()[0]
+    hb = con.execute(
+        f"SELECT md5({expr}) FROM (SELECT 1 AS doc_id, 'en' AS lang,"
+        " 7 AS n_chars, '8|vT' AS text)"
+    ).fetchone()[0]
+    assert ha != hb
+
+
+def test_line_dedup_rejects_out_of_range_doc_id(spark, monkeypatch):
+    """ADVICE r6: the packed dedup key is order-preserving only for
+    0 <= doc_id < 2^31; a larger id used to alias/overflow SILENTLY and
+    corrupt which occurrence wins MIN. The guard must fail the job
+    loudly instead — and leave in-range corpora untouched."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    import flink_template_spark.plans.text_dedup as TD
+
+    def run(doc_ids):
+        df = spark.createDataFrame(
+            [(i, "a b c d e f g h a b") for i in doc_ids],
+            "doc_id long, text string",
+        )
+        monkeypatch.setattr(TD, "load_table", lambda s, sd, t: df)
+        return TD.q_line_dedup_corpus(spark, "x").collect()
+
+    ok = run([1, 2])
+    assert [r["doc_id"] for r in ok] == [1, 2]
+    assert ok[1]["n_removed"] == 2  # doc 2's both segments are dups of doc 1
+
+    with pytest.raises(SparkRuntimeException, match="doc_id out of key range"):
+        run([1, 1 << 31])
+    with pytest.raises(SparkRuntimeException, match="doc_id out of key range"):
+        run([-5])
+
+
 def test_labelprop_two_cliques_converge_to_two_communities(spark, monkeypatch):
     """Two 4-cliques joined by one bridge edge resolve to exactly two
     communities, each labeled by its clique's minimum node id."""

@@ -12,42 +12,47 @@ def test_priority_slate_shape():
     names = list(plans.QUERIES)
     assert len(names) == len(set(names))
     first50 = set(names[:50])
-    # round-6 rotation: ALL 23 round-5 additions (never driver-checked
+    # round-7 rotation: ALL 27 round-6 additions (never driver-checked
     # before this round — the round's capability claim)
     for q in (
-        "q_jaccard_prefix_pairs",
-        "q_pagerank_trade",
-        "q_triangle_participation",
-        "q_random_projection",
-        "q_rendezvous_shards",
-        "q_winnowing_fingerprints",
-        "q_priority_sample",
-        "q_knn_join_gemm",
-        "q_kmv_set_ops",
-        "q_kcore_trade",
-        "q_zorder_layout",
-        "q_ewma_value",
-        "q_sorted_neighborhood_pairs",
-        "q_trustrank_trade",
-        "q_trade_hops",
-        "q_curriculum_order",
-        "q_robust_outlier_fence",
-        "q_bigram_logprob",
-        "q_token_entropy",
-        "q_coreset_greedy",
-        "q_quantile_normalize",
-        "q_table_stats",
-        "q_leakage_safe_split",
+        "q_hits_trade",
+        "q_dsir_weights",
+        "q_binary_embedding_topk",
+        "q_bootstrap_ci",
+        "q_stupid_backoff",
+        "q_recursive_chain_rollup",
+        "q_ks_source_drift",
+        "q_line_dedup_corpus",
+        "q_containment_pairs",
+        "q_ann_recall_eval",
+        "q_auc_lang_confound",
+        "q_knn_shapley",
+        "q_davies_bouldin",
+        "q_systematic_resample",
+        "q_length_bucket_efficiency",
+        "q_matryoshka_overlap",
+        "q_split_fingerprint_leakage",
+        "q_phrase_search",
+        "q_labelprop_communities",
+        "q_time_decay_sample",
+        "q_hellinger_affinity_matrix",
+        "q_content_fingerprint",
+        "q_embedding_drift",
+        "q_gate_rates_wilson",
+        "q_event_burstiness",
+        "q_event_correlation_matrix",
+        "q_theil_sen_trend",
     ):
         assert q in first50, q
-    # oldest-stale fill: round-2 cohort representatives
+    # oldest-stale fill: the 4 r2-cohort leftovers + r3 representatives
     for q in (
-        "q_best_of_cluster",
-        "q_cosine_topk",
-        "q_events_sliding_2d_1d",
-        "q_multimodal_resize",
-        "q_ngram_jaccard_pairs",
-        "q_retention_cohorts",
+        "q_simhash_hamming_pairs",
+        "q_text_stats_by_lang",
+        "q_tfidf_top_terms",
+        "q_vocab_build",
+        "q2_min_price_parts",
+        "q22_idle_rich_customers",
+        "q_map_funcs",
     ):
         assert q in first50, q
 
