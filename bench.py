@@ -153,6 +153,15 @@ EXTENDED = [
     "q_event_burstiness",
     "q_event_correlation_matrix",
     "q_theil_sen_trend",
+    # round-7 additions: CDC chunk dedup, collocation lift, vocab
+    # coverage curve, MRR retrieval eval, zone-map skip audit, MMR
+    # diversified rerank
+    "q_cdc_chunk_dedup",
+    "q_bigram_lift",
+    "q_vocab_coverage",
+    "q_mrr_eval",
+    "q_shard_zonemap",
+    "q_mmr_rerank",
 ]
 
 

@@ -123,6 +123,15 @@ _PRIORITY = [
 # fit the r7 slate — after a green r7 these are the only queries whose
 # last driver verdict predates round 4.
 _MIDDLE: list[str] = [
+    # round-7 additions: never driver-checked (oracle-green locally at
+    # 2+ SFs) — first in line for the round-8 slate
+    "q_cdc_chunk_dedup",
+    "q_bigram_lift",
+    "q_vocab_coverage",
+    "q_mrr_eval",
+    "q_shard_zonemap",
+    "q_mmr_rerank",
+    # r3-cohort remainder (oldest stale after a green r7)
     "q_minhash_signatures",
     "q_multimodal_features",
     "q_multimodal_meta_filter",

@@ -976,3 +976,132 @@ def q_time_decay_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("age_wk")
     )
+
+
+_ZM_SHARDS = 32
+_ZM_LO = "1997-01-01"  # audited predicate: one quarter, half-open
+_ZM_HI = "1997-04-01"
+
+
+def _zonemap_oracle() -> str:
+    h = md5int_duckdb("CAST(o_orderkey AS VARCHAR)")
+    return f"""
+WITH hash_shards AS (
+  SELECT ({h}) % {_ZM_SHARDS} AS shard, o_orderdate FROM orders
+),
+range_shards AS (
+  SELECT ((ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) - 1)
+          * {_ZM_SHARDS}) // (SELECT COUNT(*) FROM orders) AS shard,
+         o_orderdate
+  FROM orders
+),
+both_layouts AS (
+  SELECT 'hash' AS layout, shard, o_orderdate FROM hash_shards
+  UNION ALL
+  SELECT 'range' AS layout, shard, o_orderdate FROM range_shards
+),
+zonemaps AS (
+  SELECT layout, shard, MIN(o_orderdate) AS zmin, MAX(o_orderdate) AS zmax,
+         COUNT(*) AS n_rows
+  FROM both_layouts GROUP BY layout, shard
+)
+SELECT layout,
+  CAST(COUNT(*) AS BIGINT) AS n_shards,
+  CAST(SUM(CASE WHEN zmax < TIMESTAMP '{_ZM_LO}'
+                  OR zmin >= TIMESTAMP '{_ZM_HI}'
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_skippable,
+  CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+  CAST(SUM(CASE WHEN zmax < TIMESTAMP '{_ZM_LO}'
+                  OR zmin >= TIMESTAMP '{_ZM_HI}'
+            THEN n_rows ELSE 0 END) AS BIGINT) AS rows_skipped,
+  ROUND(CAST(SUM(CASE WHEN zmax < TIMESTAMP '{_ZM_LO}'
+                        OR zmin >= TIMESTAMP '{_ZM_HI}'
+                  THEN n_rows ELSE 0 END) AS DOUBLE)
+        / CAST(SUM(n_rows) AS DOUBLE), 6) AS frac_rows_skipped
+FROM zonemaps
+GROUP BY layout
+ORDER BY layout
+"""
+
+
+@register("q_shard_zonemap", oracle=_zonemap_oracle())
+def q_shard_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (data-skipping) effectiveness audit: lay ``orders`` out
+    into {_ZM_SHARDS} shards two ways — hash-sharded (the naive layout)
+    and date-range-sharded (the clustered layout q_zorder_layout
+    generalizes) — build each shard's min/max zone map on the filter
+    column, and report how many shards (and rows) a quarter-range
+    predicate could SKIP from manifest stats alone. This is the number
+    a 100 TB table layout decision is actually made on: hash layouts
+    read everything (every shard's [min,max] spans the full history),
+    range layouts skip ~15/16 of the data for a one-quarter scan —
+    the audit quantifies it instead of asserting it.
+
+    Scale shape: zone maps are a per-shard MIN/MAX/COUNT partial agg
+    (manifest-sized output, {_ZM_SHARDS} rows per layout); the range
+    layout's shard assignment uses the two-pass range-partitioned rank
+    (operators.rank_global) — no single-partition data window; the
+    1-row total count rides as a broadcast crossJoin. The skip test is
+    pure zone-map arithmetic, exactly what an engine's manifest pruner
+    evaluates — no data re-scan."""
+    from flink_template_spark.operators.rank_global import with_global_ranks
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    hash_shards = orders.select(
+        F.lit("hash").alias("layout"),
+        (F.expr(md5int_spark("CAST(o_orderkey AS STRING)")) % _ZM_SHARDS).alias(
+            "shard"
+        ),
+        "o_orderdate",
+    )
+    n_rows = orders.agg(F.count(F.lit(1)).alias("__n"))
+    range_shards = (
+        with_global_ranks(
+            orders,
+            [(F.col("o_orderdate"), True)],
+            tiebreak=["o_orderkey"],
+            row_number_col="rn",
+        )
+        .crossJoin(F.broadcast(n_rows))
+        .select(
+            F.lit("range").alias("layout"),
+            ((F.col("rn") - 1) * _ZM_SHARDS / F.col("__n"))
+            .cast("bigint")
+            .alias("shard"),
+            "o_orderdate",
+        )
+    )
+    zonemaps = (
+        hash_shards.unionByName(range_shards)
+        .groupBy("layout", "shard")
+        .agg(
+            F.min("o_orderdate").alias("zmin"),
+            F.max("o_orderdate").alias("zmax"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    skip = (F.col("zmax") < F.lit(_ZM_LO).cast("timestamp")) | (
+        F.col("zmin") >= F.lit(_ZM_HI).cast("timestamp")
+    )
+    return (
+        zonemaps.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+            F.sum(F.when(skip, 1).otherwise(0)).cast("bigint").alias("n_skippable"),
+            F.sum("n_rows").cast("bigint").alias("rows_total"),
+            F.sum(F.when(skip, F.col("n_rows")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_skipped"),
+        )
+        .withColumn(
+            "frac_rows_skipped",
+            F.round(
+                F.col("rows_skipped").cast("double")
+                / F.col("rows_total").cast("double"),
+                6,
+            ),
+        )
+        .orderBy("layout")
+    )

@@ -1934,3 +1934,180 @@ def q_gate_rates_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("wilson_lo"),
         F.round((center + half) / denom, 6).alias("wilson_hi"),
     ).orderBy("source")
+
+
+_LIFT_MIN_C12 = 5  # collocation min support: kill one-off noise pairs
+_LIFT_TOP = 25
+
+
+@register(
+    "q_bigram_lift",
+    oracle=f"""
+WITH tok AS MATERIALIZED (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+uni AS MATERIALIZED (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+n_uni AS (SELECT CAST(SUM(c) AS BIGINT) AS nu FROM uni),
+big AS MATERIALIZED (
+  SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+  FROM (
+    SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+    FROM (SELECT string_split(text, ' ') AS w FROM documents)
+  )
+),
+bc AS MATERIALIZED (
+  SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2
+),
+n_bi AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM big)
+SELECT b.w1, b.w2, CAST(b.c12 AS BIGINT) AS c12,
+  ROUND((CAST(b.c12 AS DOUBLE) / CAST(nb AS DOUBLE))
+        * (CAST(nu AS DOUBLE) / CAST(u1.c AS DOUBLE))
+        * (CAST(nu AS DOUBLE) / CAST(u2.c AS DOUBLE)), 6) AS lift
+FROM bc b
+JOIN uni u1 ON b.w1 = u1.w
+JOIN uni u2 ON b.w2 = u2.w
+CROSS JOIN n_uni CROSS JOIN n_bi
+WHERE b.c12 >= {_LIFT_MIN_C12}
+ORDER BY lift DESC, b.w1, b.w2
+LIMIT {_LIFT_TOP}
+""",
+)
+def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the top-{_LIFT_TOP} adjacent token pairs by
+    LIFT = P(w1 w2) / (P(w1)·P(w2)) with minimum support
+    {_LIFT_MIN_C12} — the association-strength complement of
+    q_bigram_logprob's LM view (logprob asks "is this transition
+    plausible"; lift asks "do these two tokens co-occur far above
+    chance", the multi-word-expression / template-phrase detector a
+    tokenizer or n-gram vocabulary builder runs first).
+
+    Float discipline: lift is computed as three IEEE-exact divisions
+    and two multiplications in a FIXED parenthesization —
+    (c12/N_bi)·(N_uni/c1)·(N_uni/c2) — identical text in both engines,
+    so every intermediate is correctly-rounded-identical and the final
+    6-dp round agrees bit-for-bit (no transcendentals: lift, not PMI's
+    log, exactly the sqrt-over-log Hellinger discipline). A bigint
+    product form would overflow at corpus scale (c1·c2·N_bi can pass
+    2^63), which is why the division form is the scale-safe one.
+
+    Scale shape: one tokenization pass feeds the unigram table; one
+    lag-window pass feeds the bigram table; both count tables are
+    Zipf-small; the two unigram joins hash on the token; the global
+    top-{_LIFT_TOP} is TakeOrderedAndProject (no global sort). The
+    1-row totals ride along as broadcast crossJoins."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+    )
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n_uni = uni.agg(F.sum("c").cast("bigint").alias("nu"))
+    w_lead = W.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.select(
+            "doc_id",
+            F.col("w").alias("w1"),
+            F.lead("w", 1).over(w_lead).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .select("w1", "w2")
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    n_bi = bc.agg(F.sum("c12").cast("bigint").alias("nb"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    lift = (
+        (F.col("c12").cast("double") / F.col("nb").cast("double"))
+        * (F.col("nu").cast("double") / F.col("c1").cast("double"))
+        * (F.col("nu").cast("double") / F.col("c2").cast("double"))
+    )
+    return (
+        bc.filter(F.col("c12") >= _LIFT_MIN_C12)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("c12"),
+            F.round(lift, 6).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(_LIFT_TOP)
+    )
+
+
+_COVERAGE_KS = [100, 1000, 10000]  # candidate vocabulary sizes
+
+
+@register(
+    "q_vocab_coverage",
+    oracle=f"""
+WITH tok AS MATERIALIZED (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+uni AS MATERIALIZED (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM uni),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rn FROM uni
+),
+ks AS (SELECT unnest([{", ".join(str(k) for k in _COVERAGE_KS)}]) AS k)
+SELECT CAST(k AS BIGINT) AS k,
+  CAST(COUNT(r.rn) AS BIGINT) AS n_vocab,
+  CAST(COALESCE(SUM(r.c), 0) AS BIGINT) AS covered,
+  ROUND(CAST(COALESCE(SUM(r.c), 0) AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+    AS coverage
+FROM ks LEFT JOIN ranked r ON r.rn <= ks.k
+CROSS JOIN tot
+GROUP BY k, n_total
+ORDER BY k
+""",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: for each candidate vocab size k in
+    {_COVERAGE_KS}, what fraction of ALL corpus tokens the k most
+    frequent types cover — the first number a tokenizer design reads
+    (it decides vocab size vs UNK/byte-fallback rate, and per-source
+    versions of it decide which corpora need byte-level coverage).
+
+    Scale shape: the corpus collapses to the Zipf-small type table in
+    one hash aggregation; ranking the TYPE table by frequency uses the
+    two-pass range-partitioned rank (operators.rank_global) — no
+    single-partition data-sized window; the k-thresholds then join the
+    ranked types with a broadcast nested loop over |Ks| literal rows.
+    The only unpartitioned window is rank_global's per-partition
+    offset table (≤ shuffle-partition-count rows, the audited bounded
+    pattern). coverage is one exact-decimal-to-double division,
+    6-dp rounded."""
+    from flink_template_spark.operators.rank_global import with_global_ranks
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.sum("c").cast("bigint").alias("n_total"))
+    ranked = with_global_ranks(
+        uni, [(F.col("c"), False)], tiebreak=["w"], row_number_col="rn"
+    ).localCheckpoint(eager=False)
+    ks = spark.createDataFrame([(k,) for k in _COVERAGE_KS], "k int")
+    return (
+        F.broadcast(ks)
+        .join(ranked, ranked["rn"] <= ks["k"], "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k", "n_total")
+        .agg(
+            F.count("rn").cast("bigint").alias("n_vocab"),
+            F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("covered"),
+        )
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            "n_vocab",
+            "covered",
+            F.round(
+                F.col("covered").cast("double") / F.col("n_total").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )

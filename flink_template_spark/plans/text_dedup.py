@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from flink_template_spark.functions.hashing import (
     LSH_BANDS,
+    MERSENNE_P,
     NUM_HASHES,
     ROWS_PER_BAND,
     md5int_duckdb,
@@ -1805,4 +1806,199 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("first_pos").cast("bigint").alias("first_pos"),
         )
         .orderBy("phrase", "doc_id")
+    )
+
+
+# --- Content-defined chunking (CDC) dedup ---------------------------------
+#
+# The storage-level dedup primitive (LBFS/Venti lineage, the algorithm
+# under every dedup filesystem and chunked blob store): chunk
+# boundaries are declared where a rolling hash of the last _CDC_W
+# tokens hits 0 mod _CDC_D, so boundaries are CONTENT-ANCHORED — an
+# insertion near the top of a document shifts byte offsets but the
+# downstream chunk boundaries re-synchronize, and every unshifted
+# chunk still dedups (fixed-size blocks lose all alignment after one
+# insertion; that resilience is CDC's whole reason to exist).
+#
+# Portable arithmetic: token hash = md5int32, window hash =
+# (Σ th_{i-j}·B^j) mod P over the last _CDC_W positions with
+# P = 2^31-1 and B^j reduced mod P (every product < 2^62, every sum
+# < 2^33 — no bigint overflow in either engine).
+_CDC_W = 4  # rolling window (tokens)
+_CDC_D = 8  # boundary divisor -> expected chunk length ~ _CDC_D tokens
+_CDC_B = 1000003
+_CDC_P = MERSENNE_P
+_CDC_BPOW = [pow(_CDC_B, j, _CDC_P) for j in range(_CDC_W)]  # B^0..B^3 mod P
+
+
+def _cdc_whash_sql(th_terms: list[str]) -> str:
+    """Dialect-neutral window hash: ``th_terms[j]`` is the SQL for the
+    token hash j positions back (j=0 is the current token)."""
+    parts = [
+        f"((({t}) % {_CDC_P}) * {_CDC_BPOW[j]}) % {_CDC_P}"
+        for j, t in enumerate(th_terms)
+    ]
+    return f"({' + '.join(parts)}) % {_CDC_P}"
+
+
+def _cdc_oracle() -> str:
+    th = md5int_duckdb("w[i]")
+    whash = _cdc_whash_sql(
+        ["th"] + [f"lag(th, {j}) OVER win" for j in range(1, _CDC_W)]
+    )
+    chash = md5int_duckdb("ctext", bits=60)
+    return f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, source, i - 1 AS pos, w[i] AS token, {th} AS th
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+       unnest(range(1, len(w) + 1)) AS t(i)
+),
+hashed AS (
+  SELECT doc_id, source, pos, token,
+    CASE WHEN pos >= {_CDC_W - 1} THEN {whash} END AS whash
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+flagged AS (
+  SELECT doc_id, source, pos, token,
+    COALESCE(SUM(CASE WHEN whash % {_CDC_D} = 0 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS chunk_idx
+  FROM hashed
+),
+chunks AS MATERIALIZED (
+  SELECT doc_id, source, chunk_idx,
+    string_agg(token, ' ' ORDER BY pos) AS ctext
+  FROM flagged GROUP BY doc_id, source, chunk_idx
+),
+keyed AS (
+  SELECT source, len(ctext) AS clen, {chash} AS chash,
+    doc_id * {1 << 31} + chunk_idx AS key
+  FROM chunks
+),
+firsts AS (
+  SELECT chash, MIN(key) AS min_key FROM keyed GROUP BY chash
+)
+SELECT k.source,
+  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+  CAST(SUM(CASE WHEN k.key = f.min_key THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_first,
+  CAST(SUM(k.clen) AS BIGINT) AS chars_total,
+  CAST(SUM(CASE WHEN k.key = f.min_key THEN k.clen ELSE 0 END) AS BIGINT)
+    AS chars_first,
+  ROUND(CAST(SUM(CASE WHEN k.key = f.min_key THEN k.clen ELSE 0 END) AS DOUBLE)
+        / CAST(SUM(k.clen) AS DOUBLE), 6) AS store_ratio
+FROM keyed k JOIN firsts f ON k.chash = f.chash
+GROUP BY k.source
+ORDER BY k.source
+"""
+
+
+@register("q_cdc_chunk_dedup", oracle=_cdc_oracle())
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup audit per source: chunk every
+    document at rolling-hash anchors (see the module comment above
+    _CDC_W), identify each chunk's global first occurrence, and report
+    what fraction of each source's characters a chunk store would
+    actually persist (store_ratio = chars_first / chars_total) — the
+    storage-dedup complement of q_line_dedup_corpus's fixed-stride
+    segments: CDC boundaries survive insertions, so shifted copies of
+    shared passages still dedup.
+
+    Scale shape: per-doc lag windows (doc-partitioned, never global);
+    the chunk table shuffles 60-bit chunk HASHES (never chunk text)
+    into one hash-agg for first-occurrence MIN (map-side combinable)
+    plus one equi-join back; per-source stats are a partial-agg
+    rollup. First-occurrence key packing reuses the guarded
+    doc_id·2^31+idx encoding (assert_true on the doc_id range, as in
+    q_line_dedup_corpus; chunk_idx < 2^31 is structural — a chunk
+    index that large needs a single multi-billion-token document)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"),
+    ).withColumn("th", F.expr(md5int_spark("token")))
+    win = W.partitionBy("doc_id").orderBy("pos")
+    whash = F.expr(
+        _cdc_whash_sql(["th"] + [f"__th{j}" for j in range(1, _CDC_W)])
+    )
+    hashed = tok.select(
+        "doc_id",
+        "source",
+        "pos",
+        "token",
+        "th",
+        *[F.lag("th", j).over(win).alias(f"__th{j}") for j in range(1, _CDC_W)],
+    ).select(
+        "doc_id",
+        "source",
+        "pos",
+        "token",
+        F.when(F.col("pos") >= _CDC_W - 1, whash).alias("whash"),
+    )
+    w_prev = win.rowsBetween(W.unboundedPreceding, -1)
+    flagged = hashed.select(
+        "doc_id",
+        "source",
+        "pos",
+        "token",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("whash") % _CDC_D == 0, 1).otherwise(0)
+            ).over(w_prev),
+            F.lit(0),
+        ).alias("chunk_idx"),
+    )
+    chunks = (
+        flagged.groupBy("doc_id", "source", "chunk_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda x: x["token"],
+                ),
+                " ",
+            ).alias("ctext")
+        )
+    )
+    id_ok = (F.col("doc_id") >= 0) & (F.col("doc_id") < (1 << 31))
+    checked_key = F.when(
+        F.assert_true(
+            id_ok, F.concat(F.lit("doc_id out of key range: "), "doc_id")
+        ).isNull(),
+        F.col("doc_id") * (1 << 31) + F.col("chunk_idx"),
+    )
+    keyed = chunks.select(
+        "source",
+        F.length("ctext").alias("clen"),
+        F.expr(md5int_spark("ctext", bits=60)).alias("chash"),
+        checked_key.alias("key"),
+    )
+    firsts = keyed.groupBy("chash").agg(F.min("key").alias("min_key"))
+    kept = F.col("key") == F.col("min_key")
+    return (
+        keyed.join(firsts, "chash")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_first"),
+            F.sum("clen").cast("bigint").alias("chars_total"),
+            F.sum(F.when(kept, F.col("clen")).otherwise(0))
+            .cast("bigint")
+            .alias("chars_first"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_first",
+            "chars_total",
+            "chars_first",
+            F.round(
+                F.col("chars_first").cast("double")
+                / F.col("chars_total").cast("double"),
+                6,
+            ).alias("store_ratio"),
+        )
+        .orderBy("source")
     )

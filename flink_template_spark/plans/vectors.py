@@ -2029,3 +2029,179 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def _mrr_oracle() -> str:
+    sim = f"ROUND({cosine_sql('e.embedding', 'q.embedding')}, 6)"
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS y_q, embedding FROM embeddings
+  WHERE vec_id < {_RECALL_NQ}
+),
+ranked AS (
+  SELECT q.query_id, e.label = q.y_q AS rel,
+    ROW_NUMBER() OVER (PARTITION BY q.query_id
+      ORDER BY {sim} DESC, e.vec_id) AS rk
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id >= {_RECALL_NQ}
+),
+hits AS (
+  SELECT query_id, MIN(rk) AS first_rel
+  FROM ranked WHERE rel AND rk <= {_RECALL_K}
+  GROUP BY query_id
+)
+SELECT q.query_id,
+  CAST(COALESCE(h.first_rel, 0) AS BIGINT) AS first_rel_rank,
+  ROUND(CASE WHEN h.first_rel IS NULL THEN 0.0
+             ELSE 1.0 / h.first_rel END, 6) AS rr
+FROM q LEFT JOIN hits h ON q.query_id = h.query_id
+ORDER BY q.query_id
+"""
+
+
+@register("q_mrr_eval", oracle=_mrr_oracle())
+def q_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank @ {_RECALL_K} per query: rank the candidate pool
+    (vec_id >= {_RECALL_NQ}) by exact cosine and report 1/rank of the
+    first LABEL-MATCHING candidate (0 when none lands in the top
+    {_RECALL_K}) — the standard first-relevant-result retrieval metric
+    next to q_ann_recall_eval's set-overlap recall. MRR is chosen over
+    NDCG deliberately: reciprocal rank is RATIONAL arithmetic (one
+    exact IEEE division per query), where NDCG's log2 discount would
+    re-open the cross-engine transcendental gap the Hellinger/sqrt
+    discipline exists to avoid.
+
+    Scale shape: same eval posture as q_ann_recall_eval — a broadcast
+    {_RECALL_NQ}-query sample against the corpus, per-query-partitioned
+    ranking with WindowGroupLimit pushdown, never corpus×corpus; the
+    relevant-rank reduction is a per-query MIN with partial combine."""
+    from pyspark.sql import Window as W
+
+    from flink_template_spark.functions.vector import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _RECALL_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("y_q"),
+        F.col("embedding").alias("__qvec"),
+    )
+    ranked = (
+        emb.filter(F.col("vec_id") >= _RECALL_NQ)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "vec_id",
+            (F.col("label") == F.col("y_q")).alias("rel"),
+            F.round(cosine(F.col("embedding"), F.col("__qvec")), 6).alias("s"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.desc("s"), "vec_id")
+            ),
+        )
+    )
+    hits = (
+        ranked.filter(F.col("rel") & (F.col("rk") <= _RECALL_K))
+        .groupBy("query_id")
+        .agg(F.min("rk").alias("first_rel"))
+    )
+    return (
+        q.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("first_rel", F.lit(0)).cast("bigint").alias("first_rel_rank"),
+            F.round(
+                F.when(F.col("first_rel").isNull(), F.lit(0.0)).otherwise(
+                    F.lit(1.0) / F.col("first_rel")
+                ),
+                6,
+            ).alias("rr"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_MMR_QID = 0  # the rerank's query vector
+_MMR_POOL = 20  # shortlist size (ANN-rerank posture)
+_MMR_K = 5
+
+
+def _mmr_oracle() -> str:
+    from flink_template_spark.operators.mmr import mmr_sql
+
+    rel = f"CAST(ROUND({cosine_sql('e.embedding', 'q.embedding')} * 1000000.0, 0) AS BIGINT)"
+    psim = f"CAST(ROUND({cosine_sql('x.embedding', 'y.embedding')} * 1000000.0, 0) AS BIGINT)"
+    return f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = {_MMR_QID}),
+pool AS MATERIALIZED (
+  SELECT vec_id, rel_q FROM (
+    SELECT e.vec_id, {rel} AS rel_q,
+      ROW_NUMBER() OVER (ORDER BY {rel} DESC, e.vec_id) AS rk
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> {_MMR_QID}
+  ) WHERE rk <= {_MMR_POOL}
+),
+sims AS MATERIALIZED (
+  SELECT x.vec_id AS a, y.vec_id AS b, {psim} AS sim_q
+  FROM (SELECT p.vec_id, e.embedding FROM pool p
+        JOIN embeddings e ON p.vec_id = e.vec_id) x
+  CROSS JOIN (SELECT p.vec_id, e.embedding FROM pool p
+              JOIN embeddings e ON p.vec_id = e.vec_id) y
+),
+{mmr_sql(_MMR_K)}
+SELECT round, vec_id, rel_q, maxsim_q, obj_q FROM picks ORDER BY round
+"""
+
+
+@register("q_mmr_rerank", oracle=_mmr_oracle())
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-{_MMR_K} over the query's top-{_MMR_POOL}
+    cosine shortlist (operators.mmr): each round keeps the most
+    relevant candidate that is NOT redundant with what is already
+    picked (λ=0.7 as exact integer weights) — the serve-time diversity
+    stage between ANN retrieval (q_ann_multiprobe_rerank's shortlist
+    posture) and the response. Verified output carries each round's
+    relevance, the redundancy penalty actually applied, and the
+    objective — so the oracle replays the FULL decision, not just the
+    ids. Eager by design: {_MMR_K} 1-row argmax collects over a
+    {_MMR_POOL}-row pool (control-plane, the coreset/kmeans
+    discipline)."""
+    from flink_template_spark.functions.vector import cosine
+    from flink_template_spark.operators.mmr import mmr_select
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == _MMR_QID).select(
+        F.col("embedding").alias("__qvec")
+    )
+    rel_q = F.round(
+        cosine(F.col("embedding"), F.col("__qvec")) * 1_000_000.0, 0
+    ).cast("bigint")
+    # global top-POOL via orderBy+limit = TakeOrderedAndProject (per-
+    # partition heaps + driver merge), never a single-partition window
+    pool = (
+        emb.filter(F.col("vec_id") != _MMR_QID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "embedding", rel_q.alias("rel_q"))
+        .orderBy(F.desc("rel_q"), "vec_id")
+        .limit(_MMR_POOL)
+        .localCheckpoint()
+    )
+    x = pool.select(F.col("vec_id").alias("a"), F.col("embedding").alias("__va"))
+    y = pool.select(F.col("vec_id").alias("b"), F.col("embedding").alias("__vb"))
+    sims = x.crossJoin(y).select(
+        "a",
+        "b",
+        F.round(cosine(F.col("__va"), F.col("__vb")) * 1_000_000.0, 0)
+        .cast("bigint")
+        .alias("sim_q"),
+    )
+    rows = mmr_select(pool.select("vec_id", "rel_q"), sims, k=_MMR_K)
+    return spark.createDataFrame(
+        [
+            (r["round"], r["vec_id"], r["rel_q"], r["maxsim_q"], r["obj_q"])
+            for r in rows
+        ],
+        "round int, vec_id bigint, rel_q bigint, maxsim_q bigint, obj_q bigint",
+    ).orderBy("round")

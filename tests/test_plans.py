@@ -282,6 +282,12 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     # with_global_prefix_sum's cumulative-offset window over the
     # per-partition totals table (<= shuffle-partition-count rows)
     "q_systematic_resample": 1,
+    # one rank_global call (the range-layout shard assignment): its
+    # cumulative-offset window over the per-partition stats table
+    # (<= shuffle-partition-count rows; q_vocab_coverage's rank_global
+    # sits behind a lazy localCheckpoint boundary so its offset window
+    # doesn't surface in the final plan)
+    "q_shard_zonemap": 1,
 }
 
 

@@ -1,0 +1,200 @@
+"""Behavioral pins for the round-7 additions — properties the corpus
+oracle can't see (axioms, planted structures, extremes)."""
+
+from __future__ import annotations
+
+
+def test_cdc_boundaries_survive_prefix_insertion(spark, monkeypatch):
+    """The content-defined property itself: prepend tokens to a shared
+    passage and the passage's chunks still dedup (boundaries re-anchor
+    on content), which fixed-stride segmentation cannot do. Doc 1 and
+    doc 2 share a long tail; doc 2 has an extra prefix. Everything
+    after doc 2's first re-synchronized boundary must dedup against
+    doc 1, so doc 2 stores strictly less than its full length."""
+    import flink_template_spark.plans.text_dedup as TD
+
+    shared = " ".join(f"tok{i % 97}x{(i * 7) % 89}" for i in range(400))
+    docs = spark.createDataFrame(
+        [
+            (1, shared, "a"),
+            (2, "zz1 zz2 zz3 " + shared, "b"),
+            (3, " ".join(f"uniq{i}" for i in range(50)), "c"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    monkeypatch.setattr(TD, "load_table", lambda s, sd, t: docs)
+    got = {r["source"]: r for r in TD.q_cdc_chunk_dedup(spark, "x").collect()}
+    # doc 1 is globally first: stores everything
+    assert got["a"]["store_ratio"] == 1.0
+    # doc 2: most chars dedup against doc 1 despite the shifted prefix
+    assert got["b"]["store_ratio"] < 0.25, got["b"]
+    # unshared content is untouched
+    assert got["c"]["store_ratio"] == 1.0
+
+
+def test_cdc_chunks_partition_each_document(spark, monkeypatch):
+    """Chunking is a partition: per source, total chunk characters
+    reassemble the documents exactly (sum of chunk lengths = doc chars
+    + one separator per chunk gap)."""
+    import flink_template_spark.plans.text_dedup as TD
+    from pyspark.sql import functions as F
+
+    texts = {
+        1: " ".join(f"w{i * 13 % 101}" for i in range(123)),
+        2: "single",
+        3: "a b",
+    }
+    docs = spark.createDataFrame(
+        [(k, v, f"s{k}") for k, v in texts.items()],
+        "doc_id long, text string, source string",
+    )
+    monkeypatch.setattr(TD, "load_table", lambda s, sd, t: docs)
+    got = {r["source"]: r for r in TD.q_cdc_chunk_dedup(spark, "x").collect()}
+    for k, text in texts.items():
+        r = got[f"s{k}"]
+        # n_chunks-1 separators are not stored inside chunk texts
+        assert r["chars_total"] == len(text) - (r["n_chunks"] - 1), (k, r)
+        assert r["n_first"] == r["n_chunks"]  # no cross-doc dups planted
+
+
+def test_bigram_lift_prefers_exclusive_pairs(spark, monkeypatch):
+    """Axiom: a pair whose tokens appear ONLY together has lift
+    N_uni²/(c1·c2·N_bi)·c12 maximal among its frequency class; a pair
+    of two independently-common tokens has lift ≈ 1. Planted: 'aa bb'
+    always adjacent and exclusive; 'xx'/'yy' common everywhere but
+    paired only sometimes."""
+    import flink_template_spark.plans.quality as Q
+
+    rows = []
+    # 20 docs of pure 'aa bb' exclusivity
+    for i in range(20):
+        rows.append((i, "aa bb", "s"))
+    # 40 docs where xx and yy are common but mostly not adjacent
+    for i in range(40):
+        rows.append((100 + i, "xx pad1 yy pad2 xx pad3 yy", "s"))
+    # a perfectly-exclusive pair below min support (2 < _LIFT_MIN_C12)
+    for i in range(2):
+        rows.append((200 + i, "rare1 rare2", "s"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    monkeypatch.setattr(Q, "load_table", lambda s, sd, t: docs)
+    got = {(r["w1"], r["w2"]): r["lift"] for r in Q.q_bigram_lift(spark, "x").collect()}
+    assert ("aa", "bb") in got
+    lift_ab = got[("aa", "bb")]
+    # every other surviving pair is weaker than the exclusive pair
+    assert all(v <= lift_ab for v in got.values())
+    # min-support: even a maximally-exclusive pair below support is out
+    assert ("rare1", "rare2") not in got
+
+
+def test_vocab_coverage_monotone_and_exact_on_zipf(spark, monkeypatch):
+    """Coverage is monotone in k and exact on a hand-built frequency
+    table: 1 type with 1000 tokens + 999 types with 1 token each →
+    top-100 covers (1000+99)/1999."""
+    import flink_template_spark.plans.quality as Q
+
+    rows = [(0, " ".join(["hot"] * 1000), "s")]
+    # 999 singleton types spread over a few docs
+    singles = [f"t{i:04d}" for i in range(999)]
+    for j in range(0, 999, 111):
+        rows.append((j + 1, " ".join(singles[j : j + 111]), "s"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    monkeypatch.setattr(Q, "load_table", lambda s, sd, t: docs)
+    got = {r["k"]: r for r in Q.q_vocab_coverage(spark, "x").collect()}
+    assert got[100]["covered"] == 1000 + 99
+    assert got[100]["n_vocab"] == 100
+    assert got[1000]["covered"] == 1999  # vocab exhausted at k=1000
+    assert got[1000]["n_vocab"] == 1000
+    assert got[10000]["n_vocab"] == 1000  # k past vocab size: clamps
+    assert (
+        got[100]["coverage"] <= got[1000]["coverage"] == got[10000]["coverage"] == 1.0
+    )
+
+
+def test_mrr_first_relevant_rank_axioms(spark, monkeypatch):
+    """Planted geometry: query 0's nearest candidate shares its label
+    (rr = 1); query 1's label never appears in its top-10 (rr = 0).
+    1-d-style embeddings make ranks transparent."""
+    import flink_template_spark.plans.vectors as V
+
+    rows = []
+    # queries: vec_id 0..7 (the _RECALL_NQ sample); only 0 and 1 matter
+    # for the pins, the rest get far-away vectors
+    rows.append((0, [1.0, 0.0], 0))
+    rows.append((1, [0.0, 1.0], 9))  # label 9 exists nowhere else
+    for vid in range(2, V._RECALL_NQ):
+        rows.append((vid, [-1.0, -1.0], 5))
+    # candidates: vec_id >= 8. c8 is nearest to q0 and label-matches.
+    rows.append((8, [0.999, 0.01], 0))
+    for i in range(30):
+        rows.append((9 + i, [0.5 + i * 0.001, 0.5], 1))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    monkeypatch.setattr(V, "load_table", lambda s, sd, t: emb)
+    got = {r["query_id"]: r for r in V.q_mrr_eval(spark, "x").collect()}
+    assert len(got) == V._RECALL_NQ  # every query emits a row
+    assert got[0]["first_rel_rank"] == 1 and got[0]["rr"] == 1.0
+    assert got[1]["first_rel_rank"] == 0 and got[1]["rr"] == 0.0
+
+
+def test_zonemap_sorted_layout_prunes_planted_quarter(spark, monkeypatch):
+    """Planted uniform year of data: the range layout must make the
+    one-quarter predicate skip MOST shards while the hash layout skips
+    none (each hash shard spans the whole year)."""
+    import datetime
+
+    import flink_template_spark.plans.datapipe as D
+
+    base = datetime.datetime(1996, 9, 1)
+    rows = [
+        (i, base + datetime.timedelta(hours=i)) for i in range(24 * 365)
+    ]
+    orders = spark.createDataFrame(rows, "o_orderkey long, o_orderdate timestamp")
+    monkeypatch.setattr(D, "load_table", lambda s, sd, t: orders)
+    got = {r["layout"]: r for r in D.q_shard_zonemap(spark, "x").collect()}
+    assert got["hash"]["n_skippable"] == 0
+    assert got["range"]["n_skippable"] >= D._ZM_SHARDS * 2 // 3
+    assert got["range"]["rows_skipped"] > got["range"]["rows_total"] * 0.6
+    # zone-map soundness: a skipped shard can contain NO matching row —
+    # equivalently rows_skipped <= rows outside the predicate window
+    lo = datetime.datetime(1997, 1, 1)
+    hi = datetime.datetime(1997, 4, 1)
+    outside = sum(1 for _, d in rows if d < lo or d >= hi)
+    assert got["range"]["rows_skipped"] <= outside
+
+
+def test_mmr_penalizes_redundancy(spark, monkeypatch):
+    """Planted: candidates form two tight near-duplicate groups plus
+    singletons. Pure relevance ranking would take the top group's
+    clones back-to-back; MMR must interleave — the second pick comes
+    from OUTSIDE the first pick's clone group."""
+    import math
+
+    import flink_template_spark.plans.vectors as V
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    # Geometry chosen so the diversity term can actually flip a pick
+    # under λ=0.7 (7·Δrel < 3·Δsim): group A at +0.2 rad (top
+    # relevance, mutual sim ≈ 1), group B at −0.25 rad — nearly as
+    # relevant but 0.45 rad from A, so after pick 1 the clone penalty
+    # (3·~1e6) outweighs B's small relevance deficit.
+    rows = [(V._MMR_QID, unit(0.0), 0)]
+    for i in range(4):
+        rows.append((10 + i, unit(0.2 + i * 0.001), 0))
+    for i in range(4):
+        rows.append((20 + i, unit(-0.25 - i * 0.001), 0))
+    # filler to fill the pool
+    for i in range(14):
+        rows.append((30 + i, unit(1.4 + i * 0.01), 0))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    monkeypatch.setattr(V, "load_table", lambda s, sd, t: emb)
+    out = V.q_mmr_rerank(spark, "x").collect()
+    assert [r["round"] for r in out] == [1, 2, 3, 4, 5]
+    picks = [r["vec_id"] for r in out]
+    assert picks[0] == 10  # most relevant overall
+    assert picks[1] == 20, picks  # diversity beats the clone group
+    # every round's objective uses the penalty actually in state
+    for r in out:
+        assert r["obj_q"] == 7 * r["rel_q"] - 3 * r["maxsim_q"]
+    # rounds are distinct picks
+    assert len(set(picks)) == 5
