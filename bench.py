@@ -162,6 +162,11 @@ EXTENDED = [
     "q_mrr_eval",
     "q_shard_zonemap",
     "q_mmr_rerank",
+    # round-7 audits: LSH S-curve recall, corpus concentration,
+    # pre-join reducer balance
+    "q_lsh_recall_audit",
+    "q_source_gini",
+    "q_shuffle_skew_audit",
 ]
 
 

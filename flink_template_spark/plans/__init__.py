@@ -131,6 +131,9 @@ _MIDDLE: list[str] = [
     "q_mrr_eval",
     "q_shard_zonemap",
     "q_mmr_rerank",
+    "q_lsh_recall_audit",
+    "q_source_gini",
+    "q_shuffle_skew_audit",
     # r3-cohort remainder (oldest stale after a green r7)
     "q_minhash_signatures",
     "q_multimodal_features",

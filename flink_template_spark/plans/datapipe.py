@@ -1105,3 +1105,73 @@ def q_shard_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+_SKEW_REDUCERS = 32
+
+
+def _skew_oracle() -> str:
+    h = md5int_duckdb("CAST(l_orderkey AS VARCHAR)")
+    return f"""
+WITH keyed AS (
+  SELECT l_orderkey, COUNT(*) AS n_rows FROM lineitem GROUP BY l_orderkey
+),
+assigned AS (
+  SELECT ({h}) % {_SKEW_REDUCERS} AS reducer, n_rows FROM keyed
+),
+loads AS (
+  SELECT reducer, COUNT(*) AS n_keys, SUM(n_rows) AS n_rows
+  FROM assigned GROUP BY reducer
+),
+tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM loads)
+SELECT reducer,
+  CAST(n_keys AS BIGINT) AS n_keys,
+  CAST(n_rows AS BIGINT) AS n_rows,
+  ROUND(CAST(n_rows AS DOUBLE)
+        / (CAST(total AS DOUBLE) / {_SKEW_REDUCERS}.0), 6) AS load_ratio
+FROM loads CROSS JOIN tot
+ORDER BY reducer
+"""
+
+
+@register("q_shuffle_skew_audit", oracle=_skew_oracle())
+def q_shuffle_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join shuffle-balance audit: hash ``lineitem``'s join key
+    into {_SKEW_REDUCERS} reducers with the portable hash and report
+    each reducer's key count, row count, and load vs the uniform ideal
+    (load_ratio 1.0 = perfectly balanced; a 3.0 reducer is the
+    straggler that makes a 1000-executor join run at 1/3 speed). This
+    is the diagnostic you run BEFORE a 100 TB shuffle to decide
+    whether the plain hash join is safe or the salted/AQE path
+    (operators.skew, q_salted_join_revenue) is needed — measured on
+    the key HISTOGRAM (one hash-agg, Zipf-small), never by running
+    the join.
+
+    Exactness: integer counts end-to-end; load_ratio is one division
+    against the exact uniform share, 6-dp rounded."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    keyed = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_rows"))
+    assigned = keyed.select(
+        (
+            F.expr(md5int_spark("CAST(l_orderkey AS STRING)")) % _SKEW_REDUCERS
+        ).alias("reducer"),
+        "n_rows",
+    )
+    loads = assigned.groupBy("reducer").agg(
+        F.count(F.lit(1)).alias("n_keys"), F.sum("n_rows").alias("n_rows")
+    )
+    tot = loads.agg(F.sum("n_rows").cast("bigint").alias("total"))
+    return (
+        loads.crossJoin(F.broadcast(tot))
+        .select(
+            "reducer",
+            F.col("n_keys").cast("bigint").alias("n_keys"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.round(
+                F.col("n_rows").cast("double")
+                / (F.col("total").cast("double") / float(_SKEW_REDUCERS)),
+                6,
+            ).alias("load_ratio"),
+        )
+        .orderBy("reducer")
+    )

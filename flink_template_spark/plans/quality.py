@@ -2111,3 +2111,78 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@register(
+    "q_source_gini",
+    oracle="""
+WITH grp AS (
+  SELECT 'source' AS dimension, source AS g, COUNT(*) AS x FROM documents
+  GROUP BY source
+  UNION ALL
+  SELECT 'lang' AS dimension, lang AS g, COUNT(*) AS x FROM documents
+  GROUP BY lang
+),
+ranked AS (
+  SELECT dimension, x,
+    ROW_NUMBER() OVER (PARTITION BY dimension ORDER BY x, g) AS i
+  FROM grp
+),
+agg AS (
+  SELECT dimension, COUNT(*) AS n, SUM(x) AS s, SUM(i * x) AS a
+  FROM ranked GROUP BY dimension
+)
+SELECT dimension,
+  CAST(n AS BIGINT) AS n_groups,
+  CAST(s AS BIGINT) AS n_docs,
+  ROUND((2.0 * CAST(a AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+        - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+FROM agg
+ORDER BY dimension
+""",
+)
+def q_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus concentration (Gini coefficient) of document counts per
+    source and per language — the one-number diversity audit a
+    mixture design reads first: gini ≈ 0 means balanced feeds, gini →
+    1 means one feed dominates and the mixture-rebalance /
+    time-decay-sampling stages have real work to do.
+
+    Exactness: the sorted-rank identity G = 2·Σ i·x_(i) / (n·Σx) −
+    (n+1)/n over integer counts — both Σ are exact bigints, the final
+    expression is a fixed dag of IEEE divisions identical in both
+    engines, 6-dp rounded. The rank window is partitioned per
+    dimension and runs on the GROUP table (|sources| + |langs| rows),
+    never on documents; the corpus collapses in one hash aggregation
+    per dimension off a shared scan."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    grp = (
+        docs.groupBy(F.col("source").alias("g"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .select(F.lit("source").alias("dimension"), "g", "x")
+        .unionByName(
+            docs.groupBy(F.col("lang").alias("g"))
+            .agg(F.count(F.lit(1)).alias("x"))
+            .select(F.lit("lang").alias("dimension"), "g", "x")
+        )
+    )
+    wd = W.partitionBy("dimension").orderBy("x", "g")
+    ranked = grp.select("dimension", "x", F.row_number().over(wd).alias("i"))
+    agg = ranked.groupBy("dimension").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("i") * F.col("x")).alias("a"),
+    )
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    a = F.col("a").cast("double")
+    return agg.select(
+        "dimension",
+        F.col("n").cast("bigint").alias("n_groups"),
+        F.col("s").cast("bigint").alias("n_docs"),
+        F.round((F.lit(2.0) * a) / (n * s) - (n + F.lit(1.0)) / n, 6).alias(
+            "gini"
+        ),
+    ).orderBy("dimension")

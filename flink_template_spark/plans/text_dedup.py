@@ -2002,3 +2002,100 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_lsh_recall_audit",
+    oracle=f"""
+WITH sh AS ({_duck_shingles(3)}),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT id_a, id_b,
+    ROUND(CAST(n_inter AS DOUBLE)
+          / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON inter.id_a = sa.doc_id
+  JOIN sizes sb ON inter.id_b = sb.doc_id
+  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
+        >= 0.4999995
+),
+hashed AS (
+  SELECT doc_id, {md5int_duckdb('shingle')} AS h FROM sh
+),
+sig0 AS (
+  SELECT doc_id, {_MH_AGGS_DUCK} FROM hashed GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id, {_BAND_KEYS_DUCK} FROM sig0
+),
+bands AS (
+  {_BAND_UNION_DUCK}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+)
+SELECT LEAST(CAST(floor(t.jaccard * 10) AS BIGINT), 9) AS j_decile,
+  CAST(COUNT(*) AS BIGINT) AS n_true,
+  CAST(SUM(CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_caught,
+  ROUND(CAST(SUM(CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+FROM truth t
+LEFT JOIN cands c ON t.id_a = c.id_a AND t.id_b = c.id_b
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical LSH S-curve: recall of the banded MinHash candidate
+    generator (q_minhash_lsh_pairs' exact configuration —
+    {NUM_HASHES} hashes, {LSH_BANDS} bands) against exact n-gram
+    Jaccard ground truth (q_ngram_jaccard_pairs' exact threshold
+    semantics), bucketed by Jaccard decile. This is the audit that
+    decides the dedup stack's band/row configuration: theory says
+    P(candidate) = 1-(1-s^r)^b, and this measures it on THIS corpus —
+    a recall dip in the 0.5-0.6 decile means near-dups at the
+    threshold boundary are being silently missed.
+
+    Scale shape: the GROUND-TRUTH side is the quadratic cost, paid by
+    an eval run, not the pipeline (the recall_eval posture); the
+    candidate side is the production banded bucket join. The decile
+    rollup joins pair-keyed aggregates — no re-scan of either side's
+    shingle table; both sides derive from ONE shingle relation."""
+    from flink_template_spark.operators.dedup import (
+        minhash_lsh_pairs as _lsh,
+        ngram_jaccard_pairs as _truth,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = _truth(docs, threshold=0.5).select("id_a", "id_b", "jaccard")
+    cands = (
+        _lsh(docs)
+        .select("id_a", "id_b")
+        .withColumn("caught", F.lit(1))
+    )
+    bucket = F.least(F.floor(F.col("jaccard") * 10).cast("bigint"), F.lit(9))
+    return (
+        truth.join(cands, ["id_a", "id_b"], "left")
+        .select(bucket.alias("j_decile"), F.coalesce("caught", F.lit(0)).alias("caught"))
+        .groupBy("j_decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_true"),
+            F.sum("caught").cast("bigint").alias("n_caught"),
+            F.round(
+                F.sum("caught").cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("recall"),
+        )
+        .orderBy("j_decile")
+    )

@@ -198,3 +198,73 @@ def test_mmr_penalizes_redundancy(spark, monkeypatch):
         assert r["obj_q"] == 7 * r["rel_q"] - 3 * r["maxsim_q"]
     # rounds are distinct picks
     assert len(set(picks)) == 5
+
+
+def test_lsh_recall_audit_deciles_and_exact_dups(spark, monkeypatch):
+    """Planted structure: an exact duplicate pair (jaccard 1.0 → decile
+    9, MUST be caught: identical shingle sets give identical minhash
+    signatures, so every band matches) and a hand-built ~0.5 pair that
+    lands in decile 5 and is counted once either way."""
+    import flink_template_spark.plans.text_dedup as TD
+
+    base = [f"t{i}" for i in range(20)]
+    # doc 3 shares a 16-token prefix with doc 1: with 3-gram shingles,
+    # inter = 14, sizes 18/18 -> j = 14/22 = 0.636 -> decile 6
+    variant = base[:16] + [f"u{i}" for i in range(4)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(base)),
+            (2, " ".join(base)),  # exact dup of 1
+            (3, " ".join(variant)),
+            (4, " ".join(f"z{i}" for i in range(20))),  # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(TD, "load_table", lambda s, sd, t: docs)
+    got = {r["j_decile"]: r for r in TD.q_lsh_recall_audit(spark, "x").collect()}
+    assert got[9]["n_true"] == 1  # the exact pair
+    assert got[9]["n_caught"] == 1 and got[9]["recall"] == 1.0
+    # doc 3 pairs at 0.636 with BOTH exact dups 1 and 2
+    assert got[6]["n_true"] == 2
+    assert got[6]["n_caught"] in (0, 2)  # dup twins share signatures
+    assert set(got) <= {5, 6, 7, 8, 9}  # nothing below the 0.5 threshold
+
+
+def test_source_gini_extremes(spark, monkeypatch):
+    """Axioms: perfectly balanced groups → gini 0; the hand-computable
+    [1,1,1,97] split → exactly 0.72 (G = 2·Σi·x/(n·Σx) − (n+1)/n)."""
+    import flink_template_spark.plans.quality as Q
+
+    rows = []
+    for i, (src, n) in enumerate([("a", 1), ("b", 1), ("c", 1), ("d", 97)]):
+        for j in range(n):
+            rows.append((i * 1000 + j, "w", "en", src))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    monkeypatch.setattr(Q, "load_table", lambda s, sd, t: docs)
+    got = {r["dimension"]: r for r in Q.q_source_gini(spark, "x").collect()}
+    assert got["source"]["n_groups"] == 4
+    assert got["source"]["gini"] == 0.72
+    # one lang -> n=1: G = 2·1·100/(1·100) − 2/1 = 0 (degenerate balanced)
+    assert got["lang"]["gini"] == 0.0
+
+
+def test_shuffle_skew_audit_conservation_and_hot_key(spark, monkeypatch):
+    """Row conservation (Σ reducer rows = |table|) and a planted hot
+    key: one key holding half the rows must push its reducer's
+    load_ratio far above the uniform 1.0 while others stay below."""
+    import flink_template_spark.plans.datapipe as D
+    from pyspark.sql import functions as F
+
+    rows = [(7,)] * 5000 + [(i,) for i in range(100, 5100)]
+    li = spark.createDataFrame(rows, "l_orderkey long")
+    monkeypatch.setattr(D, "load_table", lambda s, sd, t: li)
+    out = D.q_shuffle_skew_audit(spark, "x").collect()
+    assert sum(r["n_rows"] for r in out) == len(rows)
+    ratios = sorted(r["load_ratio"] for r in out)
+    assert ratios[-1] > 10.0  # the hot-key reducer
+    assert ratios[-2] < 2.0  # everyone else near uniform
+    # the hot reducer still counts its keys correctly (hot key is ONE key)
+    hot = max(out, key=lambda r: r["load_ratio"])
+    assert hot["n_rows"] >= 5000
