@@ -167,6 +167,7 @@ EXTENDED = [
     "q_lsh_recall_audit",
     "q_source_gini",
     "q_shuffle_skew_audit",
+    "q_k_anonymity",
 ]
 
 

@@ -134,6 +134,7 @@ _MIDDLE: list[str] = [
     "q_lsh_recall_audit",
     "q_source_gini",
     "q_shuffle_skew_audit",
+    "q_k_anonymity",
     # r3-cohort remainder (oldest stale after a green r7)
     "q_minhash_signatures",
     "q_multimodal_features",

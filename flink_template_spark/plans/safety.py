@@ -294,3 +294,75 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_contam"))
         .orderBy("doc_id")
     )
+
+
+_KANON_K = 5  # the k in k-anonymity
+_KANON_LEN_BUCKET = 256  # quasi-identifier: n_chars bucketed
+
+
+@register(
+    "q_k_anonymity",
+    oracle=f"""
+WITH cells AS (
+  SELECT lang, source, n_chars // {_KANON_LEN_BUCKET} AS len_bucket,
+         COUNT(*) AS cell_n
+  FROM documents GROUP BY 1, 2, 3
+)
+SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS n_cells,
+  CAST(SUM(CASE WHEN cell_n < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_cells_violating,
+  CAST(SUM(CASE WHEN cell_n < {_KANON_K} THEN cell_n ELSE 0 END) AS BIGINT)
+    AS n_docs_at_risk,
+  CAST(MIN(cell_n) AS BIGINT) AS min_cell_size,
+  ROUND(CAST(SUM(CASE WHEN cell_n < {_KANON_K} THEN cell_n ELSE 0 END)
+             AS DOUBLE) / CAST(SUM(cell_n) AS DOUBLE), 6) AS frac_at_risk
+FROM cells
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple
+    (lang, source, length-bucket): per language, how many equivalence
+    cells fall below k={_KANON_K} members and how many documents sit
+    in them — the re-identification risk readout a privacy review
+    runs BEFORE releasing a corpus (a doc alone in its cell is
+    linkable by its quasi-identifiers even after PII redaction;
+    q_pii_redact removes direct identifiers, this measures the
+    indirect ones).
+
+    Scale shape: one hash aggregation to the cell table (bounded by
+    |langs|·|sources|·|buckets|, never corpus-sized), one rollup to
+    |langs| rows — both with map-side partial combine; integer
+    counts end-to-end, one exact division at the end."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy(
+        "lang",
+        "source",
+        (F.col("n_chars") / _KANON_LEN_BUCKET)
+        .cast("bigint")
+        .alias("len_bucket"),
+    ).agg(F.count(F.lit(1)).alias("cell_n"))
+    violating = F.col("cell_n") < _KANON_K
+    return (
+        cells.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum(F.when(violating, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_cells_violating"),
+            F.sum(F.when(violating, F.col("cell_n")).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_at_risk"),
+            F.min("cell_n").cast("bigint").alias("min_cell_size"),
+            F.round(
+                F.sum(F.when(violating, F.col("cell_n")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.sum("cell_n").cast("double"),
+                6,
+            ).alias("frac_at_risk"),
+        )
+        .orderBy("lang")
+    )

@@ -268,3 +268,28 @@ def test_shuffle_skew_audit_conservation_and_hot_key(spark, monkeypatch):
     # the hot reducer still counts its keys correctly (hot key is ONE key)
     hot = max(out, key=lambda r: r["load_ratio"])
     assert hot["n_rows"] >= 5000
+
+
+def test_k_anonymity_planted_singleton(spark, monkeypatch):
+    """Planted: one language where every doc shares a cell of size 6
+    (no violations) and one language with a singleton cell — exactly
+    that one doc is at risk; min_cell_size pins the audit's floor."""
+    import flink_template_spark.plans.safety as S
+
+    rows = []
+    for i in range(6):  # en: one cell, size 6 >= k=5
+        rows.append((i, "x", "en", "web", 100))
+    for i in range(5):  # de: cell A size 5 (safe)...
+        rows.append((10 + i, "x", "de", "web", 100))
+    rows.append((20, "x", "de", "books", 100))  # ...plus a singleton
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(S, "load_table", lambda s, sd, t: docs)
+    got = {r["lang"]: r for r in S.q_k_anonymity(spark, "x").collect()}
+    assert got["en"]["n_cells_violating"] == 0
+    assert got["en"]["n_docs_at_risk"] == 0 and got["en"]["frac_at_risk"] == 0.0
+    assert got["de"]["n_cells"] == 2
+    assert got["de"]["n_cells_violating"] == 1
+    assert got["de"]["n_docs_at_risk"] == 1
+    assert got["de"]["min_cell_size"] == 1
