@@ -122,14 +122,28 @@ def monitor_stream(
     fractional value column keeps its centi-precision like the
     reference parameters do (ADVICE r6: the old cast-to-long-THEN-scale
     floor-truncated fractional values while mu kept its decimals);
-    all downstream arithmetic is integer."""
-    from pyspark.sql import functions as F
+    all downstream arithmetic is integer.
 
+    Quantization exactness (r7 self-review): an INTEGER-typed value
+    column scales as an exact long multiply — never through double,
+    whose 2^53 mantissa would corrupt large counters (byte totals,
+    token counts) by whole SCALE units per row. Fractional columns
+    take the double path with ``bround`` (HALF_EVEN), the same
+    tie-break Python's ``round`` applies to mu/slack/h — an in-control
+    stream sitting exactly on a .5-tie mean must quantize to the SAME
+    value as the reference mean or it drifts +1 unit per row into a
+    spurious alarm."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    vtype = stream.schema[value_col].dataType
+    if isinstance(vtype, (ByteType, ShortType, IntegerType, LongType)):
+        value = F.col(value_col).cast("long") * SCALE  # exact at any magnitude
+    else:
+        value = F.bround(F.col(value_col).cast("double") * SCALE).cast("long")
     keyed = stream.select(
         F.col(key_col).alias("source"),
-        F.round(F.col(value_col).cast("double") * SCALE)
-        .cast("long")
-        .alias("value"),
+        value.alias("value"),
         F.col(order_col).cast("long").alias("order_key"),
     ).groupBy("source")
     return keyed.applyInPandasWithState(

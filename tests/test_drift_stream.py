@@ -183,3 +183,70 @@ def test_cusum_state_survives_restart(spark, tmp_path):
             for r in sorted(rows, key=lambda r: r["doc_id"])
         ]
         assert got[name] == cusum_fold(vals, mu_s, k_s, h_s), name
+
+
+def test_cusum_large_integer_values_stay_exact(spark, tmp_path):
+    """r7 self-review: integer-typed values must scale as exact long
+    multiplies, never through double — a counter above 2^53 loses its
+    low digits to the double mantissa and the CUSUM sums silently
+    diverge from the integer reference fold. Planted: values around
+    10^16 + small offsets whose doubles collapse to the same number."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    base = 10_000_000_000_000_001  # > 2^53; 1e16 as a double drops the +1
+    rows = [
+        {"doc_id": i, "source": "big", "n_chars": base + i} for i in range(50)
+    ]
+    (in_dir / "a.json").write_text(_lines(rows))
+
+    mu, slack, h = float(base), 0.0, 1e18
+    stream = spark.readStream.schema(SCHEMA).json(str(in_dir))
+    q = (
+        monitor_stream(stream, mu, slack, h)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cusum_big")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM cusum_big").collect()[0]
+
+    vals = [(base + i) * SCALE for i in range(50)]  # exact ints
+    exp = cusum_fold(vals, round(mu * SCALE), 0, round(h * SCALE))
+    assert (got["s_hi"], got["s_lo"], got["n_seen"], got["n_alarms"]) == exp
+    # the planted offsets are REAL in the state (a double-typed value
+    # path would zero them): mu itself rounds to 1e16 as a double, so
+    # every row sits (i+1) ABOVE it — including the +1 the double
+    # representation of base drops
+    assert got["s_hi"] == sum((i + 1) * SCALE for i in range(50))
+
+
+def test_cusum_fractional_tie_rounds_like_reference_params(spark, tmp_path):
+    """r7 self-review: a .5-tie value must quantize with the SAME
+    HALF_EVEN rule Python's round applies to mu — otherwise a stream
+    sitting exactly on its reference mean accumulates +1 scaled unit
+    per row and eventually false-alarms. mu=100.125 → 10012.5 → 10012
+    under ties-to-even; every value 100.125 must also scale to 10012,
+    leaving the monitor exactly in control."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    rows = [
+        {"doc_id": i, "source": "tie", "n_chars": 100.125} for i in range(200)
+    ]
+    (in_dir / "a.json").write_text(_lines(rows))
+
+    stream = spark.readStream.schema(
+        "doc_id LONG, source STRING, n_chars DOUBLE"
+    ).json(str(in_dir))
+    q = (
+        monitor_stream(stream, 100.125, 0.0, 30.0)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cusum_tie")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM cusum_tie").collect()[0]
+    assert (got["s_hi"], got["s_lo"], got["n_alarms"]) == (0, 0, 0)
