@@ -168,6 +168,8 @@ EXTENDED = [
     "q_source_gini",
     "q_shuffle_skew_audit",
     "q_k_anonymity",
+    "q_seasonal_residuals",
+    "q_fd_audit",
 ]
 
 

@@ -135,6 +135,8 @@ _MIDDLE: list[str] = [
     "q_source_gini",
     "q_shuffle_skew_audit",
     "q_k_anonymity",
+    "q_seasonal_residuals",
+    "q_fd_audit",
     # r3-cohort remainder (oldest stale after a green r7)
     "q_minhash_signatures",
     "q_multimodal_features",

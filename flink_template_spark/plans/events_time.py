@@ -970,3 +970,96 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_seasonal_residuals",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+keyed AS (
+  SELECT event_type, day, n,
+    (day - DATE '1970-01-01') % 7 AS dow
+  FROM daily
+),
+profile AS (
+  SELECT event_type, dow,
+    COUNT(*) AS n_days, SUM(n) AS s, SUM(n * n) AS ss
+  FROM keyed GROUP BY 1, 2
+)
+SELECT k.event_type, k.day, CAST(k.n AS BIGINT) AS volume,
+  ROUND(CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS dow_mean,
+  ROUND((CAST(k.n AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+        / sqrt((CAST(n_days AS DOUBLE) * CAST(ss AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+               / (CAST(n_days AS DOUBLE)
+                  * (CAST(n_days AS DOUBLE) - 1.0))), 6) AS z,
+  abs((CAST(k.n AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+        / sqrt((CAST(n_days AS DOUBLE) * CAST(ss AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+               / (CAST(n_days AS DOUBLE)
+                  * (CAST(n_days AS DOUBLE) - 1.0)))) >= 1.5 AS is_anomaly
+FROM keyed k JOIN profile p
+  ON k.event_type = p.event_type AND k.dow = p.dow
+WHERE n_days >= 3
+  AND (CAST(n_days AS DOUBLE) * CAST(ss AS DOUBLE)
+       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) > 0
+ORDER BY k.event_type, k.day
+""",
+)
+def q_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted volume anomalies: per event type, build the
+    day-of-week profile (mean/stddev of daily volumes per weekday —
+    the dominant seasonality of event traffic) and flag days whose
+    volume sits far from THEIR weekday's mean in sample-stddev
+    units (every day is emitted with its z; is_anomaly flags |z| ≥ 1.5). A Monday spike is judged against Mondays — the
+    seasonal-adjustment step q_event_burstiness (Fano) and
+    q_theil_sen_trend (trend) deliberately skip, completing the
+    volume-monitoring triple.
+
+    Portability: day-of-week is pure integer calendar-free arithmetic
+    (days-since-epoch mod 7 — no engine dayofweek(), whose 0/1-based
+    Sunday conventions differ); moments are exact bigint sums; the z
+    expression is one fixed IEEE dag with a correctly-rounded sqrt
+    (the Hellinger discipline), 6-dp rounded. Degenerate profiles
+    (under 3 days, zero variance) are excluded in both engines.
+
+    Scale shape: the corpus collapses to the daily table in one
+    partial-agg pass; the weekday profile is a second tiny rollup
+    (|types|·7 rows) joined back by (type, dow) — never a window over
+    raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    keyed = daily.withColumn(
+        "dow", F.datediff("day", F.lit("1970-01-01").cast("date")) % 7
+    )
+    profile = keyed.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+    )
+    nd = F.col("n_days").cast("double")
+    s = F.col("s").cast("double")
+    ss = F.col("ss").cast("double")
+    var_num = nd * ss - s * s
+    mean = s / nd
+    z = (F.col("n").cast("double") - mean) / F.sqrt(
+        var_num / (nd * (nd - F.lit(1.0)))
+    )
+    return (
+        keyed.join(profile, ["event_type", "dow"])
+        .filter((F.col("n_days") >= 3) & (var_num > 0))
+        .select(
+            "event_type",
+            "day",
+            F.col("n").cast("bigint").alias("volume"),
+            F.round(mean, 6).alias("dow_mean"),
+            F.round(z, 6).alias("z"),
+            (F.abs(z) >= 1.5).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )

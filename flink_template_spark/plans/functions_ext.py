@@ -1441,3 +1441,78 @@ def q_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Candidate functional dependencies for the profiling audit: a mix of
+# true keys (must hold), plausible-but-false dependencies (must report
+# their violation mass), and a cross-column pair on documents.
+_FD_CANDIDATES = [
+    ("orders", "o_orderkey", "o_orderstatus"),  # key: holds
+    ("orders", "o_custkey", "o_orderpriority"),  # false: customers vary
+    ("lineitem", "l_orderkey", "l_returnflag"),  # false: per-line flags
+    ("customer", "c_custkey", "c_mktsegment"),  # key: holds
+    ("documents", "source", "lang"),  # schema question: is a feed monolingual?
+]
+
+
+def _fd_oracle() -> str:
+    blocks = []
+    for table, det, dep in _FD_CANDIDATES:
+        blocks.append(f"""
+  SELECT '{table}' AS table_name, '{det}' AS determinant,
+         '{dep}' AS dependent,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating_keys,
+         CAST(MAX(ndep) AS BIGINT) AS max_dependents,
+         SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds
+  FROM (
+    SELECT {det}, COUNT(DISTINCT {dep}) AS ndep FROM {table} GROUP BY {det}
+  )""")
+    union = "\n  UNION ALL\n".join(blocks)
+    return f"""
+SELECT * FROM (
+{union}
+)
+ORDER BY table_name, determinant, dependent
+"""
+
+
+@register("q_fd_audit", oracle=_fd_oracle())
+def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiling: for each candidate A → B, how
+    many A-keys map to more than one distinct B (0 violating keys =
+    the dependency HOLDS) plus the worst per-key fan-out — the
+    schema-discovery primitive behind normalization advice, pipeline
+    assertions ("every source is monolingual?"), and join-safety
+    checks (a violated FD on the intended lookup key means a lookup
+    join duplicates rows). Candidates mix true keys, plausible-but-
+    false dependencies, and a real schema question on documents.
+
+    Scale shape: each candidate is one hash aggregation with a
+    count_distinct partial (per-key dependent cardinality) followed by
+    a 1-row rollup — never a join, never a sort; candidates union into
+    one plan and scan only their 2 columns."""
+    out = None
+    for table, det, dep in _FD_CANDIDATES:
+        t = load_table(spark, sf_dir, table)
+        per_key = t.groupBy(det).agg(F.count_distinct(dep).alias("ndep"))
+        violating = F.col("ndep") > 1
+        one = per_key.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum(F.when(violating, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating_keys"),
+            F.max("ndep").cast("bigint").alias("max_dependents"),
+            (F.sum(F.when(violating, 1).otherwise(0)) == 0).alias("fd_holds"),
+        ).select(
+            F.lit(table).alias("table_name"),
+            F.lit(det).alias("determinant"),
+            F.lit(dep).alias("dependent"),
+            "n_keys",
+            "n_violating_keys",
+            "max_dependents",
+            "fd_holds",
+        )
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("table_name", "determinant", "dependent")

@@ -293,3 +293,83 @@ def test_k_anonymity_planted_singleton(spark, monkeypatch):
     assert got["de"]["n_cells_violating"] == 1
     assert got["de"]["n_docs_at_risk"] == 1
     assert got["de"]["min_cell_size"] == 1
+
+
+def test_seasonal_residuals_flag_planted_spike_only(spark, monkeypatch):
+    """Planted perfectly-periodic weekly traffic (volume = f(weekday))
+    with ONE spiked Monday: seasonal adjustment must flag exactly that
+    day — a naive unadjusted z-score would flag every high-weekday
+    day. Construction: 8 weeks, weekday volumes 10..70, one Monday
+    gets +40."""
+    import datetime
+
+    import flink_template_spark.plans.events_time as ET
+
+    rows = []
+    eid = 0
+    base = datetime.datetime(2024, 1, 1)  # a Monday
+    spike_day = 21  # day index of the spiked Monday (week 4)
+    for d in range(56):
+        vol = 10 * ((d % 7) + 1) + (40 if d == spike_day else 0)
+        # tiny non-spike jitter so weekday variance is nonzero
+        vol += d // 7 % 2
+        day = base + datetime.timedelta(days=d)
+        for _ in range(vol):
+            rows.append((eid, day + datetime.timedelta(seconds=eid % 3600), 1, "click", 1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(ET, "load_table", lambda s, sd, t: ev)
+    out = ET.q_seasonal_residuals(spark, "x").collect()
+    assert len(out) == 56  # every day emitted
+    flagged = [r for r in out if r["is_anomaly"]]
+    assert len(flagged) == 1
+    assert flagged[0]["day"] == (base + datetime.timedelta(days=spike_day)).date()
+    assert flagged[0]["z"] > 2.0  # the spike is high, not low
+
+
+def test_fd_audit_synthetic_hold_and_violation_mass(spark, monkeypatch):
+    """Synthetic tables where each candidate's verdict is known by
+    construction: keys hold with max_dependents 1; the planted
+    violated FD reports exactly the planted violating-key count."""
+    import flink_template_spark.plans.functions_ext as FE
+    from pyspark.sql import functions as F
+
+    orders = spark.createDataFrame(
+        [(i, i % 10, "S" + str(i % 3 if i < 6 else 0), "P") for i in range(30)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_orderpriority string",
+    )
+    lineitem = spark.createDataFrame(
+        [(i % 5, "R" if i % 2 else "N") for i in range(20)],
+        "l_orderkey long, l_returnflag string",
+    )
+    customer = spark.createDataFrame(
+        [(i, "SEG") for i in range(7)], "c_custkey long, c_mktsegment string"
+    )
+    docs = spark.createDataFrame(
+        [(1, "web", "en"), (2, "web", "de"), (3, "books", "en")],
+        "doc_id long, source string, lang string",
+    )
+    tables = {
+        "orders": orders,
+        "lineitem": lineitem,
+        "customer": customer,
+        "documents": docs,
+    }
+    monkeypatch.setattr(FE, "load_table", lambda s, sd, t: tables[t])
+    got = {
+        (r["table_name"], r["determinant"], r["dependent"]): r
+        for r in FE.q_fd_audit(spark, "x").collect()
+    }
+    assert got[("orders", "o_orderkey", "o_orderstatus")]["fd_holds"]
+    assert got[("customer", "c_custkey", "c_mktsegment")]["fd_holds"]
+    # every 5-row l_orderkey group holds both R and N flags
+    li = got[("lineitem", "l_orderkey", "l_returnflag")]
+    assert not li["fd_holds"] and li["n_violating_keys"] == 5
+    assert li["max_dependents"] == 2
+    # web carries two langs, books one -> exactly one violating source
+    dd = got[("documents", "source", "lang")]
+    assert dd["n_violating_keys"] == 1 and not dd["fd_holds"]
