@@ -1894,6 +1894,73 @@ ORDER BY k.source
 """
 
 
+def cdc_chunk_table(docs: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """The reusable CDC chunking pass: (doc_id, *extra_cols, chunk_idx,
+    ctext) — rolling-hash anchored chunks per document (module comment
+    above _CDC_W). Shared by the batch dedup audit below and the
+    streaming chunk-store ingest (streaming.cdc_ingest), so both tiers
+    chunk BIT-IDENTICALLY — a chunk stored by the stream is the chunk
+    the batch audit accounts for."""
+    carry = list(extra_cols)
+    tok = docs.select(
+        "doc_id",
+        *carry,
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"),
+    ).withColumn("th", F.expr(md5int_spark("token")))
+    win = W.partitionBy("doc_id").orderBy("pos")
+    whash = F.expr(
+        _cdc_whash_sql(["th"] + [f"__th{j}" for j in range(1, _CDC_W)])
+    )
+    hashed = tok.select(
+        "doc_id",
+        *carry,
+        "pos",
+        "token",
+        "th",
+        *[F.lag("th", j).over(win).alias(f"__th{j}") for j in range(1, _CDC_W)],
+    ).select(
+        "doc_id",
+        *carry,
+        "pos",
+        "token",
+        F.when(F.col("pos") >= _CDC_W - 1, whash).alias("whash"),
+    )
+    w_prev = win.rowsBetween(W.unboundedPreceding, -1)
+    flagged = hashed.select(
+        "doc_id",
+        *carry,
+        "pos",
+        "token",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("whash") % _CDC_D == 0, 1).otherwise(0)
+            ).over(w_prev),
+            F.lit(0),
+        ).alias("chunk_idx"),
+    )
+    return flagged.groupBy("doc_id", *carry, "chunk_idx").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda x: x["token"],
+            ),
+            " ",
+        ).alias("ctext")
+    )
+
+
+def cdc_checked_key() -> "F.Column":
+    """The guarded doc_id·2^31+chunk_idx first-occurrence key (same
+    encoding + assert_true range guard as q_line_dedup_corpus)."""
+    id_ok = (F.col("doc_id") >= 0) & (F.col("doc_id") < (1 << 31))
+    return F.when(
+        F.assert_true(
+            id_ok, F.concat(F.lit("doc_id out of key range: "), "doc_id")
+        ).isNull(),
+        F.col("doc_id") * (1 << 31) + F.col("chunk_idx"),
+    )
+
+
 @register("q_cdc_chunk_dedup", oracle=_cdc_oracle())
 def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined-chunking dedup audit per source: chunk every
@@ -1903,7 +1970,8 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually persist (store_ratio = chars_first / chars_total) — the
     storage-dedup complement of q_line_dedup_corpus's fixed-stride
     segments: CDC boundaries survive insertions, so shifted copies of
-    shared passages still dedup.
+    shared passages still dedup. The streaming chunk-store ingest
+    (streaming.cdc_ingest) maintains the same store incrementally.
 
     Scale shape: per-doc lag windows (doc-partitioned, never global);
     the chunk table shuffles 60-bit chunk HASHES (never chunk text)
@@ -1914,66 +1982,12 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_line_dedup_corpus; chunk_idx < 2^31 is structural — a chunk
     index that large needs a single multi-billion-token document)."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id",
-        "source",
-        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"),
-    ).withColumn("th", F.expr(md5int_spark("token")))
-    win = W.partitionBy("doc_id").orderBy("pos")
-    whash = F.expr(
-        _cdc_whash_sql(["th"] + [f"__th{j}" for j in range(1, _CDC_W)])
-    )
-    hashed = tok.select(
-        "doc_id",
-        "source",
-        "pos",
-        "token",
-        "th",
-        *[F.lag("th", j).over(win).alias(f"__th{j}") for j in range(1, _CDC_W)],
-    ).select(
-        "doc_id",
-        "source",
-        "pos",
-        "token",
-        F.when(F.col("pos") >= _CDC_W - 1, whash).alias("whash"),
-    )
-    w_prev = win.rowsBetween(W.unboundedPreceding, -1)
-    flagged = hashed.select(
-        "doc_id",
-        "source",
-        "pos",
-        "token",
-        F.coalesce(
-            F.sum(
-                F.when(F.col("whash") % _CDC_D == 0, 1).otherwise(0)
-            ).over(w_prev),
-            F.lit(0),
-        ).alias("chunk_idx"),
-    )
-    chunks = (
-        flagged.groupBy("doc_id", "source", "chunk_idx")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
-                    lambda x: x["token"],
-                ),
-                " ",
-            ).alias("ctext")
-        )
-    )
-    id_ok = (F.col("doc_id") >= 0) & (F.col("doc_id") < (1 << 31))
-    checked_key = F.when(
-        F.assert_true(
-            id_ok, F.concat(F.lit("doc_id out of key range: "), "doc_id")
-        ).isNull(),
-        F.col("doc_id") * (1 << 31) + F.col("chunk_idx"),
-    )
+    chunks = cdc_chunk_table(docs, extra_cols=("source",))
     keyed = chunks.select(
         "source",
         F.length("ctext").alias("clen"),
         F.expr(md5int_spark("ctext", bits=60)).alias("chash"),
-        checked_key.alias("key"),
+        cdc_checked_key().alias("key"),
     )
     firsts = keyed.groupBy("chash").agg(F.min("key").alias("min_key"))
     kept = F.col("key") == F.col("min_key")
