@@ -187,3 +187,75 @@ def resize_assets(assets: DataFrame, dst_w: int, dst_h: int) -> DataFrame:
             )
 
     return assets.mapInPandas(run, RESIZE_SCHEMA)
+
+
+MEDIA_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zcr_per_s", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("luma_mean", T.DoubleType()),
+        T.StructField("luma_std", T.DoubleType()),
+    ]
+)
+
+
+def extract_media_stats(assets: DataFrame) -> DataFrame:
+    """REAL-decode feature extraction for the two library-free formats
+    (multimodal.codecs): WAV payloads yield clip stats (duration, RMS,
+    zero-crossing rate, peak), PPM payloads yield image stats
+    (dimensions, channel/luma moments); unrecognized containers pass
+    through with kind='opaque' and NULL stats — never a silent fake
+    and never a job-killing raise on mixed corpora (a corrupt payload
+    in 100 TB must surface as a NULL row to quarantine, not abort the
+    cluster).
+
+    Same execution contract as extract_features: one Arrow-batched
+    Python crossing via mapInPandas, per-partition parallel, no
+    shuffle, no driver collection."""
+    from flink_template_spark.multimodal.codecs import (
+        ppm_features,
+        sniff,
+        wav_features,
+    )
+
+    cols = [f.name for f in MEDIA_STATS_SCHEMA.fields]
+
+    def one(asset_id: int, payload: bytes) -> dict:
+        row = dict.fromkeys(cols)
+        row["asset_id"] = asset_id
+        kind = sniff(payload)
+        try:
+            if kind == "wav":
+                row.update(wav_features(payload))
+                row["kind"] = "wav"
+            elif kind == "ppm":
+                f = ppm_features(payload)
+                row.update(
+                    height=f["height"],
+                    width=f["width"],
+                    luma_mean=f["luma_mean"],
+                    luma_std=f["luma_std"],
+                )
+                row["kind"] = "ppm"
+            else:
+                row["kind"] = "opaque"
+        except ValueError:
+            row["kind"] = "corrupt"  # sniffed container, bad body
+        return row
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                one(a, p) for a, p in zip(pdf["asset_id"], pdf["payload"])
+            ]
+            out = pd.DataFrame(rows, columns=cols)
+            out["asset_id"] = out["asset_id"].astype("int64")
+            yield out
+
+    return assets.mapInPandas(run, MEDIA_STATS_SCHEMA)
