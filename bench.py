@@ -170,6 +170,7 @@ EXTENDED = [
     "q_k_anonymity",
     "q_seasonal_residuals",
     "q_fd_audit",
+    "q_multimodal_real_decode",
 ]
 
 

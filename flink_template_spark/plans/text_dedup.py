@@ -2084,8 +2084,10 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the GROUND-TRUTH side is the quadratic cost, paid by
     an eval run, not the pipeline (the recall_eval posture); the
     candidate side is the production banded bucket join. The decile
-    rollup joins pair-keyed aggregates — no re-scan of either side's
-    shingle table; both sides derive from ONE shingle relation."""
+    rollup joins pair-keyed aggregates. Each side tokenizes its own
+    shingle relation — the repo's documented recompute-per-consumer
+    policy for corpus×token intermediates (SCALE.md): materializing
+    the shingle table to share it is the worse trade at 100 TB."""
     from flink_template_spark.operators.dedup import (
         minhash_lsh_pairs as _lsh,
         ngram_jaccard_pairs as _truth,
