@@ -171,6 +171,7 @@ EXTENDED = [
     "q_seasonal_residuals",
     "q_fd_audit",
     "q_multimodal_real_decode",
+    "q_data_expectations",
 ]
 
 

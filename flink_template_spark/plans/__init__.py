@@ -137,6 +137,7 @@ _MIDDLE: list[str] = [
     "q_k_anonymity",
     "q_seasonal_residuals",
     "q_fd_audit",
+    "q_data_expectations",
     # r3-cohort remainder (oldest stale after a green r7)
     "q_minhash_signatures",
     "q_multimodal_features",

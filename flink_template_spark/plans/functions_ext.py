@@ -1516,3 +1516,89 @@ def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = one if out is None else out.unionByName(one)
     return out.orderBy("table_name", "determinant", "dependent")
+
+
+# Declarative data-quality expectations: (name, SQL predicate over
+# `documents`, max tolerated failure fraction). One literal list drives
+# BOTH engines, so the suite definition cannot drift between them.
+_EXPECTATIONS = [
+    ("doc_id_not_null", "doc_id IS NOT NULL", 0.0),
+    ("doc_id_nonnegative", "doc_id >= 0", 0.0),
+    ("lang_known", "lang IN ('en','de','fr','es','ja')", 0.0),
+    ("n_chars_matches_text", "n_chars = length(text)", 0.0),
+    ("text_nonempty", "length(text) > 0", 0.001),
+    ("n_chars_sane_upper", "n_chars < 100000", 0.0),
+]
+
+
+def _expectations_oracle() -> str:
+    aggs = []
+    for name, pred, tol in _EXPECTATIONS:
+        aggs.append(
+            f"SELECT '{name}' AS check_name,"
+            f" CAST(COUNT(*) AS BIGINT) AS n_rows,"
+            f" CAST(SUM(CASE WHEN {pred} THEN 0 ELSE 1 END) AS BIGINT) AS n_fail,"
+            f" ROUND(CAST(SUM(CASE WHEN {pred} THEN 0 ELSE 1 END) AS DOUBLE)"
+            f" / CAST(COUNT(*) AS DOUBLE), 6) AS frac_fail,"
+            f" CAST(SUM(CASE WHEN {pred} THEN 0 ELSE 1 END) AS DOUBLE)"
+            f" <= {tol} * CAST(COUNT(*) AS DOUBLE) AS passed"
+            f" FROM documents"
+        )
+    union = "\nUNION ALL\n".join(aggs)
+    return f"SELECT * FROM (\n{union}\n) ORDER BY check_name"
+
+
+@register("q_data_expectations", oracle=_expectations_oracle())
+def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite (the Great-Expectations-style
+    ingest gate): every check in _EXPECTATIONS evaluates as a
+    CONDITIONAL AGGREGATE over ONE corpus scan — never one job per
+    check (the naive N-pass suite reads 100 TB N times; this reads it
+    once). Output per check: rows seen, failures, failure fraction,
+    and pass/fail against the check's tolerated fraction — the row a
+    pipeline's circuit-breaker consumes before promoting a snapshot.
+
+    Implementation: the predicate strings are shared verbatim with the
+    oracle; Spark evaluates them all in one hash-agg pass over the
+    scan, then a single ``stack`` unpivot turns the 1-row aggregate
+    into one row per check — ONE consumer of the agg subtree, so the
+    plan carries exactly one corpus scan (a per-check select loop
+    re-expanded the aggregate 6× — the multi-consumer double-scan trap
+    the r6 audit fixed elsewhere; plan-pinned by
+    test_data_expectations_single_scan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for name, pred, _tol in _EXPECTATIONS:
+        aggs.append(
+            F.sum(F.when(F.expr(pred), 0).otherwise(1))
+            .cast("bigint")
+            .alias(f"fail__{name}")
+        )
+    one = docs.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', fail__{name}, CAST({tol} AS DOUBLE)"
+        for name, _pred, tol in _EXPECTATIONS
+    )
+    n_fail = F.col("n_fail")
+    return (
+        one.select(
+            "n_rows",
+            F.expr(
+                f"stack({len(_EXPECTATIONS)}, {stack_args})"
+                " AS (check_name, n_fail, tol)"
+            ),
+        )
+        .select(
+            "check_name",
+            "n_rows",
+            n_fail.alias("n_fail"),
+            F.round(
+                n_fail.cast("double") / F.col("n_rows").cast("double"), 6
+            ).alias("frac_fail"),
+            (
+                n_fail.cast("double")
+                <= F.col("tol") * F.col("n_rows").cast("double")
+            ).alias("passed"),
+        )
+        .orderBy("check_name")
+    )

@@ -373,3 +373,32 @@ def test_fd_audit_synthetic_hold_and_violation_mass(spark, monkeypatch):
     # web carries two langs, books one -> exactly one violating source
     dd = got[("documents", "source", "lang")]
     assert dd["n_violating_keys"] == 1 and not dd["fd_holds"]
+
+
+def test_data_expectations_single_scan(spark, sf_dir):
+    """The suite must evaluate ALL checks in one corpus pass: exactly
+    one parquet scan in the plan (the per-check select loop
+    re-expanded the aggregate subtree 6x), and a planted failing check
+    must report its exact failure mass."""
+    import contextlib
+    import io
+    import re
+
+    from flink_template_spark import plans
+
+    df = plans.QUERIES["q_data_expectations"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert len(re.findall(r"\(\d+\) Scan parquet", buf.getvalue())) == 1
+
+    got = {r["check_name"]: r for r in df.collect()}
+    assert set(got) == {n for n, _, _ in __import__(
+        "flink_template_spark.plans.functions_ext", fromlist=["x"]
+    )._EXPECTATIONS}
+    # zero-tolerance checks: passed iff n_fail == 0 exactly
+    for r in got.values():
+        if r["n_fail"] == 0:
+            assert r["passed"]
+    # n_chars = length(text) is a real invariant of the testdata
+    assert got["n_chars_matches_text"]["n_fail"] == 0
