@@ -172,6 +172,7 @@ EXTENDED = [
     "q_fd_audit",
     "q_multimodal_real_decode",
     "q_data_expectations",
+    "q_snapshot_diff",
 ]
 
 

@@ -1602,3 +1602,111 @@ def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("check_name")
     )
+
+
+def _snapshot_diff_oracle() -> str:
+    fp = _fp_serial("VARCHAR")
+    return f"""
+WITH new_snap AS (
+  SELECT source, doc_id, md5({fp}) AS h FROM documents WHERE doc_id % 17 <> 0
+),
+old_snap AS (
+  SELECT source, doc_id, md5({fp}) AS h FROM (
+    SELECT doc_id,
+           CASE WHEN doc_id % 11 = 0 THEN substr(text, 1, 10) ELSE text END
+             AS text,
+           lang, source,
+           CASE WHEN doc_id % 11 = 0 THEN length(substr(text, 1, 10))
+                ELSE n_chars END AS n_chars
+    FROM documents
+  ) WHERE doc_id % 13 <> 0
+),
+joined AS (
+  SELECT COALESCE(n.source, o.source) AS source,
+    CASE WHEN o.doc_id IS NULL THEN 'added'
+         WHEN n.doc_id IS NULL THEN 'removed'
+         WHEN n.h <> o.h THEN 'changed'
+         ELSE 'unchanged' END AS status
+  FROM new_snap n FULL OUTER JOIN old_snap o ON n.doc_id = o.doc_id
+)
+SELECT source,
+  CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+  CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+  CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+  CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_unchanged
+FROM joined GROUP BY source ORDER BY source
+"""
+
+
+@register("q_snapshot_diff", oracle=_snapshot_diff_oracle())
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff by row fingerprint: classify every doc_id as
+    added / removed / changed / unchanged between two corpus versions
+    and roll the counts up per source — the migration/replication diff
+    a 100 TB promotion runs when q_content_fingerprint's table-level
+    XOR/SUM says "something differs" and you need to know WHAT. Rows
+    compare by the injective _fp_serial hash (the length-prefixed
+    serialization the integrity fingerprints use), so a change in ANY
+    field — including NULL transitions and '|'-bearing text — counts
+    as changed.
+
+    The "old" snapshot is derived deterministically from the same
+    table (drop doc_id%13==0, truncate text for doc_id%11==0; the new
+    side drops doc_id%17==0) so both engines diff identical inputs;
+    with real snapshots the two sides are just two parquet roots.
+
+    Scale shape: one full-outer equi-join on the id carrying only
+    (id, source, 32-hex hash) — never the payload; counts roll up with
+    partial combine. At 100 TB both sides prune to (id, hash) columns
+    and the join co-partitions on the id."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.expr(_fp_serial("STRING")))
+    new_snap = (
+        docs.filter(F.col("doc_id") % 17 != 0)
+        .select("source", "doc_id", fp.alias("h"))
+    )
+    old_docs = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.substring("text", 1, 10)
+        ).otherwise(F.col("text")).alias("text"),
+        "lang",
+        "source",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.length(F.substring("text", 1, 10)).cast("long"),
+        ).otherwise(F.col("n_chars")).alias("n_chars"),
+    )
+    old_snap = (
+        old_docs.filter(F.col("doc_id") % 13 != 0)
+        .select("source", "doc_id", fp.alias("h"))
+    )
+    n = new_snap.alias("n")
+    o = old_snap.alias("o")
+    joined = n.join(o, F.col("n.doc_id") == F.col("o.doc_id"), "full_outer").select(
+        F.coalesce(F.col("n.source"), F.col("o.source")).alias("source"),
+        F.when(F.col("o.doc_id").isNull(), "added")
+        .when(F.col("n.doc_id").isNull(), "removed")
+        .when(F.col("n.h") != F.col("o.h"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("status") == "added", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_added"),
+            F.sum(F.when(F.col("status") == "removed", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.sum(F.when(F.col("status") == "changed", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_changed"),
+            F.sum(F.when(F.col("status") == "unchanged", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unchanged"),
+        )
+        .orderBy("source")
+    )

@@ -402,3 +402,37 @@ def test_data_expectations_single_scan(spark, sf_dir):
             assert r["passed"]
     # n_chars = length(text) is a real invariant of the testdata
     assert got["n_chars_matches_text"]["n_fail"] == 0
+
+
+def test_snapshot_diff_classification_axioms(spark, monkeypatch):
+    """Hand-built 4-doc corpus hitting every branch: one added (old
+    drops %13==0... here planted directly), one removed, one changed
+    (text truncation), one unchanged — counts must match the planted
+    structure exactly, and 'changed' must trigger on the FINGERPRINT
+    (an n_chars-only change counts)."""
+    import flink_template_spark.plans.functions_ext as FE
+
+    # doc_ids chosen for the derivation rules:
+    #  17 -> dropped from NEW only => removed
+    #  13 -> dropped from OLD only => added
+    #  11 -> text truncated in OLD => changed
+    #  1  -> untouched             => unchanged
+    docs = spark.createDataFrame(
+        [
+            (17, "seventeen text here", "en", "s", 19),
+            (13, "thirteen text here", "en", "s", 18),
+            (11, "eleven text long enough to truncate", "en", "s", 36),
+            (1, "one text", "en", "s", 8),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(FE, "load_table", lambda s, sd, t: docs)
+    r = FE.q_snapshot_diff(spark, "x").collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (
+        row["n_added"],
+        row["n_removed"],
+        row["n_changed"],
+        row["n_unchanged"],
+    ) == (1, 1, 1, 1)
