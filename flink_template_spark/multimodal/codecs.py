@@ -62,14 +62,24 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         (clen,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8 : pos + 8 + clen]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("WAV fmt chunk truncated")
             tag, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
             if tag != 1:
                 raise ValueError(f"unsupported WAV format tag {tag} (PCM only)")
         elif cid == b"data":
+            if len(body) != clen:
+                # a partially-uploaded file (header intact, tail missing)
+                # must fail LOUDLY — a short even-length slice would
+                # otherwise decode "successfully" with silently wrong
+                # duration/RMS (r7 review)
+                raise ValueError("WAV data chunk truncated")
             data = body
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
     if rate is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
+    if rate <= 0:
+        raise ValueError(f"invalid WAV sample rate {rate}")
     if bits != 16:
         raise ValueError(f"unsupported WAV bit depth {bits} (16-bit only)")
     s = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
@@ -166,14 +176,24 @@ def ppm_features(payload: bytes) -> dict:
 
 # --- dispatch -----------------------------------------------------------------
 
-_MAGIC = [(b"RIFF", "wav"), (b"P6", "ppm")]
-
-
 def sniff(payload: bytes) -> str | None:
-    """Container sniffing by magic bytes: 'wav' | 'ppm' | None."""
-    for magic, kind in _MAGIC:
-        if payload[: len(magic)] == magic:
-            return kind
+    """Container sniffing by magic bytes: 'wav' | 'ppm' | None.
+
+    RIFF alone is NOT wav — WebP/AVI are RIFF containers too (r7
+    review: a WebP payload sniffed as wav, crashed decode_wav, and got
+    quarantined as corrupt instead of passing through as opaque); the
+    form type at bytes 8..12 must be WAVE. P6 must be followed by
+    whitespace or a comment, or 'P6x...' text would misfire."""
+    if payload is None:
+        return None
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if (
+        len(payload) > 2
+        and payload[:2] == b"P6"
+        and (payload[2:3].isspace() or payload[2:3] == b"#")
+    ):
+        return "ppm"
     return None
 
 

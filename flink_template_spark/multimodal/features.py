@@ -230,6 +230,11 @@ def extract_media_stats(assets: DataFrame) -> DataFrame:
         row = dict.fromkeys(cols)
         row["asset_id"] = asset_id
         kind = sniff(payload)
+        # quarantine catches EVERYTHING a malformed body can raise —
+        # struct.error on a short fmt chunk, TypeError on odd buffer
+        # shapes, not just ValueError (r7 review: a narrower catch let
+        # struct.error abort the whole job, violating this function's
+        # own never-raise contract)
         try:
             if kind == "wav":
                 row.update(wav_features(payload))
@@ -245,7 +250,7 @@ def extract_media_stats(assets: DataFrame) -> DataFrame:
                 row["kind"] = "ppm"
             else:
                 row["kind"] = "opaque"
-        except ValueError:
+        except Exception:
             row["kind"] = "corrupt"  # sniffed container, bad body
         return row
 

@@ -337,10 +337,13 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     |langs| rows — both with map-side partial combine; integer
     counts end-to-end, one exact division at the end."""
     docs = load_table(spark, sf_dir, "documents")
+    # floor, not truncate-toward-zero: the oracle's // floors, and a
+    # (future) negative n_chars would otherwise bucket differently in
+    # the two engines (r7 review)
     cells = docs.groupBy(
         "lang",
         "source",
-        (F.col("n_chars") / _KANON_LEN_BUCKET)
+        F.floor(F.col("n_chars") / _KANON_LEN_BUCKET)
         .cast("bigint")
         .alias("len_bucket"),
     ).agg(F.count(F.lit(1)).alias("cell_n"))

@@ -40,13 +40,7 @@ from flink_template_spark.plans.text_dedup import (
     cdc_checked_key,
     cdc_chunk_table,
 )
-
-
-def _read_optional(spark: SparkSession, path: str) -> DataFrame | None:
-    try:
-        return spark.read.parquet(path)
-    except Exception:
-        return None
+from flink_template_spark.streaming.io_util import read_optional as _read_optional
 
 
 def chunk_store(spark: SparkSession, root: str) -> DataFrame:
@@ -74,6 +68,9 @@ def ingest_batch_against_store(
     source) and the current store (None = empty). novel_chunks carries
     (chash, clen, ctext); stats counts every incoming chunk and which
     of them cost new storage."""
+    # cache: the lag-window chunking pass is the dominant batch cost and
+    # feeds BOTH the novel write and the stats write (the sibling
+    # ingest_dedup caches its band table for the same reason)
     chunks = cdc_chunk_table(batch, extra_cols=("source",)).select(
         "doc_id",
         "source",
@@ -82,7 +79,7 @@ def ingest_batch_against_store(
         F.length("ctext").alias("clen"),
         F.expr(md5int_spark("ctext", bits=60)).alias("chash"),
         cdc_checked_key().alias("key"),
-    )
+    ).cache()
 
     # (2) chunks whose hash is already stored cost nothing new
     if store is not None:
@@ -92,7 +89,7 @@ def ingest_batch_against_store(
         fresh = chunks
 
     # (3) within-batch first occurrence of each novel hash wins storage
-    firsts = fresh.groupBy("chash").agg(F.min("key").alias("min_key"))
+    firsts = fresh.groupBy("chash").agg(F.min("key").alias("min_key")).cache()
     novel = (
         fresh.join(firsts, "chash")
         .filter(F.col("key") == F.col("min_key"))
@@ -115,6 +112,31 @@ def ingest_batch_against_store(
     return novel, stats
 
 
+def process_epoch(batch_df: DataFrame, epoch_id: int, root: str) -> None:
+    """One epoch of the ingest (module-level so tests can replay it).
+
+    REPLAY SAFETY (r7 review): the store read excludes the CURRENT
+    epoch's own directory. A crashed attempt of epoch N may have
+    already written chunks/epoch=N; re-reading those hashes as
+    "already stored" would empty the novel set, and the overwrite of
+    epoch=N would then DELETE the only copies — the manifest could
+    never reassemble those documents again. Filtering to epoch <
+    epoch_id makes the replay recompute the identical novel set and
+    overwrite epoch=N with the same content (idempotent), which is the
+    property the epoch-stamped layout exists to provide."""
+    spark = batch_df.sparkSession
+    store = _read_optional(spark, os.path.join(root, "chunks"))
+    if store is not None:
+        store = store.filter(F.col("epoch") < epoch_id).select("chash")
+    novel, stats = ingest_batch_against_store(batch_df, store)
+    novel.write.mode("overwrite").parquet(
+        os.path.join(root, "chunks", f"epoch={epoch_id}")
+    )
+    stats.write.mode("overwrite").parquet(
+        os.path.join(root, "stats", f"epoch={epoch_id}")
+    )
+
+
 def start_cdc_ingest(
     stream_docs: DataFrame,
     root: str,
@@ -128,17 +150,7 @@ def start_cdc_ingest(
     not resolution."""
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        store = _read_optional(spark, os.path.join(root, "chunks"))
-        if store is not None:
-            store = store.select("chash")
-        novel, stats = ingest_batch_against_store(batch_df, store)
-        novel.write.mode("overwrite").parquet(
-            os.path.join(root, "chunks", f"epoch={epoch_id}")
-        )
-        stats.write.mode("overwrite").parquet(
-            os.path.join(root, "stats", f"epoch={epoch_id}")
-        )
+        process_epoch(batch_df, epoch_id, root)
 
     writer = (
         stream_docs.writeStream.outputMode("append")

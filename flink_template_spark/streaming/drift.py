@@ -127,7 +127,9 @@ def monitor_stream(
     Quantization exactness (r7 self-review): an INTEGER-typed value
     column scales as an exact long multiply — never through double,
     whose 2^53 mantissa would corrupt large counters (byte totals,
-    token counts) by whole SCALE units per row. Fractional columns
+    token counts) by whole SCALE units per row; values past the
+    2^63/SCALE scaling headroom fail LOUDLY (assert_true) instead of
+    wrapping int64 into a spurious low-side alarm. Fractional columns
     take the double path with ``bround`` (HALF_EVEN), the same
     tie-break Python's ``round`` applies to mu/slack/h — an in-control
     stream sitting exactly on a .5-tie mean must quantize to the SAME
@@ -138,7 +140,15 @@ def monitor_stream(
 
     vtype = stream.schema[value_col].dataType
     if isinstance(vtype, (ByteType, ShortType, IntegerType, LongType)):
-        value = F.col(value_col).cast("long") * SCALE  # exact at any magnitude
+        headroom = (1 << 63) // SCALE - 1
+        v = F.col(value_col).cast("long")
+        value = F.when(
+            F.assert_true(
+                F.abs(v) <= headroom,
+                F.concat(F.lit("CUSUM value exceeds scaling headroom: "), v),
+            ).isNull(),
+            v * SCALE,  # exact within ±2^63/SCALE, loud beyond
+        )
     else:
         value = F.bround(F.col(value_col).cast("double") * SCALE).cast("long")
     keyed = stream.select(

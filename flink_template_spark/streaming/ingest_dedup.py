@@ -35,11 +35,7 @@ from pyspark.sql import functions as F
 from flink_template_spark.operators.dedup import minhash_band_index
 
 
-def _read_optional(spark: SparkSession, path: str) -> DataFrame | None:
-    try:
-        return spark.read.parquet(path)
-    except Exception:
-        return None
+from flink_template_spark.streaming.io_util import read_optional as _read_optional
 
 
 def accepted_docs(spark: SparkSession, root: str) -> DataFrame:
@@ -111,7 +107,14 @@ def start_ingest_dedup(
         spark = batch_df.sparkSession
         index = _read_optional(spark, os.path.join(root, "index"))
         if index is not None:
-            index = index.select("band", "band_key")
+            # REPLAY SAFETY (r7 review, same hole as cdc_ingest): a
+            # crashed attempt of THIS epoch may already have written
+            # index/epoch=N; treating its bands as "existing corpus"
+            # would reject every replayed doc and the epoch overwrite
+            # would erase the originals from accepted/ forever.
+            index = index.filter(F.col("epoch") < epoch_id).select(
+                "band", "band_key"
+            )
         novel, novel_bands = dedup_batch_against_index(
             spark, batch_df, index, id_col, text_col
         )

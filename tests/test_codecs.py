@@ -129,3 +129,52 @@ def test_spark_media_stats_over_mixed_real_payloads(spark):
     assert got[2]["rms"] is None
     assert got[3]["kind"] == "opaque" and got[3]["rms"] is None
     assert got[4]["kind"] == "corrupt" and got[4]["luma_mean"] is None
+
+
+def test_sniff_rejects_webp_and_p6_text(spark):
+    """r7 review: RIFF alone is not WAV (WebP/AVI are RIFF too) and
+    'P6' needs following whitespace — both must sniff None and flow to
+    the opaque branch, not crash or land in corrupt."""
+    import struct
+
+    from flink_template_spark.multimodal.features import extract_media_stats
+
+    webp = b"RIFF" + struct.pack("<I", 12) + b"WEBPVP8 " + bytes(8)
+    rows = [
+        (1, "image", bytearray(webp)),
+        (2, "text", bytearray(b"P6xxx not an image")),
+        (3, "audio", bytearray()),  # empty payload
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary"
+    )
+    got = {r["asset_id"]: r["kind"] for r in extract_media_stats(assets).collect()}
+    assert got == {1: "opaque", 2: "opaque", 3: "opaque"}
+
+
+def test_malformed_wav_bodies_quarantine_not_abort(spark):
+    """r7 review: struct.error (short fmt), truncated data chunk, and
+    zero sample rate must all land as kind='corrupt' rows — none may
+    escape the batch and abort the job."""
+    import struct
+
+    from flink_template_spark.multimodal.features import extract_media_stats
+
+    def riff(body):
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    short_fmt = riff(b"fmt " + struct.pack("<I", 4) + bytes(4))
+    truncated = bytearray(encode_wav(_sine(seconds=0.01), 16000))[:-3]
+    zero_rate = bytearray(encode_wav(_sine(seconds=0.01), 16000))
+    zero_rate[24:28] = struct.pack("<I", 0)
+    rows = [
+        (1, "audio", bytearray(short_fmt)),
+        (2, "audio", bytearray(truncated)),
+        (3, "audio", zero_rate),
+        (4, "audio", bytearray(encode_wav(_sine(seconds=0.01), 16000))),
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary"
+    )
+    got = {r["asset_id"]: r["kind"] for r in extract_media_stats(assets).collect()}
+    assert got == {1: "corrupt", 2: "corrupt", 3: "corrupt", 4: "wav"}
