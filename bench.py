@@ -173,6 +173,7 @@ EXTENDED = [
     "q_multimodal_real_decode",
     "q_data_expectations",
     "q_snapshot_diff",
+    "q_benford_audit",
 ]
 
 

@@ -139,6 +139,7 @@ _MIDDLE: list[str] = [
     "q_fd_audit",
     "q_data_expectations",
     "q_snapshot_diff",
+    "q_benford_audit",
     # r3-cohort remainder (oldest stale after a green r7)
     "q_minhash_signatures",
     "q_multimodal_features",

@@ -1710,3 +1710,87 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Benford first-digit reference probabilities log10(1 + 1/d), embedded
+# as shared 12-dp decimal literals so BOTH engines compare against the
+# identical constants (no runtime log10 — the transcendental-free
+# discipline).
+_BENFORD_P = {
+    1: "0.301029995664", 2: "0.176091259056", 3: "0.124938736608",
+    4: "0.096910013008", 5: "0.079181246048", 6: "0.066946789631",
+    7: "0.057991946978", 8: "0.051152522447", 9: "0.045757490561",
+}
+
+
+def _benford_oracle() -> str:
+    p_case = " ".join(
+        f"WHEN {d} THEN {p}" for d, p in _BENFORD_P.items()
+    )
+    return f"""
+WITH digits AS (
+  SELECT o_orderpriority AS grp,
+    CAST(substr(CAST(CAST(o_totalprice * 100 AS BIGINT) AS VARCHAR), 1, 1)
+         AS BIGINT) AS d
+  FROM orders WHERE o_totalprice > 0
+),
+counts AS (
+  SELECT grp, d, COUNT(*) AS c FROM digits GROUP BY grp, d
+),
+tot AS (SELECT grp, SUM(c) AS n FROM counts GROUP BY grp)
+SELECT c.grp AS o_orderpriority, CAST(c.d AS BIGINT) AS digit,
+  CAST(c.c AS BIGINT) AS n_obs,
+  ROUND(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE), 6) AS freq_obs,
+  CAST(CASE c.d {p_case} END AS DOUBLE) AS freq_benford,
+  ROUND(abs(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE)
+            - CASE c.d {p_case} END), 6) AS abs_dev
+FROM counts c JOIN tot t ON c.grp = t.grp
+ORDER BY o_orderpriority, digit
+"""
+
+
+@register("q_benford_audit", oracle=_benford_oracle())
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order amounts per priority class:
+    observed leading-digit frequencies against the Benford reference —
+    the classic fabricated/synthetic-number detector (organic
+    multiplicative amounts follow log10(1+1/d); padded, capped, or
+    generated values don't, and the per-digit absolute deviations say
+    WHICH digits betray it). On this synthetic corpus the deviations
+    are themselves the fingerprint of the uniform generator — exactly
+    what the audit exists to expose.
+
+    First digits are extracted in INTEGER space (amount × 100 as
+    bigint → first character of its decimal rendering) so both engines
+    agree for any magnitude — no float log10, no locale formatting;
+    the Benford reference enters as shared 12-dp literals.
+
+    Scale shape: one map-side digit extraction + (group, digit) count
+    with partial combine; everything after runs on |groups|×9 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        (F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    counts = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .groupBy(F.col("o_orderpriority"), digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = counts.groupBy("o_orderpriority").agg(F.sum("c").alias("n"))
+    p_map = F.create_map(
+        *[x for d, p in _BENFORD_P.items() for x in (F.lit(d), F.expr(p))]
+    )
+    freq = F.col("c").cast("double") / F.col("n").cast("double")
+    bref = p_map[F.col("digit")].cast("double")
+    return (
+        counts.join(tot, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "digit",
+            F.col("c").cast("bigint").alias("n_obs"),
+            F.round(freq, 6).alias("freq_obs"),
+            bref.alias("freq_benford"),
+            F.round(F.abs(freq - bref), 6).alias("abs_dev"),
+        )
+        .orderBy("o_orderpriority", "digit")
+    )

