@@ -174,6 +174,7 @@ EXTENDED = [
     "q_data_expectations",
     "q_snapshot_diff",
     "q_benford_audit",
+    "q_spatial_radius_pairs",
 ]
 
 

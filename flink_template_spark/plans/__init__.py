@@ -140,6 +140,7 @@ _MIDDLE: list[str] = [
     "q_data_expectations",
     "q_snapshot_diff",
     "q_benford_audit",
+    "q_spatial_radius_pairs",
     # r3-cohort remainder (oldest stale after a green r7)
     "q_minhash_signatures",
     "q_multimodal_features",

@@ -1175,3 +1175,59 @@ def q_shuffle_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("reducer")
     )
+
+
+_GEO_SPAN = 4000  # integer centi-units per axis (a ~40 km square at 1 unit ≈ 10 m)
+_GEO_R = 15  # radius: pairs within 150 m
+
+
+def _radius_join_oracle() -> str:
+    hx = md5int_duckdb("concat(CAST(c_custkey AS VARCHAR), 'x')")
+    hy = md5int_duckdb("concat(CAST(c_custkey AS VARCHAR), 'y')")
+    return f"""
+WITH pts AS (
+  SELECT c_custkey AS id, ({hx}) % {_GEO_SPAN} AS x, ({hy}) % {_GEO_SPAN} AS y
+  FROM customer
+)
+SELECT a.id AS id_a, b.id AS id_b,
+  CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS d2
+FROM pts a JOIN pts b ON a.id < b.id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      <= {_GEO_R * _GEO_R}
+ORDER BY id_a, id_b
+"""
+
+
+@register("q_spatial_radius_pairs", oracle=_radius_join_oracle())
+def q_spatial_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial radius self-join (operators.spatial): all
+    point pairs within {_GEO_R} integer units over a deterministic
+    point cloud derived from customer keys (portable-hash coordinates,
+    so both engines build the identical cloud). The oracle is the
+    brute-force all-pairs scan — identical output, quadratic cost the
+    grid join avoids (cell + 3×3 neighborhood equi-join, candidates
+    bounded by local density; the LSH candidate/verify shape applied
+    to coordinates).
+
+    Scale shape pinned by test_spatial_radius_join_no_cartesian: an
+    equi-join on cell ids, never a CartesianProduct; the 9× expansion
+    rides one side only; the exact integer verify is map-side."""
+    from flink_template_spark.operators.spatial import radius_self_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        (
+            F.expr(md5int_spark("concat(CAST(c_custkey AS STRING), 'x')"))
+            % _GEO_SPAN
+        ).alias("x"),
+        (
+            F.expr(md5int_spark("concat(CAST(c_custkey AS STRING), 'y')"))
+            % _GEO_SPAN
+        ).alias("y"),
+    )
+    return (
+        radius_self_join(pts, _GEO_R)
+        .select("id_a", "id_b", F.col("d2").cast("bigint").alias("d2"))
+        .orderBy("id_a", "id_b")
+    )

@@ -466,3 +466,43 @@ def test_benford_log_uniform_conforms_and_constant_leads_deviate(spark, monkeypa
     assert dev["B"][9] > 0.9
     assert 1 not in dev["B"] or True  # digits 1-8 absent entirely
     assert {r["digit"] for r in out if r["o_orderpriority"] == "B"} == {9}
+
+
+def test_spatial_radius_join_no_cartesian_and_complete(spark):
+    """The grid join must (a) carry no CartesianProduct — cell-id
+    equi-join only — and (b) find EXACTLY the brute-force pair set on
+    a planted cloud with same-cell, cross-cell-boundary, corner-
+    adjacent, and just-outside pairs (the pigeonhole completeness the
+    3x3 neighborhood guarantees)."""
+    import contextlib
+    import io
+
+    from flink_template_spark.operators.spatial import radius_self_join
+
+    r = 10
+    pts = [
+        (1, 5, 5),      # same cell as 2
+        (2, 8, 6),      # d2(1,2) = 10 <= 100
+        (3, 11, 5),     # next cell over; d2(2,3) = 10 <= 100
+        (4, 19, 19),    # corner-adjacent to 5
+        (5, 21, 21),    # d2(4,5) = 8 <= 100
+        (6, 50, 50),    # isolated
+        (7, 5, 16),     # d2(1,7) = 121 > 100: candidate but verify-rejected
+    ]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    out = radius_self_join(df, r)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "CartesianProduct" not in buf.getvalue()
+
+    got = {(r_["id_a"], r_["id_b"]): r_["d2"] for r_ in out.collect()}
+    brute = {}
+    for i, (ia, xa, ya) in enumerate(pts):
+        for ib, xb, yb in pts[i + 1 :]:
+            d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+            if d2 <= r * r:
+                brute[(min(ia, ib), max(ia, ib))] = d2
+    assert got == brute
+    assert (1, 2) in got and (2, 3) in got and (4, 5) in got
+    assert (1, 7) not in got  # verify rejects the over-radius candidate
