@@ -175,6 +175,7 @@ EXTENDED = [
     "q_snapshot_diff",
     "q_benford_audit",
     "q_spatial_radius_pairs",
+    "q_interval_coverage",
 ]
 
 

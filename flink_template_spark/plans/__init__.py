@@ -141,6 +141,7 @@ _MIDDLE: list[str] = [
     "q_snapshot_diff",
     "q_benford_audit",
     "q_spatial_radius_pairs",
+    "q_interval_coverage",
     # r3-cohort remainder (oldest stale after a green r7)
     "q_minhash_signatures",
     "q_multimodal_features",

@@ -1063,3 +1063,93 @@ def q_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "q_interval_coverage",
+    oracle="""
+WITH iv AS (
+  -- floor() before the BIGINT casts: DuckDB's double->bigint cast
+  -- ROUNDS while Spark's unix_timestamp/cast TRUNCATE
+  SELECT user_id,
+    CAST(floor(epoch(ts)) AS BIGINT) AS s,
+    CAST(floor(epoch(ts)) AS BIGINT) + CAST(floor(value * 60) AS BIGINT) AS e
+  FROM events WHERE value > 0
+),
+marked AS (
+  SELECT user_id, s, e,
+    CASE WHEN s > COALESCE(MAX(e) OVER (
+      PARTITION BY user_id ORDER BY s, e
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+    THEN 1 ELSE 0 END AS new_block
+  FROM iv
+),
+blocks AS (
+  SELECT user_id, s, e,
+    SUM(new_block) OVER (PARTITION BY user_id ORDER BY s, e
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS block_id
+  FROM marked
+),
+merged AS (
+  SELECT user_id, block_id,
+    MIN(s) AS bs, MAX(e) AS be, COUNT(*) AS n_iv
+  FROM blocks GROUP BY user_id, block_id
+)
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_blocks,
+  CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+  CAST(SUM(be - bs) AS BIGINT) AS covered_s,
+  CAST(MAX(be - bs) AS BIGINT) AS longest_block_s
+FROM merged GROUP BY user_id ORDER BY user_id
+""",
+)
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage per user: every event opens an interval
+    [ts, ts + value·60 s]; overlapping intervals merge and the union's
+    total covered time, block count, and longest block come back — the
+    interval-algebra primitive behind session stitching, SLA uptime,
+    machine-utilization, and ad-exposure accounting (naive SUM of
+    durations double-counts every overlap; the union does not).
+
+    Algorithm: the classic sweep as pure window algebra — an interval
+    starts a NEW block iff its start exceeds the running MAX end of
+    everything before it (per user, ordered by start); block ids are
+    the running sum of those flags; each block contributes
+    max(end) − min(start). All integer-seconds arithmetic.
+
+    Scale shape: per-user windows (user-partitioned, never global) +
+    one (user, block) hash-agg + one user rollup, all map-side
+    combinable after the single per-user sort — the same
+    partitioned-window posture as the telemetry stop detection."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.filter(F.col("value") > 0).select(
+        "user_id",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + (F.col("value") * 60).cast("bigint")).alias("e"),
+    )
+    w = W.partitionBy("user_id").orderBy("s", "e")
+    w_prev = w.rowsBetween(W.unboundedPreceding, -1)
+    w_run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    marked = iv.withColumn(
+        "new_block",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1
+        ).otherwise(0),
+    )
+    blocks = marked.withColumn("block_id", F.sum("new_block").over(w_run))
+    merged = blocks.groupBy("user_id", "block_id").agg(
+        F.min("s").alias("bs"), F.max("e").alias("be"),
+        F.count(F.lit(1)).alias("n_iv"),
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.sum("n_iv").cast("bigint").alias("n_intervals"),
+            F.sum(F.col("be") - F.col("bs")).cast("bigint").alias("covered_s"),
+            F.max(F.col("be") - F.col("bs")).cast("bigint").alias("longest_block_s"),
+        )
+        .orderBy("user_id")
+    )

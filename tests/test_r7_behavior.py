@@ -506,3 +506,46 @@ def test_spatial_radius_join_no_cartesian_and_complete(spark):
     assert got == brute
     assert (1, 2) in got and (2, 3) in got and (4, 5) in got
     assert (1, 7) not in got  # verify rejects the over-radius candidate
+
+
+def test_interval_coverage_union_not_sum(spark, monkeypatch):
+    """Hand-built overlap structure: [0,100]+[50,150] merge to one
+    150 s block (a naive duration SUM says 200); a touching interval
+    [150,160] EXTENDS the block (closed-interval semantics: start ==
+    running max end is not a gap); [200,210] starts a new one."""
+    import datetime
+
+    import flink_template_spark.plans.events_time as ET
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, uid, offset_s, dur_s):
+        return (
+            eid,
+            base + datetime.timedelta(seconds=offset_s),
+            uid,
+            "click",
+            dur_s / 60.0,
+            "{}",
+        )
+
+    rows = [
+        ev(1, 1, 0, 100),
+        ev(2, 1, 50, 100),   # overlaps 1
+        ev(3, 1, 150, 10),   # touches the merged end -> same block
+        ev(4, 1, 200, 10),   # gap -> new block
+        ev(5, 2, 0, 60),     # second user untouched
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(ET, "load_table", lambda s, sd, t: events)
+    got = {r["user_id"]: r for r in ET.q_interval_coverage(spark, "x").collect()}
+    u1 = got[1]
+    assert u1["n_intervals"] == 4
+    assert u1["n_blocks"] == 2
+    assert u1["covered_s"] == 160 + 10  # [0,160] + [200,210]
+    assert u1["longest_block_s"] == 160
+    assert got[2]["covered_s"] == 60 and got[2]["n_blocks"] == 1
