@@ -176,6 +176,7 @@ EXTENDED = [
     "q_benford_audit",
     "q_spatial_radius_pairs",
     "q_interval_coverage",
+    "q_term_drift_topk",
 ]
 
 

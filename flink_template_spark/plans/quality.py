@@ -2186,3 +2186,82 @@ def q_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gini"
         ),
     ).orderBy("dimension")
+
+
+_TDRIFT_TOP = 25
+
+
+@register(
+    "q_term_drift_topk",
+    oracle=f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id % 2 AS half, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+tots AS (
+  SELECT
+    SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n0,
+    SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n1
+  FROM tok
+),
+counts AS (
+  SELECT w,
+    SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c0,
+    SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c1
+  FROM tok GROUP BY w
+)
+SELECT w, CAST(c0 AS BIGINT) AS c0, CAST(c1 AS BIGINT) AS c1,
+  CAST(c0 * 1000000 // n0 AS BIGINT) AS ppm0,
+  CAST(c1 * 1000000 // n1 AS BIGINT) AS ppm1,
+  CAST(abs(c1 * 1000000 // n1 - c0 * 1000000 // n0) AS BIGINT)
+    AS abs_delta_ppm
+FROM counts CROSS JOIN tots
+ORDER BY abs_delta_ppm DESC, w
+LIMIT {_TDRIFT_TOP}
+""",
+)
+def q_term_drift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-level drift top-movers: the {_TDRIFT_TOP} tokens whose
+    per-million rate changed most between two corpus halves (doc_id
+    parity as the snapshot split; with real snapshots the halves are
+    two ingest windows) — the WHAT-changed complement to
+    q_ks_source_drift's numeric has-it-changed: when the KS alarm or
+    the CUSUM monitor fires, this is the readout that names the
+    template, spam token, or topic shift responsible.
+
+    All-integer: rates are exact floor-divided parts-per-million
+    (c·10⁶ DIV n — no float division anywhere), so ordering and values
+    are engine-identical; the global top-{_TDRIFT_TOP} is
+    TakeOrderedAndProject. One tagged tokenization pass feeds both the
+    totals and the per-term counts (conditional aggregates, partial
+    combine); nothing shuffles wider than the Zipf-small type table."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.split(F.col("text"), " ")).alias("w"),
+    )
+    counts = tok.groupBy("w").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    tots = counts.agg(
+        F.sum("c0").alias("n0"), F.sum("c1").alias("n1")
+    )
+    # integer DIV, not floor(double /): c·10⁶ passes 2^53 at corpus
+    # scale and a double quotient would go inexact exactly when the
+    # counts get big enough to matter
+    ppm0 = F.expr("c0 * 1000000L DIV n0").cast("bigint")
+    ppm1 = F.expr("c1 * 1000000L DIV n1").cast("bigint")
+    return (
+        counts.crossJoin(F.broadcast(tots))
+        .select(
+            "w",
+            F.col("c0").cast("bigint").alias("c0"),
+            F.col("c1").cast("bigint").alias("c1"),
+            ppm0.alias("ppm0"),
+            ppm1.alias("ppm1"),
+            F.abs(ppm1 - ppm0).cast("bigint").alias("abs_delta_ppm"),
+        )
+        .orderBy(F.desc("abs_delta_ppm"), "w")
+        .limit(_TDRIFT_TOP)
+    )

@@ -549,3 +549,28 @@ def test_interval_coverage_union_not_sum(spark, monkeypatch):
     assert u1["covered_s"] == 160 + 10  # [0,160] + [200,210]
     assert u1["longest_block_s"] == 160
     assert got[2]["covered_s"] == 60 and got[2]["n_blocks"] == 1
+
+
+def test_term_drift_names_the_planted_mover(spark, monkeypatch):
+    """Planted drift: token 'spamtok' floods odd doc_ids only; the
+    audit's #1 mover must be exactly it, with ppm0=0 and the exact
+    floor-divided ppm1; a balanced token never outranks it."""
+    import flink_template_spark.plans.quality as Q
+
+    rows = []
+    for i in range(40):
+        base = "alpha beta gamma delta"
+        if i % 2 == 1:
+            base = base + " spamtok spamtok spamtok"
+        rows.append((i, base, "s"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    monkeypatch.setattr(Q, "load_table", lambda s, sd, t: docs)
+    out = Q.q_term_drift_topk(spark, "x").collect()
+    top = out[0]
+    assert top["w"] == "spamtok"
+    assert top["ppm0"] == 0 and top["c0"] == 0
+    # half 1: 20 docs x 7 tokens = 140 total, 60 spamtok
+    assert top["c1"] == 60
+    assert top["ppm1"] == 60 * 1000000 // 140
+    # balanced tokens have |delta| from denominator shift only — small
+    assert all(r["abs_delta_ppm"] <= top["abs_delta_ppm"] for r in out)
