@@ -177,6 +177,7 @@ EXTENDED = [
     "q_spatial_radius_pairs",
     "q_interval_coverage",
     "q_term_drift_topk",
+    "q_twap_value",
 ]
 
 

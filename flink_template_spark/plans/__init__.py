@@ -143,6 +143,7 @@ _MIDDLE: list[str] = [
     "q_spatial_radius_pairs",
     "q_interval_coverage",
     "q_term_drift_topk",
+    "q_twap_value",
     # r3-cohort remainder (oldest stale after a green r7)
     "q_minhash_signatures",
     "q_multimodal_features",

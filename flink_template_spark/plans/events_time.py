@@ -1153,3 +1153,76 @@ def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_twap_value",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id,
+    CAST(floor(epoch(ts)) AS BIGINT) AS s,
+    CAST(ROUND(value * 100, 0) AS BIGINT) AS v_q,
+    LEAD(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+      PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+    ) AS s_next
+  FROM events
+),
+held AS (
+  SELECT user_id, v_q, s_next - s AS dt
+  FROM ordered WHERE s_next IS NOT NULL
+)
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_holds,
+  CAST(SUM(dt) AS BIGINT) AS span_s,
+  ROUND(CAST(SUM(v_q * dt) AS DOUBLE)
+        / (100.0 * CAST(SUM(dt) AS DOUBLE)), 6) AS twap
+FROM held
+GROUP BY user_id
+HAVING SUM(dt) > 0
+ORDER BY user_id
+""",
+)
+def q_twap_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each event's value
+    HOLDS until the user's next event and contributes
+    value·holding-time; the last observation carries no weight (no
+    future to hold over). The standard telemetry/finance correction to
+    the naive mean, which over-weights bursts: a sensor emitting 100
+    readings in one minute then one reading an hour later is
+    mean-dominated by the burst but TWAP-dominated by the hour.
+
+    Exactness: values quantize to integer centi-units BEFORE the
+    weighted sum (Σ v_q·Δt is an exact bigint in any partition order);
+    TWAP is one final division. The lead window is user-partitioned
+    with an (s, event_id) total order — never a global window.
+
+    Scale shape: one per-user sort (the window exchange) + one
+    user-keyed aggregate with partial combine; state per user is a
+    running pair of bigints."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("s", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_id",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("s"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v_q"),
+    ).withColumn("s_next", F.lead("s", 1).over(w))
+    held = ordered.filter(F.col("s_next").isNotNull()).select(
+        "user_id", "v_q", (F.col("s_next") - F.col("s")).alias("dt")
+    )
+    return (
+        held.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_holds"),
+            F.sum("dt").cast("bigint").alias("span_s"),
+            F.round(
+                F.sum(F.col("v_q") * F.col("dt")).cast("double")
+                / (F.lit(100.0) * F.sum("dt").cast("double")),
+                6,
+            ).alias("twap"),
+        )
+        .filter(F.col("span_s") > 0)
+        .orderBy("user_id")
+    )

@@ -574,3 +574,32 @@ def test_term_drift_names_the_planted_mover(spark, monkeypatch):
     assert top["ppm1"] == 60 * 1000000 // 140
     # balanced tokens have |delta| from denominator shift only — small
     assert all(r["abs_delta_ppm"] <= top["abs_delta_ppm"] for r in out)
+
+
+def test_twap_weights_by_holding_time_not_count(spark, monkeypatch):
+    """THE TWAP property: a burst of high readings over one second
+    barely moves TWAP while the naive mean is dominated by it.
+    Planted: value 100 held for 1000 s, then ten 1-second holds at
+    value 0, then a terminal event (no weight). TWAP = 100·1000 /
+    1010 ≈ 99.0099; naive mean of values ≈ 9.2."""
+    import datetime
+
+    import flink_template_spark.plans.events_time as ET
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(0, base, 7, "tick", 100.0, "{}")]
+    for i in range(10):
+        rows.append(
+            (1 + i, base + datetime.timedelta(seconds=1000 + i), 7, "tick", 0.0, "{}")
+        )
+    rows.append((99, base + datetime.timedelta(seconds=1010), 7, "tick", 0.0, "{}"))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(ET, "load_table", lambda s, sd, t: events)
+    got = ET.q_twap_value(spark, "x").collect()[0]
+    assert got["n_holds"] == 11  # terminal event holds nothing
+    assert got["span_s"] == 1010
+    assert abs(got["twap"] - 100.0 * 1000 / 1010) < 1e-6
