@@ -1200,7 +1200,7 @@ ORDER BY id_a, id_b
 
 @register("q_spatial_radius_pairs", oracle=_radius_join_oracle())
 def q_spatial_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grid-bucketed spatial radius self-join (operators.spatial): all
+    f"""Grid-bucketed spatial radius self-join (operators.spatial): all
     point pairs within {_GEO_R} integer units over a deterministic
     point cloud derived from customer keys (portable-hash coordinates,
     so both engines build the identical cloud). The oracle is the

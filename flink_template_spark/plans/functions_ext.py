@@ -1729,22 +1729,31 @@ def _benford_oracle() -> str:
     )
     return f"""
 WITH digits AS (
+  -- floor() before the cast: DuckDB's double->bigint cast ROUNDS while
+  -- Spark's truncates (floor == truncate for the positive amounts in
+  -- scope); without it 0.30*100 = 29.999... yields digit 2 vs 3
   SELECT o_orderpriority AS grp,
-    CAST(substr(CAST(CAST(o_totalprice * 100 AS BIGINT) AS VARCHAR), 1, 1)
-         AS BIGINT) AS d
+    CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                1, 1) AS BIGINT) AS d
   FROM orders WHERE o_totalprice > 0
 ),
 counts AS (
   SELECT grp, d, COUNT(*) AS c FROM digits GROUP BY grp, d
 ),
-tot AS (SELECT grp, SUM(c) AS n FROM counts GROUP BY grp)
-SELECT c.grp AS o_orderpriority, CAST(c.d AS BIGINT) AS digit,
-  CAST(c.c AS BIGINT) AS n_obs,
-  ROUND(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE), 6) AS freq_obs,
-  CAST(CASE c.d {p_case} END AS DOUBLE) AS freq_benford,
-  ROUND(abs(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE)
-            - CASE c.d {p_case} END), 6) AS abs_dev
-FROM counts c JOIN tot t ON c.grp = t.grp
+tot AS (SELECT grp, SUM(c) AS n FROM counts GROUP BY grp),
+-- full 9-digit spine per group: a digit with ZERO observations is the
+-- strongest Benford violation and must still get a row
+spine AS (
+  SELECT t.grp, s.d, t.n FROM tot t,
+       (SELECT unnest(range(1, 10)) AS d) s
+)
+SELECT sp.grp AS o_orderpriority, CAST(sp.d AS BIGINT) AS digit,
+  CAST(COALESCE(c.c, 0) AS BIGINT) AS n_obs,
+  ROUND(CAST(COALESCE(c.c, 0) AS DOUBLE) / CAST(sp.n AS DOUBLE), 6) AS freq_obs,
+  CAST(CASE sp.d {p_case} END AS DOUBLE) AS freq_benford,
+  ROUND(abs(CAST(COALESCE(c.c, 0) AS DOUBLE) / CAST(sp.n AS DOUBLE)
+            - CASE sp.d {p_case} END), 6) AS abs_dev
+FROM spine sp LEFT JOIN counts c ON sp.grp = c.grp AND sp.d = c.d
 ORDER BY o_orderpriority, digit
 """
 
@@ -1760,16 +1769,23 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     are themselves the fingerprint of the uniform generator — exactly
     what the audit exists to expose.
 
-    First digits are extracted in INTEGER space (amount × 100 as
-    bigint → first character of its decimal rendering) so both engines
-    agree for any magnitude — no float log10, no locale formatting;
-    the Benford reference enters as shared 12-dp literals.
+    First digits are extracted in INTEGER space (floor(amount × 100)
+    as bigint → first character of its decimal rendering) so both
+    engines agree for any magnitude — no float log10, no locale
+    formatting, and the explicit floor keeps DuckDB's rounding
+    double→bigint cast in lockstep with Spark's truncating one. The
+    report carries a FULL 9-digit spine per group: a digit with zero
+    observations is the strongest violation (abs_dev = its whole
+    reference mass) and must not vanish from the audit (r7 review).
+    The Benford reference enters as shared 12-dp literals.
 
     Scale shape: one map-side digit extraction + (group, digit) count
     with partial combine; everything after runs on |groups|×9 rows."""
     orders = load_table(spark, sf_dir, "orders")
     digit = F.substring(
-        (F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        1,
+        1,
     ).cast("bigint")
     counts = (
         orders.filter(F.col("o_totalprice") > 0)
@@ -1777,17 +1793,25 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     tot = counts.groupBy("o_orderpriority").agg(F.sum("c").alias("n"))
+    spine = tot.crossJoin(
+        F.broadcast(
+            orders.sparkSession.createDataFrame(
+                [(d,) for d in range(1, 10)], "digit bigint"
+            )
+        )
+    )
     p_map = F.create_map(
         *[x for d, p in _BENFORD_P.items() for x in (F.lit(d), F.expr(p))]
     )
-    freq = F.col("c").cast("double") / F.col("n").cast("double")
+    c = F.coalesce(F.col("c"), F.lit(0))
+    freq = c.cast("double") / F.col("n").cast("double")
     bref = p_map[F.col("digit")].cast("double")
     return (
-        counts.join(tot, "o_orderpriority")
+        spine.join(counts, ["o_orderpriority", "digit"], "left")
         .select(
             "o_orderpriority",
             "digit",
-            F.col("c").cast("bigint").alias("n_obs"),
+            c.cast("bigint").alias("n_obs"),
             F.round(freq, 6).alias("freq_obs"),
             bref.alias("freq_benford"),
             F.round(F.abs(freq - bref), 6).alias("abs_dev"),

@@ -2221,7 +2221,7 @@ LIMIT {_TDRIFT_TOP}
 """,
 )
 def q_term_drift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Term-level drift top-movers: the {_TDRIFT_TOP} tokens whose
+    f"""Term-level drift top-movers: the {_TDRIFT_TOP} tokens whose
     per-million rate changed most between two corpus halves (doc_id
     parity as the snapshot split; with real snapshots the halves are
     two ingest windows) — the WHAT-changed complement to
@@ -2236,9 +2236,11 @@ def q_term_drift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals and the per-term counts (conditional aggregates, partial
     combine); nothing shuffles wider than the Zipf-small type table."""
     docs = load_table(spark, sf_dir, "documents")
+    from flink_template_spark.functions.text import ws_tokens
+
     tok = docs.select(
         (F.col("doc_id") % 2).alias("half"),
-        F.explode(F.split(F.col("text"), " ")).alias("w"),
+        F.explode(ws_tokens(F.col("text"))).alias("w"),
     )
     counts = tok.groupBy("w").agg(
         F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c0"),

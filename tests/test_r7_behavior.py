@@ -464,8 +464,13 @@ def test_benford_log_uniform_conforms_and_constant_leads_deviate(spark, monkeypa
     assert max(dev["A"].values()) < 0.02, dev["A"]
     # all-9 leads: digit 9 observed at 1.0 vs 0.0458 reference
     assert dev["B"][9] > 0.9
-    assert 1 not in dev["B"] or True  # digits 1-8 absent entirely
-    assert {r["digit"] for r in out if r["o_orderpriority"] == "B"} == {9}
+    # the zero-observation digits are the loudest violations and MUST
+    # appear (full spine, r7 review): each deviates by its whole
+    # reference mass
+    assert set(dev["B"]) == set(range(1, 10))
+    b_rows = {r["digit"]: r for r in out if r["o_orderpriority"] == "B"}
+    assert b_rows[1]["n_obs"] == 0
+    assert abs(b_rows[1]["abs_dev"] - 0.30103) < 1e-4
 
 
 def test_spatial_radius_join_no_cartesian_and_complete(spark):
