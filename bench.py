@@ -178,6 +178,7 @@ EXTENDED = [
     "q_interval_coverage",
     "q_term_drift_topk",
     "q_twap_value",
+    "q_changepoint_volume",
 ]
 
 

@@ -1226,3 +1226,108 @@ def q_twap_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("span_s") > 0)
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_changepoint_volume",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+pre AS (
+  SELECT event_type, day, n,
+    SUM(n) OVER w AS s1,
+    COUNT(*) OVER w AS n1,
+    SUM(n) OVER (PARTITION BY event_type) AS s_tot,
+    COUNT(*) OVER (PARTITION BY event_type) AS n_tot
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+cand AS (
+  SELECT event_type, day AS split_day, s1, n1,
+    s_tot - s1 AS s2, n_tot - n1 AS n2,
+    ROUND((CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(n_tot - n1 AS DOUBLE)
+           + CAST(s_tot - s1 AS DOUBLE) * CAST(s_tot - s1 AS DOUBLE)
+             * CAST(n1 AS DOUBLE))
+          / (CAST(n1 AS DOUBLE) * CAST(n_tot - n1 AS DOUBLE)), 6) AS obj
+  FROM pre WHERE n_tot - n1 > 0
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+    ORDER BY obj DESC, split_day) AS rk
+  FROM cand
+)
+SELECT event_type, split_day,
+  CAST(n1 AS BIGINT) AS days_before,
+  CAST(n2 AS BIGINT) AS days_after,
+  ROUND(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS mean_before,
+  ROUND(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS mean_after,
+  ROUND(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+        - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS shift
+FROM ranked WHERE rk = 1
+ORDER BY event_type
+""",
+)
+def q_changepoint_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point detection per event type: the day boundary
+    that best splits the daily-volume series into two level segments —
+    argmax of the between-segment sum of squares S₁²/n₁ + S₂²/n₂
+    (equivalently: the one-split least-squares fit; the batch
+    complement of the streaming CUSUM, answering WHEN the level
+    shifted after CUSUM says THAT it did). Output: the split day, both
+    segment means, and the shift.
+
+    Determinism: segment sums/counts are exact bigints off one
+    partitioned prefix-sum window; the objective is a fixed IEEE dag
+    over exact integer inputs, 6-dp rounded before the (obj desc, day)
+    argmax — both engines rank identically. The per-type windows are
+    day-grid-sized, never event-volume-sized.
+
+    Scale shape: events collapse to the (type, day) grid in one
+    partial-agg pass; everything after — prefix sums, objective,
+    top-1 — runs on |types|×|days| rows with type-partitioned windows
+    and a WindowGroupLimit rank pushdown."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w_run = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("event_type")
+    pre = daily.select(
+        "event_type",
+        F.col("day").alias("split_day"),
+        F.sum("n").over(w_run).alias("s1"),
+        F.count(F.lit(1)).over(w_run).alias("n1"),
+        F.sum("n").over(w_all).alias("s_tot"),
+        F.count(F.lit(1)).over(w_all).alias("n_tot"),
+    )
+    s1 = F.col("s1").cast("double")
+    s2 = (F.col("s_tot") - F.col("s1")).cast("double")
+    n1 = F.col("n1").cast("double")
+    n2 = (F.col("n_tot") - F.col("n1")).cast("double")
+    cand = pre.filter(F.col("n_tot") - F.col("n1") > 0).withColumn(
+        "obj", F.round((s1 * s1 * n2 + s2 * s2 * n1) / (n1 * n2), 6)
+    )
+    w_rank = W.partitionBy("event_type").orderBy(F.desc("obj"), "split_day")
+    return (
+        cand.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            "split_day",
+            F.col("n1").cast("bigint").alias("days_before"),
+            (F.col("n_tot") - F.col("n1")).cast("bigint").alias("days_after"),
+            F.round(s1 / n1, 6).alias("mean_before"),
+            F.round(s2 / n2, 6).alias("mean_after"),
+            F.round(s2 / n2 - s1 / n1, 6).alias("shift"),
+        )
+        .orderBy("event_type")
+    )

@@ -608,3 +608,39 @@ def test_twap_weights_by_holding_time_not_count(spark, monkeypatch):
     assert got["n_holds"] == 11  # terminal event holds nothing
     assert got["span_s"] == 1010
     assert abs(got["twap"] - 100.0 * 1000 / 1010) < 1e-6
+
+
+def test_changepoint_finds_planted_level_shift(spark, monkeypatch):
+    """Planted step function: 20 days at ~10/day then 20 days at
+    ~30/day — the detected split must be the last low day, with the
+    segment means recovering the two levels."""
+    import datetime
+
+    import flink_template_spark.plans.events_time as ET
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for d in range(40):
+        vol = 10 if d < 20 else 30
+        vol += d % 2  # small non-constant jitter
+        for _ in range(vol):
+            rows.append(
+                (eid, base + datetime.timedelta(days=d, seconds=eid % 3600),
+                 1, "click", 1.0, "{}")
+            )
+            eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(ET, "load_table", lambda s, sd, t: events)
+    got = ET.q_changepoint_volume(spark, "x").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["split_day"] == (base + datetime.timedelta(days=19)).date()
+    assert r["days_before"] == 20 and r["days_after"] == 20
+    assert abs(r["mean_before"] - 10.5) < 0.01
+    assert abs(r["mean_after"] - 30.5) < 0.01
+    assert r["shift"] == r["mean_after"] - r["mean_before"]
