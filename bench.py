@@ -179,6 +179,7 @@ EXTENDED = [
     "q_term_drift_topk",
     "q_twap_value",
     "q_changepoint_volume",
+    "q_ab_test_readout",
 ]
 
 

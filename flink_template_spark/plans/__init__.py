@@ -36,15 +36,15 @@ rotates per round so every family accumulates driver-checked entries:
   samplers — all oracle-green in-session at up to 3 SFs) + the 23
   oldest stale greens (the 4 r2-cohort leftovers, then the r3 cohort
   oldest-first). _MIDDLE holds the staleness ledger for round 8:
-  FIRST the 20 round-7 additions (never driver-checked; every one
+  FIRST the 21 round-7 additions (never driver-checked; every one
   oracle-green in-session at ALL THREE SFs — CDC chunk dedup,
   collocation lift, vocab coverage, MRR, zone maps, MMR, LSH recall
   audit, Gini, shuffle-skew audit, k-anonymity, seasonal residuals,
   FD audit, data expectations, snapshot diff, Benford, spatial radius
-  join, interval coverage, term drift, TWAP, change-point), THEN the 20 r3-cohort
+  join, interval coverage, term drift, TWAP, change-point, A/B readout), THEN the 20 r3-cohort
   names that did not fit this slate — after a green r7 those 20 are
   the only queries whose last driver verdict predates round 4, so a
-  50-slot r8 slate (20 + 20 + 10 oldest r4) clears the census
+  50-slot r8 slate (21 + 20 + 9 oldest r4) clears the census
   entirely. The one rows-only r7 addition (q_multimodal_real_decode —
   no SQL engine parses WAV/PPM) is pinned to _NO_ORACLE_TAIL.
 """
@@ -153,6 +153,7 @@ _MIDDLE: list[str] = [
     "q_term_drift_topk",
     "q_twap_value",
     "q_changepoint_volume",
+    "q_ab_test_readout",
     # r3-cohort remainder (oldest stale after a green r7)
     "q_minhash_signatures",
     "q_multimodal_features",

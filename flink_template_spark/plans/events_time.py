@@ -1331,3 +1331,122 @@ def q_changepoint_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_AB_CONVERT = "purchase"  # the conversion event
+_AB_MIN_PURCHASES = 10  # conversion = at least this many (splits users)
+
+
+def _ab_oracle() -> str:
+    from flink_template_spark.functions.hashing import md5int_duckdb
+
+    arm = f"({md5int_duckdb('CAST(user_id AS VARCHAR)')}) % 2"
+    return f"""
+WITH users AS (
+  SELECT user_id, {arm} AS arm,
+    CASE WHEN SUM(CASE WHEN event_type = '{_AB_CONVERT}' THEN 1 ELSE 0 END)
+              >= {_AB_MIN_PURCHASES} THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT arm, COUNT(*) AS n, SUM(conv) AS k FROM users GROUP BY arm
+),
+wide AS (
+  SELECT
+    MAX(CASE WHEN arm = 0 THEN n END) AS n_a,
+    MAX(CASE WHEN arm = 0 THEN k END) AS k_a,
+    MAX(CASE WHEN arm = 1 THEN n END) AS n_b,
+    MAX(CASE WHEN arm = 1 THEN k END) AS k_b
+  FROM arms
+)
+SELECT
+  CAST(n_a AS BIGINT) AS n_a, CAST(k_a AS BIGINT) AS k_a,
+  CAST(n_b AS BIGINT) AS n_b, CAST(k_b AS BIGINT) AS k_b,
+  ROUND(CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+  ROUND(CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+  ROUND(CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        - CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS lift,
+  CASE WHEN k_a + k_b = 0 OR k_a + k_b = n_a + n_b THEN 0.0
+  ELSE ROUND((CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+         - CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        / sqrt((CAST(k_a + k_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+               * (1.0 - CAST(k_a + k_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+               * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)
+  END AS z_stat,
+  CASE WHEN k_a + k_b = 0 OR k_a + k_b = n_a + n_b THEN FALSE
+  ELSE abs((CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+       - CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+      / sqrt((CAST(k_a + k_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+             * (1.0 - CAST(k_a + k_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+             * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))))
+    >= 1.959964
+  END AS significant_95
+FROM wide
+"""
+
+
+@register("q_ab_test_readout", oracle=_ab_oracle())
+def q_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users hash-assign to two arms (the
+    portable md5 parity — deterministic, balanced, engine-identical),
+    conversion = at least one purchase event, and the two-proportion
+    pooled z-test says whether the arms differ (on this corpus the
+    split is a true A/A test, so |z| SHOULD be small — the null
+    calibration every experiment platform validates its pipeline
+    with). The analysis primitive behind any experimentation stack.
+
+    Float discipline: rates are exact-integer divisions; the pooled
+    z is one fixed IEEE dag with a correctly-rounded sqrt (the Wilson/
+    Hellinger discipline), 6-dp rounded; the significance compare uses
+    the z=1.959964 literal both engines share.
+
+    Scale shape: one user-keyed MAX (conversion flag, partial-agg),
+    one 2-row arm rollup, then scalar algebra on a 1-row relation."""
+    from flink_template_spark.functions.hashing import md5int_spark
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        (
+            F.sum(
+                F.when(F.col("event_type") == _AB_CONVERT, 1).otherwise(0)
+            )
+            >= _AB_MIN_PURCHASES
+        ).cast("int").alias("conv")
+    ).select(
+        (F.expr(md5int_spark("CAST(user_id AS STRING)")) % 2).alias("arm"),
+        "conv",
+    )
+    arms = users.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("k")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("k"))).alias("k_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("k"))).alias("k_b"),
+    )
+    na, ka = F.col("n_a").cast("double"), F.col("k_a").cast("double")
+    nb, kb = F.col("n_b").cast("double"), F.col("k_b").cast("double")
+    ra, rb = ka / na, kb / nb
+    pool = (ka + kb) / (na + nb)
+    # degenerate-pool guard (ANSI-safe): all-converted or none-converted
+    # corpora have zero pooled variance — report z=0, not a 0/0 abort
+    degen = (F.col("k_a") + F.col("k_b") == 0) | (
+        F.col("k_a") + F.col("k_b") == F.col("n_a") + F.col("n_b")
+    )
+    z_raw = (rb - ra) / F.sqrt(
+        pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    z = F.when(degen, F.lit(0.0)).otherwise(F.round(z_raw, 6))
+    sig = F.when(degen, F.lit(False)).otherwise(F.abs(z_raw) >= 1.959964)
+    return wide.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("k_a").cast("bigint").alias("k_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("k_b").cast("bigint").alias("k_b"),
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(rb - ra, 6).alias("lift"),
+        z.alias("z_stat"),
+        sig.alias("significant_95"),
+    )

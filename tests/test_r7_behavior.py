@@ -644,3 +644,63 @@ def test_changepoint_finds_planted_level_shift(spark, monkeypatch):
     assert abs(r["mean_before"] - 10.5) < 0.01
     assert abs(r["mean_after"] - 30.5) < 0.01
     assert r["shift"] == r["mean_after"] - r["mean_before"]
+
+
+def test_ab_test_detects_planted_lift_and_survives_degenerate(spark, monkeypatch):
+    """Planted real effect: arm membership is the md5 parity of
+    user_id, so plant conversions BY the arm each user actually lands
+    in — arm 1 users convert, arm 0 users don't. The z-test must call
+    it significant with the exact counts. A corpus where EVERYONE
+    converts (zero pooled variance) must return z=0, not an ANSI
+    divide-by-zero abort."""
+    import datetime
+
+    import flink_template_spark.plans.events_time as ET
+    from flink_template_spark.functions.hashing import md5int_spark
+    from pyspark.sql import functions as F
+
+    base = datetime.datetime(2024, 1, 1)
+    # discover each user's arm with the same portable hash the query uses
+    uids = spark.createDataFrame([(u,) for u in range(60)], "user_id long")
+    arms = {
+        r["user_id"]: r["arm"]
+        for r in uids.select(
+            "user_id",
+            (F.expr(md5int_spark("CAST(user_id AS STRING)")) % 2).alias("arm"),
+        ).collect()
+    }
+    rows = []
+    eid = 0
+    for u, arm in arms.items():
+        n_buy = ET._AB_MIN_PURCHASES if arm == 1 else 0
+        for _ in range(n_buy):
+            rows.append((eid, base, u, "purchase", 1.0, "{}")); eid += 1
+        rows.append((eid, base, u, "view", 1.0, "{}")); eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(ET, "load_table", lambda s, sd, t: events)
+    r = ET.q_ab_test_readout(spark, "x").collect()[0]
+    n1 = sum(1 for a in arms.values() if a == 1)
+    assert (r["n_a"], r["n_b"]) == (60 - n1, n1)
+    assert r["k_a"] == 0 and r["k_b"] == n1
+    assert r["rate_a"] == 0.0 and r["rate_b"] == 1.0
+    assert r["significant_95"] and r["z_stat"] > 5
+
+    # degenerate: every user converts -> z = 0, no abort
+    rows2 = []
+    eid = 0
+    for u in range(20):
+        for _ in range(ET._AB_MIN_PURCHASES):
+            rows2.append((eid, base, u, "purchase", 1.0, "{}")); eid += 1
+    events2 = spark.createDataFrame(
+        rows2,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(ET, "load_table", lambda s, sd, t: events2)
+    r2 = ET.q_ab_test_readout(spark, "x").collect()[0]
+    assert r2["z_stat"] == 0.0 and not r2["significant_95"]
+    assert r2["rate_a"] == r2["rate_b"] == 1.0
