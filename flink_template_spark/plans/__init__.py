@@ -46,7 +46,17 @@ rotates per round so every family accumulates driver-checked entries:
   the only queries whose last driver verdict predates round 4, so a
   50-slot r8 slate (21 + 20 + 9 oldest r4) clears the census
   entirely. The one rows-only r7 addition (q_multimodal_real_decode —
-  no SQL engine parses WAV/PPM) is pinned to _NO_ORACLE_TAIL.
+  no SQL engine parses WAV/PPM) is pinned to _NO_ORACLE_TAIL;
+- round 8 (this slate, VERDICT r7 next #1): exactly the ledgered
+  21 round-7 additions (never driver-checked; all oracle-green
+  in-session at all three SFs) + the 20 r3-cohort names (the only
+  queries whose last driver verdict predates round 4) + the 9
+  oldest round-4 greens (q_vector_norms … q_embedding_quantize_int8,
+  in their r4 check order). A green r8 leaves staleness bounded by
+  round 4 (31 r4-cohort names remain, ledgered in _MIDDLE) and every
+  r5+ verdict no more than four rounds old. New round-8 queries are
+  prepended to _MIDDLE as they land, never driver-checked, first in
+  line for round 9.
 """
 
 from flink_template_spark.plans import registry  # noqa: F401
@@ -68,71 +78,8 @@ from flink_template_spark.plans import graph  # noqa: F401
 
 # First 50 = this round's driver-check slate (see module docstring).
 _PRIORITY = [
-    # -- the 27 round-6 additions: never driver-checked before this
-    #    round (VERDICT r6 next #2) --
-    "q_hits_trade",
-    "q_dsir_weights",
-    "q_binary_embedding_topk",
-    "q_bootstrap_ci",
-    "q_stupid_backoff",
-    "q_recursive_chain_rollup",
-    "q_ks_source_drift",
-    "q_line_dedup_corpus",
-    "q_containment_pairs",
-    "q_ann_recall_eval",
-    "q_auc_lang_confound",
-    "q_knn_shapley",
-    "q_davies_bouldin",
-    "q_systematic_resample",
-    "q_length_bucket_efficiency",
-    "q_matryoshka_overlap",
-    "q_split_fingerprint_leakage",
-    "q_phrase_search",
-    "q_labelprop_communities",
-    "q_time_decay_sample",
-    "q_hellinger_affinity_matrix",
-    "q_content_fingerprint",
-    "q_embedding_drift",
-    "q_gate_rates_wilson",
-    "q_event_burstiness",
-    "q_event_correlation_matrix",
-    "q_theil_sen_trend",
-    # -- 23 oldest stale greens: the 4 r2-cohort leftovers, then the
-    #    r3 cohort oldest-first (VERDICT r6 next #2) --
-    "q_simhash_hamming_pairs",
-    "q_text_stats_by_lang",
-    "q_tfidf_top_terms",
-    "q_vocab_build",
-    "q2_min_price_parts",
-    "q4_exists_late_ship",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q11_important_balances",
-    "q12_priority_shipments",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_part_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_disjunctive_revenue",
-    "q20_volume_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
-    "q_array_funcs",
-    "q_corr_price_qty",
-    "q_map_funcs",
-]
-
-# Immediately after the slate, in case the driver checks more than 50:
-# the staleness ledger for round 8, in the order round 8 should slate
-# it: FIRST any round-7 additions (appended above this comment as they
-# land, never driver-checked), THEN the 20 r3-cohort names that did not
-# fit the r7 slate — after a green r7 these are the only queries whose
-# last driver verdict predates round 4.
-_MIDDLE: list[str] = [
-    # round-7 additions: never driver-checked (oracle-green locally at
-    # 2+ SFs) — first in line for the round-8 slate
+    # -- the 21 round-7 additions: never driver-checked before this
+    #    round (VERDICT r7 next #1) --
     "q_cdc_chunk_dedup",
     "q_bigram_lift",
     "q_vocab_coverage",
@@ -154,27 +101,81 @@ _MIDDLE: list[str] = [
     "q_twap_value",
     "q_changepoint_volume",
     "q_ab_test_readout",
-    # r3-cohort remainder (oldest stale after a green r7)
-    "q_minhash_signatures",
-    "q_multimodal_features",
-    "q_multimodal_meta_filter",
-    "q_nested_array_hof",
-    "q_ntile_balance_deciles",
-    "q_null_handling",
-    "q_null_safe_join",
-    "q_percentiles_cont",
-    "q_percentiles_disc",
-    "q_phash_dup_groups",
-    "q_price_histogram",
-    "q_simhash_scalar",
-    "q_simhash_signatures",
-    "q_stats_aggregates",
-    "q_string_agg",
-    "q_trip_pipeline_datasource",
+    # -- the 20 r3-cohort names: the only queries whose last driver
+    #    verdict predates round 4 --
     "q_trip_stopped_time",
+    "q_multimodal_features",
+    "q_trip_pipeline_datasource",
+    "q_stats_aggregates",
+    "q_percentiles_disc",
+    "q_percentiles_cont",
+    "q_null_handling",
+    "q_nested_array_hof",
+    "q_string_agg",
+    "q_ntile_balance_deciles",
+    "q_price_histogram",
+    "q_null_safe_join",
+    "q_weighted_avg_pandas",
     "q_variant_props_stats",
     "q_variant_roundtrip",
-    "q_weighted_avg_pandas",
+    "q_phash_dup_groups",
+    "q_simhash_signatures",
+    "q_simhash_scalar",
+    "q_minhash_signatures",
+    "q_multimodal_meta_filter",
+    # -- the 9 oldest round-4 greens (r4 check order) --
+    "q_vector_norms",
+    "q_centroids_by_label",
+    "q_ivf_cluster_sizes",
+    "q_embedding_near_dup_exact",
+    "q_embedding_near_dup_lsh",
+    "q_kmeans_clusters",
+    "q_ann_kmeans_probe",
+    "q_embedding_zscore",
+    "q_embedding_quantize_int8",
+]
+
+# Immediately after the slate, in case the driver checks more than 50:
+# the staleness ledger for round 9. FIRST any round-8 additions
+# (prepended here as they land, never driver-checked), THEN the 31
+# r4-cohort names that did not fit the r8 slate, in their r4 check
+# order — after a green r8 these are the only queries whose last
+# driver verdict predates round 5.
+_MIDDLE: list[str] = [
+    # round-8 additions: never driver-checked (oracle-green locally) —
+    # first in line for the round-9 slate
+    # r4-cohort remainder (oldest stale after a green r8)
+    "q_train_test_split",
+    "q_text_normalize",
+    "q_pack_greedy_bins",
+    "q_training_shards",
+    "q_weighted_sample",
+    "q_consistent_sample_topk",
+    "q_dedup_increment",
+    "q_bpe_fertility",
+    "q_source_quality_drift",
+    "q_repeated_passages",
+    "q_scrub_repeated_passages",
+    "q_pii_detect",
+    "q_pii_redact",
+    "q_decontaminate_bloom",
+    "q_unigram_logprob",
+    "q_hybrid_search_rrf",
+    "q_contrastive_triplets",
+    "q_dataset_datasheet",
+    "q_source_overlap_matrix",
+    "q_dup_cluster_sizes",
+    "q_trip_pipeline_json",
+    "q1_pricing_summary",
+    "q_minhash_lsh_pairs",
+    "q_semdedup_keep",
+    "q_training_data_pipeline",
+    "q_vocab_apply",
+    "q_multimodal_payload_stats",
+    "q_ann_ivf_probe",
+    "q_pack_chunked",
+    "q_top_terms_per_lang",
+    "q_grouping_sets",
 ]
 
 # Queries that structurally CANNOT receive a driver hash verdict:

@@ -1067,9 +1067,10 @@ def q_shard_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_rows))
         .select(
             F.lit("range").alias("layout"),
-            ((F.col("rn") - 1) * _ZM_SHARDS / F.col("__n"))
-            .cast("bigint")
-            .alias("shard"),
+            # Integer floor division, mirroring the oracle's `//`
+            # exactly: a double quotient can round across an integer at
+            # extreme row counts (~1e14+ rows), DIV cannot.
+            F.expr(f"(rn - 1) * {_ZM_SHARDS}L DIV __n").alias("shard"),
             "o_orderdate",
         )
     )

@@ -1389,7 +1389,9 @@ FROM wide
 def q_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B experiment readout: users hash-assign to two arms (the
     portable md5 parity — deterministic, balanced, engine-identical),
-    conversion = at least one purchase event, and the two-proportion
+    conversion = at least _AB_MIN_PURCHASES (=10) purchase events (a
+    threshold that actually splits this corpus' users), and the
+    two-proportion
     pooled z-test says whether the arms differ (on this corpus the
     split is a true A/A test, so |z| SHOULD be small — the null
     calibration every experiment platform validates its pipeline

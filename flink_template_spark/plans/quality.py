@@ -2076,7 +2076,12 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     one hash aggregation; ranking the TYPE table by frequency uses the
     two-pass range-partitioned rank (operators.rank_global) — no
     single-partition data-sized window; the k-thresholds then join the
-    ranked types with a broadcast nested loop over |Ks| literal rows.
+    ranked types with an INNER broadcast nested loop whose build side
+    is the |Ks|-row literal table (BNLJ can only broadcast the
+    preserved side's opposite, so a ks-left-outer join would have made
+    the vocab-sized rank table the build side — the inner join keeps
+    the 3-row side broadcast, and zero-match k values are reintroduced
+    by a second tiny ks-left-join against the |Ks|-row aggregate).
     The only unpartitioned window is rank_global's per-partition
     offset table (≤ shuffle-partition-count rows, the audited bounded
     pattern). coverage is one exact-decimal-to-double division,
@@ -2091,21 +2096,24 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         uni, [(F.col("c"), False)], tiebreak=["w"], row_number_col="rn"
     ).localCheckpoint(eager=False)
     ks = spark.createDataFrame([(k,) for k in _COVERAGE_KS], "k int")
-    return (
-        F.broadcast(ks)
-        .join(ranked, ranked["rn"] <= ks["k"], "left")
-        .crossJoin(F.broadcast(tot))
-        .groupBy("k", "n_total")
+    matched = (
+        ranked.join(F.broadcast(ks), ranked["rn"] <= ks["k"], "inner")
+        .groupBy("k")
         .agg(
             F.count("rn").cast("bigint").alias("n_vocab"),
-            F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("covered"),
+            F.sum("c").cast("bigint").alias("covered"),
         )
+    )
+    return (
+        ks.join(F.broadcast(matched), "k", "left")
+        .crossJoin(F.broadcast(tot))
         .select(
             F.col("k").cast("bigint").alias("k"),
-            "n_vocab",
-            "covered",
+            F.coalesce(F.col("n_vocab"), F.lit(0)).cast("bigint").alias("n_vocab"),
+            F.coalesce(F.col("covered"), F.lit(0)).cast("bigint").alias("covered"),
             F.round(
-                F.col("covered").cast("double") / F.col("n_total").cast("double"),
+                F.coalesce(F.col("covered"), F.lit(0)).cast("double")
+                / F.col("n_total").cast("double"),
                 6,
             ).alias("coverage"),
         )

@@ -1433,17 +1433,23 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prk") <= 2)
         .select("query_id", "cluster")
     )
+    # Cluster-tag the CORPUS before the query fan-out (r8 audit): the
+    # index join lands on N rows instead of the N×|q| pair table —
+    # the one shuffle this query pays shrinks |q|-fold, and the pair
+    # table is born with its cluster attached.
+    corpus = emb.join(index.select("vec_id", "cluster"), "vec_id")
     pairs = (
-        emb.crossJoin(F.broadcast(q))
+        corpus.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
+            "cluster",
             F.round(cosine(F.col("embedding"), F.col("__qvec")), 6).alias("s"),
         )
     )
     # ONE evaluation of the query-sample x corpus pass: tag each pair
-    # with probe membership (index join + left probe join), rank the
+    # with probe membership (broadcast left probe join), rank the
     # full order with row_number, and rank WITHIN the probed subset as
     # the running SUM of the membership flag over the same total order
     # — equal to the subset's row_number, without deriving a second
@@ -1452,8 +1458,11 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     wq = W.partitionBy("query_id").orderBy(F.desc("s"), "vec_id")
     wrun = wq.rowsBetween(W.unboundedPreceding, W.currentRow)
     tagged = (
-        pairs.join(index.select("vec_id", "cluster"), "vec_id")
-        .join(probes.withColumn("probed", F.lit(1)), ["query_id", "cluster"], "left")
+        pairs.join(
+            F.broadcast(probes.withColumn("probed", F.lit(1))),
+            ["query_id", "cluster"],
+            "left",
+        )
         .select("query_id", "vec_id", "s", F.coalesce("probed", F.lit(0)).alias("probed"))
     )
     ranked = (

@@ -150,7 +150,18 @@ def monitor_stream(
             v * SCALE,  # exact within ±2^63/SCALE, loud beyond
         )
     else:
-        value = F.bround(F.col(value_col).cast("double") * SCALE).cast("long")
+        # Same loud headroom guard as the integer path (ADVICE r7): a
+        # double beyond 2^63/SCALE would silently clamp to Long.MaxValue
+        # on the cast and corrupt the CUSUM sums.
+        headroom = float((1 << 63) // SCALE - 1)
+        d = F.col(value_col).cast("double")
+        value = F.when(
+            F.assert_true(
+                F.abs(d) <= headroom,
+                F.concat(F.lit("CUSUM value exceeds scaling headroom: "), d),
+            ).isNull(),
+            F.bround(d * SCALE).cast("long"),
+        )
     keyed = stream.select(
         F.col(key_col).alias("source"),
         value.alias("value"),

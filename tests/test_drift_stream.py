@@ -250,3 +250,32 @@ def test_cusum_fractional_tie_rounds_like_reference_params(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT * FROM cusum_tie").collect()[0]
     assert (got["s_hi"], got["s_lo"], got["n_alarms"]) == (0, 0, 0)
+
+
+def test_cusum_double_headroom_fails_loudly(spark, tmp_path):
+    """ADVICE r7: the fractional path must apply the same loud
+    assert_true headroom guard as the integer path — a double beyond
+    2^63/SCALE would otherwise silently clamp to Long.MaxValue on the
+    cast and corrupt the CUSUM sums instead of failing."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    too_big = float((1 << 63) // SCALE) * 4.0  # past the scaled-long range
+    rows = [{"doc_id": 0, "source": "boom", "n_chars": too_big}]
+    (in_dir / "a.json").write_text(_lines(rows))
+
+    stream = spark.readStream.schema(
+        "doc_id LONG, source STRING, n_chars DOUBLE"
+    ).json(str(in_dir))
+    q = (
+        monitor_stream(stream, 100.0, 0.0, 30.0)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cusum_boom")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="headroom"):
+        q.awaitTermination(120)

@@ -637,3 +637,102 @@ def test_global_ranks_are_a_permutation(spark):
         F.max("rn").alias("hi"),
     ).first()
     assert (got["n"], got["n_distinct"], got["lo"], got["hi"]) == (n, n, 1, n)
+
+
+def test_vocab_coverage_broadcasts_k_literals(spark, sf):
+    """ADVICE r7: the k-thresholds theta-join must keep the |Ks|-row
+    literal table as the BNLJ build side. The old ks-LEFT-OUTER shape
+    silently ignored the broadcast hint (BNLJ cannot build the
+    preserved side's opposite for outer joins) and broadcast the
+    vocab-sized rank table instead; the INNER rewrite pins BuildRight
+    with ks on the right."""
+    p = plan_of(plans.QUERIES["q_vocab_coverage"](spark, sf))
+    assert "CartesianProduct" not in p
+    inner_bnlj = [
+        line
+        for line in p.splitlines()
+        if "BroadcastNestedLoopJoin" in line and "Inner" in line
+    ]
+    assert inner_bnlj, p
+    for line in inner_bnlj:
+        assert "BuildRight" in line  # ks literals, never the rank table
+
+
+def test_components_consumers_serve_from_memoized_table(spark, sf):
+    """VERDICT r7 next #2: the four near-dup-components consumers must
+    serve from the memoized materialized fixpoint, not re-run the
+    shingle-pair edge build + label propagation per query. Pin by scan
+    census: downstream of the memo the component table is an RDD scan,
+    so q_leakage_safe_split and q_dup_cluster_sizes read ZERO parquet
+    (their only input is the component table) and q_best_of_cluster
+    reads documents exactly once (for quality scoring)."""
+    import re
+
+    for name, n_parquet in (
+        ("q_near_dup_components", 0),
+        ("q_dup_cluster_sizes", 0),
+        ("q_leakage_safe_split", 0),
+        ("q_best_of_cluster", 1),
+    ):
+        p = plan_of(plans.QUERIES[name](spark, sf))
+        # count operator detail headers: the formatted tree repeats
+        # each node once in the tree and once in the detail section
+        n = len(re.findall(r"\(\d+\) Scan parquet", p))
+        assert n == n_parquet, (name, n, p)
+        assert "Scan ExistingRDD" in p, name
+
+
+def test_ann_recall_eval_single_cosine_pass_serves_index(spark, sf):
+    """VERDICT r7 next #3: q_ann_recall_eval must (a) serve cluster
+    assignments from the memoized persisted index (InMemoryTableScan,
+    never an in-plan re-assignment), (b) evaluate the query-sample ×
+    corpus cosine pass ONCE — exactly one corpus-side broadcast cross
+    fan-out feeding exactly one query-partitioned Window that carries
+    both ranks, and (c) join the index onto the N-row corpus BEFORE the
+    |q|-fold fan-out (the cluster column joins below the BNLJ, so no
+    shuffle of the pair table)."""
+    p = plan_of(plans.QUERIES["q_ann_recall_eval"](spark, sf))
+    assert "InMemoryTableScan" in p  # (a) memoized index, not a rebuild
+    assert "CartesianProduct" not in p
+
+    # The formatted tree EMBEDS the cached index-build plan under
+    # InMemoryRelation; strip that subtree (by indentation) so the
+    # census below counts only the live query's nodes.
+    import re
+
+    def node_col(line: str) -> int:
+        # column of the node's own +-/:- marker ("... :  +- Window"),
+        # NOT the first guide char — ':' guides extend into embedded
+        # subtrees at the parent's column. Marker-less lines (AQE query
+        # stages, section headers) sit at their indentation.
+        m = max(line.rfind("+- "), line.rfind(":- "))
+        return m if m >= 0 else len(line) - len(line.lstrip(" :"))
+
+    keep, skip_past = [], None
+    for line in p.splitlines():
+        if re.match(r"^\(\d+\) ", line):
+            break  # detail section: tree census is done
+        if not line.strip():
+            continue  # blank separators inside embedded AQE plans
+        col = node_col(line)
+        if skip_past is not None:
+            if col > skip_past:
+                continue
+            skip_past = None
+        if "InMemoryRelation" in line:
+            skip_past = col
+            continue
+        keep.append(line)
+    outer = "\n".join(keep)
+    # (b) exactly two cross fan-outs (centroids×q probes, corpus×q
+    # pairs) and exactly two Windows (probes' prk; the ONE ranked pair
+    # pass that carries both rk_full and the running rk_a)
+    assert outer.count("BroadcastNestedLoopJoin") == 2, outer
+    assert len(re.findall(r"\+- Window \(", outer)) == 2, outer
+    # (c) probes membership joins the pair table via broadcast equi-join
+    assert "BroadcastHashJoin LeftOuter" in outer, outer
+    # and the corpus⋈index equi-join sits BELOW the corpus fan-out (the
+    # cluster column is attached to the N-row corpus, not the N×|q|
+    # pair table): the BNLJ's left subtree contains the inner BHJ
+    i_bnlj = outer.index("BroadcastNestedLoopJoin Cross")
+    assert "BroadcastHashJoin Inner" in outer[i_bnlj:], outer
