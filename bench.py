@@ -182,6 +182,18 @@ EXTENDED = [
     "q_twap_value",
     "q_changepoint_volume",
     "q_ab_test_readout",
+    # round-8 additions: sequence/behavior analytics (Markov, RFM),
+    # market-basket lift, skyline via global prefix-max, l-diversity,
+    # per-source dup rate off the components memo, edit-distance
+    # verification, Kneser-Ney bigram LM
+    "q_event_markov",
+    "q_rfm_segments",
+    "q_basket_pairs",
+    "q_skyline_parts",
+    "q_l_diversity",
+    "q_dedup_rate_by_source",
+    "q_edit_distance_pairs",
+    "q_kneser_ney_bigram",
 ]
 
 

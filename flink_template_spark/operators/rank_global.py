@@ -194,3 +194,66 @@ def with_global_prefix_sum(
         .withColumn(out_col, F.sum("__ps_val").over(w_local) + F.col("__ps_off"))
         .drop(_PID, "__ps_opid", "__ps_off", "__ps_val")
     )
+
+
+def with_global_prefix_max(
+    df: DataFrame,
+    order_by: Sequence[tuple[Column | str, bool]],
+    value_col: Column | str,
+    *,
+    out_col: str = "prefix_max",
+    inclusive: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add a global prefix MAX of ``value_col`` over the total order
+    ``order_by`` — the running-dominance primitive behind skyline /
+    pareto-frontier queries. Same two-pass range-partitioned shape as
+    :func:`with_global_prefix_sum`: range exchange + local cumulative
+    window, then a per-partition maxima table (≤ n rows) turned into
+    broadcast offsets (max composes under prefix splits exactly like
+    sum, minus the subtraction — exclusive offsets use a 1-PRECEDING
+    frame instead).
+
+    ``inclusive=False`` (default) computes the STRICT prefix (all rows
+    BEFORE this one in the order): the first row gets NULL. MAX is
+    order-insensitive within the prefix, so unlike prefix sums this is
+    cross-engine exact for any comparable type."""
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    val = _as_col(value_col)
+    sort_key = [
+        (_as_col(c).asc() if asc else _as_col(c).desc()) for c, asc in order_by
+    ]
+
+    # Same lazy-localCheckpoint rationale as with_global_ranks: pin ONE
+    # sampled range partitioning for both the maxima and output subtrees.
+    ranged = (
+        df.withColumn("__pm_val", val)
+        .repartitionByRange(n, *sort_key)
+        .sortWithinPartitions(*sort_key)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    maxima = ranged.groupBy(_PID).agg(F.max("__pm_val").alias("__pm_max"))
+    # ≤ n rows (one per range partition) — bounded by partition count;
+    # the offset for partition p is the max over partitions BEFORE p
+    w_prev = W.orderBy(_PID).rowsBetween(W.unboundedPreceding, -1)
+    offsets = maxima.select(
+        F.col(_PID).alias("__pm_opid"),
+        F.max("__pm_max").over(w_prev).alias("__pm_off"),
+    )
+    end = W.currentRow if inclusive else -1
+    w_local = (
+        W.partitionBy(_PID).orderBy(*sort_key).rowsBetween(W.unboundedPreceding, end)
+    )
+    # greatest() skips NULLs (first row / first partition), returning
+    # NULL only when BOTH prefix pieces are empty — the strict-prefix
+    # "no predecessor" signal callers test with isNull
+    return (
+        ranged.join(F.broadcast(offsets), F.col(_PID) == F.col("__pm_opid"))
+        .withColumn(
+            out_col,
+            F.greatest(F.max("__pm_val").over(w_local), F.col("__pm_off")),
+        )
+        .drop(_PID, "__pm_opid", "__pm_off", "__pm_val")
+    )

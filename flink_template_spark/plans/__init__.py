@@ -142,8 +142,16 @@ _PRIORITY = [
 # order — after a green r8 these are the only queries whose last
 # driver verdict predates round 5.
 _MIDDLE: list[str] = [
-    # round-8 additions: never driver-checked (oracle-green locally) —
-    # first in line for the round-9 slate
+    # round-8 additions: never driver-checked (oracle-green locally at
+    # all three SFs) — first in line for the round-9 slate
+    "q_event_markov",
+    "q_rfm_segments",
+    "q_basket_pairs",
+    "q_skyline_parts",
+    "q_l_diversity",
+    "q_dedup_rate_by_source",
+    "q_edit_distance_pairs",
+    "q_kneser_ney_bigram",
     # r4-cohort remainder (oldest stale after a green r8)
     "q_train_test_split",
     "q_text_normalize",

@@ -1232,3 +1232,81 @@ def q_spatial_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.col("d2").cast("bigint").alias("d2"))
         .orderBy("id_a", "id_b")
     )
+
+
+_BASKET_MINSUP = 2  # minimum co-occurrence support
+_BASKET_TOP = 20
+
+
+@register(
+    "q_basket_pairs",
+    oracle=f"""
+WITH d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+n_ord AS (SELECT COUNT(DISTINCT o) AS n_orders FROM d),
+item AS (SELECT p, COUNT(*) AS cnt FROM d GROUP BY p),
+pairs AS (
+  SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS support
+  FROM d a JOIN d b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_BASKET_MINSUP}
+)
+SELECT part_a, part_b, CAST(support AS BIGINT) AS support,
+  CAST(ia.cnt AS BIGINT) AS cnt_a, CAST(ib.cnt AS BIGINT) AS cnt_b,
+  ROUND(CAST(support AS DOUBLE) * CAST(n_orders AS DOUBLE)
+        / (CAST(ia.cnt AS DOUBLE) * CAST(ib.cnt AS DOUBLE)), 6) AS lift
+FROM pairs
+JOIN item ia ON pairs.part_a = ia.p
+JOIN item ib ON pairs.part_b = ib.p
+CROSS JOIN n_ord
+ORDER BY support DESC, part_a, part_b
+LIMIT {_BASKET_TOP}
+""",
+)
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence (apriori round 2): part pairs bought
+    together in >= {_BASKET_MINSUP} orders, with their independence
+    lift — the association-rule primitive behind co-purchase
+    recommenders and (in a training-data pipeline) co-occurrence
+    priors over document collections.
+
+    Scale shape: candidate pairs come only from WITHIN an order (the
+    self-join is an equi-join on the order key — never a cartesian),
+    so pair volume is bounded by Σ basket_size², with TPC-H baskets
+    ≤7 lines; the support count and both item-count joins are
+    key-partitioned hash operations with map-side partials, and the
+    top-{_BASKET_TOP} is TakeOrderedAndProject (never a full sort).
+    Integer counts end-to-end; lift is one fixed IEEE dag, 6-dp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n_ord = d.agg(F.count_distinct("o").alias("n_orders"))
+    item = d.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
+    a = d.select(F.col("o"), F.col("p").alias("part_a"))
+    b = d.select(F.col("o"), F.col("p").alias("part_b"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _BASKET_MINSUP)
+    )
+    return (
+        pairs.join(item.withColumnRenamed("p", "part_a").withColumnRenamed("cnt", "cnt_a"), "part_a")
+        .join(item.withColumnRenamed("p", "part_b").withColumnRenamed("cnt", "cnt_b"), "part_b")
+        .crossJoin(F.broadcast(n_ord))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("support").cast("bigint").alias("support"),
+            F.col("cnt_a").cast("bigint").alias("cnt_a"),
+            F.col("cnt_b").cast("bigint").alias("cnt_b"),
+            F.round(
+                F.col("support").cast("double") * F.col("n_orders").cast("double")
+                / (F.col("cnt_a").cast("double") * F.col("cnt_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(_BASKET_TOP)
+    )

@@ -1452,3 +1452,161 @@ def q_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z_stat"),
         sig.alias("significant_95"),
     )
+
+
+@register(
+    "q_event_markov",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type AS from_type, event_type AS to_type,
+         COUNT(*) AS n_trans
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, CAST(n_trans AS BIGINT) AS n_trans,
+  ROUND(CAST(n_trans AS DOUBLE)
+        / CAST(SUM(n_trans) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+    AS p
+FROM trans ORDER BY from_type, to_type
+""",
+)
+def q_event_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current event type) — the behavioral
+    sequence model every product-analytics stack fits first (and the
+    label prior a session-sequence training pipeline reports beside its
+    corpus). Deterministic ordering: (ts, event_id) tiebreak.
+
+    Scale shape: the LAG runs inside per-user partitions (the natural
+    event-log partitioning — no global window); the transition count is
+    a hash aggregate with map-side partials; the probability
+    normalization windows over the |types|² matrix (≤25 rows here,
+    bounded by the event vocabulary, never event volume). One exact
+    integer division per cell, 6-dp rounded."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("prev_type"),
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_trans"))
+    )
+    w_from = W.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        F.round(
+            F.col("n_trans").cast("double")
+            / F.sum("n_trans").over(w_from).cast("double"),
+            6,
+        ).alias("p"),
+    ).orderBy("from_type", "to_type")
+
+
+_RFM_Q = 4  # quartile segmentation
+
+
+@register(
+    "q_rfm_segments",
+    oracle=f"""
+WITH cust AS (
+  SELECT o_custkey AS c,
+    MAX(CAST(o_orderdate AS DATE)) AS last_dt,
+    COUNT(*) AS freq,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+  FROM orders GROUP BY o_custkey
+),
+mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+metrics AS (
+  SELECT c, date_diff('day', last_dt, maxd) AS rec_days, freq, mon
+  FROM cust CROSS JOIN mx
+),
+ranked AS (
+  SELECT c, mon,
+    ROW_NUMBER() OVER (ORDER BY rec_days, c) AS rn_r,
+    ROW_NUMBER() OVER (ORDER BY freq, c) AS rn_f,
+    ROW_NUMBER() OVER (ORDER BY mon, c) AS rn_m,
+    COUNT(*) OVER () AS n
+  FROM metrics
+)
+SELECT
+  CAST((rn_r - 1) * {_RFM_Q} // n + 1 AS BIGINT) AS r_quartile,
+  CAST((rn_f - 1) * {_RFM_Q} // n + 1 AS BIGINT) AS f_quartile,
+  CAST((rn_m - 1) * {_RFM_Q} // n + 1 AS BIGINT) AS m_quartile,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(SUM(mon) AS DOUBLE) AS sum_monetary
+FROM ranked
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+""",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every ordering customer scored into recency /
+    frequency / monetary quartiles, reported as the segment histogram
+    (the 4×4×4 grid a CRM or a data-curation team reads to pick which
+    behavioral strata to sample from). Quartiles are the EXPLICIT
+    integer formula (rn-1)*4 DIV n + 1 over a deterministic total order
+    (metric, custkey) — NOT the engines' NTILE, whose remainder
+    distribution differs from the integer-division bucketing and would
+    hash-mismatch; the formula is engine-identical by construction.
+
+    Scale shape: one orders shuffle to the per-customer metric table,
+    then THREE two-pass range-partitioned global ranks
+    (operators.rank_global — no data-sized unpartitioned window), a
+    hash aggregate to ≤4³ segment rows. Monetary sums ride decimal
+    end-to-end (partition-order independent), one cast to double at
+    the output edge."""
+    from flink_template_spark.operators.rank_global import with_global_ranks
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_dt"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("mon"),
+    )
+    mx = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("maxd"))
+    metrics = cust.crossJoin(F.broadcast(mx)).select(
+        "c",
+        F.datediff(F.col("maxd"), F.col("last_dt")).alias("rec_days"),
+        "freq",
+        "mon",
+    )
+    ranked = with_global_ranks(
+        metrics, [(F.col("rec_days"), True)], tiebreak=["c"], row_number_col="rn_r"
+    )
+    ranked = with_global_ranks(
+        ranked, [(F.col("freq"), True)], tiebreak=["c"], row_number_col="rn_f"
+    )
+    ranked = with_global_ranks(
+        ranked, [(F.col("mon"), True)], tiebreak=["c"], row_number_col="rn_m"
+    )
+    n_tot = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    q = _RFM_Q
+    return (
+        ranked.crossJoin(F.broadcast(n_tot))
+        .select(
+            F.expr(f"(rn_r - 1) * {q}L DIV __n + 1").alias("r_quartile"),
+            F.expr(f"(rn_f - 1) * {q}L DIV __n + 1").alias("f_quartile"),
+            F.expr(f"(rn_m - 1) * {q}L DIV __n + 1").alias("m_quartile"),
+            "mon",
+        )
+        .groupBy("r_quartile", "f_quartile", "m_quartile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("mon").cast("double").alias("sum_monetary"),
+        )
+        .orderBy("r_quartile", "f_quartile", "m_quartile")
+    )

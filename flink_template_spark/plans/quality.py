@@ -2275,3 +2275,103 @@ def q_term_drift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("abs_delta_ppm"), "w")
         .limit(_TDRIFT_TOP)
     )
+
+
+_KN_D = 0.75  # absolute discount (binary-exact: 3/4)
+_KN_MIN_C12 = 3
+_KN_TOP = 25
+
+
+@register(
+    "q_kneser_ney_bigram",
+    oracle=f"""
+WITH big AS MATERIALIZED (
+  SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+  FROM (
+    SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+    FROM (SELECT string_split(text, ' ') AS w FROM documents)
+  )
+),
+bc AS MATERIALIZED (
+  SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2
+),
+fwd AS (
+  SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1p_fwd FROM bc GROUP BY w1
+),
+bwd AS (
+  SELECT w2, COUNT(*) AS n1p_bwd FROM bc GROUP BY w2
+),
+nbt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM bc)
+SELECT b.w1, b.w2, CAST(b.c12 AS BIGINT) AS c12,
+  ROUND(
+    GREATEST(CAST(b.c12 AS DOUBLE) - {_KN_D}, 0.0) / CAST(f.c1 AS DOUBLE)
+    + (({_KN_D} * CAST(f.n1p_fwd AS DOUBLE)) / CAST(f.c1 AS DOUBLE))
+      * (CAST(w.n1p_bwd AS DOUBLE) / CAST(n_types AS DOUBLE)),
+  6) AS p_kn
+FROM bc b
+JOIN fwd f ON b.w1 = f.w1
+JOIN bwd w ON b.w2 = w.w2
+CROSS JOIN nbt
+WHERE b.c12 >= {_KN_MIN_C12}
+ORDER BY c12 DESC, b.w1, b.w2
+LIMIT {_KN_TOP}
+""",
+)
+def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (absolute discount
+    d={_KN_D}) for the top-{_KN_TOP} bigrams: P_KN(w2|w1) =
+    max(c12-d,0)/c1 + (d·N1+(w1·)/c1)·(N1+(·w2)/N_types) — the
+    smoothing that made n-gram LMs competitive (continuation counts,
+    not raw frequency, carry the backoff mass), and the quality bar a
+    stupid-backoff scorer (q_stupid_backoff) is compared against.
+
+    Float discipline: d=0.75 is binary-exact (3/4); p_kn is one fixed
+    IEEE dag — a GREATEST, three divisions, two multiplications, one
+    addition in identical parenthesization in both engines — with no
+    transcendentals (probability space, not log space), 6-dp rounded.
+
+    Scale shape: bigrams via per-doc LEAD windows (doc-partitioned);
+    ALL four statistics (c12, c1, N1+ forward/backward, type count)
+    are hash aggregates over the Zipf-small bigram-type table with
+    map-side partials; the two stat joins are type-table-sized; the
+    top-{_KN_TOP} is TakeOrderedAndProject."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+    )
+    w_lead = W.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.select(
+            F.col("w").alias("w1"), F.lead("w", 1).over(w_lead).alias("w2")
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    fwd = bc.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p_fwd")
+    )
+    bwd = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_bwd"))
+    nbt = bc.agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    d = F.lit(_KN_D)
+    p_kn = (
+        F.greatest(F.col("c12").cast("double") - d, F.lit(0.0))
+        / F.col("c1").cast("double")
+        + ((d * F.col("n1p_fwd").cast("double")) / F.col("c1").cast("double"))
+        * (F.col("n1p_bwd").cast("double") / F.col("n_types").cast("double"))
+    )
+    return (
+        bc.filter(F.col("c12") >= _KN_MIN_C12)
+        .join(fwd, "w1")
+        .join(bwd, "w2")
+        .crossJoin(F.broadcast(nbt))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("c12"),
+            F.round(p_kn, 6).alias("p_kn"),
+        )
+        .orderBy(F.desc("c12"), "w1", "w2")
+        .limit(_KN_TOP)
+    )

@@ -369,3 +369,99 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_LDIV_L = 2  # the l in l-diversity (distinct-l variant)
+
+
+def _sens_sql(textcol: str) -> str:
+    """Priority-ordered sensitive class of a document (DuckDB side)."""
+    e, s, p, i = (PII_PATTERNS[j][1] for j in range(4))
+    return f"""CASE
+    WHEN len(regexp_extract_all({textcol}, '{e}')) > 0 THEN 'email'
+    WHEN len(regexp_extract_all({textcol}, '{s}')) > 0 THEN 'ssn'
+    WHEN len(regexp_extract_all({textcol}, '{p}')) > 0 THEN 'phone'
+    WHEN len(regexp_extract_all({textcol}, '{i}')) > 0 THEN 'ip'
+    ELSE 'none' END"""
+
+
+@register(
+    "q_l_diversity",
+    oracle=f"""
+WITH {_PII_DOCS_CTE},
+sens AS (
+  SELECT p.lang, p.source, d.n_chars // {_KANON_LEN_BUCKET} AS len_bucket,
+         {_sens_sql('p.text')} AS sensitive
+  FROM pii_docs p JOIN documents d ON p.doc_id = d.doc_id
+),
+cells AS (
+  SELECT lang, source, len_bucket,
+         COUNT(*) AS cell_n, COUNT(DISTINCT sensitive) AS l
+  FROM sens GROUP BY 1, 2, 3
+)
+SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS n_cells,
+  CAST(MIN(l) AS BIGINT) AS min_l,
+  CAST(SUM(CASE WHEN l < {_LDIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_cells_below,
+  CAST(SUM(CASE WHEN l < {_LDIV_L} THEN cell_n ELSE 0 END) AS BIGINT)
+    AS n_docs_at_risk,
+  ROUND(CAST(SUM(CASE WHEN l < {_LDIV_L} THEN cell_n ELSE 0 END) AS DOUBLE)
+        / CAST(SUM(cell_n) AS DOUBLE), 6) AS risk_frac
+FROM cells GROUP BY lang ORDER BY lang
+""",
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's sibling (q_k_anonymity counts
+    cell SIZES; this counts distinct SENSITIVE values per cell): within
+    each quasi-identifier cell (lang, source, length-bucket), how many
+    distinct sensitive classes (the synthetic PII profile: email > ssn
+    > phone > ip > none, priority-ordered) appear. A cell whose every
+    member shares one sensitive value leaks that value to anyone who
+    can place a person in the cell, even at k-anonymous cell sizes —
+    the attribute-disclosure channel k-anonymity misses.
+
+    Scale shape: sensitive classing is map-side codegen regex on the
+    corpus scan (the q_pii_detect shape); one hash aggregation to the
+    cell table (bounded by |langs|·|sources|·|buckets| · |classes|),
+    one rollup to |langs| rows. Integer counts; one exact division."""
+    docs = load_table(spark, sf_dir, "documents")
+    pii = _with_synthetic_pii(docs)
+    counts = pii_counts(F.col("text"))
+    sensitive = (
+        F.when(counts[0] > 0, F.lit("email"))
+        .when(counts[1] > 0, F.lit("ssn"))
+        .when(counts[2] > 0, F.lit("phone"))
+        .when(counts[3] > 0, F.lit("ip"))
+        .otherwise(F.lit("none"))
+    )
+    sens = pii.join(docs.select("doc_id", "n_chars"), "doc_id").select(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / _KANON_LEN_BUCKET)
+        .cast("bigint")
+        .alias("len_bucket"),
+        sensitive.alias("sensitive"),
+    )
+    cells = sens.groupBy("lang", "source", "len_bucket").agg(
+        F.count(F.lit(1)).alias("cell_n"),
+        F.count_distinct("sensitive").alias("l"),
+    )
+    below = F.col("l") < _LDIV_L
+    return (
+        cells.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.min("l").cast("bigint").alias("min_l"),
+            F.sum(F.when(below, 1).otherwise(0)).cast("bigint").alias("n_cells_below"),
+            F.sum(F.when(below, F.col("cell_n")).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_at_risk"),
+            F.round(
+                F.sum(F.when(below, F.col("cell_n")).otherwise(0)).cast("double")
+                / F.sum("cell_n").cast("double"),
+                6,
+            ).alias("risk_frac"),
+        )
+        .orderBy("lang")
+    )

@@ -2144,3 +2144,118 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("j_decile")
     )
+
+
+@register(
+    "q_dedup_rate_by_source",
+    oracle=f"""{_COMPONENTS_CTE}
+SELECT d.source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN cc.node = cc.component THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_keepers,
+  CAST(COUNT(*) - SUM(CASE WHEN cc.node = cc.component THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_removed,
+  ROUND(CAST(COUNT(*)
+             - SUM(CASE WHEN cc.node = cc.component THEN 1 ELSE 0 END)
+             AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+FROM cc JOIN documents d ON cc.node = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+""",
+)
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicate rate under keep-min-id near-dup dedup: for
+    each corpus source, how many documents a cluster-keeper policy
+    would drop — the per-provider quality number a curation team reads
+    before renegotiating a data source (a 30%-duplicate crawl slice and
+    a 2%-duplicate curated slice should not be weighted alike).
+
+    Serves clusters from the memoized components table (one fixpoint
+    per session+sf, VERDICT r7 next #2 pattern) joined to documents on
+    doc_id — a key-partitioned equi-join plus one hash aggregate to
+    |sources| rows. Integer counts; one exact division, 6-dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    comp = _near_dup_components_table(spark, sf_dir).select("doc_id", "is_keeper")
+    keeper = F.col("is_keeper").cast("int")
+    return (
+        comp.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(keeper).cast("bigint").alias("n_keepers"),
+            (F.count(F.lit(1)) - F.sum(keeper)).cast("bigint").alias("n_removed"),
+            F.round(
+                (F.count(F.lit(1)) - F.sum(keeper)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+_EDIT_PREFIX = 40  # verify on a fixed-length prefix: bounds the DP cost
+_EDIT_MAXD = 25  # near-dup acceptance threshold
+_EDIT_BLOCK = 20  # length-bucket width for the SNM blocking
+
+
+@register(
+    "q_edit_distance_pairs",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, lang, n_chars // {_EDIT_BLOCK} AS lb,
+         substr(text, 1, {_EDIT_PREFIX}) AS t40, text
+  FROM documents
+),
+s AS (
+  SELECT doc_id, t40,
+    LEAD(doc_id) OVER w AS nid, LEAD(t40) OVER w AS nt40
+  FROM b WINDOW w AS (PARTITION BY lang, lb ORDER BY text, doc_id)
+)
+SELECT LEAST(doc_id, nid) AS id_a, GREATEST(doc_id, nid) AS id_b,
+  CAST(levenshtein(t40, nt40) AS BIGINT) AS dist
+FROM s
+WHERE nid IS NOT NULL AND levenshtein(t40, nt40) <= {_EDIT_MAXD}
+ORDER BY id_a, id_b
+""",
+)
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup verification over sorted-neighborhood
+    candidates: within (lang, length-bucket) blocks sorted by text,
+    each document is compared to its immediate neighbor by Levenshtein
+    distance on a fixed {_EDIT_PREFIX}-char prefix, keeping pairs at
+    distance <= {_EDIT_MAXD}. The character-level complement to the
+    token-level Jaccard family (typo-level mutations move every
+    shingle but cost 1 edit each) — and the same candidate discipline:
+    a window-1 neighbor budget per row, NEVER all pairs.
+
+    Scale shape: blocking + LEAD run in per-(lang, bucket) partitioned
+    windows (the SNM pattern, skew-bounded by construction); the
+    Levenshtein DP is map-side codegen (both engines' built-in), cost
+    capped at {_EDIT_PREFIX}² per candidate by the prefix truncation.
+    Distances are exact integers — no float discipline needed."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / _EDIT_BLOCK).cast("bigint").alias("lb"),
+        F.substring(F.col("text"), 1, _EDIT_PREFIX).alias("t40"),
+        "text",
+    )
+    w = W.partitionBy("lang", "lb").orderBy("text", "doc_id")
+    s = b.select(
+        "doc_id",
+        "t40",
+        F.lead("doc_id").over(w).alias("nid"),
+        F.lead("t40").over(w).alias("nt40"),
+    )
+    dist = F.levenshtein(F.col("t40"), F.col("nt40"))
+    return (
+        s.filter(F.col("nid").isNotNull() & (dist <= _EDIT_MAXD))
+        .select(
+            F.least("doc_id", "nid").alias("id_a"),
+            F.greatest("doc_id", "nid").alias("id_b"),
+            dist.cast("bigint").alias("dist"),
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -386,3 +386,66 @@ LATERAL (
 ORDER BY n_name, s_acctbal DESC, s_suppkey
 """
     )
+
+
+@register(
+    "q_skyline_parts",
+    oracle="""
+WITH g AS (
+  SELECT p_retailprice AS price, MAX(p_size) AS gmax
+  FROM part GROUP BY p_retailprice
+),
+m AS (
+  SELECT price, gmax,
+    MAX(gmax) OVER (ORDER BY price
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1
+  FROM g
+)
+SELECT p.p_partkey, p.p_retailprice, CAST(p.p_size AS BIGINT) AS p_size
+FROM part p JOIN m ON p.p_retailprice = m.price
+WHERE (m.m1 IS NULL OR m.m1 < p.p_size) AND m.gmax <= p.p_size
+ORDER BY p.p_partkey
+""",
+)
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (pareto frontier) over parts on (price ↓ better,
+    size ↑ better): a part survives iff no other part is at most as
+    expensive AND at least as large with one strict inequality — the
+    multi-criteria shortlist operator (cheapest-per-capability
+    frontier) every catalog/analytics engine grows eventually.
+
+    Scale shape — the classic 2-D skyline reduction to a running max:
+    collapse to the price-group table (one hash agg, |distinct prices|
+    rows), take the STRICT prefix max of group-max-size over ascending
+    price via the two-pass range-partitioned prefix max
+    (operators.rank_global.with_global_prefix_max — no data-sized
+    unpartitioned window), and re-join parts on price (key-partitioned
+    equi-join). A part is dominated iff a strictly-cheaper part
+    matches its size (m1 >= size) or a same-price part exceeds it
+    (gmax > size). No pair joins, no cartesian — O(n) data movement
+    for a dominance query that is nominally O(n²).
+
+    Cross-engine exactness: prices are compared, never summed (MAX and
+    the equi-join are exact on doubles); sizes are integers."""
+    from flink_template_spark.operators.rank_global import with_global_prefix_max
+
+    part = load_table(spark, sf_dir, "part")
+    g = part.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").alias("gmax")
+    )
+    m = with_global_prefix_max(
+        g, [(F.col("price"), True)], "gmax", out_col="m1", inclusive=False
+    )
+    return (
+        part.join(m, part["p_retailprice"] == m["price"])
+        .filter(
+            (F.col("m1").isNull() | (F.col("m1") < F.col("p_size")))
+            & (F.col("gmax") <= F.col("p_size"))
+        )
+        .select(
+            "p_partkey",
+            "p_retailprice",
+            F.col("p_size").cast("bigint").alias("p_size"),
+        )
+        .orderBy("p_partkey")
+    )

