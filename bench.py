@@ -194,6 +194,13 @@ EXTENDED = [
     "q_dedup_rate_by_source",
     "q_edit_distance_pairs",
     "q_kneser_ney_bigram",
+    # round-8 second wave: n-gram language ID, daily-volume ACF,
+    # chi-squared discriminative terms, weighted median via global
+    # prefix sum
+    "q_lang_id_ngram",
+    "q_volume_acf",
+    "q_chi2_terms",
+    "q_weighted_median_price",
 ]
 
 

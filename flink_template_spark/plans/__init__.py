@@ -152,6 +152,10 @@ _MIDDLE: list[str] = [
     "q_dedup_rate_by_source",
     "q_edit_distance_pairs",
     "q_kneser_ney_bigram",
+    "q_lang_id_ngram",
+    "q_volume_acf",
+    "q_chi2_terms",
+    "q_weighted_median_price",
     # r4-cohort remainder (oldest stale after a green r8)
     "q_train_test_split",
     "q_text_normalize",

@@ -1610,3 +1610,78 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_quartile", "f_quartile", "m_quartile")
     )
+
+
+_ACF_MAX_LAG = 7
+
+
+@register(
+    "q_volume_acf",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS x
+  FROM events GROUP BY 1
+),
+lags AS (SELECT unnest(range(1, {_ACF_MAX_LAG + 1})) AS lag),
+pairs AS (
+  SELECT l.lag, a.x AS x0, b.x AS x1
+  FROM daily a
+  JOIN lags l ON TRUE
+  JOIN daily b ON b.day = a.day + CAST(l.lag AS INT)
+)
+SELECT CAST(lag AS BIGINT) AS lag,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  ROUND(
+    (COUNT(*) * CAST(SUM(x0 * x1) AS DOUBLE)
+     - CAST(SUM(x0) AS DOUBLE) * CAST(SUM(x1) AS DOUBLE))
+    / (sqrt(COUNT(*) * CAST(SUM(x0 * x0) AS DOUBLE)
+            - CAST(SUM(x0) AS DOUBLE) * CAST(SUM(x0) AS DOUBLE))
+       * sqrt(COUNT(*) * CAST(SUM(x1 * x1) AS DOUBLE)
+              - CAST(SUM(x1) AS DOUBLE) * CAST(SUM(x1) AS DOUBLE))),
+  6) AS acf
+FROM pairs GROUP BY lag ORDER BY lag
+""",
+)
+def q_volume_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily event volume at lags 1..{_ACF_MAX_LAG}
+    (Pearson r between the day series and its k-day shift over
+    overlapping days) — the periodicity detector behind capacity
+    planning and the seasonality check that decides whether
+    q_seasonal_residuals' day-of-week model is even warranted (a
+    lag-7 peak says yes).
+
+    Scale shape: the event stream collapses to the calendar-bounded
+    day grid in one hash agg; the lag alignment is a self-equi-join of
+    the DAY table on day+lag fanned out by a {_ACF_MAX_LAG}-row
+    broadcast literal — day-grid-sized work end-to-end, never event
+    volume. Float discipline: exact integer power sums → the Pearson
+    dag with two correctly-rounded sqrts (the q_corr_price_qty
+    shape), 6-dp."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    lags = spark.createDataFrame([(k,) for k in range(1, _ACF_MAX_LAG + 1)], "lag int")
+    a = daily.select(F.col("day").alias("day0"), F.col("x").alias("x0"))
+    b = daily.select(F.col("day").alias("day1"), F.col("x").alias("x1"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("day1") == F.expr("date_add(day0, lag)"))
+    )
+    n = F.count(F.lit(1))
+    s0, s1 = F.sum("x0").cast("double"), F.sum("x1").cast("double")
+    s00 = F.sum(F.col("x0") * F.col("x0")).cast("double")
+    s11 = F.sum(F.col("x1") * F.col("x1")).cast("double")
+    s01 = F.sum(F.col("x0") * F.col("x1")).cast("double")
+    acf = (n * s01 - s0 * s1) / (
+        F.sqrt(n * s00 - s0 * s0) * F.sqrt(n * s11 - s1 * s1)
+    )
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            n.cast("bigint").alias("n_pairs"),
+            F.round(acf, 6).alias("acf"),
+        )
+        .select(F.col("lag").cast("bigint").alias("lag"), "n_pairs", "acf")
+        .orderBy("lag")
+    )

@@ -2375,3 +2375,206 @@ def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c12"), "w1", "w2")
         .limit(_KN_TOP)
     )
+
+
+_LID_K = 50  # profile size: top trigrams per language
+
+
+@register(
+    "q_lang_id_ngram",
+    oracle=f"""
+WITH tri AS MATERIALIZED (
+  SELECT doc_id, lang, substr(text, i, 3) AS g
+  FROM documents, unnest(range(1, length(text) - 1)) AS t(i)
+),
+prof AS (
+  SELECT lang AS plang, g FROM (
+    SELECT lang, g, COUNT(*) AS c,
+      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, g) AS rk
+    FROM tri GROUP BY lang, g
+  ) WHERE rk <= {_LID_K}
+),
+score AS (
+  SELECT t.doc_id, p.plang, COUNT(*) AS overlap
+  FROM tri t JOIN prof p ON t.g = p.g
+  GROUP BY 1, 2
+),
+guess AS (
+  SELECT doc_id, FIRST(plang ORDER BY overlap DESC, plang) AS guess
+  FROM score GROUP BY doc_id
+)
+SELECT d.lang, COALESCE(g.guess, 'unknown') AS guess,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents d LEFT JOIN guess g ON d.doc_id = g.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-n-gram language identification (the Cavnar-Trenkle
+    "N-Gram-Based Text Categorization" recipe): learn a top-{_LID_K}
+    trigram profile per labeled language, classify every document by
+    which profile its trigram OCCURRENCES overlap most (deterministic
+    argmax: overlap desc, language asc; no-overlap docs → 'unknown'),
+    and report the confusion matrix against the labels. The real
+    n-gram lang-ID upgrade over q_lang_guess_confusion's stopword
+    heuristic. (Corpus is synthetic word-salad, so absolute accuracy
+    is incidental; the operator shape — profile build, broadcast
+    classify, confusion rollup — is the deliverable.)
+
+    Scale shape: the trigram explode is map-side; the per-lang profile
+    is a hash agg + per-LANG partitioned top-k window (|langs| ≤ tiny
+    partitions of a Zipf-small trigram-type table); the classify join
+    broadcasts the |langs|·{_LID_K}-row profile onto the trigram
+    stream with a map-side partial (doc, lang) count; the argmax is a
+    per-DOC partitioned window. Integer counts end-to-end."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tri = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "CASE WHEN length(text) >= 3 THEN "
+                "transform(sequence(1, length(text) - 2),"
+                " i -> substring(text, i, 3)) "
+                "ELSE array() END"
+            )
+        ).alias("g"),
+    )
+    w_lang = W.partitionBy("lang").orderBy(F.desc("c"), "g")
+    prof = (
+        tri.groupBy("lang", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rk", F.row_number().over(w_lang))
+        .filter(F.col("rk") <= _LID_K)
+        .select(F.col("lang").alias("plang"), "g")
+    )
+    score = (
+        tri.select("doc_id", "g")
+        .join(F.broadcast(prof), "g")
+        .groupBy("doc_id", "plang")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    w_doc = W.partitionBy("doc_id").orderBy(F.desc("overlap"), "plang")
+    guess = (
+        score.withColumn("rk", F.row_number().over(w_doc))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("plang").alias("guess"))
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(guess, "doc_id", "left")
+        .groupBy("lang", F.coalesce("guess", F.lit("unknown")).alias("guess"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("lang", "guess")
+    )
+
+
+_CHI2_MIN_DF = 5
+_CHI2_TOP = 5
+
+
+@register(
+    "q_chi2_terms",
+    oracle=f"""
+WITH pres AS MATERIALIZED (
+  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS t
+  FROM documents
+),
+nl AS (SELECT lang, COUNT(DISTINCT doc_id) AS n_l FROM pres GROUP BY lang),
+ntot AS (SELECT COUNT(*) AS n FROM documents),
+df AS (SELECT t, COUNT(*) AS df_t FROM pres GROUP BY t),
+alt AS (SELECT lang, t, COUNT(*) AS a FROM pres GROUP BY lang, t),
+chi AS (
+  SELECT alt.lang, alt.t, alt.a,
+    CAST(alt.a AS DOUBLE) AS ad_, CAST(df.df_t - alt.a AS DOUBLE) AS bd_,
+    CAST(nl.n_l - alt.a AS DOUBLE) AS cd_,
+    CAST(n - nl.n_l - (df.df_t - alt.a) AS DOUBLE) AS dd_,
+    CAST(n AS DOUBLE) AS nd_
+  FROM alt
+  JOIN df ON alt.t = df.t
+  JOIN nl ON alt.lang = nl.lang
+  CROSS JOIN ntot
+  WHERE df.df_t >= {_CHI2_MIN_DF}
+),
+scored AS (
+  SELECT lang, t, CAST(a AS BIGINT) AS df_in_lang,
+    ROUND(
+      (nd_ * ((ad_ * dd_ - bd_ * cd_) / ((ad_ + bd_) * (cd_ + dd_))))
+      * ((ad_ * dd_ - bd_ * cd_) / ((ad_ + cd_) * (bd_ + dd_))),
+    6) AS chi2
+  FROM chi
+)
+SELECT lang, t AS token, df_in_lang, chi2, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY chi2 DESC, t) AS rk
+  FROM scored
+) WHERE rk <= {_CHI2_TOP}
+ORDER BY lang, rk
+""",
+)
+def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared feature selection: the top-{_CHI2_TOP} tokens most
+    associated with each language label by the 2×2 contingency chi²
+    over document presence — the classic discriminative-vocabulary
+    pass (classifier features, domain-marker mining, and the
+    label-leak detector for classifier-filtered corpora: a "should-be-
+    neutral" token scoring high on a split label IS the leak).
+    Transcendental-free (chi², deliberately not log-based mutual
+    information — the Hellinger-over-JS discipline).
+
+    Float discipline: the four cell counts are exact integers cast to
+    double; chi² = N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) is evaluated in a
+    FIXED factorization — (N·(ad−bc)/((a+b)(c+d)))·((ad−bc)/((a+c)(b+d)))
+    — identical text in both engines (and overflow-safe where the pure
+    integer form would exceed 2^63 past ~3B docs); ranking is on the
+    6-dp ROUNDED score with token tiebreak, so the argsort is
+    engine-identical.
+
+    Scale shape: presence via per-row array_distinct (map-side, no
+    within-doc dedup shuffle); all three count tables are hash aggs
+    with map-side partials over the Zipf-small (lang, token) /
+    token-type tables; the lang totals broadcast; the top-k is a
+    per-LANG partitioned window over the scored type table."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    pres = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("t"),
+    )
+    nl = pres.groupBy("lang").agg(F.count_distinct("doc_id").alias("n_l"))
+    ntot = docs.agg(F.count(F.lit(1)).alias("n"))
+    df_t = pres.groupBy("t").agg(F.count(F.lit(1)).alias("df_t"))
+    alt = pres.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("a"))
+    chi = (
+        alt.join(df_t.filter(F.col("df_t") >= _CHI2_MIN_DF), "t")
+        .join(F.broadcast(nl), "lang")
+        .crossJoin(F.broadcast(ntot))
+    )
+    ad_ = F.col("a").cast("double")
+    bd_ = (F.col("df_t") - F.col("a")).cast("double")
+    cd_ = (F.col("n_l") - F.col("a")).cast("double")
+    dd_ = (F.col("n") - F.col("n_l") - (F.col("df_t") - F.col("a"))).cast("double")
+    nd_ = F.col("n").cast("double")
+    num = ad_ * dd_ - bd_ * cd_
+    chi2 = (nd_ * (num / ((ad_ + bd_) * (cd_ + dd_)))) * (
+        num / ((ad_ + cd_) * (bd_ + dd_))
+    )
+    scored = chi.select(
+        "lang",
+        "t",
+        F.col("a").cast("bigint").alias("df_in_lang"),
+        F.round(chi2, 6).alias("chi2"),
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("chi2"), "t")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _CHI2_TOP)
+        .select("lang", F.col("t").alias("token"), "df_in_lang", "chi2",
+                F.col("rk").cast("bigint").alias("rk"))
+        .orderBy("lang", "rk")
+    )

@@ -449,3 +449,77 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+@register(
+    "q_weighted_median_price",
+    oracle="""
+WITH g AS (
+  SELECT l_returnflag AS f, l_extendedprice AS p,
+         SUM(CAST(l_quantity AS BIGINT)) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+c AS (
+  SELECT f, p, w,
+    SUM(w) OVER (PARTITION BY f ORDER BY p) AS cw,
+    SUM(w) OVER (PARTITION BY f) AS tw
+  FROM g
+)
+SELECT f AS l_returnflag,
+  CAST(MAX(tw) AS BIGINT) AS w_total,
+  MIN(CASE WHEN 2 * cw >= tw THEN p END) AS median_price
+FROM c GROUP BY f ORDER BY f
+""",
+)
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (lower) median price per return flag, weight =
+    quantity: the smallest price whose cumulative quantity mass
+    reaches half the group total — the robust central-price statistic
+    (and the exact-answer complement of q_ddsketch_quantiles'
+    mergeable sketch tier). Integer weights end-to-end; the median is
+    SELECTED, never interpolated, so no float arithmetic at all.
+
+    Scale shape: the fact table collapses to the (flag, price) weight
+    table in one hash agg with map-side partials; the per-flag
+    cumulative mass comes from the two-pass range-partitioned GLOBAL
+    prefix sum over (flag, price) order
+    (operators.rank_global.with_global_prefix_sum — equal flags
+    co-locate under the range exchange, so no per-flag data-sized
+    window), re-based per flag by subtracting the preceding flags'
+    broadcast totals (a ≤|flags|-row window). The final argmin is a
+    conditional MIN aggregate."""
+    from flink_template_spark.operators.rank_global import (
+        with_global_prefix_sum,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        F.col("l_returnflag").alias("f"), F.col("l_extendedprice").alias("p")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
+    cum = with_global_prefix_sum(
+        g, [(F.col("f"), True), (F.col("p"), True)], "w", out_col="cum_all"
+    )
+    tot = g.groupBy("f").agg(F.sum("w").alias("tw"))
+    # flag re-base offsets: one row per flag — bounded window BY DESIGN
+    w_prev = W.orderBy("f").rowsBetween(W.unboundedPreceding, -1)
+    off = tot.select(
+        "f",
+        "tw",
+        F.coalesce(F.sum("tw").over(w_prev), F.lit(0)).alias("off"),
+    )
+    c = cum.join(F.broadcast(off), "f").withColumn(
+        "cw", F.col("cum_all") - F.col("off")
+    )
+    return (
+        c.groupBy("f")
+        .agg(
+            F.max("tw").cast("bigint").alias("w_total"),
+            F.min(
+                F.when(F.lit(2) * F.col("cw") >= F.col("tw"), F.col("p"))
+            ).alias("median_price"),
+        )
+        .select(
+            F.col("f").alias("l_returnflag"), "w_total", "median_price"
+        )
+        .orderBy("l_returnflag")
+    )

@@ -288,6 +288,16 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     # sits behind a lazy localCheckpoint boundary so its offset window
     # doesn't surface in the final plan)
     "q_shard_zonemap": 1,
+    # r8: three rank_global calls whose offset windows share one
+    # surfaced stats window (the other two sit behind the lazy
+    # localCheckpoint boundary) — <= shuffle-partition-count rows
+    "q_rfm_segments": 1,
+    # with_global_prefix_max's per-partition maxima window
+    # (<= shuffle-partition-count rows)
+    "q_skyline_parts": 1,
+    # with_global_prefix_sum's per-partition totals window + the
+    # per-FLAG re-base offsets window (<= |return flags| = 3 rows)
+    "q_weighted_median_price": 2,
 }
 
 

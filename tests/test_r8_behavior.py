@@ -245,3 +245,82 @@ def test_edit_distance_pairs_verify(spark, sf_dir):
         lb, bb, tb = docs[r["id_b"]]
         assert (la, ba) == (lb, bb)  # same SNM block
         assert lev(ta, tb) == r["dist"] <= _EDIT_MAXD
+
+
+def test_lang_id_matrix_partitions_the_corpus(spark, sf_dir):
+    """Confusion-matrix row sums equal per-lang doc counts (every doc
+    gets exactly one guess), and guesses only come from the label set
+    (+ 'unknown')."""
+    from flink_template_spark.tables import load_table
+
+    rows = plans.QUERIES["q_lang_id_ngram"](spark, sf_dir).collect()
+    per_lang: dict[str, int] = {}
+    for r in rows:
+        per_lang[r["lang"]] = per_lang.get(r["lang"], 0) + r["n_docs"]
+    truth = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per_lang == truth
+    assert {r["guess"] for r in rows} <= set(truth) | {"unknown"}
+
+
+def test_volume_acf_is_a_correlation(spark, sf_dir):
+    rows = plans.QUERIES["q_volume_acf"](spark, sf_dir).collect()
+    assert [r["lag"] for r in rows] == list(range(1, 8))
+    for r in rows:
+        assert -1.0 <= r["acf"] <= 1.0, r
+    # overlap can only shrink as the shift grows
+    n = [r["n_pairs"] for r in rows]
+    assert all(a >= b for a, b in zip(n, n[1:]))
+
+
+def test_chi2_recounts_from_raw_presence(spark, sf_dir):
+    """The top row's chi² recomputes exactly from raw per-doc token
+    presence (independent Python path)."""
+    from flink_template_spark.tables import load_table
+
+    rows = plans.QUERIES["q_chi2_terms"](spark, sf_dir).collect()
+    top = rows[0]
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text").collect()
+    n = len(docs)
+    a = b = 0
+    n_l = 0
+    for r in docs:
+        present = top["token"] in set(r["text"].split(" "))
+        if r["lang"] == top["lang"]:
+            n_l += 1
+            a += present
+        else:
+            b += present
+    c, d = n_l - a, n - n_l - b
+    assert a == top["df_in_lang"]
+    num = float(a * d - b * c)
+    chi2 = (n * (num / ((a + b) * (c + d)))) * (num / ((a + c) * (b + d)))
+    assert round(chi2, 6) == pytest.approx(top["chi2"], abs=1e-9)
+    assert all(r["chi2"] >= 0 for r in rows)
+
+
+def test_weighted_median_mass_property(spark, sf_dir):
+    """Exactly the lower weighted median: mass strictly below it is
+    < half the total, mass up to and including it is >= half."""
+    from flink_template_spark.tables import load_table
+
+    meds = {
+        r["l_returnflag"]: (r["median_price"], r["w_total"])
+        for r in plans.QUERIES["q_weighted_median_price"](spark, sf_dir).collect()
+    }
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice", F.col("l_quantity").cast("long").alias("w"))
+        .collect()
+    )
+    for flag, (med, w_total) in meds.items():
+        below = sum(r["w"] for r in li if r["l_returnflag"] == flag and r["l_extendedprice"] < med)
+        upto = sum(r["w"] for r in li if r["l_returnflag"] == flag and r["l_extendedprice"] <= med)
+        total = sum(r["w"] for r in li if r["l_returnflag"] == flag)
+        assert total == w_total
+        assert 2 * below < total <= 2 * upto, (flag, below, upto, total)

@@ -12,47 +12,41 @@ def test_priority_slate_shape():
     names = list(plans.QUERIES)
     assert len(names) == len(set(names))
     first50 = set(names[:50])
-    # round-7 rotation: ALL 27 round-6 additions (never driver-checked
-    # before this round — the round's capability claim)
+    # round-8 rotation (VERDICT r7 next #1): ALL 21 round-7 additions
+    # (never driver-checked before this round)
     for q in (
-        "q_hits_trade",
-        "q_dsir_weights",
-        "q_binary_embedding_topk",
-        "q_bootstrap_ci",
-        "q_stupid_backoff",
-        "q_recursive_chain_rollup",
-        "q_ks_source_drift",
-        "q_line_dedup_corpus",
-        "q_containment_pairs",
-        "q_ann_recall_eval",
-        "q_auc_lang_confound",
-        "q_knn_shapley",
-        "q_davies_bouldin",
-        "q_systematic_resample",
-        "q_length_bucket_efficiency",
-        "q_matryoshka_overlap",
-        "q_split_fingerprint_leakage",
-        "q_phrase_search",
-        "q_labelprop_communities",
-        "q_time_decay_sample",
-        "q_hellinger_affinity_matrix",
-        "q_content_fingerprint",
-        "q_embedding_drift",
-        "q_gate_rates_wilson",
-        "q_event_burstiness",
-        "q_event_correlation_matrix",
-        "q_theil_sen_trend",
+        "q_cdc_chunk_dedup",
+        "q_bigram_lift",
+        "q_vocab_coverage",
+        "q_mrr_eval",
+        "q_shard_zonemap",
+        "q_mmr_rerank",
+        "q_lsh_recall_audit",
+        "q_source_gini",
+        "q_shuffle_skew_audit",
+        "q_k_anonymity",
+        "q_seasonal_residuals",
+        "q_fd_audit",
+        "q_data_expectations",
+        "q_snapshot_diff",
+        "q_benford_audit",
+        "q_spatial_radius_pairs",
+        "q_interval_coverage",
+        "q_term_drift_topk",
+        "q_twap_value",
+        "q_changepoint_volume",
+        "q_ab_test_readout",
     ):
         assert q in first50, q
-    # oldest-stale fill: the 4 r2-cohort leftovers + r3 representatives
+    # staleness-census fill: r3-cohort representatives + the oldest r4
     for q in (
-        "q_simhash_hamming_pairs",
-        "q_text_stats_by_lang",
-        "q_tfidf_top_terms",
-        "q_vocab_build",
-        "q2_min_price_parts",
-        "q22_idle_rich_customers",
-        "q_map_funcs",
+        "q_trip_stopped_time",
+        "q_multimodal_features",
+        "q_percentiles_cont",
+        "q_null_safe_join",
+        "q_minhash_signatures",
+        "q_vector_norms",
+        "q_embedding_quantize_int8",
     ):
         assert q in first50, q
 
