@@ -1277,9 +1277,16 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-{_BASKET_TOP} is TakeOrderedAndProject (never a full sort).
     Integer counts end-to-end; lift is one fixed IEEE dag, 6-dp."""
     li = load_table(spark, sf_dir, "lineitem")
-    d = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+    # FIVE consumers reference d (both pair sides, item counts twice,
+    # order total): pin one materialized distinct instead of five
+    # scan+distinct evaluations (multi-consumer subtree policy — the
+    # lazy localCheckpoint is the bounded-checkpoint trade rank_global
+    # makes, materialized at the first action)
+    d = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     n_ord = d.agg(F.count_distinct("o").alias("n_orders"))
     item = d.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
     a = d.select(F.col("o"), F.col("p").alias("part_a"))

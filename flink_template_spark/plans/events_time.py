@@ -1658,9 +1658,13 @@ def q_volume_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     dag with two correctly-rounded sqrts (the q_corr_price_qty
     shape), 6-dp."""
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
-    ).agg(F.count(F.lit(1)).alias("x"))
+    # both lag sides reference the day grid: pin the (tiny,
+    # calendar-bounded) aggregate once instead of scanning events twice
+    daily = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .localCheckpoint(eager=False)
+    )
     lags = spark.createDataFrame([(k,) for k in range(1, _ACF_MAX_LAG + 1)], "lag int")
     a = daily.select(F.col("day").alias("day0"), F.col("x").alias("x0"))
     b = daily.select(F.col("day").alias("day1"), F.col("x").alias("x1"))

@@ -2348,7 +2348,14 @@ def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("w2").isNotNull())
     )
-    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # FOUR consumers (output rows, fwd, bwd, type count) reference the
+    # bigram-type table; it is Zipf-small, so pin one materialization
+    # instead of re-running the corpus explode+window per consumer
+    bc = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=False)
+    )
     fwd = bc.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p_fwd")
     )
@@ -2546,10 +2553,20 @@ def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("t"),
     )
-    nl = pres.groupBy("lang").agg(F.count_distinct("doc_id").alias("n_l"))
+    # ONE corpus-explode pass: alt is the only pres consumer; df_t is
+    # the lang-marginal of alt (presence partitions by lang) and n_l
+    # comes from the documents table directly (2-column pruned scan) —
+    # the restructure that keeps the expensive explode single-shot
+    nl = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
     ntot = docs.agg(F.count(F.lit(1)).alias("n"))
-    df_t = pres.groupBy("t").agg(F.count(F.lit(1)).alias("df_t"))
-    alt = pres.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("a"))
+    # alt feeds both the chi table and its own token marginal: pin the
+    # (Zipf-small) aggregate so the explode runs exactly once
+    alt = (
+        pres.groupBy("lang", "t")
+        .agg(F.count(F.lit(1)).alias("a"))
+        .localCheckpoint(eager=False)
+    )
+    df_t = alt.groupBy("t").agg(F.sum("a").alias("df_t"))
     chi = (
         alt.join(df_t.filter(F.col("df_t") >= _CHI2_MIN_DF), "t")
         .join(F.broadcast(nl), "lang")

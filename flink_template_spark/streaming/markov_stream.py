@@ -1,0 +1,123 @@
+"""Streaming Markov transition counter (per-user event sequences).
+
+The streaming dual of the batch transition matrix
+(plans.events_time.q_event_markov): the batch query LAGs over a
+finished log; a live product-analytics pipeline wants the transition
+counts maintained AS events arrive. Per user, the only state a
+first-order chain needs is the LAST event (type + its order key) —
+each arriving event emits one (prev_type -> type) increment and
+replaces the state.
+
+Operator shape: ``applyInPandasWithState`` keyed by user — state is
+(last_type, last_order) per user, O(|users|) forever, no watermark
+needed (NoTimeout; a production deployment with unbounded user churn
+would add a state TTL — the reference pattern is the CUSUM monitor's).
+Within each micro-batch rows fold in a DETERMINISTIC total order
+(ts, event_id), so a replayed batch produces identical state and
+identical emitted increments; across batches the chain is a left fold
+(the state carries the boundary event), so micro-batch splits are
+invisible: the summed increments equal the batch LAG over the same
+ordered rows — pinned stream==batch in tests/test_markov_stream.py.
+
+Emission contract: UPDATE-mode per-batch AGGREGATED increments
+(from_type, to_type, n) per user-batch — a downstream keyed sum (or
+foreachBatch upsert into a counts table, sinks.py's pattern) folds
+them into the global matrix. Emitting increments instead of absolute
+counts keeps the sink merge commutative and idempotent per epoch.
+
+At 100 TB: parallelism is the user key, exactly like any keyed
+stateful operator; the transition matrix itself is |types|^2 and
+lives in the SINK, not in stream state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = "last_type STRING, last_order LONG"
+OUTPUT_SCHEMA = "user_id LONG, from_type STRING, to_type STRING, n LONG"
+
+
+def transitions_fold(
+    events: list[tuple[str, int]],
+    state: tuple[str | None, int],
+) -> tuple[dict[tuple[str, str], int], tuple[str | None, int]]:
+    """Pure fold both the operator and the tests share: given
+    (type, order) events SORTED by order and the carried
+    (last_type, last_order) state, return the transition increments
+    and the new state."""
+    last_type, last_order = state
+    inc: dict[tuple[str, str], int] = {}
+    for etype, order in events:
+        if last_type is not None:
+            k = (last_type, etype)
+            inc[k] = inc.get(k, 0) + 1
+        last_type, last_order = etype, order
+    return inc, (last_type, last_order)
+
+
+def _markov_fn():
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        prev = state.get if state.exists else (None, -1)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        # deterministic within-batch order: replays fold identically
+        rows = rows.sort_values(["order_ts", "order_id"], kind="mergesort")
+        inc, cur = transitions_fold(
+            list(zip(rows["event_type"], (int(i) for i in rows["order_id"]))),
+            (prev[0], int(prev[1])),
+        )
+        state.update(cur)
+        if inc:
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": key[0],
+                        "from_type": a,
+                        "to_type": b,
+                        "n": n,
+                    }
+                    for (a, b), n in sorted(inc.items())
+                ]
+            )
+
+    return fn
+
+
+def markov_stream(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Keyed streaming transition counter: emits per-user aggregated
+    (from_type, to_type, n) increments once per micro-batch the user
+    appears in (update mode). Sum the increments downstream to get the
+    global matrix — equal to the batch LAG transition counts over the
+    same ordered rows."""
+    keyed = stream.select(
+        F.col(key_col).alias("user_id"),
+        F.col(type_col).alias("event_type"),
+        # microsecond precision: a seconds cast would reorder same-second
+        # events relative to the batch dual's full-timestamp ordering
+        F.unix_micros(F.col(ts_col)).alias("order_ts"),
+        F.col(id_col).cast("long").alias("order_id"),
+    ).groupBy("user_id")
+    return keyed.applyInPandasWithState(
+        _markov_fn(),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
