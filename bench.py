@@ -333,18 +333,26 @@ def main() -> None:
             spark.conf.set(k, v)
         try:
             ckpt2 = tempfile.mkdtemp(prefix="bench_v2_ckpt_")
-            out = sessionize_trips_v2(read_trip_events_stream(spark, fx2))
-            t0 = time.perf_counter()
-            q2 = (
-                out.writeStream.outputMode("append")
-                .format("noop")
-                .option("checkpointLocation", ckpt2)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q2.awaitTermination(600)
-            trip_v2_eps = round(n_events_v2 / (time.perf_counter() - t0), 1)
-            shutil.rmtree(ckpt2, ignore_errors=True)
+            try:
+                out = sessionize_trips_v2(read_trip_events_stream(spark, fx2))
+                t0 = time.perf_counter()
+                q2 = (
+                    out.writeStream.outputMode("append")
+                    .format("noop")
+                    .option("checkpointLocation", ckpt2)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                finished = q2.awaitTermination(600)
+                if not finished:
+                    # timeout returns False (no exception): stop the
+                    # straggler so it can't pollute later timings, and
+                    # record the miss instead of an inflated rate
+                    q2.stop()
+                    raise TimeoutError("v2 availableNow run exceeded 600s")
+                trip_v2_eps = round(n_events_v2 / (time.perf_counter() - t0), 1)
+            finally:
+                shutil.rmtree(ckpt2, ignore_errors=True)
         finally:
             for k, v in prev_conf.items():
                 if v is None:

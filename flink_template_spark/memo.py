@@ -25,6 +25,16 @@ reviews, ADVICE r4+r5):
   warnings-as-errors run still leaves the cache within its bound.
 - Per-key locks are popped with their entries AND on failed builds, so
   the lock dict stays as bounded as the cache itself.
+- Entries may be persist()-backed (ann_index, phrase postings) or
+  localCheckpoint()-backed (trade edges, near-dup components — chosen
+  when consumers re-reference the table enough that lineage re-planning
+  dominates, see plans/graph.py). Eviction's unpersist(True) frees
+  cache-manager storage for the former; for the latter it is a no-op
+  and the checkpoint RDD blocks are reclaimed when the evicted
+  DataFrame loses its last reference and the JVM GCs it — the same
+  GC-scoped trade operators/rank_global.py documents for its lazy
+  checkpoints. Eviction therefore always unlinks the entry; only the
+  reclamation mechanism differs (r8 self-review).
 """
 
 from __future__ import annotations

@@ -1577,7 +1577,9 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("freq"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("mon"),
     )
-    mx = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("maxd"))
+    # the corpus max date is the max of per-customer last dates —
+    # reuses cust's shuffle instead of a second orders scan
+    mx = cust.agg(F.max("last_dt").alias("maxd"))
     metrics = cust.crossJoin(F.broadcast(mx)).select(
         "c",
         F.datediff(F.col("maxd"), F.col("last_dt")).alias("rec_days"),

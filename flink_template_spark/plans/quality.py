@@ -2489,7 +2489,7 @@ WITH pres AS MATERIALIZED (
   SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS t
   FROM documents
 ),
-nl AS (SELECT lang, COUNT(DISTINCT doc_id) AS n_l FROM pres GROUP BY lang),
+nl AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
 ntot AS (SELECT COUNT(*) AS n FROM documents),
 df AS (SELECT t, COUNT(*) AS df_t FROM pres GROUP BY t),
 alt AS (SELECT lang, t, COUNT(*) AS a FROM pres GROUP BY lang, t),

@@ -493,9 +493,16 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    g = li.groupBy(
-        F.col("l_returnflag").alias("f"), F.col("l_extendedprice").alias("p")
-    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
+    # g feeds the prefix sum AND the per-flag totals: pin one (flag,
+    # price)-table materialization instead of two fact-table scans
+    # (r8 self-review; multi-consumer subtree policy)
+    g = (
+        li.groupBy(
+            F.col("l_returnflag").alias("f"), F.col("l_extendedprice").alias("p")
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
+        .localCheckpoint(eager=False)
+    )
     cum = with_global_prefix_sum(
         g, [(F.col("f"), True), (F.col("p"), True)], "w", out_col="cum_all"
     )

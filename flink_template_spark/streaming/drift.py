@@ -152,8 +152,14 @@ def monitor_stream(
     else:
         # Same loud headroom guard as the integer path (ADVICE r7): a
         # double beyond 2^63/SCALE would silently clamp to Long.MaxValue
-        # on the cast and corrupt the CUSUM sums.
-        headroom = float((1 << 63) // SCALE - 1)
+        # on the cast and corrupt the CUSUM sums. float() of the integer
+        # bound rounds UP (the bound is not representable), which would
+        # re-open a boundary window where the guard passes but the cast
+        # still clamps — step one ulp DOWN so the admitted range is
+        # strictly clamp-safe (r8 self-review).
+        import math
+
+        headroom = math.nextafter(float((1 << 63) // SCALE - 1), 0.0)
         d = F.col(value_col).cast("double")
         value = F.when(
             F.assert_true(

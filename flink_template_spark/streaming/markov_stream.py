@@ -41,6 +41,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+# last_order = the last event's microsecond timestamp: the cross-batch
+# out-of-order guard (transitions_fold fails loudly on regression)
 STATE_SCHEMA = "last_type STRING, last_order LONG"
 OUTPUT_SCHEMA = "user_id LONG, from_type STRING, to_type STRING, n LONG"
 
@@ -52,11 +54,26 @@ def transitions_fold(
     """Pure fold both the operator and the tests share: given
     (type, order) events SORTED by order and the carried
     (last_type, last_order) state, return the transition increments
-    and the new state."""
+    and the new state.
+
+    ``last_order`` is the cross-batch ordering GUARD (r8 self-review:
+    it must be load-bearing, not dead state): an event ordered before
+    the state's last event means a later micro-batch delivered earlier
+    data — the one condition under which the summed increments would
+    silently diverge from the batch LAG matrix — so it fails LOUDLY
+    (killing the query) instead. The operator therefore requires
+    per-key time-ordered arrival across batches (time-split files, or
+    Kafka's per-key ordering)."""
     last_type, last_order = state
     inc: dict[tuple[str, str], int] = {}
     for etype, order in events:
         if last_type is not None:
+            if order < last_order:
+                raise ValueError(
+                    "out-of-order arrival across micro-batches: event at "
+                    f"{order} after state {last_order}; stream would "
+                    "diverge from the batch transition matrix"
+                )
             k = (last_type, etype)
             inc[k] = inc.get(k, 0) + 1
         last_type, last_order = etype, order
@@ -74,7 +91,7 @@ def _markov_fn():
         # deterministic within-batch order: replays fold identically
         rows = rows.sort_values(["order_ts", "order_id"], kind="mergesort")
         inc, cur = transitions_fold(
-            list(zip(rows["event_type"], (int(i) for i in rows["order_id"]))),
+            list(zip(rows["event_type"], (int(i) for i in rows["order_ts"]))),
             (prev[0], int(prev[1])),
         )
         state.update(cur)

@@ -279,3 +279,32 @@ def test_cusum_double_headroom_fails_loudly(spark, tmp_path):
     )
     with pytest.raises(StreamingQueryException, match="headroom"):
         q.awaitTermination(120)
+
+
+def test_cusum_double_headroom_boundary_is_clamp_safe(spark, tmp_path):
+    """r8 self-review: float((2^63)//SCALE - 1) rounds UP past the true
+    bound, so the representable double AT that rounded value passed the
+    old guard yet still clamped on the long cast. The guard now steps
+    one ulp down; this exact boundary double must fail loudly."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    boundary = float((1 << 63) // SCALE - 1)  # rounds UP: clamp-unsafe
+    rows = [{"doc_id": 0, "source": "edge", "n_chars": boundary}]
+    (in_dir / "a.json").write_text(_lines(rows))
+
+    stream = spark.readStream.schema(
+        "doc_id LONG, source STRING, n_chars DOUBLE"
+    ).json(str(in_dir))
+    q = (
+        monitor_stream(stream, 100.0, 0.0, 30.0)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cusum_edge")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="headroom"):
+        q.awaitTermination(120)

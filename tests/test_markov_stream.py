@@ -139,3 +139,12 @@ def test_stream_replay_is_deterministic(spark, sf_dir, tmp_path):
         )
 
     assert run("mk_a") == run("mk_b")
+
+
+def test_transitions_fold_rejects_out_of_order():
+    """The carried last_order is a load-bearing guard: a later batch
+    delivering earlier data must fail loudly, not silently diverge
+    from the batch matrix."""
+    _, st = transitions_fold([("view", 100), ("click", 200)], (None, -1))
+    with pytest.raises(ValueError, match="out-of-order"):
+        transitions_fold([("purchase", 150)], st)

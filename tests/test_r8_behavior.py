@@ -133,39 +133,58 @@ def test_rfm_quartiles_balanced_and_exhaustive(spark, sf_dir):
         assert max(per_q.values()) - min(per_q.values()) <= 1, (axis, per_q)
 
 
-def test_kneser_ney_mass_sums_to_one(spark, sf_dir):
-    """For any context w1, summing P_KN(w2|w1) over the FULL observed
-    continuation vocabulary equals exactly 1:
-    Σ max(c12-d,0)/c1 = (c1 - d·N1+(w1·))/c1 over seen pairs, and the
-    backoff term contributes d·N1+(w1·)/c1 · Σ Pcont = the complement
-    (Σ_w2 N1+(·w2) = N_types by construction)."""
+def test_kneser_ney_emitted_probs_recount_and_mass(spark, sf_dir):
+    """Two pins tied to the QUERY OUTPUT (r8 self-review: the first
+    draft re-derived counts and asserted an identity on its own
+    arithmetic, which could not catch a formula bug in the registered
+    query):
+
+    1. every emitted p_kn recomputes exactly from independent raw
+       pandas counts (catches any discount/backoff bug even if the
+       DuckDB oracle replays it);
+    2. the recount formula — now PROVEN equal to what the query emits —
+       sums to exactly 1 over the full continuation vocabulary for the
+       emitted contexts (the KN normalization axiom: seen mass
+       (c1 − d·N1+(w1·))/c1 plus backoff λ·ΣPcont closes to 1)."""
     from flink_template_spark.plans.quality import _KN_D
     from flink_template_spark.tables import load_table
 
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
-    )
-    wl = W.partitionBy("doc_id").orderBy("pos")
-    bc = (
-        tok.select(F.col("w").alias("w1"), F.lead("w").over(wl).alias("w2"))
-        .filter(F.col("w2").isNotNull())
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c12"))
-    )
-    pdf = bc.toPandas()
-    n_types = len(pdf)
-    bwd = pdf.groupby("w2").size()  # N1+(·w2); Σ over vocab = n_types
-    fwd = pdf.groupby("w1").agg(c1=("c12", "sum"), n=("c12", "size"))
-    # three contexts with the largest continuation fan-out
-    for w1 in fwd.sort_values("n").index[-3:]:
-        c1, n = int(fwd.loc[w1, "c1"]), int(fwd.loc[w1, "n"])
-        seen = pdf[pdf.w1 == w1]
-        seen_mass = sum(max(c - _KN_D, 0.0) / c1 for c in seen.c12)
-        lam = _KN_D * n / c1
-        # backoff over the FULL vocab: Σ Pcont(w2) = n_types/n_types = 1
-        total = seen_mass + lam * (bwd.sum() / n_types)
-        assert total == pytest.approx(1.0, abs=1e-12), w1
+    out = plans.QUERIES["q_kneser_ney_bigram"](spark, sf_dir).collect()
+    assert out, "query emitted no bigrams at this SF"
+
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    bc: dict[tuple[str, str], int] = {}
+    for r in docs:
+        w = r["text"].split(" ")
+        for a, b in zip(w, w[1:]):
+            bc[(a, b)] = bc.get((a, b), 0) + 1
+    n_types = len(bc)
+    c1: dict[str, int] = {}
+    n1p_fwd: dict[str, int] = {}
+    n1p_bwd: dict[str, int] = {}
+    for (a, b), c in bc.items():
+        c1[a] = c1.get(a, 0) + c
+        n1p_fwd[a] = n1p_fwd.get(a, 0) + 1
+        n1p_bwd[b] = n1p_bwd.get(b, 0) + 1
+
+    def p_kn(a: str, b: str) -> float:
+        return max(bc.get((a, b), 0) - _KN_D, 0.0) / c1[a] + (
+            (_KN_D * n1p_fwd[a]) / c1[a]
+        ) * (n1p_bwd[b] / n_types)
+
+    for r in out:
+        assert bc[(r["w1"], r["w2"])] == r["c12"]
+        # pin 1: emitted probability == independent recount
+        assert round(p_kn(r["w1"], r["w2"]), 6) == pytest.approx(
+            r["p_kn"], abs=1e-9
+        ), (r["w1"], r["w2"])
+
+    # pin 2: the (emitted-equal) formula closes to exactly 1 over the
+    # full continuation vocabulary for each emitted context
+    vocab = set(n1p_bwd)
+    for w1 in {r["w1"] for r in out}:
+        total = sum(p_kn(w1, w2) for w2 in vocab)
+        assert total == pytest.approx(1.0, abs=1e-9), w1
 
 
 def test_l_diversity_cell_census_matches_k_anonymity(spark, sf_dir):
