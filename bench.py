@@ -201,6 +201,9 @@ EXTENDED = [
     "q_volume_acf",
     "q_chi2_terms",
     "q_weighted_median_price",
+    # round-8 third wave: cohort LTV triangle, revenue concentration
+    "q_cohort_ltv",
+    "q_revenue_concentration",
 ]
 
 

@@ -156,6 +156,8 @@ _MIDDLE: list[str] = [
     "q_volume_acf",
     "q_chi2_terms",
     "q_weighted_median_price",
+    "q_cohort_ltv",
+    "q_revenue_concentration",
     # r4-cohort remainder (oldest stale after a green r8)
     "q_train_test_split",
     "q_text_normalize",

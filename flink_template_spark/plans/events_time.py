@@ -1691,3 +1691,69 @@ def q_volume_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("lag").cast("bigint").alias("lag"), "n_pairs", "acf")
         .orderBy("lag")
     )
+
+
+@register(
+    "q_cohort_ltv",
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey AS c,
+    MIN(date_trunc('month', CAST(o_orderdate AS DATE))) AS cohort
+  FROM orders GROUP BY o_custkey
+),
+rev AS (
+  SELECT cust.cohort,
+    (year(date_trunc('month', CAST(o.o_orderdate AS DATE)))
+       - year(cust.cohort)) * 12
+    + (month(date_trunc('month', CAST(o.o_orderdate AS DATE)))
+       - month(cust.cohort)) AS month_offset,
+    COUNT(DISTINCT o.o_custkey) AS n_active,
+    SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+  FROM orders o JOIN cust ON o.o_custkey = cust.c
+  GROUP BY 1, 2
+)
+SELECT CAST(cohort AS DATE) AS cohort,
+  CAST(month_offset AS BIGINT) AS month_offset,
+  CAST(n_active AS BIGINT) AS n_active,
+  CAST(revenue AS DOUBLE) AS revenue,
+  CAST(SUM(revenue) OVER (PARTITION BY cohort ORDER BY month_offset)
+       AS DOUBLE) AS cum_revenue
+FROM rev ORDER BY cohort, month_offset
+""",
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: customers grouped by first-order
+    month, revenue accumulated per months-since-acquisition offset —
+    the LTV curve that prices acquisition spend (q_retention_cohorts
+    counts WHO comes back; this weighs WHAT they spend). Month offsets
+    are exact integer (year·12+month) arithmetic — deliberately not
+    months_between, whose fractional semantics differ across engines.
+
+    Scale shape: one orders shuffle to per-customer cohorts, one
+    key-partitioned join back (customer key), one hash agg to the
+    (cohort × offset) triangle — calendar-bounded, never order-volume;
+    the cumulative window partitions per cohort over ≤|months| rows.
+    Revenue rides decimal end-to-end; cast to double at the edge."""
+    orders = load_table(spark, sf_dir, "orders")
+    om = F.date_trunc("month", F.col("o_orderdate").cast("date")).cast("date")
+    cust = orders.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.min(om).alias("cohort")
+    )
+    joined = orders.join(cust, orders["o_custkey"] == cust["c"])
+    offset = (F.year(om) - F.year("cohort")) * 12 + (
+        F.month(om) - F.month("cohort")
+    )
+    rev = joined.groupBy(
+        "cohort", offset.cast("bigint").alias("month_offset")
+    ).agg(
+        F.count_distinct("o_custkey").cast("bigint").alias("n_active"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+    )
+    w = W.partitionBy("cohort").orderBy("month_offset")
+    return rev.select(
+        "cohort",
+        "month_offset",
+        "n_active",
+        F.col("rev").cast("double").alias("revenue"),
+        F.sum("rev").over(w).cast("double").alias("cum_revenue"),
+    ).orderBy("cohort", "month_offset")

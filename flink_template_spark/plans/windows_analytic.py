@@ -530,3 +530,95 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+_CONC_BUCKETS = 10  # revenue-concentration deciles
+
+
+@register(
+    "q_revenue_concentration",
+    oracle=f"""
+WITH cust AS (
+  SELECT o_custkey AS c, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT c, rev,
+    ROW_NUMBER() OVER (ORDER BY rev DESC, c) AS rn,
+    COUNT(*) OVER () AS n
+  FROM cust
+),
+dec AS (
+  SELECT (rn - 1) * {_CONC_BUCKETS} // n + 1 AS decile,
+         COUNT(*) AS n_customers, SUM(rev) AS revenue
+  FROM ranked GROUP BY 1
+),
+tot AS (SELECT SUM(revenue) AS total FROM dec)
+SELECT CAST(decile AS BIGINT) AS decile,
+  CAST(n_customers AS BIGINT) AS n_customers,
+  CAST(revenue AS DOUBLE) AS revenue,
+  ROUND(CAST(revenue AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+  ROUND(CAST(SUM(revenue) OVER (ORDER BY decile) AS DOUBLE)
+        / CAST(total AS DOUBLE), 6) AS cum_share
+FROM dec CROSS JOIN tot ORDER BY decile
+""",
+)
+def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration curve (the 80/20 readout): customers
+    ranked by lifetime revenue, bucketed into deciles by the explicit
+    integer formula, each decile's share and cumulative share of total
+    revenue — the Lorenz-curve points behind q_source_gini's scalar
+    (and the account-concentration risk number every revenue review
+    reads).
+
+    Scale shape: one orders shuffle to per-customer revenue, ONE
+    two-pass range-partitioned global rank (descending revenue,
+    customer tiebreak), a hash agg to exactly {_CONC_BUCKETS} rows;
+    the share windows run over those {_CONC_BUCKETS} rows (bounded BY
+    DESIGN, never customer-sized). Revenue rides decimal end-to-end;
+    shares are exact-decimal-to-double divisions, 6-dp."""
+    from flink_template_spark.operators.rank_global import with_global_ranks
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    # ranked feeds BOTH the total count and the decile agg: pin the
+    # (per-customer-sized) ranked table so the rank's join+offset
+    # subtrees evaluate once (multi-consumer subtree policy)
+    ranked = with_global_ranks(
+        cust, [(F.col("rev"), False)], tiebreak=["c"], row_number_col="rn"
+    ).localCheckpoint(eager=False)
+    n_tot = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    dec = (
+        ranked.crossJoin(F.broadcast(n_tot))
+        .select(
+            F.expr(f"(rn - 1) * {_CONC_BUCKETS}L DIV __n + 1").alias("decile"),
+            "rev",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("rev").alias("revenue"),
+        )
+    )
+    tot = dec.agg(F.sum("revenue").alias("total"))
+    # bounded window BY DESIGN: exactly _CONC_BUCKETS rows
+    w = W.orderBy("decile")
+    return (
+        dec.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            F.col("revenue").cast("double").alias("revenue"),
+            F.round(
+                F.col("revenue").cast("double") / F.col("total").cast("double"), 6
+            ).alias("share"),
+            F.round(
+                F.sum("revenue").over(w).cast("double")
+                / F.col("total").cast("double"),
+                6,
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )

@@ -298,6 +298,10 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     # with_global_prefix_sum's per-partition totals window + the
     # per-FLAG re-base offsets window (<= |return flags| = 3 rows)
     "q_weighted_median_price": 2,
+    # the decile cumulative-share window: exactly 10 rows BY DESIGN
+    # (rank_global's offsets window sits behind the pinned ranked
+    # checkpoint and doesn't surface in the final plan)
+    "q_revenue_concentration": 1,
 }
 
 

@@ -343,3 +343,45 @@ def test_weighted_median_mass_property(spark, sf_dir):
         total = sum(r["w"] for r in li if r["l_returnflag"] == flag)
         assert total == w_total
         assert 2 * below < total <= 2 * upto, (flag, below, upto, total)
+
+
+def test_cohort_ltv_triangle_conserves_revenue(spark, sf_dir):
+    from flink_template_spark.tables import load_table
+
+    rows = plans.QUERIES["q_cohort_ltv"](spark, sf_dir).collect()
+    # per cohort: cum_revenue is the running sum of revenue and ends at
+    # the cohort's total
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort"], []).append(r)
+    for cohort, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["month_offset"])
+        run = 0.0
+        for r in rs:
+            run += r["revenue"]
+            assert abs(run - r["cum_revenue"]) < 1e-6, (cohort, r)
+        # month 0 holds the acquisition order: every cohort has it
+        assert rs[0]["month_offset"] == 0
+    # the triangle partitions ALL order revenue exactly once
+    total = sum(r["revenue"] for r in rows)
+    want = (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+        .collect()[0][0]
+    )
+    assert abs(total - want) < 1e-4
+
+
+def test_revenue_concentration_is_a_lorenz_curve(spark, sf_dir):
+    rows = plans.QUERIES["q_revenue_concentration"](spark, sf_dir).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    cums = [r["cum_share"] for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(cums, cums[1:]))
+    assert abs(cums[-1] - 1.0) < 1e-6
+    # integer-division deciles: populations balanced within 1
+    sizes = [r["n_customers"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    # decile 1 = top spenders: per-customer average revenue nonincreasing
+    avgs = [r["revenue"] / r["n_customers"] for r in rows]
+    assert all(a >= b - 1e-9 for a, b in zip(avgs, avgs[1:]))
