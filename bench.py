@@ -201,9 +201,12 @@ EXTENDED = [
     "q_volume_acf",
     "q_chi2_terms",
     "q_weighted_median_price",
-    # round-8 third wave: cohort LTV triangle, revenue concentration
+    # round-8 third wave: cohort LTV triangle, revenue concentration,
+    # 3-step path mining, funnel time-to-convert percentiles
     "q_cohort_ltv",
     "q_revenue_concentration",
+    "q_event_paths_top",
+    "q_funnel_latency",
 ]
 
 

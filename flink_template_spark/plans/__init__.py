@@ -158,6 +158,8 @@ _MIDDLE: list[str] = [
     "q_weighted_median_price",
     "q_cohort_ltv",
     "q_revenue_concentration",
+    "q_event_paths_top",
+    "q_funnel_latency",
     # r4-cohort remainder (oldest stale after a green r8)
     "q_train_test_split",
     "q_text_normalize",

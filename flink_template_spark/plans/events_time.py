@@ -1757,3 +1757,147 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev").cast("double").alias("revenue"),
         F.sum("rev").over(w).cast("double").alias("cum_revenue"),
     ).orderBy("cohort", "month_offset")
+
+
+_PATH_TOP = 15
+
+
+@register(
+    "q_event_paths_top",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+    LAG(event_type, 1) OVER w AS p1,
+    LAG(event_type, 2) OVER w AS p2
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT p2 AS step1, p1 AS step2, event_type AS step3,
+  CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM seq WHERE p2 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n_paths DESC, step1, step2, step3
+LIMIT {_PATH_TOP}
+""",
+)
+def q_event_paths_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_PATH_TOP} three-step behavioral paths (consecutive event
+    triples per user) — the path-analysis readout product analytics
+    runs beside the first-order Markov matrix (q_event_markov answers
+    "what follows X"; this answers "which whole journeys are common",
+    the second-order structure a one-step chain cannot see).
+
+    Scale shape: two LAGs in ONE per-user window pass (same partition,
+    same order — a single WindowExec), a hash aggregate over the
+    ≤|types|³ path table with map-side partials, and a
+    TakeOrderedAndProject top-{_PATH_TOP}. Integer counts only."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    )
+    return (
+        seq.filter(F.col("p2").isNotNull())
+        .groupBy(
+            F.col("p2").alias("step1"),
+            F.col("p1").alias("step2"),
+            F.col("event_type").alias("step3"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "step1", "step2", "step3")
+        .limit(_PATH_TOP)
+    )
+
+
+@register(
+    "q_funnel_latency",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+),
+lat AS (
+  SELECT user_id,
+    date_diff('second', t_view, t_purchase) AS sec_to_convert
+  FROM firsts
+  WHERE t_view IS NOT NULL AND t_purchase > t_view
+),
+ranked AS (
+  SELECT sec_to_convert,
+    ROW_NUMBER() OVER (ORDER BY sec_to_convert, user_id) AS rn,
+    COUNT(*) OVER () AS n
+  FROM lat
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_converting,
+  CAST(MIN(sec_to_convert) AS BIGINT) AS min_s,
+  CAST(MIN(CASE WHEN 2 * rn >= n THEN sec_to_convert END) AS BIGINT)
+    AS median_s,
+  CAST(MIN(CASE WHEN 10 * rn >= 9 * n THEN sec_to_convert END) AS BIGINT)
+    AS p90_s,
+  CAST(MAX(sec_to_convert) AS BIGINT) AS max_s
+FROM ranked
+""",
+)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for users whose first purchase
+    follows their first view, the seconds between — min / exact lower
+    median / exact lower p90 / max (q_funnel_view_click_purchase counts
+    WHO converts; this measures HOW LONG conversion takes, the number
+    attribution windows and retargeting delays are tuned against).
+    Percentiles are rank-SELECTED, never interpolated — exact integers
+    on both engines.
+
+    Scale shape: one user-keyed conditional-min aggregation, then the
+    two-pass range-partitioned global rank over the (already
+    user-collapsed) latency table, one conditional-min rollup to a
+    single row."""
+    from flink_template_spark.operators.rank_global import with_global_ranks
+
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    lat = firsts.filter(
+        F.col("t_view").isNotNull() & (F.col("t_purchase") > F.col("t_view"))
+    ).select(
+        "user_id",
+        (
+            F.unix_timestamp("t_purchase") - F.unix_timestamp("t_view")
+        ).alias("sec_to_convert"),
+    )
+    ranked = with_global_ranks(
+        lat,
+        [(F.col("sec_to_convert"), True)],
+        tiebreak=["user_id"],
+        row_number_col="rn",
+    )
+    n = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .agg(
+            F.max("__n").cast("bigint").alias("n_converting"),
+            F.min("sec_to_convert").cast("bigint").alias("min_s"),
+            F.min(
+                F.when(
+                    F.lit(2) * F.col("rn") >= F.col("__n"), F.col("sec_to_convert")
+                )
+            )
+            .cast("bigint")
+            .alias("median_s"),
+            F.min(
+                F.when(
+                    F.lit(10) * F.col("rn") >= F.lit(9) * F.col("__n"),
+                    F.col("sec_to_convert"),
+                )
+            )
+            .cast("bigint")
+            .alias("p90_s"),
+            F.max("sec_to_convert").cast("bigint").alias("max_s"),
+        )
+    )

@@ -302,6 +302,10 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     # (rank_global's offsets window sits behind the pinned ranked
     # checkpoint and doesn't surface in the final plan)
     "q_revenue_concentration": 1,
+    # one rank_global call over the user-collapsed latency table: its
+    # cumulative-offset window over the per-partition stats table
+    # (<= shuffle-partition-count rows)
+    "q_funnel_latency": 1,
 }
 
 

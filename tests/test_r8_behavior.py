@@ -385,3 +385,58 @@ def test_revenue_concentration_is_a_lorenz_curve(spark, sf_dir):
     # decile 1 = top spenders: per-customer average revenue nonincreasing
     avgs = [r["revenue"] / r["n_customers"] for r in rows]
     assert all(a >= b - 1e-9 for a, b in zip(avgs, avgs[1:]))
+
+
+def test_event_paths_recount_from_sequences(spark, sf_dir):
+    from flink_template_spark.tables import load_table
+
+    rows = plans.QUERIES["q_event_paths_top"](spark, sf_dir).collect()
+    ev = sorted(
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    seqs: dict[int, list] = {}
+    for r in ev:
+        seqs.setdefault(r["user_id"], []).append(r["event_type"])
+    want: dict[tuple, int] = {}
+    for seq in seqs.values():
+        for a, b, c in zip(seq, seq[1:], seq[2:]):
+            want[(a, b, c)] = want.get((a, b, c), 0) + 1
+    kept = sorted(
+        ((n, a, b, c) for (a, b, c), n in want.items()),
+        key=lambda t: (-t[0], t[1], t[2], t[3]),
+    )[: len(rows)]
+    assert [
+        (r["n_paths"], r["step1"], r["step2"], r["step3"]) for r in rows
+    ] == kept
+
+
+def test_funnel_latency_recounts_and_orders(spark, sf_dir):
+    from flink_template_spark.tables import load_table
+
+    row = plans.QUERIES["q_funnel_latency"](spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    ).collect()
+    firsts: dict[int, dict] = {}
+    for r in ev:
+        d = firsts.setdefault(r["user_id"], {})
+        if r["event_type"] in ("view", "purchase"):
+            k = r["event_type"]
+            if k not in d or r["ts"] < d[k]:
+                d[k] = r["ts"]
+    lats = sorted(
+        int(d["purchase"].timestamp()) - int(d["view"].timestamp())
+        for d in firsts.values()
+        if "view" in d and "purchase" in d and d["purchase"] > d["view"]
+    )
+    n = len(lats)
+    assert row["n_converting"] == n
+    assert row["min_s"] == lats[0] and row["max_s"] == lats[-1]
+    assert row["median_s"] == lats[(n + 1) // 2 - 1]  # lower median, 1-idx ceil(n/2)
+    import math
+
+    assert row["p90_s"] == lats[math.ceil(0.9 * n) - 1]
+    assert row["min_s"] <= row["median_s"] <= row["p90_s"] <= row["max_s"]
