@@ -56,7 +56,14 @@ rotates per round so every family accumulates driver-checked entries:
   round 4 (31 r4-cohort names remain, ledgered in _MIDDLE) and every
   r5+ verdict no more than four rounds old. New round-8 queries are
   prepended to _MIDDLE as they land, never driver-checked, first in
-  line for round 9.
+  line for round 9. Round 8 landed 18 such additions (Markov, RFM,
+  basket pairs, skyline, l-diversity, dedup-rate-by-source,
+  edit-distance pairs, Kneser-Ney, n-gram lang-ID, volume ACF, chi²
+  terms, weighted median, cohort LTV, revenue concentration, event
+  paths, funnel latency — all oracle-green at all three SFs locally),
+  so the natural round-9 slate is exactly _MIDDLE's first 50: the 18
+  r8 additions + the 31 r4-cohort stale + 1 oldest r5 — clearing
+  never-checked AND bounding staleness by round 5 in one slate.
 """
 
 from flink_template_spark.plans import registry  # noqa: F401
