@@ -207,6 +207,8 @@ EXTENDED = [
     "q_revenue_concentration",
     "q_event_paths_top",
     "q_funnel_latency",
+    "q_forecast_baselines",
+    "q_trimmed_mean_price",
 ]
 
 

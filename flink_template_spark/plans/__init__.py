@@ -56,14 +56,15 @@ rotates per round so every family accumulates driver-checked entries:
   round 4 (31 r4-cohort names remain, ledgered in _MIDDLE) and every
   r5+ verdict no more than four rounds old. New round-8 queries are
   prepended to _MIDDLE as they land, never driver-checked, first in
-  line for round 9. Round 8 landed 18 such additions (Markov, RFM,
+  line for round 9. Round 8 landed 20 such additions (Markov, RFM,
   basket pairs, skyline, l-diversity, dedup-rate-by-source,
   edit-distance pairs, Kneser-Ney, n-gram lang-ID, volume ACF, chi²
   terms, weighted median, cohort LTV, revenue concentration, event
-  paths, funnel latency — all oracle-green at all three SFs locally),
-  so the natural round-9 slate is exactly _MIDDLE's first 50: the 18
-  r8 additions + the 31 r4-cohort stale + 1 oldest r5 — clearing
-  never-checked AND bounding staleness by round 5 in one slate.
+  paths, funnel latency, forecast baselines, trimmed mean — all
+  oracle-green at all three SFs locally; 20 in total), so the natural
+  round-9 slate is _MIDDLE's first 50: the 20 r8 additions + 30 of
+  the 31 r4-cohort stale — clearing never-checked and leaving exactly
+  ONE query (q_grouping_sets) older than round 5 for the r10 slate.
 """
 
 from flink_template_spark.plans import registry  # noqa: F401
@@ -167,6 +168,8 @@ _MIDDLE: list[str] = [
     "q_revenue_concentration",
     "q_event_paths_top",
     "q_funnel_latency",
+    "q_forecast_baselines",
+    "q_trimmed_mean_price",
     # r4-cohort remainder (oldest stale after a green r8)
     "q_train_test_split",
     "q_text_normalize",

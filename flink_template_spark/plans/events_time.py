@@ -1901,3 +1901,68 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("sec_to_convert").cast("bigint").alias("max_s"),
         )
     )
+
+
+@register(
+    "q_forecast_baselines",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, day, x,
+    LAG(x, 1) OVER w AS f_naive1,
+    LAG(x, 7) OVER w AS f_seasonal7
+  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_days_eval,
+  CAST(SUM(abs(x - f_naive1)) AS BIGINT) AS ae_naive1,
+  CAST(SUM(abs(x - f_seasonal7)) AS BIGINT) AS ae_seasonal7,
+  ROUND(CAST(SUM(abs(x - f_seasonal7)) AS DOUBLE)
+        / CAST(SUM(abs(x - f_naive1)) AS DOUBLE), 6) AS seasonal_gain
+FROM lagged
+WHERE f_naive1 IS NOT NULL AND f_seasonal7 IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_forecast_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline evaluation (the MASE denominator study): per
+    event type, total absolute error of the naive-1 forecast
+    (yesterday's volume) vs the seasonal-naive-7 forecast (same weekday
+    last week) over the shared evaluable days. seasonal_gain < 1 says
+    weekday seasonality beats persistence — the go/no-go any real
+    forecasting model must clear, and the denominator MASE scales
+    against. Absolute errors are exact integers (counts); one division.
+
+    Scale shape: the event stream collapses to the per-type day grid
+    in one hash agg; both LAGs run in ONE per-type partitioned window
+    over calendar-bounded rows; the rollup is |types| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    w = W.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "x",
+        F.lag("x", 1).over(w).alias("f1"),
+        F.lag("x", 7).over(w).alias("f7"),
+    ).filter(F.col("f1").isNotNull() & F.col("f7").isNotNull())
+    ae1 = F.sum(F.abs(F.col("x") - F.col("f1")))
+    ae7 = F.sum(F.abs(F.col("x") - F.col("f7")))
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days_eval"),
+            ae1.cast("bigint").alias("ae_naive1"),
+            ae7.cast("bigint").alias("ae_seasonal7"),
+            F.round(ae7.cast("double") / ae1.cast("double"), 6).alias(
+                "seasonal_gain"
+            ),
+        )
+        .orderBy("event_type")
+    )

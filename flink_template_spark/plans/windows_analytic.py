@@ -622,3 +622,88 @@ def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+_TRIM_PCT = 5  # trim 5% from each tail
+
+
+@register(
+    "q_trimmed_mean_price",
+    oracle=f"""
+WITH ranked AS (
+  SELECT l_returnflag AS f, CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+      AS rn,
+    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT f AS l_returnflag,
+  CAST(MAX(n) AS BIGINT) AS n_rows,
+  CAST(MAX(n) - 2 * (MAX(n) * {_TRIM_PCT} // 100) AS BIGINT) AS n_kept,
+  ROUND(CAST(SUM(CASE WHEN rn > n * {_TRIM_PCT} // 100
+                       AND rn <= n - n * {_TRIM_PCT} // 100
+                      THEN p END) AS DOUBLE)
+        / CAST(MAX(n) - 2 * (MAX(n) * {_TRIM_PCT} // 100) AS DOUBLE), 6)
+    AS trimmed_mean
+FROM ranked GROUP BY f ORDER BY f
+""",
+)
+def q_trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_TRIM_PCT}%-trimmed mean price per return flag: drop the
+    bottom and top {_TRIM_PCT}% of rows by rank, average the rest —
+    the outlier-robust mean between the median (50% trim) and the raw
+    mean (0%), and the robust-statistics sibling of
+    q_robust_outlier_fence. Trim counts use integer floor division;
+    the kept-range sum rides decimal.
+
+    Scale shape: NO per-flag data-sized window (the oracle's
+    PARTITION BY is fine for DuckDB; at 100 TB a 3-flag partitioned
+    window puts a third of the fact table in one task) — instead the
+    two-pass range-partitioned global rank over (flag, price, tiebreak)
+    with per-flag counts broadcast and the within-flag rank recovered
+    as global_rn − preceding-flags offset (the q_weighted_median_price
+    rebase). One conditional-sum rollup to |flags| rows."""
+    from flink_template_spark.operators.rank_global import with_global_ranks
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("f"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("p"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked = with_global_ranks(
+        li,
+        [(F.col("f"), True), (F.col("p"), True)],
+        tiebreak=["l_orderkey", "l_linenumber"],
+        row_number_col="g_rn",
+    )
+    tot = li.groupBy("f").agg(F.count(F.lit(1)).alias("n"))
+    # per-flag re-base offsets: one row per flag — bounded window
+    w_prev = W.orderBy("f").rowsBetween(W.unboundedPreceding, -1)
+    off = tot.select(
+        "f", "n", F.coalesce(F.sum("n").over(w_prev), F.lit(0)).alias("off")
+    )
+    trim = F.expr(f"n * {_TRIM_PCT} DIV 100")
+    c = ranked.join(F.broadcast(off), "f").select(
+        "f",
+        "p",
+        "n",
+        (F.col("g_rn") - F.col("off")).alias("rn"),
+        trim.alias("t"),
+    )
+    kept = (F.col("rn") > F.col("t")) & (F.col("rn") <= F.col("n") - F.col("t"))
+    return (
+        c.groupBy("f")
+        .agg(
+            F.max("n").cast("bigint").alias("n_rows"),
+            (F.max("n") - 2 * F.max("t")).cast("bigint").alias("n_kept"),
+            F.round(
+                F.sum(F.when(kept, F.col("p"))).cast("double")
+                / (F.max("n") - 2 * F.max("t")).cast("double"),
+                6,
+            ).alias("trimmed_mean"),
+        )
+        .select(F.col("f").alias("l_returnflag"), "n_rows", "n_kept", "trimmed_mean")
+        .orderBy("l_returnflag")
+    )

@@ -306,6 +306,9 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     # cumulative-offset window over the per-partition stats table
     # (<= shuffle-partition-count rows)
     "q_funnel_latency": 1,
+    # rank_global's stats-offset window (<= shuffle-partition-count
+    # rows) + the per-FLAG re-base offsets window (<= 3 rows)
+    "q_trimmed_mean_price": 2,
 }
 
 

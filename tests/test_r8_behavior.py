@@ -440,3 +440,59 @@ def test_funnel_latency_recounts_and_orders(spark, sf_dir):
 
     assert row["p90_s"] == lats[math.ceil(0.9 * n) - 1]
     assert row["min_s"] <= row["median_s"] <= row["p90_s"] <= row["max_s"]
+
+
+def test_forecast_baselines_recount(spark, sf_dir):
+    from flink_template_spark.tables import load_table
+
+    rows = {
+        r["event_type"]: r
+        for r in plans.QUERIES["q_forecast_baselines"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts").collect()
+    daily: dict[tuple, int] = {}
+    for r in ev:
+        daily[(r["event_type"], r["ts"].date())] = (
+            daily.get((r["event_type"], r["ts"].date()), 0) + 1
+        )
+    series: dict[str, list] = {}
+    for (t, d), x in sorted(daily.items()):
+        series.setdefault(t, []).append(x)
+    for t, xs in series.items():
+        evalr = range(7, len(xs))
+        ae1 = sum(abs(xs[i] - xs[i - 1]) for i in evalr)
+        ae7 = sum(abs(xs[i] - xs[i - 7]) for i in evalr)
+        r = rows[t]
+        assert (r["n_days_eval"], r["ae_naive1"], r["ae_seasonal7"]) == (
+            len(list(evalr)),
+            ae1,
+            ae7,
+        ), t
+        assert r["seasonal_gain"] == pytest.approx(round(ae7 / ae1, 6), abs=1e-9)
+
+
+def test_trimmed_mean_sits_between_and_recounts(spark, sf_dir):
+    from flink_template_spark.tables import load_table
+
+    rows = {
+        r["l_returnflag"]: r
+        for r in plans.QUERIES["q_trimmed_mean_price"](spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    ).collect()
+    by_flag: dict[str, list] = {}
+    for r in li:
+        by_flag.setdefault(r["l_returnflag"], []).append(r["l_extendedprice"])
+    for f, xs in by_flag.items():
+        xs.sort()
+        n = len(xs)
+        t = n * 5 // 100
+        kept = xs[t : n - t]
+        r = rows[f]
+        assert (r["n_rows"], r["n_kept"]) == (n, len(kept))
+        want = round(sum(round(x, 2) for x in kept) / len(kept), 6)
+        assert r["trimmed_mean"] == pytest.approx(want, abs=1e-4)
+        # robustness ordering: between min and max of kept, and the trim
+        # moved the estimate toward the median relative to the raw mean
+        assert kept[0] <= r["trimmed_mean"] <= kept[-1]
