@@ -1871,12 +1871,14 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("t_purchase") - F.unix_timestamp("t_view")
         ).alias("sec_to_convert"),
     )
+    # ranked feeds the count AND the final rollup: pin the (user-
+    # collapsed, tiny) ranked table once (multi-consumer policy)
     ranked = with_global_ranks(
         lat,
         [(F.col("sec_to_convert"), True)],
         tiebreak=["user_id"],
         row_number_col="rn",
-    )
+    ).localCheckpoint(eager=False)
     n = ranked.agg(F.count(F.lit(1)).alias("__n"))
     return (
         ranked.crossJoin(F.broadcast(n))
@@ -1912,46 +1914,73 @@ WITH daily AS (
   FROM events GROUP BY 1, 2
 ),
 lagged AS (
-  SELECT event_type, day, x,
-    LAG(x, 1) OVER w AS f_naive1,
-    LAG(x, 7) OVER w AS f_seasonal7
-  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+  SELECT a.event_type, a.x, b1.x AS f_naive1, b7.x AS f_seasonal7
+  FROM daily a
+  JOIN daily b1 ON b1.event_type = a.event_type
+                AND b1.day = a.day - INTERVAL 1 DAY
+  JOIN daily b7 ON b7.event_type = a.event_type
+                AND b7.day = a.day - INTERVAL 7 DAY
 )
 SELECT event_type,
   CAST(COUNT(*) AS BIGINT) AS n_days_eval,
   CAST(SUM(abs(x - f_naive1)) AS BIGINT) AS ae_naive1,
   CAST(SUM(abs(x - f_seasonal7)) AS BIGINT) AS ae_seasonal7,
-  ROUND(CAST(SUM(abs(x - f_seasonal7)) AS DOUBLE)
-        / CAST(SUM(abs(x - f_naive1)) AS DOUBLE), 6) AS seasonal_gain
+  CASE WHEN SUM(abs(x - f_naive1)) = 0 THEN NULL
+       ELSE ROUND(CAST(SUM(abs(x - f_seasonal7)) AS DOUBLE)
+                  / CAST(SUM(abs(x - f_naive1)) AS DOUBLE), 6)
+  END AS seasonal_gain
 FROM lagged
-WHERE f_naive1 IS NOT NULL AND f_seasonal7 IS NOT NULL
 GROUP BY event_type ORDER BY event_type
 """,
 )
 def q_forecast_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forecast-baseline evaluation (the MASE denominator study): per
     event type, total absolute error of the naive-1 forecast
-    (yesterday's volume) vs the seasonal-naive-7 forecast (same weekday
-    last week) over the shared evaluable days. seasonal_gain < 1 says
-    weekday seasonality beats persistence — the go/no-go any real
-    forecasting model must clear, and the denominator MASE scales
-    against. Absolute errors are exact integers (counts); one division.
+    (yesterday's volume) vs the seasonal-naive-7 forecast (same
+    weekday last week) over the days where BOTH references exist.
+    seasonal_gain < 1 says weekday seasonality beats persistence — the
+    go/no-go any real forecasting model must clear, and the
+    denominator MASE scales against. Absolute errors are exact
+    integers (counts); one division, NULL (not ±inf — Spark/DuckDB
+    disagree on x/0) when the series is naive-1-perfect.
+
+    Calendar discipline (r8 self-review, second pass): the references
+    are CALENDAR joins on day−1 / day−7 — a row-offset LAG over the
+    observed-day grid silently stops meaning "same weekday last week"
+    the moment a type has a zero-event day.
 
     Scale shape: the event stream collapses to the per-type day grid
-    in one hash agg; both LAGs run in ONE per-type partitioned window
-    over calendar-bounded rows; the rollup is |types| rows."""
+    in one hash agg (pinned once — three self-join consumers); the
+    calendar alignment is two (type, day)-keyed equi-joins on the
+    day-grid table; the rollup is |types| rows."""
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type",
-        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
-    ).agg(F.count(F.lit(1)).alias("x"))
-    w = W.partitionBy("event_type").orderBy("day")
-    lagged = daily.select(
-        "event_type",
-        "x",
-        F.lag("x", 1).over(w).alias("f1"),
-        F.lag("x", 7).over(w).alias("f7"),
-    ).filter(F.col("f1").isNotNull() & F.col("f7").isNotNull())
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    b1 = daily.select(
+        F.col("event_type").alias("t1"),
+        F.col("day").alias("d1"),
+        F.col("x").alias("f1"),
+    )
+    b7 = daily.select(
+        F.col("event_type").alias("t7"),
+        F.col("day").alias("d7"),
+        F.col("x").alias("f7"),
+    )
+    lagged = daily.join(
+        b1,
+        (F.col("t1") == F.col("event_type"))
+        & (F.col("d1") == F.date_sub(F.col("day"), 1)),
+    ).join(
+        b7,
+        (F.col("t7") == F.col("event_type"))
+        & (F.col("d7") == F.date_sub(F.col("day"), 7)),
+    )
     ae1 = F.sum(F.abs(F.col("x") - F.col("f1")))
     ae7 = F.sum(F.abs(F.col("x") - F.col("f7")))
     return (
@@ -1960,9 +1989,9 @@ def q_forecast_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_days_eval"),
             ae1.cast("bigint").alias("ae_naive1"),
             ae7.cast("bigint").alias("ae_seasonal7"),
-            F.round(ae7.cast("double") / ae1.cast("double"), 6).alias(
-                "seasonal_gain"
-            ),
+            F.when(ae1 == 0, F.lit(None).cast("double"))
+            .otherwise(F.round(ae7.cast("double") / ae1.cast("double"), 6))
+            .alias("seasonal_gain"),
         )
         .orderBy("event_type")
     )

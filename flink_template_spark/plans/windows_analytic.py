@@ -678,7 +678,9 @@ def q_trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak=["l_orderkey", "l_linenumber"],
         row_number_col="g_rn",
     )
-    tot = li.groupBy("f").agg(F.count(F.lit(1)).alias("n"))
+    # per-flag counts from the rank's pinned subtree — a li.groupBy
+    # here would be a second fact-table scan (multi-consumer policy)
+    tot = ranked.groupBy("f").agg(F.count(F.lit(1)).alias("n"))
     # per-flag re-base offsets: one row per flag — bounded window
     w_prev = W.orderBy("f").rowsBetween(W.unboundedPreceding, -1)
     off = tot.select(

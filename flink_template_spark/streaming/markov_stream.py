@@ -41,43 +41,49 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-# last_order = the last event's microsecond timestamp: the cross-batch
-# out-of-order guard (transitions_fold fails loudly on regression)
-STATE_SCHEMA = "last_type STRING, last_order LONG"
+# (last_ts, last_id) = the last event's full order key (microsecond
+# timestamp + event id): the cross-batch out-of-order guard
+# (transitions_fold fails loudly on regression). Both components are
+# carried because the batch dual's total order is (ts, event_id) —
+# a ts-only guard would silently pass same-microsecond events split
+# across batches in inverted id order (r8 self-review, second pass).
+STATE_SCHEMA = "last_type STRING, last_ts LONG, last_id LONG"
 OUTPUT_SCHEMA = "user_id LONG, from_type STRING, to_type STRING, n LONG"
 
 
 def transitions_fold(
-    events: list[tuple[str, int]],
-    state: tuple[str | None, int],
-) -> tuple[dict[tuple[str, str], int], tuple[str | None, int]]:
+    events: list[tuple[str, int, int]],
+    state: tuple[str | None, int, int],
+) -> tuple[dict[tuple[str, str], int], tuple[str | None, int, int]]:
     """Pure fold both the operator and the tests share: given
-    (type, order) events SORTED by order and the carried
-    (last_type, last_order) state, return the transition increments
-    and the new state.
+    (type, ts, id) events SORTED by (ts, id) and the carried
+    (last_type, last_ts, last_id) state, return the transition
+    increments and the new state.
 
-    ``last_order`` is the cross-batch ordering GUARD (r8 self-review:
-    it must be load-bearing, not dead state): an event ordered before
-    the state's last event means a later micro-batch delivered earlier
-    data — the one condition under which the summed increments would
-    silently diverge from the batch LAG matrix — so it fails LOUDLY
-    (killing the query) instead. The operator therefore requires
-    per-key time-ordered arrival across batches (time-split files, or
-    Kafka's per-key ordering)."""
-    last_type, last_order = state
+    ``(last_ts, last_id)`` is the cross-batch ordering GUARD (r8
+    self-review: it must be load-bearing, not dead state): an event
+    ordered before the state's last event — in the batch dual's FULL
+    (ts, event_id) order, so a same-microsecond pair split across
+    batches in inverted id order is also caught — means a later
+    micro-batch delivered earlier data, the one condition under which
+    the summed increments would silently diverge from the batch LAG
+    matrix; it fails LOUDLY (killing the query) instead. The operator
+    therefore requires per-key (ts, id)-ordered arrival across batches
+    (time-split files, or Kafka's per-key ordering)."""
+    last_type, last_ts, last_id = state
     inc: dict[tuple[str, str], int] = {}
-    for etype, order in events:
+    for etype, ts, eid in events:
         if last_type is not None:
-            if order < last_order:
+            if (ts, eid) < (last_ts, last_id):
                 raise ValueError(
                     "out-of-order arrival across micro-batches: event at "
-                    f"{order} after state {last_order}; stream would "
-                    "diverge from the batch transition matrix"
+                    f"({ts}, {eid}) after state ({last_ts}, {last_id}); "
+                    "stream would diverge from the batch transition matrix"
                 )
             k = (last_type, etype)
             inc[k] = inc.get(k, 0) + 1
-        last_type, last_order = etype, order
-    return inc, (last_type, last_order)
+        last_type, last_ts, last_id = etype, ts, eid
+    return inc, (last_type, last_ts, last_id)
 
 
 def _markov_fn():
@@ -86,13 +92,19 @@ def _markov_fn():
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        prev = state.get if state.exists else (None, -1)
+        prev = state.get if state.exists else (None, -1, -1)
         rows = pd.concat(list(pdfs), ignore_index=True)
         # deterministic within-batch order: replays fold identically
         rows = rows.sort_values(["order_ts", "order_id"], kind="mergesort")
         inc, cur = transitions_fold(
-            list(zip(rows["event_type"], (int(i) for i in rows["order_ts"]))),
-            (prev[0], int(prev[1])),
+            list(
+                zip(
+                    rows["event_type"],
+                    (int(i) for i in rows["order_ts"]),
+                    (int(i) for i in rows["order_id"]),
+                )
+            ),
+            (prev[0], int(prev[1]), int(prev[2])),
         )
         state.update(cur)
         if inc:

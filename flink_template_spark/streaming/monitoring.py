@@ -47,8 +47,11 @@ class ProgressRecorder(StreamingQueryListener):
         super().__init__()
         self._lock = threading.Lock()
         self._records: deque[dict[str, Any]] = deque(maxlen=max_batches)
-        self._started: list[str] = []
-        self._terminated: list[str] = []
+        # same bound as the batch ledger: a driver relaunching short
+        # availableNow queries in a loop would otherwise grow these
+        # forever (r8 self-review, second pass)
+        self._started: deque[str] = deque(maxlen=max_batches)
+        self._terminated: deque[str] = deque(maxlen=max_batches)
 
     # -- listener callbacks (bus thread: parse-only, never block) --
 

@@ -19,13 +19,13 @@ from flink_template_spark.tables import load_table
 
 def test_transitions_fold_carries_state():
     inc1, st = transitions_fold(
-        [("view", 1), ("click", 2)], (None, -1)
+        [("view", 1, 10), ("click", 2, 11)], (None, -1, -1)
     )
     assert inc1 == {("view", "click"): 1}
     # the boundary transition (click -> purchase) belongs to batch 2
-    inc2, st2 = transitions_fold([("purchase", 3)], st)
+    inc2, st2 = transitions_fold([("purchase", 3, 12)], st)
     assert inc2 == {("click", "purchase"): 1}
-    assert st2 == ("purchase", 3)
+    assert st2 == ("purchase", 3, 12)
 
 
 def _write_time_split_batches(spark, sf_dir, out_dir, n_files=3):
@@ -142,9 +142,15 @@ def test_stream_replay_is_deterministic(spark, sf_dir, tmp_path):
 
 
 def test_transitions_fold_rejects_out_of_order():
-    """The carried last_order is a load-bearing guard: a later batch
-    delivering earlier data must fail loudly, not silently diverge
-    from the batch matrix."""
-    _, st = transitions_fold([("view", 100), ("click", 200)], (None, -1))
+    """The carried (last_ts, last_id) is a load-bearing guard: a later
+    batch delivering earlier data must fail loudly, not silently
+    diverge from the batch matrix — including the same-microsecond
+    case where only the id tiebreak is inverted."""
+    _, st = transitions_fold(
+        [("view", 100, 1), ("click", 200, 7)], (None, -1, -1)
+    )
     with pytest.raises(ValueError, match="out-of-order"):
-        transitions_fold([("purchase", 150)], st)
+        transitions_fold([("purchase", 150, 9)], st)
+    # same-microsecond, inverted id: the ts-only guard missed this
+    with pytest.raises(ValueError, match="out-of-order"):
+        transitions_fold([("purchase", 200, 3)], st)

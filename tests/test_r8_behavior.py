@@ -359,7 +359,7 @@ def test_cohort_ltv_triangle_conserves_revenue(spark, sf_dir):
         run = 0.0
         for r in rs:
             run += r["revenue"]
-            assert abs(run - r["cum_revenue"]) < 1e-6, (cohort, r)
+            assert run == pytest.approx(r["cum_revenue"], rel=1e-9), (cohort, r)
         # month 0 holds the acquisition order: every cohort has it
         assert rs[0]["month_offset"] == 0
     # the triangle partitions ALL order revenue exactly once
@@ -369,7 +369,7 @@ def test_cohort_ltv_triangle_conserves_revenue(spark, sf_dir):
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"))
         .collect()[0][0]
     )
-    assert abs(total - want) < 1e-4
+    assert total == pytest.approx(want, rel=1e-9)
 
 
 def test_revenue_concentration_is_a_lorenz_curve(spark, sf_dir):
@@ -455,20 +455,35 @@ def test_forecast_baselines_recount(spark, sf_dir):
         daily[(r["event_type"], r["ts"].date())] = (
             daily.get((r["event_type"], r["ts"].date()), 0) + 1
         )
-    series: dict[str, list] = {}
-    for (t, d), x in sorted(daily.items()):
-        series.setdefault(t, []).append(x)
-    for t, xs in series.items():
-        evalr = range(7, len(xs))
-        ae1 = sum(abs(xs[i] - xs[i - 1]) for i in evalr)
-        ae7 = sum(abs(xs[i] - xs[i - 7]) for i in evalr)
+    import datetime
+
+    types = {t for (t, _) in daily}
+    for t in types:
+        days = {d: x for (tt, d), x in daily.items() if tt == t}
+        ev_days = [
+            d
+            for d in days
+            if (d - datetime.timedelta(days=1)) in days
+            and (d - datetime.timedelta(days=7)) in days
+        ]
+        ae1 = sum(
+            abs(days[d] - days[d - datetime.timedelta(days=1)]) for d in ev_days
+        )
+        ae7 = sum(
+            abs(days[d] - days[d - datetime.timedelta(days=7)]) for d in ev_days
+        )
         r = rows[t]
         assert (r["n_days_eval"], r["ae_naive1"], r["ae_seasonal7"]) == (
-            len(list(evalr)),
+            len(ev_days),
             ae1,
             ae7,
         ), t
-        assert r["seasonal_gain"] == pytest.approx(round(ae7 / ae1, 6), abs=1e-9)
+        if ae1 == 0:
+            assert r["seasonal_gain"] is None
+        else:
+            assert r["seasonal_gain"] == pytest.approx(
+                round(ae7 / ae1, 6), abs=1e-9
+            )
 
 
 def test_trimmed_mean_sits_between_and_recounts(spark, sf_dir):
