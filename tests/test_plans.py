@@ -302,10 +302,8 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     # (rank_global's offsets window sits behind the pinned ranked
     # checkpoint and doesn't surface in the final plan)
     "q_revenue_concentration": 1,
-    # one rank_global call over the user-collapsed latency table: its
-    # cumulative-offset window over the per-partition stats table
-    # (<= shuffle-partition-count rows)
-    "q_funnel_latency": 1,
+    # (q_funnel_latency's rank offsets window sits behind its pinned
+    # ranked checkpoint since the r8 second review pass — count 0)
     # rank_global's stats-offset window (<= shuffle-partition-count
     # rows) + the per-FLAG re-base offsets window (<= 3 rows)
     "q_trimmed_mean_price": 2,
