@@ -209,6 +209,8 @@ EXTENDED = [
     "q_funnel_latency",
     "q_forecast_baselines",
     "q_trimmed_mean_price",
+    "q_activity_heatmap",
+    "q_volume_percentile_bands",
 ]
 
 

@@ -56,15 +56,15 @@ rotates per round so every family accumulates driver-checked entries:
   round 4 (31 r4-cohort names remain, ledgered in _MIDDLE) and every
   r5+ verdict no more than four rounds old. New round-8 queries are
   prepended to _MIDDLE as they land, never driver-checked, first in
-  line for round 9. Round 8 landed 18 such additions (Markov, RFM,
+  line for round 9. Round 8 landed 20 such additions (Markov, RFM,
   basket pairs, skyline, l-diversity, dedup-rate-by-source,
   edit-distance pairs, Kneser-Ney, n-gram lang-ID, volume ACF, chi²
   terms, weighted median, cohort LTV, revenue concentration, event
-  paths, funnel latency, forecast baselines, trimmed mean — all
-  oracle-green at all three SFs locally), so _MIDDLE holds 18 + 31 =
-  49 entries and the natural round-9 slate is those 49 plus the one
-  oldest round-5 green — clearing never-checked AND bounding
-  staleness by round 5 in a single 50-slot slate.
+  paths, funnel latency, forecast baselines, trimmed mean, activity
+  heatmap, volume percentile bands — all oracle-green at all three
+  SFs locally), so _MIDDLE holds 20 + 31 = 51 entries and the natural
+  round-9 slate is its first 50 — clearing never-checked and leaving
+  exactly ONE r4 name (q_grouping_sets) for the r10 slate.
 """
 
 from flink_template_spark.plans import registry  # noqa: F401
@@ -170,6 +170,8 @@ _MIDDLE: list[str] = [
     "q_funnel_latency",
     "q_forecast_baselines",
     "q_trimmed_mean_price",
+    "q_activity_heatmap",
+    "q_volume_percentile_bands",
     # r4-cohort remainder (oldest stale after a green r8)
     "q_train_test_split",
     "q_text_normalize",

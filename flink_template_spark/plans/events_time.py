@@ -1995,3 +1995,111 @@ def q_forecast_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_activity_heatmap",
+    oracle="""
+WITH cells AS (
+  SELECT dayofweek(ts) AS dow, hour(ts) AS hod, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT SUM(n) AS total FROM cells)
+SELECT CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod,
+  CAST(n AS BIGINT) AS n_events,
+  ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+FROM cells CROSS JOIN tot
+ORDER BY dow, hod
+""",
+)
+def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour activity heatmap (≤7×24 cells with each cell's
+    share of total volume) — the traffic-shape readout behind
+    capacity planning, maintenance-window picking, and the
+    day-of-week profile q_seasonal_residuals models. Calendar parts
+    are integer; DuckDB's dayofweek (0=Sunday) is aligned to Spark's
+    dayofweek (1=Sunday) via the Spark side's −1.
+
+    Scale shape: one map-side calendar projection + one hash agg with
+    map-side partials to ≤168 rows; the total broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.agg(F.sum("n").alias("total"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "hod",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.round(
+                F.col("n").cast("double") / F.col("total").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy("dow", "hod")
+    )
+
+
+@register(
+    "q_volume_percentile_bands",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, x,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x, day) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+)
+SELECT event_type,
+  CAST(MAX(n) AS BIGINT) AS n_days,
+  CAST(MIN(CASE WHEN 10 * rn >= n THEN x END) AS BIGINT) AS p10,
+  CAST(MIN(CASE WHEN 2 * rn >= n THEN x END) AS BIGINT) AS p50,
+  CAST(MIN(CASE WHEN 10 * rn >= 9 * n THEN x END) AS BIGINT) AS p90
+FROM ranked GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_volume_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily-volume percentile bands (exact rank-selected
+    p10/p50/p90 over each type's day series) — the normal-operating-
+    range card an on-call dashboard draws around today's number (the
+    banded complement of q_seasonal_residuals' z-scores and
+    q_volume_acf's periodicity). Percentiles are SELECTED by integer
+    rank arithmetic, never interpolated — exact on both engines.
+
+    Scale shape: the event stream collapses to the per-type day grid
+    in one hash agg; the rank windows partition per TYPE over
+    calendar-bounded rows (≤|days| per partition — bounded by time,
+    not volume); the rollup is |types| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    w = W.partitionBy("event_type").orderBy("x", "day")
+    wn = W.partitionBy("event_type")
+    ranked = daily.select(
+        "event_type",
+        "x",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    def pick(cond):
+        return F.min(F.when(cond, F.col("x")))
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_days"),
+            pick(F.lit(10) * F.col("rn") >= F.col("n")).cast("bigint").alias("p10"),
+            pick(F.lit(2) * F.col("rn") >= F.col("n")).cast("bigint").alias("p50"),
+            pick(F.lit(10) * F.col("rn") >= F.lit(9) * F.col("n"))
+            .cast("bigint")
+            .alias("p90"),
+        )
+        .orderBy("event_type")
+    )

@@ -511,3 +511,41 @@ def test_trimmed_mean_sits_between_and_recounts(spark, sf_dir):
         # robustness ordering: between min and max of kept, and the trim
         # moved the estimate toward the median relative to the raw mean
         assert kept[0] <= r["trimmed_mean"] <= kept[-1]
+
+
+def test_heatmap_partitions_all_events(spark, sf_dir):
+    from flink_template_spark.tables import load_table
+
+    rows = plans.QUERIES["q_activity_heatmap"](spark, sf_dir).collect()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n_events"] for r in rows) == n_events
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-3  # 6-dp rounding
+    assert all(0 <= r["dow"] <= 6 and 0 <= r["hod"] <= 23 for r in rows)
+
+
+def test_volume_bands_recount(spark, sf_dir):
+    import math
+
+    from flink_template_spark.tables import load_table
+
+    rows = {
+        r["event_type"]: r
+        for r in plans.QUERIES["q_volume_percentile_bands"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts").collect()
+    daily: dict[tuple, int] = {}
+    for r in ev:
+        k = (r["event_type"], r["ts"].date())
+        daily[k] = daily.get(k, 0) + 1
+    by_type: dict[str, list] = {}
+    for (t, _), x in daily.items():
+        by_type.setdefault(t, []).append(x)
+    for t, xs in by_type.items():
+        xs.sort()
+        n = len(xs)
+        r = rows[t]
+        assert r["n_days"] == n
+        assert r["p10"] == xs[math.ceil(0.1 * n) - 1]
+        assert r["p50"] == xs[math.ceil(0.5 * n) - 1]
+        assert r["p90"] == xs[math.ceil(0.9 * n) - 1]
+        assert r["p10"] <= r["p50"] <= r["p90"]
