@@ -47,7 +47,7 @@ rotates per round so every family accumulates driver-checked entries:
   50-slot r8 slate (21 + 20 + 9 oldest r4) clears the census
   entirely. The one rows-only r7 addition (q_multimodal_real_decode —
   no SQL engine parses WAV/PPM) is pinned to _NO_ORACLE_TAIL;
-- round 8 (this slate, VERDICT r7 next #1): exactly the ledgered
+- round 8 (VERDICT r7 next #1): exactly the ledgered
   21 round-7 additions (never driver-checked; all oracle-green
   in-session at all three SFs) + the 20 r3-cohort names (the only
   queries whose last driver verdict predates round 4) + the 9
@@ -62,9 +62,17 @@ rotates per round so every family accumulates driver-checked entries:
   terms, weighted median, cohort LTV, revenue concentration, event
   paths, funnel latency, forecast baselines, trimmed mean, activity
   heatmap, volume percentile bands — all oracle-green at all three
-  SFs locally), so _MIDDLE holds 20 + 31 = 51 entries and the natural
-  round-9 slate is its first 50 — clearing never-checked and leaving
-  exactly ONE r4 name (q_grouping_sets) for the r10 slate.
+  SFs locally), so _MIDDLE held 20 + 31 = 51 entries and the natural
+  round-9 slate was its first 50 — clearing never-checked and leaving
+  exactly ONE r4 name (q_grouping_sets) for the r10 slate;
+- round 9 (this slate, VERDICT r8 next #1): exactly that pre-ledgered
+  set — the 20 round-8 additions (never driver-checked; all
+  oracle-green in-session at all three SFs) + the 30 oldest r4-cohort
+  greens in their r4 check order. A green r9 leaves q_grouping_sets as
+  the single query whose last driver verdict predates round 5; the
+  next-stalest cohort is round 5's 50 (ledgered in _MIDDLE behind any
+  new round-9 additions), so the natural r10 slate is q_grouping_sets
+  + the r9 additions + the oldest r5 names.
 """
 
 from flink_template_spark.plans import registry  # noqa: F401
@@ -86,72 +94,8 @@ from flink_template_spark.plans import graph  # noqa: F401
 
 # First 50 = this round's driver-check slate (see module docstring).
 _PRIORITY = [
-    # -- the 21 round-7 additions: never driver-checked before this
-    #    round (VERDICT r7 next #1) --
-    "q_cdc_chunk_dedup",
-    "q_bigram_lift",
-    "q_vocab_coverage",
-    "q_mrr_eval",
-    "q_shard_zonemap",
-    "q_mmr_rerank",
-    "q_lsh_recall_audit",
-    "q_source_gini",
-    "q_shuffle_skew_audit",
-    "q_k_anonymity",
-    "q_seasonal_residuals",
-    "q_fd_audit",
-    "q_data_expectations",
-    "q_snapshot_diff",
-    "q_benford_audit",
-    "q_spatial_radius_pairs",
-    "q_interval_coverage",
-    "q_term_drift_topk",
-    "q_twap_value",
-    "q_changepoint_volume",
-    "q_ab_test_readout",
-    # -- the 20 r3-cohort names: the only queries whose last driver
-    #    verdict predates round 4 --
-    "q_trip_stopped_time",
-    "q_multimodal_features",
-    "q_trip_pipeline_datasource",
-    "q_stats_aggregates",
-    "q_percentiles_disc",
-    "q_percentiles_cont",
-    "q_null_handling",
-    "q_nested_array_hof",
-    "q_string_agg",
-    "q_ntile_balance_deciles",
-    "q_price_histogram",
-    "q_null_safe_join",
-    "q_weighted_avg_pandas",
-    "q_variant_props_stats",
-    "q_variant_roundtrip",
-    "q_phash_dup_groups",
-    "q_simhash_signatures",
-    "q_simhash_scalar",
-    "q_minhash_signatures",
-    "q_multimodal_meta_filter",
-    # -- the 9 oldest round-4 greens (r4 check order) --
-    "q_vector_norms",
-    "q_centroids_by_label",
-    "q_ivf_cluster_sizes",
-    "q_embedding_near_dup_exact",
-    "q_embedding_near_dup_lsh",
-    "q_kmeans_clusters",
-    "q_ann_kmeans_probe",
-    "q_embedding_zscore",
-    "q_embedding_quantize_int8",
-]
-
-# Immediately after the slate, in case the driver checks more than 50:
-# the staleness ledger for round 9. FIRST any round-8 additions
-# (prepended here as they land, never driver-checked), THEN the 31
-# r4-cohort names that did not fit the r8 slate, in their r4 check
-# order — after a green r8 these are the only queries whose last
-# driver verdict predates round 5.
-_MIDDLE: list[str] = [
-    # round-8 additions: never driver-checked (oracle-green locally at
-    # all three SFs) — first in line for the round-9 slate
+    # -- the 20 round-8 additions: never driver-checked before this
+    #    round (VERDICT r8 next #1) --
     "q_event_markov",
     "q_rfm_segments",
     "q_basket_pairs",
@@ -172,7 +116,8 @@ _MIDDLE: list[str] = [
     "q_trimmed_mean_price",
     "q_activity_heatmap",
     "q_volume_percentile_bands",
-    # r4-cohort remainder (oldest stale after a green r8)
+    # -- the 30 oldest r4-cohort greens (r4 check order): the only
+    #    queries whose last driver verdict predates round 5 --
     "q_train_test_split",
     "q_text_normalize",
     "q_pack_greedy_bins",
@@ -203,7 +148,72 @@ _MIDDLE: list[str] = [
     "q_ann_ivf_probe",
     "q_pack_chunked",
     "q_top_terms_per_lang",
+]
+
+# Immediately after the slate, in case the driver checks more than 50:
+# the staleness ledger for round 10. FIRST any round-9 additions
+# (prepended here as they land, never driver-checked), THEN
+# q_grouping_sets (the single r4-cohort name the r9 slate could not
+# fit — the only query whose last driver verdict predates round 5),
+# THEN the 50 round-5-cohort names in their r5 check order (after a
+# green r9 these are the next-stalest verdicts).
+_MIDDLE: list[str] = [
+    # round-9 additions: never driver-checked (oracle-green locally)
+    # — first in line for the round-10 slate. (none yet; prepend as
+    # they land)
+    # the last r4-cohort name (stalest verdict after a green r9)
     "q_grouping_sets",
+    # r5-cohort (next-stalest after a green r9), in r5 check order
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q_rank_family",
+    "q_lag_lead_order_gaps",
+    "q_running_customer_revenue",
+    "q_topk_orders_per_segment",
+    "q_first_last_value_per_part",
+    "q_rank_suppliers_by_balance",
+    "q_global_rank_scalable",
+    "q_percent_contribution",
+    "q_rollup_region_nation",
+    "q_cube_flag_status",
+    "q_pivot_status_by_flag",
+    "q_unpivot_balances",
+    "q_setops_nations",
+    "q_setops_all_variants",
+    "q_semi_join_urgent_customers",
+    "q_anti_join_idle_customers",
+    "q_full_outer_join",
+    "q_cross_join_calendar",
+    "q_salted_join_revenue",
+    "q_bloom_pruned_join",
+    "q_distinct_agg_segments",
+    "q_date_funcs",
+    "q_string_funcs",
+    "q_math_funcs",
+    "q_asof_latest_order_per_event",
+    "q_asof_next_order_per_event",
+    "q_interval_join_attribution",
+    "q_dedup_exact_docs",
+    "q_near_dup_components",
+    "q_knn_join",
+    "q_events_session_30m",
+    "q_funnel_view_click_purchase",
+    "q_lateral_topk_nations",
+    "q_scd2_merge",
+    "q_trip_path_distance",
+    "q_ann_index_build",
+    "q_ann_multiprobe_rerank",
+    "q_ddsketch_quantiles",
+    "q_stratified_sample",
+    "q_stratified_sample_hash",
+    "q_hll_portable_rollup",
+    "q_cms_token_freq",
+    "q_pq_adc_topk",
+    "q_bpe_merges",
+    "q_trip_summary",
 ]
 
 # Queries that structurally CANNOT receive a driver hash verdict:

@@ -12,41 +12,40 @@ def test_priority_slate_shape():
     names = list(plans.QUERIES)
     assert len(names) == len(set(names))
     first50 = set(names[:50])
-    # round-8 rotation (VERDICT r7 next #1): ALL 21 round-7 additions
+    # round-9 rotation (VERDICT r8 next #1): ALL 20 round-8 additions
     # (never driver-checked before this round)
     for q in (
-        "q_cdc_chunk_dedup",
-        "q_bigram_lift",
-        "q_vocab_coverage",
-        "q_mrr_eval",
-        "q_shard_zonemap",
-        "q_mmr_rerank",
-        "q_lsh_recall_audit",
-        "q_source_gini",
-        "q_shuffle_skew_audit",
-        "q_k_anonymity",
-        "q_seasonal_residuals",
-        "q_fd_audit",
-        "q_data_expectations",
-        "q_snapshot_diff",
-        "q_benford_audit",
-        "q_spatial_radius_pairs",
-        "q_interval_coverage",
-        "q_term_drift_topk",
-        "q_twap_value",
-        "q_changepoint_volume",
-        "q_ab_test_readout",
+        "q_event_markov",
+        "q_rfm_segments",
+        "q_basket_pairs",
+        "q_skyline_parts",
+        "q_l_diversity",
+        "q_dedup_rate_by_source",
+        "q_edit_distance_pairs",
+        "q_kneser_ney_bigram",
+        "q_lang_id_ngram",
+        "q_volume_acf",
+        "q_chi2_terms",
+        "q_weighted_median_price",
+        "q_cohort_ltv",
+        "q_revenue_concentration",
+        "q_event_paths_top",
+        "q_funnel_latency",
+        "q_forecast_baselines",
+        "q_trimmed_mean_price",
+        "q_activity_heatmap",
+        "q_volume_percentile_bands",
     ):
         assert q in first50, q
-    # staleness-census fill: r3-cohort representatives + the oldest r4
+    # staleness-census fill: r4-cohort representatives (oldest greens)
     for q in (
-        "q_trip_stopped_time",
-        "q_multimodal_features",
-        "q_percentiles_cont",
-        "q_null_safe_join",
-        "q_minhash_signatures",
-        "q_vector_norms",
-        "q_embedding_quantize_int8",
+        "q_train_test_split",
+        "q_pii_redact",
+        "q1_pricing_summary",
+        "q_minhash_lsh_pairs",
+        "q_semdedup_keep",
+        "q_training_data_pipeline",
+        "q_top_terms_per_lang",
     ):
         assert q in first50, q
 
