@@ -40,6 +40,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+
+class _EnvSkip(Exception):
+    """Control-flow marker: the measurement was skipped for an
+    environment gap (recorded in `skipped`), not a code error."""
+
+
 HEADLINE = [
     # relational core
     "q1_pricing_summary",
@@ -227,6 +233,9 @@ def main() -> None:
     silence_bounded_window_warns(spark)
 
     errors: dict[str, str] = {}
+    # environment gaps (missing optional library/jar), NOT code errors —
+    # reported separately so error_count stays a regression signal
+    skipped: dict[str, str] = {}
 
     def _evict_ann_index() -> None:
         # q_ann_index_build must measure the BUILD on every sample; the
@@ -280,7 +289,13 @@ def main() -> None:
     trip_eps: float | None = None
     try:
         n_trips, ept = 20000, 50
-        fx = os.path.join(tempfile.gettempdir(), f"bench_trip_events_{n_trips}_sharded")
+        # every fixture parameter is encoded in the path so a stale dir
+        # written under different constants can never be silently reused
+        # with a wrong n_events denominator (ADVICE r8)
+        fx = os.path.join(
+            tempfile.gettempdir(),
+            f"bench_trip_events_{n_trips}x{ept}x{cpus}_sharded",
+        )
         if os.path.exists(fx):
             n_events = n_trips * ept
         else:
@@ -311,13 +326,22 @@ def main() -> None:
 
     # v2 sessionization dual (transformWithStateInPandas + RocksDB +
     # explicit timers — streaming/trip_sessions_v2.py): attempt a real
-    # availableNow run over a sharded fixture and record events/s. In
-    # this container the state API v2 wire protocol is env-blocked
-    # (google.protobuf absent — see tests/test_streaming.py's
-    # importorskip), so the attempt degrades to a recorded error the
-    # sidecar keeps honest instead of a silent omission.
+    # availableNow run over a sharded fixture and record events/s. The
+    # state API v2 wire protocol needs google.protobuf; when the module
+    # is absent (this container — see tests/test_streaming.py's
+    # importorskip) that is an ENVIRONMENT gap, not a code regression,
+    # so it is probed up front and recorded under `skipped`, keeping
+    # error_count a pure code-regression signal (VERDICT r8 next #3).
+    # The probe re-runs every round: if the sandbox ever gains protobuf
+    # the real measurement happens with no code change.
     trip_v2_eps: float | None = None
     try:
+        import google.protobuf.descriptor  # noqa: F401
+    except ImportError:
+        skipped["trip_pipeline_v2"] = "skipped (env: google.protobuf absent)"
+    try:
+        if "trip_pipeline_v2" in skipped:
+            raise _EnvSkip()
         import shutil
 
         from flink_template_spark.parse import read_trip_events_stream
@@ -326,11 +350,10 @@ def main() -> None:
             sessionize_trips_v2,
         )
 
-        import google.protobuf.descriptor  # noqa: F401  (fail fast, not mid-stream)
-
         n_trips_v2, ept_v2 = 2000, 50
         fx2 = os.path.join(
-            tempfile.gettempdir(), f"bench_trip_events_{n_trips_v2}_v2_sharded"
+            tempfile.gettempdir(),
+            f"bench_trip_events_{n_trips_v2}x{ept_v2}x{cpus}_v2_sharded",
         )
         if os.path.exists(fx2):
             n_events_v2 = n_trips_v2 * ept_v2
@@ -369,6 +392,8 @@ def main() -> None:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+    except _EnvSkip:
+        pass
     except Exception as exc:
         errors["trip_pipeline_v2"] = f"{type(exc).__name__}: {str(exc)[:300]}"
 
@@ -409,6 +434,8 @@ def main() -> None:
     }
     if errors:
         full["errors"] = errors
+    if skipped:
+        full["skipped"] = skipped
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_extended.json")
     try:
         with open(sidecar, "w") as fh:
@@ -433,6 +460,8 @@ def main() -> None:
         # under the 2000-char tail no matter how many queries error.
         headline["error_names"] = sorted(errors)[:20]
         headline["error_count"] = len(errors)
+    if skipped:
+        headline["skipped_env"] = sorted(skipped)[:5]
     line = json.dumps(headline, separators=(",", ":"))
     if len(line) > 1900:  # belt-and-braces: drop per-query walls before overflowing
         headline["queries"] = {"_dropped_for_size": len(timings)}

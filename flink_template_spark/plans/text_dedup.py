@@ -305,6 +305,14 @@ def _near_dup_components_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         pairs = ngram_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+        # eager=True is DELIBERATE (ADVICE r8): the label-propagation
+        # fixpoint inside near_dup_components is inherently eager (it
+        # counts per round to detect convergence), so plan construction
+        # pays the full edge+fixpoint job no matter what; eager=False
+        # would only defer the final cheap sizes-join while leaving a
+        # surprise job inside the first consumer's action. Materializing
+        # here makes get_or_build the ONE place the build cost lives —
+        # the recorded serve cost of every consumer is then pure reads.
         return near_dup_components(docs, pairs).localCheckpoint(eager=True)
 
     key = (spark.sparkContext.applicationId, sf_dir)

@@ -142,10 +142,18 @@ def monitor_stream(
     if isinstance(vtype, (ByteType, ShortType, IntegerType, LongType)):
         headroom = (1 << 63) // SCALE - 1
         v = F.col(value_col).cast("long")
+        # NULL contract (ADVICE r8): a NULL metric value is a data
+        # defect in a monitoring stream — the guard condition is made
+        # explicitly null-rejecting so the abort is a documented
+        # contract (assert_true also raises on a NULL condition, but
+        # relying on that side effect left the behavior unpinned).
         value = F.when(
             F.assert_true(
-                F.abs(v) <= headroom,
-                F.concat(F.lit("CUSUM value exceeds scaling headroom: "), v),
+                v.isNotNull() & (F.abs(v) <= headroom),
+                F.concat(
+                    F.lit("CUSUM value NULL or exceeds scaling headroom: "),
+                    F.coalesce(v.cast("string"), F.lit("NULL")),
+                ),
             ).isNull(),
             v * SCALE,  # exact within ±2^63/SCALE, loud beyond
         )
@@ -161,10 +169,15 @@ def monitor_stream(
 
         headroom = math.nextafter(float((1 << 63) // SCALE - 1), 0.0)
         d = F.col(value_col).cast("double")
+        # same explicit NULL-rejecting contract as the integer path
+        # (ADVICE r8); NaN also fails here since NaN <= x is false
         value = F.when(
             F.assert_true(
-                F.abs(d) <= headroom,
-                F.concat(F.lit("CUSUM value exceeds scaling headroom: "), d),
+                d.isNotNull() & (F.abs(d) <= headroom),
+                F.concat(
+                    F.lit("CUSUM value NULL or exceeds scaling headroom: "),
+                    F.coalesce(d.cast("string"), F.lit("NULL")),
+                ),
             ).isNull(),
             F.bround(d * SCALE).cast("long"),
         )

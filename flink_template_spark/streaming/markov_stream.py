@@ -67,9 +67,13 @@ def transitions_fold(
     batches in inverted id order is also caught — means a later
     micro-batch delivered earlier data, the one condition under which
     the summed increments would silently diverge from the batch LAG
-    matrix; it fails LOUDLY (killing the query) instead. The operator
-    therefore requires per-key (ts, id)-ordered arrival across batches
-    (time-split files, or Kafka's per-key ordering)."""
+    matrix; it fails LOUDLY (killing the query) instead. Equality is
+    rejected the same way (ADVICE r8): event ids are unique, so an
+    event (ts, id)-equal to the folded state can only be an
+    at-least-once re-delivery, which would double-count its inbound
+    transition. The operator therefore requires per-key strictly
+    (ts, id)-ordered, exactly-once arrival across batches (time-split
+    files, or Kafka's per-key ordering with idempotent producers)."""
     last_type, last_ts, last_id = state
     inc: dict[tuple[str, str], int] = {}
     for etype, ts, eid in events:
@@ -79,6 +83,17 @@ def transitions_fold(
                     "out-of-order arrival across micro-batches: event at "
                     f"({ts}, {eid}) after state ({last_ts}, {last_id}); "
                     "stream would diverge from the batch transition matrix"
+                )
+            if (ts, eid) == (last_ts, last_id):
+                # ADVICE r8: an at-least-once source re-delivering the
+                # exact last event must not silently double-count the
+                # transition into it. event_id is unique in a correct
+                # stream, so (ts, id) equality can only be re-delivery —
+                # fail as loudly as the out-of-order case.
+                raise ValueError(
+                    "duplicate re-delivery across micro-batches: event at "
+                    f"({ts}, {eid}) equals the folded state; counting it "
+                    "again would diverge from the batch transition matrix"
                 )
             k = (last_type, etype)
             inc[k] = inc.get(k, 0) + 1

@@ -308,3 +308,34 @@ def test_cusum_double_headroom_boundary_is_clamp_safe(spark, tmp_path):
     )
     with pytest.raises(StreamingQueryException, match="headroom"):
         q.awaitTermination(120)
+
+
+def test_cusum_null_value_fails_loudly(spark, tmp_path):
+    """ADVICE r8: a NULL metric value is a data defect in a monitoring
+    stream — the guard rejects it explicitly (documented contract, not
+    a side effect of assert_true's NULL-condition semantics). Pinned
+    for both the integer and the double path."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    for ii, dtype in enumerate(("LONG", "DOUBLE")):
+        in_dir = tmp_path / f"in_{dtype}"
+        in_dir.mkdir()
+        rows = [
+            {"doc_id": 0, "source": "ok", "n_chars": 100},
+            {"doc_id": 1, "source": "ok", "n_chars": None},
+        ]
+        (in_dir / "a.json").write_text(_lines(rows))
+        stream = spark.readStream.schema(
+            f"doc_id LONG, source STRING, n_chars {dtype}"
+        ).json(str(in_dir))
+        q = (
+            monitor_stream(stream, MU, SLACK, H)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(f"cusum_null_{ii}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        with pytest.raises(StreamingQueryException, match="NULL"):
+            q.awaitTermination(120)

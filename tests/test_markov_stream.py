@@ -154,3 +154,20 @@ def test_transitions_fold_rejects_out_of_order():
     # same-microsecond, inverted id: the ts-only guard missed this
     with pytest.raises(ValueError, match="out-of-order"):
         transitions_fold([("purchase", 200, 3)], st)
+
+
+def test_transitions_fold_rejects_exact_redelivery():
+    """ADVICE r8: an at-least-once source re-delivering the exact last
+    event ((ts, id) equal to the folded state) must fail loudly — the
+    strict '<' guard alone would double-count the transition into it
+    and silently diverge from the batch LAG matrix."""
+    _, st = transitions_fold(
+        [("view", 100, 1), ("click", 200, 7)], (None, -1, -1)
+    )
+    with pytest.raises(ValueError, match="re-delivery"):
+        transitions_fold([("click", 200, 7)], st)
+    # ...and a duplicate WITHIN one batch is the same defect
+    with pytest.raises(ValueError, match="re-delivery"):
+        transitions_fold(
+            [("view", 100, 1), ("view", 100, 1)], (None, -1, -1)
+        )
