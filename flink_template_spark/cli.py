@@ -45,6 +45,11 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--checkpoint", default="/tmp/trip_pipeline_ckpt")
     t.add_argument("--timeout", type=float, default=None,
                    help="stop after N seconds (default: run until Ctrl-C)")
+    t.add_argument("--progress-log", default=None, metavar="FILE",
+                   help="write the per-batch progress ledger (JSONL) plus a "
+                        "final totals line here when the run ends; '-' for "
+                        "stderr. The reference's only monitoring is a hot-"
+                        "path debug log (TripAggregatorApplication.kt:67)")
 
     args = p.parse_args(argv)
 
@@ -81,12 +86,49 @@ def main(argv: list[str] | None = None) -> int:
         from flink_template_spark.app import run_trip_pipeline
 
         spark = _spark(args)
+        recorder = None
+        if args.progress_log is not None:
+            from flink_template_spark.streaming.monitoring import ProgressRecorder
+
+            recorder = ProgressRecorder()
+            spark.streams.addListener(recorder)
         query = run_trip_pipeline(
             spark, source_path=args.source, checkpoint_dir=args.checkpoint
         )
-        query.awaitTermination(args.timeout)
-        if args.timeout is not None:
-            query.stop()
+        try:
+            query.awaitTermination(args.timeout)
+            if args.timeout is not None:
+                query.stop()
+        finally:
+            if recorder is not None:
+                import json as _json
+
+                # listener callbacks are async on the bus thread; the
+                # final batch's progress event can trail query.stop().
+                # Wait (bounded) for the ledger to stabilize before
+                # writing it out.
+                import time as _time
+
+                seen = -1
+                for _ in range(20):
+                    n = len(recorder.records)
+                    if n == seen and n > 0:
+                        break
+                    seen = n
+                    _time.sleep(0.25)
+                out = (
+                    sys.stderr
+                    if args.progress_log == "-"
+                    else open(args.progress_log, "w")
+                )
+                try:
+                    for rec in recorder.records:
+                        print(_json.dumps(rec), file=out)
+                    print(_json.dumps({"totals": recorder.totals()}), file=out)
+                finally:
+                    if out is not sys.stderr:
+                        out.close()
+                spark.streams.removeListener(recorder)
         return 0
 
     return 2  # pragma: no cover
