@@ -217,6 +217,13 @@ EXTENDED = [
     "q_trimmed_mean_price",
     "q_activity_heatmap",
     "q_volume_percentile_bands",
+    # round-9 wave: session quality, anomaly days, attribution,
+    # weekday seasonality, activation
+    "q_session_bounce_rate",
+    "q_anomaly_days",
+    "q_weekday_seasonality",
+    "q_attribution_last_touch",
+    "q_first_session_conversion",
 ]
 
 

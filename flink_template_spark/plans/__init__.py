@@ -159,8 +159,12 @@ _PRIORITY = [
 # green r9 these are the next-stalest verdicts).
 _MIDDLE: list[str] = [
     # round-9 additions: never driver-checked (oracle-green locally)
-    # — first in line for the round-10 slate. (none yet; prepend as
-    # they land)
+    # — first in line for the round-10 slate
+    "q_session_bounce_rate",
+    "q_anomaly_days",
+    "q_weekday_seasonality",
+    "q_attribution_last_touch",
+    "q_first_session_conversion",
     # the last r4-cohort name (stalest verdict after a green r9)
     "q_grouping_sets",
     # r5-cohort (next-stalest after a green r9), in r5 check order

@@ -2103,3 +2103,412 @@ def q_volume_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 9: session-quality and anomaly analytics
+# ---------------------------------------------------------------------------
+
+_SESSION_ISLANDS_CTE = """
+ordered AS (
+  SELECT
+    user_id, event_id, event_type,
+    CAST(ts AS TIMESTAMP) AS ts,
+    CASE WHEN CAST(ts AS TIMESTAMP)
+            - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          > INTERVAL 30 MINUTE
+         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      THEN 1 ELSE 0 END AS is_new
+  FROM events
+), sessions AS (
+  SELECT *,
+    SUM(is_new) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS session_id
+  FROM ordered
+)
+"""
+
+
+@register(
+    "q_session_bounce_rate",
+    oracle=f"""
+WITH {_SESSION_ISLANDS_CTE},
+per_session AS (
+  SELECT
+    user_id, session_id,
+    FIRST(event_type ORDER BY ts, event_id) AS entry_type,
+    COUNT(*) AS n_events
+  FROM sessions GROUP BY 1, 2
+)
+SELECT
+  entry_type,
+  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS bounce_rate
+FROM per_session GROUP BY 1 ORDER BY 1
+""",
+)
+def q_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session bounce rate by entry event type: share of 30-minute-gap
+    sessions that contain exactly one event, keyed by the session's
+    first event type (web-analytics "bounce by landing page").
+
+    Scale shape: the session assignment is Spark's native
+    ``session_window`` aggregation (state-merge, one shuffle on
+    user_id); the entry type is ``min_by`` over (ts, event_id) INSIDE
+    the same aggregate — no second window pass; the rollup is a hash
+    agg over the (entry_type)-small session table. The bounce ratio is
+    one double division of exact integer counts."""
+    events = load_table(spark, sf_dir, "events")
+    per_session = (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.min_by("event_type", F.struct("ts", "event_id")).alias(
+                "entry_type"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return (
+        per_session.groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum((F.col("n_events") == 1).cast("int"))
+            .cast("bigint")
+            .alias("n_bounce"),
+        )
+        .withColumn(
+            "bounce_rate",
+            F.col("n_bounce").cast("double") / F.col("n_sessions").cast("double"),
+        )
+        .orderBy("entry_type")
+    )
+
+
+@register(
+    "q_anomaly_days",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1
+),
+stats AS (
+  SELECT COUNT(*) AS n_days,
+         SUM(n_events) AS sum_n,
+         SUM(n_events * n_events) AS sum_sq
+  FROM daily
+),
+ranked AS (
+  SELECT day, n_events,
+         ROW_NUMBER() OVER (ORDER BY n_events) AS rn
+  FROM daily
+),
+med AS (
+  SELECT n_events AS med_n FROM ranked, stats
+  WHERE rn = (n_days + 1) // 2
+),
+dev_ranked AS (
+  SELECT ABS(n_events - med_n) AS dev,
+         ROW_NUMBER() OVER (ORDER BY ABS(n_events - med_n)) AS rn
+  FROM daily, med
+),
+mad AS (
+  SELECT dev AS mad_n FROM dev_ranked, stats
+  WHERE rn = (n_days + 1) // 2
+)
+SELECT
+  day,
+  CAST(n_events AS BIGINT) AS n_events,
+  ROUND(
+    (CAST(n_events AS DOUBLE) - CAST(sum_n AS DOUBLE) / CAST(n_days AS DOUBLE))
+    / sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_days AS DOUBLE)
+           - (CAST(sum_n AS DOUBLE) / CAST(n_days AS DOUBLE))
+             * (CAST(sum_n AS DOUBLE) / CAST(n_days AS DOUBLE))),
+    6) AS zscore,
+  ABS(CAST(n_events AS DOUBLE) - CAST(sum_n AS DOUBLE) / CAST(n_days AS DOUBLE))
+    > 2.0 * sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_days AS DOUBLE)
+                 - (CAST(sum_n AS DOUBLE) / CAST(n_days AS DOUBLE))
+                   * (CAST(sum_n AS DOUBLE) / CAST(n_days AS DOUBLE)))
+    AS z_out,
+  ABS(n_events - med_n) > 3 * mad_n AS mad_out
+FROM daily, stats, med, mad
+ORDER BY day
+""",
+)
+def q_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly days by BOTH the classic z-score (pop. mean
+    / std) and the robust MAD fence (lower-median, |n − med| > 3·MAD) —
+    the agreement/disagreement between the two flags is the analyst
+    deliverable (a mean-shifted month drags the z fence but not MAD).
+
+    Cross-engine float discipline: every statistic is computed from
+    exact integer sums (Σn, Σn², N, medians of integers); the ONLY
+    float ops are divisions, one sqrt (IEEE-exact in both engines) and
+    comparisons over identically-parenthesized expression trees.
+
+    Scale shape: one hash agg events→days; everything after operates
+    on the bounded post-aggregation day table (≤ a few thousand rows
+    at any corpus size — days, not events), where the two
+    row_number-median windows are unpartitioned BY DESIGN (documented
+    bounded-table pattern, tests/test_plans.py allowlist)."""
+    events = load_table(spark, sf_dir, "events")
+    # five consumers (stats, ranked, dev_ranked, the med inside mad,
+    # the final projection) reference the day table; pin the bounded
+    # post-aggregation result once so the corpus-sized events scan
+    # happens exactly once, not per re-expanded subtree
+    daily = (
+        events.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .localCheckpoint(eager=False)
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_events").alias("sum_n"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("sum_sq"),
+    )
+    ranked = daily.withColumn(
+        "rn", F.row_number().over(W.orderBy("n_events"))
+    ).crossJoin(F.broadcast(stats))
+    med = (
+        ranked.filter(F.col("rn") == F.floor((F.col("n_days") + 1) / 2))
+        .select(F.col("n_events").alias("med_n"))
+    )
+    dev_ranked = (
+        daily.crossJoin(F.broadcast(med))
+        .select((F.abs(F.col("n_events") - F.col("med_n"))).alias("dev"))
+        .withColumn("rn", F.row_number().over(W.orderBy("dev")))
+        .crossJoin(F.broadcast(stats.select("n_days")))
+    )
+    mad = dev_ranked.filter(
+        F.col("rn") == F.floor((F.col("n_days") + 1) / 2)
+    ).select(F.col("dev").alias("mad_n"))
+    nd = F.col("n_days").cast("double")
+    mean = F.col("sum_n").cast("double") / nd
+    std = F.sqrt(F.col("sum_sq").cast("double") / nd - mean * mean)
+    return (
+        daily.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .select(
+            "day",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.round(
+                (F.col("n_events").cast("double") - mean) / std, 6
+            ).alias("zscore"),
+            (
+                F.abs(F.col("n_events").cast("double") - mean) > 2.0 * std
+            ).alias("z_out"),
+            (
+                F.abs(F.col("n_events") - F.col("med_n"))
+                > 3 * F.col("mad_n")
+            ).alias("mad_out"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "q_weekday_seasonality",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+         COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+wd AS (
+  SELECT (d - DATE '1970-01-01') % 7 AS wd_code, SUM(n) AS n_events,
+         COUNT(*) AS n_days
+  FROM daily GROUP BY 1
+),
+tot AS (SELECT SUM(n_events) AS total, SUM(n_days) AS total_days FROM wd)
+SELECT
+  CAST(wd_code AS INT) AS wd_code,
+  CASE wd_code WHEN 0 THEN 'thu' WHEN 1 THEN 'fri' WHEN 2 THEN 'sat'
+               WHEN 3 THEN 'sun' WHEN 4 THEN 'mon' WHEN 5 THEN 'tue'
+               ELSE 'wed' END AS weekday,
+  CAST(n_events AS BIGINT) AS n_events,
+  ROUND((CAST(n_events AS DOUBLE) / CAST(n_days AS DOUBLE))
+        / (CAST(total AS DOUBLE) / CAST(total_days AS DOUBLE)), 6)
+    AS seasonality_index
+FROM wd, tot
+ORDER BY wd_code
+""",
+)
+def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-weekday seasonality index: mean daily volume on that weekday
+    over the all-days mean (index 1.0 = flat week). Weekday is computed
+    as epoch-days mod 7 (1970-01-01 = Thursday = code 0) — an integer
+    formula identical in both engines, dodging the 1-vs-0-based
+    ``dayofweek`` convention mismatch entirely.
+
+    Scale shape: events→days hash agg, then everything is arithmetic
+    on a ≤7-row table; the only float ops are two divisions of exact
+    integer sums in an identical tree."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wd = daily.groupBy(
+        (
+            F.datediff(F.col("d"), F.to_date(F.lit("1970-01-01"))) % 7
+        ).alias("wd_code")
+    ).agg(F.sum("n").alias("n_events"), F.count(F.lit(1)).alias("n_days"))
+    tot = wd.agg(
+        F.sum("n_events").alias("total"), F.sum("n_days").alias("total_days")
+    )
+    names = "thu fri sat sun mon tue wed".split()
+    weekday = F.element_at(
+        F.array(*[F.lit(n) for n in names]), F.col("wd_code").cast("int") + 1
+    )
+    return (
+        wd.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("wd_code").cast("int").alias("wd_code"),
+            weekday.alias("weekday"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.round(
+                (F.col("n_events").cast("double") / F.col("n_days").cast("double"))
+                / (F.col("total").cast("double") / F.col("total_days").cast("double")),
+                6,
+            ).alias("seasonality_index"),
+        )
+        .orderBy("wd_code")
+    )
+
+
+@register(
+    "q_attribution_last_touch",
+    oracle="""
+WITH touched AS (
+  SELECT
+    event_id, event_type, value,
+    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+  FROM events
+)
+SELECT
+  COALESCE(channel, 'direct') AS channel,
+  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS attributed_value
+FROM touched
+WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase's value is
+    credited to the same user's most recent PRECEDING non-purchase
+    event type (no prior touch → 'direct'), rolled up per channel.
+
+    Scale shape: ONE user-partitioned window pass (last non-purchase
+    type via last(..., ignorenulls=True) over rows-preceding) — no
+    self-join, no per-purchase range scan; then a hash agg over the
+    |channels|-small rollup with a decimal-exact value sum."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touched = events.select(
+        "event_type",
+        "value",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("channel"),
+    )
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum(_dec("value")).cast("double").alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+@register(
+    "q_first_session_conversion",
+    oracle=f"""
+WITH {_SESSION_ISLANDS_CTE},
+per_session AS (
+  SELECT
+    user_id, session_id,
+    MIN(ts) AS session_start,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+  FROM sessions GROUP BY 1, 2
+),
+first_session AS (
+  SELECT user_id,
+         FIRST(session_start ORDER BY session_start) AS session_start,
+         FIRST(has_purchase ORDER BY session_start) AS converted
+  FROM per_session GROUP BY user_id
+)
+SELECT
+  CAST((CAST(session_start AS DATE) - DATE '1970-01-01') % 7 AS INT) AS wd_code,
+  CAST(COUNT(*) AS BIGINT) AS n_users,
+  CAST(SUM(converted) AS BIGINT) AS n_converted,
+  CAST(SUM(converted) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS conversion_rate
+FROM first_session
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q_first_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-user activation: did the user's FIRST 30-minute session
+    contain a purchase? Rolled up by the weekday the first session
+    started (epoch-days mod 7, Thursday = 0) — the onboarding-quality
+    readout a growth team tracks by launch day.
+
+    Scale shape: native session_window agg (one shuffle on user_id),
+    then a per-user min_by over the session table (hash agg, NOT a
+    window), then a ≤7-row rollup; one double division of exact
+    counts."""
+    events = load_table(spark, sf_dir, "events")
+    per_session = (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias(
+                "has_purchase"
+            ),
+        )
+    )
+    first_session = per_session.groupBy("user_id").agg(
+        F.min_by("has_purchase", "session_start").alias("converted"),
+        F.min("session_start").alias("session_start"),
+    )
+    return (
+        first_session.groupBy(
+            (
+                F.datediff(
+                    F.col("session_start").cast("date"),
+                    F.to_date(F.lit("1970-01-01")),
+                )
+                % 7
+            )
+            .cast("int")
+            .alias("wd_code")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+        )
+        .withColumn(
+            "conversion_rate",
+            F.col("n_converted").cast("double") / F.col("n_users").cast("double"),
+        )
+        .orderBy("wd_code")
+    )

@@ -307,6 +307,14 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     # rank_global's stats-offset window (<= shuffle-partition-count
     # rows) + the per-FLAG re-base offsets window (<= 3 rows)
     "q_trimmed_mean_price": 2,
+    # r9: the two row_number-median windows (median of daily counts,
+    # median of |n − med| deviations) run over the POST-AGGREGATION
+    # day table — bounded by the calendar (≤ a few thousand rows at
+    # any corpus size), documented in the query docstring; the med
+    # subtree re-expands inside the mad branch, surfacing its window
+    # twice (2 + 1 = 3). The day table itself is checkpoint-pinned,
+    # so the re-expansions never touch parquet.
+    "q_anomaly_days": 3,
 }
 
 
