@@ -224,6 +224,12 @@ EXTENDED = [
     "q_weekday_seasonality",
     "q_attribution_last_touch",
     "q_first_session_conversion",
+    "q_ivm_delta_merge",
+    "q_supplier_hhi",
+    "q_ols_price_trend",
+    "q_lsh_curve_calibration",
+    "q_common_neighbor_sim",
+    "q_bucketed_join_colocated",
 ]
 
 

@@ -165,6 +165,12 @@ _MIDDLE: list[str] = [
     "q_weekday_seasonality",
     "q_attribution_last_touch",
     "q_first_session_conversion",
+    "q_ivm_delta_merge",
+    "q_supplier_hhi",
+    "q_ols_price_trend",
+    "q_lsh_curve_calibration",
+    "q_common_neighbor_sim",
+    "q_bucketed_join_colocated",
     # the last r4-cohort name (stalest verdict after a green r9)
     "q_grouping_sets",
     # r5-cohort (next-stalest after a green r9), in r5 check order

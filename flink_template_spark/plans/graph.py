@@ -544,3 +544,81 @@ def q_labelprop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("community")
     )
+
+
+@register(
+    "q_common_neighbor_sim",
+    oracle=f"""
+WITH edges AS MATERIALIZED ({_TRADE_EDGES_SQL}),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+common AS (
+  SELECT a.src AS id_a, b.src AS id_b, COUNT(*) AS n_common
+  FROM edges a JOIN edges b ON a.dst = b.dst
+  WHERE a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT
+  na.n_name AS nation_a,
+  nb.n_name AS nation_b,
+  CAST(n_common AS BIGINT) AS n_common,
+  CAST(da.d + db.d - n_common AS BIGINT) AS n_union,
+  ROUND(CAST(n_common AS DOUBLE) / CAST(da.d + db.d - n_common AS DOUBLE), 6)
+    AS jaccard
+FROM common
+JOIN deg da ON common.id_a = da.src
+JOIN deg db ON common.id_b = db.src
+JOIN nation na ON common.id_a = na.n_nationkey
+JOIN nation nb ON common.id_b = nb.n_nationkey
+ORDER BY jaccard DESC, nation_a, nation_b
+LIMIT 15
+""",
+)
+def q_common_neighbor_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural node similarity on the trade graph: Jaccard overlap
+    of two nations' out-neighbor sets (common trade destinations /
+    union), top-15 pairs — the common-neighbors link-prediction prior
+    (who is likely to START trading?) next to the connectivity family
+    (PageRank/HITS/k-core).
+
+    Scale shape: pairs materialize ONLY through the shared-destination
+    equi-join on the memoized edge table (never nation×nation); on a
+    billion-edge graph the same join keys by dst with the usual
+    high-degree-hub salting caveat. Jaccard is one double division of
+    exact integer counts; top-15 is TakeOrderedAndProject."""
+    edges = _trade_edges(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation")
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    a = edges.select(F.col("src").alias("id_a"), "dst")
+    b = edges.select(F.col("src").alias("id_b"), "dst")
+    common = (
+        a.join(b, "dst")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    da = deg.select(F.col("src").alias("id_a"), F.col("d").alias("d_a"))
+    db = deg.select(F.col("src").alias("id_b"), F.col("d").alias("d_b"))
+    na = nation.select(
+        F.col("n_nationkey").alias("id_a"), F.col("n_name").alias("nation_a")
+    )
+    nb = nation.select(
+        F.col("n_nationkey").alias("id_b"), F.col("n_name").alias("nation_b")
+    )
+    union_sz = F.col("d_a") + F.col("d_b") - F.col("n_common")
+    return (
+        common.join(F.broadcast(da), "id_a")
+        .join(F.broadcast(db), "id_b")
+        .join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select(
+            "nation_a",
+            "nation_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            union_sz.cast("bigint").alias("n_union"),
+            F.round(
+                F.col("n_common").cast("double") / union_sz.cast("double"), 6
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "nation_a", "nation_b")
+        .limit(15)
+    )

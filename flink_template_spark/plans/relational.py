@@ -967,3 +967,297 @@ def q_recursive_chain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_template_spark.sql import run_sql
 
     return run_sql(spark, sf_dir, _recursive_chain_sql("DIV"))
+
+
+# ---------------------------------------------------------------------------
+# round 9: incremental view maintenance, concentration, trend fitting
+# ---------------------------------------------------------------------------
+
+_IVM_SPLIT = "1997-01-01"
+
+
+@register(
+    "q_ivm_delta_merge",
+    oracle=f"""
+SELECT
+  o_custkey,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_spend,
+  CAST(MAX(o_orderdate) AS TIMESTAMP) AS last_order
+FROM orders
+GROUP BY o_custkey
+""",
+)
+def q_ivm_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a per-customer spend materialized
+    view built from the BASE period (< {_IVM_SPLIT}) is brought up to
+    date by merging only the DELTA rows (>= {_IVM_SPLIT}) — the merge
+    re-aggregates partial states (count-sum, sum-sum, max-max) without
+    ever touching base ROWS again. The oracle is the full recompute
+    over all of orders: hash equality proves merge(partials) ==
+    recompute, i.e. the aggregate state is genuinely mergeable (the
+    contract every incremental lakehouse pipeline relies on).
+
+    Scale shape: the stored MV stands in as a checkpoint-pinned base
+    aggregate (at 100 TB it is the table the previous run wrote);
+    the refresh plan scans ONLY the delta partition (plan-pinned to
+    one parquet Scan in tests/test_plans.py) and shuffles
+    |customers|-sized aggregates, not order rows. Deletes/updates
+    would carry signed counts (retractions) through the same merge."""
+    orders = load_table(spark, sf_dir, "orders")
+    split = F.lit(_IVM_SPLIT).cast("timestamp")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias(
+                "total_spend_dec"
+            ),
+            F.max("o_orderdate").alias("last_order"),
+        )
+
+    # the "stored" MV: built once from the base period, pinned so the
+    # refresh below cannot re-expand it into a second orders scan
+    mv_base = agg(orders.filter(F.col("o_orderdate") < split)).localCheckpoint(
+        eager=True
+    )
+    delta = agg(orders.filter(F.col("o_orderdate") >= split))
+    return (
+        mv_base.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("total_spend_dec").cast("double").alias("total_spend"),
+            F.max("last_order").alias("last_order"),
+        )
+    )
+
+
+@register(
+    "q_supplier_hhi",
+    oracle="""
+WITH bal AS (
+  SELECT s_nationkey,
+         CAST(s_acctbal AS DECIMAL(14,2)) AS b
+  FROM supplier WHERE s_acctbal > 0
+),
+agg AS (
+  SELECT s_nationkey,
+         COUNT(*) AS n_suppliers,
+         SUM(b * b) AS sum_sq,
+         SUM(b) AS sum_b
+  FROM bal GROUP BY s_nationkey
+)
+SELECT
+  n.n_name AS nation,
+  CAST(n_suppliers AS BIGINT) AS n_suppliers,
+  ROUND(CAST(sum_sq AS DOUBLE)
+        / (CAST(sum_b AS DOUBLE) * CAST(sum_b AS DOUBLE)), 6) AS hhi,
+  ROUND(1.0 / CAST(n_suppliers AS DOUBLE), 6) AS hhi_floor
+FROM agg JOIN nation n ON agg.s_nationkey = n.n_nationkey
+ORDER BY nation
+""",
+)
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index of positive supplier
+    account balances per nation (HHI = Σshare² = Σb² / (Σb)²), with the
+    1/n perfect-competition floor beside it — the third classic
+    concentration measure next to q_source_gini (Gini) and
+    q_revenue_concentration (Lorenz/top-k).
+
+    Float discipline: shares are never materialized (a per-row double
+    division then order-dependent sum would be nondeterministic);
+    both Σb² and Σb are exact DECIMAL sums, with ONE double division
+    at the end — identical trees in both engines.
+
+    Scale shape: one hash agg on s_nationkey with map-side partials;
+    the nation join broadcasts."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    b = F.col("s_acctbal").cast("decimal(14,2)")
+    agg = (
+        supplier.filter(F.col("s_acctbal") > 0)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(b * b).alias("sum_sq"),
+            F.sum(b).alias("sum_b"),
+        )
+    )
+    return (
+        agg.join(
+            F.broadcast(nation), agg.s_nationkey == nation.n_nationkey
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+            F.round(
+                F.col("sum_sq").cast("double")
+                / (F.col("sum_b").cast("double") * F.col("sum_b").cast("double")),
+                6,
+            ).alias("hhi"),
+            F.round(F.lit(1.0) / F.col("n_suppliers").cast("double"), 6).alias(
+                "hhi_floor"
+            ),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "q_ols_price_trend",
+    oracle="""
+WITH pts AS (
+  SELECT
+    p.p_brand,
+    (EXTRACT(YEAR FROM l.l_shipdate) * 12 + EXTRACT(MONTH FROM l.l_shipdate) - 1)
+      AS x,
+    CAST(l.l_extendedprice AS DECIMAL(14,2)) AS y
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+sums AS (
+  SELECT p_brand,
+    COUNT(*) AS k,
+    SUM(x) AS sx,
+    SUM(x * x) AS sxx,
+    SUM(y) AS sy,
+    SUM(x * y) AS sxy
+  FROM pts GROUP BY p_brand
+)
+SELECT
+  p_brand,
+  CAST(k AS BIGINT) AS n_points,
+  ROUND(
+    (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+    6) AS slope_per_month,
+  ROUND(CAST(sy AS DOUBLE) / CAST(k AS DOUBLE), 4) AS mean_price
+FROM sums
+ORDER BY p_brand
+""",
+)
+def q_ols_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand OLS price trend: least-squares slope of extended price
+    over ship month (x = months since year 0), from the closed-form
+    normal equations slope = (kΣxy − ΣxΣy) / (kΣxx − (Σx)²) — the
+    cheap one-pass complement to q_theil_sen_trend's robust slope.
+
+    Float discipline: all five sufficient statistics are exact (x is
+    an integer month index; y, x·y are DECIMAL sums); the slope is
+    assembled in doubles from identical expression trees — the
+    map-side-combinable way to fit millions of independent
+    regressions in one shuffle.
+
+    Scale shape: broadcast part join onto lineitem, one hash agg on
+    p_brand with map-side partials; no window, no sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pts = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_brand",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1).alias("x"),
+        F.col("l_extendedprice").cast("decimal(14,2)").alias("y"),
+    )
+    sums = pts.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    kd = F.col("k").cast("double")
+    return sums.select(
+        "p_brand",
+        F.col("k").cast("bigint").alias("n_points"),
+        F.round(
+            (kd * F.col("sxy").cast("double")
+             - F.col("sx").cast("double") * F.col("sy").cast("double"))
+            / (kd * F.col("sxx").cast("double")
+               - F.col("sx").cast("double") * F.col("sx").cast("double")),
+            6,
+        ).alias("slope_per_month"),
+        F.round(F.col("sy").cast("double") / kd, 4).alias("mean_price"),
+    ).orderBy("p_brand")
+
+
+_BUCKETS = 8
+# (applicationId, sf_dir) pairs whose bucketed duals are already written
+# this session — a plain marker set, not a DataFrame memo: the artifact
+# lives in the warehouse, only the write is skipped on re-serve.
+_BUCKETED_WRITTEN: set[tuple[str, str]] = set()
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str):
+    """Write (once per session+sf) bucketed duals of orders/customer,
+    bucketed AND sorted by the join key into {_BUCKETS} buckets, and
+    return them as catalog tables. At 100 TB this is the one-off
+    layout job a co-location strategy pays so every subsequent
+    customer-keyed join in the workload is exchange-free."""
+    import re as _re
+
+    token = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
+    t_orders, t_cust = f"bkt_orders_{token}", f"bkt_customer_{token}"
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BUCKETED_WRITTEN:
+        for name, tbl in (("orders", t_orders), ("customer", t_cust)):
+            col = "o_custkey" if name == "orders" else "c_custkey"
+            # a PREVIOUS session's managed-table location survives in
+            # the warehouse while this session's fresh in-memory
+            # catalog has never heard of the table — overwrite can't
+            # reconcile that, so drop both explicitly first
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            import shutil
+            from urllib.parse import urlparse
+
+            wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+            shutil.rmtree(f"{wh}/{tbl}", ignore_errors=True)
+            (
+                load_table(spark, sf_dir, name)
+                .write.bucketBy(_BUCKETS, col)
+                .sortBy(col)
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(tbl)
+            )
+        _BUCKETED_WRITTEN.add(key)
+    return spark.table(t_orders), spark.table(t_cust)
+
+
+@register(
+    "q_bucketed_join_colocated",
+    oracle="""
+SELECT
+  c.c_mktsegment,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q_bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketing as a co-location strategy: orders and customer are
+    written bucketed+sorted by the customer key, so their join needs
+    NO exchange on either side — the bucketed scan already provides
+    the hash distribution (plan-pinned in tests/test_plans.py: exactly
+    one Exchange in the whole plan, the post-join rollup's). The merge
+    hint forces the sort-merge path so the demonstration doesn't
+    degrade into a broadcast at toy scale; at 100 TB (where neither
+    fact side broadcasts) bucketing is THE lever that turns every
+    repeated customer-keyed join from a 100 TB shuffle into a local
+    merge. Result identical to the plain join — the oracle recomputes
+    it from the unbucketed tables."""
+    orders_b, cust_b = _bucketed_tables(spark, sf_dir)
+    joined = orders_b.hint("merge").join(
+        cust_b, orders_b.o_custkey == cust_b.c_custkey
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )

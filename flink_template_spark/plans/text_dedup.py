@@ -2267,3 +2267,143 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# round 9: analytic S-curve calibration for the LSH band configuration.
+# The multiplication chain for P(candidate) = 1-(1-s^r)^b is written
+# explicitly (squarings, r = 4 rows/band, b = 4 bands) so BOTH engines
+# evaluate the identical IEEE expression tree — pow() implementations
+# are not guaranteed to agree across engines, repeated multiplication is.
+_SCURVE_PRED_SQL = """
+  SELECT id_a, id_b, jaccard,
+         1.0 - (q2 * q2) AS p_pred
+  FROM (
+    SELECT id_a, id_b, jaccard, q1 * q1 AS q2
+    FROM (
+      SELECT id_a, id_b, jaccard, 1.0 - (s2 * s2) AS q1
+      FROM (
+        SELECT id_a, id_b, jaccard, jaccard * jaccard AS s2
+        FROM truth
+      )
+    )
+  )
+"""
+
+
+@register(
+    "q_lsh_curve_calibration",
+    oracle=f"""
+WITH sh AS ({_duck_shingles(3)}),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT id_a, id_b,
+    ROUND(CAST(n_inter AS DOUBLE)
+          / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON inter.id_a = sa.doc_id
+  JOIN sizes sb ON inter.id_b = sb.doc_id
+  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
+        >= 0.4999995
+),
+pred AS ({_SCURVE_PRED_SQL}),
+hashed AS (
+  SELECT doc_id, {md5int_duckdb('shingle')} AS h FROM sh
+),
+sig0 AS (
+  SELECT doc_id, {_MH_AGGS_DUCK} FROM hashed GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id, {_BAND_KEYS_DUCK} FROM sig0
+),
+bands AS (
+  {_BAND_UNION_DUCK}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+)
+SELECT LEAST(CAST(floor(t.jaccard * 10) AS BIGINT), 9) AS j_decile,
+  CAST(COUNT(*) AS BIGINT) AS n_true,
+  ROUND(CAST(SUM(CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS recall,
+  ROUND(CAST(SUM(CAST(ROUND(t.p_pred, 8) AS DECIMAL(12,8))) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS predicted,
+  ROUND(
+    CAST(SUM(CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+      / CAST(COUNT(*) AS DOUBLE)
+    - CAST(SUM(CAST(ROUND(t.p_pred, 8) AS DECIMAL(12,8))) AS DOUBLE)
+      / CAST(COUNT(*) AS DOUBLE),
+    6) AS calibration_gap
+FROM pred t
+LEFT JOIN cands c ON t.id_a = c.id_a AND t.id_b = c.id_b
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_lsh_curve_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-vs-measured LSH S-curve calibration: for each Jaccard
+    decile of the ground-truth near-dup pairs, compare the MEASURED
+    banded-MinHash candidate recall (q_lsh_recall_audit's empirical
+    number) against the THEORY prediction mean(1-(1-s^r)^b) evaluated
+    at each pair's exact similarity — the calibration_gap column is
+    the number a band-tuning decision reads (a large negative gap at
+    the threshold decile says: add bands or shorten them).
+
+    Float discipline: the prediction is a fixed squaring chain
+    (s²→s⁴, (1-s⁴)²→(1-s⁴)⁴) — identical IEEE tree in both engines,
+    no pow(); per-pair predictions are rounded to 8 dp and summed as
+    DECIMAL so the group mean is order-independent.
+
+    Scale shape: identical to q_lsh_recall_audit (truth side is the
+    eval-run quadratic, candidates are the production bucket join);
+    the prediction adds four map-side multiplications per pair."""
+    from flink_template_spark.functions.hashing import LSH_BANDS, NUM_HASHES
+    from flink_template_spark.operators.dedup import (
+        minhash_lsh_pairs as _lsh,
+        ngram_jaccard_pairs as _truth,
+    )
+
+    # the explicit squaring chains below encode r = 4, b = 4; a config
+    # change must break HERE, not silently drift from the prediction
+    assert NUM_HASHES // LSH_BANDS == 4 and LSH_BANDS == 4
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = _truth(docs, threshold=0.5).select("id_a", "id_b", "jaccard")
+    s = F.col("jaccard")
+    pred = (
+        truth.withColumn("s2", s * s)
+        .withColumn("q1", F.lit(1.0) - (F.col("s2") * F.col("s2")))
+        .withColumn("q2", F.col("q1") * F.col("q1"))
+        .withColumn("p_pred", F.lit(1.0) - (F.col("q2") * F.col("q2")))
+    )
+    cands = _lsh(docs).select("id_a", "id_b").withColumn("caught", F.lit(1))
+    bucket = F.least(F.floor(s * 10).cast("bigint"), F.lit(9))
+    caught = F.coalesce("caught", F.lit(0))
+    joined = pred.join(cands, ["id_a", "id_b"], "left").select(
+        bucket.alias("j_decile"),
+        caught.alias("caught"),
+        F.round("p_pred", 8).cast("decimal(12,8)").alias("p_dec"),
+    )
+    n = F.count(F.lit(1)).cast("double")
+    recall = F.sum("caught").cast("double") / n
+    predicted = F.sum("p_dec").cast("double") / n
+    return (
+        joined.groupBy("j_decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_true"),
+            F.round(recall, 6).alias("recall"),
+            F.round(predicted, 6).alias("predicted"),
+            F.round(recall - predicted, 6).alias("calibration_gap"),
+        )
+        .orderBy("j_decile")
+    )

@@ -763,3 +763,33 @@ def test_ann_recall_eval_single_cosine_pass_serves_index(spark, sf):
     # pair table): the BNLJ's left subtree contains the inner BHJ
     i_bnlj = outer.index("BroadcastNestedLoopJoin Cross")
     assert "BroadcastHashJoin Inner" in outer[i_bnlj:], outer
+
+
+def test_ivm_refresh_scans_only_the_delta(spark, sf):
+    """q_ivm_delta_merge's whole point: the refresh never re-reads base
+    ROWS — the stored MV side is a checkpointed aggregate (RDD scan),
+    so exactly ONE parquet scan (the delta partition) may appear, and
+    its pushed filter must be the delta-side predicate."""
+    import re
+
+    p = plan_of(plans.QUERIES["q_ivm_delta_merge"](spark, sf))
+    n = len(re.findall(r"\(\d+\) Scan parquet", p))
+    assert n == 1, f"IVM refresh re-scanned the base: {n} parquet scans"
+    assert "Scan ExistingRDD" in p  # the pinned MV partials
+    assert "PushedFilters" in p and "GreaterThanOrEqual(o_orderdate" in p
+
+
+def test_bucketed_join_has_no_join_side_exchange(spark, sf):
+    """q_bucketed_join_colocated's deliverable is the PLAN: both fact
+    sides come from bucketed scans, so the sort-merge join runs with
+    no exchange on either join key — the only exchanges are the
+    post-join rollup's (hash on the group key, range for the final
+    sort)."""
+    import re
+
+    p = plan_of(plans.QUERIES["q_bucketed_join_colocated"](spark, sf))
+    assert "SortMergeJoin" in p
+    assert "SelectedBucketsCount" in p  # bucketed scans actually used
+    assert "hashpartitioning(o_custkey" not in p
+    assert "hashpartitioning(c_custkey" not in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2  # agg + sort only
