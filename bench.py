@@ -230,6 +230,10 @@ EXTENDED = [
     "q_lsh_curve_calibration",
     "q_common_neighbor_sim",
     "q_bucketed_join_colocated",
+    "q_abc_classification",
+    "q_golden_record_merge",
+    "q_partition_pruned_scan",
+    "q_repurchase_hazard",
 ]
 
 

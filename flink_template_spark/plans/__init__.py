@@ -171,6 +171,10 @@ _MIDDLE: list[str] = [
     "q_lsh_curve_calibration",
     "q_common_neighbor_sim",
     "q_bucketed_join_colocated",
+    "q_abc_classification",
+    "q_golden_record_merge",
+    "q_partition_pruned_scan",
+    "q_repurchase_hazard",
     # the last r4-cohort name (stalest verdict after a green r9)
     "q_grouping_sets",
     # r5-cohort (next-stalest after a green r9), in r5 check order

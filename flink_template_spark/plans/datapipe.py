@@ -1317,3 +1317,158 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("support"), "part_a", "part_b")
         .limit(_BASKET_TOP)
     )
+
+
+@register(
+    "q_abc_classification",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS revenue
+  FROM lineitem GROUP BY l_partkey
+),
+cum AS (
+  SELECT l_partkey, revenue,
+    SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cum_rev,
+    SUM(revenue) OVER () AS total_rev
+  FROM rev
+),
+classed AS (
+  SELECT *,
+    CASE WHEN cum_rev * 10 <= total_rev * 8 THEN 'A'
+         WHEN cum_rev * 100 <= total_rev * 95 THEN 'B'
+         ELSE 'C' END AS abc_class
+  FROM cum
+)
+SELECT abc_class,
+  CAST(COUNT(*) AS BIGINT) AS n_parts,
+  CAST(SUM(revenue) AS DOUBLE) AS class_revenue,
+  ROUND(CAST(SUM(revenue) AS DOUBLE) / CAST(MAX(total_rev) AS DOUBLE), 6)
+    AS revenue_share
+FROM classed GROUP BY 1 ORDER BY 1
+""",
+)
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, class A =
+    parts inside the first 80% of cumulative revenue, B to 95%, C the
+    tail — the Pareto working-capital split every inventory/SKU
+    pipeline starts from.
+
+    Float discipline: the cumulative and total revenues are exact
+    DECIMAL sums and the class boundaries are DECIMAL comparisons
+    scaled to integers (cum·10 ≤ total·8), so classification never
+    touches a float; only the reported share divides.
+
+    Scale shape: per-part hash agg, then the cumulative revenue comes
+    from operators.rank_global.with_global_prefix_sum — the two-pass
+    range-partitioned prefix sum, never a single-partition window over
+    all parts. (The oracle's OVER () window is DuckDB-side only.)"""
+    from flink_template_spark.operators.rank_global import with_global_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(14,2)")).alias("revenue")
+    )
+    cum = with_global_prefix_sum(
+        rev,
+        [(F.col("revenue"), False), (F.col("l_partkey"), True)],
+        "revenue",
+        out_col="cum_rev",
+    )
+    total = rev.agg(F.sum("revenue").alias("total_rev"))
+    classed = cum.crossJoin(F.broadcast(total)).withColumn(
+        "abc_class",
+        F.when(F.col("cum_rev") * 10 <= F.col("total_rev") * 8, "A")
+        .when(F.col("cum_rev") * 100 <= F.col("total_rev") * 95, "B")
+        .otherwise("C"),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("revenue").cast("double").alias("class_revenue"),
+            F.round(
+                F.sum("revenue").cast("double")
+                / F.max("total_rev").cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+# (applicationId, sf_dir) pairs whose date-partitioned events dual is
+# already laid out this session (marker set, same pattern as
+# relational._BUCKETED_WRITTEN).
+_PARTITIONED_WRITTEN: set[tuple[str, str]] = set()
+
+
+def _partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per session+sf) a hive-partitioned dual of events
+    under the warehouse dir, partitioned by event_date — the layout
+    that turns a date-range scan into directory pruning at 100 TB."""
+    import re as _re
+    import shutil
+    from urllib.parse import urlparse
+
+    token = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    path = f"{wh}/part_events_{token}"
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PARTITIONED_WRITTEN:
+        shutil.rmtree(path, ignore_errors=True)
+        (
+            load_table(spark, sf_dir, "events")
+            .withColumn("event_date", F.col("ts").cast("date"))
+            .repartition("event_date")  # one file per partition dir
+            .write.partitionBy("event_date")
+            .mode("overwrite")
+            .parquet(path)
+        )
+        _PARTITIONED_WRITTEN.add(key)
+    return path
+
+
+_PRUNE_LO, _PRUNE_HI = "1995-03-01", "1995-03-31"
+
+
+@register(
+    "q_partition_pruned_scan",
+    oracle=f"""
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+WHERE CAST(ts AS DATE) >= DATE '{_PRUNE_LO}'
+  AND CAST(ts AS DATE) <= DATE '{_PRUNE_HI}'
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning as a scan strategy: events are laid out
+    hive-partitioned by event_date (written once per session — at
+    100 TB this is the ingest layout, not a per-query cost), and a
+    one-month readout touches ONLY that month's directories — the
+    plan's PartitionFilters carry the date range while the row filter
+    disappears entirely (plan-pinned in tests/test_plans.py). The
+    oracle recomputes the same month from the unpartitioned table, so
+    hash equality proves pruning lost no rows at the partition
+    boundaries (the classic off-by-one-day bug)."""
+    path = _partitioned_events_path(spark, sf_dir)
+    ev = spark.read.parquet(path)
+    return (
+        ev.filter(
+            (F.col("event_date") >= F.lit(_PRUNE_LO).cast("date"))
+            & (F.col("event_date") <= F.lit(_PRUNE_HI).cast("date"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

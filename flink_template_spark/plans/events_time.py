@@ -2512,3 +2512,93 @@ def q_first_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("wd_code")
     )
+
+
+@register(
+    "q_repurchase_hazard",
+    oracle="""
+WITH purch AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+  FROM events WHERE event_type = 'purchase'
+),
+gaps AS (
+  SELECT CAST(CAST(ts AS DATE)
+              - CAST(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS DATE) AS BIGINT) AS gap_days
+  FROM purch
+  QUALIFY gap_days IS NOT NULL
+),
+tot AS (SELECT COUNT(*) AS g FROM gaps),
+byday AS (
+  SELECT gap_days, COUNT(*) AS c FROM gaps GROUP BY gap_days
+),
+cum AS (
+  SELECT gap_days, c,
+    SUM(c) OVER (ORDER BY gap_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS before_d
+  FROM byday
+  WHERE gap_days <= 30
+)
+SELECT
+  CAST(gap_days AS BIGINT) AS gap_days,
+  CAST(c AS BIGINT) AS n_repurchases,
+  CAST(g - COALESCE(before_d, 0) AS BIGINT) AS n_at_risk,
+  ROUND(CAST(c AS DOUBLE) / CAST(g - COALESCE(before_d, 0) AS DOUBLE), 6)
+    AS hazard
+FROM cum, tot
+ORDER BY gap_days
+""",
+)
+def q_repurchase_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time repurchase hazard (the survival-analysis readout
+    retention teams plot): over all consecutive purchase pairs, the
+    probability the next purchase lands exactly d days after the last
+    GIVEN it hasn't happened yet — hazard(d) = #(gap = d) / #(gap ≥ d),
+    for d ≤ 30. Integer counts end-to-end; one double division.
+
+    Scale shape: gaps come from ONE user-partitioned LAG window over
+    the purchase subset (filter pushed to the scan); the hazard
+    denominator is a prefix sum over the POST-AGGREGATION gap-day
+    table (bounded by the day range, ≤ a few thousand rows — the
+    documented bounded-window pattern; days > 30 sort after the kept
+    prefix, so filtering first is prefix-safe), with the grand total
+    as a broadcast scalar."""
+    events = load_table(spark, sf_dir, "events")
+    purch = events.filter(F.col("event_type") == "purchase")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        purch.select(
+            F.datediff(
+                F.col("ts").cast("date"),
+                F.lag(F.col("ts")).over(w).cast("date"),
+            )
+            .cast("bigint")
+            .alias("gap_days")
+        )
+        .filter(F.col("gap_days").isNotNull())
+        .localCheckpoint(eager=False)  # two consumers: total + per-day
+    )
+    tot = gaps.agg(F.count(F.lit(1)).alias("g"))
+    byday = gaps.groupBy("gap_days").agg(F.count(F.lit(1)).alias("c"))
+    cum = (
+        byday.filter(F.col("gap_days") <= 30)
+        .withColumn(
+            "before_d",
+            F.sum("c").over(
+                W.orderBy("gap_days").rowsBetween(W.unboundedPreceding, -1)
+            ),
+        )
+    )
+    at_risk = F.col("g") - F.coalesce(F.col("before_d"), F.lit(0))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("gap_days").cast("bigint").alias("gap_days"),
+            F.col("c").cast("bigint").alias("n_repurchases"),
+            at_risk.cast("bigint").alias("n_at_risk"),
+            F.round(
+                F.col("c").cast("double") / at_risk.cast("double"), 6
+            ).alias("hazard"),
+        )
+        .orderBy("gap_days")
+    )

@@ -2407,3 +2407,55 @@ def q_lsh_curve_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("j_decile")
     )
+
+
+@register(
+    "q_golden_record_merge",
+    oracle=f"""{_COMPONENTS_CTE}
+SELECT
+  cc.component,
+  FIRST(d.doc_id ORDER BY d.n_chars DESC, d.doc_id) AS golden_doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources,
+  CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+FROM cc
+JOIN documents d ON cc.node = d.doc_id
+GROUP BY cc.component
+HAVING COUNT(*) > 1
+ORDER BY cc.component
+""",
+)
+def q_golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship / golden-record merge — entity resolution's second
+    half: within each near-dup cluster (the memoized connected
+    components), elect the canonical record by rule (longest text,
+    doc_id tiebreak) and merge provenance (distinct sources, total
+    chars). Clusters of one are pass-through and excluded.
+
+    Scale shape: serves from the per-session components memo (zero
+    extra fixpoint cost — the 100 TB artifact-layout posture shared
+    with q_leakage_safe_split); one broadcast-free hash agg keyed by
+    component with min_by inside the aggregate — no window pass."""
+    comps = _near_dup_components_table(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return (
+        comps.select("doc_id", "component")
+        .join(docs, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.min_by(
+                "doc_id",
+                F.struct(
+                    (-F.col("n_chars")).alias("neg_chars"),
+                    F.col("doc_id").alias("id"),
+                ),
+            ).alias("golden_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("component")
+    )

@@ -315,6 +315,12 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     # twice (2 + 1 = 3). The day table itself is checkpoint-pinned,
     # so the re-expansions never touch parquet.
     "q_anomaly_days": 3,
+    # r9: with_global_prefix_sum's per-partition totals window
+    # (<= shuffle-partition-count rows)
+    "q_abc_classification": 1,
+    # r9: the hazard denominator's prefix sum over the post-agg
+    # gap-day table (bounded by the calendar day range)
+    "q_repurchase_hazard": 1,
 }
 
 
@@ -793,3 +799,15 @@ def test_bucketed_join_has_no_join_side_exchange(spark, sf):
     assert "hashpartitioning(o_custkey" not in p
     assert "hashpartitioning(c_custkey" not in p
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 2  # agg + sort only
+
+
+def test_partition_pruned_scan_filters_directories_not_rows(spark, sf):
+    """q_partition_pruned_scan's deliverable is the PLAN: the date
+    range must appear as PartitionFilters (directory pruning) and no
+    row-level date filter may remain — the scan never opens a file
+    outside the month."""
+    p = plan_of(plans.QUERIES["q_partition_pruned_scan"](spark, sf))
+    assert "PartitionFilters: [isnotnull(event_date" in p
+    assert "(event_date" in p.split("PartitionFilters")[1].splitlines()[0]
+    # no residual Filter node on event_date above the scan
+    assert "Filter (" not in p or "event_date" not in p.split("Filter (")[-1].splitlines()[0]
