@@ -234,6 +234,9 @@ EXTENDED = [
     "q_golden_record_merge",
     "q_partition_pruned_scan",
     "q_repurchase_hazard",
+    "q_rolling_wau",
+    "q_new_vs_returning",
+    "q_referential_integrity_audit",
 ]
 
 

@@ -175,6 +175,9 @@ _MIDDLE: list[str] = [
     "q_golden_record_merge",
     "q_partition_pruned_scan",
     "q_repurchase_hazard",
+    "q_rolling_wau",
+    "q_new_vs_returning",
+    "q_referential_integrity_audit",
     # the last r4-cohort name (stalest verdict after a green r9)
     "q_grouping_sets",
     # r5-cohort (next-stalest after a green r9), in r5 check order

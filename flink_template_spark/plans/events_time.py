@@ -2602,3 +2602,145 @@ def q_repurchase_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gap_days")
     )
+
+
+@register(
+    "q_rolling_wau",
+    oracle="""
+WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
+SELECT
+  CAST(d AS DATE) AS day,
+  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS wau
+FROM days
+JOIN events e ON CAST(e.ts AS DATE) BETWEEN d - 6 AND d
+GROUP BY d
+ORDER BY d
+""",
+)
+def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU) per event day — the DAU/WAU
+    engagement metric — computed WITHOUT a per-day distinct or a
+    7-way self-join: each user's active days merge into coverage
+    intervals (new island when the gap exceeds the window), each
+    interval becomes a +1/−1 boundary diff, and WAU(d) is the running
+    sum of diffs. The oracle computes the same numbers the naive way
+    (day × 7-day distinct join) — hash equality proves the sweep-line
+    rewrite exact.
+
+    Scale shape: the 100 TB win IS the rewrite — a naive rolling
+    distinct re-touches every event 7× and re-distincts per day;
+    here: one (user, day) dedup shuffle, one user-partitioned LAG
+    window over user-DAYS (not events), a |days|-bounded diff table,
+    and ONE bounded prefix-sum window over the calendar (allowlisted,
+    post-aggregation)."""
+    events = load_table(spark, sf_dir, "events")
+    user_days = events.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    wu = W.partitionBy("user_id").orderBy("day")
+    islands = user_days.withColumn(
+        "new_island",
+        (
+            F.coalesce(
+                F.datediff(F.col("day"), F.lag("day").over(wu)), F.lit(999)
+            )
+            > 6
+        ).cast("int"),
+    ).withColumn(
+        "island", F.sum("new_island").over(wu.rowsBetween(W.unboundedPreceding, 0))
+    )
+    intervals = islands.groupBy("user_id", "island").agg(
+        F.min("day").alias("start"),
+        F.date_add(F.max("day"), 7).alias("end_excl"),
+    )
+    event_days = user_days.select("day").distinct().localCheckpoint(
+        eager=False
+    )  # two consumers: zero-delta seeds + the final report filter
+    # interior event days of an interval are not diff boundaries, so
+    # seed every event day with a zero delta — the sweep then emits a
+    # running total AT every reporting day, no as-of gap fill needed
+    diffs = (
+        intervals.select(F.col("start").alias("day"), F.lit(1).alias("delta"))
+        .unionByName(
+            intervals.select(
+                F.col("end_excl").alias("day"), F.lit(-1).alias("delta")
+            )
+        )
+        .unionByName(event_days.select("day", F.lit(0).alias("delta")))
+    )
+    by_day = diffs.groupBy("day").agg(F.sum("delta").alias("delta"))
+    swept = by_day.withColumn(
+        "wau",
+        F.sum("delta").over(W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return (
+        swept.join(event_days, "day", "semi")
+        .select(
+            F.col("day").cast("date").alias("day"),
+            F.col("wau").cast("bigint").alias("wau"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "q_new_vs_returning",
+    oracle="""
+WITH user_days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+firsts AS (
+  SELECT user_id, MIN(day) AS first_day FROM user_days GROUP BY user_id
+)
+SELECT
+  CAST(ud.day AS DATE) AS day,
+  CAST(SUM(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_new,
+  CAST(SUM(CASE WHEN ud.day > f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_returning,
+  ROUND(CAST(SUM(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS new_share
+FROM user_days ud JOIN firsts f ON ud.user_id = f.user_id
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning active-user mix: a user counts as NEW on
+    their first-ever active day, returning after — the acquisition /
+    retention composition chart.
+
+    Scale shape: one (user, day) dedup shuffle; first day is a MIN
+    inside a second hash agg on user_id and joins back on the same
+    key (co-partitioned — AQE reuses the exchange layout); the day
+    rollup is |days|-small. Integer counts, one division."""
+    events = load_table(spark, sf_dir, "events")
+    user_days = events.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    firsts = user_days.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        user_days.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum((F.col("day") == F.col("first_day")).cast("int"))
+            .cast("bigint")
+            .alias("n_new"),
+            F.sum((F.col("day") > F.col("first_day")).cast("int"))
+            .cast("bigint")
+            .alias("n_returning"),
+            F.round(
+                F.sum((F.col("day") == F.col("first_day")).cast("int")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("new_share"),
+        )
+        .select(
+            F.col("day").cast("date").alias("day"),
+            "n_new",
+            "n_returning",
+            "new_share",
+        )
+        .orderBy("day")
+    )

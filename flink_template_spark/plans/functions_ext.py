@@ -1818,3 +1818,89 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "digit")
     )
+
+
+@register(
+    "q_referential_integrity_audit",
+    oracle="""
+SELECT * FROM (
+  SELECT 'lineitem.l_orderkey->orders' AS fk,
+    CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_orphans
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 'lineitem.l_partkey->part',
+    CAST(COUNT(*) AS BIGINT),
+    CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+  UNION ALL
+  SELECT 'lineitem.l_suppkey->supplier',
+    CAST(COUNT(*) AS BIGINT),
+    CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  UNION ALL
+  SELECT 'orders.o_custkey->customer',
+    CAST(COUNT(*) AS BIGINT),
+    CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  UNION ALL
+  SELECT 'customer.c_nationkey->nation',
+    CAST(COUNT(*) AS BIGINT),
+    CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+  UNION ALL
+  SELECT 'supplier.s_nationkey->nation',
+    CAST(COUNT(*) AS BIGINT),
+    CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+  UNION ALL
+  SELECT 'nation.n_regionkey->region',
+    CAST(COUNT(*) AS BIGINT),
+    CAST(SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+)
+ORDER BY fk
+""",
+)
+def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key integrity audit across the whole star schema: for
+    every declared FK edge, the row count and the number of orphans
+    (child rows whose parent is missing) — the data-quality gate a
+    lakehouse ingest runs beside q_fd_audit (functional deps) and
+    q_data_expectations (column contracts). All zeros on intact data;
+    the oracle's LEFT-JOIN recount keeps the audit itself honest.
+
+    Scale shape: each edge is ONE left join + count — dimensions
+    broadcast; the two fact-fact edges shuffle on the key like any
+    fact join. The seven per-edge scalar rows union into one 7-row
+    result; at 100 TB the edges run independently (no cross-edge
+    shuffle)."""
+    fks = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    small = {"part", "supplier", "customer", "nation", "region"}
+    out = None
+    for child, ck, parent, pk in fks:
+        c = load_table(spark, sf_dir, child).select(ck)
+        p = load_table(spark, sf_dir, parent).select(pk).distinct()
+        if parent in small:
+            p = F.broadcast(p)
+        row = (
+            c.join(p, c[ck] == p[pk], "left")
+            .agg(
+                F.lit(f"{child}.{ck}->{parent}").alias("fk"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(F.col(pk).isNull().cast("int"))
+                .cast("bigint")
+                .alias("n_orphans"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fk")

@@ -321,6 +321,9 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     # r9: the hazard denominator's prefix sum over the post-agg
     # gap-day table (bounded by the calendar day range)
     "q_repurchase_hazard": 1,
+    # r9: the sweep-line running sum over the diff-day table
+    # (bounded by the calendar day range)
+    "q_rolling_wau": 1,
 }
 
 
