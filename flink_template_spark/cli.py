@@ -90,7 +90,10 @@ def main(argv: list[str] | None = None) -> int:
         if args.progress_log is not None:
             from flink_template_spark.streaming.monitoring import ProgressRecorder
 
-            recorder = ProgressRecorder()
+            # 16384-batch ledger bound: ~22 h at the 5 s trigger cadence
+            # before the deque rolls; the totals line marks truncation
+            # explicitly so rolled totals can't pass as run totals
+            recorder = ProgressRecorder(max_batches=16384)
             spark.streams.addListener(recorder)
         query = run_trip_pipeline(
             spark, source_path=args.source, checkpoint_dir=args.checkpoint
@@ -109,12 +112,20 @@ def main(argv: list[str] | None = None) -> int:
                 # writing it out.
                 import time as _time
 
-                seen = -1
+                # a non-empty ledger is stable after two equal reads; an
+                # EMPTY one must dwell longer (2 s) before concluding the
+                # run genuinely had no input — the bus thread can deliver
+                # the first progress event shortly after stop() — but not
+                # burn the full 5 s timeout either (r9 review)
+                seen, stable = -1, 0
                 for _ in range(20):
                     n = len(recorder.records)
-                    if n == seen and n > 0:
-                        break
+                    stable = stable + 1 if n == seen else 0
                     seen = n
+                    if n > 0 and stable >= 1:
+                        break
+                    if n == 0 and stable >= 8:
+                        break
                     _time.sleep(0.25)
                 out = (
                     sys.stderr
@@ -122,9 +133,13 @@ def main(argv: list[str] | None = None) -> int:
                     else open(args.progress_log, "w")
                 )
                 try:
-                    for rec in recorder.records:
+                    records = recorder.records
+                    for rec in records:
                         print(_json.dumps(rec), file=out)
-                    print(_json.dumps({"totals": recorder.totals()}), file=out)
+                    totals = recorder.totals()
+                    if len(records) >= 16384:
+                        totals["ledger_truncated"] = True
+                    print(_json.dumps({"totals": totals}), file=out)
                 finally:
                     if out is not sys.stderr:
                         out.close()

@@ -1399,25 +1399,19 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# (applicationId, sf_dir) pairs whose date-partitioned events dual is
-# already laid out this session (marker set, same pattern as
-# relational._BUCKETED_WRITTEN).
-_PARTITIONED_WRITTEN: set[tuple[str, str]] = set()
-
-
 def _partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
     """Write (once per session+sf) a hive-partitioned dual of events
     under the warehouse dir, partitioned by event_date — the layout
-    that turns a date-range scan into directory pruning at 100 TB."""
-    import re as _re
+    that turns a date-range scan into directory pruning at 100 TB.
+    Token/marker logic shared with the bucketed-join layout
+    (tables.layout_once)."""
     import shutil
-    from urllib.parse import urlparse
 
-    token = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    path = f"{wh}/part_events_{token}"
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _PARTITIONED_WRITTEN:
+    from flink_template_spark.tables import layout_once, layout_token, warehouse_dir
+
+    path = f"{warehouse_dir(spark)}/part_events_{layout_token(sf_dir)}"
+
+    def _build() -> None:
         shutil.rmtree(path, ignore_errors=True)
         (
             load_table(spark, sf_dir, "events")
@@ -1427,7 +1421,8 @@ def _partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
             .mode("overwrite")
             .parquet(path)
         )
-        _PARTITIONED_WRITTEN.add(key)
+
+    layout_once(spark, sf_dir, "partitioned_events", _build)
     return path
 
 

@@ -107,7 +107,7 @@ WITH ordered AS (
     value,
     CASE WHEN CAST(ts AS TIMESTAMP)
             - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
-          > INTERVAL 30 MINUTE
+          >= INTERVAL 30 MINUTE  -- session_window is [start, last+gap): an exact-gap event starts a NEW session (r9 review)
          OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
       THEN 1 ELSE 0 END AS is_new
   FROM events
@@ -2116,7 +2116,7 @@ ordered AS (
     CAST(ts AS TIMESTAMP) AS ts,
     CASE WHEN CAST(ts AS TIMESTAMP)
             - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-          > INTERVAL 30 MINUTE
+          >= INTERVAL 30 MINUTE  -- session_window is [start, last+gap): an exact-gap event starts a NEW session (r9 review)
          OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
       THEN 1 ELSE 0 END AS is_new
   FROM events

@@ -1889,7 +1889,11 @@ def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     out = None
     for child, ck, parent, pk in fks:
         c = load_table(spark, sf_dir, child).select(ck)
-        p = load_table(spark, sf_dir, parent).select(pk).distinct()
+        # no parent-side distinct: PKs are unique by contract, and if a
+        # parent ever held duplicate keys the oracle's plain LEFT JOIN
+        # multiplies child rows — the audit must see the same blowup,
+        # not hide it behind a dedup shuffle (r9 review)
+        p = load_table(spark, sf_dir, parent).select(pk)
         if parent in small:
             p = F.broadcast(p)
         row = (

@@ -1182,36 +1182,29 @@ def q_ols_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BUCKETS = 8
-# (applicationId, sf_dir) pairs whose bucketed duals are already written
-# this session — a plain marker set, not a DataFrame memo: the artifact
-# lives in the warehouse, only the write is skipped on re-serve.
-_BUCKETED_WRITTEN: set[tuple[str, str]] = set()
-
-
 def _bucketed_tables(spark: SparkSession, sf_dir: str):
     """Write (once per session+sf) bucketed duals of orders/customer,
     bucketed AND sorted by the join key into {_BUCKETS} buckets, and
     return them as catalog tables. At 100 TB this is the one-off
     layout job a co-location strategy pays so every subsequent
     customer-keyed join in the workload is exchange-free."""
-    import re as _re
+    from flink_template_spark.tables import layout_once, layout_token, warehouse_dir
 
-    token = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
+    token = layout_token(sf_dir)
     t_orders, t_cust = f"bkt_orders_{token}", f"bkt_customer_{token}"
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _BUCKETED_WRITTEN:
+
+    def _build() -> None:
+        import shutil
+
         for name, tbl in (("orders", t_orders), ("customer", t_cust)):
             col = "o_custkey" if name == "orders" else "c_custkey"
             # a PREVIOUS session's managed-table location survives in
             # the warehouse while this session's fresh in-memory
             # catalog has never heard of the table — overwrite can't
-            # reconcile that, so drop both explicitly first
+            # reconcile that, so drop both explicitly first (the token
+            # is lowercased, matching Spark's lowercased table dirs)
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-            import shutil
-            from urllib.parse import urlparse
-
-            wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-            shutil.rmtree(f"{wh}/{tbl}", ignore_errors=True)
+            shutil.rmtree(f"{warehouse_dir(spark)}/{tbl}", ignore_errors=True)
             (
                 load_table(spark, sf_dir, name)
                 .write.bucketBy(_BUCKETS, col)
@@ -1220,7 +1213,8 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str):
                 .format("parquet")
                 .saveAsTable(tbl)
             )
-        _BUCKETED_WRITTEN.add(key)
+
+    layout_once(spark, sf_dir, "bucketed_orders_customer", _build)
     return spark.table(t_orders), spark.table(t_cust)
 
 

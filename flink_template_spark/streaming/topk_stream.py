@@ -66,8 +66,12 @@ def topk_rank(
     types: list[str], counts: list[int], k: int = TOP_K
 ) -> list[tuple[str, int, int]]:
     """Deterministic leaderboard: (type, n, rank), count desc then
-    type asc, top k."""
-    order = sorted(zip(types, counts), key=lambda tc: (-tc[1], tc[0]))
+    type asc with a null type sorting LAST (matching Spark's NULLS
+    LAST ascending default, and None is not str-comparable anyway)."""
+    order = sorted(
+        zip(types, counts),
+        key=lambda tc: (-tc[1], tc[0] is None, tc[0] or ""),
+    )
     return [(t, c, i + 1) for i, (t, c) in enumerate(order[:k])]
 
 
@@ -93,10 +97,17 @@ def _topk_fn(k: int):
                 yield pd.DataFrame(rows)
             return
         batch = pd.concat(list(pdfs), ignore_index=True)
-        batch_counts = batch.groupby("event_type").size().to_dict()
+        batch_counts = batch.groupby("event_type", dropna=False).size().to_dict()
+        # dropna=False: the batch dual (DataFrame groupBy) keeps a null
+        # type group; pandas would silently drop it (r9 review). The
+        # NaN group key normalizes to None — NaN != NaN, so raw NaN
+        # keys would append a fresh state entry every batch.
         prev = tuple(state.get) if state.exists else ([], [])
         types, counts = topk_fold(
-            {t: int(c) for t, c in batch_counts.items()},
+            {
+                (None if pd.isna(t) else t): int(c)
+                for t, c in batch_counts.items()
+            },
             (list(prev[0]), list(prev[1])),
         )
         state.update((types, counts))

@@ -70,3 +70,42 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+# ---------------------------------------------------------------------------
+# once-per-session warehouse layout helper (shared by the bucketed-join
+# and partition-pruning demonstrations; r9 review: one copy of the
+# token/path/marker logic so fixes can't drift between call sites)
+# ---------------------------------------------------------------------------
+
+_LAYOUTS_WRITTEN: set[tuple[str, str, str]] = set()
+
+
+def layout_token(sf_dir: str) -> str:
+    """A catalog-safe token for ``sf_dir``. LOWERCASED: Spark stores
+    managed-table directories lowercased, so a mixed-case token would
+    make stale-location cleanup rmtree a path that never exists."""
+    import re
+
+    return re.sub(r"[^0-9a-z]+", "_", sf_dir.strip("/").lower())
+
+
+def warehouse_dir(spark: SparkSession) -> str:
+    from urllib.parse import urlparse
+
+    return urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+
+
+def layout_once(
+    spark: SparkSession, sf_dir: str, name: str, build
+) -> None:
+    """Run ``build()`` (a warehouse layout job — bucketed tables, a
+    partitioned directory) at most once per (session, sf_dir, name).
+    The artifact lives in the warehouse; only the write is skipped on
+    re-serve — at 100 TB this is the one-off layout job an ingest
+    pipeline owns, not a per-query cost."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if key in _LAYOUTS_WRITTEN:
+        return
+    build()
+    _LAYOUTS_WRITTEN.add(key)

@@ -99,7 +99,9 @@ def test_cli_trip_pipeline_progress_log(spark, tmp_path):
             "trip-pipeline",
             "--source", str(src),
             "--checkpoint", str(tmp_path / "ckpt"),
-            "--timeout", "12",
+            # generous: under a loaded machine (parallel suite runs)
+            # batch 0 must still fit inside the run window
+            "--timeout", "25",
             "--progress-log", str(log),
         ]
     )
