@@ -237,6 +237,8 @@ EXTENDED = [
     "q_rolling_wau",
     "q_new_vs_returning",
     "q_referential_integrity_audit",
+    "q_asof_tolerance_join",
+    "q_minhash_estimate_error",
 ]
 
 

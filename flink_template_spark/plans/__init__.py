@@ -178,6 +178,8 @@ _MIDDLE: list[str] = [
     "q_rolling_wau",
     "q_new_vs_returning",
     "q_referential_integrity_audit",
+    "q_asof_tolerance_join",
+    "q_minhash_estimate_error",
     # the last r4-cohort name (stalest verdict after a green r9)
     "q_grouping_sets",
     # r5-cohort (next-stalest after a green r9), in r5 check order

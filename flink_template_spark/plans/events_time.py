@@ -2744,3 +2744,76 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "q_asof_tolerance_join",
+    oracle="""
+WITH order_snap AS (
+  SELECT
+    o_custkey,
+    o_orderdate,
+    arg_max(o_orderkey, o_orderkey) AS o_orderkey,
+    CAST(arg_max(o_totalprice, o_orderkey) AS DOUBLE) AS o_totalprice
+  FROM orders
+  GROUP BY o_custkey, o_orderdate
+)
+SELECT
+  e.event_id,
+  e.user_id,
+  CAST(e.ts AS TIMESTAMP) AS ts,
+  CASE WHEN s.o_orderdate >= CAST(e.ts AS TIMESTAMP) - INTERVAL 7 DAY
+       THEN s.o_orderkey END AS matched_orderkey,
+  CASE WHEN s.o_orderdate >= CAST(e.ts AS TIMESTAMP) - INTERVAL 7 DAY
+       THEN s.o_totalprice END AS matched_totalprice,
+  CASE WHEN s.o_orderdate >= CAST(e.ts AS TIMESTAMP) - INTERVAL 7 DAY
+       THEN CAST(s.o_orderdate AS TIMESTAMP) END AS matched_date
+FROM events e
+ASOF LEFT JOIN order_snap s
+  ON e.user_id = s.o_custkey AND CAST(e.ts AS TIMESTAMP) >= s.o_orderdate
+""",
+)
+def q_asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS TOLERANCE (pandas merge_asof's
+    ``tolerance=``): each event gets the user's latest order snapshot
+    only if it is at most 7 days old — older state is considered
+    expired and the match nulls out. The bounded-staleness enrichment
+    contract of feature stores and risk lookups.
+
+    Scale shape: identical one-shuffle sort-merge as the plain as-of
+    (operators.asof); tolerance is a POST-join null-out of the carried
+    payload — the nearest match is by definition the only candidate
+    inside any backward window, so no extra join or range explosion.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max_by("o_orderkey", "o_orderkey").alias("matched_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey")
+            .cast("double")
+            .alias("matched_totalprice"),
+        )
+        .withColumn("matched_date", F.col("o_orderdate"))
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    joined = asof_join(
+        events,
+        orders,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["matched_orderkey", "matched_totalprice", "matched_date"],
+    )
+    fresh = F.col("matched_date") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(fresh, F.col("matched_orderkey")).alias("matched_orderkey"),
+        F.when(fresh, F.col("matched_totalprice")).alias("matched_totalprice"),
+        F.when(fresh, F.col("matched_date")).alias("matched_date"),
+    )

@@ -2459,3 +2459,144 @@ def q_golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > 1)
         .orderBy("component")
     )
+
+
+# round 9: MinHash estimator-quality audit — per-position agreement sum
+# generated from the same NUM_HASHES constant on both sides.
+_MH_AGREE_DUCK = " + ".join(
+    f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END"
+    for i in range(NUM_HASHES)
+)
+
+
+@register(
+    "q_minhash_estimate_error",
+    oracle=f"""
+WITH sh AS ({_duck_shingles(3)}),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+),
+hashed AS (
+  SELECT doc_id, {md5int_duckdb('shingle')} AS h FROM sh
+),
+sig0 AS (
+  SELECT doc_id, {_MH_AGGS_DUCK} FROM hashed GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id, {_BAND_KEYS_DUCK} FROM sig0
+),
+bands AS (
+  {_BAND_UNION_DUCK}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(sb.shingle) AS n_inter
+  FROM cands c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT
+    c.id_a, c.id_b,
+    ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+          / CAST(za.n_sh + zb.n_sh - COALESCE(i.n_inter, 0) AS DOUBLE), 6)
+      AS exact_j,
+    CAST({_MH_AGREE_DUCK} AS DOUBLE) / {NUM_HASHES}.0 AS est_j
+  FROM cands c
+  LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+  JOIN sizes za ON c.id_a = za.doc_id
+  JOIN sizes zb ON c.id_b = zb.doc_id
+  JOIN sig0 a ON c.id_a = a.doc_id
+  JOIN sig0 b ON c.id_b = b.doc_id
+)
+SELECT
+  LEAST(CAST(floor(exact_j * 10) AS BIGINT), 9) AS j_decile,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  ROUND(CAST(SUM(CAST(ROUND(exact_j, 8) AS DECIMAL(12,8))) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS mean_exact,
+  ROUND(CAST(SUM(CAST(ROUND(est_j, 8) AS DECIMAL(12,8))) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS mean_est,
+  ROUND(CAST(SUM(CAST(ROUND(ABS(est_j - exact_j), 8) AS DECIMAL(12,8)))
+             AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS mean_abs_err
+FROM scored
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator-quality audit: over the production LSH
+    candidate pairs, the signature-agreement Jaccard estimate
+    (matching positions / {NUM_HASHES}) against exact shingle Jaccard,
+    per exact-similarity decile — mean_abs_err is the estimator's
+    measured resolution (theory: sd ≈ sqrt(s(1-s)/{NUM_HASHES})), the
+    number that justifies (or indicts) a 16-hash signature budget.
+    Complements q_lsh_recall_audit (did we FIND the pair) with DID WE
+    SCORE IT RIGHT.
+
+    Scale shape: candidates from the banded bucket join (never
+    all-pairs); agreement is {NUM_HASHES} map-side comparisons on the
+    two joined signature rows; exact Jaccard joins the shingle-bucket
+    intersection counts (LEFT: a hash-collision candidate with zero
+    overlap scores exact 0). Per-pair terms round to 8 dp and sum as
+    DECIMAL — order-independent group means."""
+    from flink_template_spark.operators.dedup import (
+        minhash_lsh_pairs as _lsh,
+        minhash_signatures as _sigs,
+        ngram_jaccard_pairs as _exact,
+    )
+    from flink_template_spark.functions.hashing import NUM_HASHES as _NH
+
+    docs = load_table(spark, sf_dir, "documents")
+    cands = _lsh(docs).select("id_a", "id_b")
+    exact = _exact(docs, threshold=0.0).select("id_a", "id_b", "jaccard")
+    sa = _sigs(docs).select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(_NH)],
+    )
+    sb = _sigs(docs).select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(_NH)],
+    )
+    agree = sum(
+        (F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int") for i in range(_NH)
+    )
+    scored = (
+        cands.join(exact, ["id_a", "id_b"], "left")
+        .withColumn("exact_j", F.coalesce("jaccard", F.lit(0.0)))
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_j", agree.cast("double") / F.lit(float(_NH)))
+    )
+    dec = lambda c: F.round(c, 8).cast("decimal(12,8)")  # noqa: E731
+    n = F.count(F.lit(1))
+    return (
+        scored.groupBy(
+            F.least(
+                F.floor(F.col("exact_j") * 10).cast("bigint"), F.lit(9)
+            ).alias("j_decile")
+        )
+        .agg(
+            n.cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum(dec(F.col("exact_j"))).cast("double") / n.cast("double"),
+                6,
+            ).alias("mean_exact"),
+            F.round(
+                F.sum(dec(F.col("est_j"))).cast("double") / n.cast("double"),
+                6,
+            ).alias("mean_est"),
+            F.round(
+                F.sum(dec(F.abs(F.col("est_j") - F.col("exact_j"))))
+                .cast("double")
+                / n.cast("double"),
+                6,
+            ).alias("mean_abs_err"),
+        )
+        .orderBy("j_decile")
+    )
