@@ -2746,9 +2746,18 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Staleness tolerance for q_asof_tolerance_join. The synthetic corpus
+# puts events ~23 years after the order history (every as-of gap falls
+# in ~8200-9100 days), so a realistic days-scale tolerance would make
+# one branch vacuous; 8400 days splits the fixture distribution so BOTH
+# the matched and the expired branch carry real rows (the behavior test
+# asserts that). A real deployment sets this to its freshness SLA.
+_ASOF_TOL_DAYS = 8400
+
+
 @register(
     "q_asof_tolerance_join",
-    oracle="""
+    oracle=f"""
 WITH order_snap AS (
   SELECT
     o_custkey,
@@ -2762,11 +2771,11 @@ SELECT
   e.event_id,
   e.user_id,
   CAST(e.ts AS TIMESTAMP) AS ts,
-  CASE WHEN s.o_orderdate >= CAST(e.ts AS TIMESTAMP) - INTERVAL 7 DAY
+  CASE WHEN s.o_orderdate >= CAST(e.ts AS TIMESTAMP) - INTERVAL {_ASOF_TOL_DAYS} DAY
        THEN s.o_orderkey END AS matched_orderkey,
-  CASE WHEN s.o_orderdate >= CAST(e.ts AS TIMESTAMP) - INTERVAL 7 DAY
+  CASE WHEN s.o_orderdate >= CAST(e.ts AS TIMESTAMP) - INTERVAL {_ASOF_TOL_DAYS} DAY
        THEN s.o_totalprice END AS matched_totalprice,
-  CASE WHEN s.o_orderdate >= CAST(e.ts AS TIMESTAMP) - INTERVAL 7 DAY
+  CASE WHEN s.o_orderdate >= CAST(e.ts AS TIMESTAMP) - INTERVAL {_ASOF_TOL_DAYS} DAY
        THEN CAST(s.o_orderdate AS TIMESTAMP) END AS matched_date
 FROM events e
 ASOF LEFT JOIN order_snap s
@@ -2776,9 +2785,9 @@ ASOF LEFT JOIN order_snap s
 def q_asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join with a STALENESS TOLERANCE (pandas merge_asof's
     ``tolerance=``): each event gets the user's latest order snapshot
-    only if it is at most 7 days old — older state is considered
-    expired and the match nulls out. The bounded-staleness enrichment
-    contract of feature stores and risk lookups.
+    only if it is at most _ASOF_TOL_DAYS days old — older state is
+    considered expired and the match nulls out. The bounded-staleness
+    enrichment contract of feature stores and risk lookups.
 
     Scale shape: identical one-shuffle sort-merge as the plain as-of
     (operators.asof); tolerance is a POST-join null-out of the carried
@@ -2808,7 +2817,9 @@ def q_asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="o_orderdate",
         payload_cols=["matched_orderkey", "matched_totalprice", "matched_date"],
     )
-    fresh = F.col("matched_date") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")
+    fresh = F.col("matched_date") >= F.col("ts") - F.expr(
+        f"INTERVAL {_ASOF_TOL_DAYS} DAYS"
+    )
     return joined.select(
         "event_id",
         "user_id",
