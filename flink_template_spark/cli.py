@@ -16,6 +16,10 @@ from __future__ import annotations
 import argparse
 import sys
 
+# progress-ledger capacity shared by the recorder bound and the
+# truncation flag — one constant so they cannot drift (r9 review)
+_LEDGER_MAX = 16384
+
 
 def _spark(args):
     from flink_template_spark.session import get_spark
@@ -90,10 +94,10 @@ def main(argv: list[str] | None = None) -> int:
         if args.progress_log is not None:
             from flink_template_spark.streaming.monitoring import ProgressRecorder
 
-            # 16384-batch ledger bound: ~22 h at the 5 s trigger cadence
-            # before the deque rolls; the totals line marks truncation
+            # ledger bound: ~22 h at the 5 s trigger cadence before the
+            # deque rolls; the totals line marks (possible) truncation
             # explicitly so rolled totals can't pass as run totals
-            recorder = ProgressRecorder(max_batches=16384)
+            recorder = ProgressRecorder(max_batches=_LEDGER_MAX)
             spark.streams.addListener(recorder)
         query = run_trip_pipeline(
             spark, source_path=args.source, checkpoint_dir=args.checkpoint
@@ -133,11 +137,19 @@ def main(argv: list[str] | None = None) -> int:
                     else open(args.progress_log, "w")
                 )
                 try:
+                    from flink_template_spark.streaming.monitoring import totals_of
+
+                    # ONE snapshot feeds both the record lines and the
+                    # totals, so a late-delivered event can't make them
+                    # disagree (r9 review)
                     records = recorder.records
                     for rec in records:
                         print(_json.dumps(rec), file=out)
-                    totals = recorder.totals()
-                    if len(records) >= 16384:
+                    totals = totals_of(records)
+                    if len(records) >= _LEDGER_MAX:
+                        # deque at capacity: older batches MAY have been
+                        # evicted (a run of exactly _LEDGER_MAX batches
+                        # flags too — fullness is the observable)
                         totals["ledger_truncated"] = True
                     print(_json.dumps({"totals": totals}), file=out)
                 finally:

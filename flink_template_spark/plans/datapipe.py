@@ -1377,7 +1377,10 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         out_col="cum_rev",
     )
-    total = rev.agg(F.sum("revenue").alias("total_rev"))
+    # the grand total is the MAX cumulative — read it from the prefix
+    # pipeline's checkpointed output instead of re-running the lineitem
+    # scan + per-part agg a second time (r9 review)
+    total = cum.agg(F.max("cum_rev").alias("total_rev"))
     classed = cum.crossJoin(F.broadcast(total)).withColumn(
         "abc_class",
         F.when(F.col("cum_rev") * 10 <= F.col("total_rev") * 8, "A")

@@ -2634,9 +2634,15 @@ def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ONE bounded prefix-sum window over the calendar (allowlisted,
     post-aggregation)."""
     events = load_table(spark, sf_dir, "events")
-    user_days = events.select(
-        "user_id", F.col("ts").cast("date").alias("day")
-    ).distinct()
+    # TWO consumers reference the user-day table (the islands pipeline
+    # and the event-days report filter); pin it so the events scan and
+    # the dedup shuffle run exactly once (r9 review — this is what the
+    # docstring's "one (user, day) dedup shuffle" promises)
+    user_days = (
+        events.select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     wu = W.partitionBy("user_id").orderBy("day")
     islands = user_days.withColumn(
         "new_island",
@@ -2653,9 +2659,7 @@ def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("day").alias("start"),
         F.date_add(F.max("day"), 7).alias("end_excl"),
     )
-    event_days = user_days.select("day").distinct().localCheckpoint(
-        eager=False
-    )  # two consumers: zero-delta seeds + the final report filter
+    event_days = user_days.select("day").distinct()
     # interior event days of an interval are not diff boundaries, so
     # seed every event day with a zero delta — the sweep then emits a
     # running total AT every reporting day, no as-of gap fill needed

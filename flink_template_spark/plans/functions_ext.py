@@ -1871,11 +1871,12 @@ def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     q_data_expectations (column contracts). All zeros on intact data;
     the oracle's LEFT-JOIN recount keeps the audit itself honest.
 
-    Scale shape: each edge is ONE left join + count — dimensions
-    broadcast; the two fact-fact edges shuffle on the key like any
-    fact join. The seven per-edge scalar rows union into one 7-row
-    result; at 100 TB the edges run independently (no cross-edge
-    shuffle)."""
+    Scale shape: each edge is ONE left join + count — the bounded
+    dims (nation, region) broadcast; the five fact-scale edges
+    (lineitem×3, orders, customer… any parent that grows with SF)
+    shuffle on their keys like any fact join. The seven per-edge
+    scalar rows union into one 7-row result; at 100 TB the edges run
+    independently (no cross-edge shuffle)."""
     fks = [
         ("lineitem", "l_orderkey", "orders", "o_orderkey"),
         ("lineitem", "l_partkey", "part", "p_partkey"),
@@ -1885,7 +1886,12 @@ def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         ("supplier", "s_nationkey", "nation", "n_nationkey"),
         ("nation", "n_regionkey", "region", "r_regionkey"),
     ]
-    small = {"part", "supplier", "customer", "nation", "region"}
+    # broadcast ONLY the genuinely bounded dims: nation/region are
+    # fixed-size at any SF, while part/supplier/customer grow linearly
+    # with the corpus — broadcasting those would OOM executors at the
+    # scale this audit is written for (r9 review: the docstring's
+    # "fact-scale edges shuffle" claim must describe the actual plan)
+    small = {"nation", "region"}
     out = None
     for child, ck, parent, pk in fks:
         c = load_table(spark, sf_dir, child).select(ck)

@@ -109,17 +109,23 @@ class ProgressRecorder(StreamingQueryListener):
     def totals(self, name: str | None = None) -> dict[str, Any]:
         """Summed input rows, wall, and mean throughput over recorded
         batches (optionally one query name)."""
-        recs = [
-            r
-            for r in self.records
-            if name is None or r["name"] == name
-        ]
-        rows = sum(r["num_input_rows"] or 0 for r in recs)
-        wall_ms = sum(r["batch_duration_ms"] or 0 for r in recs)
-        return {
-            "n_batches": len(recs),
-            "num_input_rows": rows,
-            "wall_ms": wall_ms,
-            "rows_per_sec": (rows * 1000.0 / wall_ms) if wall_ms else None,
-            "max_state_rows": max((r["state_rows"] for r in recs), default=0),
-        }
+        return totals_of(self.records, name)
+
+
+def totals_of(
+    records: list[dict[str, Any]], name: str | None = None
+) -> dict[str, Any]:
+    """Totals over an explicit ledger SNAPSHOT — callers that print the
+    per-batch lines and a totals line must compute both from the same
+    list, or an event delivered between the two reads makes them
+    disagree (r9 review)."""
+    recs = [r for r in records if name is None or r["name"] == name]
+    rows = sum(r["num_input_rows"] or 0 for r in recs)
+    wall_ms = sum(r["batch_duration_ms"] or 0 for r in recs)
+    return {
+        "n_batches": len(recs),
+        "num_input_rows": rows,
+        "wall_ms": wall_ms,
+        "rows_per_sec": (rows * 1000.0 / wall_ms) if wall_ms else None,
+        "max_state_rows": max((r["state_rows"] for r in recs), default=0),
+    }
