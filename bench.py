@@ -239,6 +239,7 @@ EXTENDED = [
     "q_referential_integrity_audit",
     "q_asof_tolerance_join",
     "q_minhash_estimate_error",
+    "q_order_streaks",
 ]
 
 

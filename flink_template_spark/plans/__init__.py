@@ -180,6 +180,7 @@ _MIDDLE: list[str] = [
     "q_referential_integrity_audit",
     "q_asof_tolerance_join",
     "q_minhash_estimate_error",
+    "q_order_streaks",
     # the last r4-cohort name (stalest verdict after a green r9)
     "q_grouping_sets",
     # r5-cohort (next-stalest after a green r9), in r5 check order
