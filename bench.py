@@ -240,6 +240,11 @@ EXTENDED = [
     "q_asof_tolerance_join",
     "q_minhash_estimate_error",
     "q_order_streaks",
+    "q_kaplan_meier",
+    "q_target_encoding",
+    "q_assoc_rules",
+    "q_gini_split_scores",
+    "q_cramers_v_matrix",
 ]
 
 

@@ -181,6 +181,11 @@ _MIDDLE: list[str] = [
     "q_asof_tolerance_join",
     "q_minhash_estimate_error",
     "q_order_streaks",
+    "q_kaplan_meier",
+    "q_target_encoding",
+    "q_assoc_rules",
+    "q_gini_split_scores",
+    "q_cramers_v_matrix",
     # the last r4-cohort name (stalest verdict after a green r9)
     "q_grouping_sets",
     # r5-cohort (next-stalest after a green r9), in r5 check order

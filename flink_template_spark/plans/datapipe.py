@@ -1376,10 +1376,12 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(F.col("revenue"), False), (F.col("l_partkey"), True)],
         "revenue",
         out_col="cum_rev",
-    )
+    ).localCheckpoint(eager=False)  # consumers: grand total + classed
     # the grand total is the MAX cumulative — read it from the prefix
-    # pipeline's checkpointed output instead of re-running the lineitem
-    # scan + per-part agg a second time (r9 review)
+    # pipeline's pinned output instead of re-running the lineitem
+    # scan + per-part agg a second time (r9 review); the pin keeps the
+    # prefix pipeline (and its offsets window) single-shot across both
+    # consumers
     total = cum.agg(F.max("cum_rev").alias("total_rev"))
     classed = cum.crossJoin(F.broadcast(total)).withColumn(
         "abc_class",
@@ -1469,4 +1471,425 @@ def q_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
         .orderBy("event_type")
+    )
+
+
+_TE_SMOOTH = 20  # pseudo-observations pulled toward the global mean
+
+
+@register(
+    "q_target_encoding",
+    oracle=f"""
+WITH g AS (
+  SELECT COUNT(*) AS gn,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS gs
+  FROM orders
+),
+c AS (
+  SELECT o_orderpriority AS category, COUNT(*) AS cnt,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+  FROM orders GROUP BY 1
+)
+SELECT category,
+  CAST(cnt AS BIGINT) AS n_orders,
+  ROUND(CAST(s AS DOUBLE) / cnt, 6) AS raw_mean,
+  ROUND((CAST(s AS DOUBLE) + {_TE_SMOOTH}.0 * (CAST(gs AS DOUBLE) / gn))
+        / (cnt + {_TE_SMOOTH}.0), 6) AS encoded
+FROM c CROSS JOIN g
+ORDER BY category
+""",
+)
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target (mean) encoding — the leak-prone categorical
+    feature every tabular-ML pipeline ships: each category's label
+    mean shrunk toward the global mean with {_TE_SMOOTH}
+    pseudo-observations, enc = (sum_cat + m*mu) / (n_cat + m), so
+    rare categories don't memorize their few labels (the smoothing IS
+    the regularizer; pair with q_train_test_split's hash split to
+    keep the encoder fit on train only).
+
+    Float discipline: both sums are exact DECIMAL(18,2) aggregates
+    cast to double (correctly-rounded conversion, engine-identical);
+    the shrinkage is one fixed IEEE dag, 6-dp rounded.
+
+    Scale shape: ONE hash aggregation with map-side partials over the
+    2-column pruned orders scan; the global mean is a broadcast
+    scalar cross join — no shuffle beyond the |categories|-row agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    g = orders.agg(
+        F.count(F.lit(1)).alias("gn"), F.sum(dec).alias("gs")
+    )
+    c = orders.groupBy(F.col("o_orderpriority").alias("category")).agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum(dec).alias("s")
+    )
+    mu = F.col("gs").cast("double") / F.col("gn")
+    return (
+        c.crossJoin(F.broadcast(g))
+        .select(
+            "category",
+            F.col("cnt").cast("bigint").alias("n_orders"),
+            F.round(F.col("s").cast("double") / F.col("cnt"), 6).alias(
+                "raw_mean"
+            ),
+            F.round(
+                (F.col("s").cast("double") + F.lit(float(_TE_SMOOTH)) * mu)
+                / (F.col("cnt") + F.lit(float(_TE_SMOOTH))),
+                6,
+            ).alias("encoded"),
+        )
+        .orderBy("category")
+    )
+
+
+_RULES_TOP = 30
+
+
+@register(
+    "q_assoc_rules",
+    oracle=f"""
+WITH d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+item AS (SELECT p, COUNT(*) AS cnt FROM d GROUP BY p),
+pairs AS (
+  SELECT a.p AS pa, b.p AS pb, COUNT(*) AS support
+  FROM d a JOIN d b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_BASKET_MINSUP}
+),
+rules AS (
+  SELECT pa AS antecedent, pb AS consequent, support, ia.cnt AS cnt_a
+  FROM pairs JOIN item ia ON pa = ia.p
+  UNION ALL
+  SELECT pb, pa, support, ib.cnt
+  FROM pairs JOIN item ib ON pb = ib.p
+)
+SELECT antecedent, consequent,
+  CAST(support AS BIGINT) AS support,
+  CAST(cnt_a AS BIGINT) AS cnt_antecedent,
+  ROUND(CAST(support AS DOUBLE) / CAST(cnt_a AS DOUBLE), 6) AS confidence
+FROM rules
+ORDER BY confidence DESC, antecedent, consequent
+LIMIT {_RULES_TOP}
+""",
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules A=>B (apriori round 3, on top of
+    q_basket_pairs' symmetric lift): confidence = supp(A,B)/supp(A),
+    emitted for BOTH directions of every frequent pair — the rule
+    form recommenders actually rank by, where conf(A=>B) and
+    conf(B=>A) differ exactly when the items' popularities do.
+
+    Scale shape: identical candidate bound to q_basket_pairs (pairs
+    only from WITHIN an order — an equi-join on the order key, never
+    a cartesian, pair volume <= sum basket_size^2); the direction
+    fan-out is a 2x union of the POST-HAVING frequent-pair table
+    (tiny); item supports join broadcast-small; the final
+    top-{_RULES_TOP} is TakeOrderedAndProject on the 6-dp-rounded
+    confidence with a (antecedent, consequent) total-order tiebreak,
+    never a full sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)  # consumers: both pair sides + item
+    )
+    item = d.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
+    a = d.select("o", F.col("p").alias("pa"))
+    b = d.select("o", F.col("p").alias("pb"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _BASKET_MINSUP)
+        .localCheckpoint(eager=False)  # consumers: both rule directions
+    )
+    fwd = pairs.join(item.withColumnRenamed("p", "pa"), "pa").select(
+        F.col("pa").alias("antecedent"),
+        F.col("pb").alias("consequent"),
+        "support",
+        F.col("cnt").alias("cnt_a"),
+    )
+    rev = pairs.join(item.withColumnRenamed("p", "pb"), "pb").select(
+        F.col("pb").alias("antecedent"),
+        F.col("pa").alias("consequent"),
+        "support",
+        F.col("cnt").alias("cnt_a"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("support").cast("bigint").alias("support"),
+            F.col("cnt_a").cast("bigint").alias("cnt_antecedent"),
+            F.round(
+                F.col("support").cast("double") / F.col("cnt_a").cast("double"),
+                6,
+            ).alias("confidence"),
+        )
+        .orderBy(
+            F.col("confidence").desc(), "antecedent", "consequent"
+        )
+        .limit(_RULES_TOP)
+    )
+
+
+_GINI_PRICE_SPLIT = 250000  # ~median o_totalprice: balanced binary label
+# engine-portable weekday: day-count since a fixed Monday, mod 7 — both
+# engines do the same integer arithmetic (no locale/DOW-origin quirks)
+_WD_SQL = "CAST((CAST(o_orderdate AS DATE) - DATE '1992-01-01') % 7 AS VARCHAR)"
+
+
+def _wd_spark():
+    return (
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.to_date(F.lit("1992-01-01"))
+        )
+        % 7
+    ).cast("string")
+
+
+@register(
+    "q_gini_split_scores",
+    oracle=f"""
+WITH lab AS (
+  SELECT o_orderpriority AS f_priority, o_orderstatus AS f_status,
+         {_WD_SQL} AS f_weekday,
+         CASE WHEN o_totalprice > {_GINI_PRICE_SPLIT} THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+tall AS (
+  SELECT 'priority' AS feature, f_priority AS v, y FROM lab
+  UNION ALL SELECT 'status', f_status, y FROM lab
+  UNION ALL SELECT 'weekday', f_weekday, y FROM lab
+),
+parent AS (SELECT COUNT(*) AS n, SUM(y) AS pos FROM lab),
+byval AS (
+  SELECT feature, v, COUNT(*) AS n_v, SUM(y) AS pos_v
+  FROM tall GROUP BY 1, 2
+),
+agg AS (
+  SELECT feature, COUNT(*) AS n_values,
+    SUM((CAST(pos_v AS DOUBLE) * pos_v
+         + CAST(n_v - pos_v AS DOUBLE) * (n_v - pos_v))
+        / CAST(n_v AS DOUBLE)) AS purity
+  FROM byval GROUP BY 1
+)
+SELECT feature,
+  CAST(n_values AS BIGINT) AS n_values,
+  ROUND(1.0 - purity / CAST(n AS DOUBLE), 6) AS weighted_gini,
+  ROUND((1.0 - (CAST(pos AS DOUBLE) * pos
+                + CAST(n - pos AS DOUBLE) * (n - pos))
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        - (1.0 - purity / CAST(n AS DOUBLE)), 6) AS gini_gain
+FROM agg CROSS JOIN parent
+ORDER BY feature
+""",
+)
+def q_gini_split_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump split scoring: weighted Gini impurity and Gini
+    gain of three candidate categorical features (order priority,
+    status, engine-portable weekday) against a balanced binary label
+    (o_totalprice > {_GINI_PRICE_SPLIT}) — the feature-selection
+    primitive of every tree learner, and deliberately
+    TRANSCENDENTAL-FREE (Gini over entropy: pure rational arithmetic
+    on exact counts — the chi²-over-MI discipline, quality.py).
+
+    Float discipline: weighted Gini is rewritten as
+    1 - (1/N)·Σ_v (pos_v² + neg_v²)/n_v, so each per-value term is a
+    fixed integer-product dag; the cross-value Σ is a double sum over
+    ≤ |values| ≤ 7 terms (ulp-order noise, 6-dp rounded).
+
+    Scale shape: ONE 3-column pruned scan feeds a 3-way tagged union
+    (map-side; the single-scan tagged-explode pattern) into one hash
+    agg with map-side partials — the per-(feature, value) table is
+    |features|·|values| ≤ ~20 rows; parent totals broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    lab = orders.select(
+        F.col("o_orderpriority").alias("f_priority"),
+        F.col("o_orderstatus").alias("f_status"),
+        _wd_spark().alias("f_weekday"),
+        F.when(F.col("o_totalprice") > _GINI_PRICE_SPLIT, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("y"),
+    )
+    tall = lab.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("priority").alias("feature"),
+                    F.col("f_priority").alias("v"),
+                ),
+                F.struct(
+                    F.lit("status").alias("feature"),
+                    F.col("f_status").alias("v"),
+                ),
+                F.struct(
+                    F.lit("weekday").alias("feature"),
+                    F.col("f_weekday").alias("v"),
+                ),
+            )
+        ).alias("fv"),
+        "y",
+    ).select("fv.feature", "fv.v", "y")
+    parent = lab.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    byval = tall.groupBy("feature", "v").agg(
+        F.count(F.lit(1)).alias("n_v"), F.sum("y").alias("pos_v")
+    )
+    neg_v = F.col("n_v") - F.col("pos_v")
+    term = (
+        F.col("pos_v").cast("double") * F.col("pos_v")
+        + neg_v.cast("double") * neg_v
+    ) / F.col("n_v").cast("double")
+    agg = byval.groupBy("feature").agg(
+        F.count(F.lit(1)).alias("n_values"), F.sum(term).alias("purity")
+    )
+    nd = F.col("n").cast("double")
+    parent_gini = F.lit(1.0) - (
+        F.col("pos").cast("double") * F.col("pos")
+        + (F.col("n") - F.col("pos")).cast("double") * (F.col("n") - F.col("pos"))
+    ) / (nd * nd)
+    weighted = F.lit(1.0) - F.col("purity") / nd
+    return (
+        agg.crossJoin(F.broadcast(parent))
+        .select(
+            "feature",
+            F.col("n_values").cast("bigint").alias("n_values"),
+            F.round(weighted, 6).alias("weighted_gini"),
+            F.round(parent_gini - weighted, 6).alias("gini_gain"),
+        )
+        .orderBy("feature")
+    )
+
+
+@register(
+    "q_cramers_v_matrix",
+    oracle=f"""
+WITH cells AS MATERIALIZED (
+  SELECT 'priority_x_status' AS pair, o_orderpriority AS va,
+         o_orderstatus AS vb, COUNT(*) AS o
+  FROM orders GROUP BY 2, 3
+  UNION ALL
+  SELECT 'priority_x_weekday', o_orderpriority, {_WD_SQL}, COUNT(*)
+  FROM orders GROUP BY 2, 3
+  UNION ALL
+  SELECT 'status_x_weekday', o_orderstatus, {_WD_SQL}, COUNT(*)
+  FROM orders GROUP BY 2, 3
+),
+ra AS (SELECT pair, va, SUM(o) AS ra FROM cells GROUP BY 1, 2),
+cb AS (SELECT pair, vb, SUM(o) AS cb FROM cells GROUP BY 1, 2),
+dims AS (
+  SELECT pair, COUNT(DISTINCT va) AS r, COUNT(DISTINCT vb) AS c
+  FROM cells GROUP BY 1
+),
+n AS (SELECT COUNT(*) AS n FROM orders),
+terms AS (
+  SELECT cells.pair,
+    (CAST(o AS DOUBLE)
+      - (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)) / CAST(n AS DOUBLE))
+    * (CAST(o AS DOUBLE)
+      - (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)) / CAST(n AS DOUBLE))
+    / ((CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)) / CAST(n AS DOUBLE)) AS term
+  FROM cells
+  JOIN ra ON cells.pair = ra.pair AND cells.va = ra.va
+  JOIN cb ON cells.pair = cb.pair AND cells.vb = cb.vb
+  CROSS JOIN n
+),
+chi AS (SELECT pair, SUM(term) AS chi2 FROM terms GROUP BY 1)
+SELECT chi.pair,
+  ROUND(chi2, 6) AS chi2,
+  CAST(r AS BIGINT) AS n_rows_cat,
+  CAST(c AS BIGINT) AS n_cols_cat,
+  ROUND(SQRT(chi2 / (CAST(n AS DOUBLE) * LEAST(r - 1, c - 1))), 6)
+    AS cramers_v
+FROM chi JOIN dims ON chi.pair = dims.pair CROSS JOIN n
+ORDER BY chi.pair
+""",
+)
+def q_cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association matrix over categorical column pairs of
+    ``orders`` — the data-profiling pass that flags redundant or
+    leaking categoricals before training (V ≈ 0: independent; V ≈ 1:
+    one column determines the other). chi² over the 2-way contingency
+    table, normalized by N·min(r−1, c−1); sqrt is IEEE-exact, so the
+    only inexactness is the ≤ |r·c| ≤ 35-term double sum (6-dp
+    rounded) — transcendental-free like q_chi2_terms.
+
+    Scale shape: ONE 3-column pruned scan feeds a 3-way tagged
+    explode into one hash agg; every downstream table (cells,
+    marginals, dims) is bounded by |categories|² per pair, never
+    data-sized; the cell table is checkpoint-pinned once for its four
+    consumers (cells/ra/cb/dims), and N broadcasts."""
+    orders = load_table(spark, sf_dir, "orders")
+    src = orders.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("st"),
+        _wd_spark().alias("wd"),
+    )
+    tagged = src.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("priority_x_status").alias("pair"),
+                    F.col("pri").alias("va"),
+                    F.col("st").alias("vb"),
+                ),
+                F.struct(
+                    F.lit("priority_x_weekday").alias("pair"),
+                    F.col("pri").alias("va"),
+                    F.col("wd").alias("vb"),
+                ),
+                F.struct(
+                    F.lit("status_x_weekday").alias("pair"),
+                    F.col("st").alias("va"),
+                    F.col("wd").alias("vb"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.pair", "x.va", "x.vb")
+    cells = (
+        tagged.groupBy("pair", "va", "vb")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=False)  # consumers: terms + ra + cb + dims
+    )
+    ra = cells.groupBy("pair", "va").agg(F.sum("o").alias("ra"))
+    cb = cells.groupBy("pair", "vb").agg(F.sum("o").alias("cb"))
+    dims = cells.groupBy("pair").agg(
+        F.count_distinct("va").alias("r"), F.count_distinct("vb").alias("c")
+    )
+    n = orders.agg(F.count(F.lit(1)).alias("n"))
+    e = (F.col("ra").cast("double") * F.col("cb").cast("double")) / F.col(
+        "n"
+    ).cast("double")
+    od = F.col("o").cast("double")
+    terms = (
+        cells.join(ra, ["pair", "va"])
+        .join(cb, ["pair", "vb"])
+        .crossJoin(F.broadcast(n))
+        .select("pair", ((od - e) * (od - e) / e).alias("term"))
+    )
+    chi = terms.groupBy("pair").agg(F.sum("term").alias("chi2"))
+    return (
+        chi.join(F.broadcast(dims), "pair")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pair",
+            F.round(F.col("chi2"), 6).alias("chi2"),
+            F.col("r").cast("bigint").alias("n_rows_cat"),
+            F.col("c").cast("bigint").alias("n_cols_cat"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (
+                        F.col("n").cast("double")
+                        * F.least(F.col("r") - 1, F.col("c") - 1)
+                    )
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+        .orderBy("pair")
     )

@@ -2832,3 +2832,141 @@ def q_asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("matched_totalprice")).alias("matched_totalprice"),
         F.when(fresh, F.col("matched_date")).alias("matched_date"),
     )
+
+
+_KM_MAX_DAYS = 30
+
+
+@register(
+    "q_kaplan_meier",
+    oracle=f"""
+WITH purch AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+  FROM events WHERE event_type = 'purchase'
+),
+mx AS (SELECT CAST(MAX(ts) AS DATE) AS end_d FROM purch),
+nxt AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS DATE) AS nd
+  FROM purch
+),
+obs AS (
+  SELECT
+    CASE WHEN nd IS NULL THEN CAST(end_d - d AS BIGINT)
+         ELSE CAST(nd - d AS BIGINT) END AS t,
+    CASE WHEN nd IS NULL THEN 0 ELSE 1 END AS died
+  FROM nxt CROSS JOIN mx
+),
+tot AS (SELECT COUNT(*) AS n0 FROM obs),
+byday AS (
+  SELECT t, SUM(died) AS d_t, COUNT(*) AS leave_t FROM obs GROUP BY t
+),
+cum AS (
+  SELECT t, d_t,
+    n0 - COALESCE(SUM(leave_t) OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_t
+  FROM byday CROSS JOIN tot
+),
+steps AS (
+  SELECT t, d_t, n_t,
+    CASE WHEN d_t >= n_t THEN 0.0
+         ELSE LN(1.0 - CAST(d_t AS DOUBLE) / CAST(n_t AS DOUBLE))
+    END AS ln_keep,
+    CASE WHEN d_t >= n_t THEN 1 ELSE 0 END AS hit_zero
+  FROM cum
+  WHERE d_t > 0 AND t <= {_KM_MAX_DAYS}
+)
+SELECT
+  CAST(t AS BIGINT) AS gap_days,
+  CAST(d_t AS BIGINT) AS n_deaths,
+  CAST(n_t AS BIGINT) AS n_at_risk,
+  CASE WHEN MAX(hit_zero) OVER (ORDER BY t) = 1 THEN 0.0
+       ELSE ROUND(EXP(SUM(ln_keep) OVER (ORDER BY t)), 6)
+  END AS survival
+FROM steps
+ORDER BY gap_days
+""",
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier repurchase survival with RIGHT-CENSORING — the
+    estimator q_repurchase_hazard's discrete hazard feeds: each
+    consecutive purchase pair is an observed "death" at its gap, and
+    each user's LAST purchase is a censored observation that survives
+    until the end of the corpus window (without censoring, no-loss KM
+    telescopes to 1 - CDF and is not the estimator at all).
+    S(d) = prod_(d' <= d) (1 - deaths_d'/at_risk_d'), stepping only at
+    death days, with censor-only days still draining the risk set.
+
+    Float discipline: the product is EXP(SUM(LN(1-h))) with an
+    identical dag in both engines, rounded 6-dp (sum of <= ~30 libm
+    log terms; ulp noise orders below the rounding); the curve's
+    hit-zero tail (h = 1: every subject at risk dies) is carried by an
+    explicit running-max flag because Spark's LOG(0) is NULL while
+    DuckDB's is -inf — the CASE keeps both engines off that edge.
+
+    Scale shape: observations come from ONE user-partitioned LEAD
+    window over the purchase subset (filter pushed to the scan); the
+    corpus end date is a broadcast scalar; all running quantities
+    (risk-set drain, zero flag, log-survival) are prefix windows over
+    the POST-AGGREGATION day table — bounded by the calendar day
+    range, never data-sized (the documented bounded-window pattern
+    shared with q_repurchase_hazard)."""
+    events = load_table(spark, sf_dir, "events")
+    purch = events.filter(F.col("event_type") == "purchase")
+    mx = purch.agg(F.max("ts").cast("date").alias("end_d"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = purch.select(
+        F.col("ts").cast("date").alias("d"),
+        F.lead(F.col("ts")).over(w).cast("date").alias("nd"),
+    )
+    obs = (
+        nxt.crossJoin(F.broadcast(mx))
+        .select(
+            F.when(
+                F.col("nd").isNull(), F.datediff(F.col("end_d"), F.col("d"))
+            )
+            .otherwise(F.datediff(F.col("nd"), F.col("d")))
+            .cast("bigint")
+            .alias("t"),
+            F.when(F.col("nd").isNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("died"),
+        )
+        .localCheckpoint(eager=False)  # two consumers: total + per-day
+    )
+    tot = obs.agg(F.count(F.lit(1)).alias("n0"))
+    byday = obs.groupBy("t").agg(
+        F.sum("died").alias("d_t"), F.count(F.lit(1)).alias("leave_t")
+    )
+    wt = W.orderBy("t")
+    cum = byday.crossJoin(F.broadcast(tot)).withColumn(
+        "n_t",
+        F.col("n0")
+        - F.coalesce(
+            F.sum("leave_t").over(wt.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    h = F.col("d_t").cast("double") / F.col("n_t").cast("double")
+    steps = cum.filter(
+        (F.col("d_t") > 0) & (F.col("t") <= _KM_MAX_DAYS)
+    ).select(
+        "t",
+        "d_t",
+        "n_t",
+        F.when(F.col("d_t") >= F.col("n_t"), F.lit(0.0))
+        .otherwise(F.log(F.lit(1.0) - h))
+        .alias("ln_keep"),
+        F.when(F.col("d_t") >= F.col("n_t"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("hit_zero"),
+    )
+    return steps.select(
+        F.col("t").cast("bigint").alias("gap_days"),
+        F.col("d_t").cast("bigint").alias("n_deaths"),
+        F.col("n_t").cast("bigint").alias("n_at_risk"),
+        F.when(F.max("hit_zero").over(wt) == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.sum("ln_keep").over(wt)), 6))
+        .alias("survival"),
+    ).orderBy("gap_days")

@@ -315,15 +315,20 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     # twice (2 + 1 = 3). The day table itself is checkpoint-pinned,
     # so the re-expansions never touch parquet.
     "q_anomaly_days": 3,
-    # r9: with_global_prefix_sum's per-partition totals window
-    # (<= shuffle-partition-count rows)
-    "q_abc_classification": 1,
+    # (q_abc_classification's with_global_prefix_sum offsets window sits
+    # behind the pinned cum checkpoint since the r9 grand-total rework —
+    # count 0)
     # r9: the hazard denominator's prefix sum over the post-agg
     # gap-day table (bounded by the calendar day range)
     "q_repurchase_hazard": 1,
     # r9: the sweep-line running sum over the diff-day table
     # (bounded by the calendar day range)
     "q_rolling_wau": 1,
+    # r9: the risk-set drain prefix sum + the (zero-flag, log-survival)
+    # pair sharing one Window node, both over the POST-AGGREGATION
+    # gap-day table — bounded by the calendar day range like
+    # q_repurchase_hazard, never data-sized
+    "q_kaplan_meier": 2,
 }
 
 
