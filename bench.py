@@ -245,6 +245,8 @@ EXTENDED = [
     "q_assoc_rules",
     "q_gini_split_scores",
     "q_cramers_v_matrix",
+    "q_psi_value_drift",
+    "q_join_cardinality_audit",
 ]
 
 

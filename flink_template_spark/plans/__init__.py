@@ -186,6 +186,8 @@ _MIDDLE: list[str] = [
     "q_assoc_rules",
     "q_gini_split_scores",
     "q_cramers_v_matrix",
+    "q_psi_value_drift",
+    "q_join_cardinality_audit",
     # the last r4-cohort name (stalest verdict after a green r9)
     "q_grouping_sets",
     # r5-cohort (next-stalest after a green r9), in r5 check order

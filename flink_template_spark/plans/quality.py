@@ -2612,3 +2612,155 @@ def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("rk").cast("bigint").alias("rk"))
         .orderBy("lang", "rk")
     )
+
+
+_PSI_BINS = 10
+
+
+@register(
+    "q_psi_value_drift",
+    oracle=f"""
+WITH ev AS MATERIALIZED (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, value
+  FROM events WHERE value IS NOT NULL
+),
+span AS (
+  SELECT event_type, MIN(d) AS d0, MAX(d) AS d1 FROM ev GROUP BY 1
+),
+mid AS (
+  SELECT event_type,
+         d0 + CAST(FLOOR((d1 - d0) / 2.0) AS INTEGER) AS mid_d
+  FROM span
+),
+refstat AS (
+  SELECT ev.event_type, MIN(value) AS vmin, MAX(value) AS vmax
+  FROM ev JOIN mid ON ev.event_type = mid.event_type
+  WHERE ev.d < mid.mid_d
+  GROUP BY 1
+),
+binned AS (
+  SELECT ev.event_type,
+    CASE WHEN ev.d < mid.mid_d THEN 'ref' ELSE 'cur' END AS period,
+    CAST(LEAST(GREATEST(FLOOR((value - vmin)
+        / ((vmax - vmin) / {_PSI_BINS}.0)), 0), {_PSI_BINS - 1}) AS BIGINT)
+      AS bin
+  FROM ev
+  JOIN mid ON ev.event_type = mid.event_type
+  JOIN refstat ON ev.event_type = refstat.event_type
+),
+counts AS (
+  SELECT event_type, bin,
+    SUM(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS c_ref,
+    SUM(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS c_cur
+  FROM binned GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur
+  FROM counts GROUP BY 1
+),
+terms AS (
+  SELECT counts.event_type, n_ref, n_cur,
+    ((CAST(c_ref + 1 AS DOUBLE) / (n_ref + {_PSI_BINS}))
+     - (CAST(c_cur + 1 AS DOUBLE) / (n_cur + {_PSI_BINS})))
+    * LN((CAST(c_ref + 1 AS DOUBLE) / (n_ref + {_PSI_BINS}))
+         / (CAST(c_cur + 1 AS DOUBLE) / (n_cur + {_PSI_BINS}))) AS term
+  FROM counts JOIN tot ON counts.event_type = tot.event_type
+)
+SELECT event_type,
+  CAST(n_ref AS BIGINT) AS n_ref,
+  CAST(n_cur AS BIGINT) AS n_cur,
+  ROUND(SUM(term), 6) AS psi
+FROM terms
+GROUP BY 1, 2, 3
+ORDER BY event_type
+""",
+)
+def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type — the model-monitoring
+    drift statistic scorecard teams alarm on (PSI < 0.1 stable,
+    > 0.25 shifted): the value distribution of each event type's
+    SECOND half of the timeline scored against its FIRST half over
+    {_PSI_BINS} equal-width bins fit on the reference period.
+    Complements q_ks_source_drift (KS = worst-case CDF gap; PSI =
+    distribution-wide weighted log-ratio).
+
+    Float discipline: bin edges come from reference-period min/max
+    scalars (exact doubles; identical FLOOR((v-vmin)/width) dag in
+    both engines, clamped into the edge bins so out-of-range current
+    values count rather than drop); proportions are Laplace-smoothed
+    (+1 per bin) so no ln(0)/division-by-zero edge exists; the
+    {_PSI_BINS}-term double sum is 6-dp rounded (ulp-order noise).
+
+    Scale shape: ONE 3-column pruned events scan pinned once for its
+    three consumers (date span, reference min/max, binning); the
+    per-type boundary/stat tables are |event types| rows and
+    broadcast; bin counts are a single hash agg with map-side
+    partials over (type, period, bin) — never a per-row window or a
+    sort."""
+    events = load_table(spark, sf_dir, "events")
+    ev = (
+        events.filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.col("ts").cast("timestamp").cast("date").alias("d"),
+            "value",
+        )
+        .localCheckpoint(eager=False)  # consumers: span + refstat + binning
+    )
+    mid = ev.groupBy("event_type").agg(
+        F.expr(
+            "date_add(MIN(d), CAST(FLOOR(datediff(MAX(d), MIN(d)) / 2.0) AS INT))"
+        ).alias("mid_d")
+    )
+    refstat = (
+        ev.join(F.broadcast(mid), "event_type")
+        .filter(F.col("d") < F.col("mid_d"))
+        .groupBy("event_type")
+        .agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    )
+    width = (F.col("vmax") - F.col("vmin")) / F.lit(float(_PSI_BINS))
+    binned = (
+        ev.join(F.broadcast(mid), "event_type")
+        .join(F.broadcast(refstat), "event_type")
+        .select(
+            "event_type",
+            F.when(F.col("d") < F.col("mid_d"), F.lit("ref"))
+            .otherwise(F.lit("cur"))
+            .alias("period"),
+            F.least(
+                F.greatest(
+                    F.floor((F.col("value") - F.col("vmin")) / width),
+                    F.lit(0),
+                ),
+                F.lit(_PSI_BINS - 1),
+            )
+            .cast("bigint")
+            .alias("bin"),
+        )
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("period") == "ref", 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(F.col("period") == "cur", 1).otherwise(0)).alias("c_cur"),
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
+    )
+    p = (F.col("c_ref") + 1).cast("double") / (F.col("n_ref") + _PSI_BINS)
+    q = (F.col("c_cur") + 1).cast("double") / (F.col("n_cur") + _PSI_BINS)
+    terms = counts.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        ((p - q) * F.log(p / q)).alias("term"),
+    )
+    return (
+        terms.groupBy("event_type", "n_ref", "n_cur")
+        .agg(F.round(F.sum("term"), 6).alias("psi"))
+        .select(
+            "event_type",
+            F.col("n_ref").cast("bigint").alias("n_ref"),
+            F.col("n_cur").cast("bigint").alias("n_cur"),
+            "psi",
+        )
+        .orderBy("event_type")
+    )

@@ -1255,3 +1255,123 @@ def q_bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+def _card_audit_pair(name, df1, k1, df2, k2):
+    """One row of the cardinality audit: textbook equi-join estimate
+    |R|·|S| / max(d_R, d_S) vs the EXACT output size Σ_k c_R(k)·c_S(k),
+    computed from the two per-key count tables without running the
+    join itself."""
+    c1 = df1.groupBy(F.col(k1).alias("k")).agg(F.count(F.lit(1)).alias("c1"))
+    c2 = df2.groupBy(F.col(k2).alias("k")).agg(F.count(F.lit(1)).alias("c2"))
+    s1 = c1.agg(
+        F.sum("c1").alias("n1"), F.count(F.lit(1)).alias("d1")
+    )
+    s2 = c2.agg(
+        F.sum("c2").alias("n2"), F.count(F.lit(1)).alias("d2")
+    )
+    actual = c1.join(c2, "k").agg(
+        F.sum(F.col("c1") * F.col("c2")).alias("actual_rows")
+    )
+    est = (
+        F.col("n1").cast("double")
+        * F.col("n2").cast("double")
+        / F.greatest(F.col("d1"), F.col("d2")).cast("double")
+    )
+    return (
+        actual.crossJoin(F.broadcast(s1))
+        .crossJoin(F.broadcast(s2))
+        .select(
+            F.lit(name).alias("join_name"),
+            F.col("n1").cast("bigint").alias("n_left"),
+            F.col("n2").cast("bigint").alias("n_right"),
+            F.col("actual_rows").cast("bigint").alias("actual_rows"),
+            F.round(est, 2).alias("est_rows"),
+            F.round(est / F.col("actual_rows").cast("double"), 6).alias(
+                "est_over_actual"
+            ),
+        )
+    )
+
+
+_CARD_PAIR_SQL = """
+SELECT '{name}' AS join_name,
+  CAST(n1 AS BIGINT) AS n_left,
+  CAST(n2 AS BIGINT) AS n_right,
+  CAST(actual_rows AS BIGINT) AS actual_rows,
+  ROUND(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        / CAST(GREATEST(d1, d2) AS DOUBLE), 2) AS est_rows,
+  ROUND((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+         / CAST(GREATEST(d1, d2) AS DOUBLE))
+        / CAST(actual_rows AS DOUBLE), 6) AS est_over_actual
+FROM
+ (SELECT SUM(c1) AS n1, COUNT(*) AS d1 FROM
+   (SELECT {k1} AS k, COUNT(*) AS c1 FROM {t1} GROUP BY 1) z1) a,
+ (SELECT SUM(c2) AS n2, COUNT(*) AS d2 FROM
+   (SELECT {k2} AS k, COUNT(*) AS c2 FROM {t2} GROUP BY 1) z2) b,
+ (SELECT SUM(c1 * c2) AS actual_rows FROM
+   (SELECT {k1} AS k, COUNT(*) AS c1 FROM {t1} GROUP BY 1) x
+   JOIN
+   (SELECT {k2} AS k, COUNT(*) AS c2 FROM {t2} GROUP BY 1) y
+   ON x.k = y.k) c
+"""
+
+
+@register(
+    "q_join_cardinality_audit",
+    oracle=(
+        _CARD_PAIR_SQL.format(
+            name="customer_x_orders", k1="c_custkey", t1="customer",
+            k2="o_custkey", t2="orders",
+        )
+        + " UNION ALL "
+        + _CARD_PAIR_SQL.format(
+            name="orders_x_lineitem", k1="o_orderkey", t1="orders",
+            k2="l_orderkey", t2="lineitem",
+        )
+        + " UNION ALL "
+        + _CARD_PAIR_SQL.format(
+            name="supplier_x_lineitem", k1="s_suppkey", t1="supplier",
+            k2="l_suppkey", t2="lineitem",
+        )
+        + " ORDER BY join_name"
+    ),
+)
+def q_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimator audit — the statistic a cost-based optimizer
+    lives on: for three FK joins, the textbook equi-join estimate
+    |R|·|S| / max(ndv_R, ndv_S) against the EXACT join output size
+    Σ_k c_R(k)·c_S(k), and their ratio. A ratio far from 1.0 is the
+    skew/correlation signal that tells a planner its uniformity
+    assumption (and thus its join order and broadcast choice) is
+    wrong — the audit a 100 TB deployment runs BEFORE trusting
+    ANALYZE-based plans on a new dataset.
+
+    Scale shape: the exact size is computed WITHOUT executing the
+    join — both sides collapse to per-key count tables first (hash
+    aggs with map-side partials, output bounded by ndv), and the
+    count-product join is key-partitioned on those compacted tables;
+    the side totals are broadcast scalars. Integer counts end-to-end;
+    estimate and ratio are one fixed IEEE dag each (2-dp / 6-dp)."""
+    pairs = [
+        (
+            "customer_x_orders",
+            load_table(spark, sf_dir, "customer"), "c_custkey",
+            load_table(spark, sf_dir, "orders"), "o_custkey",
+        ),
+        (
+            "orders_x_lineitem",
+            load_table(spark, sf_dir, "orders"), "o_orderkey",
+            load_table(spark, sf_dir, "lineitem"), "l_orderkey",
+        ),
+        (
+            "supplier_x_lineitem",
+            load_table(spark, sf_dir, "supplier"), "s_suppkey",
+            load_table(spark, sf_dir, "lineitem"), "l_suppkey",
+        ),
+    ]
+    out = None
+    for name, df1, k1, df2, k2 in pairs:
+        row = _card_audit_pair(name, df1, k1, df2, k2)
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("join_name")
