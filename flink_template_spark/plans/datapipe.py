@@ -1237,19 +1237,53 @@ def q_spatial_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BASKET_MINSUP = 2  # minimum co-occurrence support
 _BASKET_TOP = 20
 
-
-@register(
-    "q_basket_pairs",
-    oracle=f"""
-WITH d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-n_ord AS (SELECT COUNT(DISTINCT o) AS n_orders FROM d),
+# ONE copy of the market-basket candidate pipeline (distinct baskets →
+# item supports → within-order frequent pairs), shared by
+# q_basket_pairs and q_assoc_rules in BOTH engines so the candidate
+# bound can never drift between the lift and the confidence readouts
+_BASKET_CTE_SQL = f"""d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
 item AS (SELECT p, COUNT(*) AS cnt FROM d GROUP BY p),
 pairs AS (
   SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS support
   FROM d a JOIN d b ON a.o = b.o AND a.p < b.p
   GROUP BY 1, 2
   HAVING COUNT(*) >= {_BASKET_MINSUP}
-)
+)"""
+
+
+def _frequent_part_pairs(li: DataFrame):
+    """Shared market-basket candidate pipeline: returns
+    ``(d, item, pairs)`` — the pinned distinct (order, part) basket
+    table, per-part supports, and within-order frequent pairs
+    (support ≥ {_BASKET_MINSUP}, columns part_a < part_b). The
+    self-join is an equi-join on the order key — never a cartesian —
+    so pair volume is bounded by Σ basket_size²."""
+    # d has many consumers across both callers (both pair sides, item
+    # counts, order total): pin one materialized distinct
+    # (multi-consumer subtree policy)
+    d = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    item = d.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
+    a = d.select(F.col("o"), F.col("p").alias("part_a"))
+    b = d.select(F.col("o"), F.col("p").alias("part_b"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _BASKET_MINSUP)
+    )
+    return d, item, pairs
+
+
+@register(
+    "q_basket_pairs",
+    oracle=f"""
+WITH {_BASKET_CTE_SQL},
+n_ord AS (SELECT COUNT(DISTINCT o) AS n_orders FROM d)
 SELECT part_a, part_b, CAST(support AS BIGINT) AS support,
   CAST(ia.cnt AS BIGINT) AS cnt_a, CAST(ib.cnt AS BIGINT) AS cnt_b,
   ROUND(CAST(support AS DOUBLE) * CAST(n_orders AS DOUBLE)
@@ -1277,27 +1311,8 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-{_BASKET_TOP} is TakeOrderedAndProject (never a full sort).
     Integer counts end-to-end; lift is one fixed IEEE dag, 6-dp."""
     li = load_table(spark, sf_dir, "lineitem")
-    # FIVE consumers reference d (both pair sides, item counts twice,
-    # order total): pin one materialized distinct instead of five
-    # scan+distinct evaluations (multi-consumer subtree policy — the
-    # lazy localCheckpoint is the bounded-checkpoint trade rank_global
-    # makes, materialized at the first action)
-    d = (
-        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    d, item, pairs = _frequent_part_pairs(li)
     n_ord = d.agg(F.count_distinct("o").alias("n_orders"))
-    item = d.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
-    a = d.select(F.col("o"), F.col("p").alias("part_a"))
-    b = d.select(F.col("o"), F.col("p").alias("part_b"))
-    pairs = (
-        a.join(b, "o")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= _BASKET_MINSUP)
-    )
     return (
         pairs.join(item.withColumnRenamed("p", "part_a").withColumnRenamed("cnt", "cnt_a"), "part_a")
         .join(item.withColumnRenamed("p", "part_b").withColumnRenamed("cnt", "cnt_b"), "part_b")
@@ -1517,12 +1532,15 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar cross join — no shuffle beyond the |categories|-row agg."""
     orders = load_table(spark, sf_dir, "orders")
     dec = F.col("o_totalprice").cast("decimal(18,2)")
-    g = orders.agg(
-        F.count(F.lit(1)).alias("gn"), F.sum(dec).alias("gs")
+    c = (
+        orders.groupBy(F.col("o_orderpriority").alias("category"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum(dec).alias("s"))
+        .localCheckpoint(eager=False)  # consumers: global totals + output
     )
-    c = orders.groupBy(F.col("o_orderpriority").alias("category")).agg(
-        F.count(F.lit(1)).alias("cnt"), F.sum(dec).alias("s")
-    )
+    # the global totals are the category marginals re-summed — exact
+    # decimal arithmetic, so deriving them from the pinned per-category
+    # table (instead of a second orders scan) is bit-identical
+    g = c.agg(F.sum("cnt").alias("gn"), F.sum("s").alias("gs"))
     mu = F.col("gs").cast("double") / F.col("gn")
     return (
         c.crossJoin(F.broadcast(g))
@@ -1548,20 +1566,14 @@ _RULES_TOP = 30
 @register(
     "q_assoc_rules",
     oracle=f"""
-WITH d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-item AS (SELECT p, COUNT(*) AS cnt FROM d GROUP BY p),
-pairs AS (
-  SELECT a.p AS pa, b.p AS pb, COUNT(*) AS support
-  FROM d a JOIN d b ON a.o = b.o AND a.p < b.p
-  GROUP BY 1, 2
-  HAVING COUNT(*) >= {_BASKET_MINSUP}
-),
+WITH {_BASKET_CTE_SQL},
 rules AS (
-  SELECT pa AS antecedent, pb AS consequent, support, ia.cnt AS cnt_a
-  FROM pairs JOIN item ia ON pa = ia.p
+  SELECT part_a AS antecedent, part_b AS consequent, support,
+         ia.cnt AS cnt_a
+  FROM pairs JOIN item ia ON part_a = ia.p
   UNION ALL
-  SELECT pb, pa, support, ib.cnt
-  FROM pairs JOIN item ib ON pb = ib.p
+  SELECT part_b, part_a, support, ib.cnt
+  FROM pairs JOIN item ib ON part_b = ib.p
 )
 SELECT antecedent, consequent,
   CAST(support AS BIGINT) AS support,
@@ -1588,31 +1600,19 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     confidence with a (antecedent, consequent) total-order tiebreak,
     never a full sort."""
     li = load_table(spark, sf_dir, "lineitem")
-    d = (
-        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-        .localCheckpoint(eager=False)  # consumers: both pair sides + item
-    )
-    item = d.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
-    a = d.select("o", F.col("p").alias("pa"))
-    b = d.select("o", F.col("p").alias("pb"))
-    pairs = (
-        a.join(b, "o")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= _BASKET_MINSUP)
-        .localCheckpoint(eager=False)  # consumers: both rule directions
-    )
-    fwd = pairs.join(item.withColumnRenamed("p", "pa"), "pa").select(
-        F.col("pa").alias("antecedent"),
-        F.col("pb").alias("consequent"),
+    _, item, pairs = _frequent_part_pairs(li)
+    # both rule directions consume the pair table: pin the (tiny)
+    # post-HAVING result so the candidate join runs once
+    pairs = pairs.localCheckpoint(eager=False)
+    fwd = pairs.join(item.withColumnRenamed("p", "part_a"), "part_a").select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
         "support",
         F.col("cnt").alias("cnt_a"),
     )
-    rev = pairs.join(item.withColumnRenamed("p", "pb"), "pb").select(
-        F.col("pb").alias("antecedent"),
-        F.col("pa").alias("consequent"),
+    rev = pairs.join(item.withColumnRenamed("p", "part_b"), "part_b").select(
+        F.col("part_b").alias("antecedent"),
+        F.col("part_a").alias("consequent"),
         "support",
         F.col("cnt").alias("cnt_a"),
     )
@@ -1733,11 +1733,16 @@ def q_gini_split_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fv"),
         "y",
     ).select("fv.feature", "fv.v", "y")
-    parent = lab.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    byval = (
+        tall.groupBy("feature", "v")
+        .agg(F.count(F.lit(1)).alias("n_v"), F.sum("y").alias("pos_v"))
+        .localCheckpoint(eager=False)  # consumers: parent totals + agg
     )
-    byval = tall.groupBy("feature", "v").agg(
-        F.count(F.lit(1)).alias("n_v"), F.sum("y").alias("pos_v")
+    # every feature partitions ALL rows (no NULL categories), so the
+    # parent totals are any single feature's marginals re-summed —
+    # exact integers off the pinned ≤20-row table, not a second scan
+    parent = byval.filter(F.col("feature") == "priority").agg(
+        F.sum("n_v").alias("n"), F.sum("pos_v").alias("pos")
     )
     neg_v = F.col("n_v") - F.col("pos_v")
     term = (
@@ -1803,8 +1808,9 @@ SELECT chi.pair,
   ROUND(chi2, 6) AS chi2,
   CAST(r AS BIGINT) AS n_rows_cat,
   CAST(c AS BIGINT) AS n_cols_cat,
-  ROUND(SQRT(chi2 / (CAST(n AS DOUBLE) * LEAST(r - 1, c - 1))), 6)
-    AS cramers_v
+  CASE WHEN LEAST(r - 1, c - 1) = 0 THEN CAST(NULL AS DOUBLE)
+       ELSE ROUND(SQRT(chi2 / (CAST(n AS DOUBLE) * LEAST(r - 1, c - 1))), 6)
+  END AS cramers_v
 FROM chi JOIN dims ON chi.pair = dims.pair CROSS JOIN n
 ORDER BY chi.pair
 """,
@@ -1880,16 +1886,26 @@ def q_cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("chi2"), 6).alias("chi2"),
             F.col("r").cast("bigint").alias("n_rows_cat"),
             F.col("c").cast("bigint").alias("n_cols_cat"),
-            F.round(
-                F.sqrt(
-                    F.col("chi2")
-                    / (
-                        F.col("n").cast("double")
-                        * F.least(F.col("r") - 1, F.col("c") - 1)
-                    )
-                ),
-                6,
-            ).alias("cramers_v"),
+            # a single-category column makes min(r-1, c-1) zero: V is
+            # undefined (NULL), and Spark's ANSI divide would throw
+            # where DuckDB NULLs — guard explicitly in both engines
+            F.when(
+                F.least(F.col("r") - 1, F.col("c") - 1) == 0,
+                F.lit(None).cast("double"),
+            )
+            .otherwise(
+                F.round(
+                    F.sqrt(
+                        F.col("chi2")
+                        / (
+                            F.col("n").cast("double")
+                            * F.least(F.col("r") - 1, F.col("c") - 1)
+                        )
+                    ),
+                    6,
+                )
+            )
+            .alias("cramers_v"),
         )
         .orderBy("pair")
     )

@@ -2641,9 +2641,11 @@ refstat AS (
 binned AS (
   SELECT ev.event_type,
     CASE WHEN ev.d < mid.mid_d THEN 'ref' ELSE 'cur' END AS period,
-    CAST(LEAST(GREATEST(FLOOR((value - vmin)
-        / ((vmax - vmin) / {_PSI_BINS}.0)), 0), {_PSI_BINS - 1}) AS BIGINT)
-      AS bin
+    CASE WHEN vmax = vmin THEN 0
+         ELSE CAST(LEAST(GREATEST(FLOOR((value - vmin)
+             / ((vmax - vmin) / {_PSI_BINS}.0)), 0), {_PSI_BINS - 1})
+           AS BIGINT)
+    END AS bin
   FROM ev
   JOIN mid ON ev.event_type = mid.event_type
   JOIN refstat ON ev.event_type = refstat.event_type
@@ -2687,7 +2689,10 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Float discipline: bin edges come from reference-period min/max
     scalars (exact doubles; identical FLOOR((v-vmin)/width) dag in
     both engines, clamped into the edge bins so out-of-range current
-    values count rather than drop); proportions are Laplace-smoothed
+    values count rather than drop, and a constant-valued reference
+    period collapses every row into bin 0 via an explicit vmax = vmin
+    guard — Spark's ANSI divide would otherwise throw on the zero
+    width while DuckDB NULLs it); proportions are Laplace-smoothed
     (+1 per bin) so no ln(0)/division-by-zero edge exists; the
     {_PSI_BINS}-term double sum is 6-dp rounded (ulp-order noise).
 
@@ -2727,14 +2732,16 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("d") < F.col("mid_d"), F.lit("ref"))
             .otherwise(F.lit("cur"))
             .alias("period"),
-            F.least(
-                F.greatest(
-                    F.floor((F.col("value") - F.col("vmin")) / width),
-                    F.lit(0),
-                ),
-                F.lit(_PSI_BINS - 1),
+            F.when(F.col("vmax") == F.col("vmin"), F.lit(0).cast("bigint"))
+            .otherwise(
+                F.least(
+                    F.greatest(
+                        F.floor((F.col("value") - F.col("vmin")) / width),
+                        F.lit(0),
+                    ),
+                    F.lit(_PSI_BINS - 1),
+                ).cast("bigint")
             )
-            .cast("bigint")
             .alias("bin"),
         )
     )

@@ -1262,8 +1262,19 @@ def _card_audit_pair(name, df1, k1, df2, k2):
     |R|·|S| / max(d_R, d_S) vs the EXACT output size Σ_k c_R(k)·c_S(k),
     computed from the two per-key count tables without running the
     join itself."""
-    c1 = df1.groupBy(F.col(k1).alias("k")).agg(F.count(F.lit(1)).alias("c1"))
-    c2 = df2.groupBy(F.col(k2).alias("k")).agg(F.count(F.lit(1)).alias("c2"))
+    # each count table feeds TWO consumers (side totals + the
+    # count-product join): pin them so every base table is scanned
+    # and aggregated exactly once (multi-consumer subtree policy)
+    c1 = (
+        df1.groupBy(F.col(k1).alias("k"))
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .localCheckpoint(eager=False)
+    )
+    c2 = (
+        df2.groupBy(F.col(k2).alias("k"))
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=False)
+    )
     s1 = c1.agg(
         F.sum("c1").alias("n1"), F.count(F.lit(1)).alias("d1")
     )

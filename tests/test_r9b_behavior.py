@@ -1,0 +1,239 @@
+"""Round-9 second-wave behavior pins (axiom-over-replayed-oracle
+discipline — the DuckDB oracle replays a formula bug verbatim; these
+assert properties the MATH guarantees, plus brute recounts from the
+raw parquet where cheap at sf0.001):
+
+- Kaplan-Meier: survival is non-increasing in (0, 1]; the risk set is
+  non-increasing; deaths never exceed the risk set; and the curve
+  recomputes exactly (6-dp) from its own (n_deaths, n_at_risk)
+  columns — the product identity the estimator is defined by;
+- target encoding: every encoded value lies strictly between the
+  category's raw mean and the global mean (or equals both when they
+  coincide) — the shrinkage direction the smoothing guarantees; the
+  global mean recounts from the raw orders table;
+- association rules: confidence recounts from a brute basket scan
+  (supp(A,B) / supp(A)) for every emitted rule; both directions of a
+  pair carry the same support;
+- Gini split: gain >= 0 for every feature (splitting never increases
+  impurity — concavity of Gini), weighted_gini in [0, 0.5];
+- Cramér's V: V in [0, 1] and chi2 >= 0 for every pair;
+- PSI: psi >= 0 for every event type ((p-q)·ln(p/q) is pointwise
+  non-negative), and n_ref + n_cur recounts the non-null value rows;
+- join-cardinality audit: actual_rows equals the EXECUTED join's
+  count for every pair (the audit never runs the join; this does).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from flink_template_spark import plans
+from flink_template_spark.tables import load_table
+
+
+def test_kaplan_meier_axioms(spark, sf_dir):
+    rows = (
+        plans.QUERIES["q_kaplan_meier"](spark, sf_dir)
+        .orderBy("gap_days")
+        .collect()
+    )
+    assert rows, "KM curve is empty"
+    prev_s, prev_n = 1.0, None
+    running = 1.0
+    for r in rows:
+        assert 0.0 <= r.survival <= 1.0
+        assert r.survival <= prev_s + 1e-9, "survival must be non-increasing"
+        if prev_n is not None:
+            assert r.n_at_risk <= prev_n, "risk set must be non-increasing"
+        assert 0 < r.n_deaths <= r.n_at_risk
+        # the defining product identity, recomputed from the output
+        running *= 1.0 - r.n_deaths / r.n_at_risk
+        assert abs(r.survival - round(running, 6)) <= 1e-9 or (
+            r.survival == 0.0 and running <= 1e-12
+        ), f"survival at d={r.gap_days} is not the KM product"
+        prev_s, prev_n = r.survival, r.n_at_risk
+
+
+def test_target_encoding_shrinks_toward_global_mean(spark, sf_dir):
+    out = {
+        r.category: r
+        for r in plans.QUERIES["q_target_encoding"](spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    ).collect()[0]
+    mu = g.mu
+    assert out
+    for r in out.values():
+        lo, hi = sorted((r.raw_mean, mu))
+        assert lo - 1e-6 <= r.encoded <= hi + 1e-6, (
+            f"{r.category}: encoded {r.encoded} outside "
+            f"[raw_mean, global_mean] = [{lo}, {hi}]"
+        )
+        # with finite smoothing the encoded mean never collapses onto
+        # the global mean unless the raw mean already equals it
+        if abs(r.raw_mean - mu) > 1e-3:
+            assert abs(r.encoded - mu) > 1e-9
+
+
+def test_assoc_rules_confidence_brute_recount(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = defaultdict(set)
+    for r in li.select("l_orderkey", "l_partkey").collect():
+        baskets[r.l_orderkey].add(r.l_partkey)
+    item = defaultdict(int)
+    pair = defaultdict(int)
+    for parts in baskets.values():
+        for p in parts:
+            item[p] += 1
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                pair[(a, b)] += 1
+    rows = plans.QUERIES["q_assoc_rules"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        key = tuple(sorted((r.antecedent, r.consequent)))
+        assert pair[key] == r.support, f"support mismatch for {key}"
+        assert item[r.antecedent] == r.cnt_antecedent
+        assert r.confidence == round(r.support / r.cnt_antecedent, 6)
+    # both directions of any pair present in the top list agree on
+    # support (directionality only changes the denominator)
+    sup = {}
+    for r in rows:
+        key = tuple(sorted((r.antecedent, r.consequent)))
+        assert sup.setdefault(key, r.support) == r.support
+
+
+def test_gini_split_axioms(spark, sf_dir):
+    rows = plans.QUERIES["q_gini_split_scores"](spark, sf_dir).collect()
+    assert {r.feature for r in rows} == {"priority", "status", "weekday"}
+    for r in rows:
+        assert 0.0 <= r.weighted_gini <= 0.5 + 1e-9
+        assert r.gini_gain >= -1e-9, (
+            f"{r.feature}: splitting increased impurity ({r.gini_gain})"
+        )
+
+
+def test_cramers_v_axioms(spark, sf_dir):
+    rows = plans.QUERIES["q_cramers_v_matrix"](spark, sf_dir).collect()
+    assert {r.pair for r in rows} == {
+        "priority_x_status",
+        "priority_x_weekday",
+        "status_x_weekday",
+    }
+    for r in rows:
+        assert r.chi2 >= 0.0
+        assert r.n_rows_cat >= 2 and r.n_cols_cat >= 2
+        assert 0.0 <= r.cramers_v <= 1.0 + 1e-9
+
+
+def test_psi_nonnegative_and_totals(spark, sf_dir):
+    rows = plans.QUERIES["q_psi_value_drift"](spark, sf_dir).collect()
+    assert rows
+    events = load_table(spark, sf_dir, "events")
+    totals = {
+        r.event_type: r.n
+        for r in events.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.psi >= 0.0, f"{r.event_type}: PSI must be non-negative"
+        assert r.n_ref + r.n_cur == totals[r.event_type]
+        assert r.n_ref > 0 and r.n_cur > 0
+
+
+def test_join_cardinality_actual_matches_executed_join(spark, sf_dir):
+    out = {
+        r.join_name: r
+        for r in plans.QUERIES["q_join_cardinality_audit"](
+            spark, sf_dir
+        ).collect()
+    }
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    executed = {
+        "customer_x_orders": cust.join(
+            orders, cust.c_custkey == orders.o_custkey
+        ).count(),
+        "orders_x_lineitem": orders.join(
+            li, orders.o_orderkey == li.l_orderkey
+        ).count(),
+        "supplier_x_lineitem": supp.join(
+            li, supp.s_suppkey == li.l_suppkey
+        ).count(),
+    }
+    assert set(out) == set(executed)
+    for name, r in out.items():
+        assert r.actual_rows == executed[name], name
+        # estimate sanity: the textbook formula from the emitted totals
+        est = r.n_left * r.n_right
+        assert r.est_rows > 0 and r.est_over_actual > 0
+        assert r.est_rows <= est  # dividing by max(ndv) >= 1
+
+
+def test_psi_constant_reference_value_does_not_throw(spark, tmp_path):
+    """ANSI-mode regression pin: a constant-valued reference period
+    makes the bin width zero; the explicit vmax = vmin guard must keep
+    Spark's ANSI divide off that edge (DuckDB would NULL it — the
+    engines would otherwise diverge crash-vs-rows). All rows collapse
+    into bin 0, so the only PSI contribution is the tiny
+    Laplace-smoothing asymmetry between the unequal half sizes
+    ((n+1)/(n+10) differs slightly when n_ref != n_cur)."""
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + (i % 20)), i % 3, "hb", 7.5, "{}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = plans.QUERIES["q_psi_value_drift"](spark, str(tmp_path)).collect()
+    assert len(out) == 1 and out[0].event_type == "hb"
+    assert 0.0 <= out[0].psi < 0.01
+
+
+def test_cramers_v_single_category_column_yields_null(spark, tmp_path):
+    """ANSI-mode regression pin: a single-category column makes
+    min(r-1, c-1) zero; V is undefined and must come back NULL (not a
+    DIVIDE_BY_ZERO crash) for the pairs involving that column."""
+    import datetime as dt
+
+    rows = [
+        (
+            i,
+            i % 7,
+            "F",  # single status category
+            1000.0 + i,
+            dt.datetime(1995, 1, 1 + (i % 25)),
+            ["1-URGENT", "2-HIGH", "3-MEDIUM"][i % 3],
+        )
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = {
+        r.pair: r
+        for r in plans.QUERIES["q_cramers_v_matrix"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out["priority_x_status"].cramers_v is None
+    assert out["status_x_weekday"].cramers_v is None
+    assert out["priority_x_weekday"].cramers_v is not None
