@@ -1266,7 +1266,13 @@ def _frequent_part_pairs(li: DataFrame):
         .distinct()
         .localCheckpoint(eager=False)
     )
-    item = d.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
+    # item also has two consumers in every caller (cnt_a/cnt_b joins,
+    # or both rule directions): pin the tiny per-part support table too
+    item = (
+        d.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     a = d.select(F.col("o"), F.col("p").alias("part_a"))
     b = d.select(F.col("o"), F.col("p").alias("part_b"))
     pairs = (
@@ -1636,6 +1642,13 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _GINI_PRICE_SPLIT = 250000  # ~median o_totalprice: balanced binary label
+# (tag, lab-column) per candidate feature; the explode AND the
+# parent-totals filter both derive from this single tuple
+_GINI_FEATURES = (
+    ("priority", "f_priority"),
+    ("status", "f_status"),
+    ("weekday", "f_weekday"),
+)
 # engine-portable weekday: day-count since a fixed Monday, mod 7 — both
 # engines do the same integer arithmetic (no locale/DOW-origin quirks)
 _WD_SQL = "CAST((CAST(o_orderdate AS DATE) - DATE '1992-01-01') % 7 AS VARCHAR)"
@@ -1717,18 +1730,12 @@ def q_gini_split_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     tall = lab.select(
         F.explode(
             F.array(
-                F.struct(
-                    F.lit("priority").alias("feature"),
-                    F.col("f_priority").alias("v"),
-                ),
-                F.struct(
-                    F.lit("status").alias("feature"),
-                    F.col("f_status").alias("v"),
-                ),
-                F.struct(
-                    F.lit("weekday").alias("feature"),
-                    F.col("f_weekday").alias("v"),
-                ),
+                *[
+                    F.struct(
+                        F.lit(tag).alias("feature"), F.col(col).alias("v")
+                    )
+                    for tag, col in _GINI_FEATURES
+                ]
             )
         ).alias("fv"),
         "y",
@@ -1741,7 +1748,9 @@ def q_gini_split_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every feature partitions ALL rows (no NULL categories), so the
     # parent totals are any single feature's marginals re-summed —
     # exact integers off the pinned ≤20-row table, not a second scan
-    parent = byval.filter(F.col("feature") == "priority").agg(
+    # (the tag comes from the same _GINI_FEATURES tuple that built the
+    # explode, so a feature rename can't silently NULL the totals)
+    parent = byval.filter(F.col("feature") == _GINI_FEATURES[0][0]).agg(
         F.sum("n_v").alias("n"), F.sum("pos_v").alias("pos")
     )
     neg_v = F.col("n_v") - F.col("pos_v")

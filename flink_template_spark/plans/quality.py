@@ -2667,14 +2667,18 @@ terms AS (
     * LN((CAST(c_ref + 1 AS DOUBLE) / (n_ref + {_PSI_BINS}))
          / (CAST(c_cur + 1 AS DOUBLE) / (n_cur + {_PSI_BINS}))) AS term
   FROM counts JOIN tot ON counts.event_type = tot.event_type
+),
+agg AS (
+  SELECT event_type, n_ref, n_cur, SUM(term) AS s
+  FROM terms GROUP BY 1, 2, 3
 )
-SELECT event_type,
+SELECT agg.event_type,
   CAST(n_ref AS BIGINT) AS n_ref,
   CAST(n_cur AS BIGINT) AS n_cur,
-  ROUND(SUM(term), 6) AS psi
-FROM terms
-GROUP BY 1, 2, 3
-ORDER BY event_type
+  CASE WHEN refstat.vmax = refstat.vmin THEN CAST(NULL AS DOUBLE)
+       ELSE ROUND(s, 6) END AS psi
+FROM agg JOIN refstat ON agg.event_type = refstat.event_type
+ORDER BY agg.event_type
 """,
 )
 def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2692,7 +2696,10 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     values count rather than drop, and a constant-valued reference
     period collapses every row into bin 0 via an explicit vmax = vmin
     guard — Spark's ANSI divide would otherwise throw on the zero
-    width while DuckDB NULLs it); proportions are Laplace-smoothed
+    width while DuckDB NULLs it — with the type's PSI reported NULL:
+    a zero-width reference can't measure drift, and a masked
+    near-zero would read "stable" exactly when the current period may
+    have drifted arbitrarily); proportions are Laplace-smoothed
     (+1 per bin) so no ln(0)/division-by-zero edge exists; the
     {_PSI_BINS}-term double sum is 6-dp rounded (ulp-order noise).
 
@@ -2722,6 +2729,7 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("d") < F.col("mid_d"))
         .groupBy("event_type")
         .agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+        .localCheckpoint(eager=False)  # consumers: binning + NULL-out
     )
     width = (F.col("vmax") - F.col("vmin")) / F.lit(float(_PSI_BINS))
     binned = (
@@ -2760,14 +2768,27 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cur",
         ((p - q) * F.log(p / q)).alias("term"),
     )
+    agg = terms.groupBy("event_type", "n_ref", "n_cur").agg(
+        F.sum("term").alias("s")
+    )
+    # a zero-width reference collapses every row into bin 0, which
+    # would read as "stable" exactly when the current period may have
+    # drifted arbitrarily — report NULL (undefined) rather than a
+    # masked near-zero
     return (
-        terms.groupBy("event_type", "n_ref", "n_cur")
-        .agg(F.round(F.sum("term"), 6).alias("psi"))
+        agg.join(
+            F.broadcast(refstat.select("event_type", "vmin", "vmax")),
+            "event_type",
+        )
         .select(
             "event_type",
             F.col("n_ref").cast("bigint").alias("n_ref"),
             F.col("n_cur").cast("bigint").alias("n_cur"),
-            "psi",
+            F.when(
+                F.col("vmax") == F.col("vmin"), F.lit(None).cast("double")
+            )
+            .otherwise(F.round(F.col("s"), 6))
+            .alias("psi"),
         )
         .orderBy("event_type")
     )

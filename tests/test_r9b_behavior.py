@@ -49,10 +49,12 @@ def test_kaplan_meier_axioms(spark, sf_dir):
             assert r.n_at_risk <= prev_n, "risk set must be non-increasing"
         assert 0 < r.n_deaths <= r.n_at_risk
         # the defining product identity, recomputed from the output
+        # (tolerance covers the engine's 6-dp rounding without
+        # assuming Python round()'s half-even mode matches HALF_UP)
         running *= 1.0 - r.n_deaths / r.n_at_risk
-        assert abs(r.survival - round(running, 6)) <= 1e-9 or (
-            r.survival == 0.0 and running <= 1e-12
-        ), f"survival at d={r.gap_days} is not the KM product"
+        assert abs(r.survival - running) <= 5e-7 + 1e-9, (
+            f"survival at d={r.gap_days} is not the KM product"
+        )
         prev_s, prev_n = r.survival, r.n_at_risk
 
 
@@ -102,7 +104,8 @@ def test_assoc_rules_confidence_brute_recount(spark, sf_dir):
         key = tuple(sorted((r.antecedent, r.consequent)))
         assert pair[key] == r.support, f"support mismatch for {key}"
         assert item[r.antecedent] == r.cnt_antecedent
-        assert r.confidence == round(r.support / r.cnt_antecedent, 6)
+        # 6-dp-rounding tolerance (engine HALF_UP vs Python half-even)
+        assert abs(r.confidence - r.support / r.cnt_antecedent) <= 5e-7
     # both directions of any pair present in the top list agree on
     # support (directionality only changes the denominator)
     sup = {}
@@ -187,9 +190,10 @@ def test_psi_constant_reference_value_does_not_throw(spark, tmp_path):
     makes the bin width zero; the explicit vmax = vmin guard must keep
     Spark's ANSI divide off that edge (DuckDB would NULL it — the
     engines would otherwise diverge crash-vs-rows). All rows collapse
-    into bin 0, so the only PSI contribution is the tiny
-    Laplace-smoothing asymmetry between the unequal half sizes
-    ((n+1)/(n+10) differs slightly when n_ref != n_cur)."""
+    into bin 0 and the PSI comes back NULL — undefined is honest: a
+    zero-width reference can't measure drift, and a masked near-zero
+    would read "stable" against an arbitrarily drifted current
+    period."""
     import datetime as dt
 
     rows = [
@@ -203,7 +207,8 @@ def test_psi_constant_reference_value_does_not_throw(spark, tmp_path):
     df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
     out = plans.QUERIES["q_psi_value_drift"](spark, str(tmp_path)).collect()
     assert len(out) == 1 and out[0].event_type == "hb"
-    assert 0.0 <= out[0].psi < 0.01
+    assert out[0].psi is None
+    assert out[0].n_ref + out[0].n_cur == 40
 
 
 def test_cramers_v_single_category_column_yields_null(spark, tmp_path):
