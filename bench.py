@@ -247,6 +247,9 @@ EXTENDED = [
     "q_cramers_v_matrix",
     "q_psi_value_drift",
     "q_join_cardinality_audit",
+    "q_bloom_fpr_audit",
+    "q_dbscan_core_points",
+    "q_source_lang_entropy",
 ]
 
 

@@ -51,17 +51,13 @@ def optimal_m_bits(n_items: int, fpp: float = 0.01) -> int:
     return max(64, 64 * ((int(m) + 63) // 64))
 
 
-def build_bloom(
-    build: DataFrame, key: str, m_bits: int, n_hashes: int = 4
-) -> DataFrame:
-    """Distributed build: returns a 1-row DataFrame ``(__bloom:
-    array<long>)`` of ``m_bits/64`` words. The only shuffle is the
-    ``bit_or`` aggregation over word indices (≤ m/64 groups, map-side
-    combined), then a tiny final array assembly."""
+def assemble_bitmap(pos: DataFrame, m_bits: int) -> DataFrame:
+    """Turn a 1-column DataFrame of bit positions (``p``) into the
+    1-row ``(__bloom: array<long>)`` word bitmap. The only shuffle is
+    the ``bit_or`` aggregation over word indices (≤ m/64 groups,
+    map-side combined), then a tiny final array assembly. Shared by
+    the xxhash64 production path and the md5-portable audit path."""
     n_words = bloom_words(m_bits)
-    pos = build.select(
-        F.explode(F.array(*_positions(F.col(key), m_bits, n_hashes))).alias("p")
-    )
     words = pos.select(
         (F.col("p") / 64).cast("long").alias("w"),
         # dynamic shift count needs the SQL form (the pyspark wrapper
@@ -81,13 +77,30 @@ def build_bloom(
     )
 
 
-def might_contain(bloom_col: Column, key: Column, m_bits: int, n_hashes: int) -> Column:
-    """All-k-bits-set probe, pure expressions (codegen-friendly)."""
+def build_bloom(
+    build: DataFrame, key: str, m_bits: int, n_hashes: int = 4
+) -> DataFrame:
+    """Distributed build: returns a 1-row DataFrame ``(__bloom:
+    array<long>)`` of ``m_bits/64`` words."""
+    pos = build.select(
+        F.explode(F.array(*_positions(F.col(key), m_bits, n_hashes))).alias("p")
+    )
+    return assemble_bitmap(pos, m_bits)
+
+
+def bits_all_set(bloom_col: Column, positions: list[Column]) -> Column:
+    """All-bits-set probe over explicit position columns, pure
+    expressions (codegen-friendly)."""
     cond = F.lit(True)
-    for p in _positions(key, m_bits, n_hashes):
+    for p in positions:
         word = F.element_at(bloom_col, (p / 64).cast("int") + 1)
         cond = cond & (F.getbit(word, p % 64) == 1)
     return cond
+
+
+def might_contain(bloom_col: Column, key: Column, m_bits: int, n_hashes: int) -> Column:
+    """All-k-bits-set probe with the production xxhash64 family."""
+    return bits_all_set(bloom_col, _positions(key, m_bits, n_hashes))
 
 
 def bloom_prune(

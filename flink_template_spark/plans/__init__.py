@@ -188,6 +188,9 @@ _MIDDLE: list[str] = [
     "q_cramers_v_matrix",
     "q_psi_value_drift",
     "q_join_cardinality_audit",
+    "q_bloom_fpr_audit",
+    "q_dbscan_core_points",
+    "q_source_lang_entropy",
     # the last r4-cohort name (stalest verdict after a green r9)
     "q_grouping_sets",
     # r5-cohort (next-stalest after a green r9), in r5 check order

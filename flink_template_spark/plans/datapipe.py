@@ -1918,3 +1918,120 @@ def q_cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pair")
     )
+
+
+_DBS_EPS = 150  # DBSCAN eps (integer grid units; 10× the pair-join radius)
+_DBS_MINPTS = 4  # core threshold, count INCLUDING the point itself
+
+
+def _dbscan_oracle() -> str:
+    hx = md5int_duckdb("concat(CAST(c_custkey AS VARCHAR), 'x')")
+    hy = md5int_duckdb("concat(CAST(c_custkey AS VARCHAR), 'y')")
+    return f"""
+WITH pts AS MATERIALIZED (
+  SELECT c_custkey AS id, ({hx}) % {_GEO_SPAN} AS x, ({hy}) % {_GEO_SPAN} AS y
+  FROM customer
+),
+nbr AS MATERIALIZED (
+  SELECT a.id AS id, b.id AS nid
+  FROM pts a JOIN pts b
+    ON a.id <> b.id
+   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       <= {_DBS_EPS * _DBS_EPS}
+),
+cnt AS (
+  SELECT p.id, COALESCE(n.c, 0) AS nn
+  FROM pts p LEFT JOIN (SELECT id, COUNT(*) AS c FROM nbr GROUP BY id) n
+    ON p.id = n.id
+),
+cores AS (SELECT id FROM cnt WHERE nn + 1 >= {_DBS_MINPTS}),
+brd AS (
+  SELECT DISTINCT nbr.id FROM nbr JOIN cores ON nbr.nid = cores.id
+)
+SELECT cnt.id,
+  CAST(nn AS BIGINT) AS n_neighbors,
+  CASE WHEN cnt.id IN (SELECT id FROM cores) THEN 'core'
+       WHEN cnt.id IN (SELECT id FROM brd) THEN 'border'
+       ELSE 'noise' END AS label
+FROM cnt
+ORDER BY cnt.id
+"""
+
+
+@register("q_dbscan_core_points", oracle=_dbscan_oracle())
+def q_dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f"""DBSCAN density classification (core / border / noise) over the
+    deterministic portable-hash point cloud — the density-based
+    outlier/cluster primitive, and the expensive half of full DBSCAN
+    (the remaining step, connected components over core-core edges, is
+    exactly operators.components, already verified by
+    q_near_dup_components). eps = {_DBS_EPS} units, minPts =
+    {_DBS_MINPTS} (count includes the point): a point with ≥
+    {_DBS_MINPTS - 1} eps-neighbors is core; a non-core point
+    eps-adjacent to a core is border; the rest is noise. The three SFs
+    sweep the density regime (sparse → mostly noise at sf0.001, mixed
+    at sf0.01, dense → mostly core at sf0.1).
+
+    Scale shape: neighbors come from the grid-bucketed radius
+    self-join (cell + 3×3 neighborhood equi-join — candidates bounded
+    by local density, never all-pairs; the oracle IS the quadratic
+    brute join); the symmetric neighbor list is pinned once for its
+    two consumers (counts + border reach); core ids broadcast into
+    the border semi-join. Integer arithmetic end-to-end."""
+    from flink_template_spark.operators.spatial import radius_self_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        (
+            F.expr(md5int_spark("concat(CAST(c_custkey AS STRING), 'x')"))
+            % _GEO_SPAN
+        ).alias("x"),
+        (
+            F.expr(md5int_spark("concat(CAST(c_custkey AS STRING), 'y')"))
+            % _GEO_SPAN
+        ).alias("y"),
+    ).localCheckpoint(eager=False)  # consumers: radius join + left base
+    pairs = radius_self_join(pts, _DBS_EPS).select("id_a", "id_b")
+    sym = (
+        pairs.unionByName(
+            pairs.select(
+                F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+            )
+        )
+        .withColumnRenamed("id_a", "id")
+        .withColumnRenamed("id_b", "nid")
+        .localCheckpoint(eager=False)  # consumers: counts + border reach
+    )
+    cnt = (
+        pts.select("id")
+        .join(sym.groupBy("id").agg(F.count(F.lit(1)).alias("nn")), "id", "left")
+        .select("id", F.coalesce("nn", F.lit(0)).alias("nn"))
+    )
+    cores = cnt.filter(F.col("nn") + 1 >= _DBS_MINPTS).select("id")
+    border = (
+        sym.join(
+            F.broadcast(cores.withColumnRenamed("id", "nid")), "nid", "left_semi"
+        )
+        .select("id")
+        .distinct()
+    )
+    return (
+        cnt.join(
+            F.broadcast(cores.withColumn("is_core", F.lit(True))), "id", "left"
+        )
+        .join(
+            F.broadcast(border.withColumn("is_border", F.lit(True))),
+            "id",
+            "left",
+        )
+        .select(
+            "id",
+            F.col("nn").cast("bigint").alias("n_neighbors"),
+            F.when(F.col("is_core"), "core")
+            .when(F.col("is_border"), "border")
+            .otherwise("noise")
+            .alias("label"),
+        )
+        .orderBy("id")
+    )

@@ -2792,3 +2792,60 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_source_lang_entropy",
+    oracle="""
+WITH c AS (
+  SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2
+),
+t AS (SELECT source, SUM(n) AS tot FROM c GROUP BY 1)
+SELECT c.source,
+  CAST(COUNT(*) AS BIGINT) AS n_langs,
+  CAST(MAX(tot) AS BIGINT) AS n_docs,
+  ROUND(-SUM((CAST(n AS DOUBLE) / tot) * LN(CAST(n AS DOUBLE) / tot)), 6)
+    AS lang_entropy,
+  ROUND(EXP(-SUM((CAST(n AS DOUBLE) / tot) * LN(CAST(n AS DOUBLE) / tot))), 6)
+    AS effective_langs
+FROM c JOIN t ON c.source = t.source
+GROUP BY c.source
+ORDER BY c.source
+""",
+)
+def q_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-diversity profile per corpus source: Shannon entropy of
+    the language mix and its exponential (Hill number N1, the
+    'effective number of languages') — the mixture-diagnostic a
+    multilingual pretraining pipeline reads next to q_source_gini's
+    volume concentration: a source with 8 langs but effective 1.2 is
+    monolingual with contamination, not multilingual.
+
+    Float discipline: p·ln(p) terms from exact integer counts in one
+    fixed dag; the per-source sum is over ≤ |langs| terms (6-dp
+    rounded, ulp-order noise); EXP applied before its own rounding.
+
+    Scale shape: ONE hash agg over the 2-column pruned scan into the
+    Zipf-small (source, lang) table; totals are its source-marginal
+    (no second scan); everything downstream is |sources|·|langs|
+    rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # consumers: totals + entropy
+    )
+    t = c.groupBy("source").agg(F.sum("n").alias("tot"))
+    p = F.col("n").cast("double") / F.col("tot")
+    h = -F.sum(p * F.log(p))
+    return (
+        c.join(F.broadcast(t), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+            F.max("tot").cast("bigint").alias("n_docs"),
+            F.round(h, 6).alias("lang_entropy"),
+            F.round(F.exp(h), 6).alias("effective_langs"),
+        )
+        .orderBy("source")
+    )

@@ -465,3 +465,139 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_BF_M = 65536  # bitmap bits (1024 words): exercises ~1e-4 fpp at
+_BF_K = 4      # sf0.01 and a deliberately loaded ~0.13 at sf0.1
+
+
+def _bf_pos_spark(h: int) -> str:
+    from flink_template_spark.functions.hashing import md5int_spark
+
+    keyed = f"concat(key, '#', '{h}')"
+    return f"({md5int_spark(keyed)} % {_BF_M})"
+
+
+def _bf_pos_duck(h: int) -> str:
+    keyed = f"key || '#' || '{h}'"
+    return f"({md5int_duckdb(keyed)} % {_BF_M})"
+
+
+@register(
+    "q_bloom_fpr_audit",
+    oracle=f"""
+WITH bkeys AS (
+  SELECT DISTINCT 'c:' || CAST(c_custkey AS VARCHAR) AS key FROM customer
+),
+pkeys AS (
+  SELECT DISTINCT 'p:' || CAST(o_orderkey AS VARCHAR) AS key FROM orders
+),
+bpos AS (
+  SELECT DISTINCT p FROM (
+    {" UNION ALL ".join(f"SELECT {_bf_pos_duck(h)} AS p FROM bkeys" for h in range(_BF_K))}
+  )
+),
+ppos AS (
+  {" UNION ALL ".join(f"SELECT key, {_bf_pos_duck(h)} AS p FROM pkeys" for h in range(_BF_K))}
+),
+hits AS (
+  SELECT key FROM ppos JOIN bpos USING (p)
+  GROUP BY key HAVING COUNT(*) = {_BF_K}
+),
+nb AS (SELECT COUNT(*) AS n_build FROM bkeys),
+np AS (SELECT COUNT(*) AS n_probe FROM pkeys),
+nf AS (SELECT COUNT(*) AS n_fp FROM hits)
+SELECT
+  CAST({_BF_M} AS BIGINT) AS m_bits,
+  CAST({_BF_K} AS BIGINT) AS n_hashes,
+  CAST(n_build AS BIGINT) AS n_build,
+  CAST(n_probe AS BIGINT) AS n_probe,
+  CAST(n_fp AS BIGINT) AS n_fp,
+  ROUND(CAST(n_fp AS DOUBLE) / CAST(n_probe AS DOUBLE), 6) AS fpr,
+  ROUND(POWER(1.0 - EXP(-({_BF_K}.0 * n_build) / {_BF_M}.0), {_BF_K}), 6)
+    AS theory_fpp
+FROM nb, np, nf
+""",
+)
+def q_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter false-positive-rate audit — the
+    did-we-size-it-right check beside q_decontaminate_bloom's
+    did-it-prune use: a bitmap is built over the customer key set with
+    the PORTABLE md5 hash family, probed with a provably-DISJOINT key
+    set (prefixed order keys), and every hit is by construction a
+    false positive; the measured rate sits next to the
+    (1 − e^(−kn/m))^k theory value. At sf0.01 the bitmap is
+    comfortable (~1e-4 fpp); at sf0.1 it is deliberately overloaded
+    (~0.13) — the saturation curve an operator reads before choosing
+    m at 100 TB.
+
+    Engine duality: Spark assembles and probes the REAL word bitmap
+    (operators.bloom.assemble_bitmap / bits_all_set — bit_or words,
+    getbit probes); the oracle replays the same md5 positions as SET
+    membership (all k positions present). Bitmap membership and
+    position-set membership are definitionally the same predicate, so
+    hash equality proves the bit packing, word indexing, and probe
+    arithmetic correct — the production xxhash64 path shares
+    everything but the hash family.
+
+    Scale shape: the build is one hash agg into ≤ m/64 words (map-side
+    bit_or partials); the 8 KB bitmap broadcasts; each probe is k
+    md5+getbit expressions in whole-stage codegen — no join, no
+    shuffle on the probe side; counts are broadcast scalars."""
+    from flink_template_spark.operators.bloom import assemble_bitmap, bits_all_set
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias(
+                "key"
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # consumers: positions + n_build
+    )
+    probe = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.concat(F.lit("p:"), F.col("o_orderkey").cast("string")).alias(
+                "key"
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # consumers: probe + n_probe
+    )
+    bpos = cust.select(
+        F.explode(
+            F.array(*[F.expr(_bf_pos_spark(h)) for h in range(_BF_K)])
+        ).alias("p")
+    )
+    bloom = assemble_bitmap(bpos, _BF_M)
+    probed = probe.join(F.broadcast(bloom)).filter(
+        bits_all_set(
+            F.col("__bloom"), [F.expr(_bf_pos_spark(h)) for h in range(_BF_K)]
+        )
+    )
+    nb = cust.agg(F.count(F.lit(1)).alias("n_build"))
+    np_ = probe.agg(F.count(F.lit(1)).alias("n_probe"))
+    nf = probed.agg(F.count(F.lit(1)).alias("n_fp"))
+    theory = F.pow(
+        F.lit(1.0)
+        - F.exp(-(F.lit(float(_BF_K)) * F.col("n_build")) / F.lit(float(_BF_M))),
+        F.lit(_BF_K),
+    )
+    return (
+        nf.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            F.lit(_BF_M).cast("bigint").alias("m_bits"),
+            F.lit(_BF_K).cast("bigint").alias("n_hashes"),
+            F.col("n_build").cast("bigint").alias("n_build"),
+            F.col("n_probe").cast("bigint").alias("n_probe"),
+            F.col("n_fp").cast("bigint").alias("n_fp"),
+            F.round(
+                F.col("n_fp").cast("double") / F.col("n_probe").cast("double"),
+                6,
+            ).alias("fpr"),
+            F.round(theory, 6).alias("theory_fpp"),
+        )
+    )

@@ -242,3 +242,78 @@ def test_cramers_v_single_category_column_yields_null(spark, tmp_path):
     assert out["priority_x_status"].cramers_v is None
     assert out["status_x_weekday"].cramers_v is None
     assert out["priority_x_weekday"].cramers_v is not None
+
+
+def test_bloom_fpr_within_binomial_bound_of_theory(spark, sf_dir):
+    """The measured false-positive rate must sit within 4 binomial
+    standard errors of the (1-e^(-kn/m))^k theory value — the same
+    statistical-pin pattern as the MinHash estimator-error audit."""
+    import math
+
+    r = plans.QUERIES["q_bloom_fpr_audit"](spark, sf_dir).collect()[0]
+    assert r.n_fp >= 0 and r.n_probe > 0
+    theory = (1.0 - math.exp(-(r.n_hashes * r.n_build) / r.m_bits)) ** r.n_hashes
+    se = math.sqrt(max(theory * (1 - theory), 1e-12) / r.n_probe)
+    assert abs(r.fpr - theory) <= 4 * se + 1e-6, (
+        f"fpr {r.fpr} vs theory {theory} exceeds 4 binomial SEs ({se})"
+    )
+
+
+def test_dbscan_labels_brute_recount(spark, sf_dir):
+    """Recount every point's eps-neighborhood brutally in Python and
+    re-derive core/border/noise; the grid-join classification must
+    agree exactly (the oracle replays the same SQL formula — this
+    recount is formula-independent)."""
+    from flink_template_spark.plans.datapipe import (
+        _DBS_EPS,
+        _DBS_MINPTS,
+        _GEO_SPAN,
+    )
+    from flink_template_spark.functions.hashing import md5int_spark
+
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        (
+            F.expr(md5int_spark("concat(CAST(c_custkey AS STRING), 'x')"))
+            % _GEO_SPAN
+        ).alias("x"),
+        (
+            F.expr(md5int_spark("concat(CAST(c_custkey AS STRING), 'y')"))
+            % _GEO_SPAN
+        ).alias("y"),
+    ).collect()
+    eps2 = _DBS_EPS * _DBS_EPS
+    nn = {p.id: 0 for p in pts}
+    neigh = {p.id: [] for p in pts}
+    for i, a in enumerate(pts):
+        for b in pts[i + 1 :]:
+            if (a.x - b.x) ** 2 + (a.y - b.y) ** 2 <= eps2:
+                nn[a.id] += 1
+                nn[b.id] += 1
+                neigh[a.id].append(b.id)
+                neigh[b.id].append(a.id)
+    cores = {i for i, c in nn.items() if c + 1 >= _DBS_MINPTS}
+    out = plans.QUERIES["q_dbscan_core_points"](spark, sf_dir).collect()
+    assert len(out) == len(pts)
+    for r in out:
+        assert r.n_neighbors == nn[r.id]
+        if r.id in cores:
+            want = "core"
+        elif any(n in cores for n in neigh[r.id]):
+            want = "border"
+        else:
+            want = "noise"
+        assert r.label == want, f"point {r.id}: {r.label} != {want}"
+
+
+def test_source_lang_entropy_bounds(spark, sf_dir):
+    """0 <= H <= ln(n_langs) and 1 <= effective_langs <= n_langs —
+    the Hill-number sandwich the math guarantees."""
+    import math
+
+    rows = plans.QUERIES["q_source_lang_entropy"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.lang_entropy <= math.log(r.n_langs) + 1e-9
+        assert 1.0 - 1e-6 <= r.effective_langs <= r.n_langs + 1e-6
