@@ -250,6 +250,7 @@ EXTENDED = [
     "q_bloom_fpr_audit",
     "q_dbscan_core_points",
     "q_source_lang_entropy",
+    "q_mann_whitney_drift",
 ]
 
 

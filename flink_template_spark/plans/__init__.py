@@ -191,6 +191,7 @@ _MIDDLE: list[str] = [
     "q_bloom_fpr_audit",
     "q_dbscan_core_points",
     "q_source_lang_entropy",
+    "q_mann_whitney_drift",
     # the last r4-cohort name (stalest verdict after a green r9)
     "q_grouping_sets",
     # r5-cohort (next-stalest after a green r9), in r5 check order

@@ -2849,3 +2849,147 @@ def q_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_mann_whitney_drift",
+    oracle="""
+WITH ev AS MATERIALIZED (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, value
+  FROM events WHERE value IS NOT NULL
+),
+span AS (
+  SELECT event_type,
+         MIN(d) + CAST(FLOOR((MAX(d) - MIN(d)) / 2.0) AS INTEGER) AS mid_d
+  FROM ev GROUP BY 1
+),
+hist AS (
+  SELECT ev.event_type, value,
+    SUM(CASE WHEN ev.d < mid_d THEN 1 ELSE 0 END) AS c_ref,
+    SUM(CASE WHEN ev.d >= mid_d THEN 1 ELSE 0 END) AS c_cur
+  FROM ev JOIN span ON ev.event_type = span.event_type
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, value, c_ref, c_cur, c_ref + c_cur AS t,
+    COALESCE(SUM(c_ref + c_cur) OVER (
+      PARTITION BY event_type ORDER BY value
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_v
+  FROM hist
+),
+agg AS (
+  SELECT event_type,
+    SUM(c_ref) AS n1, SUM(c_cur) AS n2,
+    SUM(c_ref * (2 * before_v + t + 1)) AS r1_x2,
+    SUM(t * t * t - t) AS tie_term
+  FROM ranked GROUP BY 1
+)
+SELECT event_type,
+  CAST(n1 AS BIGINT) AS n_ref,
+  CAST(n2 AS BIGINT) AS n_cur,
+  CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) / 2 AS u_stat,
+  ROUND(
+    (CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) / 2
+     - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2)
+    / SQRT(
+        (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+        * (CAST(n1 + n2 + 1 AS DOUBLE)
+           - CAST(tie_term AS DOUBLE)
+             / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))
+      ), 6) AS z_score
+FROM agg
+ORDER BY event_type
+""",
+)
+def q_mann_whitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) drift test per event type —
+    the nonparametric did-the-distribution-SHIFT companion to
+    q_ks_source_drift's worst-gap and q_psi_value_drift's
+    binned-ratio readouts: second half of the timeline vs first, with
+    the tie-corrected normal approximation z-score retention teams
+    threshold at ±1.96.
+
+    INTEGER-EXACT rank sums at scale: ranks are never assigned per
+    row. The (type, value) HISTOGRAM (bounded by the value domain,
+    not the row count) carries (c_ref, c_cur); the average tie rank
+    is (2·before_v + t + 1)/2, so the doubled rank sum
+    Σ c_ref·(2·before_v + t + 1) stays in exact bigint arithmetic
+    (fits until Σranks ~ 2^63 — ~10^9 rows per type; past that,
+    promote to decimal), as does the Σ(t³−t) tie correction. Only
+    the final z-score divides/sqrts — one fixed IEEE dag, 6-dp.
+
+    Scale shape: one pinned 3-column scan; one hash agg to the
+    histogram; the rank prefix is a window over the POST-AGGREGATION
+    histogram PARTITIONED by event type (bounded by the per-type
+    value domain — the gap-day-table pattern); totals are map-side
+    partials of the same histogram."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    ev = (
+        events.filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.col("ts").cast("timestamp").cast("date").alias("d"),
+            "value",
+        )
+        .localCheckpoint(eager=False)  # consumers: span + histogram
+    )
+    span = ev.groupBy("event_type").agg(
+        F.expr(
+            "date_add(MIN(d), CAST(FLOOR(datediff(MAX(d), MIN(d)) / 2.0) AS INT))"
+        ).alias("mid_d")
+    )
+    hist = (
+        ev.join(F.broadcast(span), "event_type")
+        .groupBy("event_type", "value")
+        .agg(
+            F.sum(F.when(F.col("d") < F.col("mid_d"), 1).otherwise(0)).alias(
+                "c_ref"
+            ),
+            F.sum(F.when(F.col("d") >= F.col("mid_d"), 1).otherwise(0)).alias(
+                "c_cur"
+            ),
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("value").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    t = F.col("c_ref") + F.col("c_cur")
+    ranked = hist.select(
+        "event_type",
+        "c_ref",
+        "c_cur",
+        t.alias("t"),
+        F.coalesce(F.sum(t).over(w), F.lit(0)).alias("before_v"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.sum("c_ref").alias("n1"),
+        F.sum("c_cur").alias("n2"),
+        F.sum(
+            F.col("c_ref") * (2 * F.col("before_v") + F.col("t") + 1)
+        ).alias("r1_x2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias(
+            "tie_term"
+        ),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    u = (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)).cast("double") / 2
+    mu = n1d * n2d / 2
+    nn = F.col("n1") + F.col("n2")
+    sigma = F.sqrt(
+        (n1d * n2d / 12.0)
+        * (
+            (nn + 1).cast("double")
+            - F.col("tie_term").cast("double")
+            / (nn.cast("double") * (nn - 1).cast("double"))
+        )
+    )
+    return agg.select(
+        "event_type",
+        F.col("n1").cast("bigint").alias("n_ref"),
+        F.col("n2").cast("bigint").alias("n_cur"),
+        u.alias("u_stat"),
+        F.round((u - mu) / sigma, 6).alias("z_score"),
+    ).orderBy("event_type")

@@ -317,3 +317,39 @@ def test_source_lang_entropy_bounds(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.lang_entropy <= math.log(r.n_langs) + 1e-9
         assert 1.0 - 1e-6 <= r.effective_langs <= r.n_langs + 1e-6
+
+
+def test_mann_whitney_u_brute_recount(spark, sf_dir):
+    """U1 recounts from its defining pairwise identity
+    #(ref > cur) + 0.5·#(ref == cur) — formula-independent of the
+    histogram/rank construction both engines share."""
+    from flink_template_spark.plans.quality import _PSI_BINS  # noqa: F401
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.col("ts").cast("date").alias("d"), "value")
+        .collect()
+    )
+    bounds = {}
+    for r in ev:
+        lo, hi = bounds.get(r.event_type, (r.d, r.d))
+        bounds[r.event_type] = (min(lo, r.d), max(hi, r.d))
+    mids = {
+        t: lo + __import__("datetime").timedelta(days=(hi - lo).days // 2)
+        for t, (lo, hi) in bounds.items()
+    }
+    ref, cur = defaultdict(list), defaultdict(list)
+    for r in ev:
+        (ref if r.d < mids[r.event_type] else cur)[r.event_type].append(
+            r.value
+        )
+    out = plans.QUERIES["q_mann_whitney_drift"](spark, sf_dir).collect()
+    assert out
+    for row in out:
+        a, b = ref[row.event_type], cur[row.event_type]
+        assert (len(a), len(b)) == (row.n_ref, row.n_cur)
+        u = sum(
+            1.0 if x > y else (0.5 if x == y else 0.0) for x in a for y in b
+        )
+        assert abs(u - row.u_stat) < 1e-6, row.event_type
