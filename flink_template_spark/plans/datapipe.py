@@ -1182,13 +1182,37 @@ _GEO_SPAN = 4000  # integer centi-units per axis (a ~40 km square at 1 unit ≈ 
 _GEO_R = 15  # radius: pairs within 150 m
 
 
-def _radius_join_oracle() -> str:
+def _geo_pts_cte() -> str:
+    """ONE copy of the deterministic point-cloud CTE shared by the
+    radius-pair join and the DBSCAN classifier — the two queries must
+    agree on the exact same cloud."""
     hx = md5int_duckdb("concat(CAST(c_custkey AS VARCHAR), 'x')")
     hy = md5int_duckdb("concat(CAST(c_custkey AS VARCHAR), 'y')")
+    return (
+        f"SELECT c_custkey AS id, ({hx}) % {_GEO_SPAN} AS x, "
+        f"({hy}) % {_GEO_SPAN} AS y FROM customer"
+    )
+
+
+def _geo_points(cust: DataFrame) -> DataFrame:
+    """Spark dual of :func:`_geo_pts_cte`."""
+    return cust.select(
+        F.col("c_custkey").alias("id"),
+        (
+            F.expr(md5int_spark("concat(CAST(c_custkey AS STRING), 'x')"))
+            % _GEO_SPAN
+        ).alias("x"),
+        (
+            F.expr(md5int_spark("concat(CAST(c_custkey AS STRING), 'y')"))
+            % _GEO_SPAN
+        ).alias("y"),
+    )
+
+
+def _radius_join_oracle() -> str:
     return f"""
 WITH pts AS (
-  SELECT c_custkey AS id, ({hx}) % {_GEO_SPAN} AS x, ({hy}) % {_GEO_SPAN} AS y
-  FROM customer
+  {_geo_pts_cte()}
 )
 SELECT a.id AS id_a, b.id AS id_b,
   CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS d2
@@ -1216,19 +1240,8 @@ def q_spatial_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_template_spark.operators.spatial import radius_self_join
 
     cust = load_table(spark, sf_dir, "customer")
-    pts = cust.select(
-        F.col("c_custkey").alias("id"),
-        (
-            F.expr(md5int_spark("concat(CAST(c_custkey AS STRING), 'x')"))
-            % _GEO_SPAN
-        ).alias("x"),
-        (
-            F.expr(md5int_spark("concat(CAST(c_custkey AS STRING), 'y')"))
-            % _GEO_SPAN
-        ).alias("y"),
-    )
     return (
-        radius_self_join(pts, _GEO_R)
+        radius_self_join(_geo_points(cust), _GEO_R)
         .select("id_a", "id_b", F.col("d2").cast("bigint").alias("d2"))
         .orderBy("id_a", "id_b")
     )
@@ -1925,12 +1938,9 @@ _DBS_MINPTS = 4  # core threshold, count INCLUDING the point itself
 
 
 def _dbscan_oracle() -> str:
-    hx = md5int_duckdb("concat(CAST(c_custkey AS VARCHAR), 'x')")
-    hy = md5int_duckdb("concat(CAST(c_custkey AS VARCHAR), 'y')")
     return f"""
 WITH pts AS MATERIALIZED (
-  SELECT c_custkey AS id, ({hx}) % {_GEO_SPAN} AS x, ({hy}) % {_GEO_SPAN} AS y
-  FROM customer
+  {_geo_pts_cte()}
 ),
 nbr AS MATERIALIZED (
   SELECT a.id AS id, b.id AS nid
@@ -1981,18 +1991,18 @@ def q_dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_template_spark.operators.spatial import radius_self_join
 
     cust = load_table(spark, sf_dir, "customer")
-    pts = cust.select(
-        F.col("c_custkey").alias("id"),
-        (
-            F.expr(md5int_spark("concat(CAST(c_custkey AS STRING), 'x')"))
-            % _GEO_SPAN
-        ).alias("x"),
-        (
-            F.expr(md5int_spark("concat(CAST(c_custkey AS STRING), 'y')"))
-            % _GEO_SPAN
-        ).alias("y"),
-    ).localCheckpoint(eager=False)  # consumers: radius join + left base
-    pairs = radius_self_join(pts, _DBS_EPS).select("id_a", "id_b")
+    pts = _geo_points(cust).localCheckpoint(
+        eager=False
+    )  # consumers: radius join + left base
+    # pin the radius join itself: BOTH branches of the symmetrizing
+    # union consume it, and the grid join (9× cell expansion +
+    # distance verify) is the dominant cost — without the pin it
+    # would execute once per branch
+    pairs = (
+        radius_self_join(pts, _DBS_EPS)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
     sym = (
         pairs.unionByName(
             pairs.select(

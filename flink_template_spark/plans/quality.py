@@ -2888,7 +2888,12 @@ SELECT event_type,
   CAST(n1 AS BIGINT) AS n_ref,
   CAST(n2 AS BIGINT) AS n_cur,
   CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) / 2 AS u_stat,
-  ROUND(
+  CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 < 2 THEN CAST(NULL AS DOUBLE)
+       WHEN (CAST(n1 + n2 + 1 AS DOUBLE)
+             - CAST(tie_term AS DOUBLE)
+               / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))
+            <= 0 THEN CAST(NULL AS DOUBLE)
+       ELSE ROUND(
     (CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) / 2
      - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2)
     / SQRT(
@@ -2896,7 +2901,8 @@ SELECT event_type,
         * (CAST(n1 + n2 + 1 AS DOUBLE)
            - CAST(tie_term AS DOUBLE)
              / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))
-      ), 6) AS z_score
+      ), 6)
+  END AS z_score
 FROM agg
 ORDER BY event_type
 """,
@@ -2978,18 +2984,26 @@ def q_mann_whitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)).cast("double") / 2
     mu = n1d * n2d / 2
     nn = F.col("n1") + F.col("n2")
-    sigma = F.sqrt(
-        (n1d * n2d / 12.0)
-        * (
-            (nn + 1).cast("double")
-            - F.col("tie_term").cast("double")
-            / (nn.cast("double") * (nn - 1).cast("double"))
+    # degenerate-pool guard (ANSI-safe, the events_time.py z-score
+    # convention): an empty period or a single row makes the tie
+    # division 0/0, and an all-tied type makes the variance term 0 —
+    # both report NULL (test undefined), never a DIVIDE_BY_ZERO abort
+    var_term = (nn + 1).cast("double") - F.col("tie_term").cast(
+        "double"
+    ) / (nn.cast("double") * (nn - 1).cast("double"))
+    sigma = F.sqrt((n1d * n2d / 12.0) * var_term)
+    z = (
+        F.when(
+            (F.col("n1") == 0) | (F.col("n2") == 0) | (nn < 2),
+            F.lit(None).cast("double"),
         )
+        .when(var_term <= 0, F.lit(None).cast("double"))
+        .otherwise(F.round((u - mu) / sigma, 6))
     )
     return agg.select(
         "event_type",
         F.col("n1").cast("bigint").alias("n_ref"),
         F.col("n2").cast("bigint").alias("n_cur"),
         u.alias("u_stat"),
-        F.round((u - mu) / sigma, 6).alias("z_score"),
+        z.alias("z_score"),
     ).orderBy("event_type")

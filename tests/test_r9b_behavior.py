@@ -323,8 +323,6 @@ def test_mann_whitney_u_brute_recount(spark, sf_dir):
     """U1 recounts from its defining pairwise identity
     #(ref > cur) + 0.5·#(ref == cur) — formula-independent of the
     histogram/rank construction both engines share."""
-    from flink_template_spark.plans.quality import _PSI_BINS  # noqa: F401
-
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
@@ -353,3 +351,48 @@ def test_mann_whitney_u_brute_recount(spark, sf_dir):
             1.0 if x > y else (0.5 if x == y else 0.0) for x in a for y in b
         )
         assert abs(u - row.u_stat) < 1e-6, row.event_type
+
+
+def test_mann_whitney_degenerate_types_yield_null_z(spark, tmp_path):
+    """ANSI-mode regression pin: a type whose dates collapse to one
+    day (empty reference half) and a type whose values are ALL tied
+    both make the z denominator 0/0 or sqrt(0); the guard must report
+    NULL z (test undefined), never a DIVIDE_BY_ZERO abort, while a
+    healthy type still gets a number."""
+    import datetime as dt
+
+    rows = []
+    # one-day type: mid_d == min(d), so every row is 'cur' (n_ref = 0)
+    for i in range(10):
+        rows.append((i, dt.datetime(2024, 1, 5), i, "oneday", float(i), "{}"))
+    # all-tied type across two halves: variance term collapses to 0
+    for i in range(20):
+        rows.append(
+            (100 + i, dt.datetime(2024, 1, 1 + i), i, "tied", 42.0, "{}")
+        )
+    # healthy type
+    for i in range(40):
+        rows.append(
+            (
+                1000 + i,
+                dt.datetime(2024, 1, 1 + (i % 20)),
+                i,
+                "ok",
+                float(i % 7) + (0.5 if i >= 20 else 0.0),
+                "{}",
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.event_type: r
+        for r in plans.QUERIES["q_mann_whitney_drift"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out["oneday"].z_score is None and out["oneday"].n_ref == 0
+    assert out["tied"].z_score is None
+    assert out["ok"].z_score is not None
