@@ -251,6 +251,9 @@ EXTENDED = [
     "q_dbscan_core_points",
     "q_source_lang_entropy",
     "q_mann_whitney_drift",
+    "q_zipf_fit",
+    "q_conformal_coverage",
+    "q_graph_assortativity",
 ]
 
 

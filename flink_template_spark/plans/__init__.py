@@ -192,6 +192,9 @@ _MIDDLE: list[str] = [
     "q_dbscan_core_points",
     "q_source_lang_entropy",
     "q_mann_whitney_drift",
+    "q_zipf_fit",
+    "q_conformal_coverage",
+    "q_graph_assortativity",
     # the last r4-cohort name (stalest verdict after a green r9)
     "q_grouping_sets",
     # r5-cohort (next-stalest after a green r9), in r5 check order

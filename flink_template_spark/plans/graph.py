@@ -622,3 +622,79 @@ def q_common_neighbor_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), "nation_a", "nation_b")
         .limit(15)
     )
+
+
+@register(
+    "q_graph_assortativity",
+    oracle=f"""
+WITH edges AS MATERIALIZED ({_TRADE_EDGES_SQL}),
+od AS (SELECT src, COUNT(*) AS outd FROM edges GROUP BY src),
+idg AS (SELECT dst, COUNT(*) AS ind FROM edges GROUP BY dst),
+xy AS (
+  SELECT outd AS x, ind AS y
+  FROM edges
+  JOIN od ON edges.src = od.src
+  JOIN idg ON edges.dst = idg.dst
+),
+s AS (
+  SELECT COUNT(*) AS m, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM xy
+)
+SELECT
+  CAST(m AS BIGINT) AS n_edges,
+  CASE WHEN m * sxx - sx * sx <= 0 OR m * syy - sy * sy <= 0
+       THEN CAST(NULL AS DOUBLE)
+       ELSE ROUND(
+         CAST(m * sxy - sx * sy AS DOUBLE)
+         / (SQRT(CAST(m * sxx - sx * sx AS DOUBLE))
+            * SQRT(CAST(m * syy - sy * sy AS DOUBLE))), 6)
+  END AS assortativity
+FROM s
+""",
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the trade graph: the Pearson
+    correlation, over directed edges, of the source's out-degree with
+    the destination's in-degree — the hub-wiring diagnostic next to
+    the connectivity family (assortative > 0: hubs trade with hubs;
+    disassortative < 0: hubs fan out to the periphery — the shape
+    that decides whether hub-targeted partitioning or salting helps).
+
+    Exactness: all six sufficient sums are exact BIGINT arithmetic on
+    integer degrees (no float accumulation-order drift at any scale
+    below ~2^63 edge-degree products); the single final correlation
+    divides/sqrts in one fixed dag, 6-dp, with a NULL degenerate
+    guard (zero variance — e.g. a perfectly regular graph — is
+    undefined, not a divide-by-zero abort under ANSI).
+
+    Scale shape: serves off the memoized edge table; both degree
+    tables are hash aggs of it (≤ |nations| rows, broadcast into the
+    edge join); the correlation is a 1-row reduction."""
+    edges = _trade_edges(spark, sf_dir)
+    od = edges.groupBy("src").agg(F.count(F.lit(1)).alias("x"))
+    idg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("y"))
+    xy = edges.join(F.broadcast(od), "src").join(F.broadcast(idg), "dst")
+    s = xy.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    dxx = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        F.col("m").cast("bigint").alias("n_edges"),
+        F.when((dxx <= 0) | (dyy <= 0), F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                num.cast("double")
+                / (F.sqrt(dxx.cast("double")) * F.sqrt(dyy.cast("double"))),
+                6,
+            )
+        )
+        .alias("assortativity"),
+    )

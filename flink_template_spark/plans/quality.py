@@ -3007,3 +3007,230 @@ def q_mann_whitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         u.alias("u_stat"),
         z.alias("z_score"),
     ).orderBy("event_type")
+
+
+_ZIPF_TOP = 1000
+
+
+@register(
+    "q_zipf_fit",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS t FROM documents
+),
+freq AS (
+  SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+),
+top AS (
+  SELECT t, c FROM freq ORDER BY c DESC, t LIMIT {_ZIPF_TOP}
+),
+xy AS (
+  SELECT LN(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, t) AS DOUBLE)) AS x,
+         LN(CAST(c AS DOUBLE)) AS y
+  FROM top
+),
+s AS (
+  SELECT COUNT(*) AS m, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM xy
+)
+SELECT
+  CAST(m AS BIGINT) AS n_tokens_fit,
+  ROUND(-((m * sxy - sx * sy) / (m * sxx - sx * sx)), 6) AS zipf_exponent,
+  ROUND(
+    ((m * sxy - sx * sy) * (m * sxy - sx * sy))
+    / ((m * sxx - sx * sx) * (m * syy - sy * sy)), 6) AS r2
+FROM s
+""",
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f"""Zipf-law fit over the corpus vocabulary: log-log OLS of
+    frequency against rank for the top-{_ZIPF_TOP} tokens — the
+    corpus-health statistic (natural text sits near exponent 1;
+    boilerplate-heavy or deduplicated-to-death corpora drift away)
+    and a sanity gate before vocabulary/BPE sizing decisions.
+
+    Float discipline: ln(rank)/ln(count) from exact integers; the OLS
+    slope and r² are the five-sufficient-sums closed form in one
+    fixed dag over a {_ZIPF_TOP}-term sum, 6-dp rounded. The top-K
+    cut is totally ordered (count DESC, token ASC), so both engines
+    fit the identical point set.
+
+    Scale shape: one map-side tokenize+explode into a hash agg (the
+    vocab table, Zipf-small by this very law); the top-{_ZIPF_TOP} is
+    TakeOrderedAndProject, never a full sort; the rank window runs
+    over the {_ZIPF_TOP}-row POST-LIMIT table (bounded by the fixed K
+    — audited); the regression is a single 1-row reduction."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = freq.orderBy(F.desc("c"), F.asc("t")).limit(_ZIPF_TOP)
+    from pyspark.sql import Window as W
+
+    xy = top.select(
+        F.log(
+            F.row_number()
+            .over(W.orderBy(F.desc("c"), F.asc("t")))
+            .cast("double")
+        ).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dxx = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        F.col("m").cast("bigint").alias("n_tokens_fit"),
+        F.round(-(num / dxx), 6).alias("zipf_exponent"),
+        F.round((num * num) / (dxx * dyy), 6).alias("r2"),
+    )
+
+
+_CONF_LO = 0.05
+_CONF_HI = 0.95
+
+
+@register(
+    "q_conformal_coverage",
+    oracle=f"""
+WITH ev AS MATERIALIZED (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, value
+  FROM events WHERE value IS NOT NULL
+),
+span AS (
+  SELECT event_type,
+         MIN(d) + CAST(FLOOR((MAX(d) - MIN(d)) / 2.0) AS INTEGER) AS mid_d
+  FROM ev GROUP BY 1
+),
+ref AS (
+  SELECT ev.event_type, value
+  FROM ev JOIN span ON ev.event_type = span.event_type
+  WHERE ev.d < mid_d
+),
+iv AS (
+  SELECT event_type,
+    quantile_disc(value, {_CONF_LO}) AS lo,
+    quantile_disc(value, {_CONF_HI}) AS hi,
+    COUNT(*) AS n_ref
+  FROM ref GROUP BY 1
+),
+cur AS (
+  SELECT ev.event_type,
+    COUNT(*) AS n_cur,
+    SUM(CASE WHEN value BETWEEN lo AND hi THEN 1 ELSE 0 END) AS n_in
+  FROM ev
+  JOIN span ON ev.event_type = span.event_type
+  JOIN iv ON ev.event_type = iv.event_type
+  WHERE ev.d >= mid_d
+  GROUP BY 1
+)
+SELECT cur.event_type,
+  CAST(n_ref AS BIGINT) AS n_ref,
+  CAST(n_cur AS BIGINT) AS n_cur,
+  lo, hi,
+  ROUND(CAST(n_in AS DOUBLE) / n_cur, 6) AS coverage
+FROM cur JOIN iv ON cur.event_type = iv.event_type
+ORDER BY cur.event_type
+""",
+)
+def q_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal interval coverage per event type: the
+    [q{_CONF_LO}, q{_CONF_HI}] discrete-quantile band is fit on the
+    FIRST half of the timeline (the calibration split) and scored on
+    the second — nominal 90% coverage; a shortfall is the
+    distribution-shift alarm conformal prediction turns into a
+    guarantee. Completes the drift quartet (KS gap, PSI ratio,
+    Mann-Whitney shift, conformal coverage).
+
+    Quantiles WITHOUT a per-row sort or collect: the calibration
+    half collapses to the bounded (type, value) histogram (the
+    Mann-Whitney pattern — bounded by the value domain, not rows);
+    the discrete quantile is the first value whose cumulative count
+    reaches ceil(q·n) — exactly DuckDB's quantile_disc rank, so both
+    engines pick the identical data value (no interpolation
+    arithmetic to drift). Coverage is one conditional count with a
+    broadcast 2-value band join; the only division is the reported
+    share (6-dp)."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    ev = (
+        events.filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.col("ts").cast("timestamp").cast("date").alias("d"),
+            "value",
+        )
+        .localCheckpoint(eager=False)  # consumers: span + ref hist + cur
+    )
+    span = ev.groupBy("event_type").agg(
+        F.expr(
+            "date_add(MIN(d), CAST(FLOOR(datediff(MAX(d), MIN(d)) / 2.0) AS INT))"
+        ).alias("mid_d")
+    ).localCheckpoint(eager=False)  # consumers: ref + cur splits
+    hist = (
+        ev.join(F.broadcast(span), "event_type")
+        .filter(F.col("d") < F.col("mid_d"))
+        .groupBy("event_type", "value")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wt = W.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "value",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(wt).alias("n_ref"),
+    )
+    def disc(frac: float):
+        rank = F.greatest(
+            F.ceil(F.col("n_ref") * F.lit(frac)).cast("bigint"), F.lit(1)
+        )
+        return F.min(F.when(F.col("cum") >= rank, F.col("value")))
+
+    iv = cum.groupBy("event_type").agg(
+        disc(_CONF_LO).alias("lo"),
+        disc(_CONF_HI).alias("hi"),
+        F.max("n_ref").alias("n_ref"),
+    )
+    cur = (
+        ev.join(F.broadcast(span), "event_type")
+        .filter(F.col("d") >= F.col("mid_d"))
+        .join(F.broadcast(iv), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_cur"),
+            F.sum(
+                F.when(
+                    F.col("value").between(F.col("lo"), F.col("hi")), 1
+                ).otherwise(0)
+            ).alias("n_in"),
+            F.max("n_ref").alias("n_ref"),
+            F.max("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+        )
+    )
+    return cur.select(
+        "event_type",
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        "lo",
+        "hi",
+        F.round(F.col("n_in").cast("double") / F.col("n_cur"), 6).alias(
+            "coverage"
+        ),
+    ).orderBy("event_type")

@@ -329,6 +329,9 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     # gap-day table — bounded by the calendar day range like
     # q_repurchase_hazard, never data-sized
     "q_kaplan_meier": 2,
+    # r9: the rank window runs over the POST-LIMIT top-K table —
+    # bounded by the fixed _ZIPF_TOP = 1000, never data-sized
+    "q_zipf_fit": 1,
 }
 
 

@@ -396,3 +396,64 @@ def test_mann_whitney_degenerate_types_yield_null_z(spark, tmp_path):
     assert out["oneday"].z_score is None and out["oneday"].n_ref == 0
     assert out["tied"].z_score is None
     assert out["ok"].z_score is not None
+
+
+def test_zipf_fit_sane(spark, sf_dir):
+    """Exponent must be positive (frequency is non-increasing in rank,
+    so the log-log slope can't be positive) and r² in [0, 1] (it's a
+    squared correlation). No Zipf-ness claim: the synthetic corpus has
+    a ~31-word near-uniform vocabulary, and the fit HONESTLY reports
+    that (exponent ≈ 0.18, r² ≈ 0.06) — which is exactly the
+    corpus-health diagnostic working."""
+    r = plans.QUERIES["q_zipf_fit"](spark, sf_dir).collect()[0]
+    assert r.n_tokens_fit > 10
+    assert r.zipf_exponent > 0
+    assert 0.0 <= r.r2 <= 1.0 + 1e-9
+
+
+def test_conformal_coverage_brute_recount(spark, sf_dir):
+    """Recount the band and the coverage from the raw rows: lo/hi must
+    equal the ceil(q·n)-th smallest calibration value, and coverage
+    the exact in-band share of the scoring half."""
+    import math
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.col("ts").cast("date").alias("d"), "value")
+        .collect()
+    )
+    bounds = {}
+    for r in ev:
+        lo, hi = bounds.get(r.event_type, (r.d, r.d))
+        bounds[r.event_type] = (min(lo, r.d), max(hi, r.d))
+    import datetime as dt
+
+    mids = {
+        t: lo + dt.timedelta(days=(hi - lo).days // 2)
+        for t, (lo, hi) in bounds.items()
+    }
+    ref, cur = defaultdict(list), defaultdict(list)
+    for r in ev:
+        (ref if r.d < mids[r.event_type] else cur)[r.event_type].append(
+            r.value
+        )
+    from flink_template_spark.plans.quality import _CONF_HI, _CONF_LO
+
+    for row in plans.QUERIES["q_conformal_coverage"](spark, sf_dir).collect():
+        vals = sorted(ref[row.event_type])
+        n = len(vals)
+        lo = vals[max(math.ceil(n * _CONF_LO), 1) - 1]
+        hi = vals[max(math.ceil(n * _CONF_HI), 1) - 1]
+        assert (lo, hi) == (row.lo, row.hi), row.event_type
+        cv = cur[row.event_type]
+        inb = sum(1 for v in cv if lo <= v <= hi)
+        assert (row.n_ref, row.n_cur) == (n, len(cv))
+        assert abs(row.coverage - inb / len(cv)) <= 5e-7
+
+
+def test_assortativity_in_pearson_range(spark, sf_dir):
+    r = plans.QUERIES["q_graph_assortativity"](spark, sf_dir).collect()[0]
+    assert r.n_edges > 0
+    if r.assortativity is not None:
+        assert -1.0 - 1e-9 <= r.assortativity <= 1.0 + 1e-9
