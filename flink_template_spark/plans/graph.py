@@ -671,21 +671,14 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: serves off the memoized edge table; both degree
     tables are hash aggs of it (≤ |nations| rows, broadcast into the
     edge join); the correlation is a 1-row reduction."""
+    from flink_template_spark.functions.stats import pearson_terms, suff_sums
+
     edges = _trade_edges(spark, sf_dir)
     od = edges.groupBy("src").agg(F.count(F.lit(1)).alias("x"))
     idg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("y"))
     xy = edges.join(F.broadcast(od), "src").join(F.broadcast(idg), "dst")
-    s = xy.agg(
-        F.count(F.lit(1)).alias("m"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-    )
-    dxx = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
-    dyy = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
-    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    s = suff_sums(xy)
+    num, dxx, dyy = pearson_terms()
     return s.select(
         F.col("m").cast("bigint").alias("n_edges"),
         F.when((dxx <= 0) | (dyy <= 0), F.lit(None).cast("double"))

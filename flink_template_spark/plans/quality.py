@@ -3036,31 +3036,39 @@ s AS (
 )
 SELECT
   CAST(m AS BIGINT) AS n_tokens_fit,
-  ROUND(-((m * sxy - sx * sy) / (m * sxx - sx * sx)), 6) AS zipf_exponent,
-  ROUND(
+  CASE WHEN m * sxx - sx * sx <= 0 THEN CAST(NULL AS DOUBLE)
+       ELSE ROUND(-((m * sxy - sx * sy) / (m * sxx - sx * sx)), 6)
+  END AS zipf_exponent,
+  CASE WHEN m * sxx - sx * sx <= 0 OR m * syy - sy * sy <= 0
+       THEN CAST(NULL AS DOUBLE)
+       ELSE ROUND(
     ((m * sxy - sx * sy) * (m * sxy - sx * sy))
-    / ((m * sxx - sx * sx) * (m * syy - sy * sy)), 6) AS r2
+    / ((m * sxx - sx * sx) * (m * syy - sy * sy)), 6)
+  END AS r2
 FROM s
 """,
 )
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Zipf-law fit over the corpus vocabulary: log-log OLS of
-    frequency against rank for the top-{_ZIPF_TOP} tokens — the
+    """Zipf-law fit over the corpus vocabulary: log-log OLS of
+    frequency against rank for the top-1000 (_ZIPF_TOP) tokens — the
     corpus-health statistic (natural text sits near exponent 1;
     boilerplate-heavy or deduplicated-to-death corpora drift away)
     and a sanity gate before vocabulary/BPE sizing decisions.
 
     Float discipline: ln(rank)/ln(count) from exact integers; the OLS
-    slope and r² are the five-sufficient-sums closed form in one
-    fixed dag over a {_ZIPF_TOP}-term sum, 6-dp rounded. The top-K
-    cut is totally ordered (count DESC, token ASC), so both engines
-    fit the identical point set.
+    slope and r² are the five-sufficient-sums closed form
+    (functions.stats) in one fixed dag over a ≤1000-term sum, 6-dp
+    rounded, with the NULL degenerate-variance guard (a single-token
+    or exactly-uniform cut is undefined — Spark's ANSI divide would
+    abort where DuckDB NULLs). The top-K cut is totally ordered
+    (count DESC, token ASC), so both engines fit the identical
+    point set.
 
     Scale shape: one map-side tokenize+explode into a hash agg (the
-    vocab table, Zipf-small by this very law); the top-{_ZIPF_TOP} is
+    vocab table, Zipf-small by this very law); the top-K is
     TakeOrderedAndProject, never a full sort; the rank window runs
-    over the {_ZIPF_TOP}-row POST-LIMIT table (bounded by the fixed K
-    — audited); the regression is a single 1-row reduction."""
+    over the 1000-row POST-LIMIT table (bounded by the fixed K —
+    audited); the regression is a single 1-row reduction."""
     docs = load_table(spark, sf_dir, "documents")
     freq = (
         docs.select(F.explode(F.split(F.col("text"), " ")).alias("t"))
@@ -3078,21 +3086,18 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("x"),
         F.log(F.col("c").cast("double")).alias("y"),
     )
-    s = xy.agg(
-        F.count(F.lit(1)).alias("m"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-    )
-    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
-    dxx = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
-    dyy = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    from flink_template_spark.functions.stats import pearson_terms, suff_sums
+
+    s = suff_sums(xy)
+    num, dxx, dyy = pearson_terms()
     return s.select(
         F.col("m").cast("bigint").alias("n_tokens_fit"),
-        F.round(-(num / dxx), 6).alias("zipf_exponent"),
-        F.round((num * num) / (dxx * dyy), 6).alias("r2"),
+        F.when(dxx <= 0, F.lit(None).cast("double"))
+        .otherwise(F.round(-(num / dxx), 6))
+        .alias("zipf_exponent"),
+        F.when((dxx <= 0) | (dyy <= 0), F.lit(None).cast("double"))
+        .otherwise(F.round((num * num) / (dxx * dyy), 6))
+        .alias("r2"),
     )
 
 
@@ -3130,27 +3135,31 @@ cur AS (
     SUM(CASE WHEN value BETWEEN lo AND hi THEN 1 ELSE 0 END) AS n_in
   FROM ev
   JOIN span ON ev.event_type = span.event_type
-  JOIN iv ON ev.event_type = iv.event_type
+  LEFT JOIN iv ON ev.event_type = iv.event_type
   WHERE ev.d >= mid_d
   GROUP BY 1
 )
 SELECT cur.event_type,
-  CAST(n_ref AS BIGINT) AS n_ref,
+  CAST(COALESCE(n_ref, 0) AS BIGINT) AS n_ref,
   CAST(n_cur AS BIGINT) AS n_cur,
   lo, hi,
-  ROUND(CAST(n_in AS DOUBLE) / n_cur, 6) AS coverage
-FROM cur JOIN iv ON cur.event_type = iv.event_type
+  CASE WHEN lo IS NULL THEN CAST(NULL AS DOUBLE)
+       ELSE ROUND(CAST(n_in AS DOUBLE) / n_cur, 6) END AS coverage
+FROM cur LEFT JOIN iv ON cur.event_type = iv.event_type
 ORDER BY cur.event_type
 """,
 )
 def q_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-conformal interval coverage per event type: the
-    [q{_CONF_LO}, q{_CONF_HI}] discrete-quantile band is fit on the
-    FIRST half of the timeline (the calibration split) and scored on
-    the second — nominal 90% coverage; a shortfall is the
+    [q0.05, q0.95] discrete-quantile band (_CONF_LO/_CONF_HI) is fit
+    on the FIRST half of the timeline (the calibration split) and
+    scored on the second — nominal 90% coverage; a shortfall is the
     distribution-shift alarm conformal prediction turns into a
     guarantee. Completes the drift quartet (KS gap, PSI ratio,
-    Mann-Whitney shift, conformal coverage).
+    Mann-Whitney shift, conformal coverage). A type whose timeline
+    collapses to one day has NO calibration half: it is still
+    REPORTED (n_ref = 0, NULL band and coverage) rather than silently
+    dropped — the Mann-Whitney degenerate convention.
 
     Quantiles WITHOUT a per-row sort or collect: the calibration
     half collapses to the bounded (type, value) histogram (the
@@ -3207,10 +3216,14 @@ def q_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         disc(_CONF_HI).alias("hi"),
         F.max("n_ref").alias("n_ref"),
     )
+    # LEFT join: a one-day type has no calibration half and thus no
+    # band row — report it (n_ref = 0, NULL band/coverage) instead of
+    # silently dropping its alarm (the Mann-Whitney degenerate
+    # convention)
     cur = (
         ev.join(F.broadcast(span), "event_type")
         .filter(F.col("d") >= F.col("mid_d"))
-        .join(F.broadcast(iv), "event_type")
+        .join(F.broadcast(iv), "event_type", "left")
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_cur"),
@@ -3226,11 +3239,13 @@ def q_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cur.select(
         "event_type",
-        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.coalesce(F.col("n_ref"), F.lit(0)).cast("bigint").alias("n_ref"),
         F.col("n_cur").cast("bigint").alias("n_cur"),
         "lo",
         "hi",
-        F.round(F.col("n_in").cast("double") / F.col("n_cur"), 6).alias(
-            "coverage"
-        ),
+        F.when(F.col("lo").isNull(), F.lit(None).cast("double"))
+        .otherwise(
+            F.round(F.col("n_in").cast("double") / F.col("n_cur"), 6)
+        )
+        .alias("coverage"),
     ).orderBy("event_type")

@@ -457,3 +457,33 @@ def test_assortativity_in_pearson_range(spark, sf_dir):
     assert r.n_edges > 0
     if r.assortativity is not None:
         assert -1.0 - 1e-9 <= r.assortativity <= 1.0 + 1e-9
+
+
+def test_conformal_one_day_type_reported_not_dropped(spark, tmp_path):
+    """A type whose timeline collapses to one day has no calibration
+    half; it must still appear in the report with n_ref = 0 and NULL
+    band/coverage (same fixture shape as the Mann-Whitney pin)."""
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 5), i, "oneday", float(i), "{}")
+        for i in range(10)
+    ] + [
+        (100 + i, dt.datetime(2024, 1, 1 + i % 20), i, "ok", float(i % 9), "{}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.event_type: r
+        for r in plans.QUERIES["q_conformal_coverage"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert "oneday" in out, "degenerate type silently dropped"
+    assert out["oneday"].n_ref == 0 and out["oneday"].coverage is None
+    assert out["oneday"].lo is None and out["oneday"].hi is None
+    assert out["ok"].coverage is not None
