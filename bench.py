@@ -254,6 +254,8 @@ EXTENDED = [
     "q_zipf_fit",
     "q_conformal_coverage",
     "q_graph_assortativity",
+    "q_ndcg_eval",
+    "q_itemsets_3",
 ]
 
 

@@ -195,6 +195,8 @@ _MIDDLE: list[str] = [
     "q_zipf_fit",
     "q_conformal_coverage",
     "q_graph_assortativity",
+    "q_ndcg_eval",
+    "q_itemsets_3",
     # the last r4-cohort name (stalest verdict after a green r9)
     "q_grouping_sets",
     # r5-cohort (next-stalest after a green r9), in r5 check order

@@ -487,3 +487,43 @@ def test_conformal_one_day_type_reported_not_dropped(spark, tmp_path):
     assert out["oneday"].n_ref == 0 and out["oneday"].coverage is None
     assert out["oneday"].lo is None and out["oneday"].hi is None
     assert out["ok"].coverage is not None
+
+
+def test_ndcg_bounds_and_pool(spark, sf_dir):
+    """NDCG in [0, 1] when any relevant candidate exists (DCG <= ideal
+    by construction; 0 is legitimate — relevant items exist but none
+    reached the top 10), NULL when the query's label never appears."""
+    rows = plans.QUERIES["q_ndcg_eval"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.n_rel_pool == 0:
+            assert r.ndcg is None
+        else:
+            assert 0.0 <= r.ndcg <= 1.0 + 1e-9, r.query_id
+
+
+def test_itemsets3_brute_recount(spark, sf_dir):
+    """Every emitted triple's support recounts from a brute basket
+    scan, and every triple's three sub-pairs are frequent
+    (anti-monotonicity)."""
+    from itertools import combinations
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = defaultdict(set)
+    for r in li.select("l_orderkey", "l_partkey").collect():
+        baskets[r.l_orderkey].add(r.l_partkey)
+    pair = defaultdict(int)
+    tri = defaultdict(int)
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for a, b in combinations(ps, 2):
+            pair[(a, b)] += 1
+        for t in combinations(ps, 3):
+            tri[t] += 1
+    out = plans.QUERIES["q_itemsets_3"](spark, sf_dir).collect()
+    assert out, "sf0.001 fixture has frequent triples"
+    for r in out:
+        t = (r.part_a, r.part_b, r.part_c)
+        assert tri[t] == r.support, t
+        for sub in combinations(t, 2):
+            assert pair[sub] >= 2, f"sub-pair {sub} of {t} not frequent"
