@@ -2054,12 +2054,19 @@ _TRIPLE_TOP = 15
     "q_itemsets_3",
     oracle=f"""
 WITH {_BASKET_CTE_SQL},
+cand AS (
+  SELECT p1.part_a, p1.part_b, p2.part_b AS part_c
+  FROM pairs p1
+  JOIN pairs p2 ON p1.part_a = p2.part_a AND p2.part_b > p1.part_b
+  WHERE EXISTS (SELECT 1 FROM pairs p3
+                WHERE p3.part_a = p1.part_b AND p3.part_b = p2.part_b)
+),
 tri AS (
-  SELECT p.part_a, p.part_b, c.p AS part_c, COUNT(*) AS support
-  FROM pairs p
-  JOIN d a ON a.p = p.part_a
-  JOIN d b ON b.o = a.o AND b.p = p.part_b
-  JOIN d c ON c.o = a.o AND c.p > p.part_b
+  SELECT c.part_a, c.part_b, c.part_c, COUNT(*) AS support
+  FROM cand c
+  JOIN d a ON a.p = c.part_a
+  JOIN d b ON b.o = a.o AND b.p = c.part_b
+  JOIN d e ON e.o = a.o AND e.p = c.part_c
   GROUP BY 1, 2, 3
   HAVING COUNT(*) >= {_BASKET_MINSUP}
 )
@@ -2070,34 +2077,54 @@ LIMIT {_TRIPLE_TOP}
 """,
 )
 def q_itemsets_3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequent 3-itemsets with textbook APRIORI candidate generation
-    (round 3 proper, on top of q_basket_pairs/q_assoc_rules): triples
-    are generated ONLY by extending an already-frequent pair with a
-    third item from the same order — the anti-monotonicity prune that
-    makes level-wise mining viable at scale (candidates shrink each
-    level instead of exploding; at the synthetic SFs the level-3
-    support honestly thins from 94 triples at sf0.001 to 0 at sf0.1
-    as the part space outgrows the basket count). Integer counts
-    end-to-end.
+    """Frequent 3-itemsets with the FULL textbook apriori prune
+    (round 3 proper, on top of q_basket_pairs/q_assoc_rules):
+    candidates are the self-join of the frequent-pair table on its
+    first item — (a,b) ⋈ (a,c), b < c — kept only when the third
+    2-subset (b,c) is ALSO frequent, so every 2-subset of every
+    candidate is frequent before any basket is touched (the
+    anti-monotonicity prune in its strong form); only then are
+    candidates counted against the baskets and HAVING-filtered. At
+    the synthetic SFs the level-3 support honestly thins from 94
+    triples at sf0.001 to 0 at sf0.1 as the part space outgrows the
+    basket count. Integer counts end-to-end.
 
-    Scale shape: the pair table is the shared pinned
-    _frequent_part_pairs result (tiny post-HAVING); every join is an
-    equi-join keyed on the order (basket) or the part — candidate
-    volume is bounded by Σ_o |frequent pairs ⊆ o| · basket_size,
-    never a 3-way cartesian; the top-{_TRIPLE_TOP} is
-    TakeOrderedAndProject."""
+    Scale shape: candidate generation touches ONLY the tiny
+    post-HAVING pair table (self-join on the shared first item +
+    a semi-join prune — never the corpus); the support count joins
+    the candidate list to the basket table by part/order keys,
+    volume bounded by Σ_o |candidates ⊆ o|; the
+    top-{_TRIPLE_TOP} is TakeOrderedAndProject."""
     li = load_table(spark, sf_dir, "lineitem")
     d, _, pairs = _frequent_part_pairs(li)
-    pairs = pairs.localCheckpoint(eager=False)  # joined 3× below
-    a = d.select(F.col("o"), F.col("p").alias("part_a"))
-    b = d.select(F.col("o"), F.col("p").alias("part_b"))
-    c = d.select(F.col("o"), F.col("p").alias("part_c"))
+    # candidate generation consumes the pair table three times
+    # (both self-join sides + the (b,c)-frequency semi-join): pin it
+    pairs = pairs.select("part_a", "part_b").localCheckpoint(eager=False)
+    cand = (
+        pairs.join(
+            pairs.select(
+                "part_a", F.col("part_b").alias("part_c")
+            ),
+            "part_a",
+        )
+        .filter(F.col("part_c") > F.col("part_b"))
+        .join(
+            pairs.select(
+                F.col("part_a").alias("part_b"),
+                F.col("part_b").alias("part_c"),
+            ),
+            ["part_b", "part_c"],
+            "left_semi",
+        )
+    )
+    da = d.select(F.col("o"), F.col("p").alias("part_a"))
+    db = d.select(F.col("o"), F.col("p").alias("part_b"))
+    dc = d.select(F.col("o"), F.col("p").alias("part_c"))
     tri = (
-        pairs.join(a, "part_a")
-        .join(b, ["o", "part_b"])
-        .join(c.withColumnRenamed("part_c", "pc"), "o")
-        .filter(F.col("pc") > F.col("part_b"))
-        .groupBy("part_a", "part_b", F.col("pc").alias("part_c"))
+        cand.join(da, "part_a")
+        .join(db, ["o", "part_b"])
+        .join(dc, ["o", "part_c"])
+        .groupBy("part_a", "part_b", "part_c")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= _BASKET_MINSUP)
     )

@@ -2223,6 +2223,14 @@ WITH q AS (
   SELECT vec_id AS query_id, label AS y_q, embedding FROM embeddings
   WHERE vec_id < {_RECALL_NQ}
 ),
+lc AS (
+  SELECT label, COUNT(*) AS n FROM embeddings
+  WHERE vec_id >= {_RECALL_NQ} GROUP BY label
+),
+nrel AS (
+  SELECT query_id, COALESCE(n, 0) AS n_rel
+  FROM q LEFT JOIN lc ON q.y_q = lc.label
+),
 ranked AS (
   SELECT q.query_id, e.label = q.y_q AS rel,
     ROW_NUMBER() OVER (PARTITION BY q.query_id
@@ -2230,26 +2238,27 @@ ranked AS (
   FROM embeddings e CROSS JOIN q
   WHERE e.vec_id >= {_RECALL_NQ}
 ),
-per_q AS (
+dcg_q AS (
   SELECT query_id,
-    SUM(CASE WHEN rel AND rk <= {_RECALL_K}
-             THEN 1.0 / LOG2(CAST(rk + 1 AS DOUBLE)) ELSE 0.0 END) AS dcg,
-    SUM(CASE WHEN rel THEN 1 ELSE 0 END) AS n_rel
-  FROM ranked GROUP BY query_id
+    SUM(1.0 / LOG2(CAST(rk + 1 AS DOUBLE))) AS dcg
+  FROM ranked WHERE rel AND rk <= {_RECALL_K}
+  GROUP BY query_id
 ),
 ideal AS (
-  SELECT p.query_id,
+  SELECT nrel.query_id,
     SUM(1.0 / LOG2(CAST(i + 1 AS DOUBLE)))
       FILTER (WHERE i <= LEAST({_RECALL_K}, n_rel)) AS idcg
-  FROM per_q p CROSS JOIN (SELECT UNNEST(range(1, {_RECALL_K} + 1)) AS i)
-  GROUP BY p.query_id
+  FROM nrel CROSS JOIN (SELECT UNNEST(range(1, {_RECALL_K} + 1)) AS i)
+  GROUP BY nrel.query_id
 )
-SELECT p.query_id,
+SELECT nrel.query_id,
   CAST(n_rel AS BIGINT) AS n_rel_pool,
   CASE WHEN n_rel = 0 THEN CAST(NULL AS DOUBLE)
-       ELSE ROUND(dcg / idcg, 6) END AS ndcg
-FROM per_q p JOIN ideal USING (query_id)
-ORDER BY p.query_id
+       ELSE ROUND(COALESCE(dcg, 0.0) / idcg, 6) END AS ndcg
+FROM nrel
+LEFT JOIN dcg_q ON nrel.query_id = dcg_q.query_id
+JOIN ideal ON nrel.query_id = ideal.query_id
+ORDER BY nrel.query_id
 """
 
 
@@ -2267,11 +2276,14 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     query's relevant-pool size, with a NULL guard for a query whose
     label never appears in the pool.
 
-    Scale shape: identical eval posture to q_mrr_eval — broadcast
-    query sample against the corpus, per-query-partitioned ranking
-    with WindowGroupLimit pushdown, never corpus×corpus; the DCG and
-    ideal-DCG reductions are per-query hash aggs with map-side
-    partials (the ideal side over a 10-row constant range)."""
+    Scale shape: the relevant-pool size comes from the LABEL
+    HISTOGRAM (one hash agg, no cosine, no window — labels suffice),
+    so the window branch can filter rk <= 10 and keep the
+    WindowGroupLimit top-k heap pushdown q_mrr_eval gets (plan-
+    checked: an all-rows aggregate above the window would forfeit
+    it and full-sort every per-query partition); the query sample
+    broadcasts, never corpus×corpus; the ideal DCG is a 10-element
+    array fold."""
     from pyspark.sql import Window as W
 
     from flink_template_spark.functions.vector import cosine
@@ -2282,9 +2294,17 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("y_q"),
         F.col("embedding").alias("__qvec"),
     )
+    pool = emb.filter(F.col("vec_id") >= _RECALL_NQ)
+    lc = pool.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    nrel = (
+        q.select("query_id", "y_q")
+        .join(F.broadcast(lc), q.y_q == lc.label, "left")
+        .select(
+            "query_id", F.coalesce("n", F.lit(0)).alias("n_rel")
+        )
+    )
     ranked = (
-        emb.filter(F.col("vec_id") >= _RECALL_NQ)
-        .crossJoin(F.broadcast(q))
+        pool.crossJoin(F.broadcast(q))
         .select(
             "query_id",
             "vec_id",
@@ -2297,15 +2317,16 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 W.partitionBy("query_id").orderBy(F.desc("s"), "vec_id")
             ),
         )
+        .filter(F.col("rk") <= _RECALL_K)  # enables WindowGroupLimit
     )
-    per_q = ranked.groupBy("query_id").agg(
-        F.sum(
-            F.when(
-                F.col("rel") & (F.col("rk") <= _RECALL_K),
-                F.lit(1.0) / F.log2((F.col("rk") + 1).cast("double")),
-            ).otherwise(F.lit(0.0))
-        ).alias("dcg"),
-        F.sum(F.when(F.col("rel"), 1).otherwise(0)).alias("n_rel"),
+    dcg_q = (
+        ranked.filter(F.col("rel"))
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.lit(1.0) / F.log2((F.col("rk") + 1).cast("double"))
+            ).alias("dcg")
+        )
     )
     # ideal DCG: the same ten discount constants truncated at the
     # query's relevant-pool size — a 10-element array fold, no join
@@ -2320,10 +2341,16 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    return per_q.select(
-        "query_id",
-        F.col("n_rel").cast("bigint").alias("n_rel_pool"),
-        F.when(F.col("n_rel") == 0, F.lit(None).cast("double"))
-        .otherwise(F.round(F.col("dcg") / idcg, 6))
-        .alias("ndcg"),
-    ).orderBy("query_id")
+    return (
+        nrel.join(dcg_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_rel").cast("bigint").alias("n_rel_pool"),
+            F.when(F.col("n_rel") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(F.coalesce(F.col("dcg"), F.lit(0.0)) / idcg, 6)
+            )
+            .alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )
