@@ -256,6 +256,8 @@ EXTENDED = [
     "q_graph_assortativity",
     "q_ndcg_eval",
     "q_itemsets_3",
+    "q_power_analysis",
+    "q_skipgram_pairs",
 ]
 
 

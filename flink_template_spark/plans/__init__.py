@@ -197,6 +197,8 @@ _MIDDLE: list[str] = [
     "q_graph_assortativity",
     "q_ndcg_eval",
     "q_itemsets_3",
+    "q_power_analysis",
+    "q_skipgram_pairs",
     # the last r4-cohort name (stalest verdict after a green r9)
     "q_grouping_sets",
     # r5-cohort (next-stalest after a green r9), in r5 check order

@@ -2970,3 +2970,91 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp(F.sum("ln_keep").over(wt)), 6))
         .alias("survival"),
     ).orderBy("gap_days")
+
+
+_PWR_MDE = 0.02  # absolute minimum detectable effect on the rate
+_PWR_MIN_PURCHASES = 10  # same conversion definition as the A/B readout
+_Z_ALPHA = 1.959964  # two-sided 5% (the q_ab_test_readout literal)
+_Z_BETA = 0.841621  # 80% power
+
+
+@register(
+    "q_power_analysis",
+    oracle=f"""
+WITH conv AS (
+  SELECT user_id,
+    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              >= {_PWR_MIN_PURCHASES} THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id
+),
+base AS (
+  SELECT COUNT(*) AS n_users, SUM(converted) AS n_conv FROM conv
+),
+rates AS (
+  SELECT n_users, n_conv,
+    CAST(n_conv AS DOUBLE) / n_users AS p1,
+    CAST(n_conv AS DOUBLE) / n_users + {_PWR_MDE} AS p2
+  FROM base
+)
+SELECT
+  CAST(n_users AS BIGINT) AS n_users_observed,
+  ROUND(p1, 6) AS baseline_rate,
+  ROUND(p2, 6) AS target_rate,
+  CAST(CEIL(ROUND(
+    (({_Z_ALPHA} * SQRT(2.0 * ((p1 + p2) / 2.0) * (1.0 - (p1 + p2) / 2.0))
+      + {_Z_BETA} * SQRT(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+     * ({_Z_ALPHA} * SQRT(2.0 * ((p1 + p2) / 2.0) * (1.0 - (p1 + p2) / 2.0))
+        + {_Z_BETA} * SQRT(p1 * (1.0 - p1) + p2 * (1.0 - p2))))
+    / ({_PWR_MDE} * {_PWR_MDE}), 6)) AS BIGINT) AS n_per_arm_required
+FROM rates
+""",
+)
+def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size (power) analysis — the question every
+    experiment STARTS with, beside q_ab_test_readout's ending: given
+    the corpus' observed conversion rate as baseline, how many users
+    per arm detect an absolute +2pp lift at 5% two-sided alpha and
+    80% power? Standard two-proportion closed form
+    n = (z_a·sqrt(2·pbar·(1-pbar)) + z_b·sqrt(p1(1-p1)+p2(1-p2)))² /
+    (p2-p1)², with the z quantiles as shared literals (1.959964 /
+    0.841621 — the q_ab_test_readout discipline: constants, not
+    engine erf implementations).
+
+    Float discipline: the rate is an exact-integer division; the n
+    formula is one fixed IEEE dag with correctly-rounded sqrts; the
+    final CEIL is taken on the 6-dp ROUNDED value so a cross-engine
+    ulp at an integer boundary cannot flip the reported n.
+
+    Scale shape: one user-keyed hash agg (map-side partials) → a
+    1-row rollup → scalar algebra; nothing data-sized leaves the
+    first aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= _PWR_MIN_PURCHASES,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    )
+    base = conv.agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("converted").alias("n_conv")
+    )
+    p1 = F.col("n_conv").cast("double") / F.col("n_users")
+    p2 = p1 + F.lit(_PWR_MDE)
+    pbar = (p1 + p2) / 2.0
+    root = F.lit(_Z_ALPHA) * F.sqrt(2.0 * pbar * (1.0 - pbar)) + F.lit(
+        _Z_BETA
+    ) * F.sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))
+    n_req = F.ceil(F.round((root * root) / (_PWR_MDE * _PWR_MDE), 6)).cast(
+        "bigint"
+    )
+    return base.select(
+        F.col("n_users").cast("bigint").alias("n_users_observed"),
+        F.round(p1, 6).alias("baseline_rate"),
+        F.round(p2, 6).alias("target_rate"),
+        n_req.alias("n_per_arm_required"),
+    )

@@ -3249,3 +3249,79 @@ def q_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("coverage"),
     ).orderBy("event_type")
+
+
+_SKIP_WINDOW = 2  # forward skip-gram window
+_SKIP_TOP = 20
+
+
+@register(
+    "q_skipgram_pairs",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, t, pos FROM (
+    SELECT doc_id,
+      unnest(string_split(text, ' ')) AS t,
+      generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+  )
+),
+pairs AS (
+  SELECT t AS w1,
+    LEAD(t, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS n1,
+    LEAD(t, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS n2
+  FROM tok
+),
+tall AS (
+  SELECT w1, unnest([n1, n2]) AS w2 FROM pairs
+),
+cnt AS (
+  SELECT w1, w2, COUNT(*) AS c FROM tall
+  WHERE w2 IS NOT NULL GROUP BY 1, 2
+)
+SELECT w1, w2, CAST(c AS BIGINT) AS n_cooccur
+FROM cnt
+ORDER BY c DESC, w1, w2
+LIMIT {_SKIP_TOP}
+""",
+)
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence counts (forward window 2) — the
+    word2vec/GloVe preprocessing primitive and the collocation table
+    a training-data pipeline derives before embedding training: for
+    every token, its next-1 and next-2 neighbors, counted corpus-wide,
+    top-20 with a deterministic (count DESC, w1, w2) cut.
+
+    Scale shape: neighbors come from two LEAD windows PARTITIONED BY
+    doc (bounded by document length, never corpus-sized — and
+    deliberately NOT a positional self-join, whose doc-keyed join
+    would go quadratic per document); the pair count is one hash agg
+    with map-side partials over the Zipf-small pair-type table; the
+    top-{_SKIP_TOP} is TakeOrderedAndProject. Integer counts
+    end-to-end."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "t"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    pairs = tok.select(
+        F.col("t").alias("w1"),
+        F.lead("t", 1).over(w).alias("n1"),
+        F.lead("t", 2).over(w).alias("n2"),
+    )
+    # ONE pass over the windowed subtree: explode both neighbor slots
+    # (a union of two filtered branches would re-run the tokenize +
+    # LEAD window once per branch)
+    tall = pairs.select(
+        "w1", F.explode(F.array("n1", "n2")).alias("w2")
+    ).filter(F.col("w2").isNotNull())
+    return (
+        tall.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_cooccur"))
+        .select("w1", "w2", F.col("n_cooccur").cast("bigint").alias("n_cooccur"))
+        .orderBy(F.desc("n_cooccur"), "w1", "w2")
+        .limit(_SKIP_TOP)
+    )

@@ -527,3 +527,40 @@ def test_itemsets3_brute_recount(spark, sf_dir):
         assert tri[t] == r.support, t
         for sub in combinations(t, 2):
             assert pair[sub] >= 2, f"sub-pair {sub} of {t} not frequent"
+
+
+def test_power_analysis_formula_recount(spark, sf_dir):
+    """n recomputes from the emitted rates with the textbook formula;
+    monotonicity: more power for the same MDE needs more users than
+    the nominal baseline rate alone would suggest (n > 0, and the
+    formula value matches within the 6-dp rounding the CEIL sits on)."""
+    import math
+
+    r = plans.QUERIES["q_power_analysis"](spark, sf_dir).collect()[0]
+    p1, p2 = r.baseline_rate, r.target_rate
+    za, zb = 1.959964, 0.841621
+    pbar = (p1 + p2) / 2
+    root = za * math.sqrt(2 * pbar * (1 - pbar)) + zb * math.sqrt(
+        p1 * (1 - p1) + p2 * (1 - p2)
+    )
+    approx = root * root / (0.02 * 0.02)
+    assert r.n_per_arm_required > 0
+    # rates are 6-dp rounded, so allow the error that propagates
+    assert abs(r.n_per_arm_required - approx) <= max(2.0, approx * 1e-3)
+
+
+def test_skipgram_brute_recount(spark, sf_dir):
+    """Every emitted pair count recounts from a brute per-doc token
+    scan with the same forward window of 2."""
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    cnt = defaultdict(int)
+    for row in docs:
+        w = row.text.split(" ")
+        for i, a in enumerate(w):
+            for j in (i + 1, i + 2):
+                if j < len(w):
+                    cnt[(a, w[j])] += 1
+    out = plans.QUERIES["q_skipgram_pairs"](spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert cnt[(r.w1, r.w2)] == r.n_cooccur, (r.w1, r.w2)
