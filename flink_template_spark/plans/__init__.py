@@ -72,7 +72,16 @@ rotates per round so every family accumulates driver-checked entries:
   the single query whose last driver verdict predates round 5; the
   next-stalest cohort is round 5's 50 (ledgered in _MIDDLE behind any
   new round-9 additions), so the natural r10 slate is q_grouping_sets
-  + the r9 additions + the oldest r5 names.
+  + the r9 additions + the oldest r5 names. Round 9 landed 39 new
+  queries (21 pre-compaction: bounce rate … order streaks; then the
+  session waves: Kaplan-Meier, target encoding, assoc rules, Gini
+  split, Cramér's V, PSI, join-cardinality audit, Bloom FPR audit,
+  DBSCAN, source lang entropy, Mann-Whitney, Zipf fit, conformal
+  coverage, assortativity, NDCG, 3-itemsets, power analysis,
+  skip-grams — all oracle-green at all three SFs locally), so
+  _MIDDLE's head holds 39 never-checked names + q_grouping_sets: the
+  natural round-10 slate is its first 50 (leaving the 50-query
+  r5 cohort as the stalest verdicts for r11).
 """
 
 from flink_template_spark.plans import registry  # noqa: F401

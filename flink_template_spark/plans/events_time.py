@@ -2973,7 +2973,6 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PWR_MDE = 0.02  # absolute minimum detectable effect on the rate
-_PWR_MIN_PURCHASES = 10  # same conversion definition as the A/B readout
 _Z_ALPHA = 1.959964  # two-sided 5% (the q_ab_test_readout literal)
 _Z_BETA = 0.841621  # 80% power
 
@@ -2983,8 +2982,8 @@ _Z_BETA = 0.841621  # 80% power
     oracle=f"""
 WITH conv AS (
   SELECT user_id,
-    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-              >= {_PWR_MIN_PURCHASES} THEN 1 ELSE 0 END AS converted
+    CASE WHEN SUM(CASE WHEN event_type = '{_AB_CONVERT}' THEN 1 ELSE 0 END)
+              >= {_AB_MIN_PURCHASES} THEN 1 ELSE 0 END AS converted
   FROM events GROUP BY user_id
 ),
 base AS (
@@ -3000,12 +2999,14 @@ SELECT
   CAST(n_users AS BIGINT) AS n_users_observed,
   ROUND(p1, 6) AS baseline_rate,
   ROUND(p2, 6) AS target_rate,
-  CAST(CEIL(ROUND(
+  CASE WHEN p2 >= 1.0 THEN CAST(NULL AS BIGINT)
+       ELSE CAST(CEIL(ROUND(
     (({_Z_ALPHA} * SQRT(2.0 * ((p1 + p2) / 2.0) * (1.0 - (p1 + p2) / 2.0))
       + {_Z_BETA} * SQRT(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
      * ({_Z_ALPHA} * SQRT(2.0 * ((p1 + p2) / 2.0) * (1.0 - (p1 + p2) / 2.0))
         + {_Z_BETA} * SQRT(p1 * (1.0 - p1) + p2 * (1.0 - p2))))
-    / ({_PWR_MDE} * {_PWR_MDE}), 6)) AS BIGINT) AS n_per_arm_required
+    / ({_PWR_MDE} * {_PWR_MDE}), 6)) AS BIGINT)
+  END AS n_per_arm_required
 FROM rates
 """,
 )
@@ -3023,7 +3024,12 @@ def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     Float discipline: the rate is an exact-integer division; the n
     formula is one fixed IEEE dag with correctly-rounded sqrts; the
     final CEIL is taken on the 6-dp ROUNDED value so a cross-engine
-    ulp at an integer boundary cannot flip the reported n.
+    ulp at an integer boundary cannot flip the reported n. A baseline
+    so high the +MDE target reaches 1.0 reports NULL (no achievable
+    lift — and sqrt of the negative 1-p2 would otherwise error in
+    DuckDB while Spark NaNs). The conversion definition REUSES the
+    q_ab_test_readout constants, so the two experiments' semantics
+    cannot drift apart.
 
     Scale shape: one user-keyed hash agg (map-side partials) → a
     1-row rollup → scalar algebra; nothing data-sized leaves the
@@ -3032,9 +3038,9 @@ def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     conv = ev.groupBy("user_id").agg(
         F.when(
             F.sum(
-                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                F.when(F.col("event_type") == _AB_CONVERT, 1).otherwise(0)
             )
-            >= _PWR_MIN_PURCHASES,
+            >= _AB_MIN_PURCHASES,
             1,
         )
         .otherwise(0)
@@ -3056,5 +3062,7 @@ def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_users").cast("bigint").alias("n_users_observed"),
         F.round(p1, 6).alias("baseline_rate"),
         F.round(p2, 6).alias("target_rate"),
-        n_req.alias("n_per_arm_required"),
+        F.when(p2 >= 1.0, F.lit(None).cast("bigint"))
+        .otherwise(n_req)
+        .alias("n_per_arm_required"),
     )
