@@ -258,6 +258,8 @@ EXTENDED = [
     "q_itemsets_3",
     "q_power_analysis",
     "q_skipgram_pairs",
+    "q_price_elasticity",
+    "q_spearman_price_balance",
 ]
 
 

@@ -39,3 +39,18 @@ def pearson_terms() -> tuple[Column, Column, Column]:
     dxx = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
     dyy = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
     return num, dxx, dyy
+
+
+def suff_sums_by(
+    df: DataFrame, keys: list[str], x: str = "x", y: str = "y"
+) -> DataFrame:
+    """Grouped variant of :func:`suff_sums`: one row of sufficient sums
+    per ``keys`` group (hash agg with map-side partials)."""
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(F.col(x) * F.col(x)).alias("sxx"),
+        F.sum(F.col(y) * F.col(y)).alias("syy"),
+        F.sum(F.col(x) * F.col(y)).alias("sxy"),
+    )

@@ -72,16 +72,16 @@ rotates per round so every family accumulates driver-checked entries:
   the single query whose last driver verdict predates round 5; the
   next-stalest cohort is round 5's 50 (ledgered in _MIDDLE behind any
   new round-9 additions), so the natural r10 slate is q_grouping_sets
-  + the r9 additions + the oldest r5 names. Round 9 landed 39 new
+  + the r9 additions + the oldest r5 names. Round 9 landed 41 new
   queries (21 pre-compaction: bounce rate … order streaks; then the
   session waves: Kaplan-Meier, target encoding, assoc rules, Gini
   split, Cramér's V, PSI, join-cardinality audit, Bloom FPR audit,
   DBSCAN, source lang entropy, Mann-Whitney, Zipf fit, conformal
   coverage, assortativity, NDCG, 3-itemsets, power analysis,
-  skip-grams — all oracle-green at all three SFs locally), so
-  _MIDDLE's head holds 39 never-checked names + q_grouping_sets: the
-  natural round-10 slate is its first 50 (leaving the 50-query
-  r5 cohort as the stalest verdicts for r11).
+  skip-grams, price elasticity, Spearman — all oracle-green at all
+  three SFs locally), so _MIDDLE's head holds 41 never-checked names
+  + q_grouping_sets: the natural round-10 slate is its first 50
+  (leaving the 50-query r5 cohort as the stalest verdicts for r11).
 """
 
 from flink_template_spark.plans import registry  # noqa: F401
@@ -208,6 +208,8 @@ _MIDDLE: list[str] = [
     "q_itemsets_3",
     "q_power_analysis",
     "q_skipgram_pairs",
+    "q_price_elasticity",
+    "q_spearman_price_balance",
     # the last r4-cohort name (stalest verdict after a green r9)
     "q_grouping_sets",
     # r5-cohort (next-stalest after a green r9), in r5 check order

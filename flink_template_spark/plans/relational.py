@@ -1386,3 +1386,174 @@ def q_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = _card_audit_pair(name, df1, k1, df2, k2)
         out = row if out is None else out.unionByName(row)
     return out.orderBy("join_name")
+
+
+_ELA_MIN_LINES = 200  # brands with fewer observations are noise
+
+
+@register(
+    "q_price_elasticity",
+    oracle=f"""
+WITH obs AS (
+  SELECT p.p_brand AS brand,
+    LN(l_extendedprice / l_quantity) AS x,
+    LN(l_quantity) AS y
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l_quantity > 0 AND l_extendedprice > 0
+),
+s AS (
+  SELECT brand, COUNT(*) AS m, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM obs GROUP BY brand
+)
+SELECT brand,
+  CAST(m AS BIGINT) AS n_lines,
+  CASE WHEN m * sxx - sx * sx <= 0 THEN CAST(NULL AS DOUBLE)
+       ELSE ROUND((m * sxy - sx * sy) / (m * sxx - sx * sx), 6)
+  END AS elasticity,
+  CASE WHEN m * sxx - sx * sx <= 0 OR m * syy - sy * sy <= 0
+       THEN CAST(NULL AS DOUBLE)
+       ELSE ROUND(((m * sxy - sx * sy) * (m * sxy - sx * sy))
+                  / ((m * sxx - sx * sx) * (m * syy - sy * sy)), 6)
+  END AS r2
+FROM s
+WHERE m >= {_ELA_MIN_LINES}
+ORDER BY brand
+""",
+)
+def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price elasticity of demand: the log-log OLS slope of
+    quantity on unit price (ln q = a + e·ln p) — the pricing-team
+    readout, and the GROUPED form of the repo's OLS family (one
+    closed-form slope PER GROUP off grouped sufficient sums, where
+    q_ols_price_trend fits one global line). Brands under
+    {_ELA_MIN_LINES} observations are dropped as noise.
+
+    Float discipline: ln inputs from exact positive doubles in an
+    identical dag; per-brand sums are double accumulations over the
+    group (accumulation-order ulp noise, orders below the 6-dp
+    rounding); the slope/r² closed form carries the shared
+    NULL degenerate-variance guard (functions.stats discipline).
+
+    Scale shape: ONE fact-dim equi-join (part side broadcast-eligible)
+    feeding one grouped hash agg with map-side partials
+    (functions.stats.suff_sums_by); everything after is |brands|
+    rows of scalar algebra — no window, no second scan."""
+    from flink_template_spark.functions.stats import pearson_terms, suff_sums_by
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    obs = (
+        li.filter((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+        .join(F.broadcast(part.select("p_partkey", "p_brand")),
+              li.l_partkey == F.col("p_partkey"))
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("x"),
+            F.log(F.col("l_quantity")).alias("y"),
+        )
+    )
+    s = suff_sums_by(obs, ["brand"])
+    num, dxx, dyy = pearson_terms()
+    return (
+        s.filter(F.col("m") >= _ELA_MIN_LINES)
+        .select(
+            "brand",
+            F.col("m").cast("bigint").alias("n_lines"),
+            F.when(dxx <= 0, F.lit(None).cast("double"))
+            .otherwise(F.round(num / dxx, 6))
+            .alias("elasticity"),
+            F.when((dxx <= 0) | (dyy <= 0), F.lit(None).cast("double"))
+            .otherwise(F.round((num * num) / (dxx * dyy), 6))
+            .alias("r2"),
+        )
+        .orderBy("brand")
+    )
+
+
+@register(
+    "q_spearman_price_balance",
+    oracle="""
+WITH j AS (
+  SELECT o_orderkey AS okey, o_totalprice AS price, c_acctbal AS bal
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+r AS (
+  SELECT okey,
+    ROW_NUMBER() OVER (ORDER BY price, okey) AS rx,
+    ROW_NUMBER() OVER (ORDER BY bal, okey) AS ry
+  FROM j
+),
+s AS (
+  SELECT COUNT(*) AS m, SUM(rx) AS sx, SUM(ry) AS sy,
+         SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy, SUM(rx * ry) AS sxy
+  FROM r
+)
+SELECT
+  CAST(m AS BIGINT) AS n_orders,
+  CASE WHEN m * sxx - sx * sx <= 0 OR m * syy - sy * sy <= 0
+       THEN CAST(NULL AS DOUBLE)
+       ELSE ROUND(
+         CAST(m * sxy - sx * sy AS DOUBLE)
+         / (SQRT(CAST(m * sxx - sx * sx AS DOUBLE))
+            * SQRT(CAST(m * syy - sy * sy AS DOUBLE))), 6)
+  END AS spearman_rho
+FROM s
+""",
+)
+def q_spearman_price_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between order value and the owning
+    customer's account balance — the monotone-association dual of the
+    Pearson family (does customer wealth order with order size at
+    ALL, linearly or not?), with a deterministic (value, orderkey)
+    tiebreak so both engines assign identical integer ranks (ties are
+    broken totally rather than averaged; documented, and exact under
+    the cross-engine hash).
+
+    Exactness: ranks are integers and the six sufficient sums run in
+    exact DECIMAL(38,0) arithmetic (m·Σr² grows as n³ and overflows
+    int64 already at ~150k rows — Spark ANSI would abort; DuckDB's
+    SUM(BIGINT) promotes to HUGEINT natively, so the oracle needs no
+    change); zero float accumulation anywhere; the single final
+    correlation divides/sqrts in one fixed dag (6-dp) behind the
+    shared NULL degenerate guard. Decimal38 headroom: the n⁴-order
+    cross term stays in range to ~3×10⁹ rows.
+
+    Scale shape: one key-partitioned fact-dim join (no broadcast —
+    customer is SF-scaled), then TWO two-pass range-partitioned
+    global rankings (operators.rank_global — never a single-partition
+    window over the data), then one 1-row reduction of integer
+    sums."""
+    from flink_template_spark.functions.stats import pearson_terms, suff_sums
+    from flink_template_spark.operators.rank_global import with_global_ranks
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").alias("price"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    rx = with_global_ranks(
+        j, [("price", True)], tiebreak=["okey"], row_number_col="rx"
+    )
+    rxy = with_global_ranks(
+        rx, [("bal", True)], tiebreak=["okey"], row_number_col="ry"
+    ).select(
+        F.col("rx").cast("decimal(38,0)").alias("rx"),
+        F.col("ry").cast("decimal(38,0)").alias("ry"),
+    )
+    s = suff_sums(rxy, x="rx", y="ry")
+    num, dxx, dyy = pearson_terms()
+    return s.select(
+        F.col("m").cast("bigint").alias("n_orders"),
+        F.when((dxx <= 0) | (dyy <= 0), F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                num.cast("double")
+                / (F.sqrt(dxx.cast("double")) * F.sqrt(dyy.cast("double"))),
+                6,
+            )
+        )
+        .alias("spearman_rho"),
+    )

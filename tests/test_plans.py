@@ -332,6 +332,11 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     # r9: the rank window runs over the POST-LIMIT top-K table —
     # bounded by the fixed _ZIPF_TOP = 1000, never data-sized
     "q_zipf_fit": 1,
+    # r9: one surfaced with_global_ranks offsets window
+    # (<= shuffle-partition-count rows; the other ranking pass sits
+    # behind its internal lazy checkpoint — the q_curriculum_order
+    # pattern)
+    "q_spearman_price_balance": 1,
 }
 
 

@@ -564,3 +564,59 @@ def test_skipgram_brute_recount(spark, sf_dir):
     assert out
     for r in out:
         assert cnt[(r.w1, r.w2)] == r.n_cooccur, (r.w1, r.w2)
+
+
+def test_price_elasticity_brute_recount(spark, sf_dir):
+    """Per-brand slope recomputes from a brute Python OLS over the
+    collected joined rows (same ln transform, same min-obs cut)."""
+    import math
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rows = li.join(part, li.l_partkey == part.p_partkey).collect()
+    by_brand = defaultdict(list)
+    for r in rows:
+        if r.l_quantity > 0 and r.l_extendedprice > 0:
+            by_brand[r.p_brand].append(
+                (math.log(r.l_extendedprice / r.l_quantity),
+                 math.log(r.l_quantity))
+            )
+    out = plans.QUERIES["q_price_elasticity"](spark, sf_dir).collect()
+    assert out
+    for r in out:
+        pts = by_brand[r.brand]
+        assert len(pts) == r.n_lines and len(pts) >= 200
+        m = len(pts)
+        sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts); sxy = sum(x * y for x, y in pts)
+        slope = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+        assert abs(r.elasticity - slope) < 1e-4, r.brand
+        assert 0.0 <= r.r2 <= 1.0 + 1e-9
+
+
+def test_spearman_brute_recount(spark, sf_dir):
+    """rho recomputes from Python ranks with the same (value, okey)
+    tiebreak over the collected join."""
+    import math
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rows = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_acctbal"
+    ).collect()
+    by_price = sorted(rows, key=lambda r: (r.o_totalprice, r.o_orderkey))
+    by_bal = sorted(rows, key=lambda r: (r.c_acctbal, r.o_orderkey))
+    rx = {r.o_orderkey: i + 1 for i, r in enumerate(by_price)}
+    ry = {r.o_orderkey: i + 1 for i, r in enumerate(by_bal)}
+    n = len(rows)
+    sx = sy = n * (n + 1) // 2
+    sxx = syy = sum(i * i for i in range(1, n + 1))
+    sxy = sum(rx[k] * ry[k] for k in rx)
+    num = n * sxy - sx * sy
+    den = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    rho = num / den
+    out = plans.QUERIES["q_spearman_price_balance"](spark, sf_dir).collect()[0]
+    assert out.n_orders == n
+    assert abs(out.spearman_rho - rho) < 1e-5
