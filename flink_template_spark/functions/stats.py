@@ -19,15 +19,10 @@ from pyspark.sql import functions as F
 
 def suff_sums(df: DataFrame, x: str = "x", y: str = "y") -> DataFrame:
     """1-row reduction to the six sufficient sums of columns ``x``/``y``
-    (names fixed to m/sx/sy/sxx/syy/sxy for :func:`pearson_terms`)."""
-    return df.agg(
-        F.count(F.lit(1)).alias("m"),
-        F.sum(x).alias("sx"),
-        F.sum(y).alias("sy"),
-        F.sum(F.col(x) * F.col(x)).alias("sxx"),
-        F.sum(F.col(y) * F.col(y)).alias("syy"),
-        F.sum(F.col(x) * F.col(y)).alias("sxy"),
-    )
+    (names fixed to m/sx/sy/sxx/syy/sxy for :func:`pearson_terms`).
+    Delegates to :func:`suff_sums_by` with no keys so the sums dag
+    exists in exactly one place."""
+    return suff_sums_by(df, [], x, y)
 
 
 def pearson_terms() -> tuple[Column, Column, Column]:

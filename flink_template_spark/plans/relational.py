@@ -1426,8 +1426,8 @@ def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity on unit price (ln q = a + e·ln p) — the pricing-team
     readout, and the GROUPED form of the repo's OLS family (one
     closed-form slope PER GROUP off grouped sufficient sums, where
-    q_ols_price_trend fits one global line). Brands under
-    {_ELA_MIN_LINES} observations are dropped as noise.
+    q_ols_price_trend fits one global line). Brands under 200
+    observations (_ELA_MIN_LINES) are dropped as noise.
 
     Float discipline: ln inputs from exact positive doubles in an
     identical dag; per-brand sums are double accumulations over the
@@ -1435,8 +1435,11 @@ def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding); the slope/r² closed form carries the shared
     NULL degenerate-variance guard (functions.stats discipline).
 
-    Scale shape: ONE fact-dim equi-join (part side broadcast-eligible)
-    feeding one grouped hash agg with map-side partials
+    Scale shape: ONE fact-dim equi-join — part is SF-proportional, so
+    NO broadcast hint (the audited discipline: AQE broadcasts the
+    2-column projection while it fits and falls back to a shuffle
+    join past the threshold; a pinned broadcast is a driver OOM at
+    100 TB) — feeding one grouped hash agg with map-side partials
     (functions.stats.suff_sums_by); everything after is |brands|
     rows of scalar algebra — no window, no second scan."""
     from flink_template_spark.functions.stats import pearson_terms, suff_sums_by
@@ -1445,7 +1448,7 @@ def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     obs = (
         li.filter((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
-        .join(F.broadcast(part.select("p_partkey", "p_brand")),
+        .join(part.select("p_partkey", "p_brand"),
               li.l_partkey == F.col("p_partkey"))
         .select(
             F.col("p_brand").alias("brand"),
@@ -1485,18 +1488,15 @@ r AS (
   FROM j
 ),
 s AS (
-  SELECT COUNT(*) AS m, SUM(rx) AS sx, SUM(ry) AS sy,
-         SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy, SUM(rx * ry) AS sxy
-  FROM r
+  SELECT COUNT(*) AS m, SUM((rx - ry) * (rx - ry)) AS sd2 FROM r
 )
 SELECT
   CAST(m AS BIGINT) AS n_orders,
-  CASE WHEN m * sxx - sx * sx <= 0 OR m * syy - sy * sy <= 0
-       THEN CAST(NULL AS DOUBLE)
+  CASE WHEN m < 2 THEN CAST(NULL AS DOUBLE)
        ELSE ROUND(
-         CAST(m * sxy - sx * sy AS DOUBLE)
-         / (SQRT(CAST(m * sxx - sx * sx AS DOUBLE))
-            * SQRT(CAST(m * syy - sy * sy AS DOUBLE))), 6)
+         1.0 - 6.0 * CAST(sd2 AS DOUBLE)
+         / (CAST(m AS DOUBLE) * (CAST(m AS DOUBLE) * CAST(m AS DOUBLE) - 1.0)),
+         6)
   END AS spearman_rho
 FROM s
 """,
@@ -1510,21 +1510,21 @@ def q_spearman_price_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     broken totally rather than averaged; documented, and exact under
     the cross-engine hash).
 
-    Exactness: ranks are integers and the six sufficient sums run in
-    exact DECIMAL(38,0) arithmetic (m·Σr² grows as n³ and overflows
-    int64 already at ~150k rows — Spark ANSI would abort; DuckDB's
-    SUM(BIGINT) promotes to HUGEINT natively, so the oracle needs no
-    change); zero float accumulation anywhere; the single final
-    correlation divides/sqrts in one fixed dag (6-dp) behind the
-    shared NULL degenerate guard. Decimal38 headroom: the n⁴-order
-    cross term stays in range to ~3×10⁹ rows.
+    Exactness: with total-order tiebreaks both rank columns are exact
+    permutations of 1..n, so Spearman reduces to the closed form
+    rho = 1 − 6·Σd²/(n(n²−1)) with d = rx − ry — ONE exact integer
+    sum instead of six (the Pearson-on-ranks sufficient sums carry an
+    n⁴-order cross term that overflows int64 at ~150k rows and even
+    decimal38 at ~3×10⁹; Σd² ≤ n³ keeps exact DECIMAL(38,0)
+    arithmetic in range past 10¹² rows). Zero float accumulation;
+    the one final division is a fixed dag (6-dp) behind an n < 2
+    NULL guard.
 
     Scale shape: one key-partitioned fact-dim join (no broadcast —
     customer is SF-scaled), then TWO two-pass range-partitioned
     global rankings (operators.rank_global — never a single-partition
     window over the data), then one 1-row reduction of integer
     sums."""
-    from flink_template_spark.functions.stats import pearson_terms, suff_sums
     from flink_template_spark.operators.rank_global import with_global_ranks
 
     orders = load_table(spark, sf_dir, "orders")
@@ -1534,24 +1534,29 @@ def q_spearman_price_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("price"),
         F.col("c_acctbal").alias("bal"),
     )
+    # drop price before the second ranking: with_global_ranks pins its
+    # input, and Catalyst can't column-prune across the materialized
+    # boundary — anything carried here is physically shuffled twice
     rx = with_global_ranks(
         j, [("price", True)], tiebreak=["okey"], row_number_col="rx"
-    )
+    ).select("okey", "bal", "rx")
     rxy = with_global_ranks(
         rx, [("bal", True)], tiebreak=["okey"], row_number_col="ry"
-    ).select(
-        F.col("rx").cast("decimal(38,0)").alias("rx"),
-        F.col("ry").cast("decimal(38,0)").alias("ry"),
     )
-    s = suff_sums(rxy, x="rx", y="ry")
-    num, dxx, dyy = pearson_terms()
+    d = (F.col("rx") - F.col("ry")).cast("decimal(38,0)")
+    s = rxy.agg(
+        F.count(F.lit(1)).alias("m"), F.sum(d * d).alias("sd2")
+    )
+    md = F.col("m").cast("double")
     return s.select(
         F.col("m").cast("bigint").alias("n_orders"),
-        F.when((dxx <= 0) | (dyy <= 0), F.lit(None).cast("double"))
+        F.when(F.col("m") < 2, F.lit(None).cast("double"))
         .otherwise(
             F.round(
-                num.cast("double")
-                / (F.sqrt(dxx.cast("double")) * F.sqrt(dyy.cast("double"))),
+                F.lit(1.0)
+                - F.lit(6.0)
+                * F.col("sd2").cast("double")
+                / (md * (md * md - 1.0)),
                 6,
             )
         )

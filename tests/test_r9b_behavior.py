@@ -583,17 +583,19 @@ def test_price_elasticity_brute_recount(spark, sf_dir):
                 (math.log(r.l_extendedprice / r.l_quantity),
                  math.log(r.l_quantity))
             )
+    from flink_template_spark.plans.relational import _ELA_MIN_LINES
+
     out = plans.QUERIES["q_price_elasticity"](spark, sf_dir).collect()
     assert out
     for r in out:
         pts = by_brand[r.brand]
-        assert len(pts) == r.n_lines and len(pts) >= 200
+        assert len(pts) == r.n_lines and len(pts) >= _ELA_MIN_LINES
         m = len(pts)
         sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
         sxx = sum(x * x for x, _ in pts); sxy = sum(x * y for x, y in pts)
         slope = (m * sxy - sx * sy) / (m * sxx - sx * sx)
         assert abs(r.elasticity - slope) < 1e-4, r.brand
-        assert 0.0 <= r.r2 <= 1.0 + 1e-9
+        assert r.r2 is not None and 0.0 <= r.r2 <= 1.0 + 1e-9
 
 
 def test_spearman_brute_recount(spark, sf_dir):
