@@ -71,196 +71,24 @@ HEADLINE = [
 # headline total so `value` stays comparable across rounds. Module-level
 # so tests/test_plans.py can walk the same set the bench times (the
 # unpartitioned-window allowlist guard).
-EXTENDED = [
-    "q_bloom_pruned_join",
-    "q_knn_join",
-    "q_gapfill_interpolate",
-    "q_variant_props_stats",
-    "q_hll_mergeable_rollup",
-    "q_scd2_merge",
-    "q_embedding_quantize_int8",
-    "q_bm25_search",
-    "q_training_data_pipeline",
-    "q_repetition_metrics",
-    "q_mixture_rebalance",
-    "q_ngram_novelty",
-    "q_semdedup_keep",
-    "q_dedup_increment",
-    "q_source_quality_drift",
-    # round-3 safety/quality additions
-    "q_pii_redact",
-    "q_decontaminate_bloom",
-    "q_unigram_logprob",
-    # round-3 portable mergeable sketches
-    "q_hll_portable_rollup",
-    "q_cms_token_freq",
-    "q_ddsketch_quantiles",
-    # round-3 composed retrieval/curation flagships (round 4 splits
-    # the ANN index build from serving: build runs first, the rerank
-    # then serves from the session-cached materialized index)
-    "q_ann_index_build",
-    "q_ann_multiprobe_rerank",
-    "q_hybrid_search_rrf",
-    "q_dataset_datasheet",
-    # round-5 additions: prefix-filtered exact set-similarity join,
-    # integer-exact PageRank, JL random projection, consistent
-    # sharding, triangle counting, winnowing, priority sampling
-    "q_jaccard_prefix_pairs",
-    "q_pagerank_trade",
-    "q_random_projection",
-    "q_rendezvous_shards",
-    "q_triangle_participation",
-    "q_winnowing_fingerprints",
-    "q_priority_sample",
-    "q_knn_join_gemm",
-    "q_kmv_set_ops",
-    "q_kcore_trade",
-    "q_zorder_layout",
-    "q_ewma_value",
-    "q_sorted_neighborhood_pairs",
-    "q_trustrank_trade",
-    "q_trade_hops",
-    "q_curriculum_order",
-    "q_robust_outlier_fence",
-    "q_bigram_logprob",
-    "q_token_entropy",
-    "q_coreset_greedy",
-    "q_quantile_normalize",
-    "q_table_stats",
-    "q_leakage_safe_split",
-    # round-6 additions: HITS hub/authority link prior, DSIR
-    # importance weighting, binary-embedding Hamming retrieval
-    "q_hits_trade",
-    "q_dsir_weights",
-    "q_binary_embedding_topk",
-    "q_bootstrap_ci",
-    "q_stupid_backoff",
-    "q_recursive_chain_rollup",
-    # round-6 additions, second wave: drift/eval/valuation audits and
-    # corpus-level dedup (KS drift, C4 line dedup, containment join,
-    # ANN recall + matryoshka + Davies-Bouldin evals, KNN-Shapley,
-    # AUC confound, systematic resample, length buckets, split leakage)
-    "q_ks_source_drift",
-    "q_line_dedup_corpus",
-    "q_containment_pairs",
-    "q_ann_recall_eval",
-    "q_auc_lang_confound",
-    "q_knn_shapley",
-    "q_davies_bouldin",
-    "q_systematic_resample",
-    "q_length_bucket_efficiency",
-    "q_matryoshka_overlap",
-    "q_split_fingerprint_leakage",
-    "q_phrase_search",
-    "q_labelprop_communities",
-    "q_time_decay_sample",
-    "q_hellinger_affinity_matrix",
-    "q_content_fingerprint",
-    "q_embedding_drift",
-    "q_gate_rates_wilson",
-    "q_event_burstiness",
-    "q_event_correlation_matrix",
-    "q_theil_sen_trend",
-    # round-7 additions: CDC chunk dedup, collocation lift, vocab
-    # coverage curve, MRR retrieval eval, zone-map skip audit, MMR
-    # diversified rerank
-    "q_cdc_chunk_dedup",
-    "q_bigram_lift",
-    "q_vocab_coverage",
-    "q_mrr_eval",
-    "q_shard_zonemap",
-    "q_mmr_rerank",
-    # round-7 audits: LSH S-curve recall, corpus concentration,
-    # pre-join reducer balance
-    "q_lsh_recall_audit",
-    "q_source_gini",
-    "q_shuffle_skew_audit",
-    "q_k_anonymity",
-    "q_seasonal_residuals",
-    "q_fd_audit",
-    "q_multimodal_real_decode",
-    "q_data_expectations",
-    "q_snapshot_diff",
-    "q_benford_audit",
-    "q_spatial_radius_pairs",
-    "q_interval_coverage",
-    "q_term_drift_topk",
-    "q_twap_value",
-    "q_changepoint_volume",
-    "q_ab_test_readout",
-    # round-8 additions: sequence/behavior analytics (Markov, RFM),
-    # market-basket lift, skyline via global prefix-max, l-diversity,
-    # per-source dup rate off the components memo, edit-distance
-    # verification, Kneser-Ney bigram LM
-    "q_event_markov",
-    "q_rfm_segments",
-    "q_basket_pairs",
-    "q_skyline_parts",
-    "q_l_diversity",
-    "q_dedup_rate_by_source",
-    "q_edit_distance_pairs",
-    "q_kneser_ney_bigram",
-    # round-8 second wave: n-gram language ID, daily-volume ACF,
-    # chi-squared discriminative terms, weighted median via global
-    # prefix sum
-    "q_lang_id_ngram",
-    "q_volume_acf",
-    "q_chi2_terms",
-    "q_weighted_median_price",
-    # round-8 third wave: cohort LTV triangle, revenue concentration,
-    # 3-step path mining, funnel time-to-convert percentiles
-    "q_cohort_ltv",
-    "q_revenue_concentration",
-    "q_event_paths_top",
-    "q_funnel_latency",
-    "q_forecast_baselines",
-    "q_trimmed_mean_price",
-    "q_activity_heatmap",
-    "q_volume_percentile_bands",
-    # round-9 wave: session quality, anomaly days, attribution,
-    # weekday seasonality, activation
-    "q_session_bounce_rate",
-    "q_anomaly_days",
-    "q_weekday_seasonality",
-    "q_attribution_last_touch",
-    "q_first_session_conversion",
-    "q_ivm_delta_merge",
-    "q_supplier_hhi",
-    "q_ols_price_trend",
-    "q_lsh_curve_calibration",
-    "q_common_neighbor_sim",
-    "q_bucketed_join_colocated",
-    "q_abc_classification",
-    "q_golden_record_merge",
-    "q_partition_pruned_scan",
-    "q_repurchase_hazard",
-    "q_rolling_wau",
-    "q_new_vs_returning",
-    "q_referential_integrity_audit",
-    "q_asof_tolerance_join",
-    "q_minhash_estimate_error",
-    "q_order_streaks",
-    "q_kaplan_meier",
-    "q_target_encoding",
-    "q_assoc_rules",
-    "q_gini_split_scores",
-    "q_cramers_v_matrix",
-    "q_psi_value_drift",
-    "q_join_cardinality_audit",
-    "q_bloom_fpr_audit",
-    "q_dbscan_core_points",
-    "q_source_lang_entropy",
-    "q_mann_whitney_drift",
-    "q_zipf_fit",
-    "q_conformal_coverage",
-    "q_graph_assortativity",
-    "q_ndcg_eval",
-    "q_itemsets_3",
-    "q_power_analysis",
-    "q_skipgram_pairs",
-    "q_price_elasticity",
-    "q_spearman_price_balance",
-]
+#
+# Derived from the query registry, NOT hand-maintained (VERDICT r9
+# next #2: the old literal list grew by round and silently omitted 123
+# early-family queries, leaving them with no perf-regression signal).
+# Every registered query is benched by default; the ONLY queries
+# without an extended wall are the explicit, commented exclusions
+# below. BASELINE.md records the one-time extended_total jump when the
+# set was back-filled in round 10 (the code did not slow down — the
+# denominator grew).
+from flink_template_spark import plans as _plans  # registry import only
+
+_BENCH_EXCLUDE = {
+    # timed in HEADLINE above — a second extended wall would
+    # double-count the same plan in the artifact
+    *HEADLINE,
+}
+
+EXTENDED = [n for n in _plans.QUERIES if n not in _BENCH_EXCLUDE]
 
 
 def main() -> None:

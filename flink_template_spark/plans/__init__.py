@@ -65,7 +65,7 @@ rotates per round so every family accumulates driver-checked entries:
   SFs locally), so _MIDDLE held 20 + 31 = 51 entries and the natural
   round-9 slate was its first 50 — clearing never-checked and leaving
   exactly ONE r4 name (q_grouping_sets) for the r10 slate;
-- round 9 (this slate, VERDICT r8 next #1): exactly that pre-ledgered
+- round 9 (VERDICT r8 next #1): exactly that pre-ledgered
   set — the 20 round-8 additions (never driver-checked; all
   oracle-green in-session at all three SFs) + the 30 oldest r4-cohort
   greens in their r4 check order. A green r9 leaves q_grouping_sets as
@@ -82,6 +82,15 @@ rotates per round so every family accumulates driver-checked entries:
   three SFs locally), so _MIDDLE's head holds 41 never-checked names
   + q_grouping_sets: the natural round-10 slate is its first 50
   (leaving the 50-query r5 cohort as the stalest verdicts for r11).
+  Round 9 came back 50/50 green (CORRECTNESS_r09);
+- round 10 (this slate, VERDICT r9 next #1): exactly the pre-ledgered
+  set — the 41 round-9 additions (never driver-checked; all
+  oracle-green in-session at all three SFs) + q_grouping_sets (the
+  single query whose last driver verdict predates round 5) + the 8
+  oldest round-5-cohort greens in their r5 check order. A green r10
+  clears never-checked entirely and bounds staleness at round 5 (the
+  42 remaining r5-cohort names, ledgered in _MIDDLE behind any new
+  round-10 additions, are the natural core of the r11 slate).
 """
 
 from flink_template_spark.plans import registry  # noqa: F401
@@ -103,72 +112,8 @@ from flink_template_spark.plans import graph  # noqa: F401
 
 # First 50 = this round's driver-check slate (see module docstring).
 _PRIORITY = [
-    # -- the 20 round-8 additions: never driver-checked before this
-    #    round (VERDICT r8 next #1) --
-    "q_event_markov",
-    "q_rfm_segments",
-    "q_basket_pairs",
-    "q_skyline_parts",
-    "q_l_diversity",
-    "q_dedup_rate_by_source",
-    "q_edit_distance_pairs",
-    "q_kneser_ney_bigram",
-    "q_lang_id_ngram",
-    "q_volume_acf",
-    "q_chi2_terms",
-    "q_weighted_median_price",
-    "q_cohort_ltv",
-    "q_revenue_concentration",
-    "q_event_paths_top",
-    "q_funnel_latency",
-    "q_forecast_baselines",
-    "q_trimmed_mean_price",
-    "q_activity_heatmap",
-    "q_volume_percentile_bands",
-    # -- the 30 oldest r4-cohort greens (r4 check order): the only
-    #    queries whose last driver verdict predates round 5 --
-    "q_train_test_split",
-    "q_text_normalize",
-    "q_pack_greedy_bins",
-    "q_training_shards",
-    "q_weighted_sample",
-    "q_consistent_sample_topk",
-    "q_dedup_increment",
-    "q_bpe_fertility",
-    "q_source_quality_drift",
-    "q_repeated_passages",
-    "q_scrub_repeated_passages",
-    "q_pii_detect",
-    "q_pii_redact",
-    "q_decontaminate_bloom",
-    "q_unigram_logprob",
-    "q_hybrid_search_rrf",
-    "q_contrastive_triplets",
-    "q_dataset_datasheet",
-    "q_source_overlap_matrix",
-    "q_dup_cluster_sizes",
-    "q_trip_pipeline_json",
-    "q1_pricing_summary",
-    "q_minhash_lsh_pairs",
-    "q_semdedup_keep",
-    "q_training_data_pipeline",
-    "q_vocab_apply",
-    "q_multimodal_payload_stats",
-    "q_ann_ivf_probe",
-    "q_pack_chunked",
-    "q_top_terms_per_lang",
-]
-
-# Immediately after the slate, in case the driver checks more than 50:
-# the staleness ledger for round 10. FIRST any round-9 additions
-# (prepended here as they land, never driver-checked), THEN
-# q_grouping_sets (the single r4-cohort name the r9 slate could not
-# fit — the only query whose last driver verdict predates round 5),
-# THEN the 50 round-5-cohort names in their r5 check order (after a
-# green r9 these are the next-stalest verdicts).
-_MIDDLE: list[str] = [
-    # round-9 additions: never driver-checked (oracle-green locally)
-    # — first in line for the round-10 slate
+    # -- the 41 round-9 additions: never driver-checked before this
+    #    round (VERDICT r9 next #1) --
     "q_session_bounce_rate",
     "q_anomaly_days",
     "q_weekday_seasonality",
@@ -210,9 +155,10 @@ _MIDDLE: list[str] = [
     "q_skipgram_pairs",
     "q_price_elasticity",
     "q_spearman_price_balance",
-    # the last r4-cohort name (stalest verdict after a green r9)
+    # -- the single query whose last driver verdict predates round 5
+    #    (r4-cohort leftover) --
     "q_grouping_sets",
-    # r5-cohort (next-stalest after a green r9), in r5 check order
+    # -- the 8 oldest round-5-cohort greens (r5 check order) --
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_revenue_forecast",
@@ -221,6 +167,25 @@ _MIDDLE: list[str] = [
     "q_rank_family",
     "q_lag_lead_order_gaps",
     "q_running_customer_revenue",
+]
+
+# Immediately after the slate, in case the driver checks more than 50:
+# the staleness ledger for round 11. FIRST any round-10 additions
+# (prepended here as they land, never driver-checked), THEN the 42
+# round-5-cohort names the r10 slate could not fit (in their r5 check
+# order) — after a green r10 these are the stalest driver verdicts.
+_MIDDLE: list[str] = [
+    # round-10 additions: never driver-checked (oracle-green locally
+    # at all three SFs) — first in line for the round-11 slate
+    "q_ols_two_feature",
+    "q_winsorized_stats",
+    "q_welch_ttest",
+    "q_nb_lang_classifier",
+    "q_js_divergence_sources",
+    "q_domain_mixture_weights",
+    "q_cuped_adjustment",
+    # r5-cohort remainder (stalest verdicts after a green r10), in
+    # r5 check order
     "q_topk_orders_per_segment",
     "q_first_last_value_per_part",
     "q_rank_suppliers_by_balance",

@@ -1225,8 +1225,8 @@ ORDER BY id_a, id_b
 
 @register("q_spatial_radius_pairs", oracle=_radius_join_oracle())
 def q_spatial_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Grid-bucketed spatial radius self-join (operators.spatial): all
-    point pairs within {_GEO_R} integer units over a deterministic
+    """Grid-bucketed spatial radius self-join (operators.spatial): all
+    point pairs within _GEO_R (15) integer units over a deterministic
     point cloud derived from customer keys (portable-hash coordinates,
     so both engines build the identical cloud). The oracle is the
     brute-force all-pairs scan — identical output, quadratic cost the
@@ -1888,7 +1888,13 @@ def q_cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims = cells.groupBy("pair").agg(
         F.count_distinct("va").alias("r"), F.count_distinct("vb").alias("c")
     )
-    n = orders.agg(F.count(F.lit(1)).alias("n"))
+    # Grand total N off the pinned cells table (any one pair's cells
+    # sum to the row count) — NOT a second orders scan (r9 advice):
+    # the marginal-reuse discipline q_gini_split_scores follows.
+    n = (
+        cells.filter(F.col("pair") == "priority_x_status")
+        .agg(F.sum("o").alias("n"))
+    )
     e = (F.col("ra").cast("double") * F.col("cb").cast("double")) / F.col(
         "n"
     ).cast("double")
@@ -1970,17 +1976,17 @@ ORDER BY cnt.id
 
 @register("q_dbscan_core_points", oracle=_dbscan_oracle())
 def q_dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""DBSCAN density classification (core / border / noise) over the
+    """DBSCAN density classification (core / border / noise) over the
     deterministic portable-hash point cloud — the density-based
     outlier/cluster primitive, and the expensive half of full DBSCAN
     (the remaining step, connected components over core-core edges, is
     exactly operators.components, already verified by
-    q_near_dup_components). eps = {_DBS_EPS} units, minPts =
-    {_DBS_MINPTS} (count includes the point): a point with ≥
-    {_DBS_MINPTS - 1} eps-neighbors is core; a non-core point
-    eps-adjacent to a core is border; the rest is noise. The three SFs
-    sweep the density regime (sparse → mostly noise at sf0.001, mixed
-    at sf0.01, dense → mostly core at sf0.1).
+    q_near_dup_components). eps = _DBS_EPS (150) units, minPts =
+    _DBS_MINPTS (4) (count includes the point): a point with >= 3
+    eps-neighbors is core; a non-core point eps-adjacent to a core is
+    border; the rest is noise. The three SFs sweep the density regime
+    (sparse → mostly noise at sf0.001, mixed at sf0.01, dense →
+    mostly core at sf0.1).
 
     Scale shape: neighbors come from the grid-bucketed radius
     self-join (cell + 3×3 neighborhood equi-join — candidates bounded

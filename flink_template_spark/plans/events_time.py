@@ -2913,7 +2913,14 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     range, never data-sized (the documented bounded-window pattern
     shared with q_repurchase_hazard)."""
     events = load_table(spark, sf_dir, "events")
-    purch = events.filter(F.col("event_type") == "purchase")
+    # pin the filtered purchase projection: TWO consumers (corpus-end
+    # max + per-user LEAD window) would otherwise each re-run the
+    # events scan+filter — the repo's multi-consumer subtree policy
+    purch = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts")
+        .localCheckpoint(eager=False)
+    )
     mx = purch.agg(F.max("ts").cast("date").alias("end_d"))
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = purch.select(
@@ -3065,4 +3072,170 @@ def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(p2 >= 1.0, F.lit(None).cast("bigint"))
         .otherwise(n_req)
         .alias("n_per_arm_required"),
+    )
+
+
+_CUPED_SPLIT = "2024-01-15"  # pre-period / experiment-period boundary
+
+
+def _cuped_oracle() -> str:
+    from flink_template_spark.functions.hashing import md5int_duckdb
+
+    arm = f"({md5int_duckdb('CAST(user_id AS VARCHAR)')}) % 2"
+    return f"""
+WITH users AS (
+  SELECT user_id, {arm} AS arm,
+    SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_SPLIT}'
+             THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END) AS x,
+    SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}'
+             THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END) AS y
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT arm, COUNT(*) AS n,
+    SUM(x) AS sx, SUM(y) AS sy,
+    SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+  FROM users GROUP BY arm
+),
+pooled AS (
+  SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+    SUM(sxx) AS sxx, SUM(sxy) AS sxy
+  FROM arms
+),
+theta AS (
+  SELECT
+    CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+      AS th,
+    CAST(sx AS DOUBLE) / n AS mx
+  FROM pooled
+),
+per_arm AS (
+  SELECT arm, n,
+    CAST(sx AS DOUBLE) / n AS max_,
+    CAST(sy AS DOUBLE) / n AS may_,
+    CAST(n * syy - sy * sy AS DOUBLE) / (CAST(n AS DOUBLE) * n) AS vy,
+    CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * n) AS vx,
+    CAST(n * sxy - sx * sy AS DOUBLE) / (CAST(n AS DOUBLE) * n) AS cxy
+  FROM arms
+)
+SELECT arm,
+  CAST(n AS BIGINT) AS n_users,
+  ROUND(may_, 6) AS mean_post,
+  ROUND(may_ - th * (max_ - mx), 6) AS mean_cuped,
+  ROUND(th, 6) AS theta,
+  ROUND(vy, 6) AS var_post,
+  ROUND(vy - 2 * th * cxy + th * th * vx, 6) AS var_cuped,
+  ROUND(1.0 - (vy - 2 * th * cxy + th * th * vx) / vy, 6)
+    AS var_reduction
+FROM per_arm CROSS JOIN theta
+ORDER BY arm
+"""
+
+
+@register("q_cuped_adjustment", oracle=_cuped_oracle())
+def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B readout: per-user
+    pre-period covariate x (event value before _CUPED_SPLIT) and
+    experiment-period metric y, θ = cov(x,y)/var(x) POOLED across
+    arms, adjusted metric ŷ = y − θ(x − x̄) — the standard
+    experimentation-platform technique that shrinks metric variance
+    (and so experiment duration) using only pre-experiment data; the
+    arm split reuses q_ab_test_readout's portable md5-parity
+    assignment, making this an A/A calibration of the adjusted
+    estimator.
+
+    Exactness: per-user x/y are exact decimal(18,6) sums; per-arm
+    (n, Σx, Σy, Σx², Σxy, Σy²) exact decimals; pooled sums are sums
+    of the 2-row arm table; θ, means, variances assemble the exact
+    decimals into identical double dags (n·Σab − ΣaΣb numerators),
+    rounded 6 dp.
+
+    Scale shape: one events scan, one user-keyed agg (map-side
+    partials), one 2-row arm rollup — everything after the user agg
+    is constant-sized."""
+    from flink_template_spark.functions.hashing import md5int_spark
+
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(_CUPED_SPLIT).cast("timestamp")
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("ts") < split, F.col("value").cast("decimal(18,6)")
+                ).otherwise(F.lit(0).cast("decimal(18,6)"))
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    F.col("ts") >= split, F.col("value").cast("decimal(18,6)")
+                ).otherwise(F.lit(0).cast("decimal(18,6)"))
+            ).alias("y"),
+        )
+        .select(
+            (F.expr(md5int_spark("CAST(user_id AS STRING)")) % 2).alias("arm"),
+            "x",
+            "y",
+        )
+    )
+    arms = users.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    pooled = arms.agg(
+        F.sum("n").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxx").alias("sxx"),
+        F.sum("sxy").alias("sxy"),
+    )
+    n = F.col("n")
+    theta = pooled.select(
+        (
+            (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        ).alias("th"),
+        (F.col("sx").cast("double") / n).alias("mx"),
+    )
+    nd = n.cast("double")
+    per_arm = arms.select(
+        "arm",
+        n,
+        (F.col("sx").cast("double") / n).alias("max_"),
+        (F.col("sy").cast("double") / n).alias("may_"),
+        (
+            (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+            / (nd * n)
+        ).alias("vy"),
+        (
+            (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+            / (nd * n)
+        ).alias("vx"),
+        (
+            (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (nd * n)
+        ).alias("cxy"),
+    )
+    th = F.col("th")
+    var_cuped = (
+        F.col("vy") - 2 * th * F.col("cxy") + th * th * F.col("vx")
+    )
+    return (
+        per_arm.crossJoin(F.broadcast(theta))
+        .select(
+            "arm",
+            F.col("n").cast("bigint").alias("n_users"),
+            F.round(F.col("may_"), 6).alias("mean_post"),
+            F.round(
+                F.col("may_") - th * (F.col("max_") - F.col("mx")), 6
+            ).alias("mean_cuped"),
+            F.round(th, 6).alias("theta"),
+            F.round(F.col("vy"), 6).alias("var_post"),
+            F.round(var_cuped, 6).alias("var_cuped"),
+            F.round(1.0 - var_cuped / F.col("vy"), 6).alias("var_reduction"),
+        )
+        .orderBy("arm")
     )

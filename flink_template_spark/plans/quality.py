@@ -2229,7 +2229,7 @@ LIMIT {_TDRIFT_TOP}
 """,
 )
 def q_term_drift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Term-level drift top-movers: the {_TDRIFT_TOP} tokens whose
+    """Term-level drift top-movers: the _TDRIFT_TOP (25) tokens whose
     per-million rate changed most between two corpus halves (doc_id
     parity as the snapshot split; with real snapshots the halves are
     two ingest windows) — the WHAT-changed complement to
@@ -3251,8 +3251,13 @@ def q_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
-_SKIP_WINDOW = 2  # forward skip-gram window
+_SKIP_WINDOW = 2  # forward skip-gram window (drives LEAD offsets below)
 _SKIP_TOP = 20
+
+# Both the Spark plan and the oracle derive their neighbor branches
+# from _SKIP_WINDOW, so changing the constant changes both engines
+# identically (r9 advice: the offsets were previously hardcoded twice).
+_SKIP_OFFS = list(range(1, _SKIP_WINDOW + 1))
 
 
 @register(
@@ -3268,12 +3273,11 @@ WITH tok AS (
 ),
 pairs AS (
   SELECT t AS w1,
-    LEAD(t, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS n1,
-    LEAD(t, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS n2
+    {", ".join(f"LEAD(t, {k}) OVER (PARTITION BY doc_id ORDER BY pos) AS n{k}" for k in _SKIP_OFFS)}
   FROM tok
 ),
 tall AS (
-  SELECT w1, unnest([n1, n2]) AS w2 FROM pairs
+  SELECT w1, unnest([{", ".join(f"n{k}" for k in _SKIP_OFFS)}]) AS w2 FROM pairs
 ),
 cnt AS (
   SELECT w1, w2, COUNT(*) AS c FROM tall
@@ -3309,14 +3313,14 @@ def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("doc_id").orderBy("pos")
     pairs = tok.select(
         F.col("t").alias("w1"),
-        F.lead("t", 1).over(w).alias("n1"),
-        F.lead("t", 2).over(w).alias("n2"),
+        *[F.lead("t", k).over(w).alias(f"n{k}") for k in _SKIP_OFFS],
     )
-    # ONE pass over the windowed subtree: explode both neighbor slots
-    # (a union of two filtered branches would re-run the tokenize +
+    # ONE pass over the windowed subtree: explode all neighbor slots
+    # (a union of filtered branches would re-run the tokenize +
     # LEAD window once per branch)
     tall = pairs.select(
-        "w1", F.explode(F.array("n1", "n2")).alias("w2")
+        "w1",
+        F.explode(F.array(*[f"n{k}" for k in _SKIP_OFFS])).alias("w2"),
     ).filter(F.col("w2").isNotNull())
     return (
         tall.groupBy("w1", "w2")
@@ -3324,4 +3328,460 @@ def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w1", "w2", F.col("n_cooccur").cast("bigint").alias("n_cooccur"))
         .orderBy(F.desc("n_cooccur"), "w1", "w2")
         .limit(_SKIP_TOP)
+    )
+
+
+@register(
+    "q_welch_ttest",
+    oracle="""
+WITH g AS (
+  SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'rest' END AS grp,
+    CAST(n_chars AS DECIMAL(18,0)) AS x
+  FROM documents
+),
+sums AS (
+  SELECT grp, COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS ss
+  FROM g GROUP BY grp
+),
+wide AS (
+  SELECT
+    MAX(CASE WHEN grp = 'en' THEN n END) AS n1,
+    MAX(CASE WHEN grp = 'en' THEN s END) AS s1,
+    MAX(CASE WHEN grp = 'en' THEN ss END) AS ss1,
+    MAX(CASE WHEN grp = 'rest' THEN n END) AS n2,
+    MAX(CASE WHEN grp = 'rest' THEN s END) AS s2,
+    MAX(CASE WHEN grp = 'rest' THEN ss END) AS ss2
+  FROM sums
+),
+mv AS (
+  SELECT n1, n2,
+    CAST(s1 AS DOUBLE) / n1 AS m1,
+    CAST(s2 AS DOUBLE) / n2 AS m2,
+    CAST(n1 * ss1 - s1 * s1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * (n1 - 1) * n1)
+      AS vn1,
+    CAST(n2 * ss2 - s2 * s2 AS DOUBLE) / (CAST(n2 AS DOUBLE) * (n2 - 1) * n2)
+      AS vn2
+  FROM wide
+)
+SELECT
+  CAST(n1 AS BIGINT) AS n_en,
+  CAST(n2 AS BIGINT) AS n_rest,
+  ROUND(m1, 6) AS mean_en,
+  ROUND(m2, 6) AS mean_rest,
+  ROUND((m1 - m2) / SQRT(vn1 + vn2), 6) AS t_stat,
+  ROUND(
+    (vn1 + vn2) * (vn1 + vn2)
+      / (vn1 * vn1 / (n1 - 1) + vn2 * vn2 / (n2 - 1)),
+    6) AS welch_df
+FROM mv
+""",
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on document length (en vs the
+    rest of the corpus) — the parametric complement to
+    q_mann_whitney_drift's rank test: t statistic plus the
+    Welch–Satterthwaite degrees of freedom, the pair every
+    experimentation/monitoring readout starts from.
+
+    Exactness: per-group (n, Σx, Σx²) are exact integer/decimal sums;
+    vn_i = s_i²/n_i is assembled as (nΣx² − (Σx)²)/(n·(n−1)·n) — one
+    exact decimal numerator, one double division — and t/df are
+    identical double expression trees in both engines, rounded 6 dp.
+    Degenerate groups (n < 2) cannot occur: the 'en'/'rest' split is
+    corpus-wide by construction at every SF.
+
+    Scale shape: ONE documents scan (2 columns pruned), one 2-group
+    hash agg with map-side partials; everything downstream is 1 row."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        F.when(F.col("lang") == "en", F.lit("en"))
+        .otherwise(F.lit("rest"))
+        .alias("grp"),
+        F.col("n_chars").cast("decimal(18,0)").alias("x"),
+    )
+    sums = g.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    )
+    wide = sums.agg(
+        F.max(F.when(F.col("grp") == "en", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == "en", F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("grp") == "en", F.col("ss"))).alias("ss1"),
+        F.max(F.when(F.col("grp") == "rest", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("grp") == "rest", F.col("s"))).alias("s2"),
+        F.max(F.when(F.col("grp") == "rest", F.col("ss"))).alias("ss2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    mv = wide.select(
+        n1,
+        n2,
+        (F.col("s1").cast("double") / n1).alias("m1"),
+        (F.col("s2").cast("double") / n2).alias("m2"),
+        (
+            (n1 * F.col("ss1") - F.col("s1") * F.col("s1")).cast("double")
+            / (n1.cast("double") * (n1 - 1) * n1)
+        ).alias("vn1"),
+        (
+            (n2 * F.col("ss2") - F.col("s2") * F.col("s2")).cast("double")
+            / (n2.cast("double") * (n2 - 1) * n2)
+        ).alias("vn2"),
+    )
+    vn1, vn2 = F.col("vn1"), F.col("vn2")
+    return mv.select(
+        n1.cast("bigint").alias("n_en"),
+        n2.cast("bigint").alias("n_rest"),
+        F.round(F.col("m1"), 6).alias("mean_en"),
+        F.round(F.col("m2"), 6).alias("mean_rest"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(vn1 + vn2), 6).alias(
+            "t_stat"
+        ),
+        F.round(
+            (vn1 + vn2)
+            * (vn1 + vn2)
+            / (vn1 * vn1 / (n1 - 1) + vn2 * vn2 / (n2 - 1)),
+            6,
+        ).alias("welch_df"),
+    )
+
+
+@register(
+    "q_nb_lang_classifier",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS c,
+    lang,
+    unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+tokf AS (SELECT * FROM tok WHERE word <> ''),
+vocab AS (
+  SELECT word,
+    SUM(c) AS c1,
+    COUNT(*) - SUM(c) AS c0
+  FROM tokf GROUP BY word
+),
+tot AS (
+  SELECT SUM(c1) AS t1, SUM(c0) AS t0, COUNT(*) AS v FROM vocab
+),
+lo AS (
+  SELECT word,
+    CAST(ROUND(
+      (LN((c1 + 1.0) / (t1 + v)) - LN((c0 + 1.0) / (t0 + v))) * 10000000.0,
+    0) AS BIGINT) AS q
+  FROM vocab CROSS JOIN tot
+),
+prior AS (
+  SELECT CAST(ROUND(LN(
+      CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+      / SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)) * 10000000.0,
+    0) AS BIGINT) AS pq
+  FROM documents
+),
+scored AS (
+  SELECT t.doc_id, t.lang, SUM(lo.q) + MAX(prior.pq) AS score_q
+  FROM tokf t JOIN lo ON t.word = lo.word CROSS JOIN prior
+  GROUP BY t.doc_id, t.lang
+)
+SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  ROUND(CAST(SUM(score_q) AS DOUBLE) / (10000000.0 * COUNT(*)), 6)
+    AS mean_score,
+  ROUND(CAST(SUM(CASE WHEN (score_q > 0) = (lang = 'en') THEN 1 ELSE 0 END)
+             AS DOUBLE) / COUNT(*), 6) AS accuracy
+FROM scored
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-Bayes bag-of-words classifier, trained and evaluated
+    corpus-in-corpus (en vs rest) — the fastText/CCNet-style quality
+    and language classifier a curation stack trains on weak labels:
+    per-token Laplace-smoothed log-odds, per-document score = prior +
+    Σ log-odds, readout = per-true-language mean score and accuracy.
+
+    Float discipline: per-token log-odds are fixed-point-quantized
+    (×1e7 → bigint) before the per-document sum, so document scores
+    are exact integers in any partition order (the q_unigram_logprob
+    discipline); the final mean/accuracy divisions round 6 dp.
+
+    Scale shape: the vocab (token → class counts) is Zipf-small; the
+    score join (token ⋈ log-odds) broadcasts under AQE and is an
+    ordinary shuffle join at web-corpus vocab; the per-doc reduction
+    rides one doc_id shuffle; the readout is a 5-row agg. Two corpus
+    tokenization passes (train + score), the q_unigram_logprob
+    shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("c"),
+        "lang",
+        F.explode(F.split(F.col("text"), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    vocab = tok.groupBy("word").agg(
+        F.sum("c").alias("c1"),
+        (F.count(F.lit(1)) - F.sum("c")).alias("c0"),
+    )
+    tot = vocab.agg(
+        F.sum("c1").alias("t1"),
+        F.sum("c0").alias("t0"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    lo = (
+        vocab.crossJoin(F.broadcast(tot))
+        .select(
+            "word",
+            F.round(
+                (
+                    F.log((F.col("c1") + 1.0) / (F.col("t1") + F.col("v")))
+                    - F.log((F.col("c0") + 1.0) / (F.col("t0") + F.col("v")))
+                )
+                * 10000000.0,
+                0,
+            )
+            .cast("bigint")
+            .alias("q"),
+        )
+    )
+    prior = docs.agg(
+        F.round(
+            F.log(
+                F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.sum(F.when(F.col("lang") == "en", 0).otherwise(1))
+            )
+            * 10000000.0,
+            0,
+        )
+        .cast("bigint")
+        .alias("pq")
+    )
+    scored = (
+        tok.join(lo, "word")
+        .crossJoin(F.broadcast(prior))
+        .groupBy("doc_id", "lang")
+        .agg((F.sum("q") + F.max("pq")).alias("score_q"))
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum("score_q").cast("double")
+                / (10000000.0 * F.count(F.lit(1))),
+                6,
+            ).alias("mean_score"),
+            F.round(
+                F.sum(
+                    F.when(
+                        (F.col("score_q") > 0) == (F.col("lang") == "en"), 1
+                    ).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("accuracy"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q_js_divergence_sources",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+),
+pairs AS (
+  SELECT source, word, COUNT(*) AS c FROM tok WHERE word <> ''
+  GROUP BY source, word
+),
+wcnt AS (SELECT word, SUM(c) AS cw FROM pairs GROUP BY word),
+stot AS (SELECT source, SUM(c) AS ts FROM pairs GROUP BY source),
+tot AS (SELECT SUM(cw) AS t FROM wcnt),
+terms AS (
+  SELECT p.source,
+    CAST(ROUND((
+        (CAST(p.c AS DOUBLE) / ts)
+          * LN((CAST(p.c AS DOUBLE) / ts)
+                / ((CAST(p.c AS DOUBLE) / ts + CAST(w.cw AS DOUBLE) / t) / 2))
+      + (CAST(w.cw AS DOUBLE) / t)
+          * LN((CAST(w.cw AS DOUBLE) / t)
+                / ((CAST(p.c AS DOUBLE) / ts + CAST(w.cw AS DOUBLE) / t) / 2))
+      ) * 10000000.0, 0) AS BIGINT) AS term_q,
+    w.cw
+  FROM pairs p
+  JOIN wcnt w ON p.word = w.word
+  JOIN stot s ON p.source = s.source
+  CROSS JOIN tot
+),
+per_src AS (
+  SELECT source, SUM(term_q) AS sq, SUM(cw) AS cq, COUNT(*) AS nw
+  FROM terms GROUP BY source
+)
+SELECT per_src.source,
+  CAST(ts AS BIGINT) AS n_tokens,
+  CAST(nw AS BIGINT) AS n_distinct_words,
+  ROUND(0.5 * (CAST(sq AS DOUBLE) / 10000000.0
+               + (1.0 - CAST(cq AS DOUBLE) / t) * LN(2.0)), 6)
+    AS js_divergence
+FROM per_src
+JOIN stot ON per_src.source = stot.source
+CROSS JOIN tot
+ORDER BY per_src.source
+""",
+)
+def q_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between each source's unigram
+    distribution and the corpus-wide distribution — the corpus-mixing
+    diagnostic (which domains are lexical outliers?) that drives
+    mixture reweighting decisions; bounded (0, ln 2], symmetric,
+    defined even where KL is not.
+
+    Decomposition: JS_s = ½[Σ_present(p·ln(p/m) + q·ln(q/m)) +
+    (1 − Σ_present q)·ln 2] — the absent-word tail (p = 0 ⇒ term =
+    q·ln 2) collapses to an exact integer ratio, so the Zipf-small
+    (source, word) pair table is the ONLY thing summed. Per-pair
+    terms are fixed-point-quantized (×1e7 → bigint) before summing
+    (order-independent); the tail mass 1 − Σq is a ratio of exact
+    integer counts.
+
+    Scale shape: ONE corpus tokenization; word marginals, source
+    totals and the grand total all derive from the pinned pair table
+    (no second scan); per-source readout is |sources| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    # pin: three consumers (word marginals, source totals, join base)
+    pairs = (
+        tok.groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    wcnt = pairs.groupBy("word").agg(F.sum("c").alias("cw"))
+    stot = pairs.groupBy("source").agg(F.sum("c").alias("ts"))
+    tot = wcnt.agg(F.sum("cw").alias("t"))
+    p = F.col("c").cast("double") / F.col("ts")
+    q = F.col("cw").cast("double") / F.col("t")
+    m = (p + q) / 2
+    terms = (
+        pairs.join(wcnt, "word")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.round((p * F.log(p / m) + q * F.log(q / m)) * 10000000.0, 0)
+            .cast("bigint")
+            .alias("term_q"),
+            "cw",
+        )
+    )
+    per_src = terms.groupBy("source").agg(
+        F.sum("term_q").alias("sq"),
+        F.sum("cw").alias("cq"),
+        F.count(F.lit(1)).alias("nw"),
+    )
+    return (
+        per_src.join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("ts").cast("bigint").alias("n_tokens"),
+            F.col("nw").cast("bigint").alias("n_distinct_words"),
+            F.round(
+                0.5
+                * (
+                    F.col("sq").cast("double") / 10000000.0
+                    + (1.0 - F.col("cq").cast("double") / F.col("t"))
+                    * F.log(F.lit(2.0))
+                ),
+                6,
+            ).alias("js_divergence"),
+        )
+        .orderBy("source")
+    )
+
+
+_MIX_CAP = 3.0  # max upsampling multiple a single source may receive
+
+
+@register(
+    "q_domain_mixture_weights",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, len(string_split(text, ' ')) AS nt, 1 AS d FROM documents
+),
+per_src AS (
+  SELECT source, SUM(nt) AS toks, SUM(d) AS docs FROM tok GROUP BY source
+),
+tot AS (
+  SELECT SUM(toks) AS t, COUNT(*) AS s FROM per_src
+),
+w AS (
+  SELECT source, toks, docs,
+    CAST(toks AS DOUBLE) / t AS share,
+    (CAST(t AS DOUBLE) / s) / toks AS raw_w
+  FROM per_src CROSS JOIN tot
+)
+SELECT source,
+  CAST(toks AS BIGINT) AS n_tokens,
+  CAST(docs AS BIGINT) AS n_docs,
+  ROUND(share, 6) AS token_share,
+  ROUND(LEAST(raw_w, {_MIX_CAP}) , 6) AS mix_weight,
+  CAST(ROUND(docs * LEAST(raw_w, {_MIX_CAP}), 0) AS BIGINT)
+    AS docs_per_epoch
+FROM w
+ORDER BY source
+""",
+)
+def q_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing weights: per-source token share, the
+    uniform-target sampling weight (target 1/S of the token budget per
+    source, capped at 3x upsampling), and the resulting
+    documents-per-epoch quota — the corpus-mixing step (DoReMi-style
+    reweighting with a fixed uniform target) that follows the
+    q_js_divergence_sources diagnostic in a curation pipeline.
+
+    Exactness: token and doc counts are exact integers off ONE
+    documents scan (token count via split length — no explode);
+    share/weight are double ratios of exact integers with identical
+    trees in both engines, rounded 6 dp; the quota rounds to a bigint
+    in both.
+
+    Scale shape: one scan, one |sources|-row hash agg; the grand
+    total is a broadcast 1-row reduction of the per-source table."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (
+        docs.select(
+            "source",
+            F.size(F.split(F.col("text"), " ")).alias("nt"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("nt").alias("toks"),
+            F.count(F.lit(1)).alias("docs"),
+        )
+    )
+    tot = per_src.agg(
+        F.sum("toks").alias("t"), F.count(F.lit(1)).alias("s")
+    )
+    share = F.col("toks").cast("double") / F.col("t")
+    raw_w = (F.col("t").cast("double") / F.col("s")) / F.col("toks")
+    capped = F.least(raw_w, F.lit(_MIX_CAP))
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("toks").cast("bigint").alias("n_tokens"),
+            F.col("docs").cast("bigint").alias("n_docs"),
+            F.round(share, 6).alias("token_share"),
+            F.round(capped, 6).alias("mix_weight"),
+            F.round(F.col("docs") * capped, 0)
+            .cast("bigint")
+            .alias("docs_per_epoch"),
+        )
+        .orderBy("source")
     )

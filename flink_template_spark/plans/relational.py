@@ -1562,3 +1562,255 @@ def q_spearman_price_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("spearman_rho"),
     )
+
+
+@register(
+    "q_ols_two_feature",
+    oracle="""
+WITH pts AS (
+  SELECT l_returnflag AS flag,
+    CAST(l_quantity AS DECIMAL(12,2)) AS x1,
+    CAST(l_discount AS DECIMAL(6,2)) AS x2,
+    CAST(l_extendedprice AS DECIMAL(14,2)) AS y
+  FROM lineitem
+),
+sums AS (
+  SELECT flag, COUNT(*) AS k,
+    SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+    SUM(x1 * x1) AS s11, SUM(x1 * x2) AS s12, SUM(x2 * x2) AS s22,
+    SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y, SUM(y * y) AS syy
+  FROM pts GROUP BY flag
+),
+cm AS (
+  SELECT flag, k,
+    CAST(k * s11 - s1 * s1 AS DOUBLE) AS c11,
+    CAST(k * s12 - s1 * s2 AS DOUBLE) AS c12,
+    CAST(k * s22 - s2 * s2 AS DOUBLE) AS c22,
+    CAST(k * s1y - s1 * sy AS DOUBLE) AS c1y,
+    CAST(k * s2y - s2 * sy AS DOUBLE) AS c2y,
+    CAST(k * syy - sy * sy AS DOUBLE) AS cyy,
+    CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+    CAST(sy AS DOUBLE) AS syd
+  FROM sums
+),
+fit AS (
+  SELECT flag, k, s1d, s2d, syd, cyy, c1y, c2y,
+    (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS b1,
+    (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2
+  FROM cm
+)
+SELECT flag,
+  CAST(k AS BIGINT) AS n_rows,
+  ROUND((syd - b1 * s1d - b2 * s2d) / CAST(k AS DOUBLE), 6) AS intercept,
+  ROUND(b1, 6) AS beta_quantity,
+  ROUND(b2, 6) AS beta_discount,
+  ROUND((b1 * c1y + b2 * c2y) / cyy, 6) AS r2
+FROM fit
+ORDER BY flag
+""",
+)
+def q_ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS via the normal equations, fit independently per
+    return flag: extendedprice ~ quantity + discount. The closed-form
+    2x2 solve (Cramer on the CENTERED moment matrix) is how a
+    distributed engine fits millions of small regressions in one
+    shuffle — no gradient loop, no driver iteration, just sufficient
+    statistics with map-side partial aggregation (the multi-feature
+    generalization of q_ols_price_trend's single-slope form).
+
+    Float discipline: all ten sufficient sums are exact DECIMALs; the
+    centered moments k*Sab − Sa*Sb are computed IN DECIMAL (exact —
+    magnitudes bounded by k²·max|x·y|, far inside decimal38 even at
+    10^10 rows) and only the final 2x2 solve runs in doubles with an
+    identical expression tree in both engines, rounded 6 dp.
+
+    Scale shape: ONE lineitem scan (3 columns pruned), one hash agg on
+    the 3-value flag key; everything downstream is a 3-row table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("decimal(12,2)").alias("x1"),
+        F.col("l_discount").cast("decimal(6,2)").alias("x2"),
+        F.col("l_extendedprice").cast("decimal(14,2)").alias("y"),
+    )
+    s = pts.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    k = F.col("k")
+    cm = s.select(
+        "flag",
+        "k",
+        (k * F.col("s11") - F.col("s1") * F.col("s1")).cast("double").alias("c11"),
+        (k * F.col("s12") - F.col("s1") * F.col("s2")).cast("double").alias("c12"),
+        (k * F.col("s22") - F.col("s2") * F.col("s2")).cast("double").alias("c22"),
+        (k * F.col("s1y") - F.col("s1") * F.col("sy")).cast("double").alias("c1y"),
+        (k * F.col("s2y") - F.col("s2") * F.col("sy")).cast("double").alias("c2y"),
+        (k * F.col("syy") - F.col("sy") * F.col("sy")).cast("double").alias("cyy"),
+        F.col("s1").cast("double").alias("s1d"),
+        F.col("s2").cast("double").alias("s2d"),
+        F.col("sy").cast("double").alias("syd"),
+    )
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    b1 = (F.col("c22") * F.col("c1y") - F.col("c12") * F.col("c2y")) / det
+    b2 = (F.col("c11") * F.col("c2y") - F.col("c12") * F.col("c1y")) / det
+    fit = cm.select(
+        "flag", "k", "s1d", "s2d", "syd", "cyy", "c1y", "c2y",
+        b1.alias("b1"), b2.alias("b2"),
+    )
+    kd = F.col("k").cast("double")
+    return fit.select(
+        "flag",
+        F.col("k").cast("bigint").alias("n_rows"),
+        F.round(
+            (F.col("syd") - F.col("b1") * F.col("s1d") - F.col("b2") * F.col("s2d"))
+            / kd,
+            6,
+        ).alias("intercept"),
+        F.round(F.col("b1"), 6).alias("beta_quantity"),
+        F.round(F.col("b2"), 6).alias("beta_discount"),
+        F.round(
+            (F.col("b1") * F.col("c1y") + F.col("b2") * F.col("c2y")) / F.col("cyy"),
+            6,
+        ).alias("r2"),
+    ).orderBy("flag")
+
+
+@register(
+    "q_winsorized_stats",
+    oracle="""
+WITH ranked AS (
+  SELECT CAST(o_totalprice AS DECIMAL(14,2)) AS price,
+    ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+  FROM orders
+),
+nk AS (
+  SELECT COUNT(*) AS n, COUNT(*) // 20 AS k FROM ranked
+),
+bounds AS (
+  SELECT
+    MAX(CASE WHEN rn = k + 1 THEN price END) AS lo,
+    MAX(CASE WHEN rn = n - k THEN price END) AS hi
+  FROM ranked CROSS JOIN nk
+),
+clamped AS (
+  SELECT
+    CASE WHEN rn <= k THEN lo WHEN rn > n - k THEN hi ELSE price END AS w,
+    price
+  FROM ranked CROSS JOIN nk CROSS JOIN bounds
+),
+sums AS (
+  SELECT COUNT(*) AS n,
+    SUM(price) AS sr, SUM(price * price) AS srr,
+    SUM(w) AS sw, SUM(w * w) AS sww
+  FROM clamped
+)
+SELECT
+  CAST(n AS BIGINT) AS n_orders,
+  CAST((SELECT k FROM nk) AS BIGINT) AS k_each_side,
+  CAST((SELECT lo FROM bounds) AS DOUBLE) AS lo,
+  CAST((SELECT hi FROM bounds) AS DOUBLE) AS hi,
+  ROUND(CAST(sr AS DOUBLE) / n, 6) AS mean_raw,
+  ROUND(CAST(sw AS DOUBLE) / n, 6) AS mean_winsorized,
+  ROUND(SQRT(CAST(n * srr - sr * sr AS DOUBLE)) / n, 6) AS sd_raw,
+  ROUND(SQRT(CAST(n * sww - sw * sw AS DOUBLE)) / n, 6) AS sd_winsorized
+FROM sums
+""",
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean/sd of order totals at 5%/95% — the robust-stats
+    companion to q_trimmed_mean_price: instead of DROPPING the k = n/20
+    most extreme values on each side, winsorization CLAMPS them to the
+    boundary order statistics, keeping n constant (the estimator
+    metric pipelines use when row counts must be preserved).
+
+    Exactness: boundary values are ORDER STATISTICS (the rank-(k+1)
+    and rank-(n−k) prices), located by the two-pass range-partitioned
+    global row_number — never a single-partition sort; clamped and raw
+    sums are exact DECIMALs; sd uses the integer-exact n·Σx² − (Σx)²
+    form before one double sqrt, rounded 6 dp.
+
+    Scale shape: ONE orders scan (2 columns) into rank_global; the
+    pinned ranking feeds three consumers (count, boundary lookup,
+    clamped reduction) without re-materializing; bounds and (n, k) are
+    1-row broadcasts."""
+    from flink_template_spark.operators.rank_global import with_global_ranks
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("decimal(14,2)").alias("price"),
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").alias("raw"),
+    )
+    # three consumers of one materialized ranking (the q_rank_family
+    # pin pattern)
+    ranked = (
+        with_global_ranks(
+            orders, [("raw", True)], tiebreak=["okey"], row_number_col="rn"
+        )
+        .select("price", "rn")
+        .localCheckpoint(eager=False)
+    )
+    nk = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("COUNT(1) DIV 20").alias("k"),
+    )
+    bounds = (
+        ranked.crossJoin(F.broadcast(nk))
+        .agg(
+            F.max(
+                F.when(F.col("rn") == F.col("k") + 1, F.col("price"))
+            ).alias("lo"),
+            F.max(
+                F.when(F.col("rn") == F.col("n") - F.col("k"), F.col("price"))
+            ).alias("hi"),
+        )
+    )
+    w = (
+        F.when(F.col("rn") <= F.col("k"), F.col("lo"))
+        .when(F.col("rn") > F.col("n") - F.col("k"), F.col("hi"))
+        .otherwise(F.col("price"))
+    )
+    sums = (
+        ranked.crossJoin(F.broadcast(nk))
+        .crossJoin(F.broadcast(bounds))
+        .select(w.alias("w"), F.col("price"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("price").alias("sr"),
+            F.sum(F.col("price") * F.col("price")).alias("srr"),
+            F.sum("w").alias("sw"),
+            F.sum(F.col("w") * F.col("w")).alias("sww"),
+        )
+    )
+    n = F.col("n")
+    nd = n.cast("double")
+    return (
+        sums.crossJoin(F.broadcast(nk.select("k")))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            n.cast("bigint").alias("n_orders"),
+            F.col("k").cast("bigint").alias("k_each_side"),
+            F.col("lo").cast("double").alias("lo"),
+            F.col("hi").cast("double").alias("hi"),
+            F.round(F.col("sr").cast("double") / nd, 6).alias("mean_raw"),
+            F.round(F.col("sw").cast("double") / nd, 6).alias("mean_winsorized"),
+            F.round(
+                F.sqrt((n * F.col("srr") - F.col("sr") * F.col("sr")).cast("double"))
+                / nd,
+                6,
+            ).alias("sd_raw"),
+            F.round(
+                F.sqrt((n * F.col("sww") - F.col("sw") * F.col("sw")).cast("double"))
+                / nd,
+                6,
+            ).alias("sd_winsorized"),
+        )
+    )

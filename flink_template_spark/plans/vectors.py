@@ -997,6 +997,12 @@ TRIPLET_POS = 0.4  # positive pair: cosine >= this (near-dup band)
 TRIPLET_NEG = 0.2  # hard negative: same cell but cosine <= this
 
 
+_UDOT = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> {a}[i] * {b}[i]))"
+)
+
+
 @register(
     "q_contrastive_triplets",
     oracle=f"""
@@ -1005,7 +1011,12 @@ WITH centroids AS (
   WHERE vec_id < {N_CENTROIDS}
 ),
 assigned AS MATERIALIZED (
-  SELECT vec_id, embedding, centroid_id AS cluster FROM (
+  -- unit-normalize ONCE per vector: pair cosine below is then a single
+  -- dot product (the Spark plan shares this exact two-stage float path)
+  SELECT vec_id,
+    list_transform(range(1, len(embedding) + 1),
+      i -> CAST(embedding[i] AS DOUBLE) / {l2_norm_sql('embedding')}) AS u,
+    centroid_id AS cluster FROM (
     SELECT v.vec_id, v.embedding, c.centroid_id,
       ROW_NUMBER() OVER (PARTITION BY v.vec_id
         ORDER BY ROUND({cosine_sql('v.embedding', 'c.embedding')}, 6) DESC,
@@ -1013,22 +1024,25 @@ assigned AS MATERIALIZED (
     FROM embeddings v CROSS JOIN centroids c
   ) WHERE rk = 1
 ),
-positives AS (
-  SELECT a.cluster, a.vec_id AS anchor, b.vec_id AS positive,
-    ROUND({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos_ap
-  FROM assigned a JOIN assigned b
-    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-  WHERE ROUND({cosine_sql('a.embedding', 'b.embedding')}, 6) >= {TRIPLET_POS}
-),
-negatives AS (  -- deterministic hard negative: lowest-id far vector in cell
-  SELECT a.vec_id AS anchor, MIN(n.vec_id) AS negative
+pairs AS MATERIALIZED (
+  -- ONE symmetric within-cell pair table feeds both the positive band
+  -- and the hard-negative probe (each pair cosine computed once)
+  SELECT a.vec_id AS anchor, n.vec_id AS other,
+    ROUND({_UDOT.format(a='a.u', b='n.u')}, 6) AS cos
   FROM assigned a JOIN assigned n
     ON a.cluster = n.cluster AND n.vec_id <> a.vec_id
-  WHERE ROUND({cosine_sql('a.embedding', 'n.embedding')}, 6) <= {TRIPLET_NEG}
-  GROUP BY a.vec_id
+),
+positives AS (
+  SELECT anchor, other AS positive, cos AS cos_ap
+  FROM pairs WHERE anchor < other AND cos >= {TRIPLET_POS}
+),
+negatives AS (  -- deterministic hard negative: lowest-id far vector in cell
+  SELECT anchor, MIN(other) AS negative
+  FROM pairs WHERE cos <= {TRIPLET_NEG}
+  GROUP BY anchor
 )
 SELECT p.anchor, p.positive, n.negative, p.cos_ap,
-  ROUND({cosine_sql('ae.embedding', 'ne.embedding')}, 6) AS cos_an
+  ROUND({_UDOT.format(a='ae.u', b='ne.u')}, 6) AS cos_an
 FROM positives p
 JOIN negatives n ON p.anchor = n.anchor
 JOIN assigned ae ON ae.vec_id = p.anchor
@@ -1047,47 +1061,81 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop out (inner join) — a real mining pass would widen the probe.
     Every choice is deterministic (rounded cosines, id tiebreaks), so
     the mined triplets replay exactly in SQL."""
-    from flink_template_spark.functions.vector import cosine
+    from flink_template_spark.functions.vector import l2_norm
+
+    def udot(x, y):
+        # unit-vector dot: the pair cosine, as ONE left-to-right fold
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
 
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
-    assigned = ivf_assign(emb, centroids)
+    # pin: FIVE consumers (positive pair a/b sides, negative probe,
+    # anchor/negative unit-vector lookups) — without the pin the
+    # |emb| × |centroids| assignment re-evaluates once per consumer
+    # (measured 61 s at sf0.1 when the r10 bench back-fill first timed
+    # this query). Vectors are unit-normalized HERE, once, so every
+    # within-cell pair cosine below is a single 64-element fold
+    # instead of dot + two norms (3x less per-pair HOF work; the
+    # oracle shares the identical normalize-then-dot float path).
+    assigned = (
+        ivf_assign(emb, centroids)
+        .select(
+            "vec_id",
+            "cluster",
+            F.transform(
+                F.col("embedding"),
+                lambda x: x.cast("double") / l2_norm(F.col("embedding")),
+            ).alias("u"),
+        )
+        .localCheckpoint(eager=False)
+    )
     a = assigned.select(
         "cluster",
         F.col("vec_id").alias("anchor"),
-        F.col("embedding").alias("va"),
-    )
-    b = assigned.select(
-        "cluster",
-        F.col("vec_id").alias("positive"),
-        F.col("embedding").alias("vb"),
-    )
-    positives = (
-        a.join(b, "cluster")
-        .filter(F.col("anchor") < F.col("positive"))
-        .select(
-            "anchor",
-            "positive",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_ap"),
-        )
-        .filter(F.col("cos_ap") >= TRIPLET_POS)
+        F.col("u").alias("ua"),
     )
     n = assigned.select(
         "cluster",
-        F.col("vec_id").alias("negative"),
-        F.col("embedding").alias("vn"),
+        F.col("vec_id").alias("other"),
+        F.col("u").alias("un"),
+    )
+    # ONE symmetric within-cell pair table feeds both the positive
+    # band and the hard-negative probe (each pair cosine computed
+    # once; pinned for its two consumers)
+    pairs = (
+        a.join(n, "cluster")
+        .filter(F.col("other") != F.col("anchor"))
+        .select(
+            "anchor",
+            "other",
+            F.round(udot(F.col("ua"), F.col("un")), 6).alias("cos"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    positives = (
+        pairs.filter(
+            (F.col("anchor") < F.col("other"))
+            & (F.col("cos") >= TRIPLET_POS)
+        )
+        .select(
+            "anchor",
+            F.col("other").alias("positive"),
+            F.col("cos").alias("cos_ap"),
+        )
     )
     negatives = (
-        a.join(n, "cluster")
-        .filter(F.col("negative") != F.col("anchor"))
-        .filter(F.round(cosine(F.col("va"), F.col("vn")), 6) <= TRIPLET_NEG)
+        pairs.filter(F.col("cos") <= TRIPLET_NEG)
         .groupBy("anchor")
-        .agg(F.min("negative").alias("negative"))
+        .agg(F.min("other").alias("negative"))
     )
-    emb_a = assigned.select(F.col("vec_id").alias("anchor"), F.col("embedding").alias("ea"))
-    emb_n = assigned.select(F.col("vec_id").alias("negative"), F.col("embedding").alias("en"))
+    emb_a = assigned.select(F.col("vec_id").alias("anchor"), F.col("u").alias("ea"))
+    emb_n = assigned.select(F.col("vec_id").alias("negative"), F.col("u").alias("en"))
     return (
         positives.join(negatives, "anchor")
         .join(emb_a, "anchor")
@@ -1097,7 +1145,7 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "positive",
             "negative",
             "cos_ap",
-            F.round(cosine(F.col("ea"), F.col("en")), 6).alias("cos_an"),
+            F.round(udot(F.col("ea"), F.col("en")), 6).alias("cos_an"),
         )
         .orderBy("anchor", "positive")
     )

@@ -11,9 +11,11 @@ group via row_number is the scalable pattern (no global sort — per-group
 heaps inside the sort-based window operator). A global ORDER BY appears
 only in deterministic LIMIT queries where the driver needs stable rows.
 The global-rank queries here (q_rank_suppliers_by_balance, q_rank_family)
-rank DIMENSION tables, where the single-partition WindowExec is fine; the
-fact-table-scale path is operators.rank_global.with_global_ranks
-(range-partitioned two-pass rank, demonstrated by q_global_rank_scalable).
+use operators.rank_global.with_global_ranks (range-partitioned two-pass
+rank, demonstrated by q_global_rank_scalable) plus closed forms of
+(rn, n) for ntile/percent_rank/cume_dist — since round 10 NO query in
+this module funnels an SF-proportional table through a single-partition
+WindowExec (the registry-derived bench audit caught the two that did).
 """
 
 from __future__ import annotations
@@ -114,20 +116,68 @@ FROM supplier JOIN nation ON s_nationkey = n_nationkey
 """,
 )
 def q_rank_suppliers_by_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global supplier ranking by account balance with a per-nation
+    dense rank.
+
+    Scale shape (r10 rework — the registry-derived bench audit caught
+    the original two single-partition Window.orderBy funnels over the
+    SF-proportional supplier table): the balance ordering
+    (s_acctbal DESC, s_suppkey) is TOTAL, so RANK == row_number (one
+    two-pass range-partitioned global row_number) and NTILE(4) is its
+    closed form of (rn, n) — the q_rank_family pattern; n comes from
+    max(rn) over rank_global's pinned output (no second supplier
+    scan). DENSE_RANK() OVER (ORDER BY n_name) depends only on the
+    distinct nation names PRESENT in the join result — computed on a
+    ≤ |nation| = 25-row distinct table (its unpartitioned window is
+    bounded by the fixed nation count, never data-sized) and
+    broadcast back."""
+    from flink_template_spark.operators.rank_global import with_global_ranks
+
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
-    w_bal = W.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
-    w_nat = W.orderBy("n_name")
+    joined = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("n_name", "s_suppkey", "s_name", "s_acctbal")
+    # pin: three consumers (n1 agg, names distinct, final select)
+    # share one materialized ranking
+    ranked = with_global_ranks(
+        joined,
+        order_by=[(F.col("s_acctbal"), False), (F.col("s_suppkey"), True)],
+        row_number_col="rn",
+    ).localCheckpoint(eager=False)
+    n1 = ranked.agg(F.max("rn").alias("n"))
+    # dense rank of the nation names that appear: ≤ 25 rows by
+    # construction (fixed nation table), so the unpartitioned window
+    # is calendar-class bounded, not data-sized
+    names = (
+        ranked.select("n_name")
+        .distinct()
+        .select(
+            "n_name",
+            F.dense_rank().over(W.orderBy("n_name")).alias("nation_rank"),
+        )
+    )
+    rn = F.col("rn")
+    big = (F.col("n") % 4) * (F.expr("n DIV 4") + 1)
+    quartile = F.when(
+        rn <= big, F.expr("(rn + (n DIV 4)) DIV ((n DIV 4) + 1)")
+    ).otherwise(
+        F.expr(
+            "(n % 4) + ((rn - (n % 4) * ((n DIV 4) + 1)) + (n DIV 4) - 1)"
+            " DIV (n DIV 4)"
+        )
+    )
     return (
-        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        ranked.crossJoin(F.broadcast(n1))
+        .join(F.broadcast(names), "n_name")
         .select(
             "n_name",
             "s_suppkey",
             "s_name",
             F.col("s_acctbal").cast("double").alias("s_acctbal"),
-            F.rank().over(w_bal).alias("bal_rank"),
-            F.dense_rank().over(w_nat).alias("nation_rank"),
-            F.ntile(4).over(w_bal).alias("bal_quartile"),
+            rn.cast("int").alias("bal_rank"),
+            "nation_rank",
+            quartile.cast("int").alias("bal_quartile"),
         )
     )
 
@@ -294,17 +344,64 @@ ORDER BY s_suppkey
 )
 def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The remaining ranking functions (dense_rank / ntile /
-    percent_rank / cume_dist) with a fully deterministic ordering."""
-    sup = load_table(spark, sf_dir, "supplier")
-    w = W.orderBy(F.col("s_acctbal").desc(), "s_suppkey")
-    return sup.select(
-        "s_suppkey",
-        "s_name",
-        F.dense_rank().over(w).alias("drank"),
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-    ).orderBy("s_suppkey")
+    percent_rank / cume_dist) with a fully deterministic ordering.
+
+    Scale shape (r10 rework — the registry-derived bench audit caught
+    the original single-partition Window.orderBy over the
+    SF-proportional supplier table): the ordering (s_acctbal DESC,
+    s_suppkey) is TOTAL, so every member of the family is a closed
+    form of (rn, n) — dense_rank == rank == rn, percent_rank ==
+    (rn−1)/(n−1), cume_dist == rn/n, and NTILE(k) is the standard
+    first-(n%k)-buckets-get-one-extra split. One two-pass
+    range-partitioned global row_number (operators.rank_global)
+    supplies rn; n comes from max(rn) over rank_global's pinned
+    output, so supplier is scanned exactly once."""
+    from flink_template_spark.operators.rank_global import with_global_ranks
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    # pin: THREE consumers (n1 agg, final select) would otherwise each
+    # re-expand pass 2 and re-surface the offsets window
+    ranked = with_global_ranks(
+        sup,
+        order_by=[(F.col("s_acctbal"), False), (F.col("s_suppkey"), True)],
+        row_number_col="rn",
+    ).localCheckpoint(eager=False)
+    n1 = ranked.agg(F.max("rn").alias("n"))
+    rn = F.col("rn")
+    n = F.col("n")
+    # NTILE(4): q = n div 4 rows per tile, the first r = n mod 4 tiles
+    # take one extra row. ceil-div via (a + b - 1) div b; the q = 0
+    # branch is unreachable (rn <= n = r·(q+1)) and never evaluated —
+    # Spark's If is lazy, so the div-by-zero arm cannot throw.
+    big = (n % 4) * (F.expr("n DIV 4") + 1)
+    quartile = F.when(
+        rn <= big, F.expr("(rn + (n DIV 4)) DIV ((n DIV 4) + 1)")
+    ).otherwise(
+        F.expr(
+            "(n % 4) + ((rn - (n % 4) * ((n DIV 4) + 1)) + (n DIV 4) - 1)"
+            " DIV (n DIV 4)"
+        )
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n1))
+        .select(
+            "s_suppkey",
+            "s_name",
+            rn.cast("int").alias("drank"),
+            quartile.cast("int").alias("quartile"),
+            F.when(n == 1, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    (rn - 1).cast("double") / (n - 1).cast("double"), 6
+                )
+            )
+            .alias("pct_rank"),
+            F.round(rn.cast("double") / n.cast("double"), 6).alias("cume"),
+        )
+        .orderBy("s_suppkey")
+    )
 
 
 @register(

@@ -337,6 +337,16 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     # behind its internal lazy checkpoint — the q_curriculum_order
     # pattern)
     "q_spearman_price_balance": 1,
+    # r10 (registry-derived bench back-fill audit): one rank_global
+    # offsets window each (<= shuffle-partition-count rows)
+    "q_global_rank_scalable": 1,
+    "q_vocab_build": 1,
+    "q_vocab_apply": 1,
+    # r10: the per-nation dense rank runs over the DISTINCT nation-name
+    # table — <= |nation| = 25 rows by construction, never data-sized
+    # (the balance ranking's offsets window sits behind the pinned
+    # ranked checkpoint — count 0, like q_rank_family's)
+    "q_rank_suppliers_by_balance": 1,
 }
 
 
