@@ -178,10 +178,16 @@ def main() -> None:
         # The operator persists its projected input; drop the warm-up's cache
         # so the TIMED run pays the full parse + materialize + aggregate cost
         # (reporting a warm-cache rerun would measure cache reads, not the
-        # pipeline).
-        warm = aggregate_trips(read_trip_events_json(spark, fx))
-        warm.write.format("noop").mode("overwrite").save()
-        warm.input.unpersist(True)
+        # pipeline). TWO warm runs since r10: the r10 idle-band measurement
+        # (BASELINE.md) showed the JSON-parse JIT keeps climbing for several
+        # runs (223k -> 448k ev/s across five best-of-2 samples in one
+        # session), so a single warm run left the recorded rate anywhere in
+        # a +-40% band — the source of the driver's 394k/584k round-over-
+        # round swings on unchanged code.
+        for _ in range(2):
+            warm = aggregate_trips(read_trip_events_json(spark, fx))
+            warm.write.format("noop").mode("overwrite").save()
+            warm.input.unpersist(True)
         # best-of-2 timed runs (rate analogue of the min-of-2 walls)
         trip_wall = None
         for _ in range(2):

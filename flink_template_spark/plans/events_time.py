@@ -3177,6 +3177,8 @@ def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "y",
         )
     )
+    # pin: two consumers (pooled θ + per-arm readout) of the 2-row arm
+    # table would otherwise each re-run the events scan + user agg
     arms = users.groupBy("arm").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
@@ -3184,7 +3186,7 @@ def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
-    )
+    ).localCheckpoint(eager=False)
     pooled = arms.agg(
         F.sum("n").alias("n"),
         F.sum("sx").alias("sx"),

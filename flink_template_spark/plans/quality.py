@@ -3520,10 +3520,12 @@ def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(F.split(F.col("text"), " ")).alias("word"),
     ).filter(F.col("word") != "")
+    # pin: two consumers (class totals + log-odds) of the Zipf-small
+    # vocab would otherwise each re-run the training tokenization pass
     vocab = tok.groupBy("word").agg(
         F.sum("c").alias("c1"),
         (F.count(F.lit(1)) - F.sum("c")).alias("c0"),
-    )
+    ).localCheckpoint(eager=False)
     tot = vocab.agg(
         F.sum("c1").alias("t1"),
         F.sum("c0").alias("t0"),
@@ -3754,6 +3756,8 @@ def q_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one scan, one |sources|-row hash agg; the grand
     total is a broadcast 1-row reduction of the per-source table."""
     docs = load_table(spark, sf_dir, "documents")
+    # pin: two consumers (grand total + final readout) of the
+    # |sources|-row table would otherwise each re-run the corpus scan
     per_src = (
         docs.select(
             "source",
@@ -3764,6 +3768,7 @@ def q_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nt").alias("toks"),
             F.count(F.lit(1)).alias("docs"),
         )
+        .localCheckpoint(eager=False)
     )
     tot = per_src.agg(
         F.sum("toks").alias("t"), F.count(F.lit(1)).alias("s")
