@@ -12,40 +12,29 @@ def test_priority_slate_shape():
     names = list(plans.QUERIES)
     assert len(names) == len(set(names))
     first50 = set(names[:50])
-    # round-9 rotation (VERDICT r8 next #1): ALL 20 round-8 additions
-    # (never driver-checked before this round)
+    # round-10 rotation (VERDICT r9 next #1): representatives of the 41
+    # round-9 additions (never driver-checked before this round)
     for q in (
-        "q_event_markov",
-        "q_rfm_segments",
-        "q_basket_pairs",
-        "q_skyline_parts",
-        "q_l_diversity",
-        "q_dedup_rate_by_source",
-        "q_edit_distance_pairs",
-        "q_kneser_ney_bigram",
-        "q_lang_id_ngram",
-        "q_volume_acf",
-        "q_chi2_terms",
-        "q_weighted_median_price",
-        "q_cohort_ltv",
-        "q_revenue_concentration",
-        "q_event_paths_top",
-        "q_funnel_latency",
-        "q_forecast_baselines",
-        "q_trimmed_mean_price",
-        "q_activity_heatmap",
-        "q_volume_percentile_bands",
+        "q_session_bounce_rate",
+        "q_anomaly_days",
+        "q_ivm_delta_merge",
+        "q_asof_tolerance_join",
+        "q_minhash_estimate_error",
+        "q_kaplan_meier",
+        "q_target_encoding",
+        "q_cramers_v_matrix",
+        "q_dbscan_core_points",
+        "q_itemsets_3",
+        "q_skipgram_pairs",
+        "q_spearman_price_balance",
     ):
         assert q in first50, q
-    # staleness-census fill: r4-cohort representatives (oldest greens)
+    # the single pre-r5 verdict + the oldest r5-cohort greens
     for q in (
-        "q_train_test_split",
-        "q_pii_redact",
-        "q1_pricing_summary",
-        "q_minhash_lsh_pairs",
-        "q_semdedup_keep",
-        "q_training_data_pipeline",
-        "q_top_terms_per_lang",
+        "q_grouping_sets",
+        "q3_shipping_priority",
+        "q10_returned_items",
+        "q_running_customer_revenue",
     ):
         assert q in first50, q
 
