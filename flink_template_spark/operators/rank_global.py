@@ -257,3 +257,24 @@ def with_global_prefix_max(
         )
         .drop(_PID, "__pm_opid", "__pm_off", "__pm_val")
     )
+
+
+def ntile_closed_form(k: int, rn: str = "rn", n: str = "n") -> Column:
+    """NTILE(k) as a closed form of a global row number column ``rn``
+    and a total-count column ``n`` (both in scope of the surrounding
+    select): q = n div k rows per tile, the first r = n mod k tiles
+    take one extra row. Lets the scalable two-pass ranking replace a
+    single-partition NTILE window. ceil-div via (a + b - 1) div b; the
+    q = 0 arm of the conditional is unreachable (rn <= n = r·(q+1)
+    when q = 0) and never evaluated — Spark's If is lazy, so the
+    div-by-zero branch cannot throw under ANSI."""
+    big = (F.col(n) % k) * (F.expr(f"{n} DIV {k}") + 1)
+    return F.when(
+        F.col(rn) <= big,
+        F.expr(f"({rn} + ({n} DIV {k})) DIV (({n} DIV {k}) + 1)"),
+    ).otherwise(
+        F.expr(
+            f"({n} % {k}) + (({rn} - ({n} % {k}) * (({n} DIV {k}) + 1))"
+            f" + ({n} DIV {k}) - 1) DIV ({n} DIV {k})"
+        )
+    )

@@ -1792,6 +1792,15 @@ def q_gini_split_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Cramér's-V column pairs: (tag, a-col, b-col) over the pri/st/wd
+# projection. The first tag doubles as the grand-total derivation key.
+_CV_PAIRS = (
+    ("priority_x_status", "pri", "st"),
+    ("priority_x_weekday", "pri", "wd"),
+    ("status_x_weekday", "st", "wd"),
+)
+
+
 @register(
     "q_cramers_v_matrix",
     oracle=f"""
@@ -1857,24 +1866,20 @@ def q_cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").alias("st"),
         _wd_spark().alias("wd"),
     )
+    # (tag, a-col, b-col) triples — _CV_PAIRS[0] is also the pair the
+    # grand-total N derives from below, so the coupling is structural,
+    # not a repeated string literal
     tagged = src.select(
         F.explode(
             F.array(
-                F.struct(
-                    F.lit("priority_x_status").alias("pair"),
-                    F.col("pri").alias("va"),
-                    F.col("st").alias("vb"),
-                ),
-                F.struct(
-                    F.lit("priority_x_weekday").alias("pair"),
-                    F.col("pri").alias("va"),
-                    F.col("wd").alias("vb"),
-                ),
-                F.struct(
-                    F.lit("status_x_weekday").alias("pair"),
-                    F.col("st").alias("va"),
-                    F.col("wd").alias("vb"),
-                ),
+                *[
+                    F.struct(
+                        F.lit(tag).alias("pair"),
+                        F.col(a).alias("va"),
+                        F.col(b).alias("vb"),
+                    )
+                    for tag, a, b in _CV_PAIRS
+                ]
             )
         ).alias("x")
     ).select("x.pair", "x.va", "x.vb")
@@ -1892,7 +1897,7 @@ def q_cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sum to the row count) — NOT a second orders scan (r9 advice):
     # the marginal-reuse discipline q_gini_split_scores follows.
     n = (
-        cells.filter(F.col("pair") == "priority_x_status")
+        cells.filter(F.col("pair") == _CV_PAIRS[0][0])
         .agg(F.sum("o").alias("n"))
     )
     e = (F.col("ra").cast("double") * F.col("cb").cast("double")) / F.col(

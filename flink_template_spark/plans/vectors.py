@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from flink_template_spark.memo import SessionLRUMemo
 from flink_template_spark.functions.vector import (
     cosine_sql,
+    dot_sql,
     l2_norm,
     l2_norm_sql,
     rp_signs,
@@ -997,12 +998,6 @@ TRIPLET_POS = 0.4  # positive pair: cosine >= this (near-dup band)
 TRIPLET_NEG = 0.2  # hard negative: same cell but cosine <= this
 
 
-_UDOT = (
-    "list_sum(list_transform(range(1, len({a}) + 1), "
-    "i -> {a}[i] * {b}[i]))"
-)
-
-
 @register(
     "q_contrastive_triplets",
     oracle=f"""
@@ -1011,13 +1006,15 @@ WITH centroids AS (
   WHERE vec_id < {N_CENTROIDS}
 ),
 assigned AS MATERIALIZED (
-  -- unit-normalize ONCE per vector: pair cosine below is then a single
-  -- dot product (the Spark plan shares this exact two-stage float path)
+  -- unit-normalize ONCE per vector (norm hoisted out of the per-element
+  -- lambda): pair cosine below is then a single dot product (the Spark
+  -- plan shares this exact two-stage float path)
   SELECT vec_id,
     list_transform(range(1, len(embedding) + 1),
-      i -> CAST(embedding[i] AS DOUBLE) / {l2_norm_sql('embedding')}) AS u,
+      i -> CAST(embedding[i] AS DOUBLE) / nrm) AS u,
     centroid_id AS cluster FROM (
     SELECT v.vec_id, v.embedding, c.centroid_id,
+      {l2_norm_sql('v.embedding')} AS nrm,
       ROW_NUMBER() OVER (PARTITION BY v.vec_id
         ORDER BY ROUND({cosine_sql('v.embedding', 'c.embedding')}, 6) DESC,
                  c.centroid_id) AS rk
@@ -1028,7 +1025,7 @@ pairs AS MATERIALIZED (
   -- ONE symmetric within-cell pair table feeds both the positive band
   -- and the hard-negative probe (each pair cosine computed once)
   SELECT a.vec_id AS anchor, n.vec_id AS other,
-    ROUND({_UDOT.format(a='a.u', b='n.u')}, 6) AS cos
+    ROUND({dot_sql('a.u', 'n.u')}, 6) AS cos
   FROM assigned a JOIN assigned n
     ON a.cluster = n.cluster AND n.vec_id <> a.vec_id
 ),
@@ -1042,7 +1039,7 @@ negatives AS (  -- deterministic hard negative: lowest-id far vector in cell
   GROUP BY anchor
 )
 SELECT p.anchor, p.positive, n.negative, p.cos_ap,
-  ROUND({_UDOT.format(a='ae.u', b='ne.u')}, 6) AS cos_an
+  ROUND({dot_sql('ae.u', 'ne.u')}, 6) AS cos_an
 FROM positives p
 JOIN negatives n ON p.anchor = n.anchor
 JOIN assigned ae ON ae.vec_id = p.anchor
@@ -1061,15 +1058,8 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop out (inner join) — a real mining pass would widen the probe.
     Every choice is deterministic (rounded cosines, id tiebreaks), so
     the mined triplets replay exactly in SQL."""
+    from flink_template_spark.functions.vector import dot as udot
     from flink_template_spark.functions.vector import l2_norm
-
-    def udot(x, y):
-        # unit-vector dot: the pair cosine, as ONE left-to-right fold
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p * q),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
 
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
@@ -1085,12 +1075,13 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle shares the identical normalize-then-dot float path).
     assigned = (
         ivf_assign(emb, centroids)
+        .withColumn("nrm", l2_norm(F.col("embedding")))
         .select(
             "vec_id",
             "cluster",
             F.transform(
                 F.col("embedding"),
-                lambda x: x.cast("double") / l2_norm(F.col("embedding")),
+                lambda x: x.cast("double") / F.col("nrm"),
             ).alias("u"),
         )
         .localCheckpoint(eager=False)

@@ -131,7 +131,10 @@ def q_rank_suppliers_by_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ |nation| = 25-row distinct table (its unpartitioned window is
     bounded by the fixed nation count, never data-sized) and
     broadcast back."""
-    from flink_template_spark.operators.rank_global import with_global_ranks
+    from flink_template_spark.operators.rank_global import (
+        ntile_closed_form,
+        with_global_ranks,
+    )
 
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
@@ -158,15 +161,7 @@ def q_rank_suppliers_by_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rn = F.col("rn")
-    big = (F.col("n") % 4) * (F.expr("n DIV 4") + 1)
-    quartile = F.when(
-        rn <= big, F.expr("(rn + (n DIV 4)) DIV ((n DIV 4) + 1)")
-    ).otherwise(
-        F.expr(
-            "(n % 4) + ((rn - (n % 4) * ((n DIV 4) + 1)) + (n DIV 4) - 1)"
-            " DIV (n DIV 4)"
-        )
-    )
+    quartile = ntile_closed_form(4)
     return (
         ranked.crossJoin(F.broadcast(n1))
         .join(F.broadcast(names), "n_name")
@@ -356,7 +351,10 @@ def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-partitioned global row_number (operators.rank_global)
     supplies rn; n comes from max(rn) over rank_global's pinned
     output, so supplier is scanned exactly once."""
-    from flink_template_spark.operators.rank_global import with_global_ranks
+    from flink_template_spark.operators.rank_global import (
+        ntile_closed_form,
+        with_global_ranks,
+    )
 
     sup = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_acctbal"
@@ -371,19 +369,7 @@ def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = ranked.agg(F.max("rn").alias("n"))
     rn = F.col("rn")
     n = F.col("n")
-    # NTILE(4): q = n div 4 rows per tile, the first r = n mod 4 tiles
-    # take one extra row. ceil-div via (a + b - 1) div b; the q = 0
-    # branch is unreachable (rn <= n = r·(q+1)) and never evaluated —
-    # Spark's If is lazy, so the div-by-zero arm cannot throw.
-    big = (n % 4) * (F.expr("n DIV 4") + 1)
-    quartile = F.when(
-        rn <= big, F.expr("(rn + (n DIV 4)) DIV ((n DIV 4) + 1)")
-    ).otherwise(
-        F.expr(
-            "(n % 4) + ((rn - (n % 4) * ((n DIV 4) + 1)) + (n DIV 4) - 1)"
-            " DIV (n DIV 4)"
-        )
-    )
+    quartile = ntile_closed_form(4)
     return (
         ranked.crossJoin(F.broadcast(n1))
         .select(

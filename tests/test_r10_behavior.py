@@ -293,9 +293,15 @@ def test_mixture_weights_axioms(spark, sf_dir):
 
     rows = plans.QUERIES["q_domain_mixture_weights"](spark, sf_dir).collect()
     assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-4
+    t = sum(r["n_tokens"] for r in rows)
+    s = len(rows)
     for r in rows:
         assert 0.0 < r["mix_weight"] <= _MIX_CAP + 1e-9
-        assert r["docs_per_epoch"] == round(r["n_docs"] * r["mix_weight"])
+        # recompute the quota from the UNROUNDED capped weight with
+        # half-up rounding (the engines' ROUND), not Python's banker's
+        # rounding over the 6-dp-rounded mix_weight column
+        raw_w = min((t / s) / r["n_tokens"], _MIX_CAP)
+        assert r["docs_per_epoch"] == math.floor(r["n_docs"] * raw_w + 0.5)
 
 
 # ---- explain-level plan pins (the test_plans scan-count discipline,
