@@ -184,6 +184,8 @@ _MIDDLE: list[str] = [
     "q_js_divergence_sources",
     "q_domain_mixture_weights",
     "q_cuped_adjustment",
+    "q_kendall_tau",
+    "q_mutual_info_pairs",
     # r5-cohort remainder (stalest verdicts after a green r10), in
     # r5 check order
     "q_topk_orders_per_segment",

@@ -2149,3 +2149,171 @@ def q_itemsets_3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("support"), "part_a", "part_b", "part_c")
         .limit(_TRIPLE_TOP)
     )
+
+
+@register(
+    "q_mutual_info_pairs",
+    oracle=f"""
+WITH cells AS MATERIALIZED (
+  SELECT 'priority_x_status' AS pair, o_orderpriority AS va,
+         o_orderstatus AS vb, COUNT(*) AS o
+  FROM orders GROUP BY 2, 3
+  UNION ALL
+  SELECT 'priority_x_weekday', o_orderpriority, {{_WD_SQL}}, COUNT(*)
+  FROM orders GROUP BY 2, 3
+  UNION ALL
+  SELECT 'status_x_weekday', o_orderstatus, {{_WD_SQL}}, COUNT(*)
+  FROM orders GROUP BY 2, 3
+),
+ra AS (SELECT pair, va, SUM(o) AS ra FROM cells GROUP BY 1, 2),
+cb AS (SELECT pair, vb, SUM(o) AS cb FROM cells GROUP BY 1, 2),
+n AS (
+  SELECT SUM(o) AS n FROM cells WHERE pair = 'priority_x_status'
+),
+mi AS (
+  SELECT cells.pair,
+    SUM(CAST(ROUND(
+      (CAST(o AS DOUBLE) / n)
+        * LN(CAST(o AS DOUBLE) * n / (CAST(ra AS DOUBLE) * cb))
+      * 10000000.0, 0) AS BIGINT)) AS sq
+  FROM cells
+  JOIN ra ON cells.pair = ra.pair AND cells.va = ra.va
+  JOIN cb ON cells.pair = cb.pair AND cells.vb = cb.vb
+  CROSS JOIN n
+  GROUP BY 1
+),
+ha AS (
+  SELECT pair,
+    SUM(CAST(ROUND(
+      -(CAST(ra AS DOUBLE) / n) * LN(CAST(ra AS DOUBLE) / n)
+      * 10000000.0, 0) AS BIGINT)) AS hq
+  FROM ra CROSS JOIN n GROUP BY 1
+),
+hb AS (
+  SELECT pair,
+    SUM(CAST(ROUND(
+      -(CAST(cb AS DOUBLE) / n) * LN(CAST(cb AS DOUBLE) / n)
+      * 10000000.0, 0) AS BIGINT)) AS hq
+  FROM cb CROSS JOIN n GROUP BY 1
+)
+SELECT mi.pair,
+  ROUND(CAST(mi.sq AS DOUBLE) / 10000000.0, 6) AS mi_nats,
+  ROUND(CAST(ha.hq AS DOUBLE) / 10000000.0, 6) AS h_a,
+  ROUND(CAST(hb.hq AS DOUBLE) / 10000000.0, 6) AS h_b,
+  CASE WHEN ha.hq = 0 OR hb.hq = 0 THEN CAST(NULL AS DOUBLE)
+       ELSE ROUND(CAST(mi.sq AS DOUBLE)
+                  / SQRT(CAST(ha.hq AS DOUBLE) * CAST(hb.hq AS DOUBLE)), 6)
+  END AS nmi
+FROM mi JOIN ha ON mi.pair = ha.pair JOIN hb ON mi.pair = hb.pair
+ORDER BY mi.pair
+""".replace("{_WD_SQL}", _WD_SQL),
+)
+def q_mutual_info_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) + marginal entropies + normalized MI
+    for the same categorical column pairs as q_cramers_v_matrix — the
+    information-theoretic association measure beside chi²'s
+    frequentist one (MI sees any dependence; NMI = MI/√(H_a·H_b) puts
+    it on [0,1] with a NULL guard for zero-entropy columns).
+
+    Float discipline: all counts are exact integers; every (o/n)·ln(…)
+    term — cell and marginal alike — is fixed-point-quantized (×1e7 →
+    bigint) before summing so the per-pair totals are exact in any
+    partition order (the q_unigram_logprob discipline; the zero-guard
+    compares the exact integer entropy, not a float).
+
+    Scale shape: same as Cramér's V — ONE 3-column pruned scan, a
+    3-way tagged explode into one hash agg; cells, marginals and the
+    grand total all live on the checkpoint-pinned cell table, bounded
+    by |categories|² per pair."""
+    orders = load_table(spark, sf_dir, "orders")
+    src = orders.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("st"),
+        _wd_spark().alias("wd"),
+    )
+    tagged = src.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(tag).alias("pair"),
+                        F.col(a).alias("va"),
+                        F.col(b).alias("vb"),
+                    )
+                    for tag, a, b in _CV_PAIRS
+                ]
+            )
+        ).alias("x")
+    ).select("x.pair", "x.va", "x.vb")
+    cells = (
+        tagged.groupBy("pair", "va", "vb")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=False)  # consumers: terms + ra + cb + n
+    )
+    ra = cells.groupBy("pair", "va").agg(F.sum("o").alias("ra"))
+    cb = cells.groupBy("pair", "vb").agg(F.sum("o").alias("cb"))
+    n = (
+        cells.filter(F.col("pair") == _CV_PAIRS[0][0])
+        .agg(F.sum("o").alias("n"))
+    )
+    od = F.col("o").cast("double")
+    nd = F.col("n")
+    mi_term = F.round(
+        (od / nd)
+        * F.log(od * nd / (F.col("ra").cast("double") * F.col("cb")))
+        * 10000000.0,
+        0,
+    ).cast("bigint")
+    mi = (
+        cells.join(ra, ["pair", "va"])
+        .join(cb, ["pair", "vb"])
+        .crossJoin(F.broadcast(n))
+        .groupBy("pair")
+        .agg(F.sum(mi_term).alias("sq"))
+    )
+
+    def _entropy(marg, col):
+        md = F.col(col).cast("double")
+        q = F.round(-(md / nd) * F.log(md / nd) * 10000000.0, 0).cast(
+            "bigint"
+        )
+        return (
+            marg.crossJoin(F.broadcast(n))
+            .groupBy("pair")
+            .agg(F.sum(q).alias("hq"))
+        )
+
+    ha = _entropy(ra, "ra").select("pair", F.col("hq").alias("ha_q"))
+    hb = _entropy(cb, "cb").select("pair", F.col("hq").alias("hb_q"))
+    return (
+        mi.join(F.broadcast(ha), "pair")
+        .join(F.broadcast(hb), "pair")
+        .select(
+            "pair",
+            F.round(F.col("sq").cast("double") / 10000000.0, 6).alias(
+                "mi_nats"
+            ),
+            F.round(F.col("ha_q").cast("double") / 10000000.0, 6).alias(
+                "h_a"
+            ),
+            F.round(F.col("hb_q").cast("double") / 10000000.0, 6).alias(
+                "h_b"
+            ),
+            F.when(
+                (F.col("ha_q") == 0) | (F.col("hb_q") == 0),
+                F.lit(None).cast("double"),
+            )
+            .otherwise(
+                F.round(
+                    F.col("sq").cast("double")
+                    / F.sqrt(
+                        F.col("ha_q").cast("double")
+                        * F.col("hb_q").cast("double")
+                    ),
+                    6,
+                )
+            )
+            .alias("nmi"),
+        )
+        .orderBy("pair")
+    )

@@ -1814,3 +1814,126 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sd_winsorized"),
         )
     )
+
+
+@register(
+    "q_kendall_tau",
+    oracle="""
+WITH cells AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+    CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS y,
+    CAST(COUNT(*) AS DECIMAL(38,0)) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+tot AS (
+  SELECT SUM(c) AS n FROM cells
+),
+pq AS (
+  SELECT
+    SUM(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END) AS p,
+    SUM(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END) AS q
+  FROM cells a JOIN cells b ON a.x < b.x
+),
+tx AS (
+  SELECT SUM(cx * (cx - 1) / 2) AS t FROM (
+    SELECT SUM(c) AS cx FROM cells GROUP BY x
+  )
+),
+ty AS (
+  SELECT SUM(cy * (cy - 1) / 2) AS t FROM (
+    SELECT SUM(c) AS cy FROM cells GROUP BY y
+  )
+)
+SELECT
+  CAST(n AS BIGINT) AS n_rows,
+  CAST(p AS DOUBLE) AS n_concordant,
+  CAST(q AS DOUBLE) AS n_discordant,
+  ROUND(
+    CAST(p - q AS DOUBLE)
+    / SQRT(CAST(n * (n - 1) / 2 - tx.t AS DOUBLE)
+           * CAST(n * (n - 1) / 2 - ty.t AS DOUBLE)),
+  6) AS tau_b
+FROM pq CROSS JOIN tot CROSS JOIN tx CROSS JOIN ty
+""",
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected Kendall tau-b between line quantity and
+    discount — the rank-correlation statistic that is normally
+    O(n log n) sequential (inversion counting) and hard to distribute.
+    The engine computes it EXACTLY off the bounded joint value
+    HISTOGRAM (the q_mann_whitney_drift trick in two dimensions): the
+    (quantity, discount) domain is 50 x 11 cells, so concordant /
+    discordant pair mass is a cell-table self-join — corpus rows touch
+    ONE hash agg, never a pair join.
+
+    Exactness: cell counts and all pair products are exact
+    DECIMAL(38,0) internally (c_a*c_b sums overflow int64 past ~10^9
+    rows — the Spearman lesson); tie terms come from the cell
+    marginals; the tau division runs in doubles, rounded 6 dp, and the
+    OUTPUT pair-mass columns are double-cast for cross-engine pandas
+    representation (the decimals stay exact inside the dag).
+
+    Scale shape: one 2-column pruned scan into a |domain|-sized hash
+    agg; the pinned cell table serves four consumers (pair join both
+    sides, both tie marginals, total); the self-join is broadcast —
+    bounded by the value domain, never the data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.select(
+            F.col("l_quantity").cast("bigint").alias("x"),
+            F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tot = cells.agg(F.sum("c").alias("n"))
+    a = cells.select(
+        F.col("x").alias("xa"), F.col("y").alias("ya"), F.col("c").alias("ca")
+    )
+    b = cells.select(
+        F.col("x").alias("xb"), F.col("y").alias("yb"), F.col("c").alias("cb")
+    )
+    pq = (
+        a.join(F.broadcast(b), F.col("xa") < F.col("xb"))
+        .agg(
+            F.sum(
+                F.when(F.col("ya") < F.col("yb"), F.col("ca") * F.col("cb"))
+                .otherwise(F.lit(0))
+            ).alias("p"),
+            F.sum(
+                F.when(F.col("ya") > F.col("yb"), F.col("ca") * F.col("cb"))
+                .otherwise(F.lit(0))
+            ).alias("q"),
+        )
+    )
+    tx = (
+        cells.groupBy("x")
+        .agg(F.sum("c").alias("cx"))
+        .agg(F.sum(F.col("cx") * (F.col("cx") - 1) / 2).alias("t"))
+    )
+    ty = (
+        cells.groupBy("y")
+        .agg(F.sum("c").alias("cy"))
+        .agg(F.sum(F.col("cy") * (F.col("cy") - 1) / 2).alias("t"))
+    )
+    n = F.col("n")
+    half = n * (n - 1) / 2
+    return (
+        pq.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tx.select(F.col("t").alias("tx"))))
+        .crossJoin(F.broadcast(ty.select(F.col("t").alias("ty"))))
+        .select(
+            n.cast("bigint").alias("n_rows"),
+            F.col("p").cast("double").alias("n_concordant"),
+            F.col("q").cast("double").alias("n_discordant"),
+            F.round(
+                (F.col("p") - F.col("q")).cast("double")
+                / F.sqrt(
+                    (half - F.col("tx")).cast("double")
+                    * (half - F.col("ty")).cast("double")
+                ),
+                6,
+            ).alias("tau_b"),
+        )
+    )

@@ -21,7 +21,13 @@ implementation).
 - JS divergence: bounded (0, ln 2]; recounts from a brute distribution
   pass over the corpus;
 - mixture weights: shares sum to 1, weights capped at _MIX_CAP, quota
-  equals round(docs * weight).
+  recounts from the unrounded capped weight with half-up rounding;
+- Kendall tau-b: recounts from a blockwise O(n²) numpy sign-product
+  sweep (independent of the query's joint-histogram formulation);
+- mutual information: brute Counter recount + the MI ≤ min(H_a, H_b)
+  and MI ≥ 0 axioms;
+- plan pins: scan counts / no-cartesian / no-explode invariants for
+  every round-10 addition (the test_plans discipline).
 """
 
 from __future__ import annotations
@@ -356,3 +362,86 @@ def test_r10_plan_pins(spark, sf_dir):
     # cluster-keyed equi-joins, never cartesian
     p = _plan(spark, sf_dir, "q_contrastive_triplets")
     assert _parquet_scans(p) == 0 and "CartesianProduct" not in p
+
+
+def test_kendall_tau_recounts_brute_numpy(spark, sf_dir):
+    """tau-b recount from a blockwise O(n^2) numpy sign-product sweep
+    over the raw rows — a genuinely independent path from the query's
+    joint-histogram formulation."""
+    import numpy as np
+
+    row = plans.QUERIES["q_kendall_tau"](spark, sf_dir).collect()[0]
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_quantity", "l_discount")
+        .collect()
+    )
+    x = np.array([int(r["l_quantity"]) for r in li], dtype=np.int64)
+    y = np.array([round(r["l_discount"] * 100) for r in li], dtype=np.int64)
+    n = len(x)
+    P = Q = 0
+    B = 512
+    for i in range(0, n, B):
+        xi, yi = x[i : i + B], y[i : i + B]
+        # only pairs (a, b) with a < b: compare block rows to the tail
+        for j0 in range(i, n, B):
+            xj, yj = x[j0 : j0 + B], y[j0 : j0 + B]
+            sx = np.sign(xj[None, :] - xi[:, None])
+            sy = np.sign(yj[None, :] - yi[:, None])
+            prod = sx * sy
+            if j0 == i:
+                prod = np.triu(prod, k=1)
+            P += int((prod > 0).sum())
+            Q += int((prod < 0).sum())
+    assert row["n_rows"] == n
+    assert row["n_concordant"] == float(P)
+    assert row["n_discordant"] == float(Q)
+    tx = sum(c * (c - 1) // 2 for c in Counter(x.tolist()).values())
+    ty = sum(c * (c - 1) // 2 for c in Counter(y.tolist()).values())
+    half = n * (n - 1) // 2
+    tau = (P - Q) / math.sqrt((half - tx) * (half - ty))
+    assert abs(row["tau_b"] - tau) < 1e-5
+    assert -1.0 <= row["tau_b"] <= 1.0
+
+
+def test_mutual_info_axioms_and_recount(spark, sf_dir):
+    """MI >= 0 (up to quantization), MI <= min(H_a, H_b), and the whole
+    table recounts from a brute Counter pass over the raw orders."""
+    from flink_template_spark.plans.datapipe import _CV_PAIRS, _wd_spark
+
+    rows = {
+        r["pair"]: r
+        for r in plans.QUERIES["q_mutual_info_pairs"](spark, sf_dir).collect()
+    }
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_orderstatus").alias("st"),
+            _wd_spark().alias("wd"),
+        )
+        .collect()
+    )
+    for tag, a, b in _CV_PAIRS:
+        joint: Counter = Counter()
+        ma: Counter = Counter()
+        mb: Counter = Counter()
+        for r in orders:
+            joint[(r[a], r[b])] += 1
+            ma[r[a]] += 1
+            mb[r[b]] += 1
+        n = len(orders)
+        mi = sum(
+            (o / n) * math.log(o * n / (ma[va] * mb[vb]))
+            for (va, vb), o in joint.items()
+        )
+        ha = sum(-(c / n) * math.log(c / n) for c in ma.values())
+        hb = sum(-(c / n) * math.log(c / n) for c in mb.values())
+        r = rows[tag]
+        assert abs(r["mi_nats"] - mi) < 1e-4, tag
+        assert abs(r["h_a"] - ha) < 1e-4
+        assert abs(r["h_b"] - hb) < 1e-4
+        assert r["mi_nats"] >= -1e-5
+        assert r["mi_nats"] <= min(r["h_a"], r["h_b"]) + 1e-5
+        if r["nmi"] is not None:
+            assert -1e-5 <= r["nmi"] <= 1.0 + 1e-9
