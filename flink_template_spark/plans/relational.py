@@ -247,24 +247,51 @@ GROUP BY cn.n_name, sn.n_name, CAST(EXTRACT(year FROM l_shipdate) AS INTEGER)
 """,
 )
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-nation trade volume (TPC-H Q7 shape).
+
+    Scale shape (r10 rework): the fixed 25-row nation table broadcasts
+    into customer and supplier BEFORE the fact joins, so the dimension
+    rows entering the three fact shuffles are the minimal 2-column
+    (key, nation-name) maps — the nation keys never ride a fact
+    exchange. Catalyst cannot reorder these joins itself without CBO
+    stats; expressing the reduction explicitly is the portable form."""
     li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    supp = load_table(spark, sf_dir, "supplier")
-    nation = load_table(spark, sf_dir, "nation")
-    cn = nation.select(
-        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
     )
-    sn = nation.select(
-        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("cn_key"),
+                    F.col("n_name").alias("cust_nation"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
     )
     revenue = _dec("l_extendedprice") * _one_minus("l_discount")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li.select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
-        .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
         .filter(F.col("cust_nation") != F.col("supp_nation"))
         .groupBy(
             "cust_nation",
