@@ -531,24 +531,34 @@ ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
 """,
 )
 def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders (TPC-H Q18 shape).
+
+    Scale shape (r10 rework): the HAVING subquery's per-order quantity
+    total IS the output column — the filtered aggregate rides the join
+    as `q` instead of re-joining lineitem and re-aggregating, so
+    lineitem is scanned ONCE and the plan has one fact join, not two
+    (the oracle keeps the textbook two-scan formulation, proving the
+    fusion is semantics-preserving)."""
     li = load_table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(_dec("l_quantity")).alias("q"))
         .filter(F.col("q") > 140)
-        .select("l_orderkey")
     )
     orders = load_table(spark, sf_dir, "orders").join(
-        big.withColumnRenamed("l_orderkey", "big_orderkey"),
-        F.col("o_orderkey") == F.col("big_orderkey"),
-        "left_semi",
+        big, F.col("o_orderkey") == F.col("l_orderkey")
     )
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         orders.join(cust, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("q").cast("double").alias("total_qty"),
+        )
         .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
     )
 
