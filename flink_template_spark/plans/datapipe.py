@@ -1800,11 +1800,11 @@ _CV_PAIRS = (
     ("status_x_weekday", "st", "wd"),
 )
 
-
-@register(
-    "q_cramers_v_matrix",
-    oracle=f"""
-WITH cells AS MATERIALIZED (
+# Shared oracle CTE prefix: the tagged contingency cells + marginals +
+# the grand total derived from _CV_PAIRS[0] (NOT a second orders scan).
+# Used verbatim by BOTH q_cramers_v_matrix and q_mutual_info_pairs so
+# the two statistics can never disagree on the table they describe.
+_CV_CELLS_SQL = f"""cells AS MATERIALIZED (
   SELECT 'priority_x_status' AS pair, o_orderpriority AS va,
          o_orderstatus AS vb, COUNT(*) AS o
   FROM orders GROUP BY 2, 3
@@ -1817,11 +1817,59 @@ WITH cells AS MATERIALIZED (
 ),
 ra AS (SELECT pair, va, SUM(o) AS ra FROM cells GROUP BY 1, 2),
 cb AS (SELECT pair, vb, SUM(o) AS cb FROM cells GROUP BY 1, 2),
+n AS (
+  SELECT SUM(o) AS n FROM cells WHERE pair = '{_CV_PAIRS[0][0]}'
+)"""
+
+
+def _cv_cell_tables(spark: SparkSession, sf_dir: str):
+    """Shared contingency machinery for q_cramers_v_matrix and
+    q_mutual_info_pairs: ONE 3-column pruned orders scan feeds a
+    3-way tagged explode into one hash agg; returns (cells, ra, cb, n)
+    where cells is checkpoint-pinned for its multiple consumers and n
+    derives from _CV_PAIRS[0]'s cells (never a second orders scan)."""
+    orders = load_table(spark, sf_dir, "orders")
+    src = orders.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("st"),
+        _wd_spark().alias("wd"),
+    )
+    tagged = src.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(tag).alias("pair"),
+                        F.col(a).alias("va"),
+                        F.col(b).alias("vb"),
+                    )
+                    for tag, a, b in _CV_PAIRS
+                ]
+            )
+        ).alias("x")
+    ).select("x.pair", "x.va", "x.vb")
+    cells = (
+        tagged.groupBy("pair", "va", "vb")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=False)
+    )
+    ra = cells.groupBy("pair", "va").agg(F.sum("o").alias("ra"))
+    cb = cells.groupBy("pair", "vb").agg(F.sum("o").alias("cb"))
+    n = (
+        cells.filter(F.col("pair") == _CV_PAIRS[0][0])
+        .agg(F.sum("o").alias("n"))
+    )
+    return cells, ra, cb, n
+
+
+@register(
+    "q_cramers_v_matrix",
+    oracle=f"""
+WITH {_CV_CELLS_SQL},
 dims AS (
   SELECT pair, COUNT(DISTINCT va) AS r, COUNT(DISTINCT vb) AS c
   FROM cells GROUP BY 1
 ),
-n AS (SELECT COUNT(*) AS n FROM orders),
 terms AS (
   SELECT cells.pair,
     (CAST(o AS DOUBLE)
@@ -1860,45 +1908,9 @@ def q_cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     marginals, dims) is bounded by |categories|² per pair, never
     data-sized; the cell table is checkpoint-pinned once for its four
     consumers (cells/ra/cb/dims), and N broadcasts."""
-    orders = load_table(spark, sf_dir, "orders")
-    src = orders.select(
-        F.col("o_orderpriority").alias("pri"),
-        F.col("o_orderstatus").alias("st"),
-        _wd_spark().alias("wd"),
-    )
-    # (tag, a-col, b-col) triples — _CV_PAIRS[0] is also the pair the
-    # grand-total N derives from below, so the coupling is structural,
-    # not a repeated string literal
-    tagged = src.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(tag).alias("pair"),
-                        F.col(a).alias("va"),
-                        F.col(b).alias("vb"),
-                    )
-                    for tag, a, b in _CV_PAIRS
-                ]
-            )
-        ).alias("x")
-    ).select("x.pair", "x.va", "x.vb")
-    cells = (
-        tagged.groupBy("pair", "va", "vb")
-        .agg(F.count(F.lit(1)).alias("o"))
-        .localCheckpoint(eager=False)  # consumers: terms + ra + cb + dims
-    )
-    ra = cells.groupBy("pair", "va").agg(F.sum("o").alias("ra"))
-    cb = cells.groupBy("pair", "vb").agg(F.sum("o").alias("cb"))
+    cells, ra, cb, n = _cv_cell_tables(spark, sf_dir)
     dims = cells.groupBy("pair").agg(
         F.count_distinct("va").alias("r"), F.count_distinct("vb").alias("c")
-    )
-    # Grand total N off the pinned cells table (any one pair's cells
-    # sum to the row count) — NOT a second orders scan (r9 advice):
-    # the marginal-reuse discipline q_gini_split_scores follows.
-    n = (
-        cells.filter(F.col("pair") == _CV_PAIRS[0][0])
-        .agg(F.sum("o").alias("n"))
     )
     e = (F.col("ra").cast("double") * F.col("cb").cast("double")) / F.col(
         "n"
@@ -2154,22 +2166,7 @@ def q_itemsets_3(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_mutual_info_pairs",
     oracle=f"""
-WITH cells AS MATERIALIZED (
-  SELECT 'priority_x_status' AS pair, o_orderpriority AS va,
-         o_orderstatus AS vb, COUNT(*) AS o
-  FROM orders GROUP BY 2, 3
-  UNION ALL
-  SELECT 'priority_x_weekday', o_orderpriority, {{_WD_SQL}}, COUNT(*)
-  FROM orders GROUP BY 2, 3
-  UNION ALL
-  SELECT 'status_x_weekday', o_orderstatus, {{_WD_SQL}}, COUNT(*)
-  FROM orders GROUP BY 2, 3
-),
-ra AS (SELECT pair, va, SUM(o) AS ra FROM cells GROUP BY 1, 2),
-cb AS (SELECT pair, vb, SUM(o) AS cb FROM cells GROUP BY 1, 2),
-n AS (
-  SELECT SUM(o) AS n FROM cells WHERE pair = 'priority_x_status'
-),
+WITH {_CV_CELLS_SQL},
 mi AS (
   SELECT cells.pair,
     SUM(CAST(ROUND(
@@ -2206,7 +2203,7 @@ SELECT mi.pair,
   END AS nmi
 FROM mi JOIN ha ON mi.pair = ha.pair JOIN hb ON mi.pair = hb.pair
 ORDER BY mi.pair
-""".replace("{_WD_SQL}", _WD_SQL),
+""",
 )
 def q_mutual_info_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual information (nats) + marginal entropies + normalized MI
@@ -2225,37 +2222,7 @@ def q_mutual_info_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-way tagged explode into one hash agg; cells, marginals and the
     grand total all live on the checkpoint-pinned cell table, bounded
     by |categories|² per pair."""
-    orders = load_table(spark, sf_dir, "orders")
-    src = orders.select(
-        F.col("o_orderpriority").alias("pri"),
-        F.col("o_orderstatus").alias("st"),
-        _wd_spark().alias("wd"),
-    )
-    tagged = src.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(tag).alias("pair"),
-                        F.col(a).alias("va"),
-                        F.col(b).alias("vb"),
-                    )
-                    for tag, a, b in _CV_PAIRS
-                ]
-            )
-        ).alias("x")
-    ).select("x.pair", "x.va", "x.vb")
-    cells = (
-        tagged.groupBy("pair", "va", "vb")
-        .agg(F.count(F.lit(1)).alias("o"))
-        .localCheckpoint(eager=False)  # consumers: terms + ra + cb + n
-    )
-    ra = cells.groupBy("pair", "va").agg(F.sum("o").alias("ra"))
-    cb = cells.groupBy("pair", "vb").agg(F.sum("o").alias("cb"))
-    n = (
-        cells.filter(F.col("pair") == _CV_PAIRS[0][0])
-        .agg(F.sum("o").alias("n"))
-    )
+    cells, ra, cb, n = _cv_cell_tables(spark, sf_dir)
     od = F.col("o").cast("double")
     nd = F.col("n")
     mi_term = F.round(

@@ -79,9 +79,14 @@ def test_subquery_family_physical(spark, sf):
     # q17's correlated avg decorrelates to broadcast joins, no cartesian
     p = plan_of(plans.QUERIES["q17_small_quantity_revenue"](spark, sf))
     assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
-    # q18's IN-subquery runs as a semi join
+    # q18 (r10 fusion): the HAVING aggregate rides the join as `q` —
+    # ONE lineitem scan, no second fact join, no re-aggregation (the
+    # pre-r10 shape was a LeftSemi + re-join + re-agg with two scans)
     p = plan_of(plans.QUERIES["q18_large_volume_orders"](spark, sf))
-    assert "LeftSemi" in p
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) Scan parquet", p)) == 3  # li+orders+cust
+    assert "CartesianProduct" not in p
     # q11's scalar subquery is a broadcast nested loop of a 1-row agg,
     # not a cartesian of real data
     p = plan_of(plans.QUERIES["q11_important_balances"](spark, sf))

@@ -362,6 +362,17 @@ def test_r10_plan_pins(spark, sf_dir):
     # cluster-keyed equi-joins, never cartesian
     p = _plan(spark, sf_dir, "q_contrastive_triplets")
     assert _parquet_scans(p) == 0 and "CartesianProduct" not in p
+    # Kendall tau-b: corpus rows touch ONE hash agg behind the pinned
+    # cell table (zero parquet scans in the final plan); the
+    # concordant/discordant self-join is a BROADCAST of the bounded
+    # cell table, never a corpus-sized non-equi join
+    p = _plan(spark, sf_dir, "q_kendall_tau")
+    assert _parquet_scans(p) == 0 and "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # bounded-domain cells only
+    # mutual information: same single-scan tagged-explode shape as
+    # Cramér's V — everything reads the pinned cell table
+    p = _plan(spark, sf_dir, "q_mutual_info_pairs")
+    assert _parquet_scans(p) == 0 and "CartesianProduct" not in p
 
 
 def test_kendall_tau_recounts_brute_numpy(spark, sf_dir):
