@@ -90,7 +90,12 @@ rotates per round so every family accumulates driver-checked entries:
   oldest round-5-cohort greens in their r5 check order. A green r10
   clears never-checked entirely and bounds staleness at round 5 (the
   42 remaining r5-cohort names, ledgered in _MIDDLE behind any new
-  round-10 additions, are the natural core of the r11 slate).
+  round-10 additions, are the natural core of the r11 slate). Round 10
+  landed 9 additions (two-feature OLS, winsorized stats, Welch t-test,
+  Naive-Bayes lang classifier, JS divergence, mixture weights, CUPED,
+  exact Kendall tau-b, mutual information — all oracle-green at all
+  three SFs locally), so the natural r11 slate is those 9 + the first
+  41 r5-cohort names, leaving 1 r5 name + the r6 cohort for r12.
 """
 
 from flink_template_spark.plans import registry  # noqa: F401
