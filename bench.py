@@ -76,24 +76,37 @@ HEADLINE = [
 # next #2: the old literal list grew by round and silently omitted 123
 # early-family queries, leaving them with no perf-regression signal).
 # Every registered query is benched by default; the ONLY queries
-# without an extended wall are the explicit, commented exclusions
-# below. BASELINE.md records the one-time extended_total jump when the
-# set was back-filled in round 10 (the code did not slow down — the
-# denominator grew).
-from flink_template_spark import plans as _plans  # registry import only
+# without an extended wall are the HEADLINE names (a second extended
+# wall would double-count the same plan in the artifact). BASELINE.md
+# records the one-time extended_total jump when the set was back-filled
+# in round 10 (the code did not slow down — the denominator grew).
+#
+# Computed LAZILY (ADVICE r10): importing the full plans registry at
+# module import time made any single plans-module import failure break
+# the whole bench record before run_one's per-query isolation could
+# catch it. Callers (main(), tests) invoke extended_names() instead.
 
-_BENCH_EXCLUDE = {
-    # timed in HEADLINE above — a second extended wall would
-    # double-count the same plan in the artifact
-    *HEADLINE,
-}
 
-EXTENDED = [n for n in _plans.QUERIES if n not in _BENCH_EXCLUDE]
+def extended_names() -> list[str]:
+    from flink_template_spark import plans as _plans  # registry import only
+
+    return [n for n in _plans.QUERIES if n not in set(HEADLINE)]
+
+
+def _load1() -> float | None:
+    """1-minute load average, for adjudicating load-polluted readings
+    (BASELINE.md trip-rate rule; VERDICT r10 next #3). None where the
+    platform lacks getloadavg."""
+    try:
+        return round(os.getloadavg()[0], 2)
+    except (AttributeError, OSError):
+        return None
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    load1_start = _load1()
 
     from flink_template_spark import plans
     from flink_template_spark.session import get_spark, silence_bounded_window_warns
@@ -188,17 +201,24 @@ def main() -> None:
             warm = aggregate_trips(read_trip_events_json(spark, fx))
             warm.write.format("noop").mode("overwrite").save()
             warm.input.unpersist(True)
-        # best-of-2 timed runs (rate analogue of the min-of-2 walls)
-        trip_wall = None
-        for _ in range(2):
+        # 3-sample band (VERDICT r10 next #3): the recorded rate is the
+        # BEST of three timed runs, and all three per-sample rates are
+        # recorded alongside the 1-min load average taken right before
+        # the samples — BASELINE.md's "<350k fully-warm = regression"
+        # clause is adjudicated against trip_load1, not narrative.
+        trip_load1 = _load1()
+        trip_samples: list[float] = []
+        for _ in range(3):
             timed = aggregate_trips(read_trip_events_json(spark, fx))
             t0 = time.perf_counter()
             timed.write.format("noop").mode("overwrite").save()
             w = time.perf_counter() - t0
             timed.input.unpersist(True)
-            trip_wall = w if trip_wall is None else min(trip_wall, w)
-        trip_eps = round(n_events / trip_wall, 1)
+            trip_samples.append(round(n_events / w, 1))
+        trip_eps = max(trip_samples)
     except Exception as exc:
+        trip_load1 = None
+        trip_samples = []
         errors["trip_pipeline"] = f"{type(exc).__name__}: {str(exc)[:300]}"
 
     # v2 sessionization dual (transformWithStateInPandas + RocksDB +
@@ -281,7 +301,7 @@ def main() -> None:
     # query makes each recorded wall a load-spike-immune statistic at
     # the cost of ~2× extended-bench time, which the sidecar absorbs.
     extended: dict[str, float] = {}
-    for name in [n for n in EXTENDED if n in plans.QUERIES]:
+    for name in [n for n in extended_names() if n in plans.QUERIES]:
         wall = run_one(name)
         if wall is None:
             continue
@@ -306,7 +326,11 @@ def main() -> None:
         "extended": extended,
         "extended_total": round(sum(extended.values()), 3),
         "trip_pipeline_events_per_sec": trip_eps,
+        "trip_pipeline_samples": trip_samples,
+        "trip_pipeline_load1": trip_load1,
         "trip_pipeline_v2_events_per_sec": trip_v2_eps,
+        "load1_start": load1_start,
+        "load1_end": _load1(),
         "sf": sf_val,
     }
     if errors:
@@ -329,7 +353,11 @@ def main() -> None:
         "extended_total": full["extended_total"],
         "extended_n": len(extended),
         "trip_pipeline_events_per_sec": trip_eps,
+        "trip_pipeline_samples": trip_samples,
+        "trip_pipeline_load1": trip_load1,
         "trip_pipeline_v2_events_per_sec": trip_v2_eps,
+        "load1_start": load1_start,
+        "load1_end": full["load1_end"],
         "sf": sf_val,
     }
     if errors:

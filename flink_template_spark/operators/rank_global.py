@@ -267,14 +267,18 @@ def ntile_closed_form(k: int, rn: str = "rn", n: str = "n") -> Column:
     single-partition NTILE window. ceil-div via (a + b - 1) div b; the
     q = 0 arm of the conditional is unreachable (rn <= n = r·(q+1)
     when q = 0) and never evaluated — Spark's If is lazy, so the
-    div-by-zero branch cannot throw under ANSI."""
-    big = (F.col(n) % k) * (F.expr(f"{n} DIV {k}") + 1)
+    div-by-zero branch cannot throw under ANSI. The interpolated
+    column names are backtick-quoted so names that collide with SQL
+    keywords (or need quoting) resolve instead of silently parsing as
+    something else."""
+    rnq, nq = f"`{rn}`", f"`{n}`"
+    big = (F.col(n) % k) * (F.expr(f"{nq} DIV {k}") + 1)
     return F.when(
         F.col(rn) <= big,
-        F.expr(f"({rn} + ({n} DIV {k})) DIV (({n} DIV {k}) + 1)"),
+        F.expr(f"({rnq} + ({nq} DIV {k})) DIV (({nq} DIV {k}) + 1)"),
     ).otherwise(
         F.expr(
-            f"({n} % {k}) + (({rn} - ({n} % {k}) * (({n} DIV {k}) + 1))"
-            f" + ({n} DIV {k}) - 1) DIV ({n} DIV {k})"
+            f"({nq} % {k}) + (({rnq} - ({nq} % {k}) * (({nq} DIV {k}) + 1))"
+            f" + ({nq} DIV {k}) - 1) DIV ({nq} DIV {k})"
         )
     )

@@ -96,6 +96,18 @@ rotates per round so every family accumulates driver-checked entries:
   exact Kendall tau-b, mutual information — all oracle-green at all
   three SFs locally), so the natural r11 slate is those 9 + the first
   41 r5-cohort names, leaving 1 r5 name + the r6 cohort for r12.
+  Round 10 came back 50/50 green (CORRECTNESS_r10);
+- round 11 (this slate, VERDICT r10 next #1): exactly the pre-ledgered
+  set — the 9 round-10 additions (never driver-checked; judge-verified
+  green against an independent DuckDB harness in the r10 verdict, and
+  oracle-green locally at all three SFs) + the 41 oldest
+  round-5-cohort greens in their r5 check order
+  (q_topk_orders_per_segment … q_bpe_merges). A green r11 keeps
+  never-checked empty (modulo any round-11 additions, prepended to
+  _MIDDLE as they land) and bounds staleness at round 5's single
+  leftover (q_trip_summary) + the round-6 cohort — _MIDDLE ledgers
+  exactly those 51 names in check order, so the natural r12 slate is
+  any r11 additions + q_trip_summary + the oldest r6 names.
 """
 
 from flink_template_spark.plans import registry  # noqa: F401
@@ -117,71 +129,8 @@ from flink_template_spark.plans import graph  # noqa: F401
 
 # First 50 = this round's driver-check slate (see module docstring).
 _PRIORITY = [
-    # -- the 41 round-9 additions: never driver-checked before this
-    #    round (VERDICT r9 next #1) --
-    "q_session_bounce_rate",
-    "q_anomaly_days",
-    "q_weekday_seasonality",
-    "q_attribution_last_touch",
-    "q_first_session_conversion",
-    "q_ivm_delta_merge",
-    "q_supplier_hhi",
-    "q_ols_price_trend",
-    "q_lsh_curve_calibration",
-    "q_common_neighbor_sim",
-    "q_bucketed_join_colocated",
-    "q_abc_classification",
-    "q_golden_record_merge",
-    "q_partition_pruned_scan",
-    "q_repurchase_hazard",
-    "q_rolling_wau",
-    "q_new_vs_returning",
-    "q_referential_integrity_audit",
-    "q_asof_tolerance_join",
-    "q_minhash_estimate_error",
-    "q_order_streaks",
-    "q_kaplan_meier",
-    "q_target_encoding",
-    "q_assoc_rules",
-    "q_gini_split_scores",
-    "q_cramers_v_matrix",
-    "q_psi_value_drift",
-    "q_join_cardinality_audit",
-    "q_bloom_fpr_audit",
-    "q_dbscan_core_points",
-    "q_source_lang_entropy",
-    "q_mann_whitney_drift",
-    "q_zipf_fit",
-    "q_conformal_coverage",
-    "q_graph_assortativity",
-    "q_ndcg_eval",
-    "q_itemsets_3",
-    "q_power_analysis",
-    "q_skipgram_pairs",
-    "q_price_elasticity",
-    "q_spearman_price_balance",
-    # -- the single query whose last driver verdict predates round 5
-    #    (r4-cohort leftover) --
-    "q_grouping_sets",
-    # -- the 8 oldest round-5-cohort greens (r5 check order) --
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_revenue_forecast",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q_rank_family",
-    "q_lag_lead_order_gaps",
-    "q_running_customer_revenue",
-]
-
-# Immediately after the slate, in case the driver checks more than 50:
-# the staleness ledger for round 11. FIRST any round-10 additions
-# (prepended here as they land, never driver-checked), THEN the 42
-# round-5-cohort names the r10 slate could not fit (in their r5 check
-# order) — after a green r10 these are the stalest driver verdicts.
-_MIDDLE: list[str] = [
-    # round-10 additions: never driver-checked (oracle-green locally
-    # at all three SFs) — first in line for the round-11 slate
+    # -- the 9 round-10 additions: never driver-checked before this
+    #    round (VERDICT r10 next #1; judge-verified green in r10) --
     "q_ols_two_feature",
     "q_winsorized_stats",
     "q_welch_ttest",
@@ -191,8 +140,8 @@ _MIDDLE: list[str] = [
     "q_cuped_adjustment",
     "q_kendall_tau",
     "q_mutual_info_pairs",
-    # r5-cohort remainder (stalest verdicts after a green r10), in
-    # r5 check order
+    # -- the 41 oldest round-5-cohort greens (r5 check order): their
+    #    last driver verdict is round 5 --
     "q_topk_orders_per_segment",
     "q_first_last_value_per_part",
     "q_rank_suppliers_by_balance",
@@ -234,7 +183,69 @@ _MIDDLE: list[str] = [
     "q_cms_token_freq",
     "q_pq_adc_topk",
     "q_bpe_merges",
+]
+
+# Immediately after the slate, in case the driver checks more than 50:
+# the staleness ledger for round 12. FIRST any round-11 additions
+# (prepended here as they land, never driver-checked), THEN the single
+# round-5-cohort name the r11 slate could not fit, THEN the 50
+# round-6-cohort names in their r6 check order — after a green r11
+# these are the stalest driver verdicts.
+_MIDDLE: list[str] = [
+    # (round-11 additions are prepended here as they land)
+    # r5-cohort leftover (stalest verdict after a green r11)
     "q_trip_summary",
+    # r6 cohort, in r6 check order
+    "q_jaccard_prefix_pairs",
+    "q_pagerank_trade",
+    "q_triangle_participation",
+    "q_random_projection",
+    "q_rendezvous_shards",
+    "q_winnowing_fingerprints",
+    "q_priority_sample",
+    "q_knn_join_gemm",
+    "q_kmv_set_ops",
+    "q_kcore_trade",
+    "q_zorder_layout",
+    "q_ewma_value",
+    "q_sorted_neighborhood_pairs",
+    "q_trustrank_trade",
+    "q_trade_hops",
+    "q_curriculum_order",
+    "q_robust_outlier_fence",
+    "q_bigram_logprob",
+    "q_token_entropy",
+    "q_coreset_greedy",
+    "q_quantile_normalize",
+    "q_table_stats",
+    "q_leakage_safe_split",
+    "q_best_of_cluster",
+    "q_bm25_search",
+    "q_contamination_check",
+    "q_cosine_topk",
+    "q_dedup_events_keep_first",
+    "q_doc_chunks",
+    "q_doc_fingerprints",
+    "q_event_transitions",
+    "q_events_exact_moments",
+    "q_events_sliding_2d_1d",
+    "q_events_tumbling_daily",
+    "q_fuzzy_name_pairs",
+    "q_gapfill_interpolate",
+    "q_json_get",
+    "q_lang_guess_confusion",
+    "q_mixture_rebalance",
+    "q_multimodal_byte_histogram",
+    "q_multimodal_frame_sample",
+    "q_multimodal_resize",
+    "q_ngram_jaccard_pairs",
+    "q_ngram_novelty",
+    "q_quality_scores",
+    "q_range_frame_rolling_7d",
+    "q_repetition_metrics",
+    "q_resample_daily_expr",
+    "q_resample_daily_ffill",
+    "q_retention_cohorts",
 ]
 
 # Queries that structurally CANNOT receive a driver hash verdict:

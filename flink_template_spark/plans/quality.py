@@ -3507,6 +3507,12 @@ def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact integers in any partition order (the q_unigram_logprob
     discipline); the final mean/accuracy divisions round 6 dp.
 
+    Scoring scope: n_docs/mean/accuracy cover documents with ≥1
+    non-empty token — the token ⋈ log-odds INNER join drops
+    empty/whitespace-only texts (both engines share this semantics; a
+    prior-only score for token-less docs would need a left join +
+    coalesce). The brute recount test mirrors the ≥1-token filter.
+
     Scale shape: the vocab (token → class counts) is Zipf-small; the
     score join (token ⋈ log-odds) broadcasts under AQE and is an
     ordinary shuffle join at web-corpus vocab; the per-doc reduction

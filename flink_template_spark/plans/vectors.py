@@ -998,12 +998,34 @@ TRIPLET_POS = 0.4  # positive pair: cosine >= this (near-dup band)
 TRIPLET_NEG = 0.2  # hard negative: same cell but cosine <= this
 
 
+def triplet_n_centroids(n_vectors: int) -> int:
+    """IVF cell count for the triplet miner: ``max(4, ceil(sqrt(n)))``.
+
+    The within-cell pair table is Σ|cell|², so a FIXED cell count makes
+    the miner quadratic in corpus size (measured 5.1× wall at the 4×
+    embeddings step with the old N_CENTROIDS=4 — SCALE.md round 10).
+    √n centroids keep the expected cell size at √n, balancing the n·k
+    assignment scan against the n²/k pair fold (both n^1.5 — the
+    classic IVF tradeoff), so per-vector pair work stays flat as the
+    corpus grows. Both engines derive k from the same double-precision
+    ``ceil(sqrt(count))`` (IEEE sqrt is correctly rounded, so Python
+    and DuckDB agree exactly); the floor of 4 keeps tiny fixtures from
+    degenerating to 1-2 cells.
+    """
+    import math
+
+    return max(4, math.ceil(math.sqrt(max(n_vectors, 1))))
+
+
 @register(
     "q_contrastive_triplets",
     oracle=f"""
 WITH centroids AS (
+  -- sqrt(n) centroid count, derived from the corpus (NOT the fixed
+  -- test constant): matches triplet_n_centroids() bit-for-bit
   SELECT vec_id AS centroid_id, embedding FROM embeddings
-  WHERE vec_id < {N_CENTROIDS}
+  WHERE vec_id < GREATEST(4, CAST(CEIL(SQRT(
+    (SELECT COUNT(*) FROM embeddings))) AS BIGINT))
 ),
 assigned AS MATERIALIZED (
   -- unit-normalize ONCE per vector (norm hoisted out of the per-element
@@ -1057,12 +1079,18 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell instead of the corpus. Anchors without a far-enough cell mate
     drop out (inner join) — a real mining pass would widen the probe.
     Every choice is deterministic (rounded cosines, id tiebreaks), so
-    the mined triplets replay exactly in SQL."""
+    the mined triplets replay exactly in SQL.
+
+    The cell count is ``triplet_n_centroids(n) = max(4, ceil(sqrt(n)))``
+    — derived from the corpus, NOT a constant, so the Σ|cell|² pair
+    table grows n^1.5 instead of n² (see the helper's docstring; the
+    corpus count is a 1-row control-plane action)."""
     from flink_template_spark.functions.vector import dot as udot
     from flink_template_spark.functions.vector import l2_norm
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+    k_cells = triplet_n_centroids(emb.count())
+    centroids = emb.filter(F.col("vec_id") < k_cells).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     # pin: FIVE consumers (positive pair a/b sides, negative probe,

@@ -395,7 +395,7 @@ def test_bench_queries_unpartitioned_windows_allowlisted(spark, sf):
     import bench
 
     offenders = {}
-    for name in bench.HEADLINE + bench.EXTENDED:
+    for name in bench.HEADLINE + bench.extended_names():
         if name not in plans.QUERIES:
             continue
         k = _unpartitioned_window_count(plan_of(plans.QUERIES[name](spark, sf)))

@@ -68,8 +68,13 @@ def test_rank_family_closed_forms_match_window_functions(spark, sf_dir):
 
 
 def test_ntile_closed_form_on_awkward_sizes(spark):
-    # n = 1, 2, 3, 5, 7 — every n % 4 regime including n < k
-    from flink_template_spark.operators.rank_global import with_global_ranks
+    # n = 1, 2, 3, 5, 7 — every n % 4 regime including n < k.
+    # Exercises the SHIPPED helper (not a re-derivation), so a
+    # regression in ntile_closed_form's awkward-size arms fails here.
+    from flink_template_spark.operators.rank_global import (
+        ntile_closed_form,
+        with_global_ranks,
+    )
 
     for n in (1, 2, 3, 5, 7, 8, 13):
         df = spark.createDataFrame(
@@ -79,16 +84,7 @@ def test_ntile_closed_form_on_awkward_sizes(spark):
             df, [(F.col("v"), False), (F.col("id"), True)], row_number_col="rn"
         ).localCheckpoint(eager=False)
         n1 = ranked.agg(F.max("rn").alias("n"))
-        big = (F.col("n") % 4) * (F.expr("n DIV 4") + 1)
-        quartile = F.when(
-            F.col("rn") <= big,
-            F.expr("(rn + (n DIV 4)) DIV ((n DIV 4) + 1)"),
-        ).otherwise(
-            F.expr(
-                "(n % 4) + ((rn - (n % 4) * ((n DIV 4) + 1)) + (n DIV 4) - 1)"
-                " DIV (n DIV 4)"
-            )
-        )
+        quartile = ntile_closed_form(4)
         closed = {
             r["id"]: r["q"]
             for r in ranked.crossJoin(F.broadcast(n1))
@@ -257,6 +253,10 @@ def test_nb_classifier_recounts_brute(spark, sf_dir):
     agg: dict = defaultdict(lambda: [0, 0, 0])  # n, sum_score, n_correct
     for r in docs:
         toks = [t for t in r["text"].split(" ") if t]
+        if not toks:
+            # shipped semantics: the token ⋈ log-odds inner join
+            # scores only docs with ≥1 non-empty token (see docstring)
+            continue
         s = pq + sum(q[t] for t in toks)
         a = agg[r["lang"]]
         a[0] += 1
