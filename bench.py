@@ -96,11 +96,80 @@ def extended_names() -> list[str]:
 def _load1() -> float | None:
     """1-minute load average, for adjudicating load-polluted readings
     (BASELINE.md trip-rate rule; VERDICT r10 next #3). None where the
-    platform lacks getloadavg."""
+    platform lacks getloadavg. NOTE: during a bench run the 1-min
+    average mostly reflects the bench's OWN prior queries, so the
+    primary adjudicator is _external_cpu_share below — load1 is kept
+    as the start-of-run ambient reading (taken before any Spark work)."""
     try:
         return round(os.getloadavg()[0], 2)
     except (AttributeError, OSError):
         return None
+
+
+def _cpu_totals() -> tuple[int, int] | None:
+    """(total, idle) jiffies from /proc/stat's aggregate cpu line."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(v) for v in parts[1:]]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle+iowait
+        return sum(vals), idle
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _tree_cpu_jiffies(root_pid: int) -> int | None:
+    """Cumulative utime+stime jiffies of root_pid and every live
+    descendant (the python driver, the Spark JVM, its Python workers).
+    Short-lived already-reaped children are missed — acceptable: the
+    measure is used as a DELTA over a multi-second window where the
+    JVM dominates."""
+    try:
+        procs: dict[int, tuple[int, int]] = {}
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat") as fh:
+                    s = fh.read()
+            except OSError:
+                continue  # raced with process exit
+            rest = s.rsplit(")", 1)[1].split()
+            procs[int(d)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+        kids: dict[int, list[int]] = {}
+        for pid, (ppid, _) in procs.items():
+            kids.setdefault(ppid, []).append(pid)
+        total, stack, seen = 0, [root_pid], set()
+        while stack:
+            p = stack.pop()
+            if p in seen or p not in procs:
+                continue
+            seen.add(p)
+            total += procs[p][1]
+            stack.extend(kids.get(p, []))
+        return total
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _external_cpu_share(
+    before: tuple | None, after: tuple | None
+) -> float | None:
+    """Fraction of machine CPU time consumed by OTHER processes across
+    a measurement window. `before`/`after` are (cpu_totals, tree_cpu)
+    pairs. This — not the load average, which a running bench inflates
+    by itself — is what adjudicates whether a trip-rate reading was
+    externally contended (BASELINE.md rule, rewritten r11)."""
+    if not before or not after or None in before or None in after:
+        return None
+    (tot0, idle0), ours0 = before
+    (tot1, idle1), ours1 = after
+    d_total = tot1 - tot0
+    if d_total <= 0:
+        return None
+    busy = d_total - (idle1 - idle0)
+    external = max(0, busy - max(0, ours1 - ours0))
+    return round(external / d_total, 4)
 
 
 def main() -> None:
@@ -207,6 +276,8 @@ def main() -> None:
         # the samples — BASELINE.md's "<350k fully-warm = regression"
         # clause is adjudicated against trip_load1, not narrative.
         trip_load1 = _load1()
+        me = os.getpid()
+        probe0 = (_cpu_totals(), _tree_cpu_jiffies(me))
         trip_samples: list[float] = []
         for _ in range(3):
             timed = aggregate_trips(read_trip_events_json(spark, fx))
@@ -215,9 +286,13 @@ def main() -> None:
             w = time.perf_counter() - t0
             timed.input.unpersist(True)
             trip_samples.append(round(n_events / w, 1))
+        trip_ext_cpu = _external_cpu_share(
+            probe0, (_cpu_totals(), _tree_cpu_jiffies(me))
+        )
         trip_eps = max(trip_samples)
     except Exception as exc:
         trip_load1 = None
+        trip_ext_cpu = None
         trip_samples = []
         errors["trip_pipeline"] = f"{type(exc).__name__}: {str(exc)[:300]}"
 
@@ -300,8 +375,14 @@ def main() -> None:
     # seven r7 walls inflated >2× with no plan change). Two samples per
     # query makes each recorded wall a load-spike-immune statistic at
     # the cost of ~2× extended-bench time, which the sidecar absorbs.
+    # SPARK_GRAFT_BENCH_SMOKE=1 skips the ~300 s extended sweep so the
+    # headline + trip-rate + load-context machinery can be smoke-tested
+    # in under a minute (used by /verify; never set by the driver).
+    smoke = os.environ.get("SPARK_GRAFT_BENCH_SMOKE") == "1"
     extended: dict[str, float] = {}
-    for name in [n for n in extended_names() if n in plans.QUERIES]:
+    for name in [] if smoke else [
+        n for n in extended_names() if n in plans.QUERIES
+    ]:
         wall = run_one(name)
         if wall is None:
             continue
@@ -328,6 +409,7 @@ def main() -> None:
         "trip_pipeline_events_per_sec": trip_eps,
         "trip_pipeline_samples": trip_samples,
         "trip_pipeline_load1": trip_load1,
+        "trip_pipeline_external_cpu_share": trip_ext_cpu,
         "trip_pipeline_v2_events_per_sec": trip_v2_eps,
         "load1_start": load1_start,
         "load1_end": _load1(),
@@ -355,6 +437,7 @@ def main() -> None:
         "trip_pipeline_events_per_sec": trip_eps,
         "trip_pipeline_samples": trip_samples,
         "trip_pipeline_load1": trip_load1,
+        "trip_pipeline_external_cpu_share": trip_ext_cpu,
         "trip_pipeline_v2_events_per_sec": trip_v2_eps,
         "load1_start": load1_start,
         "load1_end": full["load1_end"],

@@ -3796,3 +3796,87 @@ def q_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# McNemar paired gate comparison (round 11)
+# ---------------------------------------------------------------------------
+
+_MCN_LEN_GATE = 120  # chars: the length gate
+_MCN_TOK_GATE = 25  # tokens: the token-count gate
+
+
+@register(
+    "q_mcnemar_gates",
+    oracle=f"""
+WITH flags AS (
+  SELECT
+    n_chars >= {_MCN_LEN_GATE} AS ga,
+    len(string_split(text, ' ')) >= {_MCN_TOK_GATE} AS gb
+  FROM documents
+),
+cells AS (
+  SELECT
+    COUNT(*) AS n,
+    CAST(SUM(CASE WHEN ga AND gb THEN 1 ELSE 0 END) AS BIGINT) AS both_pass,
+    CAST(SUM(CASE WHEN ga AND NOT gb THEN 1 ELSE 0 END) AS BIGINT) AS a_only,
+    CAST(SUM(CASE WHEN NOT ga AND gb THEN 1 ELSE 0 END) AS BIGINT) AS b_only,
+    CAST(SUM(CASE WHEN NOT ga AND NOT gb THEN 1 ELSE 0 END) AS BIGINT)
+      AS neither
+  FROM flags
+)
+SELECT n, both_pass, a_only, b_only, neither,
+  ROUND(
+    CAST((a_only - b_only) * (a_only - b_only) AS DOUBLE)
+      / NULLIF(a_only + b_only, 0),
+    6) AS mcnemar_chi2
+FROM cells
+""",
+)
+def q_mcnemar_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test comparing two quality gates on the SAME
+    documents (length ≥ {_MCN_LEN_GATE} chars vs token count ≥
+    {_MCN_TOK_GATE}): are the gates' pass rates different beyond their
+    shared agreement? The paired-binary readout a curation stack uses
+    when swapping one filter for another — only the DISCORDANT cells
+    (passes A but not B, and vice versa) carry signal, so the
+    statistic is (b−c)²/(b+c) on those two counts alone.
+
+    Exactness: four integer cells from one scan; the statistic is one
+    double division (NULL when the gates agree everywhere), rounded
+    6 dp.
+
+    Scale shape: map-only flag computation (no tokenize explode —
+    token count via split length), ONE 1-row agg with map-side
+    partials. Nothing is corpus-proportional after the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    ga = F.col("n_chars") >= _MCN_LEN_GATE
+    gb = F.size(F.split(F.col("text"), " ")) >= _MCN_TOK_GATE
+    cells = docs.select(ga.alias("ga"), gb.alias("gb")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("ga") & F.col("gb"), 1).otherwise(0)).alias(
+            "both_pass"
+        ),
+        F.sum(F.when(F.col("ga") & ~F.col("gb"), 1).otherwise(0)).alias(
+            "a_only"
+        ),
+        F.sum(F.when(~F.col("ga") & F.col("gb"), 1).otherwise(0)).alias(
+            "b_only"
+        ),
+        F.sum(F.when(~F.col("ga") & ~F.col("gb"), 1).otherwise(0)).alias(
+            "neither"
+        ),
+    )
+    b, c = F.col("a_only"), F.col("b_only")
+    return cells.select(
+        "n",
+        "both_pass",
+        "a_only",
+        "b_only",
+        "neither",
+        F.round(
+            ((b - c) * (b - c)).cast("double")
+            / F.nullif(b + c, F.lit(0)),
+            6,
+        ).alias("mcnemar_chi2"),
+    )

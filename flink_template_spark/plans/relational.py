@@ -1964,3 +1964,240 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tau_b"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA / Grubbs outlier statistic (round 11)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_anova_oneway",
+    oracle="""
+WITH g AS (
+  SELECT o_orderpriority AS grp,
+    CAST(o_totalprice AS DECIMAL(18,2)) AS x
+  FROM orders
+),
+sums AS (
+  SELECT grp, COUNT(*) AS n_i, SUM(x) AS s_i, SUM(x * x) AS ss_i
+  FROM g GROUP BY grp
+),
+-- per-group within-SS quantized to exact integers BEFORE the k-row sum
+-- (a k-row double sum is partition-order-dependent; the fixed-point sum
+-- is not)
+terms AS (
+  SELECT n_i, s_i,
+    CAST(ROUND(
+      CAST(n_i * ss_i - s_i * s_i AS DOUBLE) / CAST(n_i AS DOUBLE), 6
+    ) AS DECIMAL(38,6)) AS ssw_e
+  FROM sums
+),
+tot AS (
+  SELECT COUNT(*) AS k,
+    SUM(n_i) AS n,
+    SUM(s_i) AS s,
+    SUM(ssw_e) AS ssw_e
+  FROM terms
+),
+grand AS (
+  SELECT k, n, ssw_e,
+    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m
+  FROM tot
+),
+ssb AS (
+  SELECT
+    SUM(CAST(ROUND(
+      CAST(t.n_i AS DOUBLE)
+        * (CAST(t.s_i AS DOUBLE) / t.n_i - g.m)
+        * (CAST(t.s_i AS DOUBLE) / t.n_i - g.m),
+      6) AS DECIMAL(38,6))) AS ssb_e
+  FROM terms t CROSS JOIN grand g
+)
+SELECT
+  CAST(g.k AS BIGINT) AS k_groups,
+  CAST(g.n AS BIGINT) AS n_rows,
+  CAST(ROUND(b.ssb_e, 0) AS DOUBLE) AS ss_between,
+  CAST(ROUND(g.ssw_e, 0) AS DOUBLE) AS ss_within,
+  ROUND(
+    (CAST(b.ssb_e AS DOUBLE) / (g.k - 1))
+      / (CAST(g.ssw_e AS DOUBLE) / (g.n - g.k)),
+    6) AS f_stat
+FROM grand g CROSS JOIN ssb b
+""",
+)
+def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test of order value across the five order
+    priorities — the k-group generalization of q_welch_ttest: does
+    priority class explain any of the price variance? (In curation
+    terms: the gate for "does this categorical source/shard label
+    predict the metric", run before investing in per-group models.)
+
+    Exactness: per-group (n, Σx, Σx²) are exact decimal sums. The
+    within-group SS of each group, (nᵢΣx² − (Σx)²)/nᵢ, is ONE double
+    division of exact decimals, rounded 6 dp and captured as an exact
+    DECIMAL(38,6) BEFORE the k-row sum — a k-row double sum would be
+    partition-order-dependent; the decimal sum is exact in any order
+    (the q_nb_lang_classifier discipline, in decimal rather than
+    bigint because SSW·1e6 overflows int64 at realistic price
+    magnitudes). Between-group terms get the same treatment against
+    the exact grand mean.
+
+    Scale shape: ONE orders scan (2 columns pruned) into a |k|-row
+    hash agg with map-side partials; everything after the k-row
+    rollup is constant-sized scalar algebra. k is the label
+    cardinality (5 here), never corpus-proportional."""
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+    )
+    sums = g.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_i"),
+        F.sum("x").alias("s_i"),
+        F.sum(F.col("x") * F.col("x")).alias("ss_i"),
+    )
+    n_i, s_i = F.col("n_i"), F.col("s_i")
+    terms = sums.select(
+        n_i,
+        s_i,
+        F.round(
+            (n_i * F.col("ss_i") - s_i * s_i).cast("double")
+            / n_i.cast("double"),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .alias("ssw_e"),
+    ).localCheckpoint(eager=False)  # two consumers: totals + ssb terms
+    tot = terms.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_i").alias("n"),
+        F.sum("s_i").alias("s"),
+        F.sum("ssw_e").alias("ssw_e"),
+    )
+    grand = tot.select(
+        "k",
+        "n",
+        "ssw_e",
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias("m"),
+    )
+    dm = s_i.cast("double") / n_i - F.col("m")
+    ssb = (
+        terms.crossJoin(F.broadcast(grand.select("m")))
+        .agg(
+            F.sum(
+                F.round(n_i.cast("double") * dm * dm, 6).cast(
+                    "decimal(38,6)"
+                )
+            ).alias("ssb_e")
+        )
+    )
+    k, n = F.col("k"), F.col("n")
+    return (
+        grand.crossJoin(F.broadcast(ssb))
+        .select(
+            k.cast("bigint").alias("k_groups"),
+            n.cast("bigint").alias("n_rows"),
+            F.round(F.col("ssb_e"), 0).cast("double").alias("ss_between"),
+            F.round(F.col("ssw_e"), 0).cast("double").alias("ss_within"),
+            F.round(
+                (F.col("ssb_e").cast("double") / (k - 1))
+                / (F.col("ssw_e").cast("double") / (n - k)),
+                6,
+            ).alias("f_stat"),
+        )
+    )
+
+
+@register(
+    "q_grubbs_outlier",
+    oracle="""
+WITH base AS MATERIALIZED (
+  SELECT o_orderkey AS okey, CAST(o_totalprice AS DECIMAL(18,2)) AS x
+  FROM orders
+),
+stats AS (
+  SELECT COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS ss FROM base
+),
+m AS (
+  SELECT n,
+    CAST(s AS DOUBLE) / n AS mean,
+    SQRT(CAST(n * ss - s * s AS DOUBLE) / (CAST(n AS DOUBLE) * n * (n - 1)))
+      AS sd
+  FROM stats
+),
+dev AS (
+  SELECT b.okey, ROUND(ABS(CAST(b.x AS DOUBLE) - m.mean), 6) AS d
+  FROM base b CROSS JOIN m
+),
+mx AS (SELECT MAX(d) AS maxdev FROM dev)
+SELECT
+  CAST(m.n AS BIGINT) AS n_rows,
+  ROUND(m.mean, 6) AS mean_price,
+  ROUND(m.sd, 6) AS sd_price,
+  (SELECT MIN(okey) FROM dev, mx WHERE dev.d = mx.maxdev) AS outlier_key,
+  ROUND(mx.maxdev, 6) AS max_abs_dev,
+  ROUND(mx.maxdev / m.sd, 6) AS grubbs_g
+FROM m CROSS JOIN mx
+""",
+)
+def q_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' outlier statistic on order totals: G = max|x − x̄|/s,
+    plus the identity of the most extreme order (deterministic
+    lowest-key tiebreak) — the single-most-extreme-value test quality
+    monitors run before alerting on a metric spike.
+
+    Exactness: (n, Σx, Σx²) are exact decimal sums; mean and sd are
+    single double expressions of them (identical trees both engines);
+    per-row |x − mean| is rounded 6 dp so the global MAX and the
+    tie-filtered MIN(okey) argmax are engine-identical.
+
+    Scale shape: the 2-column orders scan is pinned and feeds three
+    consumers (moment agg, deviation max, argmax lookup) — each a
+    map-side-partial hash agg, no window, no sort; the argmax is a
+    1-row broadcast semi-filter, never a global ORDER BY."""
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    )
+    n = F.col("n")
+    m = stats.select(
+        n,
+        (F.col("s").cast("double") / n).alias("mean"),
+        F.sqrt(
+            (n * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+            / (n.cast("double") * n * (n - 1))
+        ).alias("sd"),
+    )
+    dev = base.crossJoin(F.broadcast(m.select("mean"))).select(
+        "okey",
+        F.round(F.abs(F.col("x").cast("double") - F.col("mean")), 6).alias(
+            "d"
+        ),
+    ).localCheckpoint(eager=False)  # two consumers: max + argmax lookup
+    mx = dev.agg(F.max("d").alias("maxdev"))
+    argmax = (
+        dev.join(F.broadcast(mx), dev.d == F.col("maxdev"))
+        .agg(F.min("okey").alias("outlier_key"))
+    )
+    return (
+        m.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(argmax))
+        .select(
+            n.cast("bigint").alias("n_rows"),
+            F.round(F.col("mean"), 6).alias("mean_price"),
+            F.round(F.col("sd"), 6).alias("sd_price"),
+            "outlier_key",
+            F.round(F.col("maxdev"), 6).alias("max_abs_dev"),
+            F.round(F.col("maxdev") / F.col("sd"), 6).alias("grubbs_g"),
+        )
+    )

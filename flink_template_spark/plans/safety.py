@@ -601,3 +601,83 @@ def q_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(theory, 6).alias("theory_fpp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexicon blocklist gate (round 11)
+# ---------------------------------------------------------------------------
+
+# Fixed curation blocklist (stands in for a toxicity/NSFW word list —
+# the Gopher/C4-style hard-block gate). Deliberately includes one
+# high-frequency ('slow'), one mid ('dup') and one absent token so the
+# per-source rates exercise all three regimes at every SF.
+BLOCKLIST = ("slow", "dup", "zzznever")
+
+
+@register(
+    "q_blocklist_gate_rates",
+    oracle=f"""
+WITH scored AS (
+  SELECT source,
+    len(list_intersect(string_split(text, ' '),
+                       {list(BLOCKLIST)})) > 0 AS flagged,
+    len(list_filter(string_split(text, ' '),
+                    t -> list_contains({list(BLOCKLIST)}, t))) AS hits
+  FROM documents
+)
+SELECT source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+  ROUND(CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*), 6) AS flag_rate,
+  CAST(SUM(hits) AS BIGINT) AS total_hits
+FROM scored
+GROUP BY source
+ORDER BY source
+""",
+)
+def q_blocklist_gate_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon blocklist gate, per source: how many documents contain
+    at least one blocked token, and the total blocked-token mass — the
+    hard-block quality gate every web-corpus curation stack runs
+    (C4's bad-words filter, Gopher's toxicity lexicon) plus the
+    per-source rate report that decides which crawls to drop.
+
+    Exactness: token membership is exact string equality on the
+    whitespace tokenization (both engines split on ' '); counts are
+    integers; the rate is one double division rounded 6 dp.
+
+    Scale shape: MAP-ONLY scoring — the blocklist is a literal array
+    inside the row expression (a real 10k-word list would broadcast a
+    hashed set; same plan shape), so corpus rows never shuffle for
+    scoring; the only exchange is the |sources|-row rollup with
+    map-side partials. No UDF: array_intersect/filter are codegen'd
+    JVM expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    block = F.array(*[F.lit(t) for t in BLOCKLIST])
+    scored = docs.select(
+        "source",
+        (F.size(F.array_intersect(toks, block)) > 0).alias("flagged"),
+        F.size(
+            F.filter(toks, lambda t: F.array_contains(block, t))
+        ).alias("hits"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("flagged"), 1).otherwise(0)).alias(
+                "n_flagged"
+            ),
+            F.round(
+                F.sum(F.when(F.col("flagged"), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("flag_rate"),
+            F.sum("hits").alias("total_hits"),
+        )
+        .orderBy("source")
+    )

@@ -61,6 +61,31 @@ def test_triplet_query_uses_derived_centroid_count(spark, sf_dir):
     assert df.columns == ["anchor", "positive", "negative", "cos_ap", "cos_an"]
 
 
+def test_bench_external_cpu_share():
+    """The trip-rate adjudicator (BASELINE.md r11 rule): CPU burned by
+    our own process tree must NOT count as external contention, and the
+    helper must degrade to None on degenerate windows."""
+    import os
+    import time
+
+    import bench
+
+    me = os.getpid()
+    before = (bench._cpu_totals(), bench._tree_cpu_jiffies(me))
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 0.5:  # in-tree CPU burn
+        x += sum(i * i for i in range(1000))
+    after = (bench._cpu_totals(), bench._tree_cpu_jiffies(me))
+    share = bench._external_cpu_share(before, after)
+    assert share is not None and 0.0 <= share <= 1.0
+    # our own burn is in-tree: it cannot read as external contention
+    # (allow headroom for genuinely concurrent system activity)
+    assert share < 0.5
+    assert bench._external_cpu_share(None, after) is None
+    assert bench._external_cpu_share(before, before) is None
+
+
 def test_bench_import_is_lazy():
     """Importing bench must not import the plans registry (ADVICE r10:
     an import-time failure in one plans module would otherwise kill the
