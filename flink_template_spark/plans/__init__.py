@@ -192,7 +192,14 @@ _PRIORITY = [
 # round-6-cohort names in their r6 check order — after a green r11
 # these are the stalest driver verdicts.
 _MIDDLE: list[str] = [
-    # (round-11 additions are prepended here as they land)
+    # round-11 additions: never driver-checked (oracle-green locally
+    # at all three SFs) — first in line for the round-12 slate
+    "q_anova_oneway",
+    "q_grubbs_outlier",
+    "q_blocklist_gate_rates",
+    "q_mcnemar_gates",
+    "q_bh_fdr_terms",
+    "q_pca_power_iteration",
     # r5-cohort leftover (stalest verdict after a green r11)
     "q_trip_summary",
     # r6 cohort, in r6 check order

@@ -3880,3 +3880,176 @@ def q_mcnemar_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mcnemar_chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over per-term association tests (round 11)
+# ---------------------------------------------------------------------------
+
+_BH_ALPHA = 0.05
+_BH_OUT_CAP = 50  # output rows are the top-min(k*, 50) discoveries
+
+
+@register(
+    "q_bh_fdr_terms",
+    oracle=f"""
+WITH pres AS MATERIALIZED (
+  SELECT doc_id, lang = 'en' AS is_en,
+    unnest(list_distinct(string_split(text, ' '))) AS t
+  FROM documents
+),
+nl AS (
+  SELECT COUNT(*) AS n,
+    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en
+  FROM documents
+),
+counts AS (
+  SELECT t, COUNT(*) AS df_t,
+    SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS a
+  FROM pres GROUP BY t
+),
+scored AS (
+  SELECT t, ROUND(
+      (nd_ * ((ad_ * dd_ - bd_ * cd_) / ((ad_ + bd_) * (cd_ + dd_))))
+      * ((ad_ * dd_ - bd_ * cd_) / ((ad_ + cd_) * (bd_ + dd_))),
+    6) AS chi2
+  FROM (
+    SELECT t,
+      CAST(a AS DOUBLE) AS ad_,
+      CAST(df_t - a AS DOUBLE) AS bd_,
+      CAST(n_en - a AS DOUBLE) AS cd_,
+      CAST(n - n_en - (df_t - a) AS DOUBLE) AS dd_,
+      CAST(n AS DOUBLE) AS nd_
+    FROM counts CROSS JOIN nl
+    WHERE df_t >= {_CHI2_MIN_DF}
+  )
+),
+ranked AS MATERIALIZED (
+  SELECT t, chi2,
+    ROUND(EXP(-chi2 / 2), 6) AS p_bound,
+    ROW_NUMBER() OVER (ORDER BY chi2 DESC, t) AS rk
+  FROM scored
+),
+m AS (SELECT COUNT(*) AS m_tested FROM ranked),
+kstar AS (
+  SELECT COALESCE(MAX(CASE
+    WHEN p_bound <= rk * {_BH_ALPHA} / m_tested THEN rk END), 0) AS k_sel
+  FROM ranked CROSS JOIN m
+)
+SELECT r.t AS token, CAST(r.rk AS BIGINT) AS rk, r.chi2, r.p_bound,
+  CAST(k.k_sel AS BIGINT) AS k_selected,
+  CAST(m.m_tested AS BIGINT) AS m_tested
+FROM ranked r CROSS JOIN kstar k CROSS JOIN m
+WHERE r.rk <= LEAST(k.k_sel, {_BH_OUT_CAP})
+ORDER BY rk
+""",
+)
+def q_bh_fdr_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control over the per-token language-
+    association tests (token presence vs 'en', 2×2 chi²) — the
+    multiple-testing correction any corpus-mining readout needs once
+    it tests a whole vocabulary: rank p-values ascending, find
+    k* = max{{i : p₍ᵢ₎ ≤ i·α/m}}, report the k* discoveries (output
+    capped at {_BH_OUT_CAP} rows; k_selected carries the full count).
+
+    The p-value is the CHERNOFF BOUND p̃ = exp(−χ²/2) for the 1-df
+    chi² — exact survival functions need erf, which portable SQL
+    lacks; the bound is monotone in χ², so the BH ordering is
+    identical to the exact-p ordering and the selected set is
+    conservative (documented, not hidden). χ² is rounded 6 dp before
+    exp and p̃ rounded 6 dp before the threshold comparison, so the
+    rank order AND the boundary test are engine-identical (libm exp
+    may differ at ulp; the rounds absorb it).
+
+    Scale shape: presence via per-row array_distinct (map-side); the
+    test table is Zipf-small (tokens with df ≥ {_CHI2_MIN_DF}); its
+    global rank is the range-partitioned two-pass row_number (never a
+    single-partition sort at vocab scale); k* is a 1-row agg that
+    broadcasts back. Corpus rows touch exactly one hash agg."""
+    from flink_template_spark.operators.rank_global import with_global_ranks
+
+    docs = load_table(spark, sf_dir, "documents")
+    pres = docs.select(
+        (F.col("lang") == "en").alias("is_en"),
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("t"),
+    )
+    nl = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_en"),
+    )
+    counts = pres.groupBy("t").agg(
+        F.count(F.lit(1)).alias("df_t"),
+        F.sum(F.when(F.col("is_en"), 1).otherwise(0)).alias("a"),
+    )
+    cells = (
+        counts.filter(F.col("df_t") >= _CHI2_MIN_DF)
+        .crossJoin(F.broadcast(nl))
+        .select(
+            "t",
+            F.col("a").cast("double").alias("ad_"),
+            (F.col("df_t") - F.col("a")).cast("double").alias("bd_"),
+            (F.col("n_en") - F.col("a")).cast("double").alias("cd_"),
+            (F.col("n") - F.col("n_en") - (F.col("df_t") - F.col("a")))
+            .cast("double")
+            .alias("dd_"),
+            F.col("n").cast("double").alias("nd_"),
+        )
+    )
+    ad, bd, cd, dd, nd = (
+        F.col("ad_"),
+        F.col("bd_"),
+        F.col("cd_"),
+        F.col("dd_"),
+        F.col("nd_"),
+    )
+    num = ad * dd - bd * cd
+    scored = cells.select(
+        "t",
+        F.round(
+            (nd * (num / ((ad + bd) * (cd + dd))))
+            * (num / ((ad + cd) * (bd + dd))),
+            6,
+        ).alias("chi2"),
+    )
+    ranked = (
+        with_global_ranks(
+            scored, [("chi2", False)], tiebreak=["t"], row_number_col="rk"
+        )
+        .select(
+            "t",
+            "chi2",
+            F.round(F.exp(-F.col("chi2") / 2), 6).alias("p_bound"),
+            "rk",
+        )
+        .localCheckpoint(eager=False)  # three consumers: m, k*, output
+    )
+    m = ranked.agg(F.count(F.lit(1)).alias("m_tested"))
+    kstar = (
+        ranked.crossJoin(F.broadcast(m))
+        .agg(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("p_bound")
+                        <= F.col("rk") * _BH_ALPHA / F.col("m_tested"),
+                        F.col("rk"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("k_sel")
+        )
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kstar))
+        .crossJoin(F.broadcast(m))
+        .filter(F.col("rk") <= F.least(F.col("k_sel"), F.lit(_BH_OUT_CAP)))
+        .select(
+            F.col("t").alias("token"),
+            F.col("rk").cast("bigint").alias("rk"),
+            "chi2",
+            "p_bound",
+            F.col("k_sel").cast("bigint").alias("k_selected"),
+            F.col("m_tested").cast("bigint").alias("m_tested"),
+        )
+        .orderBy("rk")
+    )

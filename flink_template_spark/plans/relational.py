@@ -2122,7 +2122,7 @@ stats AS (
 m AS (
   SELECT n,
     CAST(s AS DOUBLE) / n AS mean,
-    SQRT(CAST(n * ss - s * s AS DOUBLE) / (CAST(n AS DOUBLE) * n * (n - 1)))
+    SQRT(CAST(n * ss - s * s AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)))
       AS sd
   FROM stats
 ),
@@ -2175,7 +2175,7 @@ def q_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s").cast("double") / n).alias("mean"),
         F.sqrt(
             (n * F.col("ss") - F.col("s") * F.col("s")).cast("double")
-            / (n.cast("double") * n * (n - 1))
+            / (n.cast("double") * (n - 1))
         ).alias("sd"),
     )
     dev = base.crossJoin(F.broadcast(m.select("mean"))).select(

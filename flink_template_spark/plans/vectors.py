@@ -2421,3 +2421,150 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA top component via power iteration (round 11)
+# ---------------------------------------------------------------------------
+
+_PCA_DIM = 64  # testdata embedding width (asserted by the v0 literal)
+_PCA_ITERS = 2
+_PCA_V0 = 1.0 / 8.0  # unit start vector: every element 1/sqrt(64)
+
+
+def _pca_iter_cte(prev_v: str, out: str) -> str:
+    """One power-iteration step in DuckDB: w = Σᵢ (xᵢ·v)·xᵢ with each
+    (row, dim) contribution fixed-point-quantized (×1e6, round-0,
+    bigint) so the per-dimension sum is exact in any row order, then
+    w is rebuilt as an ordered unit-normalized DOUBLE list. Mirrors
+    the Spark stage expression-for-expression."""
+    return f"""
+{out}_w AS (
+  SELECT u.j AS j,
+    SUM(CAST(ROUND(dotv * u.x * 1000000, 0) AS BIGINT)) AS wq
+  FROM (
+    SELECT {dot_sql('e.embedding', f'{prev_v}.v')} AS dotv,
+      unnest(list_transform(range(1, len(e.embedding) + 1),
+        i -> {{'j': i, 'x': CAST(e.embedding[i] AS DOUBLE)}})) AS u
+    FROM emb_valid e CROSS JOIN {prev_v}
+  )
+  GROUP BY u.j
+),
+{out}_arr AS (
+  SELECT list(CAST(wq AS DOUBLE) / 1000000.0 ORDER BY j) AS w FROM {out}_w
+),
+{out} AS (
+  SELECT list_transform(w, x -> x / {l2_norm_sql('w')}) AS v,
+    {l2_norm_sql('w')} AS lam
+  FROM {out}_arr
+)"""
+
+
+@register(
+    "q_pca_power_iteration",
+    oracle=f"""
+WITH emb_valid AS (
+  SELECT embedding FROM embeddings
+  WHERE isfinite({l2_norm_sql('embedding')})
+    AND {l2_norm_sql('embedding')} > 0
+),
+v0 AS (SELECT list_transform(range(1, {_PCA_DIM} + 1),
+                             i -> {_PCA_V0}) AS v),
+{_pca_iter_cte('v0', 'v1')},
+{_pca_iter_cte('v1', 'v2')}
+SELECT CAST(u.j AS BIGINT) AS dim,
+  ROUND(u.x, 6) AS loading,
+  ROUND(v2.lam, 6) AS eigenvalue_est
+FROM (
+  SELECT unnest(list_transform(range(1, {_PCA_DIM} + 1),
+    i -> {{'j': i, 'x': v[i]}})) AS u
+  FROM v2
+), v2
+ORDER BY dim
+""",
+)
+def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding Gram
+    matrix via {_PCA_ITERS} matrix-free power-iteration steps — the
+    dominant-direction analysis an embedding-curation stack runs
+    before whitening / de-biasing (a corpus whose top component
+    explains most of the variance has collapsed representations;
+    anisotropy removal needs exactly this vector). Returns the
+    64-dim unit loading vector plus the Rayleigh-quotient eigenvalue
+    estimate (‖w‖ of the last un-normalized step, since its input is
+    unit).
+
+    Exactness: v₀ is the constant unit vector (1/8 per element). Each
+    step computes per-row dot xᵢ·v as the shared ordered float fold
+    (functions.vector.dot ⇄ dot_sql), then quantizes every (row, dim)
+    contribution dot·xᵢⱼ to fixed point (×1e6, round-0 → bigint —
+    integer-valued doubles cast exactly, the q_nb_lang_classifier
+    discipline) so the per-dimension sums are exact integers in ANY
+    partition order; w is rebuilt as CAST(bigint AS DOUBLE)/1e6 (both
+    exact IEEE ops) and unit-normalized with the same ordered fold.
+    Degenerate vectors (NaN/Inf/zero-norm) are excluded by the
+    valid_vec guard, mirrored in SQL — one corrupt row must not poison
+    the corpus-wide sums.
+
+    Scale shape: each iteration is ONE pass — posexplode to (dim,
+    contribution) then a 64-key hash agg with map-side partials
+    (corpus rows never shuffle; only 64·n_partitions partials move);
+    the 64-row spine pivots back to a 1-row array (64-row bounded
+    collect_list, control-plane-sized) that BROADCASTS into the next
+    pass. Iterations are unrolled (fixed {_PCA_ITERS}), each pinned so
+    lineage stays flat — the k-means/PageRank bounded-rounds posture."""
+    from flink_template_spark.functions.vector import (
+        dot as udot,
+        l2_norm,
+        valid_vec,
+    )
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(valid_vec(F.col("embedding")))
+        .select("embedding")
+        .localCheckpoint(eager=False)  # one scan serves both iterations
+    )
+    v = spark.range(1).select(
+        F.array(*[F.lit(_PCA_V0)] * _PCA_DIM).alias("v")
+    )
+    lam = None
+    for _ in range(_PCA_ITERS):
+        scored = emb.crossJoin(F.broadcast(v)).select(
+            udot(F.col("embedding"), F.col("v")).alias("dotv"),
+            F.posexplode(F.col("embedding")).alias("j0", "x"),
+        )
+        w = (
+            scored.groupBy("j0")
+            .agg(
+                F.sum(
+                    F.round(
+                        F.col("dotv") * F.col("x").cast("double") * 1000000,
+                        0,
+                    ).cast("bigint")
+                ).alias("wq")
+            )
+            .select(
+                (F.col("j0") + 1).alias("j"),
+                (F.col("wq").cast("double") / 1000000.0).alias("wx"),
+            )
+        )
+        arr = w.agg(
+            F.array_sort(F.collect_list(F.struct("j", "wx"))).alias("ws")
+        ).select(F.transform(F.col("ws"), lambda s: s.wx).alias("w"))
+        v = arr.select(
+            F.transform(
+                F.col("w"), lambda x: x / l2_norm(F.col("w"))
+            ).alias("v"),
+            l2_norm(F.col("w")).alias("lam"),
+        ).localCheckpoint(eager=False)
+        lam = F.col("lam")
+    return (
+        v.select(F.posexplode(F.col("v")).alias("j0", "x"), lam)
+        .select(
+            (F.col("j0") + 1).cast("bigint").alias("dim"),
+            F.round(F.col("x"), 6).alias("loading"),
+            F.round(F.col("lam"), 6).alias("eigenvalue_est"),
+        )
+        .orderBy("dim")
+    )

@@ -112,3 +112,195 @@ def test_bench_import_is_lazy():
         timeout=120,
     )
     assert rc.returncode == 0, rc.stderr.decode()[-500:]
+
+
+# ---------------------------------------------------------------------------
+# Round-11 wave: brute-force recounts (the r10 test discipline)
+# ---------------------------------------------------------------------------
+
+
+def test_anova_recounts_brute(spark, sf_dir):
+    row = plans.QUERIES["q_anova_oneway"](spark, sf_dir).collect()[0]
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .collect()
+    )
+    from collections import defaultdict
+    from decimal import Decimal
+
+    groups = defaultdict(list)
+    for r in rows:
+        # mirror the decimal(18,2) cast
+        groups[r["o_orderpriority"]].append(
+            Decimal(str(round(r["o_totalprice"], 2)))
+        )
+    k = len(groups)
+    n = sum(len(v) for v in groups.values())
+    ssw = ssb = 0  # exact integers of the 1e-6-quantized terms
+    s_all = sum(sum(v) for v in groups.values())
+    m = float(s_all) / n
+    for v in groups.values():
+        ni, si = len(v), sum(v)
+        ssi = sum(x * x for x in v)
+        ssw += round(float(ni * ssi - si * si) / float(ni), 6) * 10**6
+        dm = float(si) / ni - m
+        ssb += round(ni * dm * dm, 6) * 10**6
+    assert row["k_groups"] == k and row["n_rows"] == n
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert abs(row["f_stat"] - round(f, 6)) < 1e-4
+    assert abs(row["ss_within"] - round(ssw / 10**6)) <= 1
+
+
+def test_grubbs_recounts_brute(spark, sf_dir):
+    row = plans.QUERIES["q_grubbs_outlier"](spark, sf_dir).collect()[0]
+    import math
+
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    )
+    vals = [(r["o_orderkey"], round(r["o_totalprice"], 2)) for r in rows]
+    n = len(vals)
+    mean = sum(v for _, v in vals) / n
+    sd = math.sqrt(
+        sum((v - mean) ** 2 for _, v in vals) / (n - 1)
+    )
+    devs = [(round(abs(v - mean), 6), k) for k, v in vals]
+    maxdev = max(d for d, _ in devs)
+    outlier = min(k for d, k in devs if d == maxdev)
+    assert row["n_rows"] == n
+    assert abs(row["mean_price"] - mean) < 1e-3
+    assert abs(row["sd_price"] - sd) < 1e-3
+    assert row["outlier_key"] == outlier
+    assert abs(row["grubbs_g"] - maxdev / sd) < 1e-4
+
+
+def test_blocklist_recounts_brute(spark, sf_dir):
+    from flink_template_spark.plans.safety import BLOCKLIST
+
+    got = {
+        r["source"]: r
+        for r in plans.QUERIES["q_blocklist_gate_rates"](
+            spark, sf_dir
+        ).collect()
+    }
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, 0])  # n, flagged, hits
+    for r in (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "text")
+        .collect()
+    ):
+        toks = r["text"].split(" ")
+        hits = sum(1 for t in toks if t in BLOCKLIST)
+        a = agg[r["source"]]
+        a[0] += 1
+        a[1] += int(hits > 0)
+        a[2] += hits
+    for src, r in got.items():
+        n, fl, h = agg[src]
+        assert (r["n_docs"], r["n_flagged"], r["total_hits"]) == (n, fl, h)
+        assert abs(r["flag_rate"] - fl / n) < 1e-5
+
+
+def test_mcnemar_recounts_brute(spark, sf_dir):
+    from flink_template_spark.plans.quality import (
+        _MCN_LEN_GATE,
+        _MCN_TOK_GATE,
+    )
+
+    row = plans.QUERIES["q_mcnemar_gates"](spark, sf_dir).collect()[0]
+    b = c = both = neither = 0
+    for r in (
+        load_table(spark, sf_dir, "documents")
+        .select("n_chars", "text")
+        .collect()
+    ):
+        ga = r["n_chars"] >= _MCN_LEN_GATE
+        gb = len(r["text"].split(" ")) >= _MCN_TOK_GATE
+        both += ga and gb
+        b += ga and not gb
+        c += gb and not ga
+        neither += not ga and not gb
+    assert (row["both_pass"], row["a_only"], row["b_only"], row["neither"]) \
+        == (both, b, c, neither)
+    if b + c:
+        assert abs(row["mcnemar_chi2"] - (b - c) ** 2 / (b + c)) < 1e-5
+
+
+def test_bh_fdr_recounts_brute(spark, sf_dir):
+    from flink_template_spark.plans.quality import _BH_ALPHA, _CHI2_MIN_DF
+
+    got = plans.QUERIES["q_bh_fdr_terms"](spark, sf_dir).collect()
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", "text")
+        .collect()
+    )
+    from collections import Counter
+
+    n = len(docs)
+    n_en = sum(1 for r in docs if r["lang"] == "en")
+    df_t: Counter = Counter()
+    a_t: Counter = Counter()
+    for r in docs:
+        for t in set(r["text"].split(" ")):
+            df_t[t] += 1
+            if r["lang"] == "en":
+                a_t[t] += 1
+    import math
+
+    scored = []
+    for t, df in df_t.items():
+        if df < _CHI2_MIN_DF:
+            continue
+        a, b = float(a_t[t]), float(df - a_t[t])
+        c, d = float(n_en - a_t[t]), float(n - n_en - (df - a_t[t]))
+        num = a * d - b * c
+        chi2 = round(
+            (n * (num / ((a + b) * (c + d)))) * (num / ((a + c) * (b + d))),
+            6,
+        )
+        scored.append((t, chi2))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    m = len(scored)
+    k_sel = 0
+    for i, (t, chi2) in enumerate(scored, start=1):
+        if round(math.exp(-chi2 / 2), 6) <= i * _BH_ALPHA / m:
+            k_sel = i
+    assert all(r["m_tested"] == m for r in got)
+    if got:
+        assert got[0]["k_selected"] == k_sel
+    sel = scored[: min(k_sel, 50)]
+    assert [r["token"] for r in got] == [t for t, _ in sel]
+
+
+def test_pca_power_iteration_recounts_numpy(spark, sf_dir):
+    import numpy as np
+
+    got = plans.QUERIES["q_pca_power_iteration"](spark, sf_dir).collect()
+    assert len(got) == 64
+    emb = [
+        r["embedding"]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("embedding")
+        .collect()
+    ]
+    X = np.array(emb, dtype=np.float64)
+    v = np.full(64, 0.125)
+    lam = None
+    for _ in range(2):
+        dots = X @ v
+        contrib = np.round(dots[:, None] * X * 1e6, 0)  # quantized terms
+        wq = contrib.sum(axis=0)
+        w = wq / 1e6
+        lam = float(np.sqrt((w * w).sum()))
+        v = w / lam
+    for r in got:
+        assert abs(r["loading"] - v[r["dim"] - 1]) < 1e-4, r["dim"]
+        assert abs(r["eigenvalue_est"] - lam) < 1e-2
+    # unit vector sanity
+    assert abs(sum(r["loading"] ** 2 for r in got) - 1.0) < 1e-3
