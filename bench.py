@@ -118,12 +118,16 @@ def _cpu_totals() -> tuple[int, int] | None:
         return None
 
 
-def _tree_cpu_jiffies(root_pid: int) -> int | None:
-    """Cumulative utime+stime jiffies of root_pid and every live
+def _tree_cpu_snapshot(root_pid: int) -> dict[int, int] | None:
+    """Per-pid utime+stime jiffies of root_pid and every live
     descendant (the python driver, the Spark JVM, its Python workers).
-    Short-lived already-reaped children are missed — acceptable: the
-    measure is used as a DELTA over a multi-second window where the
-    JVM dominates."""
+    PER-PID (not a tree total) so the consumer can difference pid by
+    pid: a long-lived worker that EXITS inside the window would
+    otherwise subtract its whole pre-window history from the tree
+    delta and misattribute the bench's own CPU as external. A pid that
+    exits mid-window loses only its in-window burn (counted as
+    external — small and bounded); short-lived already-reaped children
+    are likewise missed."""
     try:
         procs: dict[int, tuple[int, int]] = {}
         for d in os.listdir("/proc"):
@@ -139,15 +143,15 @@ def _tree_cpu_jiffies(root_pid: int) -> int | None:
         kids: dict[int, list[int]] = {}
         for pid, (ppid, _) in procs.items():
             kids.setdefault(ppid, []).append(pid)
-        total, stack, seen = 0, [root_pid], set()
+        out: dict[int, int] = {}
+        stack = [root_pid]
         while stack:
             p = stack.pop()
-            if p in seen or p not in procs:
+            if p in out or p not in procs:
                 continue
-            seen.add(p)
-            total += procs[p][1]
+            out[p] = procs[p][1]
             stack.extend(kids.get(p, []))
-        return total
+        return out
     except (OSError, ValueError, IndexError):
         return None
 
@@ -156,10 +160,14 @@ def _external_cpu_share(
     before: tuple | None, after: tuple | None
 ) -> float | None:
     """Fraction of machine CPU time consumed by OTHER processes across
-    a measurement window. `before`/`after` are (cpu_totals, tree_cpu)
-    pairs. This — not the load average, which a running bench inflates
-    by itself — is what adjudicates whether a trip-rate reading was
-    externally contended (BASELINE.md rule, rewritten r11)."""
+    a measurement window. `before`/`after` are (cpu_totals,
+    tree_cpu_snapshot) pairs. This — not the load average, which a
+    running bench inflates by itself — is what adjudicates whether a
+    trip-rate reading was externally contended (BASELINE.md rule,
+    rewritten r11). Our share is summed pid-by-pid: pids new in the
+    window count in full, and a pid whose jiffies DECREASED was reused
+    by a new in-tree process — its full (in-window) count is ours.
+    Process exits therefore can't poison the attribution."""
     if not before or not after or None in before or None in after:
         return None
     (tot0, idle0), ours0 = before
@@ -168,7 +176,11 @@ def _external_cpu_share(
     if d_total <= 0:
         return None
     busy = d_total - (idle1 - idle0)
-    external = max(0, busy - max(0, ours1 - ours0))
+    ours = 0
+    for pid, j1 in ours1.items():
+        j0 = ours0.get(pid, 0)
+        ours += j1 if j1 < j0 else j1 - j0
+    external = max(0, busy - ours)
     return round(external / d_total, 4)
 
 
@@ -277,7 +289,7 @@ def main() -> None:
         # clause is adjudicated against trip_load1, not narrative.
         trip_load1 = _load1()
         me = os.getpid()
-        probe0 = (_cpu_totals(), _tree_cpu_jiffies(me))
+        probe0 = (_cpu_totals(), _tree_cpu_snapshot(me))
         trip_samples: list[float] = []
         for _ in range(3):
             timed = aggregate_trips(read_trip_events_json(spark, fx))
@@ -287,7 +299,7 @@ def main() -> None:
             timed.input.unpersist(True)
             trip_samples.append(round(n_events / w, 1))
         trip_ext_cpu = _external_cpu_share(
-            probe0, (_cpu_totals(), _tree_cpu_jiffies(me))
+            probe0, (_cpu_totals(), _tree_cpu_snapshot(me))
         )
         trip_eps = max(trip_samples)
     except Exception as exc:
@@ -419,12 +431,18 @@ def main() -> None:
         full["errors"] = errors
     if skipped:
         full["skipped"] = skipped
-    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_extended.json")
-    try:
-        with open(sidecar, "w") as fh:
-            json.dump(full, fh, indent=1)
-    except OSError as exc:  # never let the sidecar kill the record
-        print(f"bench: could not write {sidecar}: {exc}", file=sys.stderr)
+    # smoke runs must NOT clobber the committed full record — the
+    # sidecar is the round-over-round extended-wall baseline (a smoke
+    # run once wiped all ~290 walls and swapped sf 0.1 -> 0.01)
+    if not smoke:
+        sidecar = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_extended.json"
+        )
+        try:
+            with open(sidecar, "w") as fh:
+                json.dump(full, fh, indent=1)
+        except OSError as exc:  # never let the sidecar kill the record
+            print(f"bench: could not write {sidecar}: {exc}", file=sys.stderr)
     print(json.dumps(full), file=sys.stderr)
 
     headline = {

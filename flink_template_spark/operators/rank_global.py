@@ -272,9 +272,9 @@ def ntile_closed_form(k: int, rn: str = "rn", n: str = "n") -> Column:
     keywords (or need quoting) resolve instead of silently parsing as
     something else."""
     rnq, nq = f"`{rn}`", f"`{n}`"
-    big = (F.col(n) % k) * (F.expr(f"{nq} DIV {k}") + 1)
+    big = (F.col(nq) % k) * (F.expr(f"{nq} DIV {k}") + 1)
     return F.when(
-        F.col(rn) <= big,
+        F.col(rnq) <= big,
         F.expr(f"({rnq} + ({nq} DIV {k})) DIV (({nq} DIV {k}) + 1)"),
     ).otherwise(
         F.expr(

@@ -3835,8 +3835,8 @@ FROM cells
 )
 def q_mcnemar_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """McNemar's test comparing two quality gates on the SAME
-    documents (length ≥ {_MCN_LEN_GATE} chars vs token count ≥
-    {_MCN_TOK_GATE}): are the gates' pass rates different beyond their
+    documents (length ≥ 120 chars vs token count ≥ 25 — the
+    _MCN_*_GATE constants): are the gates' pass rates different beyond their
     shared agreement? The paired-binary readout a curation stack uses
     when swapping one filter for another — only the DISCORDANT cells
     (passes A but not B, and vice versa) carry signal, so the
@@ -3921,7 +3921,11 @@ scored AS (
       CAST(n - n_en - (df_t - a) AS DOUBLE) AS dd_,
       CAST(n AS DOUBLE) AS nd_
     FROM counts CROSS JOIN nl
-    WHERE df_t >= {_CHI2_MIN_DF}
+    -- margin guards: a token present in (nearly) ALL docs zeroes the
+    -- (c+d) margin and a single-class corpus zeroes (a+c) or (b+d) —
+    -- 0/0 chi2 would sort FIRST and silently shift every BH rank
+    WHERE df_t >= {_CHI2_MIN_DF} AND n - df_t >= {_CHI2_MIN_DF}
+      AND n_en > 0 AND n_en < n
   )
 ),
 ranked AS MATERIALIZED (
@@ -3949,8 +3953,8 @@ def q_bh_fdr_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     association tests (token presence vs 'en', 2×2 chi²) — the
     multiple-testing correction any corpus-mining readout needs once
     it tests a whole vocabulary: rank p-values ascending, find
-    k* = max{{i : p₍ᵢ₎ ≤ i·α/m}}, report the k* discoveries (output
-    capped at {_BH_OUT_CAP} rows; k_selected carries the full count).
+    k* = max{i : p(i) ≤ i·α/m}, report the k* discoveries (output
+    capped at _BH_OUT_CAP=50 rows; k_selected carries the full count).
 
     The p-value is the CHERNOFF BOUND p̃ = exp(−χ²/2) for the 1-df
     chi² — exact survival functions need erf, which portable SQL
@@ -3959,10 +3963,13 @@ def q_bh_fdr_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     conservative (documented, not hidden). χ² is rounded 6 dp before
     exp and p̃ rounded 6 dp before the threshold comparison, so the
     rank order AND the boundary test are engine-identical (libm exp
-    may differ at ulp; the rounds absorb it).
+    may differ at ulp; the rounds absorb it). Margin guards keep the
+    2×2 table non-degenerate: tokens must be present in ≥_CHI2_MIN_DF=5
+    AND absent from ≥5 docs, and a single-class corpus
+    tests nothing (a zero margin makes χ² 0/0, and NaN sorts first).
 
     Scale shape: presence via per-row array_distinct (map-side); the
-    test table is Zipf-small (tokens with df ≥ {_CHI2_MIN_DF}); its
+    test table is Zipf-small (tokens clearing both min-df margins); its
     global rank is the range-partitioned two-pass row_number (never a
     single-partition sort at vocab scale); k* is a 1-row agg that
     broadcasts back. Corpus rows touch exactly one hash agg."""
@@ -3982,8 +3989,16 @@ def q_bh_fdr_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_en"), 1).otherwise(0)).alias("a"),
     )
     cells = (
-        counts.filter(F.col("df_t") >= _CHI2_MIN_DF)
-        .crossJoin(F.broadcast(nl))
+        counts.crossJoin(F.broadcast(nl))
+        # margin guards (mirrored in SQL): presence AND absence must
+        # both clear min-df, and the corpus must contain both classes —
+        # otherwise the 2x2 table has a zero margin and chi2 is 0/0
+        .filter(
+            (F.col("df_t") >= _CHI2_MIN_DF)
+            & (F.col("n") - F.col("df_t") >= _CHI2_MIN_DF)
+            & (F.col("n_en") > 0)
+            & (F.col("n_en") < F.col("n"))
+        )
         .select(
             "t",
             F.col("a").cast("double").alias("ad_"),

@@ -1083,15 +1083,25 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The cell count is ``triplet_n_centroids(n) = max(4, ceil(sqrt(n)))``
     — derived from the corpus, NOT a constant, so the Σ|cell|² pair
-    table grows n^1.5 instead of n² (see the helper's docstring; the
-    corpus count is a 1-row control-plane action)."""
+    table grows n^1.5 instead of n². The count rides INSIDE the plan
+    (a broadcast 1-row scalar, same double ceil(sqrt(count)) dag in
+    both engines) so building the DataFrame stays lazy — an eager
+    .count() here made every plan-only inspection pay a real Spark
+    job."""
     from flink_template_spark.functions.vector import dot as udot
     from flink_template_spark.functions.vector import l2_norm
 
     emb = load_table(spark, sf_dir, "embeddings")
-    k_cells = triplet_n_centroids(emb.count())
-    centroids = emb.filter(F.col("vec_id") < k_cells).select(
-        F.col("vec_id").alias("centroid_id"), "embedding"
+    kdf = emb.agg(
+        F.greatest(
+            F.lit(4).cast("bigint"),
+            F.ceil(F.sqrt(F.count(F.lit(1)).cast("double"))).cast("bigint"),
+        ).alias("k_cells")
+    )
+    centroids = (
+        emb.crossJoin(F.broadcast(kdf))
+        .filter(F.col("vec_id") < F.col("k_cells"))
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
     )
     # pin: FIVE consumers (positive pair a/b sides, negative probe,
     # anchor/negative unit-vector lookups) — without the pin the
@@ -2485,7 +2495,7 @@ ORDER BY dim
 )
 def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal direction of the (uncentered) embedding Gram
-    matrix via {_PCA_ITERS} matrix-free power-iteration steps — the
+    matrix via _PCA_ITERS=2 matrix-free power-iteration steps — the
     dominant-direction analysis an embedding-curation stack runs
     before whitening / de-biasing (a corpus whose top component
     explains most of the variance has collapsed representations;
@@ -2511,7 +2521,7 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (corpus rows never shuffle; only 64·n_partitions partials move);
     the 64-row spine pivots back to a 1-row array (64-row bounded
     collect_list, control-plane-sized) that BROADCASTS into the next
-    pass. Iterations are unrolled (fixed {_PCA_ITERS}), each pinned so
+    pass. Iterations are unrolled (fixed _PCA_ITERS), each pinned so
     lineage stays flat — the k-means/PageRank bounded-rounds posture."""
     from flink_template_spark.functions.vector import (
         dot as udot,

@@ -71,19 +71,31 @@ def test_bench_external_cpu_share():
     import bench
 
     me = os.getpid()
-    before = (bench._cpu_totals(), bench._tree_cpu_jiffies(me))
+    before = (bench._cpu_totals(), bench._tree_cpu_snapshot(me))
     t0 = time.time()
     x = 0
     while time.time() - t0 < 0.5:  # in-tree CPU burn
         x += sum(i * i for i in range(1000))
-    after = (bench._cpu_totals(), bench._tree_cpu_jiffies(me))
+    after = (bench._cpu_totals(), bench._tree_cpu_snapshot(me))
     share = bench._external_cpu_share(before, after)
+    # live probe: only the envelope is asserted (a loaded box can
+    # legitimately read any external share — no flaky threshold)
     assert share is not None and 0.0 <= share <= 1.0
-    # our own burn is in-tree: it cannot read as external contention
-    # (allow headroom for genuinely concurrent system activity)
-    assert share < 0.5
     assert bench._external_cpu_share(None, after) is None
     assert bench._external_cpu_share(before, before) is None
+    # attribution logic pinned on SYNTHETIC windows (deterministic):
+    # 100-jiffy window, 80 busy; our tree burned 50 of them
+    b = ((1000, 900), {10: 100, 11: 40})
+    a = ((1100, 920), {10: 130, 11: 60})
+    assert bench._external_cpu_share(b, a) == round((80 - 50) / 100, 4)
+    # a long-lived worker EXITING mid-window must not poison ours:
+    # pid 11 (40 jiffies of history) vanishes; pid 12 starts in-window
+    a2 = ((1100, 920), {10: 130, 12: 15})
+    assert bench._external_cpu_share(b, a2) == round((80 - 30 - 15) / 100, 4)
+    # pid-reuse guard: a reused pid (jiffies DECREASED) is a new
+    # in-tree process — its full in-window count is ours
+    a3 = ((1100, 920), {10: 130, 11: 5})
+    assert bench._external_cpu_share(b, a3) == round((80 - 30 - 5) / 100, 4)
 
 
 def test_bench_import_is_lazy():
@@ -254,8 +266,10 @@ def test_bh_fdr_recounts_brute(spark, sf_dir):
     import math
 
     scored = []
+    assert 0 < n_en < n  # fixtures contain both classes at every SF
     for t, df in df_t.items():
-        if df < _CHI2_MIN_DF:
+        # margin guards mirrored from the query (see its docstring)
+        if df < _CHI2_MIN_DF or n - df < _CHI2_MIN_DF:
             continue
         a, b = float(a_t[t]), float(df - a_t[t])
         c, d = float(n_en - a_t[t]), float(n - n_en - (df - a_t[t]))

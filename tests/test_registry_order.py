@@ -12,29 +12,31 @@ def test_priority_slate_shape():
     names = list(plans.QUERIES)
     assert len(names) == len(set(names))
     first50 = set(names[:50])
-    # round-10 rotation (VERDICT r9 next #1): representatives of the 41
-    # round-9 additions (never driver-checked before this round)
+    # round-11 rotation (VERDICT r10 next #1): ALL 9 round-10 additions
+    # (never driver-checked before this round)
     for q in (
-        "q_session_bounce_rate",
-        "q_anomaly_days",
-        "q_ivm_delta_merge",
-        "q_asof_tolerance_join",
-        "q_minhash_estimate_error",
-        "q_kaplan_meier",
-        "q_target_encoding",
-        "q_cramers_v_matrix",
-        "q_dbscan_core_points",
-        "q_itemsets_3",
-        "q_skipgram_pairs",
-        "q_spearman_price_balance",
+        "q_ols_two_feature",
+        "q_winsorized_stats",
+        "q_welch_ttest",
+        "q_nb_lang_classifier",
+        "q_js_divergence_sources",
+        "q_domain_mixture_weights",
+        "q_cuped_adjustment",
+        "q_kendall_tau",
+        "q_mutual_info_pairs",
     ):
         assert q in first50, q
-    # the single pre-r5 verdict + the oldest r5-cohort greens
+    # representatives of the 41 oldest r5-cohort greens (their last
+    # driver verdict is round 5)
     for q in (
-        "q_grouping_sets",
-        "q3_shipping_priority",
-        "q10_returned_items",
-        "q_running_customer_revenue",
+        "q_topk_orders_per_segment",
+        "q_rollup_region_nation",
+        "q_salted_join_revenue",
+        "q_asof_latest_order_per_event",
+        "q_near_dup_components",
+        "q_ann_index_build",
+        "q_hll_portable_rollup",
+        "q_bpe_merges",
     ):
         assert q in first50, q
 
