@@ -107,7 +107,13 @@ rotates per round so every family accumulates driver-checked entries:
   _MIDDLE as they land) and bounds staleness at round 5's single
   leftover (q_trip_summary) + the round-6 cohort — _MIDDLE ledgers
   exactly those 51 names in check order, so the natural r12 slate is
-  any r11 additions + q_trip_summary + the oldest r6 names.
+  any r11 additions + q_trip_summary + the oldest r6 names. Round 11
+  landed 8 additions (one-way ANOVA, Grubbs outlier, blocklist gate
+  rates, McNemar paired gates, BH-FDR over term tests, PCA power
+  iteration, graph modularity, calibration+Brier — all oracle-green at
+  all three SFs locally, each with a brute recount test), prepended to
+  _MIDDLE: the natural r12 slate is those 8 + q_trip_summary + the 41
+  oldest r6 names, leaving 9 r6 names for r13.
 """
 
 from flink_template_spark.plans import registry  # noqa: F401
@@ -194,6 +200,8 @@ _PRIORITY = [
 _MIDDLE: list[str] = [
     # round-11 additions: never driver-checked (oracle-green locally
     # at all three SFs) — first in line for the round-12 slate
+    "q_graph_modularity",
+    "q_calibration_brier",
     "q_anova_oneway",
     "q_grubbs_outlier",
     "q_blocklist_gate_rates",

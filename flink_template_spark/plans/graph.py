@@ -691,3 +691,189 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Modularity of the label-propagation communities (round 11)
+# ---------------------------------------------------------------------------
+
+
+def _lp_chain_cte(n_iter: int) -> str:
+    """The labelprop round chain WITHOUT the final rollup — shared by
+    q_labelprop_communities' oracle and the modularity oracle."""
+    rounds = []
+    for i in range(1, n_iter + 1):
+        prev = "l0" if i == 1 else f"l{i - 1}"
+        rounds.append(f"""
+l{i} AS MATERIALIZED (
+  SELECT n.id,
+    COALESCE((
+      SELECT lbl FROM (
+        SELECT p.label AS lbl, COUNT(*) AS c
+        FROM sym e JOIN {prev} p ON p.id = e.dst
+        WHERE e.src = n.id
+        GROUP BY p.label
+      ) t ORDER BY c DESC, lbl LIMIT 1
+    ), n.id) AS label
+  FROM nodes n
+)""")
+    return ",".join(rounds)
+
+
+@register(
+    "q_graph_modularity",
+    oracle=f"""
+WITH edges AS MATERIALIZED ({_TRADE_EDGES_SQL}),
+sym AS MATERIALIZED (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT dst AS src, src AS dst FROM edges
+),
+nodes AS (SELECT n_nationkey AS id FROM nation),
+l0 AS (SELECT id, id AS label FROM nodes),
+{_lp_chain_cte(_LP_ITER)},
+labeled AS MATERIALIZED (SELECT id, label FROM l{_LP_ITER}),
+m2 AS (SELECT COUNT(*) AS arcs FROM sym),  -- 2m (each edge = 2 arcs)
+deg AS (
+  SELECT l.label, COUNT(*) AS d_c
+  FROM sym e JOIN labeled l ON l.id = e.src
+  GROUP BY l.label
+),
+internal AS (
+  SELECT la.label, COUNT(*) AS a_c
+  FROM sym e
+  JOIN labeled la ON la.id = e.src
+  JOIN labeled lb ON lb.id = e.dst
+  WHERE la.label = lb.label
+  GROUP BY la.label
+),
+terms AS (
+  SELECT d.label,
+    COALESCE(i.a_c, 0) AS a_c,
+    d.d_c,
+    CAST(ROUND(
+      (CAST(COALESCE(i.a_c, 0) AS DOUBLE) / arcs)
+        - (CAST(d.d_c AS DOUBLE) / arcs) * (CAST(d.d_c AS DOUBLE) / arcs),
+      9) * 1000000000 AS BIGINT) AS term_q
+  FROM deg d LEFT JOIN internal i ON d.label = i.label
+  CROSS JOIN m2
+),
+q AS (SELECT SUM(term_q) AS q_sum FROM terms)
+SELECT CAST(t.label AS BIGINT) AS community,
+  CAST(t.a_c AS BIGINT) AS internal_arcs,
+  CAST(t.d_c AS BIGINT) AS degree_sum,
+  ROUND(CAST(t.term_q AS DOUBLE) / 1000000000.0, 6) AS term,
+  ROUND(CAST(q.q_sum AS DOUBLE) / 1000000000.0, 6) AS modularity_q
+FROM terms t CROSS JOIN q
+ORDER BY community
+""",
+)
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the label-propagation communities over the
+    symmetrized trade graph: Q = Σ_c [aᶜ/2m − (dᶜ/2m)²] with aᶜ =
+    within-community arcs and dᶜ = community degree sum (arc counts, so
+    2m = |sym|) — the quality readout that tells a curation stack
+    whether its host-community prior actually found structure (Q ≈ 0 =
+    no better than random, Q ≳ 0.3 = real communities worth per-
+    community mixture decisions).
+
+    Exactness: the labeling replays q_labelprop_communities' exact
+    synchronous rounds (same CTE chain, shared via _lp_chain_cte);
+    aᶜ/dᶜ/2m are exact integers; each community's term is ONE double
+    expression rounded 9 dp and fixed-point-quantized before the
+    community-level sum (terms ∈ [−1, 1], so ×1e9 fits int64 up to
+    ~9e9 communities — partition-order-free, the ANOVA discipline).
+
+    Scale shape: two edge⋈label equi-join shuffles (degree and
+    internal-arc counts) over the memoized edge table after the fixed
+    labelprop rounds; the term table is |communities|-sized, its sum a
+    1-row broadcast."""
+    from pyspark.sql import Window as W
+
+    edges = _trade_edges(spark, sf_dir)
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    nodes = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("id")
+    )
+    labels = nodes.select("id", F.col("id").alias("label"))
+    warg = W.partitionBy("id").orderBy(F.desc("c"), "lbl")
+    for _ in range(_LP_ITER):
+        neigh = (
+            sym.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("label").alias("lbl")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = (
+            neigh.withColumn("rk", F.row_number().over(warg))
+            .filter(F.col("rk") == 1)
+            .select("id", F.col("lbl").alias("new_label"))
+        )
+        labels = nodes.join(best, "id", "left").select(
+            "id",
+            F.coalesce(F.col("new_label"), F.col("id")).alias("label"),
+        )
+    labeled = labels.localCheckpoint(eager=False)  # three consumers
+    m2 = sym.agg(F.count(F.lit(1)).alias("arcs"))
+    deg = (
+        sym.join(labeled.select(F.col("id").alias("src"), "label"), "src")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("d_c"))
+    )
+    internal = (
+        sym.join(
+            labeled.select(F.col("id").alias("src"), F.col("label").alias("la")),
+            "src",
+        )
+        .join(
+            labeled.select(F.col("id").alias("dst"), F.col("label").alias("lb")),
+            "dst",
+        )
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count(F.lit(1)).alias("a_c"))
+    )
+    arcs = F.col("arcs").cast("double")
+    terms = (
+        deg.join(internal, "label", "left")
+        .crossJoin(F.broadcast(m2))
+        .select(
+            "label",
+            F.coalesce(F.col("a_c"), F.lit(0)).alias("a_c"),
+            "d_c",
+            (
+                F.round(
+                    F.coalesce(F.col("a_c"), F.lit(0)).cast("double") / arcs
+                    - (F.col("d_c").cast("double") / arcs)
+                    * (F.col("d_c").cast("double") / arcs),
+                    9,
+                )
+                * 1000000000
+            )
+            .cast("bigint")
+            .alias("term_q"),
+        )
+        .localCheckpoint(eager=False)  # two consumers: rows + Q sum
+    )
+    qsum = terms.agg(F.sum("term_q").alias("q_sum"))
+    return (
+        terms.crossJoin(F.broadcast(qsum))
+        .select(
+            F.col("label").cast("bigint").alias("community"),
+            F.col("a_c").cast("bigint").alias("internal_arcs"),
+            F.col("d_c").cast("bigint").alias("degree_sum"),
+            F.round(F.col("term_q").cast("double") / 1000000000.0, 6).alias(
+                "term"
+            ),
+            F.round(F.col("q_sum").cast("double") / 1000000000.0, 6).alias(
+                "modularity_q"
+            ),
+        )
+        .orderBy("community")
+    )

@@ -4068,3 +4068,195 @@ def q_bh_fdr_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier calibration curve + Brier score (round 11)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_calibration_brier",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS c,
+    lang,
+    unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+tokf AS (SELECT * FROM tok WHERE word <> ''),
+vocab AS (
+  SELECT word, SUM(c) AS c1, COUNT(*) - SUM(c) AS c0
+  FROM tokf GROUP BY word
+),
+tot AS (SELECT SUM(c1) AS t1, SUM(c0) AS t0, COUNT(*) AS v FROM vocab),
+lo AS (
+  SELECT word,
+    CAST(ROUND(
+      (LN((c1 + 1.0) / (t1 + v)) - LN((c0 + 1.0) / (t0 + v))) * 10000000.0,
+    0) AS BIGINT) AS q
+  FROM vocab CROSS JOIN tot
+),
+prior AS (
+  SELECT CAST(ROUND(LN(
+      CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+      / SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)) * 10000000.0,
+    0) AS BIGINT) AS pq
+  FROM documents
+),
+scored AS (
+  SELECT t.doc_id,
+    MAX(CASE WHEN t.lang = 'en' THEN 1 ELSE 0 END) AS y,
+    SUM(lo.q) + MAX(prior.pq) AS score_q
+  FROM tokf t JOIN lo ON t.word = lo.word CROSS JOIN prior
+  GROUP BY t.doc_id
+),
+probs AS (
+  SELECT y,
+    ROUND(1.0 / (1.0 + EXP(-CAST(score_q AS DOUBLE) / 10000000.0)), 6) AS p
+  FROM scored
+),
+binned AS (
+  SELECT LEAST(CAST(FLOOR(p * 10) AS BIGINT), 9) AS bucket,
+    COUNT(*) AS n_docs,
+    SUM(CAST(ROUND(p * 1000000, 0) AS BIGINT)) AS p_sum_q,
+    SUM(y) AS n_pos,
+    SUM(CAST(ROUND((p - y) * (p - y) * 1000000000, 0) AS BIGINT))
+      AS brier_sum_q
+  FROM probs GROUP BY 1
+),
+tot2 AS (
+  SELECT SUM(n_docs) AS n, SUM(brier_sum_q) AS bq FROM binned
+)
+SELECT bucket,
+  CAST(b.n_docs AS BIGINT) AS n_docs,
+  ROUND(CAST(b.p_sum_q AS DOUBLE) / (1000000.0 * b.n_docs), 6)
+    AS mean_predicted,
+  ROUND(CAST(b.n_pos AS DOUBLE) / b.n_docs, 6) AS empirical_rate,
+  ROUND(CAST(t.bq AS DOUBLE) / (1000000000.0 * t.n), 6) AS brier_score
+FROM binned b CROSS JOIN tot2 t
+ORDER BY bucket
+""",
+)
+def q_calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve + Brier score for the Naive-Bayes language
+    gate (q_nb_lang_classifier's exact scoring replayed — same ×1e7
+    quantized log-odds, same ≥1-token scope): per probability decile,
+    the mean predicted p(en) vs the empirical 'en' rate, plus the
+    overall Brier score — the readout that decides whether a
+    classifier-filtered corpus can TRUST its scores as probabilities
+    (threshold-by-p is only meaningful when the curve hugs the
+    diagonal).
+
+    Exactness: the doc score is an exact integer (any partition
+    order); p = logistic(score) is one libm exp of an identical double
+    — rounded 6 dp, which absorbs cross-engine exp ulps — and every
+    per-doc statistic that gets SUMMED (p itself, the (p−y)² Brier
+    term) is fixed-point-quantized first, so bucket sums are exact
+    integers. The decile index floors the ROUNDED p (identical doubles
+    → identical buckets).
+
+    Scale shape: the q_nb_lang_classifier plan plus one 10-bucket hash
+    agg with map-side partials — corpus rows still touch exactly two
+    tokenize passes (train + score) and one doc-keyed reduction."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("c"),
+        "lang",
+        F.explode(F.split(F.col("text"), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    vocab = tok.groupBy("word").agg(
+        F.sum("c").alias("c1"),
+        (F.count(F.lit(1)) - F.sum("c")).alias("c0"),
+    ).localCheckpoint(eager=False)
+    tot = vocab.agg(
+        F.sum("c1").alias("t1"),
+        F.sum("c0").alias("t0"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    lo = vocab.crossJoin(F.broadcast(tot)).select(
+        "word",
+        F.round(
+            (
+                F.log((F.col("c1") + 1.0) / (F.col("t1") + F.col("v")))
+                - F.log((F.col("c0") + 1.0) / (F.col("t0") + F.col("v")))
+            )
+            * 10000000.0,
+            0,
+        )
+        .cast("bigint")
+        .alias("q"),
+    )
+    prior = docs.agg(
+        F.round(
+            F.log(
+                F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.sum(F.when(F.col("lang") == "en", 0).otherwise(1))
+            )
+            * 10000000.0,
+            0,
+        )
+        .cast("bigint")
+        .alias("pq")
+    )
+    scored = (
+        tok.join(lo, "word")
+        .crossJoin(F.broadcast(prior))
+        .groupBy("doc_id")
+        .agg(
+            F.max(
+                F.when(F.col("lang") == "en", 1).otherwise(0)
+            ).alias("y"),
+            (F.sum("q") + F.max("pq")).alias("score_q"),
+        )
+    )
+    p = F.round(
+        1.0 / (1.0 + F.exp(-F.col("score_q").cast("double") / 10000000.0)),
+        6,
+    )
+    probs = scored.select(F.col("y"), p.alias("p"))
+    binned = probs.groupBy(
+        F.least(F.floor(F.col("p") * 10), F.lit(9))
+        .cast("bigint")
+        .alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.round(F.col("p") * 1000000, 0).cast("bigint")).alias(
+            "p_sum_q"
+        ),
+        F.sum("y").alias("n_pos"),
+        F.sum(
+            F.round(
+                (F.col("p") - F.col("y"))
+                * (F.col("p") - F.col("y"))
+                * 1000000000,
+                0,
+            ).cast("bigint")
+        ).alias("brier_sum_q"),
+    ).localCheckpoint(eager=False)  # two consumers: rows + corpus Brier
+    tot2 = binned.agg(
+        F.sum("n_docs").alias("n"), F.sum("brier_sum_q").alias("bq")
+    )
+    return (
+        binned.crossJoin(F.broadcast(tot2))
+        .select(
+            "bucket",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.round(
+                F.col("p_sum_q").cast("double")
+                / (1000000.0 * F.col("n_docs")),
+                6,
+            ).alias("mean_predicted"),
+            F.round(
+                F.col("n_pos").cast("double") / F.col("n_docs"), 6
+            ).alias("empirical_rate"),
+            F.round(
+                F.col("bq").cast("double") / (1000000000.0 * F.col("n")), 6
+            ).alias("brier_score"),
+        )
+        .orderBy("bucket")
+    )
