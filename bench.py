@@ -167,20 +167,29 @@ def _external_cpu_share(
     rewritten r11). Our share is summed pid-by-pid: pids new in the
     window count in full, and a pid whose jiffies DECREASED was reused
     by a new in-tree process — its full (in-window) count is ours.
-    Process exits therefore can't poison the attribution."""
+    Process exits therefore can't poison the attribution. Each probe
+    is (cpu_totals, our_tree_snapshot, kthread_snapshot): kernel
+    threads (the kthreadd subtree — kworker flushes etc.) are excluded
+    from BOTH sides, because their CPU is largely INDUCED by our own
+    IO — counting it as external read a truly idle box at ~5%
+    'contention' during the IO-heavy trip window."""
     if not before or not after or None in before or None in after:
         return None
-    (tot0, idle0), ours0 = before
-    (tot1, idle1), ours1 = after
+    (tot0, idle0), ours0, kt0 = before
+    (tot1, idle1), ours1, kt1 = after
     d_total = tot1 - tot0
     if d_total <= 0:
         return None
     busy = d_total - (idle1 - idle0)
-    ours = 0
-    for pid, j1 in ours1.items():
-        j0 = ours0.get(pid, 0)
-        ours += j1 if j1 < j0 else j1 - j0
-    external = max(0, busy - ours)
+
+    def _delta(s1: dict, s0: dict) -> int:
+        d = 0
+        for pid, j1 in s1.items():
+            j0 = s0.get(pid, 0)
+            d += j1 if j1 < j0 else j1 - j0
+        return d
+
+    external = max(0, busy - _delta(ours1, ours0) - _delta(kt1, kt0))
     return round(external / d_total, 4)
 
 
@@ -289,7 +298,9 @@ def main() -> None:
         # clause is adjudicated against trip_load1, not narrative.
         trip_load1 = _load1()
         me = os.getpid()
-        probe0 = (_cpu_totals(), _tree_cpu_snapshot(me))
+        # pid 2 = kthreadd: the kernel-thread subtree (see
+        # _external_cpu_share's attribution note)
+        probe0 = (_cpu_totals(), _tree_cpu_snapshot(me), _tree_cpu_snapshot(2))
         trip_samples: list[float] = []
         for _ in range(3):
             timed = aggregate_trips(read_trip_events_json(spark, fx))
@@ -299,7 +310,8 @@ def main() -> None:
             timed.input.unpersist(True)
             trip_samples.append(round(n_events / w, 1))
         trip_ext_cpu = _external_cpu_share(
-            probe0, (_cpu_totals(), _tree_cpu_snapshot(me))
+            probe0,
+            (_cpu_totals(), _tree_cpu_snapshot(me), _tree_cpu_snapshot(2)),
         )
         trip_eps = max(trip_samples)
     except Exception as exc:

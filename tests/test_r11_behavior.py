@@ -71,12 +71,20 @@ def test_bench_external_cpu_share():
     import bench
 
     me = os.getpid()
-    before = (bench._cpu_totals(), bench._tree_cpu_snapshot(me))
+    before = (
+        bench._cpu_totals(),
+        bench._tree_cpu_snapshot(me),
+        bench._tree_cpu_snapshot(2),
+    )
     t0 = time.time()
     x = 0
     while time.time() - t0 < 0.5:  # in-tree CPU burn
         x += sum(i * i for i in range(1000))
-    after = (bench._cpu_totals(), bench._tree_cpu_snapshot(me))
+    after = (
+        bench._cpu_totals(),
+        bench._tree_cpu_snapshot(me),
+        bench._tree_cpu_snapshot(2),
+    )
     share = bench._external_cpu_share(before, after)
     # live probe: only the envelope is asserted (a loaded box can
     # legitimately read any external share — no flaky threshold)
@@ -84,18 +92,23 @@ def test_bench_external_cpu_share():
     assert bench._external_cpu_share(None, after) is None
     assert bench._external_cpu_share(before, before) is None
     # attribution logic pinned on SYNTHETIC windows (deterministic):
-    # 100-jiffy window, 80 busy; our tree burned 50 of them
-    b = ((1000, 900), {10: 100, 11: 40})
-    a = ((1100, 920), {10: 130, 11: 60})
-    assert bench._external_cpu_share(b, a) == round((80 - 50) / 100, 4)
+    # 100-jiffy window, 80 busy; our tree burned 50, kthreads 10
+    kt_b, kt_a = {2: 5}, {2: 15}
+    b = ((1000, 900), {10: 100, 11: 40}, kt_b)
+    a = ((1100, 920), {10: 130, 11: 60}, kt_a)
+    assert bench._external_cpu_share(b, a) == round((80 - 50 - 10) / 100, 4)
     # a long-lived worker EXITING mid-window must not poison ours:
     # pid 11 (40 jiffies of history) vanishes; pid 12 starts in-window
-    a2 = ((1100, 920), {10: 130, 12: 15})
-    assert bench._external_cpu_share(b, a2) == round((80 - 30 - 15) / 100, 4)
+    a2 = ((1100, 920), {10: 130, 12: 15}, kt_a)
+    assert bench._external_cpu_share(b, a2) == round(
+        (80 - 30 - 15 - 10) / 100, 4
+    )
     # pid-reuse guard: a reused pid (jiffies DECREASED) is a new
     # in-tree process — its full in-window count is ours
-    a3 = ((1100, 920), {10: 130, 11: 5})
-    assert bench._external_cpu_share(b, a3) == round((80 - 30 - 5) / 100, 4)
+    a3 = ((1100, 920), {10: 130, 11: 5}, kt_a)
+    assert bench._external_cpu_share(b, a3) == round(
+        (80 - 30 - 5 - 10) / 100, 4
+    )
 
 
 def test_bench_import_is_lazy():
