@@ -118,18 +118,24 @@ def _cpu_totals() -> tuple[int, int] | None:
         return None
 
 
-def _tree_cpu_snapshot(root_pid: int) -> dict[int, int] | None:
-    """Per-pid utime+stime jiffies of root_pid and every live
-    descendant (the python driver, the Spark JVM, its Python workers).
-    PER-PID (not a tree total) so the consumer can difference pid by
-    pid: a long-lived worker that EXITS inside the window would
+def _cpu_probe(root_pid: int) -> tuple | None:
+    """One consistent /proc sweep → (cpu_totals, ours, kthreads):
+    per-pid utime+stime jiffies of root_pid's process tree (the python
+    driver, the Spark JVM, its Python workers) and of the kernel-thread
+    tree. PER-PID (not tree totals) so the consumer can difference pid
+    by pid: a long-lived worker that EXITS inside the window would
     otherwise subtract its whole pre-window history from the tree
     delta and misattribute the bench's own CPU as external. A pid that
     exits mid-window loses only its in-window burn (counted as
     external — small and bounded); short-lived already-reaped children
-    are likewise missed."""
+    are likewise missed. The kernel tree root is DISCOVERED (comm ==
+    'kthreadd'), never assumed to be pid 2 — inside a PID namespace
+    pid 2 is an arbitrary user process and kernel threads are usually
+    invisible (empty kthread snapshot, correctly)."""
     try:
+        totals = _cpu_totals()
         procs: dict[int, tuple[int, int]] = {}
+        kthreadd = None
         for d in os.listdir("/proc"):
             if not d.isdigit():
                 continue
@@ -138,20 +144,28 @@ def _tree_cpu_snapshot(root_pid: int) -> dict[int, int] | None:
                     s = fh.read()
             except OSError:
                 continue  # raced with process exit
-            rest = s.rsplit(")", 1)[1].split()
-            procs[int(d)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+            head, rest_s = s.rsplit(")", 1)
+            rest = rest_s.split()
+            pid = int(d)
+            procs[pid] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+            if kthreadd is None and head.endswith("(kthreadd"):
+                kthreadd = pid
         kids: dict[int, list[int]] = {}
         for pid, (ppid, _) in procs.items():
             kids.setdefault(ppid, []).append(pid)
-        out: dict[int, int] = {}
-        stack = [root_pid]
-        while stack:
-            p = stack.pop()
-            if p in out or p not in procs:
-                continue
-            out[p] = procs[p][1]
-            stack.extend(kids.get(p, []))
-        return out
+
+        def walk(root: int | None) -> dict[int, int]:
+            out: dict[int, int] = {}
+            stack = [] if root is None else [root]
+            while stack:
+                q = stack.pop()
+                if q in out or q not in procs:
+                    continue
+                out[q] = procs[q][1]
+                stack.extend(kids.get(q, []))
+            return out
+
+        return totals, walk(root_pid), walk(kthreadd)
     except (OSError, ValueError, IndexError):
         return None
 
@@ -160,19 +174,19 @@ def _external_cpu_share(
     before: tuple | None, after: tuple | None
 ) -> float | None:
     """Fraction of machine CPU time consumed by OTHER processes across
-    a measurement window. `before`/`after` are (cpu_totals,
-    tree_cpu_snapshot) pairs. This — not the load average, which a
+    a measurement window. `before`/`after` are _cpu_probe() results —
+    (cpu_totals, our_tree_snapshot, kthread_snapshot) triples. This —
+    not the load average, which a
     running bench inflates by itself — is what adjudicates whether a
     trip-rate reading was externally contended (BASELINE.md rule,
     rewritten r11). Our share is summed pid-by-pid: pids new in the
     window count in full, and a pid whose jiffies DECREASED was reused
     by a new in-tree process — its full (in-window) count is ours.
-    Process exits therefore can't poison the attribution. Each probe
-    is (cpu_totals, our_tree_snapshot, kthread_snapshot): kernel
+    Process exits therefore can't poison the attribution. Kernel
     threads (the kthreadd subtree — kworker flushes etc.) are excluded
     from BOTH sides, because their CPU is largely INDUCED by our own
     IO — counting it as external read a truly idle box at ~5%
-    'contention' during the IO-heavy trip window."""
+    'contention' during the IO-heavy trip window (see _cpu_probe)."""
     if not before or not after or None in before or None in after:
         return None
     (tot0, idle0), ours0, kt0 = before
@@ -297,10 +311,7 @@ def main() -> None:
         # the samples — BASELINE.md's "<350k fully-warm = regression"
         # clause is adjudicated against trip_load1, not narrative.
         trip_load1 = _load1()
-        me = os.getpid()
-        # pid 2 = kthreadd: the kernel-thread subtree (see
-        # _external_cpu_share's attribution note)
-        probe0 = (_cpu_totals(), _tree_cpu_snapshot(me), _tree_cpu_snapshot(2))
+        probe0 = _cpu_probe(os.getpid())
         trip_samples: list[float] = []
         for _ in range(3):
             timed = aggregate_trips(read_trip_events_json(spark, fx))
@@ -309,10 +320,7 @@ def main() -> None:
             w = time.perf_counter() - t0
             timed.input.unpersist(True)
             trip_samples.append(round(n_events / w, 1))
-        trip_ext_cpu = _external_cpu_share(
-            probe0,
-            (_cpu_totals(), _tree_cpu_snapshot(me), _tree_cpu_snapshot(2)),
-        )
+        trip_ext_cpu = _external_cpu_share(probe0, _cpu_probe(os.getpid()))
         trip_eps = max(trip_samples)
     except Exception as exc:
         trip_load1 = None

@@ -441,7 +441,9 @@ def q_hits_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LP_ITER = 3
 
 
-def _labelprop_oracle(n_iter: int) -> str:
+def _lp_chain_cte(n_iter: int) -> str:
+    """The labelprop round chain WITHOUT the final rollup — shared by
+    q_labelprop_communities' oracle and the modularity oracle."""
     rounds = []
     for i in range(1, n_iter + 1):
         prev = "l0" if i == 1 else f"l{i - 1}"
@@ -458,7 +460,50 @@ l{i} AS MATERIALIZED (
     ), n.id) AS label
   FROM nodes n
 )""")
-    chain = ",".join(rounds)
+    return ",".join(rounds)
+
+
+def _labelprop_sym_and_labels(spark, sf_dir):
+    """Symmetrized edge table + the final synchronous-LPA labeling —
+    the SHARED plan-side dual of _lp_chain_cte, used by BOTH
+    q_labelprop_communities and q_graph_modularity so a tie-break or
+    round-count tweak can never desynchronize the community ids one
+    query emits from the partition the other scores."""
+    from pyspark.sql import Window as W
+
+    edges = _trade_edges(spark, sf_dir)
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    nodes = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("id")
+    )
+    labels = nodes.select("id", F.col("id").alias("label"))
+    warg = W.partitionBy("id").orderBy(F.desc("c"), "lbl")
+    for _ in range(_LP_ITER):
+        neigh = (
+            sym.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("label").alias("lbl")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = (
+            neigh.withColumn("rk", F.row_number().over(warg))
+            .filter(F.col("rk") == 1)
+            .select("id", F.col("lbl").alias("new_label"))
+        )
+        labels = nodes.join(best, "id", "left").select(
+            "id",
+            F.coalesce(F.col("new_label"), F.col("id")).alias("label"),
+        )
+    return sym, labels
+
+
+def _labelprop_oracle(n_iter: int) -> str:
     return f"""
 WITH edges AS MATERIALIZED ({_TRADE_EDGES_SQL}),
 sym AS MATERIALIZED (
@@ -468,7 +513,7 @@ sym AS MATERIALIZED (
 ),
 nodes AS (SELECT n_nationkey AS id FROM nation),
 l0 AS (SELECT id, id AS label FROM nodes),
-{chain}
+{_lp_chain_cte(n_iter)}
 SELECT CAST(l.label AS BIGINT) AS community,
   CAST(COUNT(*) AS BIGINT) AS n_members,
   CAST(MIN(l.id) AS BIGINT) AS min_member
@@ -497,40 +542,7 @@ def q_labelprop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     (node, label)-keyed count with a node-partitioned argmax window —
     the same edge-proportional round cost as the PageRank family; the
     edge table is the memoized session build (no re-derivation)."""
-    from pyspark.sql import Window as W
-
-    edges = _trade_edges(spark, sf_dir)
-    sym = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    nodes = load_table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("id")
-    )
-    labels = nodes.select("id", F.col("id").alias("label"))
-    warg = W.partitionBy("id").orderBy(F.desc("c"), "lbl")
-    for _ in range(_LP_ITER):
-        neigh = (
-            sym.join(
-                labels.select(
-                    F.col("id").alias("dst"), F.col("label").alias("lbl")
-                ),
-                "dst",
-            )
-            .groupBy(F.col("src").alias("id"), "lbl")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        best = (
-            neigh.withColumn("rk", F.row_number().over(warg))
-            .filter(F.col("rk") == 1)
-            .select("id", F.col("lbl").alias("new_label"))
-        )
-        labels = (
-            nodes.join(best, "id", "left")
-            .select(
-                "id",
-                F.coalesce(F.col("new_label"), F.col("id")).alias("label"),
-            )
-        )
+    _, labels = _labelprop_sym_and_labels(spark, sf_dir)
     return (
         labels.groupBy(F.col("label").alias("community"))
         .agg(
@@ -698,28 +710,6 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _lp_chain_cte(n_iter: int) -> str:
-    """The labelprop round chain WITHOUT the final rollup — shared by
-    q_labelprop_communities' oracle and the modularity oracle."""
-    rounds = []
-    for i in range(1, n_iter + 1):
-        prev = "l0" if i == 1 else f"l{i - 1}"
-        rounds.append(f"""
-l{i} AS MATERIALIZED (
-  SELECT n.id,
-    COALESCE((
-      SELECT lbl FROM (
-        SELECT p.label AS lbl, COUNT(*) AS c
-        FROM sym e JOIN {prev} p ON p.id = e.dst
-        WHERE e.src = n.id
-        GROUP BY p.label
-      ) t ORDER BY c DESC, lbl LIMIT 1
-    ), n.id) AS label
-  FROM nodes n
-)""")
-    return ",".join(rounds)
-
-
 @register(
     "q_graph_modularity",
     oracle=f"""
@@ -752,9 +742,9 @@ terms AS (
     COALESCE(i.a_c, 0) AS a_c,
     d.d_c,
     CAST(ROUND(
-      (CAST(COALESCE(i.a_c, 0) AS DOUBLE) / arcs)
-        - (CAST(d.d_c AS DOUBLE) / arcs) * (CAST(d.d_c AS DOUBLE) / arcs),
-      9) * 1000000000 AS BIGINT) AS term_q
+      ((CAST(COALESCE(i.a_c, 0) AS DOUBLE) / arcs)
+        - (CAST(d.d_c AS DOUBLE) / arcs) * (CAST(d.d_c AS DOUBLE) / arcs))
+      * 1000000000, 0) AS BIGINT) AS term_q
   FROM deg d LEFT JOIN internal i ON d.label = i.label
   CROSS JOIN m2
 ),
@@ -780,45 +770,17 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: the labeling replays q_labelprop_communities' exact
     synchronous rounds (same CTE chain, shared via _lp_chain_cte);
     aᶜ/dᶜ/2m are exact integers; each community's term is ONE double
-    expression rounded 9 dp and fixed-point-quantized before the
-    community-level sum (terms ∈ [−1, 1], so ×1e9 fits int64 up to
-    ~9e9 communities — partition-order-free, the ANOVA discipline).
+    expression quantized ROUND(x·1e9, 0) → bigint before the
+    community-level sum (round-THEN-cast: Spark's double→bigint cast
+    truncates while DuckDB's rounds, so the multiply-round-0 form is
+    the only engine-identical one; terms ∈ [−1, 1], so ×1e9 fits int64
+    up to ~9e9 communities — partition-order-free).
 
     Scale shape: two edge⋈label equi-join shuffles (degree and
     internal-arc counts) over the memoized edge table after the fixed
     labelprop rounds; the term table is |communities|-sized, its sum a
     1-row broadcast."""
-    from pyspark.sql import Window as W
-
-    edges = _trade_edges(spark, sf_dir)
-    sym = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    nodes = load_table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("id")
-    )
-    labels = nodes.select("id", F.col("id").alias("label"))
-    warg = W.partitionBy("id").orderBy(F.desc("c"), "lbl")
-    for _ in range(_LP_ITER):
-        neigh = (
-            sym.join(
-                labels.select(
-                    F.col("id").alias("dst"), F.col("label").alias("lbl")
-                ),
-                "dst",
-            )
-            .groupBy(F.col("src").alias("id"), "lbl")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        best = (
-            neigh.withColumn("rk", F.row_number().over(warg))
-            .filter(F.col("rk") == 1)
-            .select("id", F.col("lbl").alias("new_label"))
-        )
-        labels = nodes.join(best, "id", "left").select(
-            "id",
-            F.coalesce(F.col("new_label"), F.col("id")).alias("label"),
-        )
+    sym, labels = _labelprop_sym_and_labels(spark, sf_dir)
     labeled = labels.localCheckpoint(eager=False)  # three consumers
     m2 = sym.agg(F.count(F.lit(1)).alias("arcs"))
     deg = (
@@ -847,14 +809,14 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             F.coalesce(F.col("a_c"), F.lit(0)).alias("a_c"),
             "d_c",
-            (
-                F.round(
+            F.round(
+                (
                     F.coalesce(F.col("a_c"), F.lit(0)).cast("double") / arcs
                     - (F.col("d_c").cast("double") / arcs)
-                    * (F.col("d_c").cast("double") / arcs),
-                    9,
+                    * (F.col("d_c").cast("double") / arcs)
                 )
-                * 1000000000
+                * 1000000000,
+                0,
             )
             .cast("bigint")
             .alias("term_q"),

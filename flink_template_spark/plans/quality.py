@@ -3445,10 +3445,13 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_nb_lang_classifier",
-    oracle="""
-WITH tok AS (
+# Shared Naive-Bayes scoring: ONE definition of the tokenize → vocab →
+# quantized-log-odds → per-doc exact-integer score pipeline, used by
+# BOTH q_nb_lang_classifier (readout: per-lang mean/accuracy) and
+# q_calibration_brier (readout: probability calibration + Brier), so a
+# smoothing/tokenization/quantization tweak can never desynchronize the
+# classifier from its own calibration report.
+_NB_SCORED_CTE = """tok AS (
   SELECT doc_id,
     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS c,
     lang,
@@ -3457,14 +3460,10 @@ WITH tok AS (
 ),
 tokf AS (SELECT * FROM tok WHERE word <> ''),
 vocab AS (
-  SELECT word,
-    SUM(c) AS c1,
-    COUNT(*) - SUM(c) AS c0
+  SELECT word, SUM(c) AS c1, COUNT(*) - SUM(c) AS c0
   FROM tokf GROUP BY word
 ),
-tot AS (
-  SELECT SUM(c1) AS t1, SUM(c0) AS t0, COUNT(*) AS v FROM vocab
-),
+tot AS (SELECT SUM(c1) AS t1, SUM(c0) AS t0, COUNT(*) AS v FROM vocab),
 lo AS (
   SELECT word,
     CAST(ROUND(
@@ -3480,10 +3479,81 @@ prior AS (
   FROM documents
 ),
 scored AS (
-  SELECT t.doc_id, t.lang, SUM(lo.q) + MAX(prior.pq) AS score_q
+  SELECT t.doc_id, t.lang,
+    CASE WHEN t.lang = 'en' THEN 1 ELSE 0 END AS y,
+    SUM(lo.q) + MAX(prior.pq) AS score_q
   FROM tokf t JOIN lo ON t.word = lo.word CROSS JOIN prior
   GROUP BY t.doc_id, t.lang
-)
+)"""
+
+
+def _nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame dual of _NB_SCORED_CTE: (doc_id, lang, y, score_q)
+    with score_q an exact integer in any partition order (×1e7
+    quantized log-odds + prior; ≥1-token scope via the inner join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("c"),
+        "lang",
+        F.explode(F.split(F.col("text"), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    # pin: two consumers (class totals + log-odds) of the Zipf-small
+    # vocab would otherwise each re-run the training tokenization pass
+    vocab = tok.groupBy("word").agg(
+        F.sum("c").alias("c1"),
+        (F.count(F.lit(1)) - F.sum("c")).alias("c0"),
+    ).localCheckpoint(eager=False)
+    tot = vocab.agg(
+        F.sum("c1").alias("t1"),
+        F.sum("c0").alias("t0"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    lo = vocab.crossJoin(F.broadcast(tot)).select(
+        "word",
+        F.round(
+            (
+                F.log((F.col("c1") + 1.0) / (F.col("t1") + F.col("v")))
+                - F.log((F.col("c0") + 1.0) / (F.col("t0") + F.col("v")))
+            )
+            * 10000000.0,
+            0,
+        )
+        .cast("bigint")
+        .alias("q"),
+    )
+    prior = docs.agg(
+        F.round(
+            F.log(
+                F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.sum(F.when(F.col("lang") == "en", 0).otherwise(1))
+            )
+            * 10000000.0,
+            0,
+        )
+        .cast("bigint")
+        .alias("pq")
+    )
+    return (
+        tok.join(lo, "word")
+        .crossJoin(F.broadcast(prior))
+        .groupBy("doc_id", "lang")
+        .agg((F.sum("q") + F.max("pq")).alias("score_q"))
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+            "score_q",
+        )
+    )
+
+
+@register(
+    "q_nb_lang_classifier",
+    oracle=f"""
+WITH {_NB_SCORED_CTE}
 SELECT lang,
   CAST(COUNT(*) AS BIGINT) AS n_docs,
   ROUND(CAST(SUM(score_q) AS DOUBLE) / (10000000.0 * COUNT(*)), 6)
@@ -3519,60 +3589,7 @@ def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides one doc_id shuffle; the readout is a 5-row agg. Two corpus
     tokenization passes (train + score), the q_unigram_logprob
     shape."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id",
-        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("c"),
-        "lang",
-        F.explode(F.split(F.col("text"), " ")).alias("word"),
-    ).filter(F.col("word") != "")
-    # pin: two consumers (class totals + log-odds) of the Zipf-small
-    # vocab would otherwise each re-run the training tokenization pass
-    vocab = tok.groupBy("word").agg(
-        F.sum("c").alias("c1"),
-        (F.count(F.lit(1)) - F.sum("c")).alias("c0"),
-    ).localCheckpoint(eager=False)
-    tot = vocab.agg(
-        F.sum("c1").alias("t1"),
-        F.sum("c0").alias("t0"),
-        F.count(F.lit(1)).alias("v"),
-    )
-    lo = (
-        vocab.crossJoin(F.broadcast(tot))
-        .select(
-            "word",
-            F.round(
-                (
-                    F.log((F.col("c1") + 1.0) / (F.col("t1") + F.col("v")))
-                    - F.log((F.col("c0") + 1.0) / (F.col("t0") + F.col("v")))
-                )
-                * 10000000.0,
-                0,
-            )
-            .cast("bigint")
-            .alias("q"),
-        )
-    )
-    prior = docs.agg(
-        F.round(
-            F.log(
-                F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast(
-                    "double"
-                )
-                / F.sum(F.when(F.col("lang") == "en", 0).otherwise(1))
-            )
-            * 10000000.0,
-            0,
-        )
-        .cast("bigint")
-        .alias("pq")
-    )
-    scored = (
-        tok.join(lo, "word")
-        .crossJoin(F.broadcast(prior))
-        .groupBy("doc_id", "lang")
-        .agg((F.sum("q") + F.max("pq")).alias("score_q"))
-    )
+    scored = _nb_scored(spark, sf_dir)
     return (
         scored.groupBy("lang")
         .agg(
@@ -4077,41 +4094,8 @@ def q_bh_fdr_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_calibration_brier",
-    oracle="""
-WITH tok AS (
-  SELECT doc_id,
-    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS c,
-    lang,
-    unnest(string_split(text, ' ')) AS word
-  FROM documents
-),
-tokf AS (SELECT * FROM tok WHERE word <> ''),
-vocab AS (
-  SELECT word, SUM(c) AS c1, COUNT(*) - SUM(c) AS c0
-  FROM tokf GROUP BY word
-),
-tot AS (SELECT SUM(c1) AS t1, SUM(c0) AS t0, COUNT(*) AS v FROM vocab),
-lo AS (
-  SELECT word,
-    CAST(ROUND(
-      (LN((c1 + 1.0) / (t1 + v)) - LN((c0 + 1.0) / (t0 + v))) * 10000000.0,
-    0) AS BIGINT) AS q
-  FROM vocab CROSS JOIN tot
-),
-prior AS (
-  SELECT CAST(ROUND(LN(
-      CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
-      / SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)) * 10000000.0,
-    0) AS BIGINT) AS pq
-  FROM documents
-),
-scored AS (
-  SELECT t.doc_id,
-    MAX(CASE WHEN t.lang = 'en' THEN 1 ELSE 0 END) AS y,
-    SUM(lo.q) + MAX(prior.pq) AS score_q
-  FROM tokf t JOIN lo ON t.word = lo.word CROSS JOIN prior
-  GROUP BY t.doc_id
-),
+    oracle=f"""
+WITH {_NB_SCORED_CTE},
 probs AS (
   SELECT y,
     ROUND(1.0 / (1.0 + EXP(-CAST(score_q AS DOUBLE) / 10000000.0)), 6) AS p
@@ -4160,60 +4144,7 @@ def q_calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the q_nb_lang_classifier plan plus one 10-bucket hash
     agg with map-side partials — corpus rows still touch exactly two
     tokenize passes (train + score) and one doc-keyed reduction."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id",
-        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("c"),
-        "lang",
-        F.explode(F.split(F.col("text"), " ")).alias("word"),
-    ).filter(F.col("word") != "")
-    vocab = tok.groupBy("word").agg(
-        F.sum("c").alias("c1"),
-        (F.count(F.lit(1)) - F.sum("c")).alias("c0"),
-    ).localCheckpoint(eager=False)
-    tot = vocab.agg(
-        F.sum("c1").alias("t1"),
-        F.sum("c0").alias("t0"),
-        F.count(F.lit(1)).alias("v"),
-    )
-    lo = vocab.crossJoin(F.broadcast(tot)).select(
-        "word",
-        F.round(
-            (
-                F.log((F.col("c1") + 1.0) / (F.col("t1") + F.col("v")))
-                - F.log((F.col("c0") + 1.0) / (F.col("t0") + F.col("v")))
-            )
-            * 10000000.0,
-            0,
-        )
-        .cast("bigint")
-        .alias("q"),
-    )
-    prior = docs.agg(
-        F.round(
-            F.log(
-                F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast(
-                    "double"
-                )
-                / F.sum(F.when(F.col("lang") == "en", 0).otherwise(1))
-            )
-            * 10000000.0,
-            0,
-        )
-        .cast("bigint")
-        .alias("pq")
-    )
-    scored = (
-        tok.join(lo, "word")
-        .crossJoin(F.broadcast(prior))
-        .groupBy("doc_id")
-        .agg(
-            F.max(
-                F.when(F.col("lang") == "en", 1).otherwise(0)
-            ).alias("y"),
-            (F.sum("q") + F.max("pq")).alias("score_q"),
-        )
-    )
+    scored = _nb_scored(spark, sf_dir)
     p = F.round(
         1.0 / (1.0 + F.exp(-F.col("score_q").cast("double") / 10000000.0)),
         6,

@@ -71,20 +71,12 @@ def test_bench_external_cpu_share():
     import bench
 
     me = os.getpid()
-    before = (
-        bench._cpu_totals(),
-        bench._tree_cpu_snapshot(me),
-        bench._tree_cpu_snapshot(2),
-    )
+    before = bench._cpu_probe(me)
     t0 = time.time()
     x = 0
     while time.time() - t0 < 0.5:  # in-tree CPU burn
         x += sum(i * i for i in range(1000))
-    after = (
-        bench._cpu_totals(),
-        bench._tree_cpu_snapshot(me),
-        bench._tree_cpu_snapshot(2),
-    )
+    after = bench._cpu_probe(me)
     share = bench._external_cpu_share(before, after)
     # live probe: only the envelope is asserted (a loaded box can
     # legitimately read any external share — no flaky threshold)
@@ -378,7 +370,7 @@ def test_modularity_recounts_brute(spark, sf_dir):
     qsum = 0
     for c in d_c:
         term = a_c[c] / arcs - (d_c[c] / arcs) ** 2
-        qsum += round(term, 9) * 10**9
+        qsum += round(term * 10**9)
     assert abs(q_reported - qsum / 10**9) < 1e-5
     by_c = {r["community"]: r for r in got}
     assert set(by_c) == set(d_c)
