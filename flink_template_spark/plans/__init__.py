@@ -108,12 +108,13 @@ rotates per round so every family accumulates driver-checked entries:
   leftover (q_trip_summary) + the round-6 cohort — _MIDDLE ledgers
   exactly those 51 names in check order, so the natural r12 slate is
   any r11 additions + q_trip_summary + the oldest r6 names. Round 11
-  landed 8 additions (one-way ANOVA, Grubbs outlier, blocklist gate
+  landed 9 additions (one-way ANOVA, Grubbs outlier, blocklist gate
   rates, McNemar paired gates, BH-FDR over term tests, PCA power
-  iteration, graph modularity, calibration+Brier — all oracle-green at
-  all three SFs locally, each with a brute recount test), prepended to
-  _MIDDLE: the natural r12 slate is those 8 + q_trip_summary + the 41
-  oldest r6 names, leaving 9 r6 names for r13.
+  iteration, graph modularity, calibration+Brier+ECE, isotonic
+  calibration via the PAV minimax identity — all oracle-green at all
+  three SFs locally, each with a brute recount test), prepended to
+  _MIDDLE: the natural r12 slate is those 9 + q_trip_summary + the 40
+  oldest r6 names, leaving 10 r6 names for r13.
 """
 
 from flink_template_spark.plans import registry  # noqa: F401
@@ -202,6 +203,7 @@ _MIDDLE: list[str] = [
     # at all three SFs) — first in line for the round-12 slate
     "q_graph_modularity",
     "q_calibration_brier",
+    "q_isotonic_calibration",
     "q_anova_oneway",
     "q_grubbs_outlier",
     "q_blocklist_gate_rates",

@@ -4111,14 +4111,17 @@ binned AS (
   FROM probs GROUP BY 1
 ),
 tot2 AS (
-  SELECT SUM(n_docs) AS n, SUM(brier_sum_q) AS bq FROM binned
+  SELECT SUM(n_docs) AS n, SUM(brier_sum_q) AS bq,
+    SUM(ABS(p_sum_q - n_pos * 1000000)) AS ece_q
+  FROM binned
 )
 SELECT bucket,
   CAST(b.n_docs AS BIGINT) AS n_docs,
   ROUND(CAST(b.p_sum_q AS DOUBLE) / (1000000.0 * b.n_docs), 6)
     AS mean_predicted,
   ROUND(CAST(b.n_pos AS DOUBLE) / b.n_docs, 6) AS empirical_rate,
-  ROUND(CAST(t.bq AS DOUBLE) / (1000000000.0 * t.n), 6) AS brier_score
+  ROUND(CAST(t.bq AS DOUBLE) / (1000000000.0 * t.n), 6) AS brier_score,
+  ROUND(CAST(t.ece_q AS DOUBLE) / (1000000.0 * t.n), 6) AS ece
 FROM binned b CROSS JOIN tot2 t
 ORDER BY bucket
 """,
@@ -4128,7 +4131,10 @@ def q_calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate (q_nb_lang_classifier's exact scoring replayed — same ×1e7
     quantized log-odds, same ≥1-token scope): per probability decile,
     the mean predicted p(en) vs the empirical 'en' rate, plus the
-    overall Brier score — the readout that decides whether a
+    overall Brier score and expected calibration error (ECE — whose
+    per-bucket term (n_b/n)·|mean_pred − emp| reduces to the exact
+    integer |p_sum_q − n_pos·1e6|, so it sums partition-order-free
+    with ONE final division) — the readout that decides whether a
     classifier-filtered corpus can TRUST its scores as probabilities
     (threshold-by-p is only meaningful when the curve hugs the
     diagonal).
@@ -4170,7 +4176,13 @@ def q_calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("brier_sum_q"),
     ).localCheckpoint(eager=False)  # two consumers: rows + corpus Brier
     tot2 = binned.agg(
-        F.sum("n_docs").alias("n"), F.sum("brier_sum_q").alias("bq")
+        F.sum("n_docs").alias("n"),
+        F.sum("brier_sum_q").alias("bq"),
+        # ECE decomposes to an EXACT integer numerator per bucket:
+        # (n_b/n)·|mean_pred − emp| = |p_sum_q − n_pos·1e6| / (1e6·n)
+        F.sum(
+            F.abs(F.col("p_sum_q") - F.col("n_pos") * 1000000)
+        ).alias("ece_q"),
     )
     return (
         binned.crossJoin(F.broadcast(tot2))
@@ -4188,6 +4200,146 @@ def q_calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.col("bq").cast("double") / (1000000000.0 * F.col("n")), 6
             ).alias("brier_score"),
+            F.round(
+                F.col("ece_q").cast("double") / (1000000.0 * F.col("n")), 6
+            ).alias("ece"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration via the PAV minimax identity (round 11)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_isotonic_calibration",
+    oracle=f"""
+WITH {_NB_SCORED_CTE},
+probs AS (
+  SELECT y,
+    ROUND(1.0 / (1.0 + EXP(-CAST(score_q AS DOUBLE) / 10000000.0)), 6) AS p
+  FROM scored
+),
+binned AS MATERIALIZED (
+  SELECT LEAST(CAST(FLOOR(p * 10) AS BIGINT), 9) AS b,
+    COUNT(*) AS n_b, SUM(y) AS y_b
+  FROM probs GROUP BY 1
+),
+-- prefix sums over the BOUNDED bucket spine (exact integers)
+cum AS MATERIALIZED (
+  SELECT b, n_b, y_b,
+    SUM(n_b) OVER (ORDER BY b) AS cn,
+    SUM(y_b) OVER (ORDER BY b) AS cy
+  FROM binned
+),
+-- avg(j..k) for every bucket window, from the exact cumulative sums
+win AS MATERIALIZED (
+  SELECT j.b AS j, k.b AS k,
+    CAST(k.cy - (j.cy - j.y_b) AS DOUBLE)
+      / CAST(k.cn - (j.cn - j.n_b) AS DOUBLE) AS avg_jk
+  FROM cum j JOIN cum k ON j.b <= k.b
+),
+-- minimax: iso_i = max over j<=i of (min over k>=i of avg(j..k))
+inner_min AS (
+  SELECT i.b AS i, w.j,
+    MIN(w.avg_jk) AS m
+  FROM binned i JOIN win w ON w.j <= i.b AND w.k >= i.b
+  GROUP BY i.b, w.j
+)
+SELECT CAST(c.b AS BIGINT) AS bucket,
+  CAST(c.n_b AS BIGINT) AS n_docs,
+  ROUND(CAST(c.y_b AS DOUBLE) / c.n_b, 6) AS raw_rate,
+  ROUND(mm.iso, 6) AS iso_rate
+FROM cum c
+JOIN (SELECT i, MAX(m) AS iso FROM inner_min GROUP BY i) mm ON mm.i = c.b
+ORDER BY bucket
+""",
+)
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone) calibration of the Naive-Bayes gate: the
+    exact L2 isotonic regression of the per-bucket empirical rates,
+    via the PAV MINIMAX IDENTITY iso(i) = max_{{j≤i}} min_{{k≥i}}
+    avg(y over buckets j..k) — sklearn's IsotonicRegression readout
+    without the sequential pool-adjacent-violators loop, which cannot
+    be expressed engine-identically as iteration but IS a closed form
+    over the bounded bucket spine. Raw decile rates can be non-
+    monotone on a noisy corpus; the isotonic fit is the calibration
+    map a production gate actually applies.
+
+    Exactness: bucket counts and prefix sums are exact integers;
+    every window average is ONE double division of exact integers
+    (identical both engines); min/max over identical doubles are
+    engine-identical; output rounds 6 dp.
+
+    Scale shape: corpus rows touch ONE 10-bucket hash agg (map-side
+    partials); the minimax runs on the B-row spine (B=10 → ≤B³ tiny
+    cells via two bounded joins) — broadcast-sized at any corpus,
+    since B is fixed by the calibration design, not the data."""
+    from pyspark.sql import Window as W
+
+    scored = _nb_scored(spark, sf_dir)
+    p = F.round(
+        1.0 / (1.0 + F.exp(-F.col("score_q").cast("double") / 10000000.0)),
+        6,
+    )
+    binned = (
+        scored.select(F.col("y"), p.alias("p"))
+        .groupBy(
+            F.least(F.floor(F.col("p") * 10), F.lit(9))
+            .cast("bigint")
+            .alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_b"), F.sum("y").alias("y_b"))
+        .localCheckpoint(eager=False)  # bounded spine, many consumers
+    )
+    w = W.orderBy("b").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = binned.select(
+        "b",
+        "n_b",
+        "y_b",
+        F.sum("n_b").over(w).alias("cn"),
+        F.sum("y_b").over(w).alias("cy"),
+    ).localCheckpoint(eager=False)
+    j = cum.select(
+        F.col("b").alias("j"),
+        (F.col("cn") - F.col("n_b")).alias("cn0"),
+        (F.col("cy") - F.col("y_b")).alias("cy0"),
+    )
+    k = cum.select(
+        F.col("b").alias("k"), F.col("cn").alias("cnk"), F.col("cy").alias("cyk")
+    )
+    win = (
+        j.join(F.broadcast(k), F.col("j") <= F.col("k"))
+        .select(
+            "j",
+            "k",
+            (
+                (F.col("cyk") - F.col("cy0")).cast("double")
+                / (F.col("cnk") - F.col("cn0")).cast("double")
+            ).alias("avg_jk"),
+        )
+    )
+    spine = binned.select(F.col("b").alias("i"))
+    inner_min = (
+        spine.join(
+            F.broadcast(win),
+            (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")),
+        )
+        .groupBy("i", "j")
+        .agg(F.min("avg_jk").alias("m"))
+    )
+    iso = inner_min.groupBy("i").agg(F.max("m").alias("iso"))
+    return (
+        cum.join(F.broadcast(iso), cum.b == iso.i)
+        .select(
+            F.col("b").cast("bigint").alias("bucket"),
+            F.col("n_b").cast("bigint").alias("n_docs"),
+            F.round(F.col("y_b").cast("double") / F.col("n_b"), 6).alias(
+                "raw_rate"
+            ),
+            F.round(F.col("iso"), 6).alias("iso_rate"),
         )
         .orderBy("bucket")
     )

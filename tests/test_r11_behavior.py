@@ -410,6 +410,7 @@ def test_calibration_brier_recounts_brute(spark, sf_dir):
     pq = round(math.log(n_en / (n - n_en)) * 1e7)
     agg = defaultdict(lambda: [0, 0, 0, 0])  # n, p_sum_q, n_pos, brier_q
     brier_q = total = 0
+    ece_q = 0
     for r in docs:
         toks = [t for t in r["text"].split(" ") if t]
         if not toks:  # >=1-token scope, as in the NB classifier
@@ -427,9 +428,68 @@ def test_calibration_brier_recounts_brute(spark, sf_dir):
         brier_q += term
         total += 1
     assert set(got) == set(agg)
+    for b in agg:
+        nn, psq, npos, _ = agg[b]
+        ece_q += abs(psq - npos * 10**6)
     for b, r in got.items():
         nn, psq, npos, _ = agg[b]
         assert r["n_docs"] == nn, b
         assert abs(r["mean_predicted"] - psq / (1e6 * nn)) < 1e-5, b
         assert abs(r["empirical_rate"] - npos / nn) < 1e-5, b
         assert abs(r["brier_score"] - brier_q / (1e9 * total)) < 1e-5
+        assert abs(r["ece"] - ece_q / (1e6 * total)) < 1e-5
+
+
+def test_isotonic_calibration_recounts_pav(spark, sf_dir):
+    """Verify the minimax closed form against a REAL sequential
+    pool-adjacent-violators run on the same bucket table — the
+    identity iso(i) = max_{j<=i} min_{k>=i} avg(j..k) is only worth
+    shipping if it equals the PAV output exactly."""
+    got = {
+        r["bucket"]: r
+        for r in plans.QUERIES["q_isotonic_calibration"](
+            spark, sf_dir
+        ).collect()
+    }
+    # rebuild the bucket table from the shared scorer
+    from flink_template_spark.plans.quality import _nb_scored
+
+    rows = _nb_scored(spark, sf_dir).collect()
+    import math
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    for r in rows:
+        p = round(1.0 / (1.0 + math.exp(-r["score_q"] / 1e7)), 6)
+        b = min(int(p * 10), 9)
+        agg[b][0] += 1
+        agg[b][1] += r["y"]
+    buckets = sorted(agg)
+    # sequential PAV with weights n_b
+    blocks = [[agg[b][1] / agg[b][0], agg[b][0]] for b in buckets]
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i][0] > blocks[i + 1][0] + 1e-15:
+            m, n = blocks.pop(i + 1)
+            v, w = blocks[i]
+            blocks[i] = [(v * w + m * n) / (w + n), w + n]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    pav = []
+    for v, w in blocks:
+        cnt = 0
+        # expand back to buckets by weight
+        while cnt < w:
+            b = buckets[len(pav)]
+            cnt += agg[b][0]
+            pav.append(v)
+    assert set(got) == set(buckets)
+    for idx, b in enumerate(buckets):
+        r = got[b]
+        assert r["n_docs"] == agg[b][0], b
+        assert abs(r["raw_rate"] - agg[b][1] / agg[b][0]) < 1e-5, b
+        assert abs(r["iso_rate"] - pav[idx]) < 1e-5, (b, r["iso_rate"], pav[idx])
+    # monotone by construction
+    rates = [got[b]["iso_rate"] for b in buckets]
+    assert rates == sorted(rates)
