@@ -493,3 +493,54 @@ def test_isotonic_calibration_recounts_pav(spark, sf_dir):
     # monotone by construction
     rates = [got[b]["iso_rate"] for b in buckets]
     assert rates == sorted(rates)
+
+
+def _plan(spark, sf_dir, name):
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plans.QUERIES[name](spark, sf_dir).explain("formatted")
+    return buf.getvalue()
+
+
+def _parquet_scans(p: str) -> int:
+    import re
+
+    return len(re.findall(r"\(\d+\) Scan parquet", p))
+
+
+def test_r11_plan_pins(spark, sf_dir):
+    """Plan-shape pins for the nine round-11 queries (the r10
+    discipline): scans pruned/pinned as documented, no cartesian
+    products (the only nested loops allowed are broadcast 1-row/
+    bounded-spine ride-alongs)."""
+    # ANOVA: the pinned k-row terms table hides the single orders scan
+    p = _plan(spark, sf_dir, "q_anova_oneway")
+    assert _parquet_scans(p) == 0 and "CartesianProduct" not in p
+    # Grubbs: pinned base + pinned deviations — zero re-scans, and the
+    # argmax is a broadcast semi-filter, never a global sort
+    p = _plan(spark, sf_dir, "q_grubbs_outlier")
+    assert _parquet_scans(p) == 0 and "CartesianProduct" not in p
+    # blocklist/mcnemar: ONE 2-column documents scan, map-only flags
+    for q in ("q_blocklist_gate_rates", "q_mcnemar_gates"):
+        p = _plan(spark, sf_dir, q)
+        assert _parquet_scans(p) == 1 and "CartesianProduct" not in p, q
+        assert "ReadSchema" in p and "text" in p
+    # BH-FDR: pinned ranked table hides the scans; k* broadcasts back
+    p = _plan(spark, sf_dir, "q_bh_fdr_terms")
+    assert _parquet_scans(p) == 0 and "CartesianProduct" not in p
+    # PCA: the final iterate is a pinned 1-row array — the output plan
+    # reads it, never the corpus
+    p = _plan(spark, sf_dir, "q_pca_power_iteration")
+    assert _parquet_scans(p) == 0 and "CartesianProduct" not in p
+    # modularity: pinned labels/terms; the memoized edge build and the
+    # label joins are equi-joins
+    p = _plan(spark, sf_dir, "q_graph_modularity")
+    assert "CartesianProduct" not in p
+    # calibration + isotonic: shared NB scoring; bounded-spine joins
+    # only (broadcast), never a corpus-sized nested loop
+    for q in ("q_calibration_brier", "q_isotonic_calibration"):
+        p = _plan(spark, sf_dir, q)
+        assert "CartesianProduct" not in p, q
