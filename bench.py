@@ -148,7 +148,13 @@ def _cpu_probe(root_pid: int) -> tuple | None:
             rest = rest_s.split()
             pid = int(d)
             procs[pid] = (int(rest[1]), int(rest[11]) + int(rest[12]))
-            if kthreadd is None and head.endswith("(kthreadd"):
+            # comm match alone is spoofable (exec -a kthreadd); the real
+            # kthreadd is the unique process with ppid 0 and that comm
+            if (
+                kthreadd is None
+                and head.endswith("(kthreadd")
+                and rest[1] == "0"
+            ):
                 kthreadd = pid
         kids: dict[int, list[int]] = {}
         for pid, (ppid, _) in procs.items():

@@ -4260,7 +4260,7 @@ ORDER BY bucket
 def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isotonic (monotone) calibration of the Naive-Bayes gate: the
     exact L2 isotonic regression of the per-bucket empirical rates,
-    via the PAV MINIMAX IDENTITY iso(i) = max_{{j≤i}} min_{{k≥i}}
+    via the PAV MINIMAX IDENTITY iso(i) = max_{j≤i} min_{k≥i}
     avg(y over buckets j..k) — sklearn's IsotonicRegression readout
     without the sequential pool-adjacent-violators loop, which cannot
     be expressed engine-identically as iteration but IS a closed form

@@ -28,3 +28,21 @@ def duck(sf_dir):
     from tests.oracle_check import duckdb_conn
 
     return duckdb_conn(sf_dir)
+
+
+def plan_formatted(spark, plans_mod, sf_dir: str, name: str) -> str:
+    """Formatted explain text of a registered query — the shared
+    helper behind the r10/r11 plan-shape pins."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plans_mod.QUERIES[name](spark, sf_dir).explain("formatted")
+    return buf.getvalue()
+
+
+def parquet_scan_count(p: str) -> int:
+    import re
+
+    return len(re.findall(r"\(\d+\) Scan parquet", p))

@@ -314,20 +314,13 @@ def test_mixture_weights_axioms(spark, sf_dir):
 # applied to the round-10 additions) --------------------------------------
 
 
+from tests.conftest import parquet_scan_count as _parquet_scans
+
+
 def _plan(spark, sf_dir, name):
-    import contextlib
-    import io
+    from tests.conftest import plan_formatted
 
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        plans.QUERIES[name](spark, sf_dir).explain("formatted")
-    return buf.getvalue()
-
-
-def _parquet_scans(p: str) -> int:
-    import re
-
-    return len(re.findall(r"\(\d+\) Scan parquet", p))
+    return plan_formatted(spark, plans, sf_dir, name)
 
 
 def test_r10_plan_pins(spark, sf_dir):

@@ -495,20 +495,13 @@ def test_isotonic_calibration_recounts_pav(spark, sf_dir):
     assert rates == sorted(rates)
 
 
+from tests.conftest import parquet_scan_count as _parquet_scans
+
+
 def _plan(spark, sf_dir, name):
-    import contextlib
-    import io
+    from tests.conftest import plan_formatted
 
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        plans.QUERIES[name](spark, sf_dir).explain("formatted")
-    return buf.getvalue()
-
-
-def _parquet_scans(p: str) -> int:
-    import re
-
-    return len(re.findall(r"\(\d+\) Scan parquet", p))
+    return plan_formatted(spark, plans, sf_dir, name)
 
 
 def test_r11_plan_pins(spark, sf_dir):
