@@ -537,3 +537,64 @@ def test_r11_plan_pins(spark, sf_dir):
     for q in ("q_calibration_brier", "q_isotonic_calibration"):
         p = _plan(spark, sf_dir, q)
         assert "CartesianProduct" not in p, q
+
+
+def test_pav_minimax_identity_property():
+    """Property pin (no Spark): the minimax closed form the isotonic
+    query ships, iso(i) = max_{j<=i} min_{k>=i} weighted-avg(j..k),
+    equals sequential pool-adjacent-violators on random weighted
+    bucket tables — the identity is THE correctness argument for
+    replacing the sequential loop with bounded joins."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=50),  # n_b
+                st.integers(min_value=0, max_value=50),  # y_b (<= n_b ok)
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def check(tbl):
+        tbl = [(n, min(y, n)) for n, y in tbl]
+        rates = [y / n for n, y in tbl]
+        weights = [n for n, _ in tbl]
+        # sequential PAV
+        blocks = [[r, w] for r, w in zip(rates, weights)]
+        i = 0
+        while i < len(blocks) - 1:
+            if blocks[i][0] > blocks[i + 1][0] + 1e-15:
+                v2, w2 = blocks.pop(i + 1)
+                v1, w1 = blocks[i]
+                blocks[i] = [(v1 * w1 + v2 * w2) / (w1 + w2), w1 + w2]
+                i = max(i - 1, 0)
+            else:
+                i += 1
+        pav = []
+        for v, w in blocks:
+            c = 0
+            while c < w:
+                c += weights[len(pav)]
+                pav.append(v)
+        # minimax closed form
+        B = len(tbl)
+        cn = [0] * (B + 1)
+        cy = [0] * (B + 1)
+        for b, (n, y) in enumerate(tbl):
+            cn[b + 1] = cn[b] + n
+            cy[b + 1] = cy[b] + y
+        for i_b in range(B):
+            best = -float("inf")
+            for j in range(i_b + 1):
+                m = min(
+                    (cy[k + 1] - cy[j]) / (cn[k + 1] - cn[j])
+                    for k in range(i_b, B)
+                )
+                best = max(best, m)
+            assert abs(best - pav[i_b]) < 1e-9, (tbl, i_b, best, pav[i_b])
+
+    check()
