@@ -90,7 +90,8 @@ HEADLINE = [
 def extended_names() -> list[str]:
     from flink_template_spark import plans as _plans  # registry import only
 
-    return [n for n in _plans.QUERIES if n not in set(HEADLINE)]
+    hl = set(HEADLINE)
+    return [n for n in _plans.QUERIES if n not in hl]
 
 
 def _load1() -> float | None:
@@ -213,6 +214,34 @@ def _external_cpu_share(
     return round(external / d_total, 4)
 
 
+def _kthread_cpu_share(
+    before: tuple | None, after: tuple | None
+) -> float | None:
+    """Raw kthreadd-subtree share of the window's total jiffies.
+
+    _external_cpu_share excludes kernel threads from BOTH sides because
+    their CPU is largely induced by our own IO — but that also hides
+    kernel work induced by genuinely external processes (another
+    process's writeback flushes, ksoftirqd under external network
+    load), biasing the external share DOWNWARD right around the 0.05
+    adjudication threshold (ADVICE r11). Recording the raw kthread
+    delta alongside lets a borderline <0.05 reading with a LARGE
+    kernel-thread share be re-adjudicated manually instead of silently
+    passing."""
+    if not before or not after or None in before or None in after:
+        return None
+    (tot0, _), _, kt0 = before
+    (tot1, _), _, kt1 = after
+    d_total = tot1 - tot0
+    if d_total <= 0:
+        return None
+    d = 0
+    for pid, j1 in kt1.items():
+        j0 = kt0.get(pid, 0)
+        d += j1 if j1 < j0 else j1 - j0
+    return round(d / d_total, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -326,11 +355,14 @@ def main() -> None:
             w = time.perf_counter() - t0
             timed.input.unpersist(True)
             trip_samples.append(round(n_events / w, 1))
-        trip_ext_cpu = _external_cpu_share(probe0, _cpu_probe(os.getpid()))
+        probe1 = _cpu_probe(os.getpid())
+        trip_ext_cpu = _external_cpu_share(probe0, probe1)
+        trip_kt_cpu = _kthread_cpu_share(probe0, probe1)
         trip_eps = max(trip_samples)
     except Exception as exc:
         trip_load1 = None
         trip_ext_cpu = None
+        trip_kt_cpu = None
         trip_samples = []
         errors["trip_pipeline"] = f"{type(exc).__name__}: {str(exc)[:300]}"
 
@@ -448,6 +480,7 @@ def main() -> None:
         "trip_pipeline_samples": trip_samples,
         "trip_pipeline_load1": trip_load1,
         "trip_pipeline_external_cpu_share": trip_ext_cpu,
+        "trip_pipeline_kthread_cpu_share": trip_kt_cpu,
         "trip_pipeline_v2_events_per_sec": trip_v2_eps,
         "load1_start": load1_start,
         "load1_end": _load1(),
@@ -482,6 +515,7 @@ def main() -> None:
         "trip_pipeline_samples": trip_samples,
         "trip_pipeline_load1": trip_load1,
         "trip_pipeline_external_cpu_share": trip_ext_cpu,
+        "trip_pipeline_kthread_cpu_share": trip_kt_cpu,
         "trip_pipeline_v2_events_per_sec": trip_v2_eps,
         "load1_start": load1_start,
         "load1_end": full["load1_end"],

@@ -202,8 +202,13 @@ SEMDEDUP_THRESHOLD = 0.4
     "q_semdedup_keep",
     oracle=f"""
 WITH centroids AS (
+  -- sqrt(n) centroid count derived from the corpus (ADVICE r11: the
+  -- fixed N_CENTROIDS=4 left the within-cell dominance join quadratic
+  -- in corpus size — the exact shape the triplet-miner fix diagnosed);
+  -- matches triplet_n_centroids() bit-for-bit
   SELECT vec_id AS centroid_id, embedding FROM embeddings
-  WHERE vec_id < {N_CENTROIDS}
+  WHERE vec_id < GREATEST(4, CAST(CEIL(SQRT(
+    (SELECT COUNT(*) FROM embeddings))) AS BIGINT))
 ),
 scored AS (
   SELECT v.vec_id, v.embedding, c.centroid_id,
@@ -230,16 +235,28 @@ WHERE vec_id NOT IN (SELECT vec_id FROM dominated)
 )
 def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (operators.similarity.semdedup):
-    vectors are blocked by nearest fixed centroid, and within each
+    vectors are blocked by nearest seed centroid, and within each
     cluster any vector with a lower-id cosine-neighbor ≥ threshold is
-    dropped (deterministic keep-first). Fixed seed centroids (lowest
-    vec_ids) keep the whole composition SQL-replayable — the iterative
+    dropped (deterministic keep-first). Seed centroids are the lowest
+    ``max(4, ceil(sqrt(n)))`` vec_ids — derived from the corpus via the
+    same in-plan broadcast scalar as q_contrastive_triplets (ADVICE
+    r11: the fixed 4-cell blocking left the Σ|cell|² dominance pair
+    table quadratic in corpus size; √n cells pin it at n^1.5), so the
+    whole composition stays SQL-replayable and lazy — the iterative
     k-means centroids stay rows-only in q_kmeans_clusters."""
     from flink_template_spark.operators.similarity import semdedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"), "embedding"
+    kdf = emb.agg(
+        F.greatest(
+            F.lit(4).cast("bigint"),
+            F.ceil(F.sqrt(F.count(F.lit(1)).cast("double"))).cast("bigint"),
+        ).alias("k_cells")
+    )
+    centroids = (
+        emb.crossJoin(F.broadcast(kdf))
+        .filter(F.col("vec_id") < F.col("k_cells"))
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
     )
     return semdedup(emb, centroids, SEMDEDUP_THRESHOLD)
 
@@ -2437,7 +2454,7 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # PCA top component via power iteration (round 11)
 # ---------------------------------------------------------------------------
 
-_PCA_DIM = 64  # testdata embedding width (asserted by the v0 literal)
+_PCA_DIM = 64  # embedding width; off-width rows excluded in BOTH engines
 _PCA_ITERS = 2
 _PCA_V0 = 1.0 / 8.0  # unit start vector: every element 1/sqrt(64)
 
@@ -2475,7 +2492,8 @@ def _pca_iter_cte(prev_v: str, out: str) -> str:
     oracle=f"""
 WITH emb_valid AS (
   SELECT embedding FROM embeddings
-  WHERE isfinite({l2_norm_sql('embedding')})
+  WHERE len(embedding) = {_PCA_DIM}
+    AND isfinite({l2_norm_sql('embedding')})
     AND {l2_norm_sql('embedding')} > 0
 ),
 v0 AS (SELECT list_transform(range(1, {_PCA_DIM} + 1),
@@ -2531,6 +2549,11 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = (
         load_table(spark, sf_dir, "embeddings")
+        # width guard (ADVICE r11): a non-_PCA_DIM vector would pad the
+        # zip_with dot with NULLs here while the oracle indexes v[i] out
+        # of range — BOTH silently. Excluding off-width rows in both
+        # engines makes the scope explicit instead of corrupting sums.
+        .filter(F.size(F.col("embedding")) == _PCA_DIM)
         .filter(valid_vec(F.col("embedding")))
         .select("embedding")
         .localCheckpoint(eager=False)  # one scan serves both iterations

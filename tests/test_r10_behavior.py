@@ -253,10 +253,8 @@ def test_nb_classifier_recounts_brute(spark, sf_dir):
     agg: dict = defaultdict(lambda: [0, 0, 0])  # n, sum_score, n_correct
     for r in docs:
         toks = [t for t in r["text"].split(" ") if t]
-        if not toks:
-            # shipped semantics: the token ⋈ log-odds inner join
-            # scores only docs with ≥1 non-empty token (see docstring)
-            continue
+        # whole-corpus scope (r12): a token-less doc scores prior-only
+        # (documents LEFT join + coalesce — see _nb_scored docstring)
         s = pq + sum(q[t] for t in toks)
         a = agg[r["lang"]]
         a[0] += 1
