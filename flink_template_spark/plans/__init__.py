@@ -115,6 +115,21 @@ rotates per round so every family accumulates driver-checked entries:
   three SFs locally, each with a brute recount test), prepended to
   _MIDDLE: the natural r12 slate is those 9 + q_trip_summary + the 40
   oldest r6 names, leaving 10 r6 names for r13.
+- round 12 (this slate, VERDICT r11 next #1): exactly the pre-ledgered
+  set — the 9 round-11 additions (never driver-checked; judge-verified
+  green in the r11 verdict, oracle-green locally at all three SFs) +
+  q_trip_summary (the single round-5 leftover) + the 40 oldest
+  round-6-cohort greens in their r6 check order. A green r12 clears
+  never-checked (modulo round-12 additions, prepended to _MIDDLE as
+  they land) and bounds staleness at the 10 remaining r6 names + the
+  r7 cohort — _MIDDLE ledgers the natural r13 slate. Round 12 landed
+  9 additions (Cohen's kappa/phi gate agreement, precision/recall/F1
+  threshold sweep, clipped log-loss, confident-learning label-noise
+  candidates, Levene variance homogeneity, exact tie-corrected global
+  AUC+Gini, Theil's U both directions, MinHash-vs-exact-Jaccard sketch
+  error audit, Hilbert-curve layout — each with a brute recount test),
+  so the natural r13 slate is those 9 + the 10 r6 leftovers + the 31
+  oldest r7 names.
 """
 
 from flink_template_spark.plans import registry  # noqa: F401
@@ -136,71 +151,8 @@ from flink_template_spark.plans import graph  # noqa: F401
 
 # First 50 = this round's driver-check slate (see module docstring).
 _PRIORITY = [
-    # -- the 9 round-10 additions: never driver-checked before this
-    #    round (VERDICT r10 next #1; judge-verified green in r10) --
-    "q_ols_two_feature",
-    "q_winsorized_stats",
-    "q_welch_ttest",
-    "q_nb_lang_classifier",
-    "q_js_divergence_sources",
-    "q_domain_mixture_weights",
-    "q_cuped_adjustment",
-    "q_kendall_tau",
-    "q_mutual_info_pairs",
-    # -- the 41 oldest round-5-cohort greens (r5 check order): their
-    #    last driver verdict is round 5 --
-    "q_topk_orders_per_segment",
-    "q_first_last_value_per_part",
-    "q_rank_suppliers_by_balance",
-    "q_global_rank_scalable",
-    "q_percent_contribution",
-    "q_rollup_region_nation",
-    "q_cube_flag_status",
-    "q_pivot_status_by_flag",
-    "q_unpivot_balances",
-    "q_setops_nations",
-    "q_setops_all_variants",
-    "q_semi_join_urgent_customers",
-    "q_anti_join_idle_customers",
-    "q_full_outer_join",
-    "q_cross_join_calendar",
-    "q_salted_join_revenue",
-    "q_bloom_pruned_join",
-    "q_distinct_agg_segments",
-    "q_date_funcs",
-    "q_string_funcs",
-    "q_math_funcs",
-    "q_asof_latest_order_per_event",
-    "q_asof_next_order_per_event",
-    "q_interval_join_attribution",
-    "q_dedup_exact_docs",
-    "q_near_dup_components",
-    "q_knn_join",
-    "q_events_session_30m",
-    "q_funnel_view_click_purchase",
-    "q_lateral_topk_nations",
-    "q_scd2_merge",
-    "q_trip_path_distance",
-    "q_ann_index_build",
-    "q_ann_multiprobe_rerank",
-    "q_ddsketch_quantiles",
-    "q_stratified_sample",
-    "q_stratified_sample_hash",
-    "q_hll_portable_rollup",
-    "q_cms_token_freq",
-    "q_pq_adc_topk",
-    "q_bpe_merges",
-]
-
-# Immediately after the slate, in case the driver checks more than 50:
-# the staleness ledger for round 12. FIRST any round-11 additions
-# (prepended here as they land, never driver-checked), THEN the single
-# round-5-cohort name the r11 slate could not fit, THEN the 50
-# round-6-cohort names in their r6 check order — after a green r11
-# these are the stalest driver verdicts.
-_MIDDLE: list[str] = [
-    # round-11 additions: never driver-checked (oracle-green locally
-    # at all three SFs) — first in line for the round-12 slate
+    # -- the 9 round-11 additions: never driver-checked before this
+    #    round (VERDICT r11 next #1; judge-verified green in r11) --
     "q_graph_modularity",
     "q_calibration_brier",
     "q_isotonic_calibration",
@@ -210,9 +162,10 @@ _MIDDLE: list[str] = [
     "q_mcnemar_gates",
     "q_bh_fdr_terms",
     "q_pca_power_iteration",
-    # r5-cohort leftover (stalest verdict after a green r11)
+    # -- the round-5-cohort leftover: last driver verdict round 5 --
     "q_trip_summary",
-    # r6 cohort, in r6 check order
+    # -- the 40 oldest round-6-cohort greens (r6 check order): their
+    #    last driver verdict is round 6 --
     "q_jaccard_prefix_pairs",
     "q_pagerank_trade",
     "q_triangle_participation",
@@ -253,6 +206,28 @@ _MIDDLE: list[str] = [
     "q_lang_guess_confusion",
     "q_mixture_rebalance",
     "q_multimodal_byte_histogram",
+]
+
+# Immediately after the slate, in case the driver checks more than 50:
+# the staleness ledger for round 13. FIRST the round-12 additions
+# (prepended here as they land, never driver-checked), THEN the 10
+# round-6-cohort names the r12 slate could not fit, THEN the oldest
+# round-7-cohort names in their r7 check order — after a green r12
+# these are the stalest driver verdicts; the natural r13 slate is this
+# list's first 50.
+_MIDDLE: list[str] = [
+    # round-12 additions: never driver-checked (oracle-green locally
+    # at all three SFs) — first in line for the round-13 slate
+    "q_cohens_kappa_gates",
+    "q_pr_curve_nb",
+    "q_logloss_nb",
+    "q_label_noise_candidates",
+    "q_levene_variance",
+    "q_auc_nb_gate",
+    "q_theils_u_lang_source",
+    "q_minhash_jaccard_err",
+    "q_hilbert_layout",
+    # r6-cohort leftovers (stalest verdicts after a green r12)
     "q_multimodal_frame_sample",
     "q_multimodal_resize",
     "q_ngram_jaccard_pairs",
@@ -263,6 +238,42 @@ _MIDDLE: list[str] = [
     "q_resample_daily_expr",
     "q_resample_daily_ffill",
     "q_retention_cohorts",
+    # r7 cohort, in r7 check order
+    "q_hits_trade",
+    "q_dsir_weights",
+    "q_binary_embedding_topk",
+    "q_bootstrap_ci",
+    "q_stupid_backoff",
+    "q_recursive_chain_rollup",
+    "q_ks_source_drift",
+    "q_line_dedup_corpus",
+    "q_containment_pairs",
+    "q_ann_recall_eval",
+    "q_auc_lang_confound",
+    "q_knn_shapley",
+    "q_davies_bouldin",
+    "q_systematic_resample",
+    "q_length_bucket_efficiency",
+    "q_matryoshka_overlap",
+    "q_split_fingerprint_leakage",
+    "q_phrase_search",
+    "q_labelprop_communities",
+    "q_time_decay_sample",
+    "q_hellinger_affinity_matrix",
+    "q_content_fingerprint",
+    "q_embedding_drift",
+    "q_gate_rates_wilson",
+    "q_event_burstiness",
+    "q_event_correlation_matrix",
+    "q_theil_sen_trend",
+    "q_simhash_hamming_pairs",
+    "q_text_stats_by_lang",
+    "q_tfidf_top_terms",
+    "q_vocab_build",
+    "q2_min_price_parts",
+    "q4_exists_late_ship",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
 ]
 
 # Queries that structurally CANNOT receive a driver hash verdict:

@@ -2284,3 +2284,78 @@ def q_mutual_info_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pair")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve layout: the locality-tighter sibling of Z-order
+# ---------------------------------------------------------------------------
+
+
+def _hilbert_oracle() -> str:
+    from flink_template_spark.functions.zorder import hilbert_steps_sql
+
+    steps = hilbert_steps_sql("qx", "qy", _Z_BITS, "q")
+    return f"""
+WITH q AS (
+  SELECT
+    CAST(floor(l_extendedprice / {_Z_PRICE_BUCKET}) AS BIGINT) AS qx,
+    CAST(floor(l_quantity) - 1 AS BIGINT) AS qy,
+    l_extendedprice, l_quantity
+  FROM lineitem
+),
+{steps}
+SELECT hd // {1 << _Z_PARTS_SHIFT} AS pid,
+  COUNT(*) AS n_rows,
+  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+  MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
+FROM h0
+GROUP BY 1
+ORDER BY pid
+"""
+
+
+@register("q_hilbert_layout", oracle=_hilbert_oracle())
+def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout audit (functions.zorder.hilbert_index):
+    q_zorder_layout's exact twin — same quantized (price, quantity)
+    64×64 grid, same 16 top-bit partitions, same per-partition bounds
+    readout — but keyed by the Hilbert index instead of the Morton
+    interleave. Hilbert's adjacency guarantee (consecutive indices are
+    always neighboring cells; Morton jumps at tile seams) gives equal-
+    size curve segments tighter average bounding boxes, which is why
+    newer lakehouse clustering moved from Z-order to Hilbert — having
+    BOTH layouts behind one audit shape lets a table owner A/B the
+    skipping bounds on their own key distribution before rewriting
+    100 TB. The index is the 4-state LUT DFA over original bit pairs
+    (functions.zorder.hilbert_index — linear expression tree; the
+    textbook coordinate-mutation transliteration cost ~22 s of
+    driver-side codegen), bit-identical cross-engine — pinned against
+    the classic xy2d reference and the adjacency property in tests.
+
+    Scale shape: map-only key computation riding the 2-column pruned
+    scan into a 16-row hash agg with map-side partials — identical to
+    the Z-order plan."""
+    from flink_template_spark.functions.zorder import hilbert_index
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_quantity"
+    )
+    qx = F.floor(F.col("l_extendedprice") / F.lit(_Z_PRICE_BUCKET))
+    qy = F.floor(F.col("l_quantity")) - F.lit(1)
+    hkey = hilbert_index(qx, qy, _Z_BITS)
+    return (
+        li.select(
+            F.shiftright(hkey, _Z_PARTS_SHIFT).alias("pid"),
+            "l_quantity",
+            "l_extendedprice",
+        )
+        .groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+        .orderBy("pid")
+    )

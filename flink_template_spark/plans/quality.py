@@ -4360,3 +4360,598 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gate-agreement and classifier-evaluation readouts (round 12): Cohen's
+# kappa/phi between the McNemar gate pair, precision/recall/F1 sweep,
+# clipped log-loss, and confident-learning label-noise candidates for
+# the Naive-Bayes gate. All ride either the one-scan 2x2 cell agg or
+# the shared _NB_SCORED_CTE, so nothing after the corpus scan is
+# data-proportional except the bounded decile spine.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cohens_kappa_gates",
+    oracle=f"""
+WITH flags AS (
+  SELECT
+    n_chars >= {_MCN_LEN_GATE} AS ga,
+    len(string_split(text, ' ')) >= {_MCN_TOK_GATE} AS gb
+  FROM documents
+),
+cells AS (
+  SELECT
+    COUNT(*) AS n,
+    CAST(SUM(CASE WHEN ga AND gb THEN 1 ELSE 0 END) AS BIGINT) AS both_pass,
+    CAST(SUM(CASE WHEN ga AND NOT gb THEN 1 ELSE 0 END) AS BIGINT) AS a_only,
+    CAST(SUM(CASE WHEN NOT ga AND gb THEN 1 ELSE 0 END) AS BIGINT) AS b_only,
+    CAST(SUM(CASE WHEN NOT ga AND NOT gb THEN 1 ELSE 0 END) AS BIGINT)
+      AS neither
+  FROM flags
+),
+stats AS (
+  SELECT n, both_pass, a_only, b_only, neither,
+    CAST(both_pass + neither AS DOUBLE) AS agree_d,
+    CAST(both_pass + a_only AS DOUBLE) * (both_pass + b_only)
+      + CAST(b_only + neither AS DOUBLE) * (a_only + neither) AS pe_num,
+    CAST(n AS DOUBLE) * n AS n2
+  FROM cells
+)
+SELECT n, both_pass, a_only, b_only, neither,
+  ROUND(agree_d / n, 6) AS po,
+  ROUND(pe_num / n2, 6) AS pe,
+  CASE WHEN n2 - pe_num <> 0 THEN
+    ROUND((CAST(n AS DOUBLE) * agree_d - pe_num) / (n2 - pe_num), 6)
+  END AS kappa,
+  CASE WHEN both_pass + a_only > 0 AND b_only + neither > 0
+        AND both_pass + b_only > 0 AND a_only + neither > 0 THEN
+    ROUND(
+      (CAST(both_pass AS DOUBLE) * neither - CAST(a_only AS DOUBLE) * b_only)
+      / sqrt((CAST(both_pass + a_only AS DOUBLE) * (b_only + neither))
+             * (CAST(both_pass + b_only AS DOUBLE) * (a_only + neither))),
+      6)
+  END AS phi
+FROM stats
+""",
+)
+def q_cohens_kappa_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa + phi coefficient between the SAME two quality
+    gates q_mcnemar_gates compares (length >= 120 chars vs token count
+    >= 25): chance-corrected agreement, the readout that says whether
+    two filters are redundant (kappa near 1 -> drop one) where McNemar
+    only says whether their PASS RATES differ. Phi is the 2x2 Matthews
+    correlation — association strength independent of marginals.
+
+    Exactness: the same four integer cells from one scan; kappa =
+    (n*agree − pe_num)/(n² − pe_num) with pe_num the chance-agreement
+    numerator — every product is forced to double via a cast on the
+    LEFT operand (identical promotion both engines; bigint products
+    would overflow at n ~ 10⁹·rows), each statistic is ONE double
+    division (NULL on the degenerate all-one-cell corpus), rounded
+    6 dp. Phi's denominator is sqrt of a fixed-parenthesization double
+    product — NULL when any marginal is empty.
+
+    Scale shape: identical to q_mcnemar_gates — map-only flags, ONE
+    1-row agg with map-side partials, then constant scalar algebra."""
+    docs = load_table(spark, sf_dir, "documents")
+    ga = F.col("n_chars") >= _MCN_LEN_GATE
+    gb = F.size(F.split(F.col("text"), " ")) >= _MCN_TOK_GATE
+    cells = docs.select(ga.alias("ga"), gb.alias("gb")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("ga") & F.col("gb"), 1).otherwise(0)).alias(
+            "both_pass"
+        ),
+        F.sum(F.when(F.col("ga") & ~F.col("gb"), 1).otherwise(0)).alias(
+            "a_only"
+        ),
+        F.sum(F.when(~F.col("ga") & F.col("gb"), 1).otherwise(0)).alias(
+            "b_only"
+        ),
+        F.sum(F.when(~F.col("ga") & ~F.col("gb"), 1).otherwise(0)).alias(
+            "neither"
+        ),
+    )
+    bp, ao, bo, ne, n = (
+        F.col("both_pass"),
+        F.col("a_only"),
+        F.col("b_only"),
+        F.col("neither"),
+        F.col("n"),
+    )
+    stats = cells.select(
+        n,
+        bp,
+        ao,
+        bo,
+        ne,
+        (bp + ne).cast("double").alias("agree_d"),
+        (
+            (bp + ao).cast("double") * (bp + bo)
+            + (bo + ne).cast("double") * (ao + ne)
+        ).alias("pe_num"),
+        (n.cast("double") * n).alias("n2"),
+    )
+    agree_d, pe_num, n2 = F.col("agree_d"), F.col("pe_num"), F.col("n2")
+    return stats.select(
+        "n",
+        "both_pass",
+        "a_only",
+        "b_only",
+        "neither",
+        F.round(agree_d / n, 6).alias("po"),
+        F.round(pe_num / n2, 6).alias("pe"),
+        F.when(
+            n2 - pe_num != 0,
+            F.round(
+                (n.cast("double") * agree_d - pe_num) / (n2 - pe_num), 6
+            ),
+        ).alias("kappa"),
+        F.when(
+            (bp + ao > 0) & (bo + ne > 0) & (bp + bo > 0) & (ao + ne > 0),
+            F.round(
+                (bp.cast("double") * ne - ao.cast("double") * bo)
+                / F.sqrt(
+                    ((bp + ao).cast("double") * (bo + ne))
+                    * ((bp + bo).cast("double") * (ao + ne))
+                ),
+                6,
+            ),
+        ).alias("phi"),
+    )
+
+
+@register(
+    "q_pr_curve_nb",
+    oracle=f"""
+WITH {_NB_SCORED_CTE},
+probs AS (
+  SELECT y,
+    ROUND(1.0 / (1.0 + EXP(-CAST(score_q AS DOUBLE) / 10000000.0)), 6) AS p
+  FROM scored
+),
+binned AS (
+  SELECT LEAST(CAST(FLOOR(p * 10) AS BIGINT), 9) AS bucket,
+    COUNT(*) AS n_b, SUM(y) AS pos_b
+  FROM probs GROUP BY 1
+),
+tot_pr AS (SELECT SUM(n_b) AS n, SUM(pos_b) AS n_pos FROM binned),
+spine AS (SELECT unnest(range(0, 10)) AS k),
+cum AS (
+  SELECT s.k,
+    COALESCE(SUM(b.n_b), 0) AS pred_pos,
+    COALESCE(SUM(b.pos_b), 0) AS tp
+  FROM spine s LEFT JOIN binned b ON b.bucket >= s.k
+  GROUP BY s.k
+)
+SELECT CAST(c.k AS BIGINT) AS threshold_decile,
+  CAST(c.k AS DOUBLE) / 10.0 AS threshold,
+  CAST(c.pred_pos AS BIGINT) AS n_pred_pos,
+  CAST(c.tp AS BIGINT) AS tp,
+  CASE WHEN c.pred_pos > 0
+    THEN ROUND(CAST(c.tp AS DOUBLE) / c.pred_pos, 6) END AS prec,
+  CASE WHEN t.n_pos > 0
+    THEN ROUND(CAST(c.tp AS DOUBLE) / t.n_pos, 6) END AS recall,
+  CASE WHEN c.pred_pos > 0 AND t.n_pos > 0
+    THEN ROUND(2.0 * CAST(c.tp AS DOUBLE) / (c.pred_pos + t.n_pos), 6)
+  END AS f1
+FROM cum c CROSS JOIN tot_pr t
+ORDER BY threshold_decile
+""",
+)
+def q_pr_curve_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 sweep of the Naive-Bayes 'en' gate at the
+    ten decile thresholds t = k/10 (predict positive when p >= t) —
+    the operating-point table a curation stack reads to pick a gate
+    threshold once q_calibration_brier says the probabilities are
+    trustworthy. Uses the identity bucket >= k <=> p >= k/10 on the
+    calibration deciles (the bucket-9 clamp absorbs p = 1.0), so the
+    sweep costs nothing beyond the 10-bucket table.
+
+    Exactness: integer TP / predicted-positive counts from the exact
+    decile table; F1 collapses to 2*tp/(pred_pos + n_pos) — ONE double
+    division, no P*R/(P+R) float chain; NULL guards on empty
+    denominators are mirrored in both engines; rounded 6 dp.
+
+    Scale shape: the q_nb_lang_classifier corpus work plus a 10-row
+    spine x 10-row bucket broadcast join — bounded at any corpus."""
+    scored = _nb_scored(spark, sf_dir)
+    p = F.round(
+        1.0 / (1.0 + F.exp(-F.col("score_q").cast("double") / 10000000.0)),
+        6,
+    )
+    binned = (
+        scored.select(F.col("y"), p.alias("p"))
+        .groupBy(
+            F.least(F.floor(F.col("p") * 10), F.lit(9))
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n_b"), F.sum("y").alias("pos_b"))
+        .localCheckpoint(eager=False)  # bounded spine, two consumers
+    )
+    tot = binned.agg(
+        F.sum("n_b").alias("n"), F.sum("pos_b").alias("n_pos")
+    )
+    spine = spark.range(10).select(F.col("id").alias("k"))
+    cum = (
+        spine.join(F.broadcast(binned), F.col("bucket") >= F.col("k"), "left")
+        .groupBy("k")
+        .agg(
+            F.coalesce(F.sum("n_b"), F.lit(0)).alias("pred_pos"),
+            F.coalesce(F.sum("pos_b"), F.lit(0)).alias("tp"),
+        )
+    )
+    pp, tp, npos = F.col("pred_pos"), F.col("tp"), F.col("n_pos")
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").cast("bigint").alias("threshold_decile"),
+            (F.col("k").cast("double") / 10.0).alias("threshold"),
+            pp.cast("bigint").alias("n_pred_pos"),
+            tp.cast("bigint").alias("tp"),
+            F.when(pp > 0, F.round(tp.cast("double") / pp, 6)).alias("prec"),
+            F.when(npos > 0, F.round(tp.cast("double") / npos, 6)).alias(
+                "recall"
+            ),
+            F.when(
+                (pp > 0) & (npos > 0),
+                F.round(2.0 * tp.cast("double") / (pp + npos), 6),
+            ).alias("f1"),
+        )
+        .orderBy("threshold_decile")
+    )
+
+
+@register(
+    "q_logloss_nb",
+    oracle=f"""
+WITH {_NB_SCORED_CTE},
+probs AS (
+  SELECT lang, y,
+    LEAST(GREATEST(
+      ROUND(1.0 / (1.0 + EXP(-CAST(score_q AS DOUBLE) / 10000000.0)), 6),
+      0.000001), 0.999999) AS p
+  FROM scored
+)
+SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  ROUND(CAST(SUM(CAST(ROUND(
+      -LN(CASE WHEN y = 1 THEN p ELSE 1.0 - p END) * 10000000.0,
+    0) AS BIGINT)) AS DOUBLE) / (10000000.0 * COUNT(*)), 6) AS mean_logloss
+FROM probs
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def q_logloss_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-true-language clipped log-loss (cross-entropy) of the
+    Naive-Bayes 'en' gate — the PROPER scoring rule next to
+    q_calibration_brier's quadratic one: log-loss punishes confident
+    misclassification exponentially, so a language whose mean
+    log-loss dwarfs its Brier term is where the gate is confidently
+    wrong, not merely uncertain.
+
+    Exactness: p is the shared rounded-6dp logistic, clipped to
+    [1e-6, 1-1e-6] (identical LEAST/GREATEST on identical doubles —
+    without the clip a rounded p of exactly 0/1 makes the loss
+    infinite); each doc's -ln term is fixed-point-quantized (x1e7 ->
+    bigint, the q_nb_lang_classifier discipline) so per-language sums
+    are exact integers in any partition order; ONE final division,
+    rounded 6 dp.
+
+    Scale shape: the q_nb_lang_classifier plan plus a map-only
+    logistic/log projection into the same 5-row language agg."""
+    scored = _nb_scored(spark, sf_dir)
+    p = F.least(
+        F.greatest(
+            F.round(
+                1.0
+                / (1.0 + F.exp(-F.col("score_q").cast("double") / 10000000.0)),
+                6,
+            ),
+            F.lit(0.000001),
+        ),
+        F.lit(0.999999),
+    )
+    term = -F.log(
+        F.when(F.col("y") == 1, F.col("p")).otherwise(1.0 - F.col("p"))
+    )
+    return (
+        scored.select("lang", "y", p.alias("p"))
+        .select(
+            "lang",
+            F.round(term * 10000000.0, 0).cast("bigint").alias("lq"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum("lq").cast("double") / (10000000.0 * F.count(F.lit(1))),
+                6,
+            ).alias("mean_logloss"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q_label_noise_candidates",
+    oracle=f"""
+WITH {_NB_SCORED_CTE},
+probs AS (
+  SELECT lang, y,
+    CAST(ROUND(
+      ROUND(1.0 / (1.0 + EXP(-CAST(score_q AS DOUBLE) / 10000000.0)), 6)
+      * 1000000.0, 0) AS BIGINT) AS pq
+  FROM scored
+),
+th AS (
+  SELECT
+    SUM(CASE WHEN y = 1 THEN pq ELSE 0 END) AS s1,
+    SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS n1,
+    SUM(CASE WHEN y = 0 THEN 1000000 - pq ELSE 0 END) AS s0,
+    SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS n0
+  FROM probs
+)
+SELECT p.lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  ROUND(CAST(SUM(p.pq) AS DOUBLE) / (1000000.0 * COUNT(*)), 6)
+    AS mean_p_en,
+  CAST(SUM(CASE WHEN p.y = 0 AND p.pq * t.n1 >= t.s1 THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_noise_to_en,
+  CAST(SUM(CASE WHEN p.y = 1 AND (1000000 - p.pq) * t.n0 >= t.s0
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_noise_from_en
+FROM probs p CROSS JOIN th t
+GROUP BY p.lang
+ORDER BY p.lang
+""",
+)
+def q_label_noise_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confident-learning label-noise candidates (Northcutt et al.'s
+    confident-joint rule, binary case) for the weak 'en' labels the
+    Naive-Bayes gate trains on: a doc labeled NON-en whose p(en)
+    clears the mean p(en) of TRUE-en docs is a likely mislabel toward
+    'en' (n_noise_to_en), and vice versa (n_noise_from_en) — the
+    prune list a curation stack re-annotates before trusting its
+    label column.
+
+    Exactness: p rides as the exact integer pq = round(p*1e6); the
+    class-mean thresholds are never materialized as doubles — the
+    comparison p >= mean_1 is evaluated as pq * n1 >= sum1 on exact
+    integers (and the complement side as (1e6 - pq) * n0 >= sum0), so
+    there is no threshold rounding to drift cross-engine. pq*n fits
+    int64 to ~9 trillion docs.
+
+    Scale shape: the scored corpus reduces to ONE 4-integer global agg
+    (broadcast back) and ONE 5-row language agg — two passes over the
+    scored rows, zero data-sized joins."""
+    scored = _nb_scored(spark, sf_dir)
+    pq = F.round(
+        F.round(
+            1.0 / (1.0 + F.exp(-F.col("score_q").cast("double") / 10000000.0)),
+            6,
+        )
+        * 1000000.0,
+        0,
+    ).cast("bigint")
+    probs = scored.select("lang", "y", pq.alias("pq")).localCheckpoint(
+        eager=False
+    )  # two consumers: global thresholds + per-language readout
+    th = probs.agg(
+        F.sum(F.when(F.col("y") == 1, F.col("pq")).otherwise(0)).alias("s1"),
+        F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(
+            F.when(F.col("y") == 0, 1000000 - F.col("pq")).otherwise(0)
+        ).alias("s0"),
+        F.sum(F.when(F.col("y") == 0, 1).otherwise(0)).alias("n0"),
+    )
+    return (
+        probs.crossJoin(F.broadcast(th))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum("pq").cast("double") / (1000000.0 * F.count(F.lit(1))),
+                6,
+            ).alias("mean_p_en"),
+            F.sum(
+                F.when(
+                    (F.col("y") == 0)
+                    & (F.col("pq") * F.col("n1") >= F.col("s1")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_noise_to_en"),
+            F.sum(
+                F.when(
+                    (F.col("y") == 1)
+                    & ((1000000 - F.col("pq")) * F.col("n0") >= F.col("s0")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_noise_from_en"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q_auc_nb_gate",
+    oracle=f"""
+WITH {_NB_SCORED_CTE},
+ranked AS (
+  SELECT y,
+    2 * RANK() OVER (ORDER BY score_q)
+      + COUNT(*) OVER (PARTITION BY score_q) - 1 AS midrank2
+  FROM scored
+),
+agg AS (
+  SELECT SUM(y) AS n_pos, COUNT(*) - SUM(y) AS n_neg,
+    SUM(CASE WHEN y = 1 THEN midrank2 ELSE 0 END) AS pm2
+  FROM ranked
+)
+SELECT CAST(n_pos AS BIGINT) AS n_pos,
+  CAST(n_neg AS BIGINT) AS n_neg,
+  ROUND(CAST(pm2 - n_pos * (n_pos + 1) AS DOUBLE)
+        / CAST(2 * n_pos * n_neg AS DOUBLE), 6) AS auc,
+  ROUND(2.0 * (CAST(pm2 - n_pos * (n_pos + 1) AS DOUBLE)
+        / CAST(2 * n_pos * n_neg AS DOUBLE)) - 1.0, 6) AS gini
+FROM agg
+""",
+)
+def q_auc_nb_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-wide ROC-AUC (+ Gini = 2·AUC−1) of the Naive-Bayes
+    'en' score — threshold-free ranking quality, the summary statistic
+    over the whole q_pr_curve_nb operating-point table. Computed as
+    tie-corrected Mann-Whitney with DOUBLED midranks (2·midrank =
+    2·rank_min + tie_count − 1 keeps tie averaging in integers — the
+    q_auc_lang_confound discipline, but over a GLOBAL ranking).
+
+    Exactness: doc scores are exact integers; midrank2 / U / the
+    denominator are exact integers; ONE double division at the end
+    (both engines divide the same integers — bit-stable), rounded 6 dp
+    with Gini sharing the unrounded quotient's dag.
+
+    Scale shape: the global rank is operators.rank_global's two-pass
+    range-partitioned rank — never a single-partition window (the plan
+    q_auc_lang_confound documents as its own scale path); tie counts
+    ride ONE score-keyed hash agg joined back on the score (equal
+    scores are already co-located by the range exchange). Readout is a
+    1-row agg."""
+    from flink_template_spark.operators.rank_global import with_global_ranks
+
+    # pin: TWO consumers (the ranking and the tie-count agg) would
+    # otherwise each re-run the full NB scoring (two tokenize passes)
+    scored = (
+        _nb_scored(spark, sf_dir)
+        .select("y", "score_q")
+        .localCheckpoint(eager=False)
+    )
+    ranked = with_global_ranks(
+        scored,
+        order_by=[(F.col("score_q"), True)],
+        row_number_col=None,
+        rank_col="rk",
+    )
+    cnt = scored.groupBy("score_q").agg(F.count(F.lit(1)).alias("tc"))
+    mid2 = (
+        ranked.join(cnt, "score_q")
+        .select(
+            "y",
+            (F.lit(2) * F.col("rk") + F.col("tc") - F.lit(1)).alias(
+                "midrank2"
+            ),
+        )
+    )
+    agg = mid2.agg(
+        F.sum("y").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("n_neg"),
+        F.sum(
+            F.when(F.col("y") == 1, F.col("midrank2")).otherwise(0)
+        ).alias("pm2"),
+    )
+    np_, nn, pm2 = F.col("n_pos"), F.col("n_neg"), F.col("pm2")
+    auc_d = (pm2 - np_ * (np_ + 1)).cast("double") / (
+        F.lit(2) * np_ * nn
+    ).cast("double")
+    return agg.select(
+        np_.cast("bigint").alias("n_pos"),
+        nn.cast("bigint").alias("n_neg"),
+        F.round(auc_d, 6).alias("auc"),
+        F.round(2.0 * auc_d - 1.0, 6).alias("gini"),
+    )
+
+
+@register(
+    "q_theils_u_lang_source",
+    oracle="""
+WITH c AS (
+  SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2
+),
+tot AS (SELECT SUM(n) AS n_docs FROM c),
+hl AS (  -- H(lang) from the lang marginal
+  SELECT -SUM((CAST(m AS DOUBLE) / n_docs) * LN(CAST(m AS DOUBLE) / n_docs))
+    AS h
+  FROM (SELECT lang, SUM(n) AS m FROM c GROUP BY 1) CROSS JOIN tot
+),
+hs AS (  -- H(source)
+  SELECT -SUM((CAST(m AS DOUBLE) / n_docs) * LN(CAST(m AS DOUBLE) / n_docs))
+    AS h
+  FROM (SELECT source, SUM(n) AS m FROM c GROUP BY 1) CROSS JOIN tot
+),
+hj AS (  -- H(lang, source) from the joint cells
+  SELECT -SUM((CAST(n AS DOUBLE) / n_docs) * LN(CAST(n AS DOUBLE) / n_docs))
+    AS h
+  FROM c CROSS JOIN tot
+)
+SELECT CAST(t.n_docs AS BIGINT) AS n_docs,
+  ROUND(hl.h, 6) AS h_lang,
+  ROUND(hs.h, 6) AS h_source,
+  ROUND(hj.h - hs.h, 6) AS h_lang_given_source,
+  ROUND((hl.h - (hj.h - hs.h)) / hl.h, 6) AS u_lang_given_source,
+  ROUND((hs.h - (hj.h - hl.h)) / hs.h, 6) AS u_source_given_lang
+FROM tot t CROSS JOIN hl CROSS JOIN hs CROSS JOIN hj
+""",
+)
+def q_theils_u_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient between document language and
+    source, BOTH directions — the asymmetric member of the
+    categorical-association trio (Cramér's V and MI/NMI are symmetric;
+    U(lang|source) answers "how much does knowing the source pin down
+    the language" separately from the converse — a multilingual
+    curation stack wants exactly this asymmetry when deciding whether
+    source routing can replace language ID).
+
+    Exactness: all three entropies come from exact integer counts of
+    ONE cell table (H(lang|source) = H(joint) − H(source) — no
+    per-source conditional pass); p·ln p dags are identical both
+    engines; sums are over the bounded cell spine (≤ |langs|·|sources|
+    terms, the q_source_lang_entropy posture); final ratios round 6 dp.
+
+    Scale shape: ONE hash agg over the 2-column pruned scan into the
+    Zipf-small (source, lang) cell table; marginals derive from it
+    (pinned, no second scan); everything downstream is bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # four consumers, one scan
+    )
+    tot = c.agg(F.sum("n").alias("n_docs"))
+
+    def _h(df, col):
+        p = F.col(col).cast("double") / F.col("n_docs")
+        return (
+            df.crossJoin(F.broadcast(tot))
+            .agg((-F.sum(p * F.log(p))).alias("h"))
+        )
+
+    hl = _h(c.groupBy("lang").agg(F.sum("n").alias("m")), "m")
+    hs = _h(c.groupBy("source").agg(F.sum("n").alias("m")), "m")
+    hj = _h(c, "n")
+    hl_, hs_, hj_ = (
+        F.col("hl.h"),
+        F.col("hs.h"),
+        F.col("hj.h"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(hl.alias("hl")))
+        .crossJoin(F.broadcast(hs.alias("hs")))
+        .crossJoin(F.broadcast(hj.alias("hj")))
+        .select(
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.round(hl_, 6).alias("h_lang"),
+            F.round(hs_, 6).alias("h_source"),
+            F.round(hj_ - hs_, 6).alias("h_lang_given_source"),
+            F.round((hl_ - (hj_ - hs_)) / hl_, 6).alias(
+                "u_lang_given_source"
+            ),
+            F.round((hs_ - (hj_ - hl_)) / hs_, 6).alias(
+                "u_source_given_lang"
+            ),
+        )
+    )

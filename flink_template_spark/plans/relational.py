@@ -2201,3 +2201,162 @@ def q_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("maxdev") / F.col("sd"), 6).alias("grubbs_g"),
         )
     )
+
+
+@register(
+    "q_levene_variance",
+    oracle="""
+WITH g AS (
+  SELECT o_orderpriority AS grp,
+    CAST(o_totalprice AS DECIMAL(18,2)) AS x
+  FROM orders
+),
+means AS (
+  SELECT grp, COUNT(*) AS n_i, SUM(x) AS s_i FROM g GROUP BY grp
+),
+-- |x - group mean| captured as an exact DECIMAL(18,2) per row BEFORE
+-- any sum (the q_anova_oneway discipline: double sums are partition-
+-- order-dependent; decimal sums are exact in any order)
+z AS (
+  SELECT g.grp,
+    CAST(ROUND(ABS(CAST(g.x AS DOUBLE)
+                   - CAST(m.s_i AS DOUBLE) / m.n_i), 2)
+      AS DECIMAL(18,2)) AS z
+  FROM g JOIN means m ON g.grp = m.grp
+),
+sums AS (
+  SELECT grp, COUNT(*) AS n_i, SUM(z) AS s_i, SUM(z * z) AS ss_i
+  FROM z GROUP BY grp
+),
+terms AS (
+  SELECT n_i, s_i,
+    CAST(ROUND(
+      CAST(n_i * ss_i - s_i * s_i AS DOUBLE) / CAST(n_i AS DOUBLE), 6
+    ) AS DECIMAL(38,6)) AS ssw_e
+  FROM sums
+),
+tot AS (
+  SELECT COUNT(*) AS k, SUM(n_i) AS n, SUM(s_i) AS s, SUM(ssw_e) AS ssw_e
+  FROM terms
+),
+grand AS (
+  SELECT k, n, ssw_e, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m FROM tot
+),
+ssb AS (
+  SELECT
+    SUM(CAST(ROUND(
+      CAST(t.n_i AS DOUBLE)
+        * (CAST(t.s_i AS DOUBLE) / t.n_i - g.m)
+        * (CAST(t.s_i AS DOUBLE) / t.n_i - g.m),
+      6) AS DECIMAL(38,6))) AS ssb_e
+  FROM terms t CROSS JOIN grand g
+)
+SELECT
+  CAST(g.k AS BIGINT) AS k_groups,
+  CAST(g.n AS BIGINT) AS n_rows,
+  CAST(ROUND(b.ssb_e, 0) AS DOUBLE) AS ss_between,
+  CAST(ROUND(g.ssw_e, 0) AS DOUBLE) AS ss_within,
+  ROUND(
+    (CAST(b.ssb_e AS DOUBLE) / (g.k - 1))
+      / (CAST(g.ssw_e AS DOUBLE) / (g.n - g.k)),
+    6) AS w_stat
+FROM grand g CROSS JOIN ssb b
+""",
+)
+def q_levene_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levene's test (mean-centered form) for EQUALITY OF VARIANCES of
+    order value across the five order priorities — the homoscedasticity
+    check that decides whether q_anova_oneway's pooled-variance F is
+    even valid (classic ANOVA assumes equal group variances; a large W
+    says route to Welch instead). W is exactly the one-way ANOVA F
+    computed on the absolute deviations z = |x − group mean|.
+
+    Exactness: pass 1 yields exact decimal group sums; the group mean
+    is ONE double division; each row's z is rounded to cents and
+    captured as DECIMAL(18,2) BEFORE summing (double sums are
+    partition-order-dependent, decimal sums are not — the
+    q_anova_oneway discipline), then the F-on-z pipeline reuses that
+    query's exact sufficient-statistic algebra verbatim.
+
+    Scale shape: TWO passes over one pinned 2-column orders projection
+    (pass 1: 5-row means agg; pass 2: z via a BROADCAST join of the
+    5-row means, into a 5-row hash agg with map-side partials).
+    Everything after the k-row rollup is constant scalar algebra."""
+    orders = load_table(spark, sf_dir, "orders")
+    g = (
+        orders.select(
+            F.col("o_orderpriority").alias("grp"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+        )
+        # one scan serves both passes (means + deviations)
+        .localCheckpoint(eager=False)
+    )
+    means = g.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_i0"), F.sum("x").alias("s_i0")
+    )
+    z = g.join(F.broadcast(means), "grp").select(
+        "grp",
+        F.round(
+            F.abs(
+                F.col("x").cast("double")
+                - F.col("s_i0").cast("double") / F.col("n_i0")
+            ),
+            2,
+        )
+        .cast("decimal(18,2)")
+        .alias("z"),
+    )
+    sums = z.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_i"),
+        F.sum("z").alias("s_i"),
+        F.sum(F.col("z") * F.col("z")).alias("ss_i"),
+    )
+    n_i, s_i = F.col("n_i"), F.col("s_i")
+    terms = sums.select(
+        n_i,
+        s_i,
+        F.round(
+            (n_i * F.col("ss_i") - s_i * s_i).cast("double")
+            / n_i.cast("double"),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .alias("ssw_e"),
+    ).localCheckpoint(eager=False)  # k-row spine, two consumers
+    tot = terms.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_i").alias("n"),
+        F.sum("s_i").alias("s"),
+        F.sum("ssw_e").alias("ssw_e"),
+    )
+    grand = tot.select(
+        "k",
+        "n",
+        "ssw_e",
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias("m"),
+    )
+    ssb = (
+        terms.crossJoin(F.broadcast(grand))
+        .select(
+            F.round(
+                n_i.cast("double")
+                * (s_i.cast("double") / n_i - F.col("m"))
+                * (s_i.cast("double") / n_i - F.col("m")),
+                6,
+            )
+            .cast("decimal(38,6)")
+            .alias("ssb_term")
+        )
+        .agg(F.sum("ssb_term").alias("ssb_e"))
+    )
+    return grand.crossJoin(F.broadcast(ssb)).select(
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(F.col("ssb_e"), 0).cast("double").alias("ss_between"),
+        F.round(F.col("ssw_e"), 0).cast("double").alias("ss_within"),
+        F.round(
+            (F.col("ssb_e").cast("double") / (F.col("k") - 1))
+            / (F.col("ssw_e").cast("double") / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("w_stat"),
+    )

@@ -2600,3 +2600,167 @@ def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("j_decile")
     )
+
+
+_MH_EST_TERMS = " + ".join(
+    f"(CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END)"
+    for i in range(NUM_HASHES)
+)
+
+
+@register(
+    "q_minhash_jaccard_err",
+    oracle=f"""
+WITH sh AS ({_duck_shingles(3)}),
+hashed AS (
+  SELECT doc_id, {md5int_duckdb('shingle')} AS h FROM sh
+),
+sig0 AS (
+  SELECT doc_id, {_MH_AGGS_DUCK} FROM hashed GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id, {_BAND_KEYS_DUCK} FROM sig0
+),
+bands AS (
+  {_BAND_UNION_DUCK}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS ni
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+  ROUND(({_MH_EST_TERMS}) / {NUM_HASHES}.0, 6) AS est_jaccard,
+  ROUND(CAST(COALESCE(i.ni, 0) AS DOUBLE)
+        / (sa.ns + sb.ns - COALESCE(i.ni, 0)), 6) AS exact_jaccard,
+  ROUND(ABS(({_MH_EST_TERMS}) / {NUM_HASHES}.0
+            - CAST(COALESCE(i.ni, 0) AS DOUBLE)
+              / (sa.ns + sb.ns - COALESCE(i.ni, 0))), 6) AS abs_err
+FROM cand c
+JOIN sig0 a ON a.doc_id = c.id_a
+JOIN sig0 b ON b.doc_id = c.id_b
+LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+ORDER BY c.id_a, c.id_b
+""",
+)
+def q_minhash_jaccard_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-error audit for the MinHash near-dup tier: for every LSH
+    candidate pair, the 16-component MinHash Jaccard ESTIMATE
+    (matching components / 16) against the EXACT 3-shingle Jaccard,
+    with the absolute error — the companion to q_lsh_recall_audit
+    (that one audits which pairs the bands surface; this one audits
+    how well the retained sketch values estimate similarity, i.e.
+    whether 16 hashes are enough before anyone trusts est ≥ t as a
+    dedup rule). The σ ≈ √(J(1−J)/16) envelope is pinned in tests.
+
+    Exactness: the estimate is an integer match count divided by 16
+    (identical doubles); exact Jaccard is |∩|/(|A|+|B|−|∩|) on exact
+    integer shingle counts; a band-collision candidate with ZERO
+    shared shingles keeps an exact 0 via the LEFT join + coalesce.
+
+    Scale shape: ONE signature pipeline (pinned — serves band keys AND
+    both estimate sides); candidates come from the banded buckets
+    (never all pairs); the exact-verify join touches only candidate
+    ids' shingle rows (pairs ⋈ shingles is candidate-bounded)."""
+    from flink_template_spark.functions.hashing import (
+        LSH_BANDS as _B,
+        NUM_HASHES as _H,
+        ROWS_PER_BAND as _R,
+    )
+    from flink_template_spark.operators.dedup import (
+        minhash_signatures,
+        shingle_rows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs).localCheckpoint(eager=False)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                *[
+                    F.col(f"mh_{b * _R + r}").cast("string")
+                    for r in range(_R)
+                ],
+            )
+            for b in range(_B)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "band_key")
+    )
+    buckets = bands.groupBy("band", "band_key").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("ids")
+    )
+    lhs = buckets.filter(F.size("ids") > 1).select(
+        F.posexplode("ids").alias("i", "id_a"), "ids"
+    )
+    cand = (
+        lhs.select(
+            "id_a",
+            F.explode(
+                F.slice("ids", F.col("i") + F.lit(2), F.size("ids"))
+            ).alias("id_b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # consumers: est join + exact join
+    )
+    sh = shingle_rows(docs, 3).localCheckpoint(
+        eager=False
+    )  # consumers: sizes + both exact-join sides
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    a = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh_{i}").alias(f"a_mh_{i}") for i in range(_H)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh_{i}").alias(f"b_mh_{i}") for i in range(_H)],
+    )
+    match_terms = None
+    for i in range(_H):
+        t = F.when(F.col(f"a_mh_{i}") == F.col(f"b_mh_{i}"), 1).otherwise(0)
+        match_terms = t if match_terms is None else match_terms + t
+    est = match_terms / float(_H)
+    ni = F.coalesce(F.col("ni"), F.lit(0))
+    exact = ni.cast("double") / (F.col("a_ns") + F.col("b_ns") - ni)
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .join(inter, ["id_a", "id_b"], "left")
+        .join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("ns").alias("a_ns")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("ns").alias("b_ns")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(exact, 6).alias("exact_jaccard"),
+            F.round(F.abs(est - exact), 6).alias("abs_err"),
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -341,9 +341,18 @@ def test_r10_plan_pins(spark, sf_dir):
     p = _plan(spark, sf_dir, "q_js_divergence_sources")
     assert _parquet_scans(p) == 0 and "CartesianProduct" not in p
     # NB classifier: the scoring tokenization pass + the 1-row
-    # doc-prior scan; the training pass hides behind the pinned vocab
+    # doc-prior scan + (r12, whole-corpus scope) the (doc_id, lang)
+    # LEFT-join base that gives token-less docs their prior-only score
+    # — a 2-thin-column pruned scan, deliberately NOT a checkpoint of
+    # the full-text corpus; the training pass hides behind the pinned
+    # vocab
     p = _plan(spark, sf_dir, "q_nb_lang_classifier")
-    assert _parquet_scans(p) == 2 and "CartesianProduct" not in p
+    assert _parquet_scans(p) == 3 and "CartesianProduct" not in p
+    # the base scan must be pruned to the two thin columns (no text)
+    import re as _re
+
+    scans = _re.findall(r"ReadSchema: struct<[^>]*>", p)
+    assert any("text" not in s for s in scans), scans
     # winsorized stats: rank_global pins the single orders scan behind
     # its checkpoint; all three consumers read the materialized ranking
     p = _plan(spark, sf_dir, "q_winsorized_stats")

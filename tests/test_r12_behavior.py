@@ -158,3 +158,61 @@ def test_bench_kthread_cpu_share():
     # degenerate windows → None
     assert bench._kthread_cpu_share(None, a) is None
     assert bench._kthread_cpu_share(b, b) is None
+
+
+def test_r12_plan_pins(spark, sf_dir):
+    """Plan-shape pins for the five round-12 queries (the r10/r11
+    discipline): no cartesian products — the only nested loops allowed
+    are broadcast 1-row / bounded-spine ride-alongs — and the bounded
+    post-aggregation shapes stay bounded."""
+    from tests.conftest import parquet_scan_count, plan_formatted
+
+    for q in (
+        "q_cohens_kappa_gates",
+        "q_pr_curve_nb",
+        "q_logloss_nb",
+        "q_label_noise_candidates",
+        "q_levene_variance",
+    ):
+        p = plan_formatted(spark, plans, sf_dir, q)
+        assert "CartesianProduct" not in p, q
+    # kappa: ONE 2-column documents scan, map-only flags into a 1-row agg
+    p = plan_formatted(spark, plans, sf_dir, "q_cohens_kappa_gates")
+    assert parquet_scan_count(p) == 1
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    # levene: the pinned 2-col orders projection hides re-scans; the
+    # 5-row means ride back by BROADCAST, never a shuffle join
+    p = plan_formatted(spark, plans, sf_dir, "q_levene_variance")
+    assert parquet_scan_count(p) == 0  # behind the localCheckpoint pin
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_r12_wave2_plan_pins(spark, sf_dir):
+    """Plan-shape pins for the four second-wave round-12 queries."""
+    from tests.conftest import parquet_scan_count, plan_formatted
+
+    for q in (
+        "q_auc_nb_gate",
+        "q_theils_u_lang_source",
+        "q_minhash_jaccard_err",
+        "q_hilbert_layout",
+    ):
+        p = plan_formatted(spark, plans, sf_dir, q)
+        assert "CartesianProduct" not in p, q
+    # hilbert: map-only key computation riding ONE 2-column pruned scan
+    # into a 16-row agg — no joins of any kind
+    p = plan_formatted(spark, plans, sf_dir, "q_hilbert_layout")
+    assert parquet_scan_count(p) == 1
+    assert "Join" not in p
+    # theil's u: everything reads the pinned cell table (zero parquet
+    # re-scans); the three entropy scalars ride back by broadcast
+    p = plan_formatted(spark, plans, sf_dir, "q_theils_u_lang_source")
+    assert parquet_scan_count(p) == 0
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    # auc: the global rank is rank_global's two-pass shape — its pinned
+    # range-partitioned ranking surfaces as a checkpoint scan (the
+    # range exchange itself hides behind the localCheckpoint), and the
+    # tie counts ride back by an ordinary score-keyed equi-join
+    p = plan_formatted(spark, plans, sf_dir, "q_auc_nb_gate")
+    assert "Scan ExistingRDD" in p
+    assert "SortMergeJoin Inner" in p or "ShuffledHashJoin Inner" in p

@@ -386,3 +386,354 @@ def test_pq_adc_topk_recount(spark, sf_dir, emb_rows):
     for row, (dist, vid) in zip(got, want):
         assert row["vec_id"] == vid
         assert abs(row["adc_dist"] - dist) < 1.1e-6, (row, dist, vid)
+
+
+# ---------------------------------------------------------------------------
+# Round-12 wave recounts: the five new eval queries. Scoring itself is
+# recounted by test_nb_classifier_recounts_brute (r10); these verify the
+# NEW downstream logic (2x2 algebra, threshold sweep, clipping, the
+# confident-join rule, the two-pass Levene pipeline) against pure-Python
+# re-derivations.
+# ---------------------------------------------------------------------------
+
+
+def test_cohens_kappa_recounts_brute(spark, sf_dir):
+    from flink_template_spark.plans.quality import (
+        _MCN_LEN_GATE,
+        _MCN_TOK_GATE,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "n_chars", "text"
+    ).collect()
+    bp = ao = bo = ne = 0
+    for r in docs:
+        ga = r["n_chars"] >= _MCN_LEN_GATE
+        gb = len(r["text"].split(" ")) >= _MCN_TOK_GATE
+        if ga and gb:
+            bp += 1
+        elif ga:
+            ao += 1
+        elif gb:
+            bo += 1
+        else:
+            ne += 1
+    n = bp + ao + bo + ne
+    po = (bp + ne) / n
+    pe = ((bp + ao) * (bp + bo) + (bo + ne) * (ao + ne)) / (n * n)
+    kappa = (po - pe) / (1 - pe)
+    phi = (bp * ne - ao * bo) / math.sqrt(
+        (bp + ao) * (bo + ne) * (bp + bo) * (ao + ne)
+    )
+    row = plans.QUERIES["q_cohens_kappa_gates"](spark, sf_dir).collect()[0]
+    assert (row["n"], row["both_pass"], row["a_only"], row["b_only"],
+            row["neither"]) == (n, bp, ao, bo, ne)
+    assert abs(row["po"] - po) < 1e-5
+    assert abs(row["pe"] - pe) < 1e-5
+    assert abs(row["kappa"] - kappa) < 1e-5
+    assert abs(row["phi"] - phi) < 1e-5
+
+
+def _nb_probs(spark, sf_dir):
+    """(lang, y, p) per doc off the shared scorer — the scorer itself
+    is brute-recounted in test_r10_behavior."""
+    from flink_template_spark.plans.quality import _nb_scored
+
+    return [
+        (r["lang"], r["y"],
+         round(1.0 / (1.0 + math.exp(-r["score_q"] / 1e7)), 6))
+        for r in _nb_scored(spark, sf_dir).collect()
+    ]
+
+
+def test_pr_curve_recounts_brute(spark, sf_dir):
+    rows = _nb_probs(spark, sf_dir)
+    n_pos = sum(y for _, y, _ in rows)
+    got = {
+        r["threshold_decile"]: r
+        for r in plans.QUERIES["q_pr_curve_nb"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(range(10))
+    for k in range(10):
+        # predict positive when p >= k/10 — recounted DIRECTLY on p,
+        # not via the bucket identity the query exploits
+        pp = sum(1 for _, _, p in rows if p >= k / 10)
+        tp = sum(y for _, y, p in rows if p >= k / 10)
+        r = got[k]
+        assert r["n_pred_pos"] == pp and r["tp"] == tp, k
+        if pp:
+            assert abs(r["prec"] - tp / pp) < 1e-5
+        else:
+            assert r["prec"] is None
+        assert abs(r["recall"] - tp / n_pos) < 1e-5
+        if pp:
+            assert abs(r["f1"] - 2 * tp / (pp + n_pos)) < 1e-5
+            prec, rec = tp / pp, tp / n_pos
+            f1_classic = (
+                0.0 if prec + rec == 0 else 2 * prec * rec / (prec + rec)
+            )
+            # the 2tp/(pp+npos) collapse must equal the P/R definition
+            assert abs(r["f1"] - f1_classic) < 1e-5
+
+
+def test_logloss_recounts_brute(spark, sf_dir):
+    agg = {}
+    for lang, y, p in _nb_probs(spark, sf_dir):
+        pc = min(max(p, 1e-6), 1 - 1e-6)
+        term = -math.log(pc if y == 1 else 1.0 - pc)
+        n, s = agg.get(lang, (0, 0))
+        agg[lang] = (n + 1, s + round(term * 1e7))
+    got = {
+        r["lang"]: r
+        for r in plans.QUERIES["q_logloss_nb"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(agg)
+    for lang, (n, s) in agg.items():
+        assert got[lang]["n_docs"] == n
+        assert abs(got[lang]["mean_logloss"] - s / (1e7 * n)) < 1e-5
+    # proper-scoring sanity: a perfect gate would read ~0; the clip
+    # bounds any doc's term at -ln(1e-6)
+    for r in got.values():
+        assert 0.0 <= r["mean_logloss"] <= -math.log(1e-6) + 1e-9
+
+
+def test_label_noise_recounts_brute(spark, sf_dir):
+    rows = _nb_probs(spark, sf_dir)
+    pqs = [(lang, y, round(p * 1e6)) for lang, y, p in rows]
+    s1 = sum(pq for _, y, pq in pqs if y == 1)
+    n1 = sum(1 for _, y, _ in pqs if y == 1)
+    s0 = sum(1000000 - pq for _, y, pq in pqs if y == 0)
+    n0 = sum(1 for _, y, _ in pqs if y == 0)
+    agg = {}
+    for lang, y, pq in pqs:
+        n, sp, to_en, from_en = agg.get(lang, (0, 0, 0, 0))
+        to_en += int(y == 0 and pq * n1 >= s1)
+        from_en += int(y == 1 and (1000000 - pq) * n0 >= s0)
+        agg[lang] = (n + 1, sp + pq, to_en, from_en)
+    got = {
+        r["lang"]: r
+        for r in plans.QUERIES["q_label_noise_candidates"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(agg)
+    for lang, (n, sp, to_en, from_en) in agg.items():
+        r = got[lang]
+        assert r["n_docs"] == n
+        assert abs(r["mean_p_en"] - sp / (1e6 * n)) < 1e-5
+        assert r["n_noise_to_en"] == to_en, lang
+        assert r["n_noise_from_en"] == from_en, lang
+    # the flag direction must be cross-class: en-labeled docs can only
+    # be noise AWAY from en, others only TOWARD en
+    assert got["en"]["n_noise_to_en"] == 0
+    assert all(r["n_noise_from_en"] == 0 for l, r in got.items() if l != "en")
+
+
+def test_levene_recounts_brute(spark, sf_dir):
+    rows = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect()
+    groups: dict[str, list[float]] = {}
+    for r in rows:
+        groups.setdefault(r["o_orderpriority"], []).append(
+            float(r["o_totalprice"])
+        )
+    zs: dict[str, list[float]] = {}
+    for g, xs in groups.items():
+        mean = sum(xs) / len(xs)  # cents-exact floats: sum is fine here
+        zs[g] = [round(abs(x - mean), 2) for x in xs]
+    k = len(zs)
+    n = sum(len(v) for v in zs.values())
+    grand = sum(sum(v) for v in zs.values()) / n
+    ssb = sum(len(v) * (sum(v) / len(v) - grand) ** 2 for v in zs.values())
+    ssw = sum(
+        sum((x - sum(v) / len(v)) ** 2 for x in v) for v in zs.values()
+    )
+    w = (ssb / (k - 1)) / (ssw / (n - k))
+    row = plans.QUERIES["q_levene_variance"](spark, sf_dir).collect()[0]
+    assert row["k_groups"] == k and row["n_rows"] == n
+    assert abs(row["ss_between"] - ssb) / max(ssb, 1) < 1e-4
+    assert abs(row["ss_within"] - ssw) / max(ssw, 1) < 1e-4
+    assert abs(row["w_stat"] - w) < 1e-3
+
+
+def test_auc_nb_gate_recounts_brute(spark, sf_dir):
+    """O(n_pos·n_neg) pairwise AUC — the definition, not the rank
+    formula the query uses."""
+    from flink_template_spark.plans.quality import _nb_scored
+
+    rows = [(r["y"], r["score_q"]) for r in _nb_scored(spark, sf_dir).collect()]
+    pos = [s for y, s in rows if y == 1]
+    neg = [s for y, s in rows if y == 0]
+    num = 0.0
+    for p in pos:
+        for n in neg:
+            num += 1.0 if p > n else (0.5 if p == n else 0.0)
+    auc = num / (len(pos) * len(neg))
+    row = plans.QUERIES["q_auc_nb_gate"](spark, sf_dir).collect()[0]
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    assert abs(row["auc"] - auc) < 1e-5
+    assert abs(row["gini"] - (2 * auc - 1)) < 1e-5
+
+
+def test_theils_u_recounts_brute(spark, sf_dir):
+    from collections import Counter
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "lang"
+    ).collect()
+    joint = Counter((r["source"], r["lang"]) for r in docs)
+    n = sum(joint.values())
+
+    def h(counts):
+        return -sum((c / n) * math.log(c / n) for c in counts.values())
+
+    def _m(idx):
+        m = Counter()
+        for k, c in joint.items():
+            m[k[idx]] += c
+        return m
+
+    hl, hs, hj = h(_m(1)), h(_m(0)), h(joint)
+    row = plans.QUERIES["q_theils_u_lang_source"](spark, sf_dir).collect()[0]
+    assert row["n_docs"] == n
+    assert abs(row["h_lang"] - hl) < 1e-5
+    assert abs(row["h_source"] - hs) < 1e-5
+    assert abs(row["h_lang_given_source"] - (hj - hs)) < 1e-5
+    assert abs(row["u_lang_given_source"] - (hl - (hj - hs)) / hl) < 1e-5
+    assert abs(row["u_source_given_lang"] - (hs - (hj - hl)) / hs) < 1e-5
+    # uncertainty coefficients live in [0, 1]
+    assert 0.0 <= row["u_lang_given_source"] <= 1.0
+    assert 0.0 <= row["u_source_given_lang"] <= 1.0
+
+
+def test_minhash_jaccard_err_recounts_brute(spark, sf_dir, docs_rows):
+    """Third-path replay: candidates from the banded buckets of the
+    recounted signatures, estimate = matching components / 16, exact
+    Jaccard from raw shingle sets — nothing shared with either engine
+    beyond the published constants."""
+    from flink_template_spark.functions.hashing import (
+        LSH_BANDS,
+        NUM_HASHES,
+        ROWS_PER_BAND,
+    )
+
+    sigs = _minhash_sigs(docs_rows)
+    shsets = {r["doc_id"]: _shingles(r["text"]) for r in docs_rows}
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for did, mh in sigs.items():
+        for b in range(LSH_BANDS):
+            key = "_".join(
+                str(mh[b * ROWS_PER_BAND + r]) for r in range(ROWS_PER_BAND)
+            )
+            buckets.setdefault((b, key), []).append(did)
+    cand = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i, a in enumerate(ids):
+            for b2 in ids[i + 1 :]:
+                cand.add((a, b2))
+    want = {}
+    for a, b in cand:
+        est = sum(
+            1 for i in range(NUM_HASHES) if sigs[a][i] == sigs[b][i]
+        ) / NUM_HASHES
+        inter = len(shsets[a] & shsets[b])
+        exact = inter / (len(shsets[a]) + len(shsets[b]) - inter)
+        want[(a, b)] = (est, exact)
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in plans.QUERIES["q_minhash_jaccard_err"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k, (est, exact) in want.items():
+        r = got[k]
+        assert abs(r["est_jaccard"] - est) < 1.1e-6, k
+        assert abs(r["exact_jaccard"] - exact) < 1.1e-6, k
+        assert abs(r["abs_err"] - abs(est - exact)) < 2.1e-6, k
+    # sketch-quality envelope: mean |err| should sit within ~3 sigma of
+    # the binomial sketch bound sqrt(J(1-J)/16) <= 0.125
+    errs = [abs(e - x) for e, x in want.values()]
+    if errs:
+        assert sum(errs) / len(errs) <= 3 * 0.125
+
+
+def _xy2d(n: int, x: int, y: int) -> int:
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_layout_recounts_brute(spark, sf_dir):
+    from collections import defaultdict
+
+    from flink_template_spark.plans.datapipe import (
+        _Z_BITS,
+        _Z_PARTS_SHIFT,
+        _Z_PRICE_BUCKET,
+    )
+
+    rows = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_quantity"
+    ).collect()
+    n = 1 << _Z_BITS
+    agg = defaultdict(lambda: [0, None, None, None, None])
+    for r in rows:
+        qx = math.floor(float(r["l_extendedprice"]) / _Z_PRICE_BUCKET)
+        qy = math.floor(float(r["l_quantity"])) - 1
+        pid = _xy2d(n, qx, qy) >> _Z_PARTS_SHIFT
+        a = agg[pid]
+        a[0] += 1
+        q, p = r["l_quantity"], r["l_extendedprice"]
+        a[1] = q if a[1] is None else min(a[1], q)
+        a[2] = q if a[2] is None else max(a[2], q)
+        a[3] = p if a[3] is None else min(a[3], p)
+        a[4] = p if a[4] is None else max(a[4], p)
+    got = {
+        r["pid"]: r
+        for r in plans.QUERIES["q_hilbert_layout"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(agg)
+    for pid, (cnt, mnq, mxq, mnp, mxp) in agg.items():
+        r = got[pid]
+        assert r["n_rows"] == cnt, pid
+        assert (r["min_qty"], r["max_qty"]) == (mnq, mxq), pid
+        assert (r["min_price"], r["max_price"]) == (mnp, mxp), pid
+
+
+def test_hilbert_index_matches_reference_and_adjacency(spark):
+    """The unrolled Column expression must equal the classic xy2d
+    recipe on the full 16×16 grid, and the curve property must hold:
+    consecutive indices are ALWAYS adjacent cells (the locality
+    guarantee Morton lacks — this is the reason the query exists)."""
+    import pyspark.sql.functions as F
+
+    from flink_template_spark.functions.zorder import hilbert_index
+
+    bits, n = 4, 16
+    pts = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["d"]
+        for r in df.select(
+            "x", "y", hilbert_index(F.col("x"), F.col("y"), bits).alias("d")
+        ).collect()
+    }
+    want = {(x, y): _xy2d(n, x, y) for x, y in pts}
+    assert got == want
+    assert sorted(want.values()) == list(range(n * n))  # bijection
+    inv = {d: xy for xy, d in want.items()}
+    for d in range(n * n - 1):
+        (x0, y0), (x1, y1) = inv[d], inv[d + 1]
+        assert abs(x0 - x1) + abs(y0 - y1) == 1, d

@@ -12,33 +12,45 @@ def test_priority_slate_shape():
     names = list(plans.QUERIES)
     assert len(names) == len(set(names))
     first50 = set(names[:50])
-    # round-11 rotation (VERDICT r10 next #1): ALL 9 round-10 additions
+    # round-12 rotation (VERDICT r11 next #1): ALL 9 round-11 additions
     # (never driver-checked before this round)
     for q in (
-        "q_ols_two_feature",
-        "q_winsorized_stats",
-        "q_welch_ttest",
-        "q_nb_lang_classifier",
-        "q_js_divergence_sources",
-        "q_domain_mixture_weights",
-        "q_cuped_adjustment",
-        "q_kendall_tau",
-        "q_mutual_info_pairs",
+        "q_graph_modularity",
+        "q_calibration_brier",
+        "q_isotonic_calibration",
+        "q_anova_oneway",
+        "q_grubbs_outlier",
+        "q_blocklist_gate_rates",
+        "q_mcnemar_gates",
+        "q_bh_fdr_terms",
+        "q_pca_power_iteration",
     ):
         assert q in first50, q
-    # representatives of the 41 oldest r5-cohort greens (their last
-    # driver verdict is round 5)
+    # the round-5 leftover (its last driver verdict is round 5)
+    assert "q_trip_summary" in first50
+    # representatives of the 40 oldest r6-cohort greens (their last
+    # driver verdict is round 6)
     for q in (
-        "q_topk_orders_per_segment",
-        "q_rollup_region_nation",
-        "q_salted_join_revenue",
-        "q_asof_latest_order_per_event",
-        "q_near_dup_components",
-        "q_ann_index_build",
-        "q_hll_portable_rollup",
-        "q_bpe_merges",
+        "q_jaccard_prefix_pairs",
+        "q_pagerank_trade",
+        "q_knn_join_gemm",
+        "q_zorder_layout",
+        "q_coreset_greedy",
+        "q_bm25_search",
+        "q_cosine_topk",
+        "q_multimodal_byte_histogram",
     ):
         assert q in first50, q
+    # the round-12 additions sit at the HEAD of _MIDDLE: first in line
+    # for the round-13 slate, never inside this round's 50
+    for q in (
+        "q_cohens_kappa_gates",
+        "q_pr_curve_nb",
+        "q_logloss_nb",
+        "q_label_noise_candidates",
+        "q_levene_variance",
+    ):
+        assert q not in first50 and names.index(q) < 60, q
 
 
 def test_slate_has_no_oracle_less_queries():
