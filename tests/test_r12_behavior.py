@@ -216,3 +216,24 @@ def test_r12_wave2_plan_pins(spark, sf_dir):
     p = plan_formatted(spark, plans, sf_dir, "q_auc_nb_gate")
     assert "Scan ExistingRDD" in p
     assert "SortMergeJoin Inner" in p or "ShuffledHashJoin Inner" in p
+
+
+def test_pr_curve_bucket_threshold_identity():
+    """q_pr_curve_nb's sweep rests on bucket >= k <=> p >= k/10 for
+    every 6-dp-rounded double p. Not obviously true in floating point
+    (double(0.3)*10 must round back to exactly 3.0) — verified
+    exhaustively over all 10^6+1 p values in review; pinned here on
+    every boundary neighborhood plus a stride sample."""
+    import math
+
+    picks = set()
+    for k in range(10):
+        for d in range(-3, 4):
+            picks.add(k * 100000 + d)
+    picks.update(range(0, 1000001, 9973))
+    picks.add(1000000)
+    for i in sorted(p for p in picks if 0 <= p <= 1000000):
+        p = float(repr(i / 1000000))
+        b = min(int(math.floor(p * 10)), 9)
+        for k in range(10):
+            assert (b >= k) == (p >= k / 10), (i, k)
