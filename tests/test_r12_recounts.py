@@ -737,3 +737,95 @@ def test_hilbert_index_matches_reference_and_adjacency(spark):
     for d in range(n * n - 1):
         (x0, y0), (x1, y1) = inv[d], inv[d + 1]
         assert abs(x0 - x1) + abs(y0 - y1) == 1, d
+
+
+# ---------------------------------------------------------------------------
+# Property tests (hypothesis): the round-12 identities on RANDOM inputs,
+# not just the fixtures — pure Python vs pure Python, no Spark session.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(-50, 50)),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_auc_midrank_identity_property(rows):
+    """The doubled-midrank Mann-Whitney formula the AUC query ships
+    must equal the pairwise AUC definition on ANY score/label list
+    with ties — if either class is empty the formula is out of scope."""
+    pos = [s for y, s in rows if y == 1]
+    neg = [s for y, s in rows if y == 0]
+    if not pos or not neg:
+        return
+    scores = sorted(s for _, s in rows)
+    # midrank2 = 2*rank_min + tie_count - 1 per value
+    first = {}
+    cnt = {}
+    for i, s in enumerate(scores, start=1):
+        first.setdefault(s, i)
+        cnt[s] = cnt.get(s, 0) + 1
+    pm2 = sum(2 * first[s] + cnt[s] - 1 for s in pos)
+    n1, n0 = len(pos), len(neg)
+    formula = (pm2 - n1 * (n1 + 1)) / (2 * n1 * n0)
+    brute = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0)
+        for p in pos
+        for n in neg
+    ) / (n1 * n0)
+    assert abs(formula - brute) < 1e-12
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(1, 8), st.data())
+def test_hilbert_dfa_matches_xy2d_property(bits, data):
+    """The LUT DFA must equal the classic recipe for random points at
+    every grid size up to 256x256 (the fixture query only exercises
+    bits=6)."""
+    from flink_template_spark.functions.zorder import (
+        _HILBERT_DIGIT_LUT,
+        _HILBERT_STATE_LUT,
+    )
+
+    n = 1 << bits
+    x = data.draw(st.integers(0, n - 1))
+    y = data.draw(st.integers(0, n - 1))
+    st_, d = 0, 0
+    for i in range(bits - 1, -1, -1):
+        inp = 2 * ((x >> i) & 1) + ((y >> i) & 1)
+        d = d * 4 + _HILBERT_DIGIT_LUT[st_ * 4 + inp]
+        st_ = _HILBERT_STATE_LUT[st_ * 4 + inp]
+    assert d == _xy2d(n, x, y)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(0, 200),
+    st.integers(0, 200),
+    st.integers(0, 200),
+    st.integers(0, 200),
+)
+def test_kappa_phi_bounds_property(bp, ao, bo, ne):
+    """Kappa and phi as shipped must respect their textbook envelopes
+    on ANY 2x2 table: kappa <= 1, |phi| <= 1, and phi² equals the
+    chi²/n of the same table (the phi–chi² identity)."""
+    n = bp + ao + bo + ne
+    if n == 0:
+        return
+    pe_num = (bp + ao) * (bp + bo) + (bo + ne) * (ao + ne)
+    if n * n != pe_num:  # kappa defined
+        kappa = (n * (bp + ne) - pe_num) / (n * n - pe_num)
+        assert kappa <= 1 + 1e-12
+    m1, m2, m3, m4 = bp + ao, bo + ne, bp + bo, ao + ne
+    if min(m1, m2, m3, m4) > 0:
+        phi = (bp * ne - ao * bo) / math.sqrt(m1 * m2 * m3 * m4)
+        assert -1 - 1e-12 <= phi <= 1 + 1e-12
+        # chi² (no continuity correction) of the 2x2 table
+        chi2 = n * (bp * ne - ao * bo) ** 2 / (m1 * m2 * m3 * m4)
+        assert abs(phi * phi - chi2 / n) < 1e-9
