@@ -283,6 +283,9 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     # one rank_global call: its cumulative-offset window over the
     # per-partition stats table (<= shuffle-partition-count rows)
     "q_curriculum_order": 1,
+    # r12: one rank_global call (the global score ranking behind the
+    # tie-corrected AUC); same bounded offsets window
+    "q_auc_nb_gate": 1,
     "q_quantile_normalize": 1,
     # with_global_prefix_sum's cumulative-offset window over the
     # per-partition totals table (<= shuffle-partition-count rows)

@@ -286,15 +286,33 @@ def test_bh_fdr_recounts_brute(spark, sf_dir):
         scored.append((t, chi2))
     scored.sort(key=lambda x: (-x[1], x[0]))
     m = len(scored)
+
+    def p_approx(chi2):
+        # the shipped A&S 7.1.26 dag, replayed; independently pinned
+        # against math.erfc below (r12: replaced the Chernoff bound)
+        z = math.sqrt(chi2 / 2)
+        t = 1.0 / (1.0 + 0.3275911 * z)
+        poly = (
+            (((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+             - 0.284496736) * t + 0.254829592
+        ) * t
+        return round(poly * math.exp(-(z * z)), 9)
+
     k_sel = 0
     for i, (t, chi2) in enumerate(scored, start=1):
-        if round(math.exp(-chi2 / 2), 6) <= i * _BH_ALPHA / m:
+        if p_approx(chi2) <= i * _BH_ALPHA / m:
             k_sel = i
+        # the approximation must track the TRUE survival function
+        assert abs(p_approx(chi2) - math.erfc(math.sqrt(chi2 / 2))) < 2e-7
     assert all(r["m_tested"] == m for r in got)
-    if got:
-        assert got[0]["k_selected"] == k_sel
-    sel = scored[: min(k_sel, 50)]
+    assert got, "r12: the readout always reports the top-10 tests"
+    assert got[0]["k_selected"] == k_sel
+    # r12 semantics: every discovery (capped 50) plus always the top 10
+    n_report = max(min(k_sel, 50), min(10, m))
+    sel = scored[:n_report]
     assert [r["token"] for r in got] == [t for t, _ in sel]
+    for r in got:
+        assert r["is_discovery"] == (r["rk"] <= k_sel)
 
 
 def test_pca_power_iteration_recounts_numpy(spark, sf_dir):

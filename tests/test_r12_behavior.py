@@ -237,3 +237,49 @@ def test_pr_curve_bucket_threshold_identity():
         b = min(int(math.floor(p * 10)), 9)
         for k in range(10):
             assert (b >= k) == (p >= k / 10), (i, k)
+
+
+def test_bh_fdr_selects_on_planted_association(spark, tmp_path):
+    """The testdata corpora yield ZERO BH discoveries at every SF (no
+    real token-language association), so the fixture oracle greens
+    never exercise the selection path. Plant a strong association and
+    require the pipeline to find it — query vs oracle vs brute, all
+    three ways."""
+    import duckdb
+
+    from tests.oracle_check import compare
+
+    rows = []
+    for i in range(120):
+        en = i % 2 == 0
+        text = ("zebra common filler words here" if en
+                else "common filler words here autre")
+        rows.append((i, text, "en" if en else "fr", "s", len(text)))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "bhdir")
+    os.makedirs(d, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    got = plans.QUERIES["q_bh_fdr_terms"](spark, d).collect()
+    disc = [r["token"] for r in got if r["is_discovery"]]
+    # 'zebra' (en-only) and 'autre' (fr-only) are perfectly associated:
+    # both must be discovered; the shared filler tokens must not be
+    assert "zebra" in disc and "autre" in disc
+    assert got[0]["k_selected"] >= 2
+    assert "common" not in disc and "filler" not in disc
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet('"
+        + os.path.join(d, "documents.parquet", "*.parquet")
+        + "')"
+    )
+    ok, msg = compare(
+        plans.QUERIES["q_bh_fdr_terms"](spark, d),
+        con,
+        plans.ORACLES["q_bh_fdr_terms"],
+    )
+    assert ok, msg
