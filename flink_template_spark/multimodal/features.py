@@ -264,3 +264,59 @@ def extract_media_stats(assets: DataFrame) -> DataFrame:
             yield out
 
     return assets.mapInPandas(run, MEDIA_STATS_SCHEMA)
+
+
+PCM16_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("n_zero_cross", T.LongType()),
+        T.StructField("peak_abs", T.LongType()),
+    ]
+)
+
+
+def pcm16_features(assets: DataFrame) -> DataFrame:
+    """Raw-PCM (s16le) clip statistics over opaque binary payloads:
+    per asset the sample count, the exact integer sum of squared
+    samples (the RMS sufficient statistic), the zero-crossing count
+    (sign flips between consecutive samples; 0 counts as non-negative)
+    and the peak magnitude — the triage features an audio-curation
+    pass computes BEFORE any codec is involved, since production
+    pipelines hold decoded PCM exactly in this fixed-width-integer
+    byte convention. Container parsing (RIFF headers etc.) lives in
+    multimodal.codecs.decode_wav; this operator is the at-scale
+    sample-math layer under it.
+
+    One Arrow-batched ``mapInPandas`` pass, numpy ``<i2``
+    reinterpretation per payload (a trailing odd byte is dropped —
+    floor(n/2) samples); every returned statistic is an exact int64 in
+    any batch/partition split, so the whole path is oracle-checkable
+    against a pure-SQL hex-pair recomputation."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "asset_id": pdf["asset_id"].astype("int64"),
+                "n_samples": [],
+                "sum_sq": [],
+                "n_zero_cross": [],
+                "peak_abs": [],
+            }
+            for p in pdf["payload"]:
+                s = np.frombuffer(
+                    p[: len(p) // 2 * 2], dtype="<i2"
+                ).astype(np.int64)
+                out["n_samples"].append(s.size)
+                out["sum_sq"].append(int((s * s).sum()) if s.size else 0)
+                neg = s < 0
+                out["n_zero_cross"].append(
+                    int(np.count_nonzero(neg[1:] != neg[:-1]))
+                    if s.size > 1
+                    else 0
+                )
+                out["peak_abs"].append(int(np.abs(s).max()) if s.size else 0)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(run, PCM16_SCHEMA)

@@ -123,13 +123,13 @@ rotates per round so every family accumulates driver-checked entries:
   never-checked (modulo round-12 additions, prepended to _MIDDLE as
   they land) and bounds staleness at the 10 remaining r6 names + the
   r7 cohort — _MIDDLE ledgers the natural r13 slate. Round 12 landed
-  9 additions (Cohen's kappa/phi gate agreement, precision/recall/F1
+  10 additions (Cohen's kappa/phi gate agreement, precision/recall/F1
   threshold sweep, clipped log-loss, confident-learning label-noise
   candidates, Levene variance homogeneity, exact tie-corrected global
   AUC+Gini, Theil's U both directions, MinHash-vs-exact-Jaccard sketch
-  error audit, Hilbert-curve layout — each with a brute recount test),
-  so the natural r13 slate is those 9 + the 10 r6 leftovers + the 31
-  oldest r7 names.
+  error audit, Hilbert-curve layout, s16le raw-PCM audio features —
+  each with a brute recount test), so the natural r13 slate is those
+  10 + the 10 r6 leftovers + the 30 oldest r7 names.
 """
 
 from flink_template_spark.plans import registry  # noqa: F401
@@ -227,6 +227,7 @@ _MIDDLE: list[str] = [
     "q_theils_u_lang_source",
     "q_minhash_jaccard_err",
     "q_hilbert_layout",
+    "q_audio_pcm_features",
     # r6-cohort leftovers (stalest verdicts after a green r12)
     "q_multimodal_frame_sample",
     "q_multimodal_resize",

@@ -412,3 +412,76 @@ def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width",
         F.round("luma_mean", 6).alias("luma_mean"),
     ).orderBy("asset_id")
+
+
+@register(
+    "q_audio_pcm_features",
+    oracle=f"""
+WITH {ASSETS_ORACLE_CTE},
+hexed AS (
+  SELECT asset_id, hex(payload) AS hx, octet_length(payload) // 2 AS ns
+  FROM assets WHERE asset_id < 50 AND octet_length(payload) >= 2
+),
+samples AS (
+  -- s16le: byte 2i is LOW, byte 2i+1 HIGH; hex chars for byte k are
+  -- [2k+1, 2k+2] (1-based) -> sample i = '0x' || hi_pair || lo_pair
+  SELECT asset_id, ns, i,
+    CAST('0x' || substr(hx, CAST(i * 4 + 3 AS BIGINT), 2)
+              || substr(hx, CAST(i * 4 + 1 AS BIGINT), 2) AS BIGINT) AS v
+  FROM hexed, unnest(range(0, ns)) AS u(i)
+),
+signed AS (
+  SELECT asset_id, ns, i,
+    v - CASE WHEN v >= 32768 THEN 65536 ELSE 0 END AS s
+  FROM samples
+),
+flips AS (
+  SELECT asset_id, ns, s,
+    CASE WHEN LAG(s) OVER (PARTITION BY asset_id ORDER BY i) IS NOT NULL
+          AND ((s < 0) <> (LAG(s) OVER (PARTITION BY asset_id ORDER BY i) < 0))
+         THEN 1 ELSE 0 END AS zf
+  FROM signed
+)
+SELECT asset_id,
+  CAST(ANY_VALUE(ns) AS BIGINT) AS n_samples,
+  ROUND(SQRT(CAST(SUM(s * s) AS DOUBLE) / ANY_VALUE(ns)), 6) AS rms,
+  CAST(SUM(zf) AS BIGINT) AS n_zero_cross,
+  CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs
+FROM flips
+GROUP BY asset_id
+ORDER BY asset_id
+""",
+)
+def q_audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-PCM (s16le) audio triage features, ORACLE-CHECKED end-to-end:
+    Spark runs the REAL Arrow-batched mapInPandas numpy path
+    (multimodal.features.pcm16_features — the exact shape a production
+    audio-curation pass uses on decoded PCM), while DuckDB recomputes
+    the identical statistics from hex pairs in pure SQL. A hash match
+    proves the Python boundary preserves every sample value — the
+    q_multimodal_byte_histogram discipline extended from bytes to
+    signed fixed-width samples. This closes the audio gap the rows-only
+    WAV decode left: container parsing stays in codecs.decode_wav
+    (closed-form pinned), but the sample MATH is now cross-engine
+    verified. RMS is one sqrt of exact-integer sufficient statistics,
+    rounded 6 dp; n_samples / zero-crossings / peak are exact ints.
+
+    Scale shape: one Arrow-batched pass over the bounded demo subset
+    (asset_id < 50, the byte-histogram convention — the per-sample SQL
+    explode is oracle-side only; the Spark path is one mapInPandas with
+    no shuffle before the final presentation sort)."""
+    from flink_template_spark.multimodal.features import pcm16_features
+
+    assets = load_assets(spark, sf_dir).filter(
+        (F.col("asset_id") < 50) & (F.octet_length("payload") >= 2)
+    )
+    stats = pcm16_features(assets)
+    return stats.select(
+        "asset_id",
+        "n_samples",
+        F.round(
+            F.sqrt(F.col("sum_sq").cast("double") / F.col("n_samples")), 6
+        ).alias("rms"),
+        "n_zero_cross",
+        "peak_abs",
+    ).orderBy("asset_id")

@@ -829,3 +829,67 @@ def test_kappa_phi_bounds_property(bp, ao, bo, ne):
         # chi² (no continuity correction) of the 2x2 table
         chi2 = n * (bp * ne - ao * bo) ** 2 / (m1 * m2 * m3 * m4)
         assert abs(phi * phi - chi2 / n) < 1e-9
+
+
+def test_audio_pcm_features_recounts_brute(spark, sf_dir):
+    """struct.unpack re-derivation of the s16le statistics — a third
+    path beside the numpy mapInPandas kernel and the SQL hex-pair
+    oracle."""
+    import struct
+
+    from flink_template_spark.multimodal.assets import load_assets
+
+    payloads = {
+        r["asset_id"]: bytes(r["payload"])
+        for r in load_assets(spark, sf_dir)
+        .filter("asset_id < 50")
+        .select("asset_id", "payload")
+        .collect()
+    }
+    got = {
+        r["asset_id"]: r
+        for r in plans.QUERIES["q_audio_pcm_features"](spark, sf_dir).collect()
+    }
+    want_ids = {a for a, p in payloads.items() if len(p) >= 2}
+    assert set(got) == want_ids
+    for aid in want_ids:
+        p = payloads[aid]
+        ns = len(p) // 2
+        s = struct.unpack("<" + "h" * ns, p[: ns * 2])
+        sum_sq = sum(v * v for v in s)
+        zc = sum(
+            1 for i in range(1, ns) if (s[i] < 0) != (s[i - 1] < 0)
+        )
+        peak = max(abs(v) for v in s)
+        r = got[aid]
+        assert r["n_samples"] == ns, aid
+        assert r["n_zero_cross"] == zc, aid
+        assert r["peak_abs"] == peak, aid
+        assert abs(r["rms"] - math.sqrt(sum_sq / ns)) < 1.1e-6, aid
+
+
+def test_pcm16_features_edge_payloads(spark):
+    """Odd-length payloads drop the trailing byte; a single sample has
+    zero crossings; an empty payload yields zeroed stats (the query
+    filters them out, but the OPERATOR must not crash)."""
+    import pyspark.sql.functions as F
+
+    from flink_template_spark.multimodal.features import pcm16_features
+
+    rows = [
+        (0, bytearray([0x01, 0x80])),  # one sample: -32767
+        (1, bytearray([0xFF, 0x7F, 0x00, 0x80, 0x05])),  # odd: 2 samples
+        (2, bytearray([])),  # empty
+        (3, bytearray([0x00, 0x00, 0x01, 0x00, 0xFF, 0xFF])),  # 0, 1, -1
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    got = {r["asset_id"]: r for r in pcm16_features(df).collect()}
+    assert got[0]["n_samples"] == 1 and got[0]["n_zero_cross"] == 0
+    assert got[0]["peak_abs"] == 32767 and got[0]["sum_sq"] == 32767 * 32767
+    # 0x7FFF=32767 then 0x8000=-32768: one flip; trailing byte dropped
+    assert got[1]["n_samples"] == 2 and got[1]["n_zero_cross"] == 1
+    assert got[1]["peak_abs"] == 32768
+    assert got[2]["n_samples"] == 0 and got[2]["sum_sq"] == 0
+    assert got[2]["peak_abs"] == 0 and got[2]["n_zero_cross"] == 0
+    # 0 counts as non-negative: 0 -> 1 no flip, 1 -> -1 one flip
+    assert got[3]["n_zero_cross"] == 1
