@@ -2654,14 +2654,16 @@ ORDER BY c.id_a, c.id_b
 """,
 )
 def q_minhash_jaccard_err(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-error audit for the MinHash near-dup tier: for every LSH
-    candidate pair, the 16-component MinHash Jaccard ESTIMATE
-    (matching components / 16) against the EXACT 3-shingle Jaccard,
-    with the absolute error — the companion to q_lsh_recall_audit
-    (that one audits which pairs the bands surface; this one audits
-    how well the retained sketch values estimate similarity, i.e.
-    whether 16 hashes are enough before anyone trusts est ≥ t as a
-    dedup rule). The σ ≈ √(J(1−J)/16) envelope is pinned in tests.
+    """Sketch-error audit for the MinHash near-dup tier, PAIR GRAIN:
+    for every LSH candidate pair, the 16-component MinHash Jaccard
+    ESTIMATE (matching components / 16) against the EXACT 3-shingle
+    Jaccard, with the absolute error — the drill-down under
+    q_minhash_estimate_error's per-decile rollup (same candidates,
+    same estimator, same exact reference; a consistency test recounts
+    that rollup from THESE rows, so the two independently-implemented
+    audits police each other), and the companion to q_lsh_recall_audit
+    (which pairs the bands surface vs how well the sketch scores
+    them). The σ ≈ √(J(1−J)/16) envelope is pinned in tests.
 
     Exactness: the estimate is an integer match count divided by 16
     (identical doubles); exact Jaccard is |∩|/(|A|+|B|−|∩|) on exact

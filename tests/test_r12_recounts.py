@@ -893,3 +893,35 @@ def test_pcm16_features_edge_payloads(spark):
     assert got[2]["peak_abs"] == 0 and got[2]["n_zero_cross"] == 0
     # 0 counts as non-negative: 0 -> 1 no flip, 1 -> -1 one flip
     assert got[3]["n_zero_cross"] == 1
+
+
+def test_minhash_err_pair_grain_consistent_with_decile_rollup(spark, sf_dir):
+    """q_minhash_jaccard_err (pair grain, r12) and
+    q_minhash_estimate_error (decile rollup, r9) implement the same
+    audit independently — recompute the rollup from the pair rows and
+    require agreement, so a drift in either implementation trips
+    here."""
+    pairs = plans.QUERIES["q_minhash_jaccard_err"](spark, sf_dir).collect()
+    rollup = {
+        r["j_decile"]: r
+        for r in plans.QUERIES["q_minhash_estimate_error"](
+            spark, sf_dir
+        ).collect()
+    }
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0.0, 0.0, 0.0])
+    for r in pairs:
+        d = min(int(r["exact_jaccard"] * 10), 9)
+        a = agg[d]
+        a[0] += 1
+        a[1] += r["exact_jaccard"]
+        a[2] += r["est_jaccard"]
+        a[3] += abs(r["est_jaccard"] - r["exact_jaccard"])
+    assert set(agg) == set(rollup)
+    for d, (n, se, sm, serr) in agg.items():
+        r = rollup[d]
+        assert r["n_pairs"] == n, d
+        assert abs(r["mean_exact"] - se / n) < 2e-6, d
+        assert abs(r["mean_est"] - sm / n) < 2e-6, d
+        assert abs(r["mean_abs_err"] - serr / n) < 2e-6, d
