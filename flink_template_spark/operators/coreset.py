@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from flink_template_spark.functions.vector import cosine, valid_vec
+from flink_template_spark.functions.vector import dot, l2_norm, valid_vec
 
 
 def pair_sims_q(
@@ -42,15 +42,26 @@ def pair_sims_q(
     pair of the (blocked, small) universe, self-pairs included
     (sim_q(d,d) = 1e6 — a facility covers itself). Degenerate vectors
     are excluded by the cosine-family valid_vec contract."""
+    # norms are computed ONCE per row before the cross join (linear),
+    # not inside the pair cosine (quadratic): dot/(na*nb) is the exact
+    # expression tree cosine() builds, evaluated on identical operands,
+    # so sim_q is bit-for-bit unchanged while the pair table drops two
+    # of its three per-pair array folds (guide §1.2: fix the algorithm
+    # inside the quadratic block first).
     u = universe.filter(valid_vec(F.col(vec_col))).select(
-        F.col(id_col), F.col(vec_col)
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("__n")
     )
-    a = u.select(F.col(id_col).alias("d"), F.col(vec_col).alias("__va"))
-    b = u.select(F.col(id_col).alias("c"), F.col(vec_col).alias("__vb"))
+    a = u.select(F.col(id_col).alias("d"), F.col(vec_col).alias("__va"), F.col("__n").alias("__na"))
+    b = u.select(F.col(id_col).alias("c"), F.col(vec_col).alias("__vb"), F.col("__n").alias("__nb"))
     return a.crossJoin(b).select(
         "d",
         "c",
-        F.round(cosine(F.col("__va"), F.col("__vb")) * 1_000_000.0, 0)
+        F.round(
+            dot(F.col("__va"), F.col("__vb"))
+            / (F.col("__na") * F.col("__nb"))
+            * 1_000_000.0,
+            0,
+        )
         .cast("bigint")
         .alias("sim_q"),
     )
@@ -94,6 +105,9 @@ def facility_location_greedy(
             {"round": t, id_col: chosen, "gain_q": gain, "total_cov_q": total}
         )
         chosen_sims = sims.filter(F.col("c") == chosen).select("d", "sim_q")
+        # eager=False: the cov_t checkpoint materializes inside round
+        # t+1's argmax job instead of costing a dedicated job per round
+        # (halves the loop's job count; sims stays eagerly pinned)
         cov = (
             cov.join(chosen_sims, "d", "left")
             .select(
@@ -102,7 +116,7 @@ def facility_location_greedy(
                     F.col("cov"), F.coalesce(F.col("sim_q"), F.lit(0))
                 ).alias("cov"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return out
 

@@ -22,16 +22,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from flink_template_spark.functions.vector import cosine
+from flink_template_spark.functions.vector import cosine, cosine_lit_spark, lit_doubles
 
 QUANT = 10_000_000.0
 
 
 def _assign(vectors: DataFrame, centroids: list[tuple[int, list[float]]],
             id_col: str, vec_col: str) -> DataFrame:
-    """Nearest-centroid assignment against broadcast literal centroids."""
+    """Nearest-centroid assignment against broadcast literal centroids.
+
+    Each similarity column is ONE parsed SQL string (cosine_lit_spark):
+    the earlier per-element lit + lambda builders cost ~0.45 s of py4j
+    chatter per K=4 centroid set, re-paid every Lloyd iteration."""
     sims = [
-        F.round(cosine(F.col(vec_col), F.array(*[F.lit(x) for x in cvec])), 6).alias(
+        F.expr(f"ROUND({cosine_lit_spark(vec_col, cvec)}, 6)").alias(
             f"__s_{cid}"
         )
         for cid, cvec in centroids
@@ -93,7 +97,7 @@ def kmeans_inertia(assigned: DataFrame,
         *[
             F.when(
                 F.col("cluster") == cid,
-                cosine(F.col(vec_col), F.array(*[F.lit(x) for x in cvec])),
+                cosine(F.col(vec_col), lit_doubles(cvec)),
             )
             for cid, cvec in centroids
         ]

@@ -71,7 +71,9 @@ def _sq_l2(sub, code: Column):
 
 
 def _lit_vec(code: list[float]):
-    return F.array(*[F.lit(float(c)) for c in code])
+    from flink_template_spark.functions.vector import lit_doubles
+
+    return lit_doubles(code)
 
 
 def _argmin_code(sub, codebook: Codebook):

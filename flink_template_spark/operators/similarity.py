@@ -216,10 +216,33 @@ def _plane_weight_sql(i_expr: str, j: int) -> str:
     )
 
 
+def _plane_weights(j: int) -> list[float]:
+    """Plane j's weights as Python floats — EXACTLY the doubles
+    ``_plane_weight`` computes in the JVM: the LCG seed is exact int64
+    arithmetic, seed / 2^31 is an exact power-of-two division, and
+    − 0.5 is exact, so inlining them as an array literal changes how
+    the constants enter the plan, not their bits."""
+    return [
+        float((LCG_A * (j * PLANE_STRIDE + i) + LCG_C) % LCG_M) / float(LCG_M) - 0.5
+        for i in range(PLANE_STRIDE)
+    ]
+
+
 def _plane_dot(vec: "F.Column", j: int):
+    # zip_with against the precomputed literal weight array instead of
+    # recomputing the 5-op LCG weight per ELEMENT inside the lambda
+    # (interpreted HOF eval — guide §1.2 per-task work). Same
+    # left-to-right fold, same doubles. Assumes dim == PLANE_STRIDE
+    # (the module contract; see PLANE_STRIDE note above).
+    from flink_template_spark.functions.vector import lit_doubles
+
     return F.round(
         F.aggregate(
-            F.transform(vec, lambda x, i: x.cast("double") * _plane_weight(i, j)),
+            F.zip_with(
+                vec,
+                lit_doubles(_plane_weights(j)),
+                lambda x, w: x.cast("double") * w,
+            ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         ),

@@ -1191,10 +1191,15 @@ def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     float→string rendering differs across engines (the repertoire
     trap), so double columns get their stats from the typed paths."""
     li = load_table(spark, sf_dir, "lineitem")
-    # lazy checkpoint: stacked feeds BOTH the KMV-estimate and the
-    # base-stats subtrees — without it the scan+explode runs twice,
-    # which is exactly the cost this one-pass design exists to avoid
-    stacked = (
+    # ONE hash aggregation to the (col, val) grain straight off the
+    # explode (guide §2.3: aggregate before you shuffle) — the map-side
+    # partial agg collapses duplicate values, so the shuffle, the lazy
+    # checkpoint, the md5 hashing in the KMV sketch, and the exact-NDV
+    # count all operate on distinct values (~170k rows at sf0.1), not
+    # the raw N×6 stacked rows (3.6M). The earlier shape checkpointed
+    # the raw explode and ran a COUNT(DISTINCT) shuffle plus a full
+    # md5+distinct pass over it — 20× more rows into every consumer.
+    grain = (
         li.select(
             F.explode(
                 F.array(
@@ -1208,7 +1213,9 @@ def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("s")
         )
-        .select("s.col", "s.val")
+        .groupBy("s.col", "s.val")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(F.col("col"), F.col("val"), F.col("cnt"))
         .localCheckpoint(eager=False)
     )
     from flink_template_spark.operators.sketches_portable import (
@@ -1216,17 +1223,21 @@ def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmv_sketch,
     )
 
-    est = kmv_estimate(kmv_sketch(stacked, ["col"], "val"), ["col"]).select(
+    # kmv_sketch starts with filter-non-null + distinct-hash, so the
+    # already-distinct grain rows produce the identical sketch
+    est = kmv_estimate(kmv_sketch(grain, ["col"], "val"), ["col"]).select(
         "col", F.col("est").alias("ndv_est")
     )
     # LEFT join + 0-coalesce: an all-NULL column has NO sketch rows
     # (kmv drops NULL items) but is exactly the column a stats sweep
     # must flag — n_rows=N, n_nulls=N, ndv=0, not a vanished row
     # (the cms_lookup sparse-sketch discipline)
-    base = stacked.groupBy("col").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        (F.count(F.lit(1)) - F.count("val")).cast("bigint").alias("n_nulls"),
-        F.count_distinct("val").cast("bigint").alias("ndv_exact"),
+    base = grain.groupBy("col").agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("val").isNull(), F.col("cnt")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_nulls"),
+        F.count("val").cast("bigint").alias("ndv_exact"),
     )
     return (
         base.join(est, "col", "left")

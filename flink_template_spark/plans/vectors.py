@@ -17,6 +17,8 @@ from flink_template_spark.functions.vector import (
     dot_sql,
     l2_norm,
     l2_norm_sql,
+    lit_doubles,
+    lit_ints,
     rp_signs,
 )
 from flink_template_spark.operators.similarity import (
@@ -1250,7 +1252,7 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             q
             * F.element_at(
-                F.array(*[F.lit(s) for s in _RP_SIGNS[j]]),
+                lit_ints(_RP_SIGNS[j]),
                 F.col("pos") + 1,
             )
         ).alias(f"s{j}")
@@ -2559,7 +2561,7 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # one scan serves both iterations
     )
     v = spark.range(1).select(
-        F.array(*[F.lit(_PCA_V0)] * _PCA_DIM).alias("v")
+        lit_doubles([_PCA_V0] * _PCA_DIM).alias("v")
     )
     lam = None
     for _ in range(_PCA_ITERS):

@@ -47,3 +47,173 @@ def test_resample_vectorized_matches_grouped_map(spark, freq):
     ref = _canon(resample_ffill_grouped(df, freq=freq).collect())
     assert fast == ref
     assert len(fast) > 0
+
+
+def test_lit_doubles_bit_identical_to_per_element_lits(spark):
+    """lit_doubles builds the array as ONE parsed SQL expression; the
+    doubles that come out must be bit-for-bit the ones per-element
+    F.lit would have produced — including values with no short decimal
+    form (repr round-trip is the contract)."""
+    import math
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from flink_template_spark.functions.vector import lit_doubles, lit_ints
+
+    vals = [0.1, -1 / 3, 2**-30, 1e300, -0.0, 123456.789012345678, math.pi]
+    row = (
+        spark.range(1)
+        .select(
+            lit_doubles(vals).alias("fast"),
+            F.array(*[F.lit(float(v)) for v in vals]).alias("ref"),
+        )
+        .first()
+    )
+    bits = lambda xs: [struct.pack("<d", x) for x in xs]
+    assert bits(row["fast"]) == bits(row["ref"])
+
+    ivals = [0, -5, 2**31 - 1, -(2**31), 7]
+    irow = (
+        spark.range(1)
+        .select(
+            lit_ints(ivals).alias("fast"),
+            F.array(*[F.lit(int(v)) for v in ivals]).alias("ref"),
+        )
+        .first()
+    )
+    assert list(irow["fast"]) == list(irow["ref"])
+
+    with pytest.raises(ValueError):
+        lit_doubles([1.0, float("nan")])
+    with pytest.raises(ValueError):
+        lit_doubles([float("inf")])
+
+
+def test_cosine_lit_spark_matches_column_builder(spark):
+    """The single-string cosine (cosine_lit_spark) must evaluate to the
+    exact doubles of the Column-builder cosine against the same literal
+    centroid — same zip_with/aggregate fold, same operand order."""
+    import random
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from flink_template_spark.functions.vector import cosine, cosine_lit_spark, lit_doubles
+
+    rng = random.Random(7)
+    cvec = [round(rng.uniform(-1, 1), 6) for _ in range(16)]
+    rows = [
+        ([round(rng.uniform(-2, 2), 6) for _ in range(16)],) for _ in range(50)
+    ]
+    df = spark.createDataFrame(rows, "embedding array<double>")
+    out = df.select(
+        F.expr(cosine_lit_spark("embedding", cvec)).alias("fast"),
+        cosine(F.col("embedding"), lit_doubles(cvec)).alias("ref"),
+    ).collect()
+    for r in out:
+        assert struct.pack("<d", r["fast"]) == struct.pack("<d", r["ref"])
+
+
+def test_plane_weights_literals_match_jvm_lcg(spark):
+    """_plane_weights inlines the LCG hyperplane weights as Python
+    floats; they must be bit-identical to the JVM _plane_weight
+    computation for every (plane, dim) the LSH queries use, and the
+    zip_with _plane_dot must reproduce the historical transform-based
+    fold exactly on full-width vectors."""
+    import random
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from flink_template_spark.operators.similarity import (
+        PLANE_STRIDE,
+        _plane_dot,
+        _plane_weight,
+        _plane_weights,
+    )
+
+    # element-level: JVM LCG vs Python literal, all dims of planes 0..15
+    idx = spark.range(PLANE_STRIDE).select(F.col("id").cast("bigint").alias("i"))
+    for j in (0, 1, 7, 15):
+        jvm = [
+            r["w"]
+            for r in idx.select(F.col("i"), _plane_weight(F.col("i"), j).alias("w"))
+            .orderBy("i")
+            .collect()
+        ]
+        lit = _plane_weights(j)
+        assert [struct.pack("<d", x) for x in jvm] == [
+            struct.pack("<d", x) for x in lit
+        ]
+
+    # fold-level: zip_with literal-array form vs the historical
+    # transform(vec, (x, i) -> x * lcg_weight(i, j)) construction
+    rng = random.Random(3)
+    rows = [
+        ([round(rng.uniform(-1, 1), 6) for _ in range(PLANE_STRIDE)],)
+        for _ in range(30)
+    ]
+    df = spark.createDataFrame(rows, "embedding array<float>")
+    def _old_plane_dot(vec, j):
+        return F.round(
+            F.aggregate(
+                F.transform(vec, lambda x, i: x.cast("double") * _plane_weight(i, j)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    for j in (0, 5):
+        old = _old_plane_dot(F.col("embedding"), j)
+        out = df.select(
+            _plane_dot(F.col("embedding"), j).alias("fast"), old.alias("ref")
+        ).collect()
+        for r in out:
+            assert struct.pack("<d", r["fast"]) == struct.pack("<d", r["ref"])
+
+
+def test_coreset_pair_sims_factored_norms_match_cosine(spark):
+    """pair_sims_q now computes each vector's norm once before the
+    cross join and scores pairs as dot/(na*nb); the quantized sim_q
+    must equal the original per-pair cosine() expression exactly."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from flink_template_spark.functions.vector import cosine
+    from flink_template_spark.operators.coreset import pair_sims_q
+
+    rng = random.Random(11)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 6) for _ in range(8)]) for i in range(25)
+    ]
+    # degenerate rows the valid_vec guard must drop in both forms
+    rows += [(100, [0.0] * 8), (101, [float("nan")] * 8)]
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+
+    fast = {
+        (r["d"], r["c"]): r["sim_q"]
+        for r in pair_sims_q(df, id_col="doc_id").collect()
+    }
+
+    from flink_template_spark.functions.vector import valid_vec
+
+    u = df.filter(valid_vec(F.col("embedding")))
+    a = u.select(F.col("doc_id").alias("d"), F.col("embedding").alias("va"))
+    b = u.select(F.col("doc_id").alias("c"), F.col("embedding").alias("vb"))
+    ref = {
+        (r["d"], r["c"]): r["sim_q"]
+        for r in a.crossJoin(b)
+        .select(
+            "d",
+            "c",
+            F.round(cosine(F.col("va"), F.col("vb")) * 1_000_000.0, 0)
+            .cast("bigint")
+            .alias("sim_q"),
+        )
+        .collect()
+    }
+    assert fast == ref
+    assert (100, 100) not in fast and (101, 101) not in fast
