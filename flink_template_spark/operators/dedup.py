@@ -246,20 +246,26 @@ def simhash_signatures(
     signature bit carries entropy — with a fixed 32-bit hash, any
     ``bits`` > 32 would make the upper bit-sums constant. Wider
     signatures exist for banding at scale: band-key width = bits /
-    n_bands decides the bucket count (see simhash_hamming_pairs)."""
+    n_bands decides the bucket count (see simhash_hamming_pairs).
+
+    One aggregation, not two: the per-bit sum over token INSTANCES
+    (±1 each) equals the count-weighted sum over DISTINCT (id, token)
+    pairs — Σ_instances sign == Σ_tokens cnt·sign (the simhash_scalar
+    identity), so the old groupBy(id, token).count() pre-pass bought
+    nothing semantically and cost a FULL extra exchange of the distinct
+    token pairs. Hashing now runs per instance (map-side, pre-shuffle);
+    the single id-keyed aggregation ships only 32 partial sums per doc
+    per map partition. Measured at sf0.1: signature stage 0.88 → 0.64 s
+    (−27%), plan 2 Exchanges → 1, rows identical (r12 opt round)."""
     tok = _spread(docs).select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("token"),
     )
-    counted = (
-        tok.groupBy(id_col, "token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("h", F.expr(md5int_spark("token", bits=bits)))
-    )
-    bit_sums = counted.groupBy(id_col).agg(
+    hashed = tok.withColumn("h", F.expr(md5int_spark("token", bits=bits)))
+    bit_sums = hashed.groupBy(id_col).agg(
         *[
             F.sum(
-                F.expr(f"CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN cnt ELSE -cnt END")
+                F.expr(f"CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END")
             ).alias(f"s_{b}")
             for b in range(bits)
         ]

@@ -217,3 +217,148 @@ def test_coreset_pair_sims_factored_norms_match_cosine(spark):
     }
     assert fast == ref
     assert (100, 100) not in fast and (101, 101) not in fast
+
+
+def test_simhash_one_agg_matches_count_weighted(spark):
+    """simhash_signatures now folds ±1 per token INSTANCE in a single
+    id-keyed aggregation; the dropped groupBy(id, token) pre-count must
+    be semantically free: Σ_instances sign == Σ_tokens cnt·sign. Pin
+    the one-agg form against the count-weighted reference on a corpus
+    with heavy token repetition (where the two differ if the identity
+    is wrong) at both 32 and 60 signature widths."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from flink_template_spark.functions.hashing import md5int_spark
+    from flink_template_spark.operators.dedup import simhash_signatures
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 80))))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for bits in (32, 60):
+        fast = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs, bits=bits).collect()}
+        # the pre-r12 formulation, inline: count distinct (id, token),
+        # then count-weighted bit sums
+        counted = (
+            docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+            .groupBy("doc_id", "token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("h", F.expr(md5int_spark("token", bits=bits)))
+        )
+        sums = counted.groupBy("doc_id").agg(
+            *[
+                F.sum(
+                    F.expr(f"CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN cnt ELSE -cnt END")
+                ).alias(f"s_{b}")
+                for b in range(bits)
+            ]
+        )
+        sig = None
+        for b in range(bits):
+            t = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            sig = t if sig is None else sig + t
+        ref = {r["doc_id"]: r["sig"] for r in sums.select("doc_id", sig.alias("sig")).collect()}
+        assert fast == ref
+        assert len(fast) == 40
+
+
+def test_repeated_passage_window_flag_matches_join(spark):
+    """q_repeated_passages' dup flag now comes from a shingle-
+    partitioned window COUNT; pin it against the groupBy+join
+    reference on a corpus with cross-doc and within-doc repeats."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    passage = "a b c d e f g h i j k l m n o p q r s t u v"
+    rows = [
+        (1, passage + " x1 y1 z1 " + passage),   # within-doc repeat
+        (2, passage + " tail only here"),         # cross-doc repeat
+        (3, "entirely unique words q w e r t y"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    n = 10
+    tok = docs.select("doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "w"))
+    wspec = W.partitionBy("doc_id").orderBy("pos0")
+    leads = [F.lead("w", k).over(wspec).alias(f"w{k}") for k in range(1, n)]
+    led = tok.select("doc_id", "pos0", "w", *leads)
+    sh = led.filter(F.col(f"w{n-1}").isNotNull()).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.concat_ws(" ", "w", *[f"w{k}" for k in range(1, n)]).alias("shingle"),
+    )
+    fast = sh.select(
+        "doc_id", "pos", (F.count(F.lit(1)).over(W.partitionBy("shingle")) >= 2).alias("dup")
+    )
+    counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("c"))
+    ref = sh.join(counts, "shingle").select("doc_id", "pos", (F.col("c") >= 2).alias("dup"))
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, ref.collect()))
+    # and the corpus really exercises both flag values
+    vals = {r["dup"] for r in fast.collect()}
+    assert vals == {True, False}
+
+
+def test_rfm_single_rank_matches_three_ranks(spark, sf_dir):
+    """q_rfm_segments now ranks the three metrics in ONE exploded
+    two-pass global rank (rebase = (metric−1)·n). Pin the full query
+    against the pre-r12 three-sequential-ranks formulation on the
+    fixture — every segment row identical."""
+    from pyspark.sql import functions as F
+
+    from flink_template_spark import plans
+    from flink_template_spark.operators.rank_global import with_global_ranks
+    from flink_template_spark.tables import load_table
+
+    out = plans.QUERIES["q_rfm_segments"](spark, sf_dir)
+    fast = sorted(map(tuple, out.collect()))
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_dt"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("mon"),
+    )
+    mx = cust.agg(F.max("last_dt").alias("maxd"))
+    metrics = cust.crossJoin(F.broadcast(mx)).select(
+        "c",
+        F.datediff(F.col("maxd"), F.col("last_dt")).alias("rec_days"),
+        "freq",
+        "mon",
+    )
+    ranked = with_global_ranks(
+        metrics, [(F.col("rec_days"), True)], tiebreak=["c"], row_number_col="rn_r"
+    )
+    ranked = with_global_ranks(
+        ranked, [(F.col("freq"), True)], tiebreak=["c"], row_number_col="rn_f"
+    )
+    ranked = with_global_ranks(
+        ranked, [(F.col("mon"), True)], tiebreak=["c"], row_number_col="rn_m"
+    )
+    n_tot = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    ref = sorted(
+        map(
+            tuple,
+            ranked.crossJoin(F.broadcast(n_tot))
+            .select(
+                F.expr("(rn_r - 1) * 4L DIV __n + 1").alias("r_quartile"),
+                F.expr("(rn_f - 1) * 4L DIV __n + 1").alias("f_quartile"),
+                F.expr("(rn_m - 1) * 4L DIV __n + 1").alias("m_quartile"),
+                "mon",
+            )
+            .groupBy("r_quartile", "f_quartile", "m_quartile")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+                F.sum("mon").cast("double").alias("sum_monetary"),
+            )
+            .collect(),
+        )
+    )
+    assert fast == ref
+    assert len(fast) > 10
