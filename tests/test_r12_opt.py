@@ -362,3 +362,74 @@ def test_rfm_single_rank_matches_three_ranks(spark, sf_dir):
     )
     assert fast == ref
     assert len(fast) > 10
+
+
+def test_minhash_estimate_error_pinned_matches_blackbox(spark, sf_dir):
+    """q_minhash_estimate_error now derives candidates / exact Jaccard /
+    both signature sides from ONE pinned signature pipeline and ONE
+    pinned shingle table. Pin the full query against the pre-r12
+    black-box composition (minhash_lsh_pairs + ngram_jaccard_pairs +
+    minhash_signatures×2) — every decile row identical."""
+    from pyspark.sql import functions as F
+
+    from flink_template_spark import plans
+    from flink_template_spark.functions.hashing import NUM_HASHES as _NH
+    from flink_template_spark.operators.dedup import (
+        minhash_lsh_pairs as _lsh,
+        minhash_signatures as _sigs,
+        ngram_jaccard_pairs as _exact,
+    )
+    from flink_template_spark.tables import load_table
+
+    fast = sorted(
+        map(tuple, plans.QUERIES["q_minhash_estimate_error"](spark, sf_dir).collect())
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cands = _lsh(docs).select("id_a", "id_b")
+    exact = _exact(docs, threshold=0.0).select("id_a", "id_b", "jaccard")
+    sa = _sigs(docs).select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(_NH)],
+    )
+    sb = _sigs(docs).select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(_NH)],
+    )
+    agree = sum((F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int") for i in range(_NH))
+    scored = (
+        cands.join(exact, ["id_a", "id_b"], "left")
+        .withColumn("exact_j", F.coalesce("jaccard", F.lit(0.0)))
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_j", agree.cast("double") / F.lit(float(_NH)))
+    )
+    dec = lambda c: F.round(c, 8).cast("decimal(12,8)")  # noqa: E731
+    n = F.count(F.lit(1))
+    ref = sorted(
+        map(
+            tuple,
+            scored.groupBy(
+                F.least(F.floor(F.col("exact_j") * 10).cast("bigint"), F.lit(9)).alias(
+                    "j_decile"
+                )
+            )
+            .agg(
+                n.cast("bigint").alias("n_pairs"),
+                F.round(
+                    F.sum(dec(F.col("exact_j"))).cast("double") / n.cast("double"), 6
+                ).alias("mean_exact"),
+                F.round(
+                    F.sum(dec(F.col("est_j"))).cast("double") / n.cast("double"), 6
+                ).alias("mean_est"),
+                F.round(
+                    F.sum(dec(F.abs(F.col("est_j") - F.col("exact_j")))).cast("double")
+                    / n.cast("double"),
+                    6,
+                ).alias("mean_abs_err"),
+            )
+            .collect(),
+        )
+    )
+    assert fast == ref
+    assert len(fast) > 0
