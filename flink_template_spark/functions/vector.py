@@ -40,6 +40,197 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+# --- Arrow exact-fold kernels (optimization r12, guide §4.2) ---------------
+#
+# The HOF builders above evaluate interpreted: ~100+ µs of boxing per
+# 64-dim fold, which made the fold — not data volume — the vector
+# family's bottleneck (measured: 90k cosines = 1.35 s of a 1.7 s stage).
+# These duals hand whole Arrow batches to numpy but keep the EXACT fold
+# semantics, so raw doubles are bit-identical to the HOF path and every
+# oracle that replays the fold in SQL still hash-matches:
+#
+# - accumulation runs dimension-by-dimension over the batch
+#   (acc += A[:,i] * B[:,i]), i.e. a strict left-to-right fold from 0.0
+#   for EVERY row — the same IEEE operation sequence as
+#   aggregate(zip_with(...), 0.0, +), just vectorized across rows;
+# - np.sqrt and the JVM's Math.sqrt are both IEEE-correctly-rounded;
+# - NO rounding happens here — F.round stays in the Spark plan, so
+#   output values keep Spark's BigDecimal HALF_UP semantics.
+#
+# Contract (why every call site sits behind valid_vec(), which all
+# cosine-family consumers already do):
+#
+# - element-level NULLs are not distinguishable from NaN after Arrow's
+#   list→numpy conversion (valid_vec drops null-element vectors);
+# - a NaN RESULT cannot cross the return boundary: Spark's Arrow
+#   serializer maps NaN→NULL for pandas_udf outputs (verified: both
+#   float64 and object return dtypes). valid_vec-guarded inputs cannot
+#   produce a NaN dot/cosine (finite norms bound every partial), so
+#   this is unreachable in practice — but it is the one semantic
+#   difference vs the HOF fold (NaN) on adversarial inputs, pinned in
+#   tests/test_r12_opt.py.
+#
+# Whole-NULL rows map to NULL output like the HOF path. Ragged widths
+# and non-numeric payloads fall back to an exact per-row Python fold
+# that mirrors zip_with's pad-with-NULL semantics (width mismatch →
+# NULL).
+
+
+def _fold_rows_exact(va, vb, want_cosine: bool):
+    """Per-row exact fallback: same fold order as the HOF builders."""
+    if va is None or vb is None:
+        return None
+    if len(va) != len(vb):
+        return None  # zip_with pads with NULL -> NULL product -> NULL sum
+    dt = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(va, vb):
+        if x is None or y is None:
+            return None
+        x = float(x)
+        y = float(y)
+        dt += x * y
+        na += x * x
+        nb += y * y
+    if not want_cosine:
+        return dt
+    import math
+
+    denom = math.sqrt(na) * math.sqrt(nb)
+    try:
+        return dt / denom
+    except ZeroDivisionError:
+        # IEEE 0/0 (Python raises instead); valid_vec excludes this
+        # region — NaN is nulled at the Arrow boundary anyway
+        return float("nan")
+
+
+def _pair_fold_series(a: pd.Series, b: pd.Series, want_cosine: bool) -> pd.Series:
+    import numpy as _np
+
+    n = len(a)
+    out = [None] * n
+    mask = a.notna() & b.notna()
+    idx = _np.flatnonzero(mask.to_numpy())
+    if len(idx):
+        try:
+            A = _np.array(a.iloc[idx].tolist(), dtype=_np.float64)
+            B = _np.array(b.iloc[idx].tolist(), dtype=_np.float64)
+            if A.ndim != 2 or B.ndim != 2 or A.shape[1] != B.shape[1]:
+                raise ValueError
+        except (ValueError, TypeError):
+            av, bv = a.tolist(), b.tolist()
+            for i in idx:
+                out[i] = _fold_rows_exact(av[i], bv[i], want_cosine)
+            return pd.Series(out, dtype=object)
+        m = len(idx)
+        dt = _np.zeros(m)
+        na = _np.zeros(m)
+        nb = _np.zeros(m)
+        for i in range(A.shape[1]):
+            x = A[:, i]
+            y = B[:, i]
+            dt += x * y
+            na += x * x
+            nb += y * y
+        if want_cosine:
+            with _np.errstate(divide="ignore", invalid="ignore"):
+                vals = dt / (_np.sqrt(na) * _np.sqrt(nb))
+        else:
+            vals = dt
+        for k, i in enumerate(idx):
+            out[i] = float(vals[k])
+    return pd.Series(out, dtype=object)
+
+
+def _make_pair_udf(want_cosine: bool):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def fn(a: pd.Series, b: pd.Series) -> pd.Series:
+        return _pair_fold_series(a, b, want_cosine)
+
+    return fn
+
+
+_DOT_ARROW_UDF = None
+_COSINE_ARROW_UDF = None
+
+
+def dot_arrow(a: Column, b: Column) -> Column:
+    """``dot``'s Arrow-vectorized dual — RAW double, bit-identical."""
+    global _DOT_ARROW_UDF
+    if _DOT_ARROW_UDF is None:
+        _DOT_ARROW_UDF = _make_pair_udf(want_cosine=False)
+    return _DOT_ARROW_UDF(a, b)
+
+
+def cosine_arrow(a: Column, b: Column) -> Column:
+    """``cosine``'s Arrow-vectorized dual — RAW double, bit-identical."""
+    global _COSINE_ARROW_UDF
+    if _COSINE_ARROW_UDF is None:
+        _COSINE_ARROW_UDF = _make_pair_udf(want_cosine=True)
+    return _COSINE_ARROW_UDF(a, b)
+
+
+def plane_dots_arrow(vec: Column, weights: list[list[float]]) -> Column:
+    """All J hyperplane dots of ``vec`` in ONE Arrow pass — the
+    vectorized dual of J separate zip_with/aggregate folds against
+    literal weight rows (operators.similarity._plane_dot). Returns
+    array<double> of RAW dots in plane order; each plane's dot is the
+    exact left-to-right fold (acc += V[:,i] * w[j][i] from 0.0), so
+    rounding/thresholding in the Spark plan sees identical doubles.
+    Same valid_vec contract as the pair kernels; a NULL or off-width
+    vector row yields NULL (the HOF fold on a width≠len(w) vector pads
+    with NULL and folds to NULL for every plane)."""
+    import numpy as _np
+
+    from pyspark.sql.functions import pandas_udf
+
+    wmat = _np.array([[float(x) for x in row] for row in weights], dtype=_np.float64)
+    j_planes, dim = wmat.shape
+
+    @pandas_udf("array<double>")
+    def fn(v: pd.Series) -> pd.Series:
+        n = len(v)
+        out = [None] * n
+        mask = v.notna()
+        idx = _np.flatnonzero(mask.to_numpy())
+        if len(idx):
+            try:
+                V = _np.array(v.iloc[idx].tolist(), dtype=_np.float64)
+                if V.ndim != 2 or V.shape[1] != dim:
+                    raise ValueError
+            except (ValueError, TypeError):
+                vv = v.tolist()
+                for i in idx:
+                    row = vv[i]
+                    if row is None or len(row) != dim or any(
+                        x is None for x in row
+                    ):
+                        continue  # stays None, like the padded HOF fold
+                    dots = []
+                    for j in range(j_planes):
+                        acc = 0.0
+                        for d in range(dim):
+                            acc += float(row[d]) * wmat[j, d]
+                        dots.append(acc)
+                    out[i] = dots
+                return pd.Series(out, dtype=object)
+            m = len(idx)
+            dots = _np.zeros((m, j_planes))
+            for i in range(dim):
+                x = V[:, i]
+                for j in range(j_planes):
+                    dots[:, j] += x * wmat[j, i]
+            for k, i in enumerate(idx):
+                out[i] = [float(x) for x in dots[k]]
+        return pd.Series(out, dtype=object)
+
+    return fn(vec)
+
+
 # --- DuckDB oracle fragments (same math, 1-based lists) -------------------
 
 def dot_sql(a: str, b: str) -> str:

@@ -21,7 +21,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from flink_template_spark.functions.vector import cosine, dot, l2_norm, valid_vec
+from flink_template_spark.functions.vector import (
+    cosine,
+    cosine_arrow,
+    dot,
+    dot_arrow,
+    l2_norm,
+    valid_vec,
+)
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -50,7 +57,11 @@ def brute_force_topk(
         .filter(F.col(id_col) != F.col("__qid"))
         .select(
             id_col,
-            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cos_sim"),
+            # Arrow exact-fold dual of cosine(): identical raw doubles,
+            # rounded HERE in the plan (functions.vector kernel notes)
+            F.round(cosine_arrow(F.col(vec_col), F.col("__qvec")), 6).alias(
+                "cos_sim"
+            ),
         )
     )
     return scored.orderBy(F.desc("cos_sim"), id_col).limit(k)
@@ -79,7 +90,7 @@ def ivf_assign(
         id_col,
         vec_col,
         centroid_id,
-        F.round(cosine(F.col(vec_col), F.col("__cvec")), 6).alias("c_sim"),
+        F.round(cosine_arrow(F.col(vec_col), F.col("__cvec")), 6).alias("c_sim"),
     )
     w = W.partitionBy(id_col).orderBy(F.desc("c_sim"), centroid_id)
     return (
@@ -173,7 +184,7 @@ def semdedup(
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
             F.round(
-                dot(F.col("vec_a"), F.col("vec_b"))
+                dot_arrow(F.col("vec_a"), F.col("vec_b"))
                 / (F.col("norm_a") * F.col("norm_b")),
                 6,
             )
@@ -264,16 +275,33 @@ def band_signatures(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """One row per (vector, band) with the band's sign-bit signature."""
-    vec = F.col(vec_col)
+    """One row per (vector, band) with the band's sign-bit signature.
+
+    All J = n_bands × bits_per_band hyperplane dots come from ONE
+    Arrow-vectorized pass (functions.vector.plane_dots_arrow) instead
+    of J interpreted zip_with/aggregate folds per row; the dots column
+    is materialized in its own projection so the J sign tests reference
+    a single ArrowEvalPython evaluation. Rounding (6 dp) and the sign
+    thresholds stay in the Spark plan — raw dots are bit-identical to
+    the _plane_dot folds, so bucketing is unchanged."""
+    from flink_template_spark.functions.vector import plane_dots_arrow
+
+    n_planes = n_bands * bits_per_band
+    weights = [_plane_weights(j) for j in range(n_planes)]
+    with_dots = _spread(vectors).select(
+        id_col,
+        vec_col,
+        plane_dots_arrow(F.col(vec_col), weights).alias("__pdots"),
+    )
     sigs = []
     for b in range(n_bands):
         sig = F.lit(0)
         for m in range(bits_per_band):
             j = b * bits_per_band + m
-            sig = sig + F.when(_plane_dot(vec, j) >= 0, F.lit(2**m)).otherwise(0)
+            bit = F.round(F.element_at("__pdots", j + 1), 6) >= 0
+            sig = sig + F.when(bit, F.lit(2**m)).otherwise(0)
         sigs.append(sig)
-    return _spread(vectors).select(
+    return with_dots.select(
         id_col, vec_col, F.posexplode(F.array(*sigs)).alias("band", "sig")
     )
 
@@ -288,22 +316,32 @@ def cosine_near_dup_lsh(
 ) -> DataFrame:
     """LSH candidates (same signature in ≥1 band) verified by exact
     cosine — the 100 TB-scale near-dup path: the self-join explodes only
-    within (band, signature) buckets, never across the full table."""
-    bands = band_signatures(
-        vectors.filter(valid_vec(F.col(vec_col))),
-        n_bands, bits_per_band, id_col, vec_col,
+    within (band, signature) buckets, never across the full table.
+
+    The signature table is built ONCE and pinned (lazy localCheckpoint)
+    for both self-join sides — it used to be re-derived per side, so
+    every plane dot and norm ran twice (multi-consumer subtree policy;
+    optimization r12). Norms ride the pinned table (computed pre-join,
+    per band row) instead of being re-folded on each side."""
+    bands = (
+        band_signatures(
+            vectors.filter(valid_vec(F.col(vec_col))),
+            n_bands, bits_per_band, id_col, vec_col,
+        )
+        .withColumn("__norm", l2_norm(F.col(vec_col)))
+        .localCheckpoint(eager=False)
     )
     a = bands.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),
-        l2_norm(F.col(vec_col)).alias("norm_a"),
+        F.col("__norm").alias("norm_a"),
         "band",
         "sig",
     )
     b = bands.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vec_b"),
-        l2_norm(F.col(vec_col)).alias("norm_b"),
+        F.col("__norm").alias("norm_b"),
         "band",
         "sig",
     )
@@ -354,7 +392,7 @@ def ivf_topk(
         .select(
             id_col,
             F.col("cluster"),
-            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cos_sim"),
+            F.round(cosine_arrow(F.col(vec_col), F.col("__qvec")), 6).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), id_col)
         .limit(k)
@@ -394,7 +432,7 @@ def knn_join_exact(
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cos_sim"),
+            F.round(cosine_arrow(F.col(vec_col), F.col("__qvec")), 6).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
@@ -434,7 +472,7 @@ def knn_join_ivf(
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cos_sim"),
+            F.round(cosine_arrow(F.col(vec_col), F.col("__qvec")), 6).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
@@ -619,7 +657,7 @@ def binary_hamming_topk(
             "query_id",
             "neighbor_id",
             "hamming",
-            F.round(cosine(F.col("__cvec"), F.col("__qvec")), 6).alias(
+            F.round(cosine_arrow(F.col("__cvec"), F.col("__qvec")), 6).alias(
                 "cos_sim"
             ),
         )

@@ -858,7 +858,7 @@ def q_ann_multiprobe_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (fixed seed centroids, quantized PQ training, 6-dp
     rounded orderings with id tiebreaks), so the whole composition
     (index build + serve) replays in SQL."""
-    from flink_template_spark.functions.vector import cosine
+    from flink_template_spark.functions.vector import cosine_arrow as cosine
     from flink_template_spark.operators.pq import pq_adc_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1107,7 +1107,7 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines) so building the DataFrame stays lazy — an eager
     .count() here made every plan-only inspection pay a real Spark
     job."""
-    from flink_template_spark.functions.vector import dot as udot
+    from flink_template_spark.functions.vector import dot_arrow as udot
     from flink_template_spark.functions.vector import l2_norm
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1506,7 +1506,7 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline), so both engines rank identically."""
     from pyspark.sql import Window as W
 
-    from flink_template_spark.functions.vector import cosine
+    from flink_template_spark.functions.vector import cosine_arrow as cosine
 
     emb = load_table(spark, sf_dir, "embeddings")
     centroids, _, index = ann_index(spark, sf_dir)
@@ -1666,7 +1666,7 @@ def q_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     final top-20 is a TakeOrdered, not a global sort."""
     from pyspark.sql import Window as W
 
-    from flink_template_spark.functions.vector import cosine
+    from flink_template_spark.functions.vector import cosine_arrow as cosine
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < _RECALL_NQ).select(
@@ -1797,7 +1797,7 @@ def q_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic term is in the CELL COUNT, never the corpus; identical-
     direction centroid pairs (m_int=0) are excluded by the same integer
     filter both sides."""
-    from flink_template_spark.functions.vector import cosine
+    from flink_template_spark.functions.vector import cosine_arrow as cosine
 
     emb = load_table(spark, sf_dir, "embeddings")
     centroids, _, index = ann_index(spark, sf_dir)
@@ -1952,7 +1952,7 @@ def q_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline — so both engines rank identically at every dim."""
     from pyspark.sql import Window as W
 
-    from flink_template_spark.functions.vector import cosine
+    from flink_template_spark.functions.vector import cosine_arrow as cosine
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < _RECALL_NQ).select(
@@ -2182,7 +2182,7 @@ def q_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     relevant-rank reduction is a per-query MIN with partial combine."""
     from pyspark.sql import Window as W
 
-    from flink_template_spark.functions.vector import cosine
+    from flink_template_spark.functions.vector import cosine_arrow as cosine
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < _RECALL_NQ).select(
@@ -2382,7 +2382,7 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     array fold."""
     from pyspark.sql import Window as W
 
-    from flink_template_spark.functions.vector import cosine
+    from flink_template_spark.functions.vector import cosine_arrow as cosine
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < _RECALL_NQ).select(
