@@ -7,8 +7,9 @@ frequency table (Zipf: orders of magnitude smaller than the corpus), so
 
 - one corpus-sized shuffle builds (word, count);
 - each merge round then runs on the vocab table only: adjacent-pair
-  counts via a codegen posexplode + window lead (weighted by word
-  count, map-side partial agg), top pairs to the driver (a few rows),
+  counts via a map-side zip_with over off-by-one array slices (weighted
+  by word count, map-side partial agg — no per-round word-keyed
+  exchange), top pairs to the driver (a few rows),
   merge application via an Arrow-batched ``mapInPandas`` over vocab
   rows (Python does O(symbols-per-word) work per DISTINCT word, never
   per corpus token).
@@ -29,7 +30,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 END_MARK = "</w>"  # word-final marker, standard BPE
@@ -59,15 +60,29 @@ def _symbolize(words: DataFrame) -> DataFrame:
 
 
 def _pair_counts(vocab: DataFrame) -> DataFrame:
-    """Adjacent-symbol pair counts weighted by word frequency (codegen:
-    posexplode + lead, partial-agg shuffle carries distinct pairs)."""
-    ex = vocab.select(
-        "word", "cnt", F.posexplode("syms").alias("pos", "sym")
-    )
-    w = W.partitionBy("word").orderBy("pos")
-    pairs = ex.select(
-        "cnt", F.col("sym").alias("a"), F.lead("sym", 1).over(w).alias("b")
-    ).filter(F.col("b").isNotNull())
+    """Adjacent-symbol pair counts weighted by word frequency.
+
+    Adjacent pairs come from zip_with over the two off-by-one slices of
+    the symbol array — entirely map-side — instead of the previous
+    posexplode + word-partitioned lead window, which paid a full
+    word-keyed Exchange + sort PER MERGE ROUND just to look one
+    position ahead inside an array it already had (optimization r12,
+    guide §2.4: remove shuffles outright). Same (a, b) multiset per
+    word: slice(syms, 1, n-1) zipped with slice(syms, 2, n-1); a
+    single-symbol word yields empty slices → no pairs, exactly like
+    the old NULL-lead filter. The one remaining exchange is the
+    (a, b)-keyed count agg with map-side partials."""
+    n = F.size("syms")
+    pairs = vocab.select(
+        "cnt",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("syms"), F.lit(1), n - 1),
+                F.slice(F.col("syms"), F.lit(2), n - 1),
+                lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+            )
+        ).alias("p"),
+    ).select("cnt", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
     return pairs.groupBy("a", "b").agg(F.sum("cnt").alias("pair_cnt"))
 
 

@@ -33,7 +33,12 @@ def _assign(vectors: DataFrame, centroids: list[tuple[int, list[float]]],
 
     Each similarity column is ONE parsed SQL string (cosine_lit_spark):
     the earlier per-element lit + lambda builders cost ~0.45 s of py4j
-    chatter per K=4 centroid set, re-paid every Lloyd iteration."""
+    chatter per K=4 centroid set, re-paid every Lloyd iteration.
+    (Optimization r12 measured the Arrow-kernel dual of this assign —
+    one pandas_udf emitting all K cosines — at +6% WALL for k=4: the
+    Arrow conversion of the vector column exceeds the ~2 folds/centroid
+    it saves. Negative result recorded in OPTIMIZATION_r12.md; the
+    JVM-side literal folds stay.)"""
     sims = [
         F.expr(f"ROUND({cosine_lit_spark(vec_col, cvec)}, 6)").alias(
             f"__s_{cid}"

@@ -177,8 +177,13 @@ def pq_encode(
     codebooks: list[Codebook],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, codes): m nearest-code indices per vector, map-side only."""
+    """(id, codes[, keep_cols...]): m nearest-code indices per vector,
+    map-side only. ``keep_cols`` rides extra input columns through —
+    the ann_index build tags codes onto the rows BEFORE the IVF argmax
+    so no (codes ⋈ assigned) shuffle join is needed (optimization
+    r12)."""
     d = len(codebooks[0][0])
     codes = F.array(
         *[
@@ -186,7 +191,9 @@ def pq_encode(
             for j, cb in enumerate(codebooks)
         ]
     )
-    return vectors.select(F.col(id_col), codes.alias("codes"))
+    return vectors.select(
+        F.col(id_col), codes.alias("codes"), *[F.col(c) for c in keep_cols]
+    )
 
 
 def pq_decode_expr(codebooks: list[Codebook]):

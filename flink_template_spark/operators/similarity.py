@@ -73,6 +73,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id: str = "centroid_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign every vector to its max-cosine centroid (broadcast argmax;
     rounded similarity + centroid id tiebreak for determinism).
@@ -80,7 +81,10 @@ def ivf_assign(
     (functions.vector.valid_vec) — every IVF/semdedup/knn-IVF consumer
     inherits the guard from here; consumers whose output is a KEEP-SET
     (semdedup) therefore also exclude them, so pipelines that must not
-    lose rows should route df.filter(~valid_vec(col)) separately."""
+    lose rows should route df.filter(~valid_vec(col)) separately.
+    ``keep_cols`` rides extra input columns through the argmax (the
+    ann_index build carries its PQ codes here instead of re-joining
+    them on vec_id afterwards — optimization r12)."""
     c = centroids.filter(valid_vec(F.col(vec_col))).select(
         F.col(centroid_id), F.col(vec_col).alias("__cvec")
     )
@@ -89,6 +93,7 @@ def ivf_assign(
     ).select(
         id_col,
         vec_col,
+        *[F.col(k) for k in keep_cols],
         centroid_id,
         F.round(cosine_arrow(F.col(vec_col), F.col("__cvec")), 6).alias("c_sim"),
     )
@@ -96,7 +101,12 @@ def ivf_assign(
     return (
         scored.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") == 1)
-        .select(id_col, vec_col, F.col(centroid_id).alias("cluster"))
+        .select(
+            id_col,
+            vec_col,
+            *[F.col(k) for k in keep_cols],
+            F.col(centroid_id).alias("cluster"),
+        )
     )
 
 

@@ -740,8 +740,18 @@ def ann_index(spark: SparkSession, sf_dir: str):
         )
         emb_r = _spread(emb)
         codebooks = pq_train(emb_r, m=4, k=4, n_iter=1)
-        assigned = ivf_assign(emb_r, centroids).select("vec_id", "cluster")
-        index = pq_encode(emb_r, codebooks).join(assigned, "vec_id").persist()
+        # codes are a per-row map-side projection (broadcast literal
+        # codebooks), so tag them BEFORE the IVF argmax and carry them
+        # through it — the old (codes ⋈ assigned) vec_id shuffle join
+        # and its second pass over emb_r are gone (optimization r12,
+        # guide §2.4); both expressions and the argmax are unchanged,
+        # so the index rows are identical
+        enc = pq_encode(emb_r, codebooks, keep_cols=("embedding",))
+        index = (
+            ivf_assign(enc, centroids, keep_cols=("codes",))
+            .select("vec_id", "codes", "cluster")
+            .persist()
+        )
         index.count()  # materialize the index once, before any serve path
         return centroids, codebooks, index
 

@@ -406,28 +406,42 @@ ORDER BY rn
 """,
 )
 def q_global_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global ROW_NUMBER/RANK/DENSE_RANK over ALL of lineitem via the
-    two-pass range-partitioned rank (operators.rank_global) — the plan
-    has NO single-partition WindowExec over the fact table, unlike the
-    naive Window.orderBy() formulation. l_quantity is deliberately
-    low-cardinality so RANK/DENSE_RANK tie-handling crosses partition
-    boundaries (equal keys are co-located by the range exchange)."""
-    from flink_template_spark.operators.rank_global import with_global_ranks
+    """Global ROW_NUMBER/RANK/DENSE_RANK, reported for the top-500 rows
+    of the (qty DESC, tiebreak) total order.
 
+    Optimization r12 (guide §2.4 — remove shuffles outright): the query
+    only REPORTS the rn ≤ 500 prefix, and every rank function over a
+    PREFIX of a total order depends only on rows inside the prefix (a
+    row's RANK counts rows strictly before it — all of which have a
+    smaller row_number, hence sit in the prefix; same for DENSE_RANK).
+    So the full-table two-pass range-partitioned rank
+    (operators.rank_global — still exercised by its ten other
+    consumers: trimmed mean, weighted median, ABC, DDSketch, RFM, SNM,
+    curriculum, AUC, shard layouts) is replaced by a global
+    TakeOrdered(500) — per-partition heaps + merge, NO data-sized
+    exchange at all — followed by rank windows over exactly 500 rows
+    (single-partition BY DESIGN, bounded by the limit, never by data;
+    allowlisted in tests/test_plans.py). Equivalence vs the
+    range-partitioned formulation is pinned by
+    tests/test_r12_opt.py::test_global_rank_prefix_matches_full_rank.
+    l_quantity stays deliberately low-cardinality so RANK/DENSE_RANK
+    tie-handling is exercised inside the prefix."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", F.col("l_quantity").cast("double").alias("qty")
     )
-    ranked = with_global_ranks(
-        li,
-        [(F.col("qty"), False)],
-        tiebreak=["l_orderkey", "l_linenumber"],
-        row_number_col="rn",
-        rank_col="rnk",
-        dense_rank_col="drnk",
-    )
+    order_full = [F.col("qty").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()]
+    top = li.orderBy(*order_full).limit(500)
+    w_total = W.orderBy(*order_full)
+    w_key = W.orderBy(F.col("qty").desc())
     return (
-        ranked.filter(F.col("rn") <= 500)
-        .select("l_orderkey", "l_linenumber", "qty", "rn", "rnk", "drnk")
+        top.select(
+            "l_orderkey",
+            "l_linenumber",
+            "qty",
+            F.row_number().over(w_total).alias("rn"),
+            F.rank().over(w_key).alias("rnk"),
+            F.dense_rank().over(w_key).alias("drnk"),
+        )
         .orderBy("rn")
     )
 

@@ -115,14 +115,16 @@ def test_doc_chunks_is_map_side_only(spark, sf):
     assert "Exchange" not in p
 
 
-def test_global_rank_is_range_partitioned(spark, sf):
-    # the scalable global rank must sort via a RANGE exchange (parallel)
-    # and window per range-partition — the only unpartitioned window
-    # allowed is over the tiny per-partition stats (bounded by partition
-    # COUNT); the fact-table window must carry the __rg_pid partition.
+def test_global_rank_is_prefix_topk(spark, sf):
+    # r12: the query reports only the rn <= 500 prefix, so the plan
+    # must be a global TakeOrdered (per-partition heaps + merge, no
+    # data-sized exchange) feeding rank windows over exactly 500 rows
+    # — NOT a full-table range-partitioned rank (that operator remains
+    # exercised by its other ten consumers) and NOT a full-table
+    # single-partition window (the limit must sit BELOW the windows).
     p = plan_of(plans.QUERIES["q_global_rank_scalable"](spark, sf))
-    assert "rangepartitioning" in p.lower()
-    assert "__rg_pid" in p  # fact-side windows partitioned by range pid
+    assert "TakeOrderedAndProject" in p
+    assert "rangepartitioning" not in p.lower()
     assert "CartesianProduct" not in p
 
 
@@ -345,9 +347,12 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     # behind its internal lazy checkpoint — the q_curriculum_order
     # pattern)
     "q_spearman_price_balance": 1,
+    # r12: the rn/rnk/drnk windows run BELOW a global TakeOrdered(500)
+    # — exactly 500 rows by the limit, never data-sized (the full-table
+    # rank was removed; see test_global_rank_is_prefix_topk)
+    "q_global_rank_scalable": 2,
     # r10 (registry-derived bench back-fill audit): one rank_global
     # offsets window each (<= shuffle-partition-count rows)
-    "q_global_rank_scalable": 1,
     "q_vocab_build": 1,
     "q_vocab_apply": 1,
     # r10: the per-nation dense rank runs over the DISTINCT nation-name

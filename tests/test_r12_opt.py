@@ -564,3 +564,114 @@ def test_arrow_fold_kernels_bit_identical_to_hof(spark, sf_dir):
         ).collect()
         for r in cmp_rows:
             assert _bits(r.h) == _bits(r.a), f"plane {j} mismatch"
+
+
+def test_global_rank_prefix_matches_full_rank(spark, sf_dir):
+    """q_global_rank_scalable's TakeOrdered(500)+bounded-window form
+    must emit exactly the rows the full-table range-partitioned rank
+    produced (the prefix property: every rank function over a prefix of
+    a total order depends only on rows inside the prefix)."""
+    from pyspark.sql import functions as F
+
+    from flink_template_spark import plans
+    from flink_template_spark.operators.rank_global import with_global_ranks
+    from flink_template_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("qty"),
+    )
+    ref = (
+        with_global_ranks(
+            li,
+            [(F.col("qty"), False)],
+            tiebreak=["l_orderkey", "l_linenumber"],
+            row_number_col="rn",
+            rank_col="rnk",
+            dense_rank_col="drnk",
+        )
+        .filter(F.col("rn") <= 500)
+        .select("l_orderkey", "l_linenumber", "qty", "rn", "rnk", "drnk")
+        .orderBy("rn")
+        .collect()
+    )
+    got = plans.QUERIES["q_global_rank_scalable"](spark, sf_dir).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in ref]
+
+
+def test_bpe_pair_counts_zipwith_matches_window_lead(spark):
+    """_pair_counts' map-side zip_with-over-slices form must produce the
+    identical weighted pair-count table as the posexplode + word-keyed
+    lead-window formulation it replaced — including single-symbol words
+    (no pairs) and repeated symbols (run pairs counted per position)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from flink_template_spark.operators.bpe import _pair_counts, _symbolize
+
+    words = spark.createDataFrame(
+        [
+            ("low", 5),
+            ("lower", 2),
+            ("newest", 6),
+            ("widest", 3),
+            ("aaaa", 4),   # run pairs: (a,a) x3 positions
+            ("x", 7),      # single char + </w>: exactly one pair
+        ],
+        "word string, cnt long",
+    )
+    vocab = _symbolize(words)
+    got = {
+        (r.a, r.b): r.pair_cnt for r in _pair_counts(vocab).collect()
+    }
+    ex = vocab.select("word", "cnt", F.posexplode("syms").alias("pos", "sym"))
+    w = W.partitionBy("word").orderBy("pos")
+    ref_df = (
+        ex.select(
+            "cnt",
+            F.col("sym").alias("a"),
+            F.lead("sym", 1).over(w).alias("b"),
+        )
+        .filter(F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.sum("cnt").alias("pair_cnt"))
+    )
+    ref = {(r.a, r.b): r.pair_cnt for r in ref_df.collect()}
+    assert got == ref
+    assert got[("a", "a")] == 4 * 3  # run-pair positions, weighted
+
+
+def test_ann_index_fused_build_matches_joined_build(spark, sf_dir):
+    """The fused index build (codes tagged before the IVF argmax, no
+    vec_id join) must produce the identical (vec_id, codes, cluster)
+    table as the join formulation it replaced."""
+    from flink_template_spark.operators.pq import pq_encode, pq_train
+    from flink_template_spark.operators.similarity import _spread, ivf_assign
+    from flink_template_spark.plans.vectors import N_CENTROIDS
+    from flink_template_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    emb_r = _spread(emb)
+    codebooks = pq_train(emb_r, m=4, k=4, n_iter=1)
+    fused = (
+        ivf_assign(
+            pq_encode(emb_r, codebooks, keep_cols=("embedding",)),
+            centroids,
+            keep_cols=("codes",),
+        )
+        .select("vec_id", "codes", "cluster")
+        .collect()
+    )
+    joined = (
+        pq_encode(emb_r, codebooks)
+        .join(ivf_assign(emb_r, centroids).select("vec_id", "cluster"), "vec_id")
+        .select("vec_id", "codes", "cluster")
+        .collect()
+    )
+    key = lambda r: (r.vec_id, tuple(r.codes), r.cluster)
+    assert sorted(map(key, fused)) == sorted(map(key, joined))
