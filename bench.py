@@ -119,6 +119,35 @@ def _cpu_totals() -> tuple[int, int] | None:
         return None
 
 
+def _steal_probe() -> tuple[int, int] | None:
+    """(total, steal) jiffies from /proc/stat — hypervisor steal time.
+
+    Added in the r12 optimization round after two full bench runs on a
+    0.3-load guest read 17-21 s headline while a third read 14.3 s with
+    no code or guest-load change: host-level contention (steal) is
+    INVISIBLE to _external_cpu_share (which attributes guest process
+    CPU) and to the load average, so a 'clean' adjudication could still
+    sit on a throttled host. Recording the steal share alongside lets a
+    suspicious reading be re-adjudicated against hypervisor contention
+    the same way kthread share covers kernel burn (ADVICE r11)."""
+    try:
+        parts = open("/proc/stat").readline().split()
+        vals = [int(v) for v in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return sum(vals), steal
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _steal_share(before: tuple | None, after: tuple | None) -> float | None:
+    if not before or not after:
+        return None
+    d_total = after[0] - before[0]
+    if d_total <= 0:
+        return None
+    return round((after[1] - before[1]) / d_total, 4)
+
+
 def _cpu_probe(root_pid: int) -> tuple | None:
     """One consistent /proc sweep → (cpu_totals, ours, kthreads):
     per-pid utime+stime jiffies of root_pid's process tree (the python
@@ -246,6 +275,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     load1_start = _load1()
+    steal0 = _steal_probe()
 
     from flink_template_spark import plans
     from flink_template_spark.session import get_spark, silence_bounded_window_warns
@@ -347,6 +377,7 @@ def main() -> None:
         # clause is adjudicated against trip_load1, not narrative.
         trip_load1 = _load1()
         probe0 = _cpu_probe(os.getpid())
+        tsteal0 = _steal_probe()
         trip_samples: list[float] = []
         for _ in range(3):
             timed = aggregate_trips(read_trip_events_json(spark, fx))
@@ -358,11 +389,13 @@ def main() -> None:
         probe1 = _cpu_probe(os.getpid())
         trip_ext_cpu = _external_cpu_share(probe0, probe1)
         trip_kt_cpu = _kthread_cpu_share(probe0, probe1)
+        trip_steal = _steal_share(tsteal0, _steal_probe())
         trip_eps = max(trip_samples)
     except Exception as exc:
         trip_load1 = None
         trip_ext_cpu = None
         trip_kt_cpu = None
+        trip_steal = None
         trip_samples = []
         errors["trip_pipeline"] = f"{type(exc).__name__}: {str(exc)[:300]}"
 
@@ -481,9 +514,11 @@ def main() -> None:
         "trip_pipeline_load1": trip_load1,
         "trip_pipeline_external_cpu_share": trip_ext_cpu,
         "trip_pipeline_kthread_cpu_share": trip_kt_cpu,
+        "trip_pipeline_steal_share": trip_steal,
         "trip_pipeline_v2_events_per_sec": trip_v2_eps,
         "load1_start": load1_start,
         "load1_end": _load1(),
+        "run_steal_share": _steal_share(steal0, _steal_probe()),
         "sf": sf_val,
     }
     if errors:
@@ -516,9 +551,11 @@ def main() -> None:
         "trip_pipeline_load1": trip_load1,
         "trip_pipeline_external_cpu_share": trip_ext_cpu,
         "trip_pipeline_kthread_cpu_share": trip_kt_cpu,
+        "trip_pipeline_steal_share": trip_steal,
         "trip_pipeline_v2_events_per_sec": trip_v2_eps,
         "load1_start": load1_start,
         "load1_end": full["load1_end"],
+        "run_steal_share": full["run_steal_share"],
         "sf": sf_val,
     }
     if errors:

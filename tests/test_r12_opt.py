@@ -675,3 +675,23 @@ def test_ann_index_fused_build_matches_joined_build(spark, sf_dir):
     )
     key = lambda r: (r.vec_id, tuple(r.codes), r.cluster)
     assert sorted(map(key, fused)) == sorted(map(key, joined))
+
+
+def test_bench_steal_share_synthetic():
+    """bench._steal_share: hypervisor steal attribution (r12 opt round —
+    host contention is invisible to the external-CPU and kthread
+    probes; see bench._steal_probe docstring). Synthetic cases follow
+    the _external_cpu_share / _kthread_cpu_share pin convention."""
+    import bench
+
+    assert bench._steal_share((1000, 10), (2000, 110)) == 0.1
+    assert bench._steal_share((1000, 10), (2000, 10)) == 0.0
+    # degenerate: missing probe or no elapsed jiffies -> None
+    assert bench._steal_share(None, (2000, 10)) is None
+    assert bench._steal_share((1000, 10), None) is None
+    assert bench._steal_share((1000, 10), (1000, 10)) is None
+    # parse shape: _steal_probe returns (total, steal) ints on Linux
+    p = bench._steal_probe()
+    assert p is None or (
+        isinstance(p[0], int) and isinstance(p[1], int) and p[0] >= p[1] >= 0
+    )
