@@ -85,8 +85,15 @@ def facility_location_greedy(
     chosen_ids: list = []
     total = 0
     for t in range(1, k + 1):
+        # broadcast the coverage table (optimization r12): cov is
+        # LINEAR in the block (one row per universe point) while sims —
+        # already materialized — is quadratic in it, so under the
+        # operator's blocked-universe contract cov is always the small
+        # side by a |block| factor; the hint removes the per-round
+        # d-keyed exchange of the sims table (measured −15..25% on the
+        # loop at sf0.1, picks identical)
         gains = (
-            sims.join(cov, "d")
+            sims.join(F.broadcast(cov), "d")
             .groupBy("c")
             .agg(F.sum(F.greatest(F.col("sim_q") - F.col("cov"), F.lit(0))).alias("gain"))
         )
