@@ -129,9 +129,17 @@ def _steal_probe() -> tuple[int, int] | None:
     CPU) and to the load average, so a 'clean' adjudication could still
     sit on a throttled host. Recording the steal share alongside lets a
     suspicious reading be re-adjudicated against hypervisor contention
-    the same way kthread share covers kernel burn (ADVICE r11)."""
+    the same way kthread share covers kernel burn (ADVICE r11).
+
+    Denominator convention: sum(vals) includes the guest/guest_nice
+    columns (vals[8:]), which Linux already folds into user/nice — the
+    same convention _cpu_totals uses, kept so the two probes' shares
+    are directly comparable. On a bare guest (no nested VMs) the guest
+    columns are 0 and the two conventions coincide; the understatement
+    is bounded by the nested-guest share either way (ADVICE r12)."""
     try:
-        parts = open("/proc/stat").readline().split()
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
         vals = [int(v) for v in parts[1:]]
         steal = vals[7] if len(vals) > 7 else 0
         return sum(vals), steal

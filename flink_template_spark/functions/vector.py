@@ -98,12 +98,14 @@ def _fold_rows_exact(va, vb, want_cosine: bool):
     import math
 
     denom = math.sqrt(na) * math.sqrt(nb)
-    try:
-        return dt / denom
-    except ZeroDivisionError:
-        # IEEE 0/0 (Python raises instead); valid_vec excludes this
-        # region — NaN is nulled at the Arrow boundary anyway
-        return float("nan")
+    # IEEE division via numpy (Python raises on /0.0): 0/0 -> NaN,
+    # nonzero/0 -> +-Inf — the same semantics as the numpy fast path
+    # above (e.g. a subnormal vector whose norm underflows to 0 while
+    # the dot doesn't gives Inf, not NaN). The whole zero-denominator
+    # region is excluded by valid_vec at every call site, and a NaN
+    # result is nulled at the Arrow boundary anyway.
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return float(np.float64(dt) / np.float64(denom))
 
 
 def _pair_fold_series(a: pd.Series, b: pd.Series, want_cosine: bool) -> pd.Series:

@@ -72,13 +72,17 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     single-symbol word yields empty slices → no pairs, exactly like
     the old NULL-lead filter. The one remaining exchange is the
     (a, b)-keyed count agg with map-side partials."""
-    n = F.size("syms")
+    # greatest(n-1, 0): slice() with a NEGATIVE length is a runtime
+    # error, so an empty syms array (unreachable today — _symbolize
+    # always appends END_MARK — but cheap to guard) degrades to zero
+    # pairs like the old NULL-lead filter instead of failing the job.
+    n = F.greatest(F.size("syms") - 1, F.lit(0))
     pairs = vocab.select(
         "cnt",
         F.explode(
             F.zip_with(
-                F.slice(F.col("syms"), F.lit(1), n - 1),
-                F.slice(F.col("syms"), F.lit(2), n - 1),
+                F.slice(F.col("syms"), F.lit(1), n),
+                F.slice(F.col("syms"), F.lit(2), n),
                 lambda x, y: F.struct(x.alias("a"), y.alias("b")),
             )
         ).alias("p"),

@@ -34,6 +34,15 @@ from pyspark.sql import functions as F
 
 from flink_template_spark.functions.vector import dot, l2_norm, valid_vec
 
+# Broadcast guard for the per-round gains join (ADVICE r12 / VERDICT r12
+# #6): cov is one (id, bigint) row per universe point, so real blocks
+# (per class / IVF cell / LSH bucket) sit orders of magnitude below this
+# — 10M rows is ~160 MB built, safely inside the 8 GB / 512M-row
+# broadcast cap and executor memory. A caller that violates the
+# blocked-universe contract falls back to the shuffle join (degrades
+# gracefully) instead of hard-failing the broadcast build.
+BROADCAST_COV_MAX_ROWS = 10_000_000
+
 
 def pair_sims_q(
     universe: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
@@ -81,6 +90,11 @@ def facility_location_greedy(
     cov = sims.select("d").distinct().select(
         "d", F.lit(0).cast("bigint").alias("cov")
     ).localCheckpoint()
+    # one bounded count over the just-checkpointed table decides the
+    # round-join strategy up front (see BROADCAST_COV_MAX_ROWS): cov's
+    # row count is invariant across rounds, so the guard costs one tiny
+    # job per operator call, not per round
+    broadcast_cov = cov.count() <= BROADCAST_COV_MAX_ROWS
     out: list[dict] = []
     chosen_ids: list = []
     total = 0
@@ -91,9 +105,11 @@ def facility_location_greedy(
         # operator's blocked-universe contract cov is always the small
         # side by a |block| factor; the hint removes the per-round
         # d-keyed exchange of the sims table (measured −15..25% on the
-        # loop at sf0.1, picks identical)
+        # loop at sf0.1, picks identical). Guarded: an out-of-contract
+        # universe keeps the shuffle join rather than exploding the
+        # broadcast (BROADCAST_COV_MAX_ROWS).
         gains = (
-            sims.join(F.broadcast(cov), "d")
+            sims.join(F.broadcast(cov) if broadcast_cov else cov, "d")
             .groupBy("c")
             .agg(F.sum(F.greatest(F.col("sim_q") - F.col("cov"), F.lit(0))).alias("gain"))
         )

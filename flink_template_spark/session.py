@@ -46,6 +46,17 @@ def get_spark(
         # so this conf is a no-op there.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Generated-class cache (static conf, default 100 entries): a
+        # session serving many distinct queries over the same tables
+        # re-compiles shared codegen units (scan/filter/project shapes)
+        # every ~10-20 queries as the tiny LRU churns. Measured on the
+        # 80-query extended slice (×2 runs): 2690 janino compilations at
+        # the default vs 1863 at 4096 — ~10 avoidable recompiles per
+        # query, each on the execution path. Scale-neutral: on a real
+        # cluster driver the cache serves the same purpose (compiled
+        # classes are KB-scale; 4096 entries is a few hundred MB worst
+        # case against a 16g driver).
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
         .config("spark.ui.enabled", "false")
         # the \r-based console progress bar corrupts piped stdout
         .config("spark.ui.showConsoleProgress", "false")

@@ -29,9 +29,35 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        return load_events(spark, sf_dir)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Base-table DataFrame, memoized per (session, sf_dir, name).
+
+    ``spark.read.parquet`` pays a driver-side file listing + footer
+    schema read on EVERY call; with ~400 load_table call sites across
+    the query registry that metadata work recurs per query (and per
+    scan within a query). The DataFrame is an immutable lazy plan, so
+    one relation per (session, sf_dir, table) can be shared by every
+    consumer — this is catalog-metadata caching (what a real metastore
+    provides), NOT result caching: every action still scans the parquet
+    from disk; only the listing/schema handshake is reused.
+
+    The cache dict lives ON the session object, so its lifetime is
+    exactly the session's (a stopped session's relations die with it,
+    a fresh session re-lists the files — important for tests that
+    rebuild sessions)."""
+    try:
+        cache = spark._flink_template_table_cache  # type: ignore[attr-defined]
+    except AttributeError:
+        cache = {}
+        spark._flink_template_table_cache = cache  # type: ignore[attr-defined]
+    key = (sf_dir, name)
+    df = cache.get(key)
+    if df is None:
+        if name == "events":
+            df = load_events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        cache[key] = df
+    return df
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

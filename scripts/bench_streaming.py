@@ -1,0 +1,201 @@
+"""Streaming-operator throughput micro-bench (VERDICT r12 next #5).
+
+The 15 streaming modules were pytest-verified but carried no measured
+throughput, so optimization rounds structurally could not touch them
+and a perf regression there was invisible. This harness gives the three
+representative stateful shapes a recorded events/s surface:
+
+- ``ingest_dedup``   docs/s through the foreachBatch LSH ingest gate
+                     (MinHash banding + index join + parquet append);
+- ``trip_sessions``  events/s through keyed GroupState sessionization
+                     (applyInPandasWithState, processing-time timers);
+- ``kmv_stream``     events/s through the per-batch KMV sketch append.
+
+Method mirrors bench.py's trip-pipeline dual: availableNow (bounded)
+runs over deterministic fixtures, one untimed warm run per stream
+(schema + codegen warm-up), then best-of-N timed runs with fresh
+checkpoints/output roots per run (state directories must not be reused
+— a second ingest_dedup run against a grown corpus would measure
+different work). Prints ONE JSON line:
+  {"streams": {name: events_per_sec, ...}, "samples": {...}, ...}
+and appends nothing to bench.py's record (side-harness by design —
+bench.py's stdout contract stays byte-compatible).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RUNS = 3
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    from flink_template_spark.session import get_spark, silence_bounded_window_warns
+
+    spark = get_spark(
+        app_name="bench_streaming",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    silence_bounded_window_warns(spark)
+
+    work = tempfile.mkdtemp(prefix="bench_streaming_")
+    results: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
+
+    def record(name, n_events, run_once):
+        """One warm run + RUNS timed runs; keep the best rate."""
+        try:
+            run_once("warm")
+            rates = []
+            for i in range(RUNS):
+                t0 = time.perf_counter()
+                run_once(f"t{i}")
+                rates.append(round(n_events / (time.perf_counter() - t0), 1))
+            samples[name] = rates
+            results[name] = max(rates)
+        except Exception as exc:  # isolate per stream
+            errors[name] = f"{type(exc).__name__}: {str(exc)[:300]}"
+
+    # ---- trip_sessions: keyed GroupState sessionization ------------------
+    from flink_template_spark.parse import read_trip_events_stream
+    from flink_template_spark.sources.trip_fixtures import write_scaled_fixture
+    from flink_template_spark.streaming.trip_sessions import sessionize_trips
+
+    trips_dir = os.path.join(work, "trip_events")
+    n_trip_events = write_scaled_fixture(
+        trips_dir, n_trips=4000, events_per_trip=50, n_shards=cpus
+    )
+
+    def run_trip(tag: str) -> None:
+        ckpt = os.path.join(work, f"trip_ckpt_{tag}")
+        q = (
+            sessionize_trips(read_trip_events_stream(spark, trips_dir))
+            .writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("trip_sessions availableNow exceeded 600s")
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    record("trip_sessions", n_trip_events, run_trip)
+
+    # ---- ingest_dedup: LSH gate over a JSONL doc stream ------------------
+    from pyspark.sql import types as T
+
+    from flink_template_spark.streaming.ingest_dedup import start_ingest_dedup
+
+    docs_dir = os.path.join(work, "docs_in")
+    os.makedirs(docs_dir, exist_ok=True)
+    n_docs = 4000
+    words = [f"tok{i}" for i in range(500)]
+    lines = []
+    for i in range(n_docs):
+        # deterministic ~30-token docs with overlapping vocab so the
+        # banding pipeline does real shingle work and some near-dups hit
+        toks = [words[(i * 7 + k * 13) % len(words)] for k in range(30)]
+        lines.append(json.dumps({"doc_id": i, "text": " ".join(toks)}))
+    shard = max(1, n_docs // cpus)
+    for s in range(0, n_docs, shard):
+        with open(os.path.join(docs_dir, f"d{s}.jsonl"), "w") as fh:
+            fh.write("\n".join(lines[s : s + shard]) + "\n")
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def run_ingest(tag: str) -> None:
+        root = os.path.join(work, f"corpus_{tag}")
+        ckpt = os.path.join(work, f"ingest_ckpt_{tag}")
+        stream = spark.readStream.schema(doc_schema).json(docs_dir)
+        q = start_ingest_dedup(stream, root, ckpt, available_now=True)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("ingest_dedup availableNow exceeded 600s")
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    record("ingest_dedup", n_docs, run_ingest)
+
+    # ---- kmv_stream: per-batch KMV sketch changelog -----------------------
+    from flink_template_spark.streaming.sketch_stream import write_kmv_stream
+
+    ev_dir = os.path.join(work, "kmv_in")
+    os.makedirs(ev_dir, exist_ok=True)
+    n_ev = 200_000
+    types = ["click", "view", "purchase", "scroll"]
+    per_shard = n_ev // cpus
+    k = 0
+    for s in range(cpus):
+        with open(os.path.join(ev_dir, f"e{s}.json"), "w") as fh:
+            rows = []
+            for _ in range(per_shard):
+                rows.append(
+                    json.dumps(
+                        {
+                            "ts": "2024-01-01T00:00:00",
+                            "event_type": types[k % 4],
+                            "user_id": (k * 2654435761) % 50_000,
+                        }
+                    )
+                )
+                k += 1
+            fh.write("\n".join(rows) + "\n")
+    n_kmv_events = per_shard * cpus
+    ev_schema = T.StructType(
+        [
+            T.StructField("ts", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+
+    def run_kmv(tag: str) -> None:
+        sk = os.path.join(work, f"kmv_out_{tag}")
+        ckpt = os.path.join(work, f"kmv_ckpt_{tag}")
+        stream = spark.readStream.schema(ev_schema).json(ev_dir)
+        q = write_kmv_stream(stream, sk, ckpt, available_now=True)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("kmv_stream availableNow exceeded 600s")
+        shutil.rmtree(sk, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    record("kmv_stream", n_kmv_events, run_kmv)
+
+    shutil.rmtree(work, ignore_errors=True)
+    out = {
+        "metric": "streaming_events_per_sec",
+        "streams": results,
+        "samples": samples,
+        "fixture": {
+            "trip_sessions": n_trip_events,
+            "ingest_dedup": n_docs,
+            "kmv_stream": n_kmv_events,
+        },
+        "cpus": cpus,
+        "load1": round(os.getloadavg()[0], 2),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -458,10 +458,7 @@ def test_arrow_fold_kernels_bit_identical_to_hof(spark, sf_dir):
         dot_arrow,
         plane_dots_arrow,
     )
-    from flink_template_spark.operators.similarity import (
-        _plane_dot,
-        _plane_weights,
-    )
+    from flink_template_spark.operators.similarity import _plane_weights
     from flink_template_spark.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -527,43 +524,37 @@ def test_arrow_fold_kernels_bit_identical_to_hof(spark, sf_dir):
         else:
             assert _bits(r.c_hof) == _bits(r.c_arrow), f"cos mismatch id={r.id}"
 
-    # plane dots: all 32 LSH planes in one Arrow pass vs per-plane folds
-    weights = [_plane_weights(j) for j in range(32)]
-    wide = emb.select(
-        "vec_id",
-        plane_dots_arrow(F.col("embedding"), weights).alias("pd"),
-        *[
-            _plane_dot(F.col("embedding"), j).alias(f"h_{j}")
-            for j in range(32)
-        ],
-    ).collect()
-    for r in wide:
-        for j in range(32):
-            # _plane_dot rounds to 6 dp in-plan; round the raw Arrow
-            # dot the same way (F.round is BigDecimal HALF_UP -> must
-            # compare via Spark, so compare the raw fold instead)
-            pass
-    # raw-dot comparison: rebuild the unrounded HOF fold for plane 0/31
+    # plane dots: all 32 LSH planes in one Arrow pass vs the 32
+    # unrounded HOF folds, compared bit-for-bit in ONE collect.
+    # (_plane_dot itself rounds to 6 dp in-plan via F.round — BigDecimal
+    # HALF_UP, not reproducible in numpy — so the contract is pinned on
+    # the RAW folds, which is what plane_dots_arrow replaces.)
     from flink_template_spark.functions.vector import lit_doubles
 
-    for j in (0, 13, 31):
-        raw_hof = F.aggregate(
+    weights = [_plane_weights(j) for j in range(32)]
+
+    def raw_hof(j: int):
+        return F.aggregate(
             F.zip_with(
                 F.col("embedding"),
-                lit_doubles(_plane_weights(j)),
+                lit_doubles(weights[j]),
                 lambda x, w: x.cast("double") * w,
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        cmp_rows = emb.select(
-            raw_hof.alias("h"),
-            F.element_at(
-                plane_dots_arrow(F.col("embedding"), weights), j + 1
-            ).alias("a"),
-        ).collect()
-        for r in cmp_rows:
-            assert _bits(r.h) == _bits(r.a), f"plane {j} mismatch"
+
+    wide = emb.select(
+        "vec_id",
+        plane_dots_arrow(F.col("embedding"), weights).alias("pd"),
+        *[raw_hof(j).alias(f"h_{j}") for j in range(32)],
+    ).collect()
+    assert len(wide) > 0
+    for r in wide:
+        for j in range(32):
+            assert _bits(r[f"h_{j}"]) == _bits(r.pd[j]), (
+                f"plane {j} mismatch vec_id={r.vec_id}"
+            )
 
 
 def test_global_rank_prefix_matches_full_rank(spark, sf_dir):
