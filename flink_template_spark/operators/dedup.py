@@ -58,50 +58,90 @@ def shingle_rows(
     distinct: bool = True,
     extra_cols: list[str] | None = None,
     keep_pos: bool = False,
+    builder: str = "zip",
 ) -> DataFrame:
-    """Exploded (id, shingle) word n-gram rows, built in codegen.
+    """Exploded (id, shingle) word n-gram rows, built MAP-SIDE in codegen.
 
-    posexplode the token array, then assemble each shingle from window
-    ``lead()``s over token position. Spark evaluates higher-order-
-    function lambdas interpreted (outside whole-stage codegen), so
-    exploding a ``transform``-built shingle array — the row-local dual
-    in ``functions.text.word_shingles``, kept for Column composition —
-    measured ~6× slower end-to-end at sf0.1. The window costs one
-    id-keyed shuffle, which the (id, shingle)-level aggregations every
-    consumer runs next amortize.
+    Each shingle comes from ``arrays_zip`` over the n off-by-one slices
+    of the token array (the BPE `_pair_counts` shape generalized to n) —
+    posexplode of the zipped structs, then one ``concat_ws``. Every
+    operator here (split / slice / arrays_zip / posexplode / concat_ws)
+    is a regular codegen expression, NOT an interpreted HOF lambda, so
+    this keeps the codegen property that made the old explode+window
+    form beat ``transform``-built shingle arrays (~6× at sf0.1) — while
+    removing the old form's id-keyed Exchange + per-doc sort entirely
+    (optimization r13, guide §2.4: it paid a full shuffle of every
+    TOKEN row just to look n−1 positions ahead inside an array it
+    already had). Consumers that aggregate by id now see map-side
+    partials with NO pre-shuffle (minhash), and shingle-keyed consumers
+    shuffle aggregated shingle rows instead of raw tokens (§2.3).
 
-    Shingle strings are byte-identical to ``word_shingles`` output
-    (same single-space join), so all oracles are unaffected.
+    Shingle strings are byte-identical to the window form (same
+    single-space ``concat_ws`` over the same token runs; a doc with
+    fewer than n tokens yields no rows via the greatest(len-n+1, 0)
+    slice bound, exactly like the old NULL-lead filter), so all oracles
+    are unaffected; ``pos`` keeps the same 0-based first-token position
+    posexplode produced. Differential pin:
+    tests/test_r13_opt.py::test_shingle_rows_zip_matches_window_lead.
 
-    No ``_spread`` here, deliberately: the window's own hash exchange on
-    the id parallelizes the heavy work (lead/concat/distinct — the
-    distinct re-uses the window's partitioning, since doc-keyed
-    clustering satisfies its distribution), while an up-front
-    round-robin repartition would be a second full shuffle of the rows
-    (measured ~2× slower end-to-end at sf0.1).
+    ``distinct=True`` keeps the old form's id-clustered output topology
+    (an explicit id repartition the dedup aggregation and every
+    downstream id-keyed window/agg reuse) — the first A/B of the pure
+    map-side form regressed the prefix-filter family 12-56% because
+    those consumers branch the shingle set several ways and each branch
+    re-paid the clustering the window used to establish once. Same
+    exchange count as the window form, minus its per-doc sort + two
+    lead windows. ``distinct=False`` consumers aggregate immediately
+    (minhash min, winnowing min-by-window... which re-keys anyway), so
+    they get the fully map-side form with NO pre-shuffle.
+
+    ``builder="window"`` keeps the pre-r13 posexplode + id-window lead
+    formulation. Two call sites measured FASTER on it and stay pinned
+    there (min-of-5 A/B at sf0.1, r13): sorted_neighborhood_pairs'
+    verification (window 1.79 s vs zip 2.21 s query wall — the subtree
+    is consumed on BOTH verify-join sides and the window form's
+    exchange is the reuse point) and q_decontaminate_bloom's n=5
+    checkpointed table (1.28 vs 1.53 s — five slice copies per row
+    outweigh the saved sort in an eagerly-materialized build). Both
+    forms emit row-identical output (the differential pin covers the
+    pair), so the choice is pure topology.
     """
     extras = [F.col(c) for c in (extra_cols or [])]
     pos_cols = [F.col("pos")] if keep_pos else []
-    tok = docs.select(
-        F.col(id_col),
-        *extras,
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
-    )
+    toks = F.split(F.col(text_col), " ")
     if n == 1:
+        tok = docs.select(
+            F.col(id_col), *extras, F.posexplode(toks).alias("pos", "w")
+        )
         out = tok.select(
             F.col(id_col), *extras, *pos_cols, F.col("w").alias("shingle")
         )
         return out.distinct() if distinct else out
-    w = W.partitionBy(id_col).orderBy("pos")
-    leads = [F.lead("w", k).over(w).alias(f"w{k}") for k in range(1, n)]
-    with_leads = tok.select(
-        F.col(id_col), *extras, F.col("pos"), F.col("w"), *leads
+    if builder == "window":
+        w = W.partitionBy(id_col).orderBy("pos")
+        tok = docs.select(
+            F.col(id_col), *extras, F.posexplode(toks).alias("pos", "w")
+        )
+        leads = [F.lead("w", k).over(w).alias(f"w{k}") for k in range(1, n)]
+        with_leads = tok.select(
+            F.col(id_col), *extras, F.col("pos"), F.col("w"), *leads
+        )
+        shingle = F.concat_ws(" ", "w", *[f"w{k}" for k in range(1, n)])
+        out = with_leads.filter(F.col(f"w{n-1}").isNotNull()).select(
+            F.col(id_col), *extras, *pos_cols, shingle.alias("shingle")
+        )
+        return out.distinct() if distinct else out
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, k + 1, m) for k in range(n)])
+    exploded = docs.select(
+        F.col(id_col), *extras, F.posexplode(zipped).alias("pos", "__sh")
     )
-    shingle = F.concat_ws(" ", "w", *[f"w{k}" for k in range(1, n)])
-    out = with_leads.filter(F.col(f"w{n-1}").isNotNull()).select(
+    # arrays_zip names unnamed inputs positionally: fields "0".."n-1"
+    shingle = F.concat_ws(" ", *[F.col("__sh")[str(k)] for k in range(n)])
+    out = exploded.select(
         F.col(id_col), *extras, *pos_cols, shingle.alias("shingle")
     )
-    return out.distinct() if distinct else out
+    return out.repartition(id_col).distinct() if distinct else out
 
 
 def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
@@ -121,12 +161,22 @@ def minhash_signatures(
     explode+partial-agg pipeline stays fully codegen'd and the shuffle
     carries only (id, 16 partial mins) per doc.
 
+    distinct=False, deliberately (optimization r13): MIN is
+    duplicate-insensitive — min over shingle INSTANCES equals min over
+    the distinct shingle set (the simhash one-agg identity applied to
+    minhash) — so the distinct aggregation bought nothing semantically.
+    With the map-side shingle build there is now NO exchange at all
+    before the id-keyed min aggregation; md5 + the 16 h_i run per
+    instance pre-shuffle and the one exchange ships 16 partial mins per
+    doc per map partition. Differential pin:
+    tests/test_r13_opt.py::test_minhash_instance_min_matches_distinct_min.
+
     Docs with fewer than 3 tokens have no shingles and drop out (they
     can't be near-duplicates by shingle overlap).
     """
-    sh = _shingled(docs, id_col, text_col).withColumn(
-        "h", F.expr(md5int_spark("shingle"))
-    )
+    sh = shingle_rows(
+        docs, 3, id_col=id_col, text_col=text_col, distinct=False
+    ).withColumn("h", F.expr(md5int_spark("shingle")))
     aggs = [
         F.min(F.expr(minhash_expr(i, "h"))).alias(f"mh_{i}")
         for i in range(NUM_HASHES)
@@ -624,7 +674,12 @@ def sorted_neighborhood_pairs(
         )
         cands = pair if cands is None else cands.unionAll(pair)
     cands = cands.filter(F.col("id_a") != F.col("id_b")).distinct()
-    sh = _shingled(docs, id_col, text_col)
+    # builder="window": the shingle subtree is consumed on BOTH verify
+    # joins; the window form's exchange is the plan's reuse point and
+    # measured faster than the map-side build here (see shingle_rows)
+    sh = shingle_rows(
+        docs, 3, id_col=id_col, text_col=text_col, builder="window"
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         cands.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")

@@ -53,6 +53,86 @@ def test_plane_dot_fixed_width_contract(spark):
         )
 
 
+def test_shingle_rows_zip_matches_window_lead(spark, sf_dir):
+    """The map-side arrays_zip shingle build must emit row-identical
+    output to the window-lead formulation it replaced (kept in-tree as
+    builder="window" for the two call sites that measured faster on
+    it) — on the real fixture and on adversarial docs (short docs,
+    runs of spaces / empty tokens, single token, empty string, NULL
+    text)."""
+    from flink_template_spark.operators.dedup import shingle_rows
+    from flink_template_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    adversarial = spark.createDataFrame(
+        [
+            (9001, "one two three four five"),
+            (9002, "a  b c"),       # empty token from the double space
+            (9003, "solo"),
+            (9004, ""),
+            (9005, None),
+            (9006, "x y"),          # n-1 tokens for n=3
+            (9007, "r r r r"),      # repeated tokens -> duplicate shingles
+        ],
+        "doc_id long, text string",
+    )
+    for src in (docs, adversarial):
+        for n in (1, 3, 5):
+            for distinct in (True, False):
+                for keep_pos in (False, True):
+                    if n == 1:
+                        # both builders share the unchanged n=1 branch
+                        continue
+                    got = shingle_rows(
+                        src, n, distinct=distinct, keep_pos=keep_pos
+                    )
+                    ref = shingle_rows(
+                        src,
+                        n,
+                        distinct=distinct,
+                        keep_pos=keep_pos,
+                        builder="window",
+                    )
+                    cols = got.columns
+                    g = sorted(map(tuple, got.select(cols).collect()))
+                    r = sorted(map(tuple, ref.select(cols).collect()))
+                    assert g == r, (
+                        f"mismatch n={n} distinct={distinct} "
+                        f"keep_pos={keep_pos} ({len(g)} vs {len(r)} rows)"
+                    )
+
+
+def test_minhash_instance_min_matches_distinct_min(spark, sf_dir):
+    """minhash_signatures' distinct=False shingle feed must produce the
+    identical signature table as a min over the DISTINCT shingle set
+    (MIN is duplicate-insensitive)."""
+    from flink_template_spark.functions.hashing import (
+        NUM_HASHES,
+        md5int_spark,
+        minhash_expr,
+    )
+    from flink_template_spark.operators.dedup import (
+        minhash_signatures,
+        shingle_rows,
+    )
+    from flink_template_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    got = minhash_signatures(docs)
+    sh = shingle_rows(docs, 3, distinct=True).withColumn(
+        "h", F.expr(md5int_spark("shingle"))
+    )
+    ref = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(minhash_expr(i, "h"))).alias(f"mh_{i}")
+            for i in range(NUM_HASHES)
+        ]
+    )
+    g = sorted(map(tuple, got.collect()))
+    r = sorted(map(tuple, ref.collect()))
+    assert g == r and len(g) > 0
+
+
 def test_coreset_broadcast_guard_fallback_identical(spark, monkeypatch):
     """Above BROADCAST_COV_MAX_ROWS the greedy loop must fall back to
     the shuffle join and still produce the identical pick sequence."""
