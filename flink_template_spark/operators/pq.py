@@ -27,6 +27,7 @@ separated data.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -74,6 +75,97 @@ def _lit_vec(code: list[float]):
     from flink_template_spark.functions.vector import lit_doubles
 
     return lit_doubles(code)
+
+
+def _codes_arrow(codebooks: "list[Codebook]", vec_col: str):
+    """All m nearest-code indices in ONE Arrow pass — the vectorized
+    dual of m × k interpreted ``_sq_l2`` folds per row (optimization
+    r13, guide §4.2; the corpus × broadcast-literal shape where the r12
+    cosine kernels won). Bit-exact by the same construction as
+    functions.vector.dot_arrow: each (row, code) distance accumulates
+    dimension-by-dimension from 0.0 (acc += (x_i−c_i)·(x_i−c_i)) — the
+    identical IEEE sequence as the left fold — and ``np.argmin`` takes
+    the FIRST minimal index, matching array_position(array_min(...))'s
+    lowest-index tie-break on bit-identical distances. Pinned by
+    tests/test_r13_opt.py::test_pq_codes_arrow_bit_identical.
+
+    Out-of-contract inputs reproduce the HOF form too (the pin test
+    covers each shape): a NULL vector row → [NULL]×m (F.array of m
+    NULL argmins); a subspace whose slice is short → NULL for THAT
+    code only (zip_with pads → NULL fold); a longer-than-m·d vector
+    ignores the tail (slice takes exactly d); NaN elements → code 0
+    (all k distances NaN; Spark's array_min treats NaN=NaN and
+    array_position finds the first — np.argmin and the per-row loop
+    both land on index 0). ONE documented divergence: a NULL *element*
+    inside a non-NULL vector reaches the worker as NaN (Arrow's
+    array<double> deserialization erases the distinction), so it codes
+    as 0 where the HOF fold yields NULL — same NaN↔NULL boundary the
+    cosine kernels document; the curated embedding tables carry no
+    NULL elements. Ragged batches fall off the vectorized path onto
+    the exact per-row loop."""
+    import numpy as _np
+
+    from pyspark.sql.functions import pandas_udf
+
+    cbs = _np.array(codebooks, dtype=_np.float64)  # m × k × d
+    m, k, d = cbs.shape
+
+    def _row_codes(row) -> list:
+        # scalar replay of F.array(_argmin_code(slice_j)) per row for
+        # ragged batches (elements arrive as float64/NaN — see the
+        # NULL-element boundary note above)
+        out = []
+        for j in range(m):
+            sub = row[j * d : (j + 1) * d]
+            if len(sub) < d:
+                out.append(None)  # zip_with NULL-pad → NULL fold → NULL
+                continue
+            best_c, best_dist = 0, None
+            for c in range(k):
+                acc = 0.0
+                for i in range(d):
+                    t = float(sub[i]) - cbs[j, c, i]
+                    acc += t * t
+                # strict < keeps the FIRST minimum; an all-NaN column
+                # (NaN input dim) keeps c=0, matching array_min's
+                # NaN=NaN + array_position first-match
+                if best_dist is None or acc < best_dist:
+                    best_c, best_dist = c, acc
+            out.append(best_c)
+        return out
+
+    @pandas_udf("array<int>")
+    def fn(v: pd.Series) -> pd.Series:
+        n = len(v)
+        out = [[None] * m] * n  # NULL row → array of m NULL codes
+        idx = _np.flatnonzero(v.notna().to_numpy())
+        if len(idx):
+            try:
+                V = _np.array(v.iloc[idx].tolist(), dtype=_np.float64)
+                if V.ndim != 2 or V.shape[1] != m * d:
+                    raise ValueError
+            except (ValueError, TypeError):
+                vv = v.tolist()
+                for i in idx:
+                    out[i] = _row_codes(vv[i])
+                return pd.Series(out, dtype=object)
+            nrow = len(idx)
+            codes = _np.empty((nrow, m), dtype=_np.int64)
+            for j in range(m):
+                sub = V[:, j * d : (j + 1) * d]
+                dists = _np.empty((nrow, k))
+                for c in range(k):
+                    acc = _np.zeros(nrow)
+                    for i in range(d):
+                        t = sub[:, i] - cbs[j, c, i]
+                        acc += t * t
+                    dists[:, c] = acc
+                codes[:, j] = _np.argmin(dists, axis=1)
+            for p, i in enumerate(idx):
+                out[i] = [int(x) for x in codes[p]]
+        return pd.Series(out, dtype=object)
+
+    return fn(vec_col)
 
 
 def _argmin_code(sub, codebook: Codebook):
@@ -129,12 +221,10 @@ def pq_train(
         for j in range(m)
     ]
     for _ in range(n_iter):
-        code_arr = F.array(
-            *[
-                _argmin_code(_subvec(vec_col, j, d), codebooks[j])
-                for j in range(m)
-            ]
-        )
+        # Arrow codes kernel (bit-identical argmins, see _codes_arrow):
+        # the m×k interpreted _sq_l2 folds per row were the round job's
+        # dominant cost (isolated at sf0.1: 1.4 s of the 1.5 s round)
+        code_arr = _codes_arrow(codebooks, vec_col)
         ex = vectors.select(
             code_arr.alias("codes"), F.posexplode(vec_col).alias("gp", "x")
         )
@@ -183,14 +273,9 @@ def pq_encode(
     map-side only. ``keep_cols`` rides extra input columns through —
     the ann_index build tags codes onto the rows BEFORE the IVF argmax
     so no (codes ⋈ assigned) shuffle join is needed (optimization
-    r12)."""
-    d = len(codebooks[0][0])
-    codes = F.array(
-        *[
-            _argmin_code(_subvec(vec_col, j, d), cb)
-            for j, cb in enumerate(codebooks)
-        ]
-    )
+    r12). Codes come from the Arrow kernel (bit-identical argmins —
+    see _codes_arrow; r13)."""
+    codes = _codes_arrow(codebooks, vec_col)
     return vectors.select(
         F.col(id_col), codes.alias("codes"), *[F.col(c) for c in keep_cols]
     )

@@ -133,6 +133,150 @@ def test_minhash_instance_min_matches_distinct_min(spark, sf_dir):
     assert g == r and len(g) > 0
 
 
+def test_lang_id_trigram_split_matches_substring(spark, sf_dir):
+    """q_lang_id_ngram's split('')+arrays_zip trigram build must emit
+    the identical (doc, trigram) multiset as the interpreted
+    transform(sequence, i -> substring(text, i, 3)) lambda it replaced
+    — on the real fixture and on adversarial docs (non-BMP code points,
+    combining marks, empty, single/double char, NULL). Both substring()
+    and split('') index by CODE POINT; a surrogate-pair split would
+    silently corrupt trigrams."""
+    from flink_template_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    adversarial = spark.createDataFrame(
+        [
+            (1, "xx", "hello world"),
+            (2, "xx", "a\U0001f600b\U0001f680cd"),   # non-BMP surrogate pairs
+            (3, "xx", "éabc"),                  # combining mark
+            (4, "xx", ""),
+            (5, "xx", "ab"),
+            (6, "xx", "abc"),
+            (7, "xx", None),
+            (8, "xx", "ñüßπ中文字"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+
+    def tri_old(src):
+        return src.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "CASE WHEN length(text) >= 3 THEN "
+                    "transform(sequence(1, length(text) - 2),"
+                    " i -> substring(text, i, 3)) "
+                    "ELSE array() END"
+                )
+            ).alias("g"),
+        )
+
+    def tri_new(src):
+        chs = src.select(
+            "doc_id", "lang", F.split(F.col("text"), "").alias("__ch")
+        )
+        n3 = F.greatest(F.size("__ch") - F.lit(2), F.lit(0))
+        z = F.arrays_zip(
+            F.slice("__ch", 1, n3).alias("c0"),
+            F.slice("__ch", 2, n3).alias("c1"),
+            F.slice("__ch", 3, n3).alias("c2"),
+        )
+        return chs.select(
+            "doc_id", "lang", F.explode(z).alias("__t")
+        ).select(
+            "doc_id", "lang", F.concat("__t.c0", "__t.c1", "__t.c2").alias("g")
+        )
+
+    for src in (docs, adversarial):
+        a = sorted(map(tuple, tri_old(src).collect()))
+        b = sorted(map(tuple, tri_new(src).collect()))
+        assert a == b and (src is adversarial or len(a) > 0)
+
+
+def test_pq_codes_arrow_bit_identical(spark, sf_dir):
+    """_codes_arrow must reproduce the HOF form —
+    F.array(_argmin_code(slice_j, cb_j) for j) — EXACTLY: on the real
+    embedding corpus with real trained codebooks, and on every
+    out-of-contract shape (NULL row, NULL element, short/long/empty
+    vector, NaN, ±Inf). Codes feed the declared q_pq/q_ann oracles, so
+    a single differing argmin is a correctness bug, not a perf note."""
+    from flink_template_spark.operators.pq import (
+        _argmin_code,
+        _codes_arrow,
+        _subvec,
+        pq_train,
+    )
+    from flink_template_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebooks = pq_train(emb, m=4, k=4, n_iter=1)
+    d = len(codebooks[0][0])
+
+    def hof(vec_col):
+        return F.array(
+            *[
+                _argmin_code(_subvec(vec_col, j, d), cb)
+                for j, cb in enumerate(codebooks)
+            ]
+        )
+
+    # 1) the real corpus: every row's codes identical
+    both = emb.select(
+        "vec_id",
+        hof("embedding").alias("h"),
+        _codes_arrow(codebooks, "embedding").alias("a"),
+    ).collect()
+    assert len(both) > 0
+    for r in both:
+        assert r.h == r.a, f"vec_id={r.vec_id}: HOF {r.h} != Arrow {r.a}"
+
+    # 2) adversarial shapes (dim = 4*d here)
+    full = [0.25 * i - 3.0 for i in range(4 * d)]
+    cases = [
+        (1, full),
+        (2, None),                                   # NULL row
+        (3, full[: 4 * d - 1]),                      # short (last subspace)
+        (4, full + [9.0]),                           # long (tail ignored)
+        (5, []),                                     # empty
+        (6, full[:d] + [None] + full[d + 1 :]),      # NULL element in j=1
+        (7, full[:d] + [float("nan")] + full[d + 1 :]),   # NaN in j=1
+        (8, [float("inf")] + full[1:]),              # +Inf in j=0
+        (9, [float("-inf")] + full[1:]),             # -Inf in j=0
+    ]
+    adv = spark.createDataFrame(cases, "id long, v array<double>")
+    rows = {
+        r.id: r
+        for r in adv.select(
+            "id",
+            hof("v").alias("h"),
+            _codes_arrow(codebooks, "v").alias("a"),
+        ).collect()
+    }
+    for cid, _ in cases:
+        if cid == 6:
+            continue  # the one documented divergence, pinned below
+        assert rows[cid].h == rows[cid].a, (
+            f"case {cid}: HOF {rows[cid].h} != Arrow {rows[cid].a}"
+        )
+    # shape spot-pins (so a both-sides regression can't hide):
+    assert rows[2].h == [None] * 4          # NULL row -> m NULL argmins
+    assert rows[3].h[3] is None and rows[3].h[0] is not None
+    assert rows[7].h[1] == 0                # all-NaN dists -> first code
+    assert rows[5].h == [None] * 4
+    # case 6 (NULL element in subspace j=1): Arrow deserialization
+    # erases NULL-element vs NaN inside array<double>, so the kernel
+    # codes it as NaN (code 0) where the HOF fold yields NULL — the
+    # documented out-of-contract boundary (operators/pq._codes_arrow)
+    assert rows[6].h[1] is None and rows[6].a[1] == 0
+    assert (
+        [x for i, x in enumerate(rows[6].h) if i != 1]
+        == [x for i, x in enumerate(rows[6].a) if i != 1]
+    )
+
+
 def test_coreset_broadcast_guard_fallback_identical(spark, monkeypatch):
     """Above BROADCAST_COV_MAX_ROWS the greedy loop must fall back to
     the shuffle join and still produce the identical pick sequence."""
