@@ -45,21 +45,69 @@ BROADCAST_COV_MAX_ROWS = 10_000_000
 
 
 def pair_sims_q(
-    universe: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    universe: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "blocked",
 ) -> DataFrame:
     """(d, c, sim_q): micro-unit-quantized cosine for every ordered
     pair of the (blocked, small) universe, self-pairs included
-    (sim_q(d,d) = 1e6 — a facility covers itself). Degenerate vectors
-    are excluded by the cosine-family valid_vec contract."""
+    (sim_q(d,d) — a facility covers itself). Degenerate vectors
+    are excluded by the cosine-family valid_vec contract.
+
+    ``impl="blocked"`` (optimization r13): raw cosines come from the
+    blocked exact-fold kernel (operators.similarity.pair_cos_blocked —
+    bit-identical doubles, one task per block pair instead of one fold
+    + one BigDecimal round per ORDERED pair). Each unordered pair is
+    rounded ONCE and mirrored (cosine is symmetric bit-for-bit: the
+    fold multiplies commute); the diagonal is the identical
+    dot(v,v)/(n·n) expression evaluated linearly. Row-identity pinned
+    by tests/test_r13_opt.py::test_pair_sims_q_blocked_identical.
+    ``impl="fold"`` keeps the original cross-join fold as the pin
+    reference."""
+    u = universe.filter(valid_vec(F.col(vec_col))).select(
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("__n")
+    )
+    if impl == "blocked":
+        from flink_template_spark.operators.similarity import (
+            pair_cos_blocked,
+        )
+
+        upper = pair_cos_blocked(
+            universe, None, id_col=id_col, vec_col=vec_col
+        ).select(
+            "id_a",
+            "id_b",
+            F.round(F.col("raw_cos") * 1_000_000.0, 0)
+            .cast("bigint")
+            .alias("sim_q"),
+        )
+        sym = upper.select(
+            F.col("id_a").alias("d"), F.col("id_b").alias("c"), "sim_q"
+        ).unionAll(
+            upper.select(
+                F.col("id_b").alias("d"), F.col("id_a").alias("c"), "sim_q"
+            )
+        )
+        diag = u.select(
+            F.col(id_col).alias("d"),
+            F.col(id_col).alias("c"),
+            F.round(
+                dot(F.col(vec_col), F.col(vec_col))
+                / (F.col("__n") * F.col("__n"))
+                * 1_000_000.0,
+                0,
+            )
+            .cast("bigint")
+            .alias("sim_q"),
+        )
+        return sym.unionAll(diag)
     # norms are computed ONCE per row before the cross join (linear),
     # not inside the pair cosine (quadratic): dot/(na*nb) is the exact
     # expression tree cosine() builds, evaluated on identical operands,
     # so sim_q is bit-for-bit unchanged while the pair table drops two
     # of its three per-pair array folds (guide §1.2: fix the algorithm
     # inside the quadratic block first).
-    u = universe.filter(valid_vec(F.col(vec_col))).select(
-        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("__n")
-    )
     a = u.select(F.col(id_col).alias("d"), F.col(vec_col).alias("__va"), F.col("__n").alias("__na"))
     b = u.select(F.col(id_col).alias("c"), F.col(vec_col).alias("__vb"), F.col("__n").alias("__nb"))
     return a.crossJoin(b).select(

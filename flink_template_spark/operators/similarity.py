@@ -18,6 +18,7 @@ Two tiers (SURVEY.md §2.7 north-star):
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -67,6 +68,67 @@ def brute_force_topk(
     return scored.orderBy(F.desc("cos_sim"), id_col).limit(k)
 
 
+def centroid_cos_arrow(cvecs: "list[list[float]]", vec_col):
+    """ALL centroid cosines per vector in ONE Arrow pass — the blocked
+    dual of k per-(vector, centroid) ``cosine_arrow`` pair rows
+    (optimization r13, guide §4.2): each corpus vector crosses the
+    Python boundary once instead of k times, and no pair rows are ever
+    materialized. Bit-exact by the r12 kernel construction — per
+    centroid c the dot accumulates dimension-by-dimension from zeros
+    (the aggregate(zip_with) left fold), norms fold the same way
+    (np.sqrt ≡ JVM sqrt), and cosine divides by (norm_v · norm_c) in
+    the same order, so every raw double matches cosine()/cosine_arrow()
+    bit-for-bit (pinned by
+    tests/test_r13_opt.py::test_ivf_assign_mapside_identical). Rounding
+    stays in the Spark plan (r12 kernel discipline). Inputs must be
+    valid_vec-filtered (NaN would cross the Arrow NaN→NULL boundary)
+    and fixed-width (a width-mismatched vector row yields NULL sims,
+    like the zip_with pad → NULL fold)."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(cvecs, dtype=np.float64)  # k × d
+    k, d = C.shape
+    cnorm = np.empty(k)
+    for c in range(k):
+        acc = 0.0
+        for i in range(d):
+            acc += C[c, i] * C[c, i]  # l2_norm's exact scalar fold
+        cnorm[c] = acc
+    cnorm = np.sqrt(cnorm)
+
+    @pandas_udf("array<double>")
+    def fn(v: pd.Series) -> pd.Series:
+        n = len(v)
+        out = [None] * n
+        idx = np.flatnonzero(v.notna().to_numpy())
+        if len(idx):
+            try:
+                V = np.array(v.iloc[idx].tolist(), dtype=np.float64)
+                if V.ndim != 2 or V.shape[1] != d:
+                    raise ValueError
+            except (ValueError, TypeError):
+                return pd.Series(out, dtype=object)  # off-width → NULL
+            nrow = len(idx)
+            vacc = np.zeros(nrow)
+            for i in range(d):
+                x = V[:, i]
+                vacc += x * x
+            vnorm = np.sqrt(vacc)
+            sims = np.empty((nrow, k))
+            for c in range(k):
+                acc = np.zeros(nrow)
+                for i in range(d):
+                    acc += V[:, i] * C[c, i]  # dot's exact fold
+                sims[:, c] = acc / (vnorm * cnorm[c])
+            for p, i in enumerate(idx):
+                out[i] = sims[p]
+        return pd.Series(out, dtype=object)
+
+    return fn(vec_col)
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -75,8 +137,8 @@ def ivf_assign(
     centroid_id: str = "centroid_id",
     keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Assign every vector to its max-cosine centroid (broadcast argmax;
-    rounded similarity + centroid id tiebreak for determinism).
+    """Assign every vector to its max-cosine centroid (rounded
+    similarity + centroid id tiebreak for determinism).
     Degenerate vectors/centroids (zero-norm / NaN / Inf) are excluded
     (functions.vector.valid_vec) — every IVF/semdedup/knn-IVF consumer
     inherits the guard from here; consumers whose output is a KEEP-SET
@@ -84,29 +146,240 @@ def ivf_assign(
     lose rows should route df.filter(~valid_vec(col)) separately.
     ``keep_cols`` rides extra input columns through the argmax (the
     ann_index build carries its PQ codes here instead of re-joining
-    them on vec_id afterwards — optimization r12)."""
-    c = centroids.filter(valid_vec(F.col(vec_col))).select(
-        F.col(centroid_id), F.col(vec_col).alias("__cvec")
+    them on vec_id afterwards — optimization r12).
+
+    Map-side since optimization r13: the centroid set is collected once
+    (bounded control-plane, same contract as the previous
+    F.broadcast(c) — and as knn_join_gemm's query collect), every
+    vector gets its k cosines from ONE Arrow pass
+    (:func:`centroid_cos_arrow`), the 6-dp rounding happens in the
+    Spark plan (transform + F.round, the same BigDecimal HALF_UP as
+    before), and the argmax is array_position(array_max) — first match
+    ≡ lowest centroid id on rounded ties, exactly the old window's
+    (DESC c_sim, ASC centroid_id) row_number. The per-vector×centroid
+    pair rows AND the window's full id-partitioned Exchange+Sort are
+    gone; the assignment is a pure projection over the corpus scan."""
+    c_rows = (
+        centroids.filter(valid_vec(F.col(vec_col)))
+        .select(centroid_id, vec_col)
+        .collect()
     )
-    scored = vectors.filter(valid_vec(F.col(vec_col))).crossJoin(
-        F.broadcast(c)
-    ).select(
-        id_col,
-        vec_col,
-        *[F.col(k) for k in keep_cols],
-        centroid_id,
-        F.round(cosine_arrow(F.col(vec_col), F.col("__cvec")), 6).alias("c_sim"),
-    )
-    w = W.partitionBy(id_col).orderBy(F.desc("c_sim"), centroid_id)
-    return (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .select(
+    c_rows.sort(key=lambda r: r[centroid_id])
+    base = vectors.filter(valid_vec(F.col(vec_col)))
+    if not c_rows:
+        # empty/degenerate centroid set -> empty result, like the old
+        # crossJoin against an empty broadcast side
+        cid_type = centroids.schema[centroid_id].dataType.simpleString()
+        return base.select(
             id_col,
             vec_col,
             *[F.col(k) for k in keep_cols],
-            F.col(centroid_id).alias("cluster"),
+            F.lit(None).cast(cid_type).alias("cluster"),
+        ).filter(F.lit(False))
+    cvecs = [[float(x) for x in r[vec_col]] for r in c_rows]
+    cid_arr = F.array(*[F.lit(r[centroid_id]) for r in c_rows])
+    sims = centroid_cos_arrow(cvecs, vec_col)
+    rounded = F.transform(sims, lambda x: F.round(x, 6))
+    pick = F.element_at(
+        cid_arr, F.array_position(rounded, F.array_max(rounded)).cast("int")
+    )
+    return base.select(
+        id_col,
+        vec_col,
+        *[F.col(k) for k in keep_cols],
+        pick.alias("cluster"),
+    )
+
+
+# target rows per block for the blocked exact pair scan: bounds each
+# task's matrices at ~2·TARGET·d·8 bytes while keeping enough block
+# pairs for parallelism; block count derives from the corpus size
+# IN-PLAN (no eager count job), so the same code is right at any SF
+_PAIR_BLOCK_TARGET = 256
+
+
+def pair_cos_blocked(
+    vectors: DataFrame,
+    min_raw: float | None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    max_raw: float | None = None,
+    score: str = "cos",
+) -> DataFrame:
+    """(id_a, id_b, raw_cos) for every unordered pair of valid vectors
+    with RAW cosine ≥ ``min_raw`` — the blocked exact dual of the
+    per-pair fold join (optimization r13, guide §4.2/§2.2).
+
+    The r12 rule was "Arrow loses on pair-join shapes" because the join
+    ships two full vectors per PAIR row through the Arrow boundary.
+    Blocking restores the win: vectors are grouped into ~equal hash
+    blocks (count-derived in-plan scalar → adaptive at any scale), each
+    unordered BLOCK pair becomes one task, and each block's matrix
+    crosses the boundary once per partner block instead of once per
+    pair. Inside the kernel the fold is replayed EXACTLY:
+
+    - dot: acc += A[:,i] * B[:,j-th col], accumulated dimension-by-
+      dimension from zeros — the identical IEEE sequence as
+      aggregate(zip_with(a, b, x*y), 0.0, +) for every pair at once;
+    - norm: acc += x_i·x_i then np.sqrt — identical to l2_norm's fold
+      (np.sqrt ≡ JVM sqrt, IEEE-exact);
+    - cosine: dot / (norm_a · norm_b) — same multiply, same divide.
+
+    So raw doubles are bit-identical to the fold path (pinned by
+    tests/test_r13_opt.py::test_pair_cos_blocked_bit_identical), no
+    rounding happens kernel-side (F.round's BigDecimal HALF_UP stays in
+    the Spark plan, per the r12 kernel discipline), and NaN can never
+    reach the Arrow NaN→NULL boundary (valid_vec admission). Pairs of
+    DIFFERENT vector widths yield NULL dots under zip_with (pad → NULL
+    fold) and are dropped by any threshold filter — the kernel
+    reproduces that by bucketing each block by width and only scoring
+    equal-width pairs. ``min_raw`` must carry the caller's rounding
+    margin (round(x, 6) ≥ t ⟹ x ≥ t − 5e-7; callers pass t − 1e-6).
+
+    Variants for the other pair-scoring consumers:
+    - ``block_col``: use a NATURAL block key (e.g. an IVF cluster)
+      instead of hash blocking — pairs are then scored strictly WITHIN
+      a block (semdedup / triplet semantics), never across blocks.
+    - ``score="dot"``: raw dot instead of cosine (no norm division) —
+      the pre-unit-normalized triplet shape.
+    - ``max_raw``: keep the LOW tail too — a row survives if raw ≥
+      min_raw OR raw ≤ max_raw (the triplet positive/hard-negative
+      band pair); pass min_raw=None for a single low tail."""
+    import numpy as np
+
+    id_type = vectors.schema[id_col].dataType.simpleString()
+
+    if block_col is None:
+        valid = vectors.filter(valid_vec(F.col(vec_col))).select(
+            id_col, vec_col
         )
+        nbdf = valid.agg(
+            F.greatest(
+                F.lit(1).cast("int"),
+                F.ceil(
+                    F.count(F.lit(1)).cast("double")
+                    / float(_PAIR_BLOCK_TARGET)
+                ).cast("int"),
+            ).alias("__nb")
+        )
+        keyed = valid.crossJoin(F.broadcast(nbdf)).select(
+            F.pmod(F.hash(F.col(id_col)), F.col("__nb")).alias("__bk"),
+            id_col,
+            vec_col,
+        )
+    else:
+        keyed = vectors.filter(valid_vec(F.col(vec_col))).select(
+            F.col(block_col).alias("__bk"), id_col, vec_col
+        )
+    blocks = (
+        keyed.groupBy("__bk")
+        .agg(F.collect_list(F.struct(id_col, vec_col)).alias("__items"))
+        .select(
+            "__bk",
+            F.transform("__items", lambda x: x[id_col]).alias("ids"),
+            F.transform("__items", lambda x: x[vec_col]).alias("vecs"),
+        )
+    )
+    lhs = blocks.select(
+        F.col("__bk").alias("bk_a"),
+        F.col("ids").alias("ids_a"),
+        F.col("vecs").alias("vecs_a"),
+    )
+    if block_col is not None:
+        # natural blocks: within-block pairs only, no block-pair join —
+        # the (ids, vecs) row IS the task
+        joined = lhs.select(
+            "bk_a",
+            "ids_a",
+            "vecs_a",
+            F.col("ids_a").alias("ids_b"),
+            F.col("vecs_a").alias("vecs_b"),
+            F.col("bk_a").alias("bk_b"),
+        )
+    else:
+        rhs = blocks.select(
+            F.col("__bk").alias("bk_b"),
+            F.col("ids").alias("ids_b"),
+            F.col("vecs").alias("vecs_b"),
+        )
+        joined = lhs.join(rhs, F.col("bk_a") <= F.col("bk_b"))
+
+    want_cos = score == "cos"
+
+    def _mats(ids, vecs):
+        """Width-bucketed (ids, matrix, norms) triples for one block."""
+        by_w: dict = {}
+        for i, v in zip(ids, vecs):
+            by_w.setdefault(len(v), ([], []))
+            by_w[len(v)][0].append(i)
+            by_w[len(v)][1].append(v)
+        out = []
+        for w, (bi, bv) in by_w.items():
+            M = np.array(bv, dtype=np.float64)
+            if want_cos:
+                acc = np.zeros(len(bi))
+                for i in range(w):
+                    x = M[:, i]
+                    acc += x * x  # l2_norm's exact fold
+                nrm = np.sqrt(acc)
+            else:
+                nrm = None
+            out.append((np.asarray(bi), M, nrm))
+        return out
+
+    def gen(batches):
+        for pdf in batches:
+            o_a, o_b, o_r = [], [], []
+            for ids_a, vecs_a, ids_b, vecs_b, same in zip(
+                pdf["ids_a"],
+                pdf["vecs_a"],
+                pdf["ids_b"],
+                pdf["vecs_b"],
+                (pdf["bk_a"] == pdf["bk_b"]).to_numpy(),
+            ):
+                for ia, A, na in _mats(ids_a, vecs_a):
+                    for ib, B, nb in _mats(ids_b, vecs_b):
+                        if A.shape[1] != B.shape[1]:
+                            continue  # zip_with pad → NULL dot → dropped
+                        acc = np.zeros((len(ia), len(ib)))
+                        for i in range(A.shape[1]):
+                            # dot's exact fold, all pairs at once
+                            acc += A[:, i, None] * B[None, :, i]
+                        cos = (
+                            acc / (na[:, None] * nb[None, :])
+                            if want_cos
+                            else acc
+                        )
+                        if min_raw is None and max_raw is None:
+                            mask = np.ones(cos.shape, dtype=bool)
+                        else:
+                            mask = np.zeros(cos.shape, dtype=bool)
+                            if min_raw is not None:
+                                mask |= cos >= min_raw
+                            if max_raw is not None:
+                                mask |= cos <= max_raw
+                        if same:
+                            mask &= ia[:, None] < ib[None, :]
+                        r, c = np.nonzero(mask)
+                        if not len(r):
+                            continue
+                        lo = np.minimum(ia[r], ib[c])
+                        hi = np.maximum(ia[r], ib[c])
+                        o_a.append(lo)
+                        o_b.append(hi)
+                        o_r.append(cos[r, c])
+            if o_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(o_a),
+                        "id_b": np.concatenate(o_b),
+                        "raw_cos": np.concatenate(o_r),
+                    }
+                )
+
+    return joined.mapInPandas(
+        gen, schema=f"id_a {id_type}, id_b {id_type}, raw_cos double"
     )
 
 
@@ -115,15 +388,31 @@ def cosine_near_dup_exact(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "blocked",
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold — exact O(n²) baseline.
 
     Correctness reference only: at 100 TB use ``cosine_near_dup_lsh``,
     which explodes candidates only within hash buckets.
 
-    Norms are computed once per vector BEFORE the pair join (n·d work),
-    not per pair (n²·d) — cosine per pair is then one dot + one divide.
-    Identical doubles: same expressions, same fold order."""
+    ``impl="blocked"`` (default, optimization r13) scores block pairs
+    through :func:`pair_cos_blocked` — bit-identical raw cosines, with
+    F.round (BigDecimal HALF_UP, ~1 µs/row over n² pairs the old plan
+    paid) applied only to the ≥ threshold−1e-6 survivors; the margin is
+    conservative for round-half-up (round(x,6) ≥ t needs x ≥ t−5e-7).
+    ``impl="fold"`` keeps the original per-pair JVM fold join — the
+    differential pin for the kernel."""
+    if impl == "blocked":
+        raw = pair_cos_blocked(
+            vectors, threshold - 1e-6, id_col=id_col, vec_col=vec_col
+        )
+        return (
+            raw.select(
+                "id_a", "id_b", F.round(F.col("raw_cos"), 6).alias("cos_sim")
+            )
+            .filter(F.col("cos_sim") >= threshold)
+            .orderBy("id_a", "id_b")
+        )
     with_norm = _spread(vectors.filter(valid_vec(F.col(vec_col)))).select(
         id_col, vec_col, l2_norm(F.col(vec_col)).alias("__norm")
     )
@@ -167,39 +456,27 @@ def semdedup(
     with cosine ≥ threshold (deterministic keep-first). Returns the
     kept (id, cluster) rows.
 
-    Scale contract: the pair join is per-cluster (equi-join on the
-    cluster key), so cost is quadratic only in the largest CELL, never
-    the corpus — with K centroids sized to the corpus (K ~ N/target
-    cell size) this is the standard SemDeDup shape. Norms are computed
-    once per vector before the join.
-    """
+    Scale contract: the pair scoring is per-cluster (natural blocks in
+    :func:`pair_cos_blocked`), so cost is quadratic only in the largest
+    CELL, never the corpus — with K centroids sized to the corpus
+    (K ~ N/target cell size) this is the standard SemDeDup shape.
+
+    Optimization r13: the within-cluster pair join (each pair row
+    shipping two vectors + two norms, one Arrow eval + one BigDecimal
+    round per pair) became one blocked-kernel task per cluster — raw
+    cosines bit-identical (exact-fold kernel), F.round applied only to
+    the ≥ threshold−1e-6 survivors. Row-identical by
+    tests/test_r13_opt.py::test_semdedup_blocked_identical."""
     assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
-    with_norm = assigned.select(
-        id_col, "cluster", vec_col, l2_norm(F.col(vec_col)).alias("__norm")
-    )
-    a = with_norm.select(
-        F.col("cluster"),
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("vec_a"),
-        F.col("__norm").alias("norm_a"),
-    )
-    b = with_norm.select(
-        F.col("cluster"),
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vec_b"),
-        F.col("__norm").alias("norm_b"),
+    raw = pair_cos_blocked(
+        assigned,
+        threshold - 1e-6,
+        id_col=id_col,
+        vec_col=vec_col,
+        block_col="cluster",
     )
     dominated = (
-        a.join(b, ["cluster"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            F.round(
-                dot_arrow(F.col("vec_a"), F.col("vec_b"))
-                / (F.col("norm_a") * F.col("norm_b")),
-                6,
-            )
-            >= threshold
-        )
+        raw.filter(F.round(F.col("raw_cos"), 6) >= threshold)
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )

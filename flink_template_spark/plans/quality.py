@@ -2460,22 +2460,34 @@ def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
 
     def _tri(src: DataFrame) -> DataFrame:
-        # measured note (optimization round): rewriting this as
-        # explode(sequence)+codegen substring was 28% SLOWER (3.2 →
-        # 4.1 s at sf0.1) — the interpreted transform lambda builds the
-        # trigram array once per doc, while the exploded form re-cuts
-        # (and re-scans, UTF-8) the text per position. Kept as-is.
-        return src.select(
+        # One linear split into a char array, then the three off-by-one
+        # slices zipped map-side (the shingle_rows arrays_zip shape at
+        # character grain) — every operator is a codegen expression.
+        # Replaces (optimization r13, guide §2.4/§1.2) the interpreted
+        # `transform(sequence(...), i -> substring(text, i, 3))` lambda,
+        # whose substring did an O(i) UTF-8 seek per position (quadratic
+        # per doc, and an interpreted HOF eval per trigram). An earlier
+        # rewrite attempt — explode(sequence) + codegen substring — was
+        # 28% SLOWER because it re-cut the text per exploded row; the
+        # split form cuts each char exactly once. Row-identical to the
+        # old lambda incl. code-point semantics (split('') and substring
+        # both index by code point; non-BMP pinned by
+        # tests/test_r13_opt.py::test_lang_id_trigram_split_matches_substring).
+        chs = src.select(
+            "doc_id", "lang", F.split(F.col("text"), "").alias("__ch")
+        )
+        n3 = F.greatest(F.size("__ch") - F.lit(2), F.lit(0))
+        z = F.arrays_zip(
+            F.slice("__ch", 1, n3).alias("c0"),
+            F.slice("__ch", 2, n3).alias("c1"),
+            F.slice("__ch", 3, n3).alias("c2"),
+        )
+        return chs.select(
+            "doc_id", "lang", F.explode(z).alias("__t")
+        ).select(
             "doc_id",
             "lang",
-            F.explode(
-                F.expr(
-                    "CASE WHEN length(text) >= 3 THEN "
-                    "transform(sequence(1, length(text) - 2),"
-                    " i -> substring(text, i, 3)) "
-                    "ELSE array() END"
-                )
-            ).alias("g"),
+            F.concat("__t.c0", "__t.c1", "__t.c2").alias("g"),
         )
 
     tri = _tri(docs)

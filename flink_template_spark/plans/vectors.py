@@ -27,6 +27,7 @@ from flink_template_spark.operators.similarity import (
     cosine_near_dup_lsh,
     ivf_assign,
     ivf_topk,
+    pair_cos_blocked,
     plane_dot_sql,
 )
 from flink_template_spark.plans.registry import register
@@ -1153,42 +1154,46 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    a = assigned.select(
-        "cluster",
-        F.col("vec_id").alias("anchor"),
-        F.col("u").alias("ua"),
-    )
-    n = assigned.select(
-        "cluster",
-        F.col("vec_id").alias("other"),
-        F.col("u").alias("un"),
-    )
-    # ONE symmetric within-cell pair table feeds both the positive
-    # band and the hard-negative probe (each pair cosine computed
-    # once; pinned for its two consumers)
-    pairs = (
-        a.join(n, "cluster")
-        .filter(F.col("other") != F.col("anchor"))
+    # Within-cell pair scoring via the blocked exact-fold kernel
+    # (optimization r13, operators.similarity.pair_cos_blocked): one
+    # task per cell scores every pair with the identical dot fold, and
+    # only the two bands the query consumes survive kernel-side (raw ≥
+    # POS−1e-6 OR raw ≤ NEG+1e-6, conservative for round-half-up) — the
+    # old symmetric pair table paid one Arrow pair row + one BigDecimal
+    # round per (anchor, other) ORDERED pair, discarded the whole
+    # middle band afterwards, and its id-window checkpoint fed two
+    # consumers. Unordered kernel pairs reconstruct both consumers: dot
+    # is symmetric bit-for-bit (products commute, same fold order), the
+    # positive band uses anchor < other as before, and the negative
+    # probe unions both orientations of the low band. Row-identical by
+    # tests/test_r13_opt.py::test_contrastive_triplets_blocked_identical.
+    band = (
+        pair_cos_blocked(
+            assigned,
+            TRIPLET_POS - 1e-6,
+            vec_col="u",
+            block_col="cluster",
+            max_raw=TRIPLET_NEG + 1e-6,
+            score="dot",
+        )
         .select(
-            "anchor",
-            "other",
-            F.round(udot(F.col("ua"), F.col("un")), 6).alias("cos"),
+            "id_a", "id_b", F.round(F.col("raw_cos"), 6).alias("cos")
         )
         .localCheckpoint(eager=False)
     )
-    positives = (
-        pairs.filter(
-            (F.col("anchor") < F.col("other"))
-            & (F.col("cos") >= TRIPLET_POS)
-        )
-        .select(
-            "anchor",
-            F.col("other").alias("positive"),
-            F.col("cos").alias("cos_ap"),
-        )
+    positives = band.filter(F.col("cos") >= TRIPLET_POS).select(
+        F.col("id_a").alias("anchor"),
+        F.col("id_b").alias("positive"),
+        F.col("cos").alias("cos_ap"),
     )
+    low = band.filter(F.col("cos") <= TRIPLET_NEG)
     negatives = (
-        pairs.filter(F.col("cos") <= TRIPLET_NEG)
+        low.select(F.col("id_a").alias("anchor"), F.col("id_b").alias("other"))
+        .unionAll(
+            low.select(
+                F.col("id_b").alias("anchor"), F.col("id_a").alias("other")
+            )
+        )
         .groupBy("anchor")
         .agg(F.min("other").alias("negative"))
     )

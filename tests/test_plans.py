@@ -575,18 +575,26 @@ def test_ngram_novelty_joins_reduced_sides(spark, sf):
 
 
 def test_semdedup_pair_join_is_cluster_keyed(spark, sf):
-    """The dominance pair join must be an equi-join on the cluster key,
-    never a cartesian across cells; the only nested-loop joins allowed
-    are the broadcast-tiny centroid assignments (K rows)."""
+    """The dominance pair work must stay cluster-blocked, never a
+    cartesian across cells. Since optimization r13 the within-cluster
+    pair scoring is the blocked exact-fold kernel (one MapInPandas task
+    per cluster over a cluster-keyed collect_list agg) rather than a
+    pair equi-join — assert that shape, plus the keyed anti-join that
+    subtracts the dominated set."""
     p = plan_of(plans.QUERIES["q_semdedup_keep"](spark, sf))
     assert "CartesianProduct" not in p
-    for line in p.splitlines():
-        # tree lines carry the join type; detail lines just repeat the name
-        if "BroadcastNestedLoopJoin" in line and "Build" in line:
-            assert "Cross BuildRight" in line  # broadcast centroids only
-    # the pair join itself is keyed (SMJ/BHJ/SHJ inner), present in plan
+    assert "BroadcastNestedLoopJoin" not in p  # r13: no pair rows at all
+    # kernel path: cluster-keyed collect_list agg feeding MapInPandas
+    assert "MapInPandas" in p
+    assert "collect_list" in p
+    # the keep-set subtraction is a keyed anti-join
     assert any(
-        j in p for j in ("SortMergeJoin Inner", "ShuffledHashJoin Inner", "BroadcastHashJoin Inner")
+        j in p
+        for j in (
+            "SortMergeJoin LeftAnti",
+            "ShuffledHashJoin LeftAnti",
+            "BroadcastHashJoin LeftAnti",
+        )
     )
 
 

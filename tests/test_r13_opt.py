@@ -277,6 +277,306 @@ def test_pq_codes_arrow_bit_identical(spark, sf_dir):
     )
 
 
+def test_pair_cos_blocked_bit_identical(spark, sf_dir):
+    """pair_cos_blocked must emit bit-identical raw cosines to the
+    per-pair fold join for EVERY unordered pair of valid vectors (the
+    kernel replays dot's and l2_norm's exact folds), and
+    cosine_near_dup_exact(impl='blocked') must be row-identical to
+    impl='fold' at a permissive threshold. Mixed-width pairs drop like
+    the zip_with NULL fold."""
+    import struct
+
+    from flink_template_spark.functions.vector import dot, l2_norm, valid_vec
+    from flink_template_spark.operators.similarity import (
+        cosine_near_dup_exact,
+        pair_cos_blocked,
+    )
+    from flink_template_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    wn = emb.filter(valid_vec(F.col("embedding"))).select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("n")
+    )
+    a = wn.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("n").alias("na"),
+    )
+    b = wn.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("n").alias("nb"),
+    )
+    fold = {
+        (r.id_a, r.id_b): r.c
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb"))
+            ).alias("c"),
+        )
+        .collect()
+    }
+    kern = {
+        (r.id_a, r.id_b): r.raw_cos
+        for r in pair_cos_blocked(emb, -2.0).collect()
+    }
+    assert len(fold) > 0 and set(fold) == set(kern)
+    bits = lambda x: struct.pack("<d", x)  # noqa: E731
+    for key in fold:
+        assert bits(fold[key]) == bits(kern[key]), key
+
+    got = cosine_near_dup_exact(emb, 0.30, impl="blocked").collect()
+    ref = cosine_near_dup_exact(emb, 0.30, impl="fold").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in ref]
+
+    # mixed widths: only equal-width pairs score (zip_with pad -> NULL)
+    mixed = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.5, 0.5, 0.0]),
+            (3, [1.0, 0.0]),
+            (4, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got_m = cosine_near_dup_exact(mixed, -1.0, impl="blocked").collect()
+    ref_m = cosine_near_dup_exact(mixed, -1.0, impl="fold").collect()
+    assert [tuple(r) for r in got_m] == [tuple(r) for r in ref_m]
+    assert {(r.id_a, r.id_b) for r in got_m} == {(1, 2), (3, 4)}
+
+
+def test_ivf_assign_mapside_identical(spark, sf_dir):
+    """The map-side ivf_assign (one Arrow pass + in-plan rounded argmax)
+    must reproduce the old crossJoin + window formulation row for row:
+    same cluster for every vector, on the real corpus for several
+    centroid-set sizes, including a rounded-tie corpus (duplicate
+    centroids -> lowest centroid_id must win, as under the old
+    row_number tiebreak)."""
+    from pyspark.sql import Window as W
+
+    from flink_template_spark.functions.vector import cosine, valid_vec
+    from flink_template_spark.operators.similarity import ivf_assign
+    from flink_template_spark.tables import load_table
+
+    def old_assign(vectors, centroids, id_col="vec_id", vec_col="embedding"):
+        c = centroids.filter(valid_vec(F.col(vec_col))).select(
+            F.col("centroid_id"), F.col(vec_col).alias("__cvec")
+        )
+        scored = (
+            vectors.filter(valid_vec(F.col(vec_col)))
+            .crossJoin(F.broadcast(c))
+            .select(
+                id_col,
+                "centroid_id",
+                F.round(cosine(F.col(vec_col), F.col("__cvec")), 6).alias(
+                    "c_sim"
+                ),
+            )
+        )
+        w = W.partitionBy(id_col).orderBy(F.desc("c_sim"), "centroid_id")
+        return (
+            scored.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select(id_col, F.col("centroid_id").alias("cluster"))
+        )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    for n_cent in (4, 45):
+        cents = emb.filter(F.col("vec_id") < n_cent).select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        got = {
+            r.vec_id: r.cluster
+            for r in ivf_assign(emb, cents).select("vec_id", "cluster").collect()
+        }
+        ref = {r.vec_id: r.cluster for r in old_assign(emb, cents).collect()}
+        assert got == ref and len(got) > 0
+
+    # duplicate centroid vectors force EXACT rounded ties on every row:
+    # both formulations must break to the lowest centroid_id
+    dup = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    dup = dup.unionAll(
+        dup.select(
+            (F.col("centroid_id") + 100).alias("centroid_id"), "embedding"
+        )
+    )
+    got = {
+        r.vec_id: r.cluster
+        for r in ivf_assign(emb, dup).select("vec_id", "cluster").collect()
+    }
+    ref = {r.vec_id: r.cluster for r in old_assign(emb, dup).collect()}
+    assert got == ref and set(got.values()) <= {0, 1}
+
+
+def test_semdedup_blocked_identical(spark, sf_dir):
+    """semdedup's blocked pair scoring must keep the identical id set
+    as the old within-cluster pair join (round over every pair)."""
+    from flink_template_spark.functions.vector import dot, l2_norm
+    from flink_template_spark.operators.similarity import ivf_assign, semdedup
+    from flink_template_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    for n_cent, th in ((4, 0.4), (20, 0.2)):
+        cents = emb.filter(F.col("vec_id") < n_cent).select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        got = sorted(
+            map(tuple, semdedup(emb, cents, th).collect())
+        )
+        assigned = ivf_assign(emb, cents)
+        wn = assigned.select(
+            "vec_id", "cluster", "embedding",
+            l2_norm(F.col("embedding")).alias("__norm"),
+        )
+        a = wn.select(
+            "cluster", F.col("vec_id").alias("id_a"),
+            F.col("embedding").alias("va"), F.col("__norm").alias("na"),
+        )
+        b = wn.select(
+            "cluster", F.col("vec_id").alias("id_b"),
+            F.col("embedding").alias("vb"), F.col("__norm").alias("nb"),
+        )
+        dominated = (
+            a.join(b, ["cluster"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(
+                F.round(
+                    dot(F.col("va"), F.col("vb"))
+                    / (F.col("na") * F.col("nb")),
+                    6,
+                )
+                >= th
+            )
+            .select(F.col("id_b").alias("vec_id"))
+            .distinct()
+        )
+        ref = sorted(
+            map(
+                tuple,
+                assigned.join(dominated, "vec_id", "left_anti")
+                .select("vec_id", "cluster")
+                .collect(),
+            )
+        )
+        assert got == ref and len(got) > 0
+
+
+def test_contrastive_triplets_blocked_identical(spark, sf_dir):
+    """The banded kernel pair scoring inside q_contrastive_triplets
+    must reproduce the old symmetric round-all-pairs table: identical
+    positives (anchor < other, cos ≥ POS) and identical per-anchor
+    MIN hard negative (cos ≤ NEG, both orientations)."""
+    from flink_template_spark.functions.vector import dot, l2_norm
+    from flink_template_spark.operators.similarity import (
+        ivf_assign,
+        pair_cos_blocked,
+    )
+    from flink_template_spark.plans.vectors import TRIPLET_NEG, TRIPLET_POS
+    from flink_template_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = (
+        ivf_assign(emb, cents)
+        .withColumn("nrm", l2_norm(F.col("embedding")))
+        .select(
+            "vec_id",
+            "cluster",
+            F.transform(
+                F.col("embedding"), lambda x: x.cast("double") / F.col("nrm")
+            ).alias("u"),
+        )
+    )
+    band = pair_cos_blocked(
+        assigned,
+        TRIPLET_POS - 1e-6,
+        vec_col="u",
+        block_col="cluster",
+        max_raw=TRIPLET_NEG + 1e-6,
+        score="dot",
+    ).select("id_a", "id_b", F.round(F.col("raw_cos"), 6).alias("cos"))
+    got_pos = sorted(
+        map(tuple, band.filter(F.col("cos") >= TRIPLET_POS).collect())
+    )
+    low = band.filter(F.col("cos") <= TRIPLET_NEG)
+    got_neg = sorted(
+        map(
+            tuple,
+            low.select(F.col("id_a").alias("anchor"), F.col("id_b").alias("o"))
+            .unionAll(
+                low.select(
+                    F.col("id_b").alias("anchor"), F.col("id_a").alias("o")
+                )
+            )
+            .groupBy("anchor")
+            .agg(F.min("o").alias("negative"))
+            .collect(),
+        )
+    )
+    a = assigned.select(
+        "cluster", F.col("vec_id").alias("anchor"), F.col("u").alias("ua")
+    )
+    n = assigned.select(
+        "cluster", F.col("vec_id").alias("other"), F.col("u").alias("un")
+    )
+    pairs = (
+        a.join(n, "cluster")
+        .filter(F.col("other") != F.col("anchor"))
+        .select(
+            "anchor",
+            "other",
+            F.round(dot(F.col("ua"), F.col("un")), 6).alias("cos"),
+        )
+    )
+    ref_pos = sorted(
+        map(
+            tuple,
+            pairs.filter(
+                (F.col("anchor") < F.col("other"))
+                & (F.col("cos") >= TRIPLET_POS)
+            ).collect(),
+        )
+    )
+    ref_neg = sorted(
+        map(
+            tuple,
+            pairs.filter(F.col("cos") <= TRIPLET_NEG)
+            .groupBy("anchor")
+            .agg(F.min("other").alias("negative"))
+            .collect(),
+        )
+    )
+    assert got_pos == ref_pos and len(got_neg) > 0
+    assert got_neg == ref_neg
+
+
+def test_pair_sims_q_blocked_identical(spark, sf_dir):
+    """pair_sims_q's blocked build (kernel + mirror + linear diagonal)
+    must emit the identical (d, c, sim_q) table as the cross-join fold
+    it replaced — full ordered table, self-pairs included — and the
+    greedy picks must be unchanged on the real fixture."""
+    from flink_template_spark.operators.coreset import (
+        facility_location_greedy,
+        pair_sims_q,
+    )
+    from flink_template_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("label") == 0)
+    got = sorted(map(tuple, pair_sims_q(emb, impl="blocked").collect()))
+    ref = sorted(map(tuple, pair_sims_q(emb, impl="fold").collect()))
+    assert got == ref and len(got) > 0
+    picks = facility_location_greedy(emb, k=3)
+    assert [p["round"] for p in picks] == [1, 2, 3]
+
+
 def test_coreset_broadcast_guard_fallback_identical(spark, monkeypatch):
     """Above BROADCAST_COV_MAX_ROWS the greedy loop must fall back to
     the shuffle join and still produce the identical pick sequence."""
