@@ -48,23 +48,26 @@ def pair_sims_q(
     universe: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    impl: str = "blocked",
+    impl: str = "fold",
 ) -> DataFrame:
     """(d, c, sim_q): micro-unit-quantized cosine for every ordered
     pair of the (blocked, small) universe, self-pairs included
     (sim_q(d,d) — a facility covers itself). Degenerate vectors
     are excluded by the cosine-family valid_vec contract.
 
-    ``impl="blocked"`` (optimization r13): raw cosines come from the
-    blocked exact-fold kernel (operators.similarity.pair_cos_blocked —
-    bit-identical doubles, one task per block pair instead of one fold
-    + one BigDecimal round per ORDERED pair). Each unordered pair is
-    rounded ONCE and mirrored (cosine is symmetric bit-for-bit: the
-    fold multiplies commute); the diagonal is the identical
-    dot(v,v)/(n·n) expression evaluated linearly. Row-identity pinned
-    by tests/test_r13_opt.py::test_pair_sims_q_blocked_identical.
-    ``impl="fold"`` keeps the original cross-join fold as the pin
-    reference."""
+    ``impl="blocked"`` scores via the blocked exact-fold kernel
+    (operators.similarity.pair_cos_blocked — bit-identical doubles,
+    each unordered pair rounded once and mirrored, diagonal linear;
+    row-identity pinned by
+    tests/test_r13_opt.py::test_pair_sims_q_blocked_identical).
+    MEASURED NEGATIVE at fixture scale (optimization r13): the greedy
+    loop read 2.71 s blocked vs 2.10 s fold min-of-2 in-session A/B —
+    unlike the thresholded consumers, this table keeps EVERY pair, so
+    the kernel saves folds but still rounds n² rows, and its extra
+    union/checkpoint stages cost more than the folds it removed. The
+    cross-join fold therefore stays the default; the blocked form is
+    kept for universes big enough that fold cost dominates (re-try at
+    the cluster round)."""
     u = universe.filter(valid_vec(F.col(vec_col))).select(
         F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("__n")
     )

@@ -67,9 +67,20 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {str(exc)[:300]}"
 
     # ---- trip_sessions: keyed GroupState sessionization ------------------
+    # Measured through the EVENT-TIME dual (sessionize_trips_event_time):
+    # a bounded replay is exactly the backfill case its docstring names.
+    # The processing-time variant is UNBENCHABLE under availableNow —
+    # probed r13: ProcessingTimeTimeout keeps the query scheduling empty
+    # ~0.75 s batches indefinitely (146 empty batches / 120 s at 5k
+    # events, never terminating), so a wall-clock rate would measure
+    # timer idling, not processing. Both variants share _ingest/_finalize
+    # and the state schema, so the per-event stateful work measured here
+    # is the same code the processing-time path runs per batch.
     from flink_template_spark.parse import read_trip_events_stream
     from flink_template_spark.sources.trip_fixtures import write_scaled_fixture
-    from flink_template_spark.streaming.trip_sessions import sessionize_trips
+    from flink_template_spark.streaming.trip_sessions import (
+        sessionize_trips_event_time,
+    )
 
     trips_dir = os.path.join(work, "trip_events")
     n_trip_events = write_scaled_fixture(
@@ -79,7 +90,7 @@ def main() -> None:
     def run_trip(tag: str) -> None:
         ckpt = os.path.join(work, f"trip_ckpt_{tag}")
         q = (
-            sessionize_trips(read_trip_events_stream(spark, trips_dir))
+            sessionize_trips_event_time(read_trip_events_stream(spark, trips_dir))
             .writeStream.outputMode("append")
             .format("noop")
             .option("checkpointLocation", ckpt)
