@@ -605,48 +605,35 @@ def cosine_near_dup_lsh(
     cosine — the 100 TB-scale near-dup path: the self-join explodes only
     within (band, signature) buckets, never across the full table.
 
-    The signature table is built ONCE and pinned (lazy localCheckpoint)
-    for both self-join sides — it used to be re-derived per side, so
-    every plane dot and norm ran twice (multi-consumer subtree policy;
-    optimization r12). Norms ride the pinned table (computed pre-join,
-    per band row) instead of being re-folded on each side."""
-    bands = (
-        band_signatures(
-            vectors.filter(valid_vec(F.col(vec_col))),
-            n_bands, bits_per_band, id_col, vec_col,
-        )
-        .withColumn("__norm", l2_norm(F.col(vec_col)))
-        .localCheckpoint(eager=False)
-    )
-    a = bands.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("vec_a"),
-        F.col("__norm").alias("norm_a"),
-        "band",
-        "sig",
-    )
-    b = bands.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vec_b"),
-        F.col("__norm").alias("norm_b"),
-        "band",
-        "sig",
-    )
-    cand = (
-        a.join(b, ["band", "sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "vec_a", "vec_b", "norm_a", "norm_b")
-        .dropDuplicates(["id_a", "id_b"])
+    Optimization r13: bucket pairs are scored by the blocked exact-fold
+    kernel with the (band, sig) bucket as the natural block — one task
+    per bucket, raw cosines bit-identical to the fold path, and the
+    margin filter (raw ≥ threshold−1e-6, conservative for
+    round-half-up) runs INSIDE the kernel. The old plan shipped every
+    bucket-collision row (two 64-dim vectors + two norms, ~550 B) into
+    a dropDuplicates exchange and BigDecimal-rounded every candidate;
+    now the dedup exchange carries only (id, id, double) survivors —
+    a pair colliding in several bands scores bit-identically in each,
+    so dropDuplicates keeps the same value regardless of which
+    duplicate wins. Row-identity pinned by
+    tests/test_r13_opt.py::test_near_dup_lsh_blocked_identical (this
+    replaces the r12 slim-dedup attempt, which lost by re-attaching
+    payloads through statless SMJs — the kernel never detaches them)."""
+    bands = band_signatures(
+        vectors.filter(valid_vec(F.col(vec_col))),
+        n_bands, bits_per_band, id_col, vec_col,
+    ).withColumn("__bucket", F.struct("band", "sig"))
+    raw = pair_cos_blocked(
+        bands,
+        threshold - 1e-6,
+        id_col=id_col,
+        vec_col=vec_col,
+        block_col="__bucket",
     )
     return (
-        cand.select(
-            "id_a",
-            "id_b",
-            F.round(
-                dot(F.col("vec_a"), F.col("vec_b"))
-                / (F.col("norm_a") * F.col("norm_b")),
-                6,
-            ).alias("cos_sim"),
+        raw.dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a", "id_b", F.round(F.col("raw_cos"), 6).alias("cos_sim")
         )
         .filter(F.col("cos_sim") >= threshold)
         .orderBy("id_a", "id_b")

@@ -558,6 +558,58 @@ def test_contrastive_triplets_blocked_identical(spark, sf_dir):
     assert got_neg == ref_neg
 
 
+def test_near_dup_lsh_blocked_identical(spark, sf_dir):
+    """cosine_near_dup_lsh's bucket-kernel form must emit the identical
+    (id_a, id_b, cos_sim) rows as the old bucket self-join +
+    dedup-then-round formulation, at a permissive threshold so real
+    rows flow."""
+    from flink_template_spark.functions.vector import dot, l2_norm, valid_vec
+    from flink_template_spark.operators.similarity import (
+        band_signatures,
+        cosine_near_dup_lsh,
+    )
+    from flink_template_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    th, n_bands, bits = 0.30, 8, 4
+    got = cosine_near_dup_lsh(emb, th, n_bands=n_bands, bits_per_band=bits)
+    bands = (
+        band_signatures(
+            emb.filter(valid_vec(F.col("embedding"))), n_bands, bits,
+            "vec_id", "embedding",
+        )
+        .withColumn("__norm", l2_norm(F.col("embedding")))
+    )
+    a = bands.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"),
+        F.col("__norm").alias("norm_a"), "band", "sig",
+    )
+    b = bands.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"),
+        F.col("__norm").alias("norm_b"), "band", "sig",
+    )
+    ref = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "vec_a", "vec_b", "norm_a", "norm_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("norm_a") * F.col("norm_b")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= th)
+        .orderBy("id_a", "id_b")
+    )
+    g = [tuple(r) for r in got.collect()]
+    r = [tuple(r) for r in ref.collect()]
+    assert g == r and len(g) > 0
+
+
 def test_pair_sims_q_blocked_identical(spark, sf_dir):
     """pair_sims_q's blocked build (kernel + mirror + linear diagonal)
     must emit the identical (d, c, sim_q) table as the cross-join fold
